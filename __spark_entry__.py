@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query implementations live in ``console_etl_spark``; each module
+registers (name → query fn) and (name → ANSI-SQL oracle) pairs:
+- navigation.py — the reference's Q1-Q5/T1 surface mapped onto fixtures
+- relational.py — joins / aggregations / windows / set ops / top-k (X7)
+- llmops/ — dedup (X1/X2), similarity (X3), text analysis (X4),
+  multimodal (X5), JSON extraction (X6 in relational.py)
+Entries without oracle SQL (LSH tiers, Pandas-UDF features) get the
+driver's rows-only check by design — their exact twins are oracle-checked.
 """
 
 from __future__ import annotations
@@ -13,26 +21,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from console_etl_spark import navigation, relational
+from console_etl_spark.llmops import dedup, multimodal, similarity, textan
+
+_MODULES = (navigation, relational, dedup, textan, similarity, multimodal)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the 6-table star join
+    with broadcast dimensions (TPC-H Q5 shape). Driver checks rows>0."""
+    return relational.q5_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
+    return out

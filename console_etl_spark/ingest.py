@@ -1,0 +1,88 @@
+"""Ingest: semi-structured JSON meta stream → envelope-derived snapshot.
+
+Re-expresses the reference's shred pipeline (S4 + T1 + T2,
+/root/reference/cache.go:95-119): a concatenated stream of JSON "meta"
+documents is parsed, the partition key is derived with a 3-way
+conditional, and records land partitioned by (package, schema).
+
+The reference walks the stream record-at-a-time in one goroutine
+(cache.go:96-114); here the whole shred is a declarative plan —
+``spark.read.json`` distributes the parse across executors, the
+key-derivation is a Catalyst ``CASE WHEN`` (codegen'd, JVM-side), and the
+partitioned write streams through the shuffle-free path (each task writes
+its own partition files). Constant memory per task, scales with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA_PACKAGE = "olm.package"
+GLOBAL_PACKAGE = "__global"
+
+# Envelope of a meta record (cache.go:96-113): fixed typed columns +
+# opaque JSON payload, schema-on-read.
+META_ENVELOPE = T.StructType(
+    [
+        T.StructField("schema", T.StringType(), False),
+        T.StructField("package", T.StringType(), True),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("blob", T.StringType(), True),
+    ]
+)
+
+
+def derive_partition_key(
+    schema: Column, package: Column, name: Column, package_schema: str = SCHEMA_PACKAGE
+) -> Column:
+    """The reference's partition-key fallback triple (cache.go:100-106).
+
+    Exactly its order of application:
+      1. rows of schema ``package_schema`` (``olm.package`` in the
+         reference) are keyed by their *name* — the package object IS
+         the package;
+      2. whatever key resulted, if empty/null → ``__global``.
+    """
+    key = F.when(schema == package_schema, name).otherwise(package)
+    return (
+        F.when(key.isNull() | (key == ""), F.lit(GLOBAL_PACKAGE))
+        .otherwise(key)
+    )
+
+
+def shred_metas(raw: DataFrame) -> DataFrame:
+    """Derive the envelope: replace ``package`` with the partition key.
+
+    Input needs columns (schema, package, name) and any payload columns;
+    the raw document is preserved as ``blob`` if present.
+    """
+    return raw.withColumn(
+        "package",
+        derive_partition_key(F.col("schema"), F.col("package"), F.col("name")),
+    )
+
+
+def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a JSON-lines meta stream (the ``all.json`` analog,
+    cache.go:49) keeping the whole document as ``blob``.
+
+    Reads each line once: the envelope fields are extracted from the raw
+    text with ``get_json_object`` so we keep byte-faithful blobs without a
+    second pass or schema inference over arbitrary payloads.
+    """
+    raw = spark.read.text(path).withColumnRenamed("value", "blob")
+    raw = raw.filter(F.length(F.trim("blob")) > 0)
+    return raw.select(
+        F.get_json_object("blob", "$.schema").alias("schema"),
+        F.get_json_object("blob", "$.package").alias("package"),
+        F.get_json_object("blob", "$.name").alias("name"),
+        F.col("blob"),
+    )
+
+
+def ingest_meta_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Full S4→T1 pipeline: parse stream, derive envelope. The result is
+    ready for ``SnapshotStore.publish`` (T2/T3)."""
+    return shred_metas(read_meta_stream(spark, path))

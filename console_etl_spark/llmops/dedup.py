@@ -1,0 +1,345 @@
+"""Deduplication operators (X1/X2): exact, normalized, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+Scale design:
+- Exact/normalized dedup is one hash-shuffle on the dedup key (Spark's
+  partial aggregation dedupes map-side first).
+- Pairwise similarity NEVER cross-joins the corpus: n-gram Jaccard joins
+  an inverted shingle index (cost ∝ Σ_shingle df², bounded for natural
+  text); MinHash-LSH joins on (band, band-hash) buckets — O(n) candidate
+  generation at fixed signature width.
+- All hash families are deterministic (xxhash64 with fixed seeds): same
+  input → same signature on any cluster, any run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+NUM_PERM = 64  # minhash signature width
+LSH_BANDS = 16  # bands × rows_per_band == NUM_PERM
+LSH_ROWS = 4
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Shared building blocks
+# --------------------------------------------------------------------------
+
+def tokens(text: str | Column = "text") -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(text, " ")
+
+
+def word_shingles(text: str | Column = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles of a document (empty array if < k words).
+
+    Built-in expression only: transform over an index sequence — stays in
+    whole-stage codegen, no UDF.
+    """
+    w = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])  # noqa: E731
+    return F.when(F.size(w) >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted-index relation."""
+    return docs.select("doc_id", F.explode(word_shingles("text", k)).alias("sh"))
+
+
+def normalized_text(text: str | Column = "text") -> Column:
+    """Canonical text: lowercase, trimmed, whitespace collapsed."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# --------------------------------------------------------------------------
+# X1: exact dedup
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact_docs",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per identical text.
+
+    At scale: dedupe on a 128-bit text hash instead of the full text to
+    keep shuffle rows narrow — semantics identical, bytes shuffled ≪.
+    (Here the window runs on the text itself so the oracle matches
+    byte-for-byte.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+
+
+@_register(
+    "dedup_normalized_groups",
+    """
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+    FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents) t
+    GROUP BY norm
+    """,
+)
+def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized dedup groups: canonical (min) id + multiplicity per
+    canonicalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", normalized_text().alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size"))
+        .select("canonical_id", "group_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: n-gram Jaccard near-dup (exact, inverted-index join)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.6
+
+@_register(
+    "dedup_shingle_jaccard",
+    f"""
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs ≥ 0.6 via inverted-index
+    self-join (candidate pairs only where shingles collide — never a
+    corpus cross-join). Integer intersection/union counts make the
+    similarity bit-exact.
+
+    Scale path: add prefix filtering (index only each doc's rarest
+    shingles) to cap Σ df² on skewed corpora.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: MinHash-LSH near-dup (approximate tier; deterministic hash family)
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig array<long>) — minimum of xxhash64(shingle, seed_k)
+    per permutation. One shuffle (groupBy doc_id); signature width is a
+    constant, so cost is O(total_shingles)."""
+    sh = exploded_shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_perm)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[f"h{k}" for k in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Banding: hash each band of the signature, bucket-join on
+    (band_id, band_hash). Returns distinct candidate (a_id, b_id)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    left = banded.select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_hash"
+    )
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+@_register("dedup_minhash_lsh", None)  # rows-only: hash family not SQL-portable
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)-LSH(16×4) near-dup pairs with estimated Jaccard ≥ 0.5.
+
+    Candidates come from band-bucket collisions (O(n) pairs for
+    near-dup-free data); estimates from signature agreement. Fully
+    deterministic (fixed xxhash64 seeds) but the hash family is not
+    reproducible in ANSI SQL → rows-only driver check; exactness is
+    covered by dedup_shingle_jaccard, and tests cross-validate LSH
+    recall against it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    cands = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("est_jaccard", matches / F.lit(NUM_PERM))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# X2: SimHash near-dup
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over token frequencies.
+
+    Per bit b: sign of Σ_token count(token) · (±1 from bit b of
+    xxhash64(token)). All built-in integer expressions (shiftright /
+    bitwise and), one shuffle on doc_id.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens()).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = tok.groupBy("doc_id").agg(*bit_sums)
+    acc = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b) if b < 63 else F.lit(-(2**63)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return wide.select("doc_id", acc.alias("simhash"))
+
+
+@_register("dedup_simhash", None)  # rows-only: hash family not SQL-portable
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3.
+
+    Candidate generation: 4-way block partitioning of the 64-bit hash
+    (pigeonhole — any pair within distance 3 agrees on ≥1 of 4 16-bit
+    blocks), so the join is on block equality, not a cross-join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = simhash_docs(d)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned("simhash", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("block"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", "b.block_id", "b.block"
+    )
+    left = blocked.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"), "block_id", "block"
+    )
+    right = blocked.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"), "block_id", "block"
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        left.join(right, ["block_id", "block"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

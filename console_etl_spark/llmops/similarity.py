@@ -1,0 +1,240 @@
+"""Vector similarity search (X3): brute-force cosine + LSH-bucketed ANN.
+
+The embedding column is ``array<float>``; all math is done with built-in
+higher-order functions (zip_with / transform / aggregate) in double
+precision — JVM-side, no Python in the row path.
+
+Scale design:
+- Brute-force top-k broadcast-joins the (small) query set against the
+  corpus: one pass, no corpus shuffle, per-partition heaps via
+  row_number — the exactness baseline.
+- Pairwise near-dup and ANN use sign-random-projection LSH buckets so
+  candidate generation is a bucket equi-join (O(n·sig) work), not a
+  corpus cross-join. The projection matrix is derived from xxhash64 —
+  deterministic, reproducible on any cluster, no stored model state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Vector expression helpers (all built-in higher-order functions)
+# --------------------------------------------------------------------------
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Raw cosine similarity (callers round before comparing across
+    engines — last-bit FP differences exist between implementations)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+COS_DECIMALS = 9  # calibrated: round-9 cosine is bit-identical vs DuckDB
+
+
+# --------------------------------------------------------------------------
+# Exact tiers (oracle-checked)
+# --------------------------------------------------------------------------
+
+NEAR_DUP_TAU = 0.4
+
+@_register(
+    "embedding_near_pairs",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), {COS_DECIMALS}) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), {COS_DECIMALS}) >= {NEAR_DUP_TAU}
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline tier).
+
+    O(n²) by definition — correct at fixture scale and as the ground
+    truth for ANN recall tests; the scale path is ann_lsh_bucketed below.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine("va", "vb"), COS_DECIMALS)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+    )
+
+
+ANN_K = 5
+
+@_register(
+    "ann_topk_cosine",
+    f"""
+    SELECT q_id, n_id, cos_sim, rn FROM (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), {COS_DECIMALS}) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(n.embedding AS DOUBLE[])), {COS_DECIMALS}) DESC,
+                        n.vec_id) AS rn
+      FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id % 50 = 0) t
+    WHERE rn <= {ANN_K}
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): the query subset
+    (vec_id % 50 == 0) is broadcast against the corpus; ranking is a
+    per-query row_number with deterministic tiebreak on neighbor id.
+
+    At 100 TB the corpus side never shuffles — scan × broadcast queries,
+    partial top-k per partition, tiny shuffle of k·|queries| rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq")
+    )
+    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn"))
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        n.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+    )
+
+
+@_register(
+    "embedding_label_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(SUM(ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                        x -> x * x))), 9)), 6) AS sum_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics (count + summed L2 norms). Norms are
+    rounded before the cross-row sum, then the sum is rounded, absorbing
+    summation-order differences between engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.round(norm("embedding"), 9)), 6).alias("sum_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (scale tier; rows-only check + recall unit tests)
+# --------------------------------------------------------------------------
+
+LSH_SIG_BITS = 16
+
+def _projection_matrix(spark: SparkSession, dim: int, bits: int) -> DataFrame:
+    """Deterministic ±1 sign-projection matrix as a (dim, bit, sign)
+    relation, derived from xxhash64 — no RNG state, same on any cluster."""
+    return (
+        spark.range(dim * bits)
+        .select(
+            (F.col("id") % dim).alias("dim_idx"),
+            (F.col("id") / dim).cast("long").alias("bit_idx"),
+            F.when(F.xxhash64(F.col("id")) % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .alias("sign"),
+        )
+    )
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = LSH_SIG_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection signature per vector: bit j = sign(Σᵢ
+    sᵢⱼ·vᵢ) packed into a long. posexplode + broadcast matrix join +
+    two-level groupBy — linear in corpus size."""
+    spark = vectors.sparkSession
+    proj = F.broadcast(_projection_matrix(spark, dim, bits))
+    comp = (
+        vectors.select(id_col, F.posexplode(vec_col).alias("dim_idx", "v"))
+        .join(proj, "dim_idx")
+        .groupBy(id_col, "bit_idx")
+        .agg(F.sum(F.col("v").cast("double") * F.col("sign")).alias("proj"))
+    )
+    bit = F.when(
+        F.col("proj") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit_idx as int))")
+    ).otherwise(F.lit(0).cast("long"))
+    return comp.groupBy(id_col).agg(F.sum(bit).alias("sig"))
+
+
+@_register("ann_lsh_bucketed", None)  # rows-only: hash-derived projections not SQL-portable
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via SRP-LSH: vectors sharing a 16-bit signature bucket are
+    candidates; exact cosine ranks within the bucket (top-3 per query).
+
+    This is the 100 TB path: bucket join instead of cross-join. Recall
+    vs the exact tier is measured in tests, not assumed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = srp_signatures(e)
+    vecs = e.join(sigs, "vec_id")
+    a = vecs.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"), "sig"
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn"), "sig"
+    )
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,246 @@
+"""Text analysis operators (X4): tokenization, quality scoring,
+language-ID heuristic, corpus statistics, fingerprinting.
+
+Everything row-level is a built-in columnar expression (split / explode /
+array ops / hashes) — zero Python in the hot path; aggregations are
+one-shuffle groupBys with map-side partials.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import normalized_text, tokens
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_quality_scores",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS type_token_ratio,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.25
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, lexical diversity
+    (type-token ratio), average token length, and a boolean quality gate
+    of the kind used to filter LLM training corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    n_tok = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    ttr = n_distinct.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        ttr.alias("type_token_ratio"),
+        (F.col("n_chars").cast("double") / n_tok).alias("chars_per_token"),
+        F.when(n_tok.between(20, 80) & (ttr > 0.25), 1).otherwise(0).alias("passes_quality"),
+    )
+
+
+@_register(
+    "text_lang_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language label (integer-exact aggregates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens())).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@_register(
+    "text_source_token_counts",
+    """
+    SELECT source, SUM(len(string_split(text, ' '))) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def text_source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source — the "how many tokens does each data
+    source contribute" question every training-mix pipeline asks."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(tokens())).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token / n-gram frequencies
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_top_tokens",
+    """
+    SELECT w AS token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+    GROUP BY w ORDER BY freq DESC, token LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode → count → TakeOrdered)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+@_register(
+    "text_top_bigrams",
+    """
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    )
+    SELECT bigram, COUNT(*) AS freq FROM (
+      SELECT w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram
+      FROM words QUALIFY bigram IS NOT NULL) t
+    GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency top-20. Bigrams are built positionally with
+    a transform over the token array — no window shuffle needed (the
+    n-gram structure is within-row)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_sha256,
+           length(text) AS n_raw_chars
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprints (md5 + sha256 of normalized text)
+    — the join key for cross-corpus dedup at 100 TB (32/64-byte keys
+    shuffle instead of documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalized_text()
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+        F.length("text").alias("n_raw_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic
+# --------------------------------------------------------------------------
+
+# Tiny stopword/character profiles — a real deployment would plug in a
+# trained model (fastText et al.) behind the same column contract; the
+# heuristic keeps the operator dependency-free and deterministic.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "or", "is", "in", "to"],
+    "es": ["el", "la", "de", "y", "en", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "zh": ["de5", "shi4", "bu4", "le5", "zai4"],
+}
+
+
+def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score each doc against each language profile (fraction of profile
+    stopwords present) and pick the argmax — ties broken alphabetically.
+    Pure array built-ins: array_intersect against literal arrays."""
+    toks = F.array_distinct(tokens(text_col))
+    scored = docs.withColumn("_toks", toks)
+    pairs = [
+        F.struct(
+            (
+                F.size(F.array_intersect("_toks", F.array(*[F.lit(s) for s in words])))
+                .cast("double")
+                / F.lit(len(words))
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    best = F.array_max(F.array(*pairs))
+    return scored.withColumn("_best", best).select(
+        *[c for c in docs.columns],
+        F.col("_best.lang").alias("pred_lang"),
+        F.col("_best.score").alias("pred_score"),
+    )
+
+
+@_register("text_langid_heuristic", None)  # rows-only: argmax-over-structs not portably SQL
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (X4). Deterministic;
+    rows-only driver check (unit tests pin exact outputs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return langid_scores(d).select("doc_id", "pred_lang", "pred_score")

@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode here, but every knob is chosen to also be correct on a large
+cluster: AQE for runtime re-planning (skew joins, partition coalescing),
+UTC session timezone (oracle comparability), Arrow for the Pandas-UDF slow
+path, and shuffle partitions sized to the parallelism at hand rather than
+the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "console_etl_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we use
+    ``local[N]`` with N from $SPARK_GRAFT_CPUS (default all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as long and normalize in load_table().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    # Only force a master when none is configured (i.e. not under spark-submit).
+    if not os.environ.get("SPARK_MASTER") and "SPARK_SUBMIT_OPTS" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table (see TESTDATA.md).
+
+    Nanosecond-precision timestamp columns (read as long under
+    ``nanosAsLong``) are normalized to microsecond TimestampType by
+    truncation — the same truncation DuckDB applies when casting
+    timestamp_ns to timestamp, so oracle comparisons line up exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        # The driver may hand us a session without this conf; it is
+        # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, not `/`: ns-since-epoch exceeds 2^53, double
+        # division would lose microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

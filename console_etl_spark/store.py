@@ -1,0 +1,154 @@
+"""Snapshot store: partitioned Parquet + atomic manifest publication.
+
+Re-expresses the reference's document store (T2/T3):
+
+- Reference layout ``<cacheDir>/clustercatalogs/<catalog>/<ts>/<package>/
+  <schema>/<name>.json`` (/root/reference/cache.go:107) becomes
+  ``<root>/<catalog>/<version>/`` Hive-partitioned Parquet on
+  (``package``, ``schema``) — same two-level pruning, columnar instead of
+  per-row JSON files (per-row files are an anti-pattern at Spark scale;
+  per-object addressability is preserved by filtering on the ``name``
+  column, which Parquet row-group min/max stats make a skip-scan).
+- Reference atomic publish (timestamped dir + symlink rename,
+  /root/reference/cache.go:75-92) becomes: write the snapshot directory
+  (Spark's job-commit protocol makes it all-or-nothing), then atomically
+  flip a ``_CURRENT.json`` manifest via write-temp + ``os.replace``.
+  Readers resolve the manifest first, so they always see a complete
+  snapshot — never partial data. Unlike the reference (which errors on
+  re-publishing the same Last-Modified, cache.go:84-86), re-publishing an
+  existing version is an idempotent no-op.
+
+At 100 TB the layout holds: partition columns bound each query's scan to
+one ``(package, schema)`` subtree; snapshots are immutable so concurrent
+readers never block writers; the manifest flip is O(1) regardless of
+data size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_CURRENT.json"
+PARTITION_COLS = ("package", "schema")
+
+
+@dataclass(frozen=True)
+class SnapshotInfo:
+    catalog: str
+    version: str
+    path: str
+    published_at: float
+
+
+class SnapshotStore:
+    """Versioned, partitioned Parquet store with atomic publish."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _catalog_dir(self, catalog: str) -> str:
+        return os.path.join(self.root, catalog)
+
+    def snapshot_path(self, catalog: str, version: str) -> str:
+        return os.path.join(self._catalog_dir(catalog), version)
+
+    def _manifest_path(self, catalog: str) -> str:
+        return os.path.join(self._catalog_dir(catalog), MANIFEST_NAME)
+
+    # -- publish (T2 + T3) ----------------------------------------------
+    def publish(
+        self,
+        df: DataFrame,
+        catalog: str,
+        version: str,
+        partition_by: tuple[str, ...] = PARTITION_COLS,
+    ) -> SnapshotInfo:
+        """Write ``df`` as snapshot ``version`` and atomically point
+        ``_CURRENT`` at it. Idempotent: same version again is a no-op.
+        """
+        current = self.current(catalog)
+        if current is not None and current.version == version:
+            return current
+
+        path = self.snapshot_path(catalog, version)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+        info = SnapshotInfo(catalog, version, path, time.time())
+        self._flip_manifest(info)
+        return info
+
+    def _flip_manifest(self, info: SnapshotInfo) -> None:
+        """Atomic publish pointer — the symlink-rename analog
+        (cache.go:85-91) via POSIX ``os.replace``."""
+        cat_dir = self._catalog_dir(info.catalog)
+        os.makedirs(cat_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cat_dir, prefix=".manifest-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "version": info.version,
+                        "path": info.path,
+                        "published_at": info.published_at,
+                    },
+                    f,
+                )
+            os.replace(tmp, self._manifest_path(info.catalog))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # -- read ------------------------------------------------------------
+    def current(self, catalog: str) -> SnapshotInfo | None:
+        """Resolve the published snapshot (or None if never published)."""
+        try:
+            with open(self._manifest_path(catalog)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            return None
+        return SnapshotInfo(catalog, m["version"], m["path"], m["published_at"])
+
+    def read(self, spark: SparkSession, catalog: str) -> DataFrame:
+        """DataFrame over the current snapshot (partition-discovery read:
+        filters on ``package``/``schema`` prune directories)."""
+        info = self.current(catalog)
+        if info is None:
+            raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
+        return spark.read.parquet(info.path)
+
+    # -- lifecycle -------------------------------------------------------
+    def versions(self, catalog: str) -> list[str]:
+        cat_dir = self._catalog_dir(catalog)
+        if not os.path.isdir(cat_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(cat_dir)
+            if not d.startswith((".", "_")) and os.path.isdir(os.path.join(cat_dir, d))
+        )
+
+    def drop(self, catalog: str) -> None:
+        """Remove all snapshots for a catalog (LRU-eviction side effect,
+        the ``os.RemoveAll`` analog of cache.go:30-33)."""
+        shutil.rmtree(self._catalog_dir(catalog), ignore_errors=True)
+
+    def vacuum(self, catalog: str, keep: int = 2) -> list[str]:
+        """Delete all but the newest ``keep`` non-current snapshot dirs."""
+        cur = self.current(catalog)
+        removable = [v for v in self.versions(catalog) if cur is None or v != cur.version]
+        victims = removable[:-keep] if keep else removable
+        for v in victims:
+            shutil.rmtree(self.snapshot_path(catalog, v), ignore_errors=True)
+        return victims

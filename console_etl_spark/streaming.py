@@ -1,0 +1,120 @@
+"""Structured Streaming tier (SURVEY.md §2.2 streaming row).
+
+The reference's only "streaming" is pull-based conditional-GET refresh
+(S3, /root/reference/cache.go:54-66) — no event time, windows, or state.
+This module supplies the real thing over the events fixture shape:
+watermarked tumbling/sliding windows, session windows, and streaming
+dedup. Batch twins of the window aggregations live in relational.py
+(events_hourly_stats / events_sliding_windows / sessionize_events) and
+are oracle-checked; the streaming versions are unit-tested by driving a
+file source to completion and comparing against the batch plan — the
+Structured Streaming correctness contract (same plan, incremental
+execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Micro-batch-friendly schema of the events stream (ts arrives as long
+# nanos like the fixture; normalized to timestamp on read).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source events stream (the Kafka-shaped entry point in
+    production — swap format, keep the downstream plan)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of
+    relational.events_hourly_stats). Late events beyond the watermark are
+    dropped; state for closed windows is evicted — bounded memory at any
+    scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows (2h / 1h) — twin of events_sliding_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows with a 30-minute gap — the native stateful twin of
+    relational.sessionize_events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    state is bounded by the watermark, the streaming analog of X1."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a bounded file-source stream to completion into a memory
+    sink and return the materialized result (test/dev harness only —
+    production sinks are kafka/parquet/foreachBatch).
+
+    Default output mode is ``complete`` because with a bounded file
+    source the watermark never passes the last windows — in ``append``
+    mode their rows would be withheld forever (use ``append`` for
+    non-aggregating streams like dedup).
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(query_name)
