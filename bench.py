@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its FULL plan into the noop sink (count() could let
+Catalyst prune work; noop writes every result row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from console_etl_spark.session import get_spark
+
+# Headline set: one per operator family (scan-agg, star join, top-k,
+# windows, sessionization, JSON, dedup exact+LSH+jaccard, similarity
+# exact+ANN, text analysis).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_orders_per_customer",
+    "events_hourly_stats",
+    "events_json_extract",
+    "sessionize_events",
+    "dedup_exact_docs",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "embedding_near_pairs",
+    "ann_topk_cosine",
+    "text_top_tokens",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("console_etl_spark_bench")
+    import __spark_entry__ as entrymod
+
+    # JVM/codegen warmup so the first timed query isn't charged for
+    # session spin-up (data stays cold — files are read inside timings).
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

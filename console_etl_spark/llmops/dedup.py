@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..session import load_table
+from ..session import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -65,8 +65,15 @@ def word_shingles(text: str | Column = "text", k: int = 3) -> Column:
 
 
 def exploded_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted-index relation."""
-    return docs.select("doc_id", F.explode(word_shingles("text", k)).alias("sh"))
+    """(doc_id, shingle) inverted-index relation.
+
+    The input is spread across the session's full parallelism first: the
+    explosion is the compute-heavy step and a single-file input would
+    otherwise run it on one task.
+    """
+    return spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(word_shingles("text", k)).alias("sh")
+    )
 
 
 def normalized_text(text: str | Column = "text") -> Column:
@@ -167,7 +174,9 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles) to cap Σ df² on skewed corpora.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(d)
+    # Persist the inverted index: it feeds both sides of the self-join
+    # and the size table — without this the shingle explosion runs 3×.
+    sh = exploded_shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("a_id"), "sh")
     b = sh.select(F.col("doc_id").alias("b_id"), "sh")
@@ -284,9 +293,12 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     xxhash64(token)). All built-in integer expressions (shiftright /
     bitwise and), one shuffle on doc_id.
     """
-    tok = docs.select(
-        "doc_id", F.explode(tokens()).alias("tok")
-    ).groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    tok = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
     h = F.xxhash64("tok")
     bit_sums = [
         F.sum(

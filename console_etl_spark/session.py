@@ -43,6 +43,13 @@ def get_spark(
         # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as long and normalize in load_table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local benches read few small parquet files; the 128 MB default
+        # split would give 1-3 tasks on 32 cores. On a real cluster (many
+        # files, 100 TB) leave this at default via SPARK_GRAFT_SPLIT_MB.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_MB", "16") + "m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -77,3 +84,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         # division would lose microseconds.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def spread(df, multiplier: int = 1):
+    """Round-robin repartition to the session's full parallelism.
+
+    Use before compute-heavy per-row operators (shingle explosion, GEMM
+    blocks) when the input may arrive in fewer splits than cores — a
+    single small parquet file otherwise serializes the whole operator on
+    one task. At real scale inputs already arrive in many splits and the
+    shuffle this forces is cheap relative to the operator it feeds.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    return df.repartition(target)
