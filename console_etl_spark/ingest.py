@@ -53,15 +53,34 @@ def derive_partition_key(
 
 
 def shred_metas(raw: DataFrame) -> DataFrame:
-    """Derive the envelope: replace ``package`` with the partition key.
+    """Derive the envelope: replace ``package`` with the partition key,
+    and enforce the store invariant of one object per
+    ``(package, schema, name)``.
 
-    Input needs columns (schema, package, name) and any payload columns;
-    the raw document is preserved as ``blob`` if present.
+    The reference writes ``<package>/<schema>/<name>.json`` per record
+    (cache.go:107-114), so a duplicate key in the stream silently
+    overwrites — last record wins. Here that is a windowed dedup: when the
+    input carries a ``_pos`` stream-position column (``read_meta_stream``
+    adds one) the highest position survives; otherwise ties break on
+    ``blob`` so the result is still deterministic. The window shuffles on
+    the same (package, schema) keys the snapshot write partitions by, so
+    at scale the exchange is reused rather than added.
     """
-    return raw.withColumn(
+    from pyspark.sql.window import Window
+
+    df = raw.withColumn(
         "package",
         derive_partition_key(F.col("schema"), F.col("package"), F.col("name")),
     )
+    order = [F.col("_pos").desc()] if "_pos" in df.columns else []
+    order.append(F.col("blob").desc())
+    w = Window.partitionBy("package", "schema", "name").orderBy(*order)
+    df = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return df.drop("_pos") if "_pos" in df.columns else df
 
 
 def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -79,6 +98,9 @@ def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
         F.get_json_object("blob", "$.package").alias("package"),
         F.get_json_object("blob", "$.name").alias("name"),
         F.col("blob"),
+        # stream position for last-wins dedup in shred_metas: ids increase
+        # with file offset, matching the reference's sequential overwrite
+        F.monotonically_increasing_id().alias("_pos"),
     )
 
 

@@ -1,0 +1,234 @@
+"""Reference-semantics tests for the engine core (SURVEY.md §5.2 item 2):
+key derivation (T1), snapshot publish/atomicity (T2/T3), freshness/LRU
+(S3/C1), registry + guard (S1/S2/P1) — on the FBC-shaped fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_etl_spark.catalog import (
+    CatalogEntry,
+    CatalogNotFoundError,
+    CatalogNotReadyError,
+    CatalogRegistry,
+    PHASE_UNPACKED,
+)
+from console_etl_spark.ingest import (
+    GLOBAL_PACKAGE,
+    derive_partition_key,
+    ingest_meta_stream,
+    shred_metas,
+)
+from console_etl_spark.refresh import FreshnessManager
+from console_etl_spark.store import SnapshotStore
+
+
+# --------------------------------------------------------------------------
+# T1: partition-key fallback triple (cache.go:100-106)
+# --------------------------------------------------------------------------
+
+def test_derive_partition_key_triple(spark):
+    rows = [
+        # (schema, package, name) -> expected key
+        ("olm.channel", "pkgA", "ch1", "pkgA"),  # normal: package wins
+        ("olm.package", "ignored", "pkgB", "pkgB"),  # olm.package: name wins
+        ("olm.package", "", "pkgC", "pkgC"),
+        ("olm.bundle", "", "b1", GLOBAL_PACKAGE),  # empty -> __global
+        ("olm.bundle", None, "b2", GLOBAL_PACKAGE),  # null -> __global
+        ("olm.package", "x", "", GLOBAL_PACKAGE),  # empty name on package row
+    ]
+    df = spark.createDataFrame(
+        [(s, p, n) for s, p, n, _ in rows], "schema string, package string, name string"
+    )
+    got = df.withColumn(
+        "key", derive_partition_key(F.col("schema"), F.col("package"), F.col("name"))
+    ).collect()
+    for row, (_, _, _, expected) in zip(got, rows):
+        assert row.key == expected, row
+
+
+def test_shred_metas_replaces_package(catalog_metas):
+    shredded = shred_metas(catalog_metas)
+    bad = shredded.filter(
+        F.col("package").isNull() | (F.col("package") == "")
+    ).count()
+    assert bad == 0  # partition key law: never empty
+    # olm.package rows keyed by name
+    pkg_rows = shredded.filter(F.col("schema") == "olm.package")
+    assert pkg_rows.filter(F.col("package") != F.col("name")).count() == 0
+
+
+# --------------------------------------------------------------------------
+# S4+T1: JSON meta-stream ingest round trip (property: multiset equality)
+# --------------------------------------------------------------------------
+
+def test_meta_stream_roundtrip(spark, meta_stream_path):
+    df = ingest_meta_stream(spark, meta_stream_path)
+    with open(meta_stream_path) as f:
+        raw_lines = [line.strip() for line in f if line.strip()]
+    # expected store content: one blob per derived (package, schema, name)
+    # key, LAST stream occurrence winning — the reference's per-record file
+    # write overwrites earlier records with the same key (cache.go:107-114)
+    expected: dict[tuple, str] = {}
+    for line in raw_lines:
+        doc = json.loads(line)
+        pkg = doc["name"] if doc["schema"] == "olm.package" else doc.get("package") or ""
+        pkg = pkg or GLOBAL_PACKAGE
+        expected[(pkg, doc["schema"], doc["name"])] = line
+    got = df.select("blob").toPandas()["blob"].tolist()
+    assert sorted(got) == sorted(expected.values())  # blobs byte-faithful
+    # envelope matches payload fields
+    sample = df.limit(50).collect()
+    for r in sample:
+        doc = json.loads(r.blob)
+        assert r.schema == doc["schema"]
+        assert r.name == doc["name"]
+
+
+# --------------------------------------------------------------------------
+# T2/T3: snapshot store publish + atomicity + idempotency
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "snapshots"))
+
+
+def test_publish_read_roundtrip(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog"))
+    info = store.publish(df, "cat0", "v1")
+    assert store.current("cat0").version == "v1"
+    back = store.read(spark, "cat0")
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_republish_same_version_is_noop(spark, store, catalog_metas):
+    """The reference would fail EEXIST on same-version republish
+    (cache.go:84-86); ours must be an idempotent no-op."""
+    df = shred_metas(catalog_metas.drop("catalog"))
+    info1 = store.publish(df, "cat0", "v1")
+    info2 = store.publish(df, "cat0", "v1")
+    assert info1 == info2
+
+
+def test_publish_flips_pointer_atomically(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    store.publish(df.limit(10), "cat0", "v2")
+    cur = store.current("cat0")
+    assert cur.version == "v2"
+    assert store.read(spark, "cat0").count() == 10
+    assert sorted(store.versions("cat0")) == ["v1", "v2"]
+    # old snapshot still intact for in-flight readers
+    assert os.path.exists(os.path.join(store.snapshot_path("cat0", "v1"), "_SUCCESS"))
+
+
+def test_vacuum_keeps_current(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog"))
+    for v in ["v1", "v2", "v3"]:
+        store.publish(df.limit(5), "cat0", v)
+    removed = store.vacuum("cat0", keep=1)
+    assert "v3" not in removed
+    assert store.current("cat0").version == "v3"
+
+
+def test_partition_pruning_in_plan(spark, store, catalog_metas):
+    """Queries on package/schema must prune Hive partitions — the
+    engine's analog of the reference's directory-scoped reads
+    (main.go:143,185,226)."""
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    snap = store.read(spark, "cat0")
+    plan = (
+        snap.filter((F.col("package") == "pkg01") & (F.col("schema") == "olm.bundle"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "pkg01" in plan
+
+
+# --------------------------------------------------------------------------
+# S3/C1: freshness manager (304 analog, LRU, TTL)
+# --------------------------------------------------------------------------
+
+def test_refresh_304_short_circuit(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog"))
+    clock = [1000.0]
+    mgr = FreshnessManager(store, clock=lambda: clock[0])
+    builds = []
+
+    def build(s):
+        builds.append(1)
+        return df
+
+    for _ in range(3):
+        mgr.get(spark, "cat0", lambda: "v1", build)
+    assert len(builds) == 1  # one ingest, two 304-analog hits
+    assert mgr.hit_count == 2
+    assert mgr.refresh_count == 1
+
+
+def test_refresh_on_version_change(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog"))
+    clock = [1000.0]
+    mgr = FreshnessManager(store, clock=lambda: clock[0])
+    version = ["v1"]
+    mgr.get(spark, "cat0", lambda: version[0], lambda s: df)
+    version[0] = "v2"
+    got = mgr.get(spark, "cat0", lambda: version[0], lambda s: df.limit(7))
+    assert store.current("cat0").version == "v2"
+    assert got.count() == 7
+
+
+def test_ttl_expiry_forces_reprobe(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog"))
+    clock = [1000.0]
+    mgr = FreshnessManager(store, ttl_seconds=100, clock=lambda: clock[0])
+    probes = []
+
+    def probe():
+        probes.append(1)
+        return "v1"
+
+    mgr.get(spark, "cat0", probe, lambda s: df)
+    clock[0] += 200  # past TTL: cached slot stale, must re-probe + republish-check
+    mgr.get(spark, "cat0", probe, lambda s: df)
+    assert len(probes) >= 2
+
+
+def test_lru_eviction_drops_snapshot(spark, store, catalog_metas):
+    df = shred_metas(catalog_metas.drop("catalog")).limit(20)
+    mgr = FreshnessManager(store, capacity=2)
+    for cat in ["a", "b", "c"]:
+        mgr.get(spark, cat, lambda: "v1", lambda s: df, cache_df=False)
+    assert store.current("a") is None  # evicted (os.RemoveAll analog)
+    assert store.current("b") is not None
+    assert store.current("c") is not None
+
+
+# --------------------------------------------------------------------------
+# S1/S2/P1: registry + readiness guard
+# --------------------------------------------------------------------------
+
+def test_registry_and_guard(spark):
+    reg = CatalogRegistry()
+    reg.register(CatalogEntry("ready-cat", phase=PHASE_UNPACKED))
+    reg.register(CatalogEntry("pending-cat", phase="Pending"))
+
+    assert {e.name for e in reg.list()} == {"ready-cat", "pending-cat"}
+    assert reg.require_ready("ready-cat").name == "ready-cat"
+    with pytest.raises(CatalogNotReadyError):
+        reg.require_ready("pending-cat")  # 503 path (main.go:133-135)
+    with pytest.raises(CatalogNotFoundError):
+        reg.get("missing")  # 404 path
+
+    df = reg.to_df(spark)
+    assert df.filter(F.col("phase") == PHASE_UNPACKED).count() == 1
