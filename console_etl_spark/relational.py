@@ -725,6 +725,176 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Temporal joins the reference (and stock Spark SQL) lack: as-of + range.
+# Implemented as compositions of built-in ops (SURVEY.md §2.2 joins row) —
+# never a cross join; the as-of is a single-shuffle union+window plan.
+# --------------------------------------------------------------------------
+
+@_register(
+    "asof_join_purchase_view",
+    """
+    WITH unioned AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, 0 AS side, event_id AS eid,
+             event_id AS q_eid, CAST(ts AS TIMESTAMP) AS q_ts, value AS q_val,
+             CAST(NULL AS DOUBLE) AS t_val
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id,
+             NULL, NULL, NULL, value
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT user_id, ts_us, side, eid, t_val,
+             LAST_VALUE(q_eid IGNORE NULLS) OVER w AS view_event,
+             LAST_VALUE(q_ts IGNORE NULLS) OVER w AS view_ts,
+             LAST_VALUE(q_val IGNORE NULLS) OVER w AS view_value
+      FROM unioned
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT eid AS purchase_event, user_id, ts_us AS purchase_ts,
+           t_val AS purchase_value, view_event, view_ts, view_value
+    FROM matched WHERE side = 1
+    """,
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the same user's most recent
+    view at-or-before it (trades/quotes shape; no Spark built-in).
+
+    Plan: union both sides with a marker, one window per user ordered by
+    (ts, side, event_id), ``last(..., ignorenulls)`` carries the latest
+    view forward. ONE shuffle on user_id, state is a single row per
+    partition — scale-equivalent to a sort-merge as-of. The naive
+    alternative (range join + max per pair) is O(n·m) per user; this is
+    O(n+m). Ties: a view at exactly the purchase ts matches (side orders
+    views first); equal-ts views resolve to the highest event_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.col("event_id").alias("q_eid"),
+        F.col("ts").alias("q_ts"),
+        F.col("value").alias("q_val"),
+        F.lit(None).cast("double").alias("t_val"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("q_eid"),
+        F.lit(None).cast("timestamp").alias("q_ts"),
+        F.lit(None).cast("double").alias("q_val"),
+        F.col("value").alias("t_val"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "side", "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("view_event", F.last("q_eid", ignorenulls=True).over(w))
+        .withColumn("view_ts", F.last("q_ts", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("q_val", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("eid").alias("purchase_event"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts"),
+            F.col("t_val").alias("purchase_value"),
+            "view_event",
+            "view_ts",
+            "view_value",
+        )
+    )
+
+
+PRICE_BANDS = [
+    ("low", 900.0, 930.0),
+    ("mid", 930.0, 960.0),
+    ("high", 960.0, 990.0),
+    ("lux", 990.0, 10_000.0),
+]
+
+
+@_register(
+    "range_join_price_bands",
+    f"""
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    JOIN (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+         AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows bucketed into a small interval table.
+
+    The band side is a handful of rows, so the right physical plan is a
+    broadcast nested-loop join on the range predicate — no shuffle of the
+    fact table at all; ``F.broadcast`` pins it regardless of stats.
+    """
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@_register(
+    "range_join_purchase_after_signup",
+    """
+    SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+           p.value AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) > CAST(s.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 24 HOURS
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+)
+def range_join_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join with an equi-key: purchases within 24 h after a
+    signup by the same user. The user_id equi-condition makes this a
+    plain shuffled hash/sort-merge join with the time range as a join
+    filter — the scale-safe shape (a pure range join with no equi-key
+    would be a cross product; always carry the key)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event"), F.col("ts").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        s.join(
+            p,
+            (s.user_id == p.p_user)
+            & (p.p_ts > s.s_ts)
+            & (p.p_ts <= s.s_ts + F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("user_id", "signup_event", "purchase_event", "purchase_value")
+    )
+
+
 @_register(
     "sessionize_events",
     """
