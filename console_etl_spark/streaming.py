@@ -45,6 +45,12 @@ def read_events_stream(
     )
 
 
+def _dec_sum(col: str):
+    """Exact money sum: decimal accumulate, double at the edge — same
+    convention as the batch twins so stream == batch bit-for-bit."""
+    return F.sum(F.col(col).cast("decimal(8,2)")).cast("double")
+
+
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation (streaming twin of
     relational.events_hourly_stats). Late events beyond the watermark are
@@ -53,7 +59,7 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), _dec_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
     )
 
@@ -63,7 +69,7 @@ def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), _dec_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
 
@@ -118,3 +124,55 @@ def run_to_completion(
     finally:
         q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState): per-user running
+# totals. Demonstrates the pattern for operators Spark's built-in
+# streaming aggregations can't express (arbitrary per-key state machines).
+# --------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = (
+    "user_id long, n_events long, total_cents long, max_event_id long"
+)
+RUNNING_TOTALS_STATE = "n long, cents long, max_id long"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, total, high-water event id) maintained as
+    explicit group state across micro-batches.
+
+    Money is accumulated in integer cents so the running total is
+    order-independent and exactly comparable to a batch groupBy — the
+    float-summation nondeterminism a naive ``sum(value)`` state would
+    have. State is 3 longs per user: bounded by user cardinality, and at
+    cluster scale the state store shards by the groupBy key. Emits in
+    ``update`` mode — one refreshed row per user per micro-batch touched.
+    """
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, cents, max_id = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            if len(pdf):
+                max_id = max(max_id, int(pdf["event_id"].max()))
+        state.update((n, cents, max_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "max_event_id": [max_id],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_OUTPUT,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,150 @@
+"""Structured Streaming tests (SURVEY.md §5.2 / §7.2 step 6).
+
+Contract under test: a bounded file-source stream driven to completion
+produces exactly what the batch twin produces on the same rows —
+Spark's incremental-execution guarantee. Each test streams the sf0.001
+events fixture split into several files (so multiple micro-batches
+actually happen) and compares against the oracle-checked batch query.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from console_etl_spark import relational, streaming
+from console_etl_spark.session import load_table
+from tests.conftest import SF_TEST
+
+
+def write_ordered_stream(df, n_files: int, out: str) -> None:
+    """Write df as n_files parquet files that a file-source stream will
+    pick up in EVENT-TIME order, like a real stream.
+
+    Two things are needed: range-partitioning on ts (so each file holds a
+    contiguous time slice; part-00000 = oldest), and strictly increasing
+    file mtimes in that same order — FileStreamSource orders candidate
+    files by modification time, and parallel write tasks finish in random
+    order, so without the utime pass whole files can arrive "late" and be
+    watermark-dropped.
+    """
+    import glob
+    import os
+    import time
+
+    df.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out)
+    base = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
+        os.utime(f, (base + i, base + i))
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """The events fixture rewritten as 4 time-ordered parquet files (ts
+    stays long nanos, matching EVENTS_STREAM_SCHEMA) → 4 micro-batches at
+    maxFilesPerTrigger=1."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    write_ordered_stream(spark.read.parquet(f"{SF_TEST}/events.parquet"), 4, out)
+    return out
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols, ignore_index=True)
+
+
+def test_stream_hourly_equals_batch(spark, events_stream_dir):
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.hourly_counts(stream), "t_hourly"
+    ).toPandas()
+    want = relational.events_hourly_stats(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_stream_sliding_equals_batch(spark, events_stream_dir):
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.sliding_counts(stream), "t_sliding"
+    ).toPandas()
+    want = relational.events_sliding_windows(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_stream_sessions_equal_batch_sessionize(spark, events_stream_dir):
+    """session_window sessions must partition events identically to the
+    batch lag+cumsum sessionization: same per-user session count and the
+    same multiset of session sizes."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = (
+        streaming.run_to_completion(streaming.session_counts(stream), "t_sess")
+        .toPandas()
+        .groupby("user_id")["n_events"]
+        .apply(lambda s: sorted(s.tolist()))
+    )
+    want = (
+        relational.sessionize_events(spark, SF_TEST)
+        .toPandas()
+        .groupby("user_id")["n_events"]
+        .apply(lambda s: sorted(s.tolist()))
+    )
+    pd.testing.assert_series_equal(got, want)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, events_stream_dir, tmp_path):
+    """Re-send every event 30 minutes later (inside the 2 h watermark):
+    the duplicates mostly land in *later* micro-batches than their
+    originals, so dropping them requires the dedup state to survive batch
+    boundaries — within-batch dedup alone would emit them."""
+    from pyspark.sql import functions as F
+
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_stream_dir)
+    replay = base.withColumn("ts", F.col("ts") + F.lit(30 * 60 * 10**9))
+    write_ordered_stream(base.unionByName(replay), 6, dup_dir)
+
+    stream = streaming.read_events_stream(spark, dup_dir)
+    got = streaming.run_to_completion(
+        streaming.dedup_stream(stream), "t_dedup", output_mode="append"
+    )
+    n_unique = load_table(spark, SF_TEST, "events").count()
+    assert spark.read.parquet(dup_dir).count() == 2 * n_unique
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_running_user_totals_stateful(spark, events_stream_dir):
+    """applyInPandasWithState accumulates across micro-batches; the final
+    update per user must equal a batch groupBy with the same integer-cents
+    arithmetic, proving state survived batch boundaries."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    updates = streaming.run_to_completion(
+        streaming.running_user_totals(stream), "t_totals", output_mode="update"
+    ).toPandas()
+    # update mode emits one row per user per touched micro-batch — the
+    # final state is the row with the highest n_events per user.
+    got = (
+        updates.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+    e = load_table(spark, SF_TEST, "events").toPandas()
+    e["cents"] = e["value"].mul(100).round().astype("int64")
+    want = (
+        e.groupby("user_id", as_index=False)
+        .agg(
+            n_events=("event_id", "size"),
+            total_cents=("cents", "sum"),
+            max_event_id=("event_id", "max"),
+        )
+        .sort_values("user_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events", "total_cents", "max_event_id"]],
+        want,
+        check_dtype=False,
+    )
+    # multiple micro-batches really happened: some user got >1 update row
+    assert len(updates) > len(got)
