@@ -310,3 +310,143 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (scale tier #2): coarse quantizer + inverted lists
+# --------------------------------------------------------------------------
+# The second classic ANN decomposition (FAISS IVF-Flat shape): k-means
+# cells partition the corpus; a query probes only its nprobe nearest
+# cells. Vs SRP-LSH above: IVF adapts to the data distribution (centroids
+# are learned), LSH is data-oblivious. At 100 TB the inverted lists ARE
+# the partitioning — `repartition(cell)` co-locates each list, the probe
+# join touches nprobe/n_cells of the data, and centroids (n_cells x dim)
+# stay broadcast-sized.
+
+# Defaults probe 4/16 = 25% of the corpus. On the near-isotropic random
+# fixture vectors this yields recall@5 ~ 0.6 (measured in tests — random
+# data is IVF's worst case: ~2.4x better than a random 25% scan); on
+# real clustered embeddings the same settings are far more selective.
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: strided-id seed sample + one
+    distributed Lloyd refinement.
+
+    Seeds: the n_cells corpus vectors at evenly-spaced id ranks (no RNG —
+    reproducible on any cluster). Refinement: assign all vectors to their
+    nearest seed (GEMM map), then per-cell elementwise mean via dim
+    parallel avg() aggregates — one shuffle on cell id, all JVM-side.
+    Returns the (n_cells, dim) L2-normalized centroid matrix.
+    """
+    n = vectors.count()
+    stride = max(n // n_cells, 1)
+    w = W.orderBy(id_col)
+    seeds_df = (
+        vectors.select(id_col, vec_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") % stride == 1) | (F.lit(stride) == 1))
+        .limit(n_cells)
+    )
+    seeds = np.array(
+        [r[vec_col] for r in seeds_df.collect()], dtype=np.float64
+    )
+    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+
+    assigned = assign_cells(vectors, seeds, id_col, vec_col).join(
+        vectors.select(id_col, vec_col), id_col
+    )
+    mean_cols = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}") for i in range(dim)
+    ]
+    refined_rows = assigned.groupBy("cell").agg(*mean_cols).collect()
+    refined = seeds.copy()  # empty cells keep their seed
+    for r in refined_rows:
+        refined[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+    refined /= np.maximum(np.linalg.norm(refined, axis=1, keepdims=True), 1e-12)
+    return refined
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell) assignment — or the nprobe nearest cells per vector when
+    probing queries. Centroids are broadcast; assignment is an Arrow-batch
+    GEMM argmax over cosine (centroids are unit vectors, so dot/|v|)."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            sim = (mat @ cents.T) / norms[:, None]
+            # top-nprobe cells, best first; ties broken by cell id (argsort
+            # is stable after negating similarities)
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+            k = top.shape[1]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "cell": top.ravel().astype("int64"),
+                }
+            )
+
+    return spread(vectors.select(id_col, vec_col)).mapInPandas(
+        blocks, f"{id_col} long, cell long"
+    )
+
+
+@_register("ann_ivf_topk", None)  # rows-only: learned centroids not SQL-portable
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF: queries (vec_id % 50 == 0, same probe set as the
+    exact tier so recall is measurable) search only their IVF_NPROBE
+    nearest cells; exact cosine ranks candidates top-ANN_K.
+
+    Plan: corpus->cell assignment (GEMM map, no shuffle), probe list per
+    query (GEMM map), equi-join on cell (the inverted-list read), exact
+    cosine + per-query row_number. The join moves nprobe/n_cells of the
+    corpus — the IVF speedup — and everything before it is map-side.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e)
+    corpus = assign_cells(e, cents).join(e.select("vec_id", "embedding"), "vec_id")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    probes = assign_cells(q, cents, nprobe=IVF_NPROBE).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    qvecs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
+    cand = (
+        probes.join(
+            corpus.select(
+                "cell", F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")
+            ),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(qvecs), "q_id")
+    )
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        cand.select("q_id", "n_id", cos.alias("cos_sim"))
+        .dropDuplicates(["q_id", "n_id"])  # a neighbor can appear via 2 probed cells
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+    )

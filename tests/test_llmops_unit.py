@@ -136,3 +136,46 @@ def test_frame_sampling_shapes(spark):
     for r in rows:
         assert 0 <= r.frame_idx < 3
         assert 1 <= len(bytes(r.frame_bytes)) <= 16
+
+
+# --------------------------------------------------------------------------
+# IVF ANN (X3 scale tier #2)
+# --------------------------------------------------------------------------
+
+def test_ivf_centroids_deterministic(spark):
+    e = load_table(spark, SF_TEST, "embeddings")
+    c1 = similarity.ivf_centroids(e)
+    c2 = similarity.ivf_centroids(e)
+    assert (c1 == c2).all()
+    assert c1.shape == (similarity.IVF_CELLS, 64)
+
+
+def test_ann_ivf_recall_beats_probed_fraction(spark):
+    """IVF must add value over a random partial scan: probing
+    nprobe/n_cells of the corpus should recover clearly more than that
+    fraction of the exact top-k (the fixture vectors are near-isotropic —
+    IVF's worst case — so the margin is modest but must be real)."""
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.ann_topk_cosine(spark, SF_TEST).collect()
+    }
+    ivf = {
+        (r.q_id, r.n_id)
+        for r in similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    }
+    assert exact
+    recall = len(exact & ivf) / len(exact)
+    frac = similarity.IVF_NPROBE / similarity.IVF_CELLS
+    assert recall >= 2 * frac, f"recall {recall:.2f} <= 2x probed fraction {frac}"
+
+
+def test_ann_ivf_cosines_are_true(spark):
+    """IVF neighbors carry true cosines: none may exceed the exact top-1."""
+    top1 = {
+        r.q_id: r.cos_sim
+        for r in similarity.ann_topk_cosine(spark, SF_TEST).collect()
+        if r.rn == 1
+    }
+    for r in similarity.ann_ivf_topk(spark, SF_TEST).collect():
+        if r.q_id in top1:
+            assert r.cos_sim <= top1[r.q_id] + 1e-12
