@@ -18,14 +18,18 @@ import time
 
 from console_etl_spark.session import get_spark
 
-# Headline set: one per operator family (scan-agg, star join, top-k,
-# windows, sessionization, JSON, dedup exact+LSH+jaccard, similarity
-# exact+ANN, text analysis).
+# Headline set: one per operator family (scan-agg, star join, semi/HAVING
+# join, disjunctive join, as-of join, top-k, windows, sessionization,
+# JSON, dedup exact+LSH+jaccard, similarity exact+ANN, text analysis).
 HEADLINE = [
     "q1_pricing_summary",
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q19_disjunctive_join",
+    "asof_join_purchase_view",
     "window_topk_orders_per_customer",
     "events_hourly_stats",
     "events_json_extract",
