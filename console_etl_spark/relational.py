@@ -1458,3 +1458,40 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.col("rev").cast("double").alias("part_revenue"))
         .orderBy(F.desc("part_revenue"), "l_partkey")
     )
+
+
+@_register(
+    "stats_aggregates_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate functions (stddev/variance/covariance/
+    correlation/exact median). Results are rounded to 6 decimals before
+    comparison — the moments algebra is engine-specific (Welford vs
+    naive) and summation order differs, but agrees far past 6 places.
+    ``percentile`` is Spark's exact linear-interpolated quantile, the
+    same definition as the oracle's quantile_cont."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+                "cov_qty_disc"
+            ),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
