@@ -83,15 +83,16 @@ def shred_metas(raw: DataFrame) -> DataFrame:
     return df.drop("_pos") if "_pos" in df.columns else df
 
 
-def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a JSON-lines meta stream (the ``all.json`` analog,
-    cache.go:49) keeping the whole document as ``blob``.
+def parse_meta_lines(raw: DataFrame, text_col: str = "value") -> DataFrame:
+    """Envelope extraction from raw JSON-document lines (one doc per row).
 
     Reads each line once: the envelope fields are extracted from the raw
     text with ``get_json_object`` so we keep byte-faithful blobs without a
-    second pass or schema inference over arbitrary payloads.
+    second pass or schema inference over arbitrary payloads. Works on any
+    text-shaped DataFrame — the batch file read below and the streaming
+    micro-batches in streaming.stream_ingest_metas share this path.
     """
-    raw = spark.read.text(path).withColumnRenamed("value", "blob")
+    raw = raw.withColumnRenamed(text_col, "blob") if text_col != "blob" else raw
     raw = raw.filter(F.length(F.trim("blob")) > 0)
     return raw.select(
         F.get_json_object("blob", "$.schema").alias("schema"),
@@ -102,6 +103,12 @@ def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
         # with file offset, matching the reference's sequential overwrite
         F.monotonically_increasing_id().alias("_pos"),
     )
+
+
+def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a JSON-lines meta stream file (the ``all.json`` analog,
+    cache.go:49) keeping the whole document as ``blob``."""
+    return parse_meta_lines(spark.read.text(path))
 
 
 def ingest_meta_stream(spark: SparkSession, path: str) -> DataFrame:

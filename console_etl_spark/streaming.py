@@ -176,3 +176,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Continuous catalog ingest: meta stream -> snapshot store
+# --------------------------------------------------------------------------
+
+def stream_ingest_metas(
+    spark: SparkSession,
+    path: str,
+    store,
+    catalog: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous ingest of the all.json meta stream into the snapshot
+    store — the streaming generalization of the reference's pull-based
+    conditional-GET refresh loop (S3, /root/reference/cache.go:37-93).
+
+    Each arriving file is one full catalog dump (the reference's refresh
+    unit). Per micro-batch: parse lines → derive envelope (T1) → dedup →
+    publish as a NEW snapshot version keyed by the micro-batch epoch, then
+    atomically flip the manifest — readers always see a complete catalog,
+    and the checkpoint guarantees each dump is ingested exactly once
+    (the If-Modified-Since analog: unchanged source ⇒ no new files ⇒ no
+    batch ⇒ zero recompute).
+    """
+    from .ingest import parse_meta_lines, shred_metas
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+    def publish_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        metas = shred_metas(parse_meta_lines(batch_df))
+        if metas.isEmpty():
+            return
+        store.publish(metas, catalog, version=f"stream-{epoch_id:09d}")
+
+    writer = (
+        raw.writeStream.foreachBatch(publish_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -148,3 +148,53 @@ def test_running_user_totals_stateful(spark, events_stream_dir):
     )
     # multiple micro-batches really happened: some user got >1 update row
     assert len(updates) > len(got)
+
+
+# --------------------------------------------------------------------------
+# Continuous catalog ingest (streaming S3 analog)
+# --------------------------------------------------------------------------
+
+def test_stream_ingest_publishes_snapshots(spark, tmp_path):
+    """Two catalog dumps arriving over time → two snapshot versions, each
+    a complete consistent catalog; re-running with nothing new publishes
+    nothing (the 304 analog via checkpoint)."""
+    import json
+
+    from console_etl_spark.store import SnapshotStore
+
+    stream_dir = tmp_path / "all_json"
+    stream_dir.mkdir()
+    store = SnapshotStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def dump(fname: str, rows):
+        with open(stream_dir / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    dump("v1.json", [
+        {"schema": "olm.bundle", "package": "pkgA", "name": "b1", "x": 1},
+        {"schema": "olm.package", "name": "pkgA", "icon": None},
+    ])
+    q = streaming.stream_ingest_metas(spark, str(stream_dir), store, "cat", ckpt)
+    q.awaitTermination()
+    v1 = store.current("cat")
+    assert v1 is not None
+    got = {(r.package, r.schema, r.name) for r in store.read(spark, "cat").collect()}
+    assert got == {("pkgA", "olm.bundle", "b1"), ("pkgA", "olm.package", "pkgA")}
+
+    # second dump: catalog changed upstream
+    dump("v2.json", [
+        {"schema": "olm.bundle", "package": "pkgB", "name": "b2", "x": 2},
+    ])
+    q = streaming.stream_ingest_metas(spark, str(stream_dir), store, "cat", ckpt)
+    q.awaitTermination()
+    v2 = store.current("cat")
+    assert v2.version != v1.version
+    got2 = {(r.package, r.schema, r.name) for r in store.read(spark, "cat").collect()}
+    assert got2 == {("pkgB", "olm.bundle", "b2")}
+
+    # nothing new: no batch runs, version unchanged (304 analog)
+    q = streaming.stream_ingest_metas(spark, str(stream_dir), store, "cat", ckpt)
+    q.awaitTermination()
+    assert store.current("cat").version == v2.version
