@@ -170,8 +170,11 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus cross-join). Integer intersection/union counts make the
     similarity bit-exact.
 
-    Scale path: add prefix filtering (index only each doc's rarest
-    shingles) to cap Σ df² on skewed corpora.
+    Cost is Σ_shingle df². That's fine for corpora without pathological
+    shingle skew; when df² blows up (Zipfian real text at scale), use
+    dedup_shingle_jaccard_ppjoin below — identical results, prefix-
+    filtered candidates. At bench scale THIS plan wins (fewer stages;
+    the fixture vocabulary is uniform so prefixes prune only ~4x).
     """
     d = load_table(spark, sf_dir, "documents")
     # Persist the inverted index: it feeds both sides of the self-join
@@ -186,6 +189,11 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
+    return _jaccard_finish(pairs, sizes)
+
+
+def _jaccard_finish(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach set sizes and keep pairs over the Jaccard threshold."""
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
@@ -198,6 +206,52 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "n_common", "jaccard")
     )
+
+
+@_register("dedup_shingle_jaccard_ppjoin", ORACLE["dedup_shingle_jaccard"])
+def dedup_shingle_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact result as dedup_shingle_jaccard (same oracle SQL), via
+    AllPairs/PPJoin prefix filtering — the skewed-corpus scale path.
+
+    Lossless pruning: order each doc's shingles by ascending global
+    document frequency (rarest first; ties on the shingle — any
+    consistent total order is valid) and index only the first
+    ``|d| - ceil(t*|d|) + 1``. Two docs with J >= t MUST share a prefix
+    shingle, so high-df shingles — the Σ df² blowup — never generate
+    candidates. Verification counts TRUE intersections from the full
+    index, keeping results bit-identical. Crossover: pays ~4 extra
+    stages, wins when candidate pruning outweighs them (real text at
+    scale: df² grows quadratically, prefix candidates near-linearly).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+
+    w = W.partitionBy("doc_id").orderBy("df", "sh")
+    prefix_len = F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    prefix = (
+        sh.join(df_tbl, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "sh")
+    )
+    cands = (
+        prefix.select(F.col("doc_id").alias("a_id"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # exact verification: count true common shingles per candidate pair
+    pairs = (
+        cands.join(sh.select(F.col("doc_id").alias("a_id"), "sh"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_finish(pairs, sizes)
 
 
 # --------------------------------------------------------------------------
@@ -264,7 +318,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against it.
     """
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # Persist: the signature relation feeds banding AND both sides of the
+    # estimate join — unpersisted, the 64-hash aggregation runs 3x.
+    sigs = minhash_signatures(d).persist()
     cands = lsh_candidate_pairs(sigs)
     sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))

@@ -36,6 +36,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not defaultParallelism:
+        # with parallelismFirst (the default) every exchange keeps ~32
+        # partitions even for kilobytes, and multi-stage plans pay ~200
+        # no-op task launches. Size-based is also the production setting —
+        # at real scale partitions exceed the advisory anyway. Operators
+        # that need parallelism on small bytes (GEMM, shingle explosion)
+        # use spread()'s explicit repartition, which AQE never coalesces.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "16") + "m",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
