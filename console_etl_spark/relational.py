@@ -1495,3 +1495,70 @@ def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Skew handling: explicit key salting
+# --------------------------------------------------------------------------
+# AQE's skew-join split covers sort-merge joins at runtime; explicit
+# salting is the tool for the remaining shapes — a skewed groupBy key, or
+# a shuffled hash join against a non-broadcastable side with hot keys.
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key shuffle spread across ``n_salts``
+    partitions per key.
+
+    The large side gets a deterministic per-row salt (hash of all of its
+    columns — content-derived, so reruns are stable); the small side is
+    replicated once per salt value. Each (key, salt) shuffle bucket then
+    holds ~1/n_salts of a hot key's rows. Replication multiplies the
+    small side by n_salts — use only when the small side is modest but
+    above the broadcast threshold and the large side's keys are skewed.
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in large.columns]) % n_salts).cast("int")
+    salted_large = large.withColumn("_salt", F.abs(salt))
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    salted_small = small.withColumn("_salt", F.explode(salts))
+    out = salted_large.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 32) -> DataFrame:
+    """Two-phase count for a heavily skewed group key: pre-aggregate on
+    (key, salt), then combine — the hot key's rows never converge on one
+    reducer. (Spark's partial aggregation already does this for simple
+    aggregates when map-side combine applies; the explicit form is for
+    when it can't, e.g. after a preceding exchange on another key.)"""
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % n_salts).cast("int")
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias("n"))
+    )
+
+
+@_register(
+    "approx_distinct_events",
+    None,  # approx sketches are engine-specific — tolerance-checked in unit tests
+)
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per event type (the approx tier of
+    distinct_counts_lineitem). At 100 TB the sketch is the only sane
+    plan: fixed-size state, one pass, no exact-distinct shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

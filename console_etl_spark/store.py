@@ -81,8 +81,15 @@ class SnapshotStore:
 
         path = self.snapshot_path(catalog, version)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Sort by `name` within each task so parquet row-group min/max
+            # stats on the lookup key are tight — the 3-key point lookup
+            # (Q4, main.go:268) then skips row groups instead of scanning
+            # the partition. Task-local sort: no extra shuffle.
+            writable = (
+                df.sortWithinPartitions("name") if "name" in df.columns else df
+            )
             (
-                df.write.mode("overwrite")
+                writable.write.mode("overwrite")
                 .partitionBy(*partition_by)
                 .parquet(path)
             )

@@ -232,3 +232,59 @@ def test_registry_and_guard(spark):
 
     df = reg.to_df(spark)
     assert df.filter(F.col("phase") == PHASE_UNPACKED).count() == 1
+
+
+# --------------------------------------------------------------------------
+# Skew salting + approx aggregates
+# --------------------------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be invisible in the result: same rows as a plain
+    equi-join on a skewed key distribution (90% of rows share one key)."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.relational import salted_join
+
+    large = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    got = salted_join(large, small, "k").groupBy("k").count().collect()
+    want = large.join(small, "k").groupBy("k").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_salted_count_matches_exact(spark):
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.relational import salted_count
+
+    df = spark.range(5_000).select((F.col("id") % 3).alias("k"))
+    got = {r.k: r.n for r in salted_count(df, "k").collect()}
+    want = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from console_etl_spark.relational import approx_distinct_events
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in approx_distinct_events(spark, SF_TEST).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, SF_TEST, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(2, 0.05 * ex), (et, approx[et], ex)
