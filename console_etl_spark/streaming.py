@@ -223,3 +223,46 @@ def stream_ingest_metas(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join: purchases joined to same-user signups within 24 h
+# --------------------------------------------------------------------------
+
+def signup_purchase_join(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    range_join_purchase_after_signup (relational.py).
+
+    Both sides carry the user_id equi-key plus a bounded time condition;
+    the watermark + interval bound lets Spark evict join state once a
+    row can no longer match (state is bounded by
+    watermark + 24 h per side — without the time bound a stream-stream
+    join would buffer forever).
+    """
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return s.join(
+        p,
+        (s.user_id == p.p_user)
+        & (p.p_ts > s.s_ts)
+        & (p.p_ts <= s.s_ts + F.expr("INTERVAL 24 HOURS")),
+    ).select("user_id", "signup_event", "purchase_event", "purchase_value")

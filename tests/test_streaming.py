@@ -198,3 +198,14 @@ def test_stream_ingest_publishes_snapshots(spark, tmp_path):
     q = streaming.stream_ingest_metas(spark, str(stream_dir), store, "cat", ckpt)
     q.awaitTermination()
     assert store.current("cat").version == v2.version
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, events_stream_dir):
+    """The streaming interval join must produce exactly the batch range
+    join's pairs once the bounded stream completes."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.signup_purchase_join(stream), "t_ssj", output_mode="append"
+    ).toPandas()
+    want = relational.range_join_purchase_after_signup(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
