@@ -1599,3 +1599,92 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@_register(
+    "window_rank_functions_customers",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           DENSE_RANK() OVER w AS drank,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_functions_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family: ntile / dense_rank / percent_rank /
+    cume_dist per market segment. The ORDER BY carries c_custkey so the
+    total order is unique — ntile buckets depend on row position, and a
+    tie left to the engine would be nondeterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@_register(
+    "date_functions_orders",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+           CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_month,
+           CAST(DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTHS AS TIMESTAMP) AS plus_quarter
+    FROM orders
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function coverage: extraction, truncation, month-end,
+    day arithmetic, interval addition — all codegen'd built-ins."""
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(od).cast("timestamp").alias("month_end"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.add_months(od, 3).cast("timestamp").alias("plus_quarter"),
+    )
+
+
+@_register(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 9) AS max_val,
+           ROUND(list_min(CAST(embedding AS DOUBLE[])), 9) AS min_val,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 9) AS sum_val,
+           ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 9) AS head_sum
+    FROM embeddings
+    """,
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function coverage over the vector column:
+    size, element extrema, full and sliced folds — JVM-side, the
+    building blocks the similarity tier composes. Sums fold
+    left-to-right in both engines over exact float->double casts, so
+    round(9) is belt-and-suspenders."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(dbl), 9).alias("max_val"),
+        F.round(F.array_min(dbl), 9).alias("min_val"),
+        F.round(fold(dbl), 9).alias("sum_val"),
+        F.round(fold(F.slice(dbl, 1, 8)), 9).alias("head_sum"),
+    )
