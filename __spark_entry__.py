@@ -21,10 +21,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from console_etl_spark import navigation, relational
+from console_etl_spark import navigation, relational, sqlapi
 from console_etl_spark.llmops import dedup, multimodal, similarity, textan
 
-_MODULES = (navigation, relational, dedup, textan, similarity, multimodal)
+_MODULES = (navigation, relational, sqlapi, dedup, textan, similarity, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,102 @@
+"""SQL API surface: the engine's queries are equally expressible as
+``spark.sql`` over registered views — same Catalyst plans as the
+DataFrame forms (SURVEY.md §2.2; the reference has no SQL surface at
+all, its "queries" are hardcoded HTTP handlers, main.go:77-85).
+
+The queries here deliberately use constructs only the SQL parser
+accepts — correlated scalar subqueries and correlated EXISTS — to
+exercise Catalyst's decorrelation rewrites (subquery -> aggregate +
+left outer / semi join). Everything is oracle-checked like the
+DataFrame tier.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Expose the fixture tables as temp views so users can
+    ``spark.sql(...)`` directly — the engine's SQL front door. Idempotent;
+    views are session-scoped and lazily read (pushdown still applies)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@_register(
+    "sql_correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — Catalyst
+    decorrelates it into an aggregate + left outer join on l_orderkey
+    (orders with no lineitems surface NULL, which a naive inner-join
+    rewrite would drop)."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM lineitem WHERE l_orderkey = o_orderkey) AS max_line_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        """
+    )
+
+
+@_register(
+    "sql_correlated_exists",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left semi join; the subquery
+    predicate pushes into the lineitem scan before the probe."""
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+        )
+        ORDER BY s_suppkey
+        """
+    )
