@@ -1688,3 +1688,89 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(dbl), 9).alias("sum_val"),
         F.round(fold(F.slice(dbl, 1, 8)), 9).alias("head_sum"),
     )
+
+
+@_register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0
+    )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute with
+    a NOT IN exclusion subquery. s_suppkey is a non-null key, so NOT IN
+    is exactly a left anti join (with a nullable subquery column it
+    would need the null-aware anti join the SQL form plans — see
+    sql_correlated_exists for the parser-driven path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(excluded, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@_register(
+    "q21_sole_supplier_orders",
+    """
+    SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_linenumber <> l1.l_linenumber)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY n_orders DESC, s_name
+    """,
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS and NOT EXISTS self-joins in
+    one plan — suppliers that were the sole supplier on multi-line
+    orders. The EXISTS becomes a left semi join (another line exists),
+    the NOT EXISTS a left anti join (no other supplier), both on the
+    orderkey with a non-equi residual condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_linenumber")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_linenumber").alias("ln2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_linenumber != l2.ln2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "s_name")
+    )
