@@ -244,3 +244,31 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check (unit tests pin exact outputs)."""
     d = load_table(spark, sf_dir, "documents")
     return langid_scores(d).select("doc_id", "pred_lang", "pred_score")
+
+
+@_register(
+    "text_subword_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+           len(string_split(text, ' ')) AS n_whitespace_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letter runs | digit runs | single punctuation) next to the plain
+    whitespace count — the cheap token-budget estimator for training-data
+    pipelines. Pure regexp_extract_all, JVM-side, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("n_subwords"),
+        F.size(F.split("text", " ")).alias("n_whitespace_tokens"),
+        "n_chars",
+    )

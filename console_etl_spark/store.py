@@ -151,6 +151,34 @@ class SnapshotStore:
         the ``os.RemoveAll`` analog of cache.go:30-33)."""
         shutil.rmtree(self._catalog_dir(catalog), ignore_errors=True)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        files_per_partition: int = 1,
+        partition_by: tuple[str, ...] = PARTITION_COLS,
+    ) -> SnapshotInfo:
+        """Rewrite the current snapshot with ``files_per_partition``
+        files per Hive partition and flip the manifest to the compacted
+        copy — the small-files maintenance job.
+
+        Continuous ingest (one snapshot per micro-batch) and large
+        cluster writes (one file per task per partition) both fragment
+        partitions; at scale a listing of millions of tiny files costs
+        more than the scan. Readers are never disturbed: the compacted
+        snapshot is a NEW version published by the same atomic manifest
+        flip, and the old one remains until vacuum(). Row content is
+        identical — only the file layout changes.
+        """
+        info = self.current(catalog)
+        if info is None:
+            raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
+        df = spark.read.parquet(info.path)
+        compacted = df.repartition(files_per_partition, *partition_by)
+        return self.publish(
+            compacted, catalog, f"{info.version}-compact", partition_by
+        )
+
     def vacuum(self, catalog: str, keep: int = 2) -> list[str]:
         """Delete all but the newest ``keep`` non-current snapshot dirs."""
         cur = self.current(catalog)

@@ -288,3 +288,30 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(2, 0.05 * ex), (et, approx[et], ex)
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, store, catalog_metas):
+    """Compaction must keep row content identical, shrink the file count,
+    and publish as a new version via the manifest (old snapshot intact)."""
+    import glob
+    import os
+
+    from console_etl_spark.ingest import shred_metas
+
+    metas = shred_metas(catalog_metas.filter("catalog = 'catalog0'")).drop("catalog")
+    # fragment the write: many shuffle partitions -> many files per dir
+    store.publish(metas.repartition(8), "compactme", "v1")
+    before_files = glob.glob(
+        os.path.join(store.current("compactme").path, "**", "*.parquet"),
+        recursive=True,
+    )
+    before_rows = sorted(map(tuple, store.read(spark, "compactme").collect()))
+
+    info = store.compact(spark, "compactme")
+    assert info.version == "v1-compact"
+    assert store.current("compactme").version == "v1-compact"
+    after_files = glob.glob(
+        os.path.join(info.path, "**", "*.parquet"), recursive=True
+    )
+    assert len(after_files) < len(before_files)
+    assert sorted(map(tuple, store.read(spark, "compactme").collect())) == before_rows
