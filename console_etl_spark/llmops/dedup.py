@@ -411,3 +411,114 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# X2 finish: near-dup GROUPS via connected components (iterative)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) labeling by iterative min-label propagation —
+    the canonical-pick step after pairwise near-dup detection.
+
+    Each round every node takes the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds (near-dup clusters
+    are tiny cliques, so 2-3 in practice). The loop is driver-side
+    control flow over DataFrame ops — each round one shuffle on node id;
+    ``localCheckpoint`` truncates lineage so round N doesn't replay
+    rounds 1..N-1. At 100 TB this is the standard large-graph CC loop
+    (the GraphFrames algorithm is this plus big-star/small-star moves).
+    """
+    sym = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionByName(edges.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.y == labels.node)
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+_SHINGLE_EDGES_SQL = """
+    words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT a_id, b_id
+      FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+    )
+"""
+
+
+@_register(
+    "dedup_connected_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLE_EDGES_SQL},
+    sym AS (
+      SELECT a_id AS x, b_id AS y FROM edges
+      UNION SELECT b_id, a_id FROM edges
+    ),
+    reach(node, lab) AS (
+      SELECT x, x FROM sym
+      UNION
+      SELECT s.y, r.lab FROM reach r JOIN sym s ON s.x = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment: every document in a jaccard >= 0.6 pair
+    labeled with its cluster's minimum doc_id (the canonical survivor) —
+    the full near-dup dedup pipeline end to end: pairwise similarity ->
+    graph -> connected components. Oracle: recursive-CTE transitive
+    closure over the same edge set."""
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
