@@ -187,3 +187,54 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 8), 6).alias("mean_byte"),
         F.element_at("features", 7).alias("n_distinct_bytes"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_payload(
+    binary_df: DataFrame, target_bytes: int = 64, resizer: str = "fake"
+) -> DataFrame:
+    """Resize plumbing (image thumbnail / audio downsample slot).
+
+    ``resizer='fake'`` deterministically strides each payload down to
+    ``target_bytes`` (every ceil(n/target)-th byte) — shape-correct
+    plumbing for the real PIL/ffmpeg call, which goes in the same
+    mapInPandas batch loop. Like decoding, the real resizer raises
+    ``NotImplementedError`` here (media libs absent in this container).
+    """
+    if resizer == "image":
+        raise NotImplementedError(
+            "real media resizing requires PIL/ffmpeg — not available in this "
+            "container; use resizer='fake' for the deterministic stand-in"
+        )
+    if resizer != "fake":
+        raise ValueError(f"unknown resizer {resizer!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                if len(raw) <= target_bytes:
+                    out.append(raw)
+                else:
+                    step = -(-len(raw) // target_bytes)  # ceil div
+                    out.append(raw[::step][:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "resized": out,
+                    "out_bytes": [len(r) for r in out],
+                }
+            )
+
+    return binary_df.mapInPandas(batches, RESIZED_SCHEMA)

@@ -1774,3 +1774,85 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_orderkey").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "s_name")
     )
+
+
+@_register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part metrics to (key, metric, value) long
+    form via the stack() generator — the inverse of pivot, one scan, no
+    join (the oracle's UNION ALL reads the table twice; stack is the
+    single-pass plan)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE),"
+            " 'retailprice', p_retailprice) AS (metric, value)"
+        ),
+    )
+
+
+@_register(
+    "histogram_order_totalprice",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: integer bucket arithmetic (portable where
+    width_bucket isn't), single aggregation pass with per-bucket extrema.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "window_trailing_hour_value",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_hour_value
+    FROM events
+    """,
+)
+def window_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, each event's running sum over
+    the trailing hour — rangeBetween on microsecond epochs (RANGE frames
+    need a numeric ORDER BY in Spark; integer epochs also make the frame
+    boundary exact in both engines). Decimal accumulation, double at the
+    edge, same as every money sum here."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_hour_value"),
+    )

@@ -179,3 +179,19 @@ def test_ann_ivf_cosines_are_true(spark):
     for r in similarity.ann_ivf_topk(spark, SF_TEST).collect():
         if r.q_id in top1:
             assert r.cos_sim <= top1[r.q_id] + 1e-12
+
+
+def test_resize_payload_bounds_and_determinism(spark):
+    docs = load_table(spark, SF_TEST, "documents").limit(15)
+    bt = multimodal.binary_table(docs)
+    r1 = sorted(
+        (r.doc_id, bytes(r.resized)) for r in multimodal.resize_payload(bt, 32).collect()
+    )
+    r2 = sorted(
+        (r.doc_id, bytes(r.resized)) for r in multimodal.resize_payload(bt, 32).collect()
+    )
+    assert r1 == r2
+    for _, b in r1:
+        assert 1 <= len(b) <= 32
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_payload(bt, 32, resizer="image")
