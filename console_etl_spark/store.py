@@ -45,6 +45,7 @@ class SnapshotInfo:
     version: str
     path: str
     published_at: float
+    schema_json: str | None = None  # DDL-round-trippable StructType json
 
 
 class SnapshotStore:
@@ -93,7 +94,7 @@ class SnapshotStore:
                 .partitionBy(*partition_by)
                 .parquet(path)
             )
-        info = SnapshotInfo(catalog, version, path, time.time())
+        info = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
         self._flip_manifest(info)
         return info
 
@@ -110,6 +111,7 @@ class SnapshotStore:
                         "version": info.version,
                         "path": info.path,
                         "published_at": info.published_at,
+                        "schema": info.schema_json,
                     },
                     f,
                 )
@@ -126,15 +128,28 @@ class SnapshotStore:
                 m = json.load(f)
         except FileNotFoundError:
             return None
-        return SnapshotInfo(catalog, m["version"], m["path"], m["published_at"])
+        return SnapshotInfo(
+            catalog, m["version"], m["path"], m["published_at"], m.get("schema")
+        )
 
     def read(self, spark: SparkSession, catalog: str) -> DataFrame:
         """DataFrame over the current snapshot (partition-discovery read:
-        filters on ``package``/``schema`` prune directories)."""
+        filters on ``package``/``schema`` prune directories).
+
+        The manifest's recorded schema is applied when present: it makes
+        an EMPTY snapshot readable (an upstream catalog can legitimately
+        be empty; parquet alone cannot infer a schema from zero files)
+        and pins column types independent of what discovery would guess.
+        """
         info = self.current(catalog)
         if info is None:
             raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
-        return spark.read.parquet(info.path)
+        reader = spark.read
+        if info.schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(info.schema_json)))
+        return reader.parquet(info.path)
 
     # -- lifecycle -------------------------------------------------------
     def versions(self, catalog: str) -> list[str]:

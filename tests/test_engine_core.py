@@ -315,3 +315,16 @@ def test_compact_preserves_rows_and_reduces_files(spark, store, catalog_metas):
     )
     assert len(after_files) < len(before_files)
     assert sorted(map(tuple, store.read(spark, "compactme").collect())) == before_rows
+
+
+def test_empty_snapshot_round_trips(spark, store):
+    """An empty catalog dump is a legitimate upstream state: publish must
+    succeed and read must return an EMPTY frame with the right schema
+    (parquet alone cannot infer a schema from zero data files)."""
+    empty = spark.createDataFrame(
+        [], "package string, schema string, name string, blob string"
+    )
+    store.publish(empty, "emptycat", "v1")
+    df = store.read(spark, "emptycat")
+    assert df.count() == 0
+    assert set(df.columns) == {"package", "schema", "name", "blob"}
