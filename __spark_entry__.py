@@ -22,9 +22,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from console_etl_spark import navigation, relational, sqlapi
-from console_etl_spark.llmops import dedup, multimodal, similarity, textan
+from console_etl_spark.llmops import dedup, multimodal, similarity, sketches, textan
 
-_MODULES = (navigation, relational, sqlapi, dedup, textan, similarity, multimodal)
+_MODULES = (navigation, relational, sqlapi, dedup, textan, similarity, multimodal, sketches)
 
 
 def entry(spark: SparkSession) -> DataFrame:

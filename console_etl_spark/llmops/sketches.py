@@ -1,0 +1,114 @@
+"""Probabilistic sketches as plain DataFrame plans (the "novel sketch"
+tier next to HLL's approx_count_distinct).
+
+A Count-Min sketch is just a (depth x width) counter matrix — i.e. a
+tiny DataFrame keyed by (row, bucket). Building it is one aggregation
+over the data; querying keys is a broadcast join against the sketch.
+Both steps are deterministic (fixed xxhash64 seeds), reproducible on any
+cluster, and mergeable across partitions/days by summing counters —
+the property that makes sketches the right answer at 100 TB: the sketch
+for a petabyte of events is still depth*width longs.
+
+Error contract (standard CM bounds): estimate >= true count, and with
+width w = ceil(e/eps), depth d = ceil(ln(1/delta)):
+P[estimate > true + eps*N] < delta. Tests verify both sides empirically.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def cms_params(eps: float = 0.005, delta: float = 0.01) -> tuple[int, int]:
+    """(depth, width) for the standard Count-Min error bounds."""
+    width = math.ceil(math.e / eps)
+    depth = math.ceil(math.log(1.0 / delta))
+    return depth, width
+
+
+def _bucket(key: Column, row: int, width: int) -> Column:
+    """Deterministic bucket for one hash row: xxhash64 with the row id as
+    seed, folded into [0, width)."""
+    return F.pmod(F.xxhash64(key, F.lit(row)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key: str, depth: int, width: int
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt) — depth aggregations fused
+    into ONE shuffle by exploding each input row into its depth
+    (row, bucket) cells first. Output size is <= depth*width regardless
+    of input size; sketches for different data slices merge by
+    unioning and re-summing."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _bucket(F.col(key), r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key: str, depth: int, width: int
+) -> DataFrame:
+    """Point-query the sketch for each key: min over the depth rows of
+    the addressed counters. The sketch is broadcast (<= depth*width
+    rows); missing cells mean a zero counter."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _bucket(F.col(key), r, width).alias("bucket")
+            )
+            for r in range(depth)
+        ]
+    )
+    addressed = keys.select(key, F.explode(cells).alias("c")).select(
+        key, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        addressed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(key)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+@_register("sketch_cms_user_counts", None)  # rows-only: hash-addressed counters not SQL-portable
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimated event counts per user: build the sketch over
+    events, then point-query every distinct user. Estimates are exact
+    here with high probability (500 users vs a 544-wide sketch), and the
+    one-sided error contract (never an underestimate) is what heavy-
+    hitter detection at 100 TB relies on."""
+    depth, width = cms_params()
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id", depth, width)
+    users = e.select("user_id").distinct()
+    return cms_estimate(sketch, users, "user_id", depth, width)

@@ -1856,3 +1856,36 @@ def window_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(dec("value")).over(w).cast("double").alias("trailing_hour_value"),
     )
+
+
+@_register(
+    "hypertable_rollup_events",
+    """
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces the
+    hour-level, day-level, and grand-total tiers via ROLLUP on nested
+    time buckets (hour rolls up into day rolls up into total). At scale
+    this materializes every query granularity a dashboard hits without
+    re-scanning raw events per tier — Spark plans a single aggregation
+    with an Expand, partial map-side combine included."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

@@ -195,3 +195,53 @@ def test_resize_payload_bounds_and_determinism(spark):
         assert 1 <= len(b) <= 32
     with pytest.raises(NotImplementedError):
         multimodal.resize_payload(bt, 32, resizer="image")
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+def test_cms_never_underestimates_and_bounded(spark):
+    from console_etl_spark.llmops import sketches
+
+    depth, width = sketches.cms_params()
+    e = load_table(spark, SF_TEST, "events")
+    sketch = sketches.cms_build(e, "user_id", depth, width)
+    # sketch is bounded by depth*width regardless of input size
+    assert sketch.count() <= depth * width
+    users = e.select("user_id").distinct()
+    est = {
+        r.user_id: r.est_count
+        for r in sketches.cms_estimate(sketch, users, "user_id", depth, width).collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = e.count()
+    eps = 0.005
+    for u, true_n in exact.items():
+        assert est[u] >= true_n, "CM must never underestimate"
+        assert est[u] <= true_n + eps * n_total * 3, (u, est[u], true_n)
+
+
+def test_cms_merge_equals_whole(spark):
+    """Sketches over data halves merged by summing counters must equal
+    the sketch of the whole — the distributivity that makes CM usable
+    across partitions/days."""
+    from console_etl_spark.llmops import sketches
+
+    depth, width = sketches.cms_params(eps=0.01)
+    e = load_table(spark, SF_TEST, "events")
+    h1 = e.filter(F.col("event_id") % 2 == 0)
+    h2 = e.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sketches.cms_build(h1, "user_id", depth, width)
+        .unionByName(sketches.cms_build(h2, "user_id", depth, width))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketches.cms_build(e, "user_id", depth, width)
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, whole.collect()))
+    assert a == b
