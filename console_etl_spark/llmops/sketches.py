@@ -112,3 +112,49 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(e, "user_id", depth, width)
     users = e.select("user_id").distinct()
     return cms_estimate(sketch, users, "user_id", depth, width)
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: set-membership sketch (no false negatives)
+# --------------------------------------------------------------------------
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) for target false-positive probability."""
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def bloom_build(df: DataFrame, key: str, m_bits: int, k_hashes: int) -> DataFrame:
+    """The filter as a DataFrame of set bit positions (<= m distinct
+    rows): explode each key into its k bit addresses, distinct. Filters
+    over different slices merge by union+distinct."""
+    bits = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_contains(
+    bloom: DataFrame, probes: DataFrame, key: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """(key, maybe_present) per probe: present iff ALL k addressed bits
+    are set. Broadcast join against the bit set; a missing bit anywhere
+    proves absence (no false negatives — the property that lets a Bloom
+    filter pre-filter a 100 TB anti join down to candidate rows only)."""
+    bits = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    addressed = probes.select(key, F.explode(bits).alias("bit"))
+    hit = F.broadcast(bloom.withColumn("_set", F.lit(1)))
+    return (
+        addressed.join(hit, "bit", "left")
+        .groupBy(key)
+        .agg((F.count("*") == F.count("_set")).alias("maybe_present"))
+    )

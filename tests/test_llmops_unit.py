@@ -245,3 +245,32 @@ def test_cms_merge_equals_whole(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, whole.collect()))
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from console_etl_spark.llmops import sketches
+
+    e = load_table(spark, SF_TEST, "events")
+    members = e.select("user_id").distinct()
+    n = members.count()
+    m, k = sketches.bloom_params(n, fpp=0.01)
+    bloom = sketches.bloom_build(members, "user_id", m, k)
+    assert bloom.count() <= m
+
+    # every member must test positive
+    got = {
+        r.user_id: r.maybe_present
+        for r in sketches.bloom_contains(bloom, members, "user_id", m, k).collect()
+    }
+    assert all(got.values())
+
+    # non-members: false-positive rate near the target
+    strangers = spark.range(1_000_000, 1_002_000).select(
+        F.col("id").alias("user_id")
+    )
+    fp = (
+        sketches.bloom_contains(bloom, strangers, "user_id", m, k)
+        .filter("maybe_present")
+        .count()
+    )
+    assert fp / 2000 <= 0.05, f"false-positive rate {fp/2000}"
