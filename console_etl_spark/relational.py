@@ -1889,3 +1889,46 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+@_register(
+    "setop_intersect_all_priorities",
+    """
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+    """,
+)
+def setop_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: each priority survives
+    min(count_left, count_right) times, unlike the distinct INTERSECT
+    above. Spark plans both as joins over counted groups."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.intersectAll(right)
+
+
+@_register(
+    "setop_except_all_priorities",
+    """
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+    """,
+)
+def setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: left copies survive
+    count_left - count_right times (floor at zero)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.exceptAll(right)

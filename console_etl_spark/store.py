@@ -132,6 +132,19 @@ class SnapshotStore:
             catalog, m["version"], m["path"], m["published_at"], m.get("schema")
         )
 
+    def read_version(self, spark: SparkSession, catalog: str, version: str) -> DataFrame:
+        """Time travel: read a specific (non-current) snapshot version.
+        Snapshots are immutable, so any version still on disk (i.e. not
+        vacuumed) is exactly what was published — the reference's
+        timestamped directories gave the same property but no reader API
+        for old versions."""
+        path = self.snapshot_path(catalog, version)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"catalog {catalog!r} has no snapshot version {version!r}"
+            )
+        return spark.read.parquet(path)
+
     def read(self, spark: SparkSession, catalog: str) -> DataFrame:
         """DataFrame over the current snapshot (partition-discovery read:
         filters on ``package``/``schema`` prune directories).
@@ -202,3 +215,50 @@ class SnapshotStore:
         for v in victims:
             shutil.rmtree(self.snapshot_path(catalog, v), ignore_errors=True)
         return victims
+
+
+OP_COL = "_op"  # changeset operation column: 'upsert' | 'delete'
+KEY_COLS = ("package", "schema", "name")
+
+
+def apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Merge a CDC changeset into a snapshot: rows keyed like the store
+    with an ``_op`` column ('upsert' inserts-or-replaces, 'delete'
+    removes). Returns the next snapshot's content.
+
+    The reference can only re-materialize a whole catalog per refresh
+    (cache.go:71-81); this is the incremental path — cost scales with
+    |changes| + one co-partitioned full-outer join, not with catalog
+    size re-parsed. Last occurrence wins within the changeset (same
+    contract as shred_metas)."""
+    from pyspark.sql import Window, functions as F
+
+    if OP_COL not in changes.columns:
+        raise ValueError(f"changeset needs an {OP_COL!r} column")
+    bad = changes.filter(~F.col(OP_COL).isin("upsert", "delete")).limit(1).count()
+    if bad:
+        raise ValueError(f"{OP_COL!r} values must be 'upsert' or 'delete'")
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_change_pos"))
+    latest = (
+        changes.withColumn("_change_pos", F.monotonically_increasing_id())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_change_pos")
+    )
+    keys = list(key_cols)
+    data_cols = [c for c in current.columns if c not in keys]
+    merged = current.alias("cur").join(latest.alias("chg"), keys, "full_outer")
+    keep_current = F.col(f"chg.{OP_COL}").isNull()
+    is_upsert = F.col(f"chg.{OP_COL}") == "upsert"
+    out_cols = [F.col(k) for k in keys] + [
+        F.when(keep_current, F.col(f"cur.{c}"))
+        .otherwise(F.col(f"chg.{c}"))
+        .alias(c)
+        for c in data_cols
+    ]
+    return merged.filter(keep_current | is_upsert).select(*out_cols)

@@ -328,3 +328,64 @@ def test_empty_snapshot_round_trips(spark, store):
     df = store.read(spark, "emptycat")
     assert df.count() == 0
     assert set(df.columns) == {"package", "schema", "name", "blob"}
+
+
+def test_apply_changes_upsert_delete_and_time_travel(spark, store):
+    """CDC apply: upserts replace/insert, deletes remove, untouched rows
+    survive; the previous version stays readable via time travel."""
+    from console_etl_spark.store import apply_changes
+
+    base = spark.createDataFrame(
+        [
+            ("p1", "olm.bundle", "a", "v1-a"),
+            ("p1", "olm.bundle", "b", "v1-b"),
+            ("p2", "olm.channel", "c", "v1-c"),
+        ],
+        "package string, schema string, name string, blob string",
+    )
+    store.publish(base, "cdc", "v1")
+
+    changes = spark.createDataFrame(
+        [
+            ("p1", "olm.bundle", "b", "v2-b", "upsert"),   # replace
+            ("p3", "olm.bundle", "d", "v2-d", "upsert"),   # insert
+            ("p2", "olm.channel", "c", None, "delete"),    # remove
+            ("p3", "olm.bundle", "d", "v2-d2", "upsert"),  # same key again: last wins
+        ],
+        "package string, schema string, name string, blob string, _op string",
+    )
+    next_df = apply_changes(store.read(spark, "cdc"), changes)
+    store.publish(next_df, "cdc", "v2")
+
+    got = {
+        (r.package, r.schema, r.name): r.blob
+        for r in store.read(spark, "cdc").collect()
+    }
+    assert got == {
+        ("p1", "olm.bundle", "a"): "v1-a",
+        ("p1", "olm.bundle", "b"): "v2-b",
+        ("p3", "olm.bundle", "d"): "v2-d2",
+    }
+    # time travel: v1 unchanged
+    old = {
+        (r.package, r.schema, r.name): r.blob
+        for r in store.read_version(spark, "cdc", "v1").collect()
+    }
+    assert old[("p2", "olm.channel", "c")] == "v1-c" and len(old) == 3
+
+
+def test_apply_changes_rejects_bad_ops(spark):
+    from console_etl_spark.store import apply_changes
+    import pytest as _pytest
+
+    cur = spark.createDataFrame(
+        [("p", "s", "n", "b")], "package string, schema string, name string, blob string"
+    )
+    bad = spark.createDataFrame(
+        [("p", "s", "n", "b", "replace")],
+        "package string, schema string, name string, blob string, _op string",
+    )
+    with _pytest.raises(ValueError, match="upsert"):
+        apply_changes(cur, bad)
+    with _pytest.raises(ValueError, match="_op"):
+        apply_changes(cur, cur)
