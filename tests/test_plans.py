@@ -1,0 +1,62 @@
+"""Physical-plan property tests: the *shape* of key plans is part of the
+engine's contract (SURVEY.md §4) — pushdown reaching the scans,
+dimensions broadcast, top-k planned as TakeOrderedAndProject, the as-of
+join staying a bounded-shuffle union+window. Catching a regression here
+matters more at 100 TB than any constant factor."""
+
+from __future__ import annotations
+
+import re
+
+from console_etl_spark import relational
+from tests.conftest import SF_TEST
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(relational.q1_pricing_summary(spark, SF_TEST))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    """Every dimension join must broadcast — a sort-merge join of region/
+    nation/customer/supplier against the fact table would shuffle the
+    fact once per dim."""
+    plan = plan_of(relational.q5_region_revenue(spark, SF_TEST))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q19_disjunction_pushed_both_sides(spark):
+    # plan toString truncates long filter lists, so substring-match the
+    # start of each side's pushed OR-tree rather than parsing brackets
+    plan = plan_of(relational.q19_disjunctive_join(spark, SF_TEST))
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan, plan
+    assert "PushedFilters: [IsNotNull(p_partkey), Or(" in plan, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = plan_of(relational.q10_returned_items(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The union+window as-of plan: at most one hash exchange per input
+    branch (both on user_id) and no join operator at all."""
+    plan = plan_of(relational.asof_join_purchase_view(spark, SF_TEST))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_semi_join_is_semi(spark):
+    plan = plan_of(relational.q18_large_volume_customers(spark, SF_TEST))
+    assert "LeftSemi" in plan, plan
+
+
+def test_anti_join_is_anti(spark):
+    plan = plan_of(relational.q22_idle_rich_customers(spark, SF_TEST))
+    assert "LeftAnti" in plan, plan
