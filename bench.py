@@ -27,9 +27,12 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
     "q18_large_volume_customers",
     "q19_disjunctive_join",
     "asof_join_purchase_view",
+    "hypertable_rollup_events",
     "window_topk_orders_per_customer",
     "events_hourly_stats",
     "events_json_extract",
