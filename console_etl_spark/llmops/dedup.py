@@ -522,3 +522,51 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+# --------------------------------------------------------------------------
+# X2: embedding-cosine near-dup dedup (semantic dedup)
+# --------------------------------------------------------------------------
+
+EMB_DUP_TAU = 0.4  # same threshold as similarity.NEAR_DUP_TAU
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings a
+      WHERE a.vec_id < e.vec_id
+        AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])), 9) >= 0.4
+    )
+    ORDER BY e.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup dedup: keep each vector that
+    has NO near-duplicate (cosine >= tau) with a smaller vec_id — the
+    deterministic min-id survivor rule applied to the exact pair set.
+
+    Reuses similarity.embedding_near_pairs (GEMM kernel, broadcast
+    corpus) for the pair set, then drops every pair's larger id with one
+    broadcast anti-join. At 100 TB the pair generator swaps to the
+    LSH-bucketed tier (ann_lsh_bucketed's bucketing) with the identical
+    survivor rule; the exact tier here is the oracle-checkable twin.
+    """
+    from .similarity import embedding_near_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dupes = (
+        embedding_near_pairs(spark, sf_dir)
+        .filter(F.col("cos_sim") >= EMB_DUP_TAU)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        e.join(F.broadcast(dupes), e.vec_id == F.col("dup_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

@@ -2009,3 +2009,154 @@ def q12_returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2/Q20 shapes — partsupp is absent from the fixtures, so both
+# derive the part↔supplier relation from lineitem: unit cost as
+# MIN(l_extendedprice / l_quantity) per (partkey, suppkey) and shipped
+# quantity per (partkey, suppkey, year). Same query skeletons
+# (correlated MIN subquery / nested semi joins), real available data.
+# --------------------------------------------------------------------------
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), asia AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM cost
+    JOIN asia ON cost.l_suppkey = s_suppkey
+    JOIN part ON p_partkey = cost.l_partkey
+    WHERE p_size < 10
+      AND unit_cost = (
+        SELECT MIN(c2.unit_cost)
+        FROM cost c2 JOIN asia a2 ON c2.l_suppkey = a2.s_suppkey
+        WHERE c2.l_partkey = cost.l_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest ASIA supplier per small part
+    (reference has no joins at all — SURVEY.md §2.2; this is the
+    correlated-MIN-subquery member of the extension tier X7).
+
+    The correlated ``= (SELECT MIN ...)`` decorrelates into a per-part
+    MIN aggregate joined back on (partkey, unit_cost) — the same rewrite
+    Catalyst applies to scalar subqueries. Unit cost is a single IEEE
+    division in both engines, and MIN is order-insensitive, so the
+    equality join is bit-exact without decimal scaffolding.
+
+    Scale: lineitem aggregates once into the (partkey, suppkey) cost
+    relation (map-side partial agg, one shuffle); supplier⋈nation⋈region
+    and part are broadcast; the min-cost self-join keys on partkey so it
+    reuses the cost relation's shuffle partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost_asia = cost.join(F.broadcast(asia), cost.l_suppkey == F.col("s_suppkey"))
+    min_cost = cost_asia.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        cost_asia.join(
+            min_cost,
+            (cost_asia.l_partkey == F.col("mc_partkey"))
+            & (cost_asia.unit_cost == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), cost_asia.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "q20_dominant_part_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), part_total AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT shipped.l_suppkey
+      FROM shipped
+      JOIN part_total ON shipped.l_partkey = part_total.l_partkey
+      JOIN part ON p_partkey = shipped.l_partkey
+      WHERE p_name LIKE '%widget%' AND 2 * qty > total_qty
+    )
+    AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA-nation suppliers who shipped more than half
+    of some widget part's 1995 volume — nested IN subqueries over a
+    derived availability relation, the double-semi-join member of X7.
+
+    Decimal SUMs keep the 2·qty > total comparison exact in both
+    engines. Shipped quantities aggregate once (shuffle on partkey,
+    suppkey); the per-part total reuses that relation; both IN
+    predicates become left-semi joins (nation side broadcast).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    widget = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    dominant = (
+        shipped.join(part_total, shipped.l_partkey == F.col("pt_partkey"))
+        .join(F.broadcast(widget), shipped.l_partkey == F.col("p_partkey"))
+        .filter(F.lit(2) * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    asia_nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == 2
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(asia_nations),
+            s.s_nationkey == asia_nations.n_nationkey,
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
