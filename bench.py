@@ -77,6 +77,9 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        # Queries that persist intermediates (dedup/similarity) would
+        # otherwise leak cache blocks into every later measurement.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

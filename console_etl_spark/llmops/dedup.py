@@ -261,7 +261,16 @@ def dedup_shingle_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, sig array<long>) — minimum of xxhash64(shingle, seed_k)
     per permutation. One shuffle (groupBy doc_id); signature width is a
-    constant, so cost is O(total_shingles)."""
+    constant, so cost is O(total_shingles).
+
+    Deliberately explode + 64-column min-aggregate, NOT the "shuffle-free"
+    array_min(transform(...)) formulation: higher-order-function lambdas
+    are interpreted per element (outside whole-stage codegen), and the
+    measured A/B at sf0.1 is ~1.6 s codegen'd explode+agg vs ~3.9 s
+    interpreted HOF — the map-side partial aggregation also means the
+    shuffle moves only num_perm longs per document, so the exchange is
+    O(documents), not O(shingles).
+    """
     sh = exploded_shingles(docs)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(k))).alias(f"h{k}")
