@@ -22,9 +22,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from console_etl_spark import navigation, relational, sqlapi
-from console_etl_spark.llmops import dedup, multimodal, similarity, sketches, textan
+from console_etl_spark.llmops import (
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    sketches,
+    textan,
+)
 
-_MODULES = (navigation, relational, sqlapi, dedup, textan, similarity, multimodal, sketches)
+_MODULES = (
+    navigation,
+    relational,
+    sqlapi,
+    dedup,
+    textan,
+    similarity,
+    multimodal,
+    sketches,
+    pipeline,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

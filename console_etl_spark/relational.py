@@ -2160,3 +2160,115 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Full-outer join, exact percentiles, fuzzy string matching
+# --------------------------------------------------------------------------
+
+@_register(
+    "fullouter_nation_counts",
+    """
+    SELECT n_name, cust_cnt, supp_cnt
+    FROM (SELECT c_nationkey AS c_nk, COUNT(*) AS cust_cnt
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey AS s_nk, COUNT(*) AS supp_cnt
+                     FROM supplier GROUP BY s_nationkey) s
+      ON c_nk = s_nk
+    JOIN nation ON n_nationkey = COALESCE(c_nk, s_nk)
+    ORDER BY n_name
+    """,
+)
+def fullouter_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one outer-join flavor the suite lacked):
+    customer and supplier counts per nation, keeping nations that appear
+    on only one side (NULL count on the other). COALESCE over the two
+    join keys recovers the nation key for the dimension lookup.
+
+    Scale: both inputs pre-aggregate to ≤ |nation| rows before the
+    outer join, so the join is over tiny aggregated relations no matter
+    how large the base tables are; nation is broadcast.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("supp_cnt"))
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .join(
+            F.broadcast(n),
+            F.col("n_nationkey") == F.coalesce("c_nk", "s_nk"),
+        )
+        .select("n_name", "cust_cnt", "supp_cnt")
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "percentile_price_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentile_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≙
+    SQL PERCENTILE_CONT ≙ DuckDB quantile_cont — all use the same
+    (n-1)·p linear-interpolation definition; round-6 absorbs the last
+    ulp of the interpolation arithmetic).
+
+    Exact percentiles sort each group's values; at 100 TB swap in
+    approx_percentile (t-digest, mergeable, no global sort) — the
+    approx twin of this oracle-checked exact tier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = lambda q: F.round(F.percentile("l_extendedprice", F.lit(q)), 6)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p(0.25).alias("p25"), p(0.50).alias("p50"), p(0.90).alias("p90"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "fuzzy_part_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part-name pairs by edit
+    distance — the entity-resolution primitive (built-in levenshtein,
+    identical definition in both engines).
+
+    The self-join runs over the DISTINCT name domain, not the table:
+    dedup first, broadcast the (small) domain, theta-join. At scale the
+    domain-reduction is the point — edit-distance joins over raw rows
+    are quadratic in row count; over the value domain they're quadratic
+    only in distinct values (and would get a length/prefix blocking key
+    as a pre-filter, the PPJoin pattern in dedup.py).
+    """
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )
