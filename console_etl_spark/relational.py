@@ -2053,15 +2053,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated-MIN-subquery member of the extension tier X7).
 
     The correlated ``= (SELECT MIN ...)`` decorrelates into a per-part
-    MIN aggregate joined back on (partkey, unit_cost) — the same rewrite
-    Catalyst applies to scalar subqueries. Unit cost is a single IEEE
-    division in both engines, and MIN is order-insensitive, so the
-    equality join is bit-exact without decimal scaffolding.
-
-    Scale: lineitem aggregates once into the (partkey, suppkey) cost
-    relation (map-side partial agg, one shuffle); supplier⋈nation⋈region
-    and part are broadcast; the min-cost self-join keys on partkey so it
-    reuses the cost relation's shuffle partitioning.
+    window MIN over the already-aggregated cost relation, filtered to
+    rows at the minimum — NOT a per-part aggregate joined back, which
+    would scan and aggregate lineitem twice (verified on the physical
+    plan: the join formulation duplicated the whole fact pipeline). One
+    fact scan, one (partkey, suppkey) shuffle, one partkey window
+    exchange. Unit cost is a single IEEE division in both engines and
+    MIN is order-insensitive, so the ``==`` filter is bit-exact.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -2076,16 +2074,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost_asia = cost.join(F.broadcast(asia), cost.l_suppkey == F.col("s_suppkey"))
-    min_cost = cost_asia.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    min_cost = F.min("unit_cost").over(W.partitionBy("l_partkey"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     return (
-        cost_asia.join(
-            min_cost,
-            (cost_asia.l_partkey == F.col("mc_partkey"))
-            & (cost_asia.unit_cost == F.col("min_cost")),
-        )
+        cost_asia.withColumn("min_cost", min_cost)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(p), cost_asia.l_partkey == p.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -2126,8 +2119,10 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decimal SUMs keep the 2·qty > total comparison exact in both
     engines. Shipped quantities aggregate once (shuffle on partkey,
-    suppkey); the per-part total reuses that relation; both IN
-    predicates become left-semi joins (nation side broadcast).
+    suppkey); the per-part total is a window SUM over that relation —
+    not a second aggregate joined back, which would scan lineitem twice
+    (verified on the physical plan). Both IN predicates become
+    left-semi joins (nation side broadcast).
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
@@ -2136,13 +2131,11 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(dec("l_quantity")).alias("qty")
     )
-    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        F.sum("qty").alias("total_qty")
-    )
     widget = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    total = F.sum("qty").over(W.partitionBy("l_partkey"))
     dominant = (
-        shipped.join(part_total, shipped.l_partkey == F.col("pt_partkey"))
-        .join(F.broadcast(widget), shipped.l_partkey == F.col("p_partkey"))
+        shipped.join(F.broadcast(widget), shipped.l_partkey == F.col("p_partkey"), "left_semi")
+        .withColumn("total_qty", total)
         .filter(F.lit(2) * F.col("qty") > F.col("total_qty"))
         .select("l_suppkey")
     )

@@ -1,0 +1,65 @@
+"""Unit laws for the deterministic split/sample operators
+(llmops/pipeline.py): totality, determinism, independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from console_etl_spark.llmops import pipeline
+from tests.conftest import SF_TEST
+
+
+def test_split_is_total_and_deterministic(spark):
+    """Every document gets exactly one split, and re-running produces
+    the identical assignment (no RNG anywhere)."""
+    a = pipeline.split_train_test_docs(spark, SF_TEST)
+    b = pipeline.split_train_test_docs(spark, SF_TEST)
+    n_docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    assert a.count() == n_docs
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.select("split").distinct().count() <= 3
+
+
+def test_split_band_proportions(spark):
+    """75/12.5/12.5 within binomial tolerance at n=500."""
+    counts = {
+        r["split"]: r["n"]
+        for r in pipeline.split_train_test_docs(spark, SF_TEST)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert 0.65 < counts["train"] / total < 0.85
+    assert 0.05 < counts["val"] / total < 0.20
+    assert 0.05 < counts["test"] / total < 0.20
+
+
+def test_sample_is_subset_and_stratified(spark):
+    """The sample is a subset of the corpus and en is kept at roughly
+    twice the rate of other languages."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    sample = pipeline.stratified_sample_docs(spark, SF_TEST)
+    assert sample.join(docs, "doc_id", "left_anti").count() == 0
+    rates = (
+        sample.groupBy("lang").agg(F.count("*").alias("kept"))
+        .join(docs.groupBy("lang").agg(F.count("*").alias("n")), "lang")
+        .withColumn("rate", F.col("kept") / F.col("n"))
+        .collect()
+    )
+    by_lang = {r["lang"]: r["rate"] for r in rates}
+    en = by_lang.pop("en")
+    assert 0.30 < en < 0.70
+    for lang, rate in by_lang.items():
+        assert 0.08 < rate < 0.45, (lang, rate)
+
+
+def test_split_and_sample_use_independent_nibbles(spark):
+    """Sampling must not skew the split distribution (independent hash
+    positions): the train share within the sample stays near 75%."""
+    sample = pipeline.stratified_sample_docs(spark, SF_TEST)
+    split = pipeline.split_train_test_docs(spark, SF_TEST)
+    joined = sample.join(split, "doc_id")
+    frac = joined.filter(F.col("split") == "train").count() / joined.count()
+    assert 0.60 < frac < 0.90

@@ -60,3 +60,38 @@ def test_semi_join_is_semi(spark):
 def test_anti_join_is_anti(spark):
     plan = plan_of(relational.q22_idle_rich_customers(spark, SF_TEST))
     assert "LeftAnti" in plan, plan
+
+
+def test_q2_single_fact_scan(spark):
+    """The correlated-MIN decorrelation must be a window over the cost
+    relation, not a re-aggregated self-join — one lineitem scan total."""
+    plan = plan_of(relational.q2_min_cost_supplier(spark, SF_TEST))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q20_single_fact_scan(spark):
+    plan = plan_of(relational.q20_dominant_part_suppliers(spark, SF_TEST))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_fullouter_preaggregates_before_join(spark):
+    """Both sides must aggregate to per-nation counts BEFORE the full
+    outer join — the join runs on ≤|nation| rows per side."""
+    plan = plan_of(relational.fullouter_nation_counts(spark, SF_TEST))
+    assert "FullOuter" in plan, plan
+    # HashAggregate appears below the join in the tree: the join's
+    # children are aggregates, not raw scans.
+    join_pos = plan.index("FullOuter")
+    assert "HashAggregate" in plan[join_pos:], plan
+
+
+def test_fuzzy_join_over_distinct_domain(spark):
+    """The edit-distance theta-join must run over the deduplicated name
+    domain (a broadcast nested loop over distinct values), never the raw
+    table."""
+    plan = plan_of(relational.fuzzy_part_name_pairs(spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # distinct() on both inputs -> aggregates below the join
+    assert plan.count("HashAggregate") >= 2, plan
