@@ -2265,3 +2265,80 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .orderBy("name_a", "name_b")
     )
+
+
+@_register(
+    "listagg_suppliers_by_nation",
+    """
+    SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def listagg_suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (LISTAGG / string_agg): supplier roster
+    per nation. collect_list gives no ordering guarantee under parallel
+    aggregation, so the deterministic form is collect → array_sort →
+    join — the only portable way to make list aggregation reproducible
+    on any partitioning (and therefore oracle-checkable).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            )
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "window_value_functions_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lead(o_totalprice) OVER w AS next_price,
+           lag(o_totalprice, 2) OVER w AS prev2_price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_value_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth/lead/lag) over the full
+    partition frame — the unbounded frame makes last_value/nth_value
+    well-defined, and the (date, key) order makes every value
+    deterministic. One window spec → Spark computes all five functions
+    in a single Window exec over one sort, no repeated exchanges.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    # lead/lag ignore frames; they share the window's partition+order.
+    wo = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.lead("o_totalprice").over(wo).alias("next_price"),
+            F.lag("o_totalprice", 2).over(wo).alias("prev2_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
