@@ -106,3 +106,107 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "mix_corpus_weighted",
+    """
+    WITH up AS (
+      SELECT doc_id, source, 0 AS epoch FROM documents
+      WHERE source IN ('src0', 'src1')
+      UNION ALL
+      SELECT doc_id, source, 1 AS epoch FROM documents
+      WHERE source IN ('src0', 'src1')
+    ), down AS (
+      SELECT doc_id, source, 0 AS epoch FROM documents
+      WHERE source NOT IN ('src0', 'src1')
+        AND substring(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '8'
+    )
+    SELECT doc_id, source, epoch FROM up
+    UNION ALL
+    SELECT doc_id, source, epoch FROM down
+    ORDER BY source, doc_id, epoch
+    """,
+)
+def mix_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: the data-mix operator of an LLM training
+    pipeline. High-value sources (src0/src1) are upsampled to 2 epochs
+    (duplicated with an epoch id so downstream shuffling treats copies
+    as distinct examples); every other source is downsampled to ~50% by
+    the same content-addressed hash band the sampler uses (third md5
+    nibble — independent of split and sample decisions).
+
+    Epoch replication is a union of projections and downsampling is a
+    filter — no shuffle at all; the mix is reproducible row-for-row on
+    any engine, which is exactly what you need to re-materialize a
+    training mix months later.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    upsampled = F.col("source").isin("src0", "src1")
+    up0 = d.filter(upsampled).select("doc_id", "source", F.lit(0).alias("epoch"))
+    up1 = d.filter(upsampled).select("doc_id", "source", F.lit(1).alias("epoch"))
+    down = (
+        d.filter(~upsampled)
+        .filter(hash_band("doc_id", 3) < "8")
+        .select("doc_id", "source", F.lit(0).alias("epoch"))
+    )
+    return up0.unionAll(up1).unionAll(down).orderBy("source", "doc_id", "epoch")
+
+
+PACK_CONTEXT_TOKENS = 8192
+
+
+@_register(
+    "pack_sequences_by_lang",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, est_tokens,
+             SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, est_tokens,
+           CAST(FLOOR((cum - est_tokens) / {PACK_CONTEXT_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM c ORDER BY lang, doc_id
+    """,
+)
+def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (context windows) per language — each document's pack is determined
+    by its starting offset in the language's running token stream
+    (prefix-sum over a deterministic document order, divided by the
+    window size). This is the streaming concatenate-and-chunk packing
+    used to build pretraining examples, as a pure window expression.
+
+    Token counts are estimated at 4 chars/token here; swap in the exact
+    counts from textan's tokenizer for production packing. One shuffle
+    (partition by lang), one sort per partition — the prefix sum never
+    materializes per-document state on the driver.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    est = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", est.alias("est_tokens"))
+        .withColumn("cum", F.sum("est_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "est_tokens",
+            F.floor(
+                (F.col("cum") - F.col("est_tokens")) / float(PACK_CONTEXT_TOKENS)
+            )
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+        .orderBy("lang", "doc_id")
+    )
