@@ -579,3 +579,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (eval-set leakage scan)
+# --------------------------------------------------------------------------
+
+DECON_K = 5           # shingle width: long enough that collisions mean copying
+DECON_MIN_OVERLAP = 3  # distinct shared shingles to flag a document
+
+
+@_register(
+    "decontaminate_overlap_docs",
+    f"""
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win
+               || ' ' || LEAD(w, 3) OVER win || ' ' || LEAD(w, 4) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 4) OVER win IS NOT NULL
+    ), bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+    SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_overlap
+    FROM sh s JOIN bench USING (sh)
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY s.doc_id
+    HAVING COUNT(DISTINCT s.sh) >= {DECON_MIN_OVERLAP}
+    ORDER BY s.doc_id
+    """,
+)
+def decontaminate_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share ≥ 3
+    distinct 5-word shingles with the held-out eval set (here: every
+    20th document standing in for the benchmark corpus) — the n-gram
+    overlap scan used to keep test data out of pretraining corpora.
+
+    The benchmark shingle set is broadcast (eval suites are bounded —
+    thousands of documents — while the training side is the 100 TB
+    stream), so the scan is one broadcast semi-ish join over the
+    training corpus's exploded shingles: no shuffle of the corpus, cost
+    linear in corpus shingles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 20 == 0
+    sh = spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(word_shingles("text", DECON_K)).alias("sh")
+    )
+    bench = sh.filter(is_bench).select("sh").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= DECON_MIN_OVERLAP)
+        .orderBy("doc_id")
+    )
