@@ -19,10 +19,12 @@ import time
 from console_etl_spark.session import get_spark
 
 # Headline set: one per operator family (scan-agg, star join, semi/HAVING
-# join, disjunctive join, as-of join, top-k, windows, sessionization,
-# JSON, dedup exact+LSH+jaccard, similarity exact+ANN, text analysis).
+# join, disjunctive join, as-of join, window decorrelation, top-k,
+# windows, sessionization, JSON, dedup exact+LSH+jaccard, similarity
+# exact+ANN, text analysis, decontamination, split/pack pipeline ops).
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q6_revenue_forecast",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -44,6 +46,9 @@ HEADLINE = [
     "ann_topk_cosine",
     "text_top_tokens",
     "text_quality_scores",
+    "decontaminate_overlap_docs",
+    "split_train_test_docs",
+    "pack_sequences_by_lang",
 ]
 
 
