@@ -100,3 +100,26 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+LATERAL_TOPK_SQL = """
+    SELECT n_name, s_name, s_acctbal
+    FROM nation, LATERAL (
+      SELECT s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2
+    ) top_suppliers
+    ORDER BY n_name, s_acctbal DESC, s_name
+"""
+
+
+@_register("sql_lateral_topk_per_nation", LATERAL_TOPK_SQL)
+def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-nation top-2 suppliers via a
+    parser-only construct (no DataFrame equivalent short of a window).
+    Catalyst decorrelates the LATERAL into a ranked window join; DuckDB
+    runs the identical SQL, so this also proves the SQL front door is
+    engine-portable ANSI.
+    """
+    register_views(spark, sf_dir, tables=("nation", "supplier"))
+    return spark.sql(LATERAL_TOPK_SQL)

@@ -274,3 +274,26 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
         .count()
     )
     assert fp / 2000 <= 0.05, f"false-positive rate {fp/2000}"
+
+
+def test_embedding_dedup_consistent_with_pair_set(spark):
+    """Survivor law: dropped ∪ kept partitions the corpus, and every
+    dropped vector has a near-pair with a smaller id in the exact pair
+    set (the min-id survivor rule, checked against embedding_near_pairs)."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.llmops import dedup as dd
+    from console_etl_spark.llmops import similarity as sim
+
+    kept = dd.dedup_embedding_cosine(spark, SF_TEST).select("vec_id")
+    corpus = spark.read.parquet(f"{SF_TEST}/embeddings.parquet").select("vec_id")
+    dropped = corpus.exceptAll(kept)
+    pairs = sim.embedding_near_pairs(spark, SF_TEST).filter(
+        F.col("cos_sim") >= dd.EMB_DUP_TAU
+    )
+    # every dropped id appears as the larger side of some pair
+    uncovered = dropped.join(
+        pairs.select(F.col("b_id").alias("vec_id")).distinct(), "vec_id", "left_anti"
+    )
+    assert uncovered.count() == 0
+    assert kept.count() + dropped.count() == corpus.count()

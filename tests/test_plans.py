@@ -95,3 +95,13 @@ def test_fuzzy_join_over_distinct_domain(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # distinct() on both inputs -> aggregates below the join
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The benchmark shingle set must broadcast — shuffling the corpus
+    against the (bounded) eval set would invert the scale design."""
+    from console_etl_spark.llmops import dedup as dd
+
+    plan = plan_of(dd.decontaminate_overlap_docs(spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
