@@ -63,3 +63,38 @@ def test_split_and_sample_use_independent_nibbles(spark):
     joined = sample.join(split, "doc_id")
     frac = joined.filter(F.col("split") == "train").count() / joined.count()
     assert 0.60 < frac < 0.90
+
+
+def test_mix_upsample_and_downsample_laws(spark):
+    """Upsampled sources appear exactly twice per doc (distinct epoch),
+    downsampled sources at most once at roughly half rate."""
+    from console_etl_spark.llmops import pipeline
+
+    mix = pipeline.mix_corpus_weighted(spark, SF_TEST)
+    up = mix.filter(F.col("source").isin("src0", "src1"))
+    per_doc = up.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.count_distinct("epoch").alias("e")
+    )
+    assert per_doc.filter((F.col("n") != 2) | (F.col("e") != 2)).count() == 0
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    down_total = docs.filter(~F.col("source").isin("src0", "src1")).count()
+    down_kept = mix.filter(~F.col("source").isin("src0", "src1")).count()
+    assert 0.3 < down_kept / down_total < 0.7
+
+
+def test_pack_assignment_laws(spark):
+    """pack_id is non-decreasing along the per-language doc order and
+    every document's starting offset lies inside its pack's window."""
+    from console_etl_spark.llmops import pipeline
+
+    rows = (
+        pipeline.pack_sequences_by_lang(spark, SF_TEST)
+        .orderBy("lang", "doc_id")
+        .collect()
+    )
+    budget = pipeline.PACK_CONTEXT_TOKENS
+    cum_by_lang: dict[str, int] = {}
+    for r in rows:
+        start = cum_by_lang.get(r["lang"], 0)
+        assert r["pack_id"] == start // budget, r
+        cum_by_lang[r["lang"]] = start + r["est_tokens"]
