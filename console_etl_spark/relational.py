@@ -2342,3 +2342,25 @@ def window_value_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@_register("approx_percentile_price", None)  # rows-only: t-digest not SQL-portable
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (approx_percentile, t-digest-style sketch)
+    — the 100 TB twin of percentile_price_by_flag: mergeable partial
+    sketches, no per-group global sort. Accuracy is bounded by the
+    relative-error parameter (10000 ≈ 0.01%); the unit test pins the
+    approx-vs-exact gap. Rows-only driver check: the sketch's internals
+    aren't reproducible in ANSI SQL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ap = lambda q: F.percentile_approx("l_extendedprice", F.lit(q), F.lit(10000))  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            ap(0.25).alias("p25"),
+            ap(0.50).alias("p50"),
+            ap(0.90).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )

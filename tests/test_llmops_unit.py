@@ -297,3 +297,24 @@ def test_embedding_dedup_consistent_with_pair_set(spark):
     )
     assert uncovered.count() == 0
     assert kept.count() + dropped.count() == corpus.count()
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The sketch percentiles track the exact ones within 1% relative
+    error at fixture scale (percentile_approx is rank-exact up to its
+    accuracy parameter; the gap here is discrete-vs-interpolated)."""
+    from console_etl_spark import relational as rel
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in rel.percentile_price_by_flag(spark, SF_TEST).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in rel.approx_percentile_price(spark, SF_TEST).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25", "p50", "p90"):
+            assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col, a[col], e[col])
