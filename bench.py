@@ -76,15 +76,20 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        # Best of 2: the host is co-tenant and a single pass can be 2-5×
+        # off under load spikes; min-of-2 reports steady-state cost.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # Queries that persist intermediates (dedup/similarity) would
+            # otherwise leak cache blocks into the next measurement.
+            spark.catalog.clearCache()
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
-        # Queries that persist intermediates (dedup/similarity) would
-        # otherwise leak cache blocks into every later measurement.
-        spark.catalog.clearCache()
 
     print(
         json.dumps(
