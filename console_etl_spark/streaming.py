@@ -15,6 +15,7 @@ execution).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -266,3 +267,84 @@ def signup_purchase_join(
         & (p.p_ts > s.s_ts)
         & (p.p_ts <= s.s_ts + F.expr("INTERVAL 24 HOURS")),
     ).select("user_id", "signup_event", "purchase_event", "purchase_value")
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental dedup: online exact-dedup against a persistent
+# hash index (the ingestion-time dedup of a continuously-fed corpus)
+# --------------------------------------------------------------------------
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Continuously ingest parquet document files, keeping only documents
+    whose (normalized-text) content hash was never seen before — across
+    batches AND across restarts.
+
+    Per micro-batch (foreachBatch — the streaming side of X1 dedup):
+    1. hash each document's normalized text (sha2-256, content address);
+    2. dedup within the batch (min doc_id per hash — the survivor rule);
+    3. anti-join against the persistent seen-hash index;
+    4. append survivors to ``out_dir`` and their hashes to ``index_dir``.
+
+    At 100 TB the index is the big side: the anti-join shuffles only the
+    incoming batch against it (sort-merge on the hash), never rewrites
+    it, and appends stay partition-local. The checkpoint makes each file
+    processed exactly once; a restart resumes with the index intact, so
+    the output never contains two copies of the same content.
+
+    Streaming twin of ``llmops.dedup.dedup_exact_docs`` (same normalize +
+    survivor semantics; cross-validated in tests/test_streaming.py).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .llmops.dedup import normalized_text
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        hashed = batch_df.withColumn(
+            "content_hash", F.sha2(normalized_text("text"), 256)
+        )
+        w = W.partitionBy("content_hash").orderBy("doc_id")
+        batch_unique = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            seen = batch_unique.sparkSession.read.parquet(index_dir)
+            novel = batch_unique.join(seen, "content_hash", "left_anti")
+        else:
+            novel = batch_unique
+        # Materialize once: novel feeds both sinks and reading the index
+        # we are about to append to must happen before the append.
+        novel = novel.persist()
+        try:
+            novel.drop("content_hash").write.mode("append").parquet(out_dir)
+            novel.select("content_hash").write.mode("append").parquet(index_dir)
+        finally:
+            novel.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -209,3 +209,71 @@ def test_stream_stream_join_equals_batch_range_join(spark, events_stream_dir):
     ).toPandas()
     want = relational.range_join_purchase_after_signup(spark, SF_TEST).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_stream_dedup_ingest_matches_batch_and_resumes(spark, tmp_path):
+    """Online exact dedup: overlapping document files streamed in →
+    output holds exactly the batch-dedup survivor set; re-running with
+    the same checkpoint ingests nothing new; a NEW file with previously
+    seen content is suppressed by the persistent index."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.llmops.dedup import normalized_text
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: first 300 docs; file 2: docs 200-500 (100-doc overlap in
+    # ids, plus whatever textual dups the fixture already contains)
+    base = time.time()
+    for i, cond in enumerate(
+        [F.col("doc_id") < 300, F.col("doc_id") >= 200]
+    ):
+        f = stream_dir / f"batch{i}.parquet"
+        docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(str(f))
+        for p in glob.glob(str(f / "part-*")):
+            os.utime(p, (base + i, base + i))
+
+    def run():
+        q = streaming.stream_dedup_ingest(
+            spark, str(stream_dir) + "/*", out, idx, ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    # batch twin: min doc_id per normalized-content hash over all rows
+    expected = (
+        docs.withColumn("h", F.sha2(normalized_text("text"), 256))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.count() == got.select("doc_id").distinct().count()
+    missing = expected.join(got, "doc_id", "left_anti")
+    assert missing.count() == 0
+    extra = got.join(expected, "doc_id", "left_anti")
+    assert extra.count() == 0
+
+    # idempotent restart: same checkpoint, no new files -> no change
+    n_before = got.count()
+    run()
+    assert spark.read.parquet(out).count() == n_before
+
+    # replay file with already-seen content under a NEW name: the
+    # persistent index (not the checkpoint) must suppress every row
+    f = stream_dir / "batch9.parquet"
+    docs.filter(F.col("doc_id") < 50).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(f))
+    for p in glob.glob(str(f / "part-*")):
+        os.utime(p, (base + 9, base + 9))
+    run()
+    assert spark.read.parquet(out).count() == n_before
