@@ -45,9 +45,11 @@ _MODULES = (
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the 6-table star join
-    with broadcast dimensions (TPC-H Q5 shape). Driver checks rows>0."""
-    return relational.q5_region_revenue(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the composed corpus
+    curation pipeline (quality gate → normalized dedup → deterministic
+    split → per-(split, lang) stats) — one Catalyst plan spanning the
+    engine's text, dedup, and pipeline tiers. Driver checks rows>0."""
+    return pipeline.curate_corpus_end_to_end(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,6 +49,7 @@ HEADLINE = [
     "decontaminate_overlap_docs",
     "split_train_test_docs",
     "pack_sequences_by_lang",
+    "curate_corpus_end_to_end",
 ]
 
 

@@ -210,3 +210,71 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id")
     )
+
+
+@_register(
+    "curate_corpus_end_to_end",
+    """
+    WITH quality AS (
+      SELECT doc_id, lang, text, n_chars
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.25
+    ), deduped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                 ORDER BY doc_id) AS rn
+        FROM quality) t
+      WHERE rn = 1
+    )
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM deduped
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def curate_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline — quality gate → normalized exact
+    dedup (min-id survivor) → deterministic split → per-(split, lang)
+    corpus stats — as ONE declarative plan. This is the "a user could
+    run their whole pipeline here" query: every stage is an operator
+    that also exists standalone (text_quality_scores,
+    dedup_normalized_groups, split_train_test_docs), and composing them
+    stays a single Catalyst plan: the quality filter pushes into the
+    scan, the dedup window is the only wide shuffle, the split is a pure
+    projection, and the final aggregate reuses partial aggregation.
+    """
+    from .dedup import normalized_text
+    from .textan import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    n_tok = F.size(w)
+    ttr = F.size(F.array_distinct(w)).cast("double") / n_tok
+    quality = d.filter(n_tok.between(20, 80) & (ttr > 0.25))
+
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy(normalized_text("text")).orderBy("doc_id")
+    )
+    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        deduped.select(
+            split_column("doc_id").alias("split"), "lang", "n_chars"
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
