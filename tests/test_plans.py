@@ -105,3 +105,16 @@ def test_decontaminate_broadcasts_eval_set(spark):
     plan = plan_of(dd.decontaminate_overlap_docs(spark, SF_TEST))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_curation_pipeline_one_scan_one_wide_shuffle(spark):
+    """The composed curation pipeline must stay one plan: a single
+    document scan, the dedup window as the only row-wide exchange (with
+    WindowGroupLimit pruning dup candidates map-side), then partial
+    aggregation."""
+    from console_etl_spark.llmops import pipeline as pl
+
+    plan = plan_of(pl.curate_corpus_end_to_end(spark, SF_TEST))
+    assert plan.count("FileScan") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
