@@ -277,3 +277,32 @@ def test_stream_dedup_ingest_matches_batch_and_resumes(spark, tmp_path):
         os.utime(p, (base + 9, base + 9))
     run()
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_split_column_is_streaming_compatible(spark, tmp_path):
+    """The deterministic splitter is a stateless projection, so the SAME
+    expression runs under readStream unchanged and assigns every
+    document the same split it gets in batch."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.llmops.pipeline import split_column
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src + "/*")
+        .select("doc_id", split_column("doc_id").alias("split"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = docs.select("doc_id", split_column("doc_id").alias("split"))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
