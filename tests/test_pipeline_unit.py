@@ -98,3 +98,29 @@ def test_pack_assignment_laws(spark):
         start = cum_by_lang.get(r["lang"], 0)
         assert r["pack_id"] == start // budget, r
         cum_by_lang[r["lang"]] = start + r["est_tokens"]
+
+
+def test_hash_band_matches_cpython_md5(spark):
+    """Cross-validate the split hash against a third implementation:
+    CPython's hashlib must agree with Spark's md5 (and thus DuckDB's,
+    via the oracle) on the banding nibble for arbitrary ids."""
+    import hashlib
+    import random
+
+    from console_etl_spark.llmops.pipeline import hash_band, split_column
+
+    rng = random.Random(7)
+    ids = [rng.randrange(0, 2**62) for _ in range(1000)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: (r["band"], r["split"])
+        for r in df.select(
+            "doc_id",
+            hash_band("doc_id", 1).alias("band"),
+            split_column("doc_id").alias("split"),
+        ).collect()
+    }
+    for i in ids:
+        nib = hashlib.md5(str(i).encode()).hexdigest()[0]
+        split = "train" if nib < "c" else ("val" if nib < "e" else "test")
+        assert got[i] == (nib, split), i
