@@ -389,3 +389,84 @@ def test_apply_changes_rejects_bad_ops(spark):
         apply_changes(cur, bad)
     with _pytest.raises(ValueError, match="_op"):
         apply_changes(cur, cur)
+
+
+# --------------------------------------------------------------------------
+# ConsoleEngine facade: the reference's 7 endpoints end to end
+# --------------------------------------------------------------------------
+
+def test_engine_facade_end_to_end(spark, store, catalog_metas):
+    """Wire registry + guard + freshness + navigation through the facade
+    and exercise every endpoint analog, including the 304 short-circuit,
+    the not-ready 503, and both 404 shapes."""
+    import pytest as _pytest
+
+    from console_etl_spark.catalog import (
+        CatalogEntry,
+        CatalogNotReadyError,
+    )
+    from console_etl_spark.engine import ConsoleEngine
+
+    metas = shred_metas(catalog_metas.drop("catalog"))
+    version = ["v1"]
+    builds = [0]
+
+    def build(s):
+        builds[0] += 1
+        return metas
+
+    eng = ConsoleEngine(spark, store)
+    eng.register_catalog(
+        CatalogEntry(name="cat", source="test"), lambda: version[0], build
+    )
+
+    # S1/S2
+    assert eng.list_catalogs().count() == 1
+    assert eng.get_catalog("cat").name == "cat"
+
+    # Q1-Q3: sorted listings, partition-pruned
+    pkgs = [r["package"] for r in eng.list_packages("cat").collect()]
+    assert pkgs == sorted(pkgs) and len(pkgs) > 0
+    schemas = [r["schema"] for r in eng.list_schemas("cat", pkgs[0]).collect()]
+    assert schemas == sorted(schemas)
+    objs = eng.list_objects("cat", pkgs[0], schemas[0])
+    names = [r["name"] for r in objs.collect()]
+    assert names == sorted(names) and len(names) > 0
+    assert builds[0] == 1  # one ingest served all three queries
+
+    # 304 path: same version -> no rebuild
+    eng.list_packages("cat")
+    assert builds[0] == 1 and eng.refresh.hit_count >= 1
+
+    # Q4: point lookup + 404 None
+    blob = eng.get_object("cat", pkgs[0], schemas[0], names[0])
+    assert blob is not None and names[0] in blob
+    assert eng.get_object("cat", pkgs[0], schemas[0], "no-such-object") is None
+
+    # Q5: icon extraction (find a package with an icon) + iconless None
+    import json as _json
+
+    from pyspark.sql import functions as _F
+
+    pkg_rows = metas.filter(_F.col("schema") == "olm.package").collect()
+    with_icon = [r for r in pkg_rows if _json.loads(r["blob"]).get("icon")]
+    without = [r for r in pkg_rows if not _json.loads(r["blob"]).get("icon")]
+    assert with_icon
+    data, media = eng.get_icon("cat", with_icon[0]["package"])
+    assert media == "image/svg+xml" and data.startswith(b"<svg")
+    # both 404 shapes: icon-less package (when the shred survivors
+    # include one) and missing package entirely
+    if without:
+        assert eng.get_icon("cat", without[0]["package"]) is None
+    assert eng.get_icon("cat", "no-such-package") is None
+
+    # version bump -> exactly one rebuild
+    version[0] = "v2"
+    eng.refresh.invalidate("cat")
+    eng.list_packages("cat")
+    assert builds[0] == 2
+
+    # P1 guard: not-ready catalog refuses queries (503 analog)
+    eng.registry.set_phase("cat", "Pending")
+    with _pytest.raises(CatalogNotReadyError):
+        eng.list_packages("cat")
