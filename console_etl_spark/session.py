@@ -90,6 +90,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         # The driver may hand us a session without this conf; it is
         # runtime-settable and required to read TIMESTAMP(NANOS) parquet.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp semantics (date_trunc / window / cast-to-date) follow the
+    # session timezone; the oracle's timestamps are wall-clock naive, so
+    # any non-UTC session would shift hour/date buckets. Runtime-settable,
+    # idempotent — pin it here so queries are correct on ANY session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer `div`, not `/`: ns-since-epoch exceeds 2^53, double
