@@ -1892,6 +1892,128 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gapfill_hourly_events",
+    """
+    WITH bounds AS (
+      SELECT CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(DATE_TRUNC('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT UNNEST(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour, t.event_type,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.total_value, CAST(0 AS DOUBLE)) AS total_value
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+    """,
+)
+def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (the `time_bucket_gapfill` analog): a dense
+    hourly calendar per event type with zero-filled empty buckets, built
+    from sequence()+explode over the observed bounds cross-joined with
+    the distinct type dimension, left-joined to the hourly rollup.
+
+    Scale: every relation after the first aggregation is bounded by
+    calendar-hours x event-types — independent of raw event count — so
+    the fill skeleton and the join stay broadcast-sized even when the
+    events scan is 100 TB; only the initial rollup shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        hours.crossJoin(types)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "window_revenue_share_by_region",
+    """
+    WITH nat AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY region_name) AS DOUBLE) AS share
+    FROM nat
+    """,
+)
+def window_revenue_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window: each nation's share of its region's order
+    revenue. The window SUM runs over the *decimal* aggregate (exact,
+    order-insensitive) and both operands cast to double only for the
+    final division — bit-identical across engines.
+
+    Scale: dimensions broadcast, one shuffle on the (region, nation)
+    group key; the window partitions over ~5 rows per region post-agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    win = W.partitionBy("region_name")
+    return nat.select(
+        "region_name",
+        "nation_name",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(win).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@_register(
     "setop_intersect_all_priorities",
     """
     SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
