@@ -1892,6 +1892,43 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "agg_filtered_counts_orders",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue,
+           COUNT(DISTINCT o_custkey)
+                FILTER (WHERE o_totalprice > 200000.0) AS big_spenders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause): several
+    differently-predicated aggregates in ONE pass over the fact table —
+    the alternative to N filtered scans. Spark expresses each as
+    agg(when(pred, x)); all of them ride the same partial/final
+    hash aggregate, so the 100 TB scan happens exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(fin, 1)).alias("n_finished"),
+            F.sum(F.when(fin, dec("o_totalprice")))
+            .cast("double")
+            .alias("finished_revenue"),
+            F.count_distinct(
+                F.when(F.col("o_totalprice") > 200000.0, F.col("o_custkey"))
+            ).alias("big_spenders"),
+        )
+    )
+
+
+@_register(
     "gapfill_hourly_events",
     """
     WITH bounds AS (
