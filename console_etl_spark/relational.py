@@ -2073,6 +2073,31 @@ def setop_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "setop_union_all_priorities",
+    """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000.0
+    ) GROUP BY o_orderpriority
+    """,
+)
+def setop_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, duplicates kept) — completes the multiset
+    set-op family next to INTERSECT ALL / EXCEPT ALL. Spark's union is
+    a zero-shuffle concatenation of partitions; the count wrapper makes
+    the multiset cardinalities oracle-checkable deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.unionAll(right).groupBy("priority").agg(F.count("*").alias("n"))
+
+
+@_register(
     "setop_except_all_priorities",
     """
     SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
