@@ -235,7 +235,7 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM deduped
     GROUP BY split, lang
     ORDER BY split, lang

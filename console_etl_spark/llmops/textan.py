@@ -74,7 +74,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents GROUP BY lang
@@ -95,7 +95,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_source_token_counts",
     """
-    SELECT source, SUM(len(string_split(text, ' '))) AS total_tokens,
+    SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY source
     """,
