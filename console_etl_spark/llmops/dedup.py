@@ -559,8 +559,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     has NO near-duplicate (cosine >= tau) with a smaller vec_id — the
     deterministic min-id survivor rule applied to the exact pair set.
 
-    Reuses similarity.embedding_near_pairs (GEMM kernel, broadcast
-    corpus) for the pair set, then drops every pair's larger id with one
+    Reuses similarity.embedding_near_pairs (tiled GEMM kernel, no
+    driver materialization) for the pair set, then drops every pair's larger id with one
     broadcast anti-join. At 100 TB the pair generator swaps to the
     LSH-bucketed tier (ann_lsh_bucketed's bucketing) with the identical
     survivor rule; the exact tier here is the oracle-checkable twin.

@@ -75,22 +75,29 @@ COS_DECIMALS = 9  # calibrated: round-9 cosine is bit-identical vs DuckDB
 
 
 # --------------------------------------------------------------------------
-# GEMM kernel: broadcast comparison corpus + mapInPandas block multiply
+# GEMM kernels: tiled all-pairs + broadcast-query block multiply
 # --------------------------------------------------------------------------
 # Brute-force similarity is dense linear algebra; the built-in
 # higher-order-function fold is interpreted per element, so the hot path
 # uses Arrow-batched numpy GEMM instead (~10× at bench scale; calibrated
 # round-9-identical to the DuckDB oracle on every fixture pair).
 #
-# Pattern: the *comparison* corpus is broadcast (the broadcast-join
-# analog — bounded side ships to executors), the *probe* side streams
-# through mapInPandas partition-parallel. At 100 TB you tile the
-# comparison side too: cross-join block ids, GEMM per tile pair.
+# Two shapes:
+# - All-pairs (embedding_near_pairs): TILED — vectors are hashed into
+#   NEAR_TILE_BLOCKS blocks, each unordered block pair {i,j} is one tile,
+#   and the GEMM runs per tile inside applyInPandas. Nothing ever
+#   materializes on the driver; executor memory is O(2·n/blocks · dim)
+#   per tile, tuned by raising the block count with corpus size.
+# - Query top-k (ann_topk_cosine): the BOUNDED query subset (1/50 of ids)
+#   is broadcast; the corpus streams through mapInPandas partition-local.
 
 def _corpus_arrays(df: DataFrame, id_col: str, vec_col: str):
-    """Driver-side materialization of the bounded comparison corpus:
-    (ids, raw matrix, norms). Cosine is computed as (A@Bᵀ)/outer(na,nb)
-    — exactly the per-pair formula, so results match the exact tier."""
+    """Driver-side materialization of a BOUNDED comparison side (the
+    ann_topk query subset — never an unbounded corpus; the all-pairs path
+    uses the tiled applyInPandas kernel instead). Cosine is computed as
+    (A@Bᵀ)/outer(na,nb) — exactly the per-pair formula, so results match
+    the exact tier. tests/test_llmops_unit.py pins the allowlist of
+    driver-side materialization sites."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -102,6 +109,7 @@ def _corpus_arrays(df: DataFrame, id_col: str, vec_col: str):
 # --------------------------------------------------------------------------
 
 NEAR_DUP_TAU = 0.4
+NEAR_TILE_BLOCKS = 8  # raise with corpus size so a tile (2·n/blocks rows) fits one executor
 
 @_register(
     "embedding_near_pairs",
@@ -115,34 +123,73 @@ NEAR_DUP_TAU = 0.4
     """,
 )
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact baseline tier).
+    """Embedding-cosine near-duplicate pairs (exact baseline tier),
+    computed as a TILED self-join — the 100 TB-safe all-pairs shape.
 
-    O(n²) by definition — correct at fixture scale and as the ground
-    truth for ANN recall tests; the scale path is ann_lsh_bucketed below.
+    Vectors hash into B = NEAR_TILE_BLOCKS blocks; every unordered block
+    pair {i, j} (i ≤ j) is one tile. Each vector is replicated to its B
+    tiles (shuffle volume n·B rows), then applyInPandas runs one numpy
+    GEMM per tile over the two block slices. Every unordered vector pair
+    lands in exactly one tile — (min(blk_a, blk_b), max(blk_a, blk_b)) —
+    so no dedup pass is needed, and neither the driver nor any single
+    executor ever holds the corpus: tile memory is O(2n/B · dim), tuned
+    by raising B with corpus size. O(n²) FLOPs by definition — this tier
+    is the ground truth for ANN recall; the sublinear path is
+    ann_lsh_bucketed / ann_ivf_topk below.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    ids_c, mat_c, norms_c = _corpus_arrays(e, "vec_id", "embedding")
-    bc = spark.sparkContext.broadcast((ids_c, mat_c, norms_c))
-
-    def block_pairs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cids, cmat, cnorms = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            aids = pdf["vec_id"].to_numpy()
-            amat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            anorms = np.sqrt((amat * amat).sum(axis=1))
-            sim = np.round(
-                (amat @ cmat.T) / np.outer(anorms, cnorms), COS_DECIMALS
+    nb = NEAR_TILE_BLOCKS
+    v = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+    )
+    tiles = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("ti"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("tj"),
             )
-            mask = (sim >= NEAR_DUP_TAU) & (aids[:, None] < cids[None, :])
-            ai, bi = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"a_id": aids[ai], "b_id": cids[bi], "cos_sim": sim[mask]}
-            )
+            for j in range(nb)
+        ]
+    )
+    rep = v.select(
+        "vec_id", "embedding", "blk", F.explode(tiles).alias("t")
+    ).select("vec_id", "embedding", "blk", "t.ti", "t.tj")
 
-    return spread(e.select("vec_id", "embedding")).mapInPandas(
-        block_pairs, "a_id long, b_id long, cos_sim double"
+    def tile_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+        )
+        if pdf.empty:
+            return empty
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        a = pdf[pdf["blk"] == ti]
+        b = pdf[pdf["blk"] == tj] if ti != tj else a
+        if a.empty or b.empty:
+            return empty
+        aids = a["vec_id"].to_numpy()
+        bids = b["vec_id"].to_numpy()
+        amat = np.array(a["embedding"].tolist(), dtype=np.float64)
+        bmat = np.array(b["embedding"].tolist(), dtype=np.float64)
+        anorms = np.sqrt((amat * amat).sum(axis=1))
+        bnorms = np.sqrt((bmat * bmat).sum(axis=1))
+        sim = np.round((amat @ bmat.T) / np.outer(anorms, bnorms), COS_DECIMALS)
+        # id-ordered emission makes each unordered pair appear exactly once
+        # (diagonal tiles: strict upper triangle; off-diagonal: all pairs,
+        # normalized to a_id < b_id — ids never collide across blocks).
+        lo = np.minimum(aids[:, None], bids[None, :])
+        hi = np.maximum(aids[:, None], bids[None, :])
+        mask = (sim >= NEAR_DUP_TAU) & (lo < hi)
+        if ti == tj:
+            mask &= aids[:, None] < bids[None, :]
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"a_id": lo[ai, bi], "b_id": hi[ai, bi], "cos_sim": sim[ai, bi]}
+        )
+
+    return rep.groupBy("ti", "tj").applyInPandas(
+        tile_gemm, "a_id long, b_id long, cos_sim double"
     )
 
 

@@ -118,3 +118,31 @@ def test_curation_pipeline_one_scan_one_wide_shuffle(spark):
     assert plan.count("FileScan") == 1, plan
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_no_unbounded_driver_materialization():
+    """Grep-style scale contract (VERDICT r1 item 3): every .collect()/
+    .toPandas() in the engine must sit in the pinned allowlist of
+    provably BOUNDED sites (query subsets, n_cells centroid rows) — an
+    unlisted site means some operator pulls an unbounded relation onto
+    the driver and dies at 100 TB."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "console_etl_spark"
+    allowed = {
+        # bounded ann_topk query subset (vec_id % 50) — see _corpus_arrays doc
+        ("llmops/similarity.py", "_corpus_arrays"),
+        # IVF coarse quantizer: n_cells seed rows + n_cells refined means
+        ("llmops/similarity.py", "ivf_centroids"),
+    }
+    hits = []
+    for py in sorted(root.rglob("*.py")):
+        fn = None
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            stripped = line.strip()
+            if stripped.startswith("def "):
+                fn = stripped[4:].split("(")[0]
+            if ".collect()" in line or ".toPandas()" in line:
+                hits.append((str(py.relative_to(root)), fn, i))
+    extra = [(f, fn, i) for f, fn, i in hits if (f, fn) not in allowed]
+    assert not extra, f"driver-side materialization outside allowlist: {extra}"
