@@ -7,15 +7,19 @@ Mirrors the reference's only binary surface — the package icon
 carries: BinaryType payload + media-type + size metadata, processed by
 ``mapInPandas`` so each Arrow batch crosses the JVM↔Python boundary once.
 
-The actual media decoders (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode step is STUBBED: ``decode_image_batch`` raises
-``NotImplementedError`` unless the deterministic fake decoder is
-selected. The Spark-side plumbing — schema, batching, partitioning, UDF
-signatures — is real and tested; swapping the fake for a real decoder is
-a one-function change.
+Decoders: ``decoder='image'`` is a REAL stdlib-only 24-bit BMP codec
+(header parse + bottom-up padded pixel rows, struct module only — no
+PIL/ffmpeg in this container) computing features from decoded pixels;
+``decoder='fake'`` remains the deterministic byte-stat stand-in for
+non-image payloads. Same split for ``resize_payload``: 'image' is a
+real nearest-neighbor pixel resample re-encoded as BMP. Codecs for
+richer formats (JPEG/PNG/audio/video) stay behind the same one-function
+slot and raise ``NotImplementedError`` with the library they need.
 """
 
 from __future__ import annotations
+
+import struct
 
 from collections.abc import Callable, Iterator
 
@@ -62,6 +66,50 @@ def binary_table(docs: DataFrame) -> DataFrame:
     )
 
 
+IMG_W = IMG_H = 8
+
+
+def _doc_pixels(doc_id: int, w: int = IMG_W, h: int = IMG_H) -> list[list[tuple[int, int, int]]]:
+    """Deterministic per-document RGB raster (id-seeded linear pattern),
+    so every fixture doc owns a REAL decodable image with pixel stats
+    that unit tests can compute independently."""
+    return [
+        [
+            (
+                (doc_id * 7 + 13 * x + 31 * y) % 256,
+                (doc_id * 11 + 17 * x + 5 * y) % 256,
+                (doc_id * 3 + 23 * x + 29 * y) % 256,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+
+def image_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL BMP bytes, media_type, n_bytes).
+
+    Encoding runs distributed inside mapInPandas (the builder is itself
+    an operator, not a driver loop); payloads round-trip through the
+    stdlib codec above."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encode_bmp(IMG_W, IMG_H, _doc_pixels(int(d))) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": BMP_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
 @_register(
     "mm_binary_stats",
     """
@@ -85,6 +133,54 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("text/plain")
         .alias("media_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stdlib BMP codec (24-bit BI_RGB): the real decode path. A BMP is a
+# 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up rows of BGR
+# triples padded to 4-byte boundaries — parseable with struct alone,
+# which makes it the one raster format an image pipeline can genuinely
+# decode in this container (mirrors the reference's binary icon payloads,
+# main.go:305-316, which ship image bytes + media type).
+# --------------------------------------------------------------------------
+
+BMP_MEDIA_TYPE = "image/bmp"
+
+
+def encode_bmp(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode top-down RGB rows as a bottom-up 24-bit BMP."""
+    pad = (4 - (width * 3) % 4) % 4
+    body = b"".join(
+        b"".join(bytes((b, g, r)) for r, g, b in row) + b"\x00" * pad
+        for row in reversed(rgb_rows)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return file_hdr + info + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a 24-bit uncompressed BMP to (width, height, top-down RGB rows)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        off = pixel_off + y * stride
+        row = [
+            (payload[off + 3 * x + 2], payload[off + 3 * x + 1], payload[off + 3 * x])
+            for x in range(width)
+        ]
+        rows.append(row)
+    if bottom_up:
+        rows.reverse()
+    return width, height, rows
 
 
 # --------------------------------------------------------------------------
@@ -121,26 +217,60 @@ def _fake_decode(payload: bytes) -> list[float]:
     ]
 
 
+def _image_features(payload: bytes) -> list[float]:
+    """REAL decode: parse the BMP, compute pixel statistics — [width,
+    height, mean_r, mean_g, mean_b, min_luma, max_luma, mean_luma]
+    (luma = the BT.601 integer approximation (299R+587G+114B)/1000)."""
+    w, h, rows = decode_bmp(bytes(payload))
+    n = w * h
+    sr = sg = sb = sl = 0
+    lmin, lmax = 255000, 0
+    for row in rows:
+        for r, g, b in row:
+            sr += r
+            sg += g
+            sb += b
+            luma = 299 * r + 587 * g + 114 * b
+            sl += luma
+            lmin = min(lmin, luma)
+            lmax = max(lmax, luma)
+    return [
+        float(w),
+        float(h),
+        sr / n,
+        sg / n,
+        sb / n,
+        lmin / 1000.0,
+        lmax / 1000.0,
+        sl / n / 1000.0,
+    ]
+
+
+_DECODERS = {"fake": _fake_decode, "image": _image_features}
+
+
 def extract_features(
     binary_df: DataFrame, decoder: str = "fake", batch_hint: int | None = None
 ) -> DataFrame:
     """Decode + feature-extract each payload via ``mapInPandas``.
 
-    ``decoder='fake'`` uses the deterministic byte-stat features;
-    ``decoder='image'`` is the real-decoder slot and raises
-    ``NotImplementedError`` (media libraries absent in this container).
+    ``decoder='image'`` REALLY decodes (stdlib BMP codec above) and
+    computes features from pixels; ``decoder='fake'`` uses deterministic
+    byte-stat features for non-image payloads. Richer codecs (JPEG/
+    audio/video) plug into the same slot but need external libraries.
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
     embarrassingly-parallel map over executors.
     """
-    if decoder == "image":
+    if decoder in ("jpeg", "png", "audio", "video"):
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg — not available in this "
-            "container; use decoder='fake' for the deterministic stand-in"
+            f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
+            "in this container; 'image' (BMP) and 'fake' are built in"
         )
-    if decoder != "fake":
+    if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
+    decode = _DECODERS[decoder]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -149,7 +279,7 @@ def extract_features(
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "features": [_fake_decode(bytes(p)) for p in pdf["payload"]],
+                    "features": [decode(bytes(p)) for p in pdf["payload"]],
                 }
             )
 
@@ -189,6 +319,24 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("mm_image_features", None)  # rows-only: pixel decode not SQL-expressible
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pipeline: per-doc BMP payloads (distributed encode) →
+    stdlib BMP decode → pixel-statistic features. The decode is genuine
+    byte-level parsing, not a stand-in; tests pin exact pixel stats."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(image_table(d), decoder="image")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.round(F.element_at("features", 3), 6).alias("mean_r"),
+        F.round(F.element_at("features", 8), 6).alias("mean_luma"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -199,35 +347,51 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_payload(
-    binary_df: DataFrame, target_bytes: int = 64, resizer: str = "fake"
-) -> DataFrame:
-    """Resize plumbing (image thumbnail / audio downsample slot).
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL thumbnail: decode, nearest-neighbor resample to (out_w,
+    out_h), re-encode — all stdlib."""
+    w, h, rows = decode_bmp(bytes(payload))
+    out = [
+        [rows[(y * h) // out_h][(x * w) // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+    return encode_bmp(out_w, out_h, out)
 
-    ``resizer='fake'`` deterministically strides each payload down to
-    ``target_bytes`` (every ceil(n/target)-th byte) — shape-correct
-    plumbing for the real PIL/ffmpeg call, which goes in the same
-    mapInPandas batch loop. Like decoding, the real resizer raises
-    ``NotImplementedError`` here (media libs absent in this container).
+
+def resize_payload(
+    binary_df: DataFrame,
+    target_bytes: int = 64,
+    resizer: str = "fake",
+    target_width: int = 4,
+    target_height: int = 4,
+) -> DataFrame:
+    """Resize (image thumbnail / audio downsample slot).
+
+    ``resizer='image'`` REALLY resizes: stdlib BMP decode →
+    nearest-neighbor resample to (target_width, target_height) →
+    re-encode. ``resizer='fake'`` strides raw bytes down to
+    ``target_bytes`` for opaque non-image payloads. Both run in the same
+    mapInPandas batch loop (one Arrow crossing per batch, no shuffle).
     """
-    if resizer == "image":
+    if resizer in ("jpeg", "png", "audio", "video"):
         raise NotImplementedError(
-            "real media resizing requires PIL/ffmpeg — not available in this "
-            "container; use resizer='fake' for the deterministic stand-in"
+            f"{resizer} resizing requires PIL/ffmpeg — not available in this "
+            "container; 'image' (BMP) and 'fake' are built in"
         )
-    if resizer != "fake":
+    if resizer not in ("fake", "image"):
         raise ValueError(f"unknown resizer {resizer!r}")
+
+    def one(raw: bytes) -> bytes:
+        if resizer == "image":
+            return resize_bmp(raw, target_width, target_height)
+        if len(raw) <= target_bytes:
+            return raw
+        step = -(-len(raw) // target_bytes)  # ceil div
+        return raw[::step][:target_bytes]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for p in pdf["payload"]:
-                raw = bytes(p)
-                if len(raw) <= target_bytes:
-                    out.append(raw)
-                else:
-                    step = -(-len(raw) // target_bytes)  # ceil div
-                    out.append(raw[::step][:target_bytes])
+            out = [one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

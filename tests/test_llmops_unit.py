@@ -120,10 +120,52 @@ def test_feature_extraction_deterministic(spark):
     assert f1 == f2
 
 
-def test_real_decoder_is_stubbed(spark):
+def test_bmp_codec_round_trip():
+    """Stdlib BMP codec: encode→decode is identity, including the row
+    padding path (width 3 → 9-byte rows padded to 12)."""
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    payload = multimodal.encode_bmp(3, 2, px)
+    assert payload[:2] == b"BM"
+    w, h, rows = multimodal.decode_bmp(payload)
+    assert (w, h, rows) == (3, 2, px)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"not an image")
+
+
+def test_image_features_known_pixel_stats():
+    """Features computed from REAL decoded pixels: a solid-color image
+    has exactly its color as the channel means and one luma value."""
+    px = [[(10, 20, 30)] * 2 for _ in range(2)]
+    feats = multimodal._image_features(multimodal.encode_bmp(2, 2, px))
+    luma = (299 * 10 + 587 * 20 + 114 * 30) / 1000  # 18.15
+    assert feats == [2.0, 2.0, 10.0, 20.0, 30.0, luma, luma, luma]
+
+
+def test_image_table_decodes_to_generated_pixels(spark):
+    """End-to-end: distributed BMP encode → Spark decode features match
+    an independent local computation from the pixel generator."""
+    docs = load_table(spark, SF_TEST, "documents").limit(8)
+    feats = multimodal.extract_features(
+        multimodal.image_table(docs), decoder="image"
+    ).collect()
+    assert len(feats) == 8
+    for r in feats:
+        px = multimodal._doc_pixels(r.doc_id)
+        n = multimodal.IMG_W * multimodal.IMG_H
+        mean_r = sum(p[0] for row in px for p in row) / n
+        assert r.features[0] == float(multimodal.IMG_W)
+        assert r.features[1] == float(multimodal.IMG_H)
+        assert r.features[2] == mean_r
+        assert r.media_type == multimodal.BMP_MEDIA_TYPE
+
+
+def test_unavailable_decoders_raise(spark):
     docs = load_table(spark, SF_TEST, "documents").limit(1)
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(multimodal.binary_table(docs), decoder="image")
+        multimodal.extract_features(multimodal.binary_table(docs), decoder="jpeg")
     with pytest.raises(ValueError):
         multimodal.extract_features(multimodal.binary_table(docs), decoder="bogus")
 
@@ -194,7 +236,30 @@ def test_resize_payload_bounds_and_determinism(spark):
     for _, b in r1:
         assert 1 <= len(b) <= 32
     with pytest.raises(NotImplementedError):
-        multimodal.resize_payload(bt, 32, resizer="image")
+        multimodal.resize_payload(bt, 32, resizer="jpeg")
+
+
+def test_resize_bmp_nearest_neighbor_exact():
+    """REAL image resize: 8×8 → 4×4 nearest-neighbor must pick exactly
+    every second pixel of the source raster."""
+    px = multimodal._doc_pixels(42)
+    out = multimodal.resize_bmp(multimodal.encode_bmp(8, 8, px), 4, 4)
+    w, h, rows = multimodal.decode_bmp(out)
+    assert (w, h) == (4, 4)
+    for y in range(4):
+        for x in range(4):
+            assert rows[y][x] == px[2 * y][2 * x]
+
+
+def test_resize_payload_image_mode(spark):
+    """Distributed thumbnail path: every output is a decodable 4×4 BMP."""
+    docs = load_table(spark, SF_TEST, "documents").limit(6)
+    it = multimodal.image_table(docs)
+    rows = multimodal.resize_payload(it, resizer="image").collect()
+    assert len(rows) == 6
+    for r in rows:
+        w, h, _ = multimodal.decode_bmp(bytes(r.resized))
+        assert (w, h) == (4, 4)
 
 
 # --------------------------------------------------------------------------
