@@ -105,10 +105,99 @@ def parse_meta_lines(raw: DataFrame, text_col: str = "value") -> DataFrame:
     )
 
 
-def read_meta_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Parse a JSON-lines meta stream file (the ``all.json`` analog,
-    cache.go:49) keeping the whole document as ``blob``."""
-    return parse_meta_lines(spark.read.text(path))
+def split_concatenated_json(text: str) -> list[str]:
+    """Split a CONCATENATED JSON stream into top-level documents.
+
+    The reference's ``declcfg.WalkMetasReader`` (cache.go:96) consumes a
+    raw ``all.json`` whose documents may be pretty-printed, span lines,
+    or butt up against each other (``}{``) — not JSON-lines. This is the
+    same tokenizer-level walk: track brace depth outside strings (with
+    escape handling) and emit each depth-0 ``{...}`` span byte-faithfully.
+    """
+    docs: list[str] = []
+    depth = 0
+    start = -1
+    in_str = False
+    esc = False
+    for i, ch in enumerate(text):
+        if esc:
+            esc = False
+        elif in_str:
+            if ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}" and depth > 0:
+            depth -= 1
+            if depth == 0:
+                docs.append(text[start : i + 1])
+                start = -1
+    return docs
+
+
+def _probe_is_jsonl(path: str, sample_bytes: int = 65536) -> bool:
+    """Head-probe a LOCAL stream file: JSON-lines iff every complete
+    line in the sample is a standalone JSON document. Bounded read
+    (one head block), driver-side by design — it inspects format, not
+    data."""
+    import json
+    import os
+
+    if not os.path.isfile(path):
+        return False  # directory/glob: can't cheaply probe — use the splitter
+    with open(path, encoding="utf-8", errors="replace") as f:
+        sample = f.read(sample_bytes)
+        truncated = bool(f.read(1))
+    lines = sample.splitlines()
+    if truncated and lines:
+        lines = lines[:-1]  # drop the cut-off tail line
+    lines = [ln for ln in lines if ln.strip()]
+    if not lines:
+        return False
+    for ln in lines:
+        try:
+            json.loads(ln)
+        except ValueError:
+            return False
+    return True
+
+
+def read_meta_stream(spark: SparkSession, path: str, fmt: str = "auto") -> DataFrame:
+    """Parse a meta stream file (the ``all.json`` analog, cache.go:49)
+    keeping each whole document as ``blob``.
+
+    ``fmt='jsonl'``: strict one-doc-per-line — Spark splits WITHIN files,
+    the fully-streamable scale path. ``fmt='concat'``: arbitrary
+    concatenated/pretty-printed JSON — one task per file (the same
+    execution model as Spark's own ``multiLine`` JSON source), documents
+    split by the depth-tracking walker above inside ``mapInPandas``.
+    ``fmt='auto'`` head-probes the file and picks: JSONL streams keep
+    per-line parallelism, anything else gets the faithful splitter.
+    """
+    if fmt == "auto":
+        fmt = "jsonl" if _probe_is_jsonl(path) else "concat"
+    if fmt == "jsonl":
+        return parse_meta_lines(spark.read.text(path))
+    if fmt != "concat":
+        raise ValueError(f"unknown meta stream format {fmt!r}")
+
+    import pandas as pd
+
+    def split_batches(it):
+        for pdf in it:
+            out: list[str] = []
+            for txt in pdf["value"]:
+                out.extend(split_concatenated_json(txt))
+            yield pd.DataFrame({"blob": pd.Series(out, dtype="object")})
+
+    whole = spark.read.text(path, wholetext=True)
+    return parse_meta_lines(whole.mapInPandas(split_batches, "blob string"), "blob")
 
 
 def ingest_meta_stream(spark: SparkSession, path: str) -> DataFrame:

@@ -94,3 +94,97 @@ class TestShredLaws:
         assert sorted(r.blob for r in got) == sorted(
             json.dumps(r) for r in rows
         )
+
+
+# --------------------------------------------------------------------------
+# Concatenated-stream splitter laws (reference WalkMetasReader fidelity,
+# cache.go:96: documents may be pretty-printed, span lines, or butt up
+# against each other — all.json is NOT guaranteed JSON-lines)
+# --------------------------------------------------------------------------
+
+from console_etl_spark.ingest import (  # noqa: E402
+    ingest_meta_stream,
+    read_meta_stream,
+    split_concatenated_json,
+)
+
+# payload strings stress the tokenizer: braces, quotes, escapes, newlines
+tricky_text = st.text(
+    alphabet='ab{}"\\\n:,[] ', min_size=0, max_size=12
+)
+tricky_record = st.fixed_dictionaries(
+    {
+        "schema": schema_st,
+        "package": st.one_of(st.just(""), token),
+        "name": token,
+        "payload": tricky_text,
+    }
+)
+
+
+class TestConcatSplitter:
+    @given(
+        rows=st.lists(tricky_record, min_size=1, max_size=12),
+        style=st.sampled_from(["jsonl", "pretty", "packed", "spaced"]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_split_recovers_every_document(self, rows, style):
+        docs = [json.dumps(r, indent=2 if style == "pretty" else None) for r in rows]
+        sep = {"jsonl": "\n", "pretty": "\n", "packed": "", "spaced": "  \n\n "}[style]
+        stream = sep.join(docs)
+        got = split_concatenated_json(stream)
+        assert [json.loads(d) for d in got] == rows
+        # byte-faithful spans: each emitted doc is a verbatim substring
+        for d in got:
+            assert d in stream
+
+    def test_split_handles_back_to_back_braces(self):
+        assert split_concatenated_json('{"a":1}{"b":2}') == ['{"a":1}', '{"b":2}']
+
+    def test_split_ignores_braces_inside_strings(self):
+        doc = '{"a":"}{ \\" {{"}'
+        assert split_concatenated_json(doc + doc) == [doc, doc]
+
+
+class TestConcatIngestRoundTrip:
+    def _write(self, tmp_path, text):
+        p = tmp_path / "all.json"
+        p.write_text(text)
+        return str(p)
+
+    def test_pretty_printed_stream_matches_jsonl(self, spark, tmp_path):
+        rows = [
+            {"schema": "olm.channel", "package": f"p{i%3}", "name": f"n{i}", "v": i}
+            for i in range(20)
+        ]
+        jsonl = self._write(tmp_path, "\n".join(json.dumps(r) for r in rows))
+        got_jsonl = {
+            (r.package, r.schema, r.name) for r in ingest_meta_stream(spark, jsonl).collect()
+        }
+        pretty = self._write(tmp_path, "\n".join(json.dumps(r, indent=2) for r in rows))
+        got_pretty = {
+            (r.package, r.schema, r.name) for r in ingest_meta_stream(spark, pretty).collect()
+        }
+        assert got_pretty == got_jsonl
+        assert len(got_pretty) == 20
+
+    def test_packed_stream_last_wins(self, spark, tmp_path):
+        """Duplicate keys in a }{-packed stream: the LAST occurrence
+        survives, matching the reference's sequential overwrite."""
+        rows = [
+            {"schema": "olm.bundle", "package": "p", "name": "dup", "v": 1},
+            {"schema": "olm.bundle", "package": "p", "name": "dup", "v": 2},
+        ]
+        path = self._write(tmp_path, "".join(json.dumps(r) for r in rows))
+        got = ingest_meta_stream(spark, path).collect()
+        assert len(got) == 1
+        assert json.loads(got[0].blob)["v"] == 2
+
+    def test_auto_probe_picks_line_path_for_jsonl(self, spark, tmp_path):
+        rows = [{"schema": "olm.bundle", "package": "p", "name": f"n{i}"} for i in range(5)]
+        path = self._write(tmp_path, "\n".join(json.dumps(r) for r in rows))
+        from console_etl_spark.ingest import _probe_is_jsonl
+
+        assert _probe_is_jsonl(path) is True
+        assert read_meta_stream(spark, path, fmt="jsonl").count() == 5
+        assert read_meta_stream(spark, path, fmt="concat").count() == 5
