@@ -133,6 +133,37 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_content_hash_index",
+    r"""
+    SELECT content_hash, doc_id FROM (
+      SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+             doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_content_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.stream_dedup_ingest``'s persistent
+    content-hash index: sha2-256 of the normalized text as the content
+    address, min doc_id per hash as the survivor. Running the streaming
+    ingest over the same corpus must produce exactly this relation
+    (pinned in tests/test_streaming.py); this registered twin makes the
+    semantics oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(normalized_text("text"), 256)
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.select(h.alias("content_hash"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", "doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # X2: n-gram Jaccard near-dup (exact, inverted-index join)
 # --------------------------------------------------------------------------

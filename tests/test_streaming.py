@@ -250,12 +250,11 @@ def test_stream_dedup_ingest_matches_batch_and_resumes(spark, tmp_path):
 
     run()
     got = spark.read.parquet(out)
-    # batch twin: min doc_id per normalized-content hash over all rows
-    expected = (
-        docs.withColumn("h", F.sha2(normalized_text("text"), 256))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
+    # batch twin: the REGISTERED oracle-checked content-hash index query
+    # (llmops.dedup.dedup_content_hash_index) — stream must equal batch
+    from console_etl_spark.llmops.dedup import dedup_content_hash_index
+
+    expected = dedup_content_hash_index(spark, SF_TEST).select("doc_id")
     assert got.count() == got.select("doc_id").distinct().count()
     missing = expected.join(got, "doc_id", "left_anti")
     assert missing.count() == 0
