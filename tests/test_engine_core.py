@@ -470,3 +470,88 @@ def test_engine_facade_end_to_end(spark, store, catalog_metas):
     eng.registry.set_phase("cat", "Pending")
     with _pytest.raises(CatalogNotReadyError):
         eng.list_packages("cat")
+
+
+# --------------------------------------------------------------------------
+# S3 over real HTTP: conditional GET / 304 semantics (cache.go:49-69)
+# --------------------------------------------------------------------------
+
+class TestHttpFreshness:
+    @pytest.fixture()
+    def http_source_dir(self, tmp_path):
+        """A local http.server over a dir holding all.json; its handler
+        honors If-Modified-Since natively (file-mtime based)."""
+        import functools
+        import http.server
+        import threading
+
+        docroot = tmp_path / "www"
+        docroot.mkdir()
+        rows = [
+            {"schema": "olm.channel", "package": f"p{i % 2}", "name": f"ch{i}"}
+            for i in range(10)
+        ]
+        stream = docroot / "all.json"
+        stream.write_text("\n".join(json.dumps(r) for r in rows))
+        # HTTP dates have 1 s resolution: pin mtime well in the past so a
+        # later rewrite (+10 s) is unambiguously newer.
+        base = 1_700_000_000
+        os.utime(stream, (base, base))
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=str(docroot)
+        )
+        server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{server.server_address[1]}/all.json", stream, base
+        finally:
+            server.shutdown()
+
+    @staticmethod
+    def _n_spark_jobs(spark) -> int:
+        # total jobs submitted this session (AppStatusStore; bytecode-public)
+        return spark._jsc.sc().statusStore().jobsList(None).size()
+
+    def test_unchanged_upstream_serves_cache_with_zero_jobs(
+        self, spark, tmp_path, http_source_dir
+    ):
+        from console_etl_spark.refresh import HttpStreamSource, get_http_catalog
+
+        url, stream, base = http_source_dir
+        store = SnapshotStore(str(tmp_path / "store"))
+        mgr = FreshnessManager(store)
+        src = HttpStreamSource(url, str(tmp_path / "spool"))
+
+        df1 = get_http_catalog(mgr, spark, "web", src)
+        assert df1.count() == 10
+        assert (mgr.refresh_count, src.fetch_count) == (1, 1)
+
+        # unchanged upstream: HEAD token matches -> cached snapshot,
+        # zero Spark jobs launched, zero bytes fetched (the 304 analog)
+        jobs_before = self._n_spark_jobs(spark)
+        df2 = get_http_catalog(mgr, spark, "web", src)
+        assert mgr.hit_count == 1
+        assert (mgr.refresh_count, src.fetch_count) == (1, 1)
+        assert self._n_spark_jobs(spark) == jobs_before
+        assert df2 is df1  # the very cached DataFrame, not a re-read
+
+        # upstream changes (newer Last-Modified): exactly one re-ingest
+        rows = [{"schema": "olm.bundle", "package": "p9", "name": "b0"}]
+        stream.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(stream, (base + 10, base + 10))
+        df3 = get_http_catalog(mgr, spark, "web", src)
+        assert (mgr.refresh_count, src.fetch_count) == (2, 2)
+        assert df3.count() == 1
+
+    def test_conditional_fetch_returns_none_on_304(self, http_source_dir, tmp_path):
+        from console_etl_spark.refresh import HttpStreamSource
+
+        url, _, _ = http_source_dir
+        src = HttpStreamSource(url, str(tmp_path / "spool2"))
+        token = src.version()
+        assert token  # Last-Modified present
+        path = src.fetch(None)
+        assert path is not None and os.path.getsize(path) > 0
+        assert src.fetch(token) is None  # 304: unchanged
