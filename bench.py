@@ -74,23 +74,31 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()  # drop warmup persists before timing
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
+    total_cold = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        # Best of 2: the host is co-tenant and a single pass can be 2-5×
-        # off under load spikes; min-of-2 reports steady-state cost.
-        best = float("inf")
+        # Two passes per query; report BOTH the cold first pass (honest
+        # single-shot cost at this SF) and the best-of-2 steady state
+        # (the host is co-tenant; a single pass can be 2-5× off under
+        # load spikes). Round-over-round comparisons should use matching
+        # keys — cold vs cold, warm vs warm.
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # Queries that persist intermediates (dedup/similarity) would
             # otherwise leak cache blocks into the next measurement.
             spark.catalog.clearCache()
-        dt = round(best, 3)
+        dt = round(min(runs), 3)
+        dt_cold = round(runs[0], 3)
         timings[name] = dt
+        cold[name] = dt_cold
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        total_cold += dt_cold
+        print(f"# {name}: {dt:.3f}s (cold {dt_cold:.3f}s)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -99,6 +107,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(total_cold, 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )
