@@ -120,6 +120,22 @@ def test_curation_pipeline_one_scan_one_wide_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_ivf_seed_pick_no_global_sort(spark):
+    """The IVF coarse-quantizer seed pick must never plan a
+    single-partition global sort (VERDICT r2 scale-killer #1): the
+    hash-strided filter keeps ~2·n_cells candidates map-side and the
+    orderBy+limit plans as TakeOrderedAndProject — per-partition top-k,
+    no Window, no SinglePartition exchange."""
+    from console_etl_spark.llmops import similarity as sim
+    from console_etl_spark.session import load_table
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    plan = plan_of(sim.ivf_seed_candidates(e, n=500))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_no_unbounded_driver_materialization():
     """Grep-style scale contract (VERDICT r1 item 3): every .collect()/
     .toPandas() in the engine must sit in the pinned allowlist of
