@@ -113,6 +113,11 @@ def split_concatenated_json(text: str) -> list[str]:
     or butt up against each other (``}{``) — not JSON-lines. This is the
     same tokenizer-level walk: track brace depth outside strings (with
     escape handling) and emit each depth-0 ``{...}`` span byte-faithfully.
+
+    A stream that ends mid-document (truncated download, corrupt file)
+    raises ``ValueError`` — the reference propagates decode errors
+    (cache.go:96-98) and silently dropping the tail would ingest a
+    partial catalog with no signal (ADVICE r2).
     """
     docs: list[str] = []
     depth = 0
@@ -138,6 +143,10 @@ def split_concatenated_json(text: str) -> list[str]:
             if depth == 0:
                 docs.append(text[start : i + 1])
                 start = -1
+    if depth != 0 or in_str:
+        raise ValueError(
+            f"truncated JSON stream: document starting at byte {start} never closes"
+        )
     return docs
 
 
@@ -178,10 +187,25 @@ def read_meta_stream(spark: SparkSession, path: str, fmt: str = "auto") -> DataF
     execution model as Spark's own ``multiLine`` JSON source), documents
     split by the depth-tracking walker above inside ``mapInPandas``.
     ``fmt='auto'`` head-probes the file and picks: JSONL streams keep
-    per-line parallelism, anything else gets the faithful splitter.
+    per-line parallelism, anything else gets the faithful splitter. The
+    probe reads only the head, so a stream that is one-doc-per-line
+    early but pretty-printed later would misclassify — the auto path
+    therefore VALIDATES the JSONL parse (every non-empty line must be a
+    standalone JSON document; a multi-line fragment is not) and falls
+    back to the splitter on violation (ADVICE r2). Pass ``fmt='jsonl'``
+    explicitly to skip the validation scan on trusted inputs.
     """
     if fmt == "auto":
-        fmt = "jsonl" if _probe_is_jsonl(path) else "concat"
+        if _probe_is_jsonl(path):
+            jsonl = parse_meta_lines(spark.read.text(path))
+            bad = (
+                jsonl.filter(F.get_json_object("blob", "$").isNull())
+                .limit(1)
+                .count()
+            )
+            if bad == 0:
+                return jsonl
+        fmt = "concat"
     if fmt == "jsonl":
         return parse_meta_lines(spark.read.text(path))
     if fmt != "concat":

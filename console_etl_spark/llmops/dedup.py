@@ -76,9 +76,18 @@ def exploded_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# Whitespace class spelled out instead of \s: Java's \s matches \x0b
+# (vertical tab) but DuckDB/RE2's \s does not, so \s+ on each side would
+# silently diverge on texts containing \x0b (ADVICE r2). The explicit
+# class is byte-identical in both engines.
+WS_CLASS = r"[ \t\n\f\r\x0b]+"
+SQL_NORM = f"regexp_replace(lower(trim(text)), '{WS_CLASS}', ' ', 'g')"
+
+
 def normalized_text(text: str | Column = "text") -> Column:
-    """Canonical text: lowercase, trimmed, whitespace collapsed."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    """Canonical text: lowercase, trimmed, whitespace collapsed (see
+    WS_CLASS for why the class is explicit)."""
+    return F.regexp_replace(F.lower(F.trim(text)), WS_CLASS, " ")
 
 
 # --------------------------------------------------------------------------
@@ -114,9 +123,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_normalized_groups",
-    """
+    f"""
     SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
-    FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+    FROM (SELECT doc_id, {SQL_NORM} AS norm
           FROM documents) t
     GROUP BY norm
     """,
@@ -135,12 +144,12 @@ def dedup_normalized_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_content_hash_index",
-    r"""
+    f"""
     SELECT content_hash, doc_id FROM (
-      SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      SELECT sha256({SQL_NORM}) AS content_hash,
              doc_id,
              ROW_NUMBER() OVER (
-               PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               PARTITION BY sha256({SQL_NORM})
                ORDER BY doc_id) AS rn
       FROM documents) t
     WHERE rn = 1

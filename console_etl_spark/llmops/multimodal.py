@@ -169,7 +169,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={comp})")
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     stride = (width * 3 + 3) & ~3
+    if pixel_off + stride * height > len(payload):
+        raise ValueError("truncated BMP payload")
     rows = []
     for y in range(height):
         off = pixel_off + y * stride

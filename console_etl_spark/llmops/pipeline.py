@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
+from .dedup import SQL_NORM
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -214,7 +215,7 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "curate_corpus_end_to_end",
-    """
+    f"""
     WITH quality AS (
       SELECT doc_id, lang, text, n_chars
       FROM documents
@@ -225,7 +226,7 @@ def pack_sequences_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars FROM (
         SELECT doc_id, lang, n_chars,
                ROW_NUMBER() OVER (
-                 PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                 PARTITION BY {SQL_NORM}
                  ORDER BY doc_id) AS rn
         FROM quality) t
       WHERE rn = 1

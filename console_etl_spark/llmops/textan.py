@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from .dedup import normalized_text, tokens
+from .dedup import SQL_NORM, normalized_text, tokens
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -175,10 +175,10 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "text_fingerprints",
-    """
+    f"""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
-           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_sha256,
+           md5({SQL_NORM}) AS fp_md5,
+           sha256({SQL_NORM}) AS fp_sha256,
            length(text) AS n_raw_chars
     FROM documents
     """,

@@ -159,11 +159,17 @@ class HttpStreamSource:
         return headers.get("ETag") or headers.get("Last-Modified") or ""
 
     def version(self) -> str:
-        """HEAD probe → version token. No body transfer."""
+        """HEAD probe → version token. No body transfer.
+
+        A server that sends neither ETag nor Last-Modified yields a
+        per-probe unique token: '' would compare equal on every probe
+        and serve a stale catalog forever (ADVICE r2); a never-matching
+        token degrades validator-less upstreams to always-refetch.
+        """
         req = urllib.request.Request(self.url, method="HEAD")
         self.probe_count += 1
         with urllib.request.urlopen(req) as resp:
-            return self._token(resp.headers)
+            return self._token(resp.headers) or f"unversioned-{self.probe_count}"
 
     def fetch(self, known_version: str | None = None) -> str | None:
         """Conditional GET. Returns the spooled body path, or None on 304

@@ -555,3 +555,42 @@ class TestHttpFreshness:
         path = src.fetch(None)
         assert path is not None and os.path.getsize(path) > 0
         assert src.fetch(token) is None  # 304: unchanged
+
+    def test_validatorless_server_degrades_to_always_refetch(self, tmp_path):
+        """A server sending neither ETag nor Last-Modified must never be
+        treated as 'unchanged' — '' == '' would serve a stale catalog
+        forever (ADVICE r2). The probe token must differ per probe."""
+        import http.server
+        import threading
+
+        from console_etl_spark.refresh import HttpStreamSource
+
+        class NoValidatorHandler(http.server.BaseHTTPRequestHandler):
+            def _respond(self, body: bytes):
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if self.command == "GET":
+                    self.wfile.write(body)
+
+            def do_GET(self):
+                self._respond(b'{"schema": "olm.channel", "name": "x"}')
+
+            do_HEAD = do_GET
+
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            # BaseHTTPRequestHandler adds Date but no ETag/Last-Modified
+            def date_time_string(self, timestamp=None):
+                return "Thu, 01 Jan 1970 00:00:00 GMT"
+
+        server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), NoValidatorHandler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{server.server_address[1]}/all.json"
+            src = HttpStreamSource(url, str(tmp_path / "spool3"))
+            t1, t2 = src.version(), src.version()
+            assert t1 and t2 and t1 != t2, (t1, t2)
+        finally:
+            server.shutdown()

@@ -180,6 +180,36 @@ def test_bmp_codec_round_trip():
         multimodal.decode_bmp(b"not an image")
 
 
+def test_bmp_truncated_payload_raises_value_error():
+    """A cut-off pixel body must surface as the documented ValueError,
+    not an IndexError deep inside a Spark task (ADVICE r2)."""
+    px = [[(9, 9, 9)] * 4 for _ in range(4)]
+    payload = multimodal.encode_bmp(4, 4, px)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_bmp(payload[:-5])
+
+
+def test_normalization_vertical_tab_parity_with_oracle(spark):
+    """Spark and DuckDB must normalize \\x0b identically (ADVICE r2:
+    Java \\s matches vertical tab, RE2's does not — the explicit
+    WS_CLASS makes both engines agree byte-for-byte)."""
+    import duckdb
+
+    # note: trim() strips only spaces in both engines, so the trailing
+    # newline collapses to a trailing space — also identically.
+    weird = "A\x0bB  c\td"
+    spark_norm = (
+        spark.range(1)
+        .select(dedup.normalized_text(F.lit(weird)).alias("n"))
+        .collect()[0]
+        .n
+    )
+    duck_norm = duckdb.execute(
+        f"SELECT {dedup.SQL_NORM} AS n FROM (SELECT ?::VARCHAR AS text)", [weird]
+    ).fetchone()[0]
+    assert spark_norm == duck_norm == "a b c d"
+
+
 def test_image_features_known_pixel_stats():
     """Features computed from REAL decoded pixels: a solid-color image
     has exactly its color as the channel means and one luma value."""

@@ -188,3 +188,38 @@ class TestConcatIngestRoundTrip:
         assert _probe_is_jsonl(path) is True
         assert read_meta_stream(spark, path, fmt="jsonl").count() == 5
         assert read_meta_stream(spark, path, fmt="concat").count() == 5
+
+    def test_truncated_stream_raises_not_drops(self):
+        """A document that never closes must surface as an error, not be
+        silently dropped (the reference propagates decode errors,
+        cache.go:96-98; ADVICE r2)."""
+        import pytest
+
+        with pytest.raises(ValueError, match="truncated"):
+            split_concatenated_json('{"a": 1}{"b": ')
+        with pytest.raises(ValueError, match="truncated"):
+            split_concatenated_json('{"a": "unterminated string')
+
+    def test_auto_misclassification_falls_back_to_splitter(self, spark, tmp_path):
+        """A stream whose HEAD is one-doc-per-line but that turns
+        pretty-printed past the 64 KB probe window must still ingest
+        every document (ADVICE r2: the auto path validates the JSONL
+        parse and falls back to the concat splitter)."""
+        filler = "x" * 120  # ~180 bytes/line -> ~400 lines > 64 KB
+        head = [
+            {"schema": "olm.bundle", "package": "p", "name": f"h{i}", "pad": filler}
+            for i in range(400)
+        ]
+        tail = [
+            {"schema": "olm.bundle", "package": "p", "name": f"t{i}"} for i in range(5)
+        ]
+        text = "\n".join(json.dumps(r) for r in head) + "\n" + "\n".join(
+            json.dumps(r, indent=2) for r in tail
+        )
+        path = self._write(tmp_path, text)
+        from console_etl_spark.ingest import _probe_is_jsonl
+
+        assert _probe_is_jsonl(path) is True  # the probe IS fooled...
+        got = read_meta_stream(spark, path, fmt="auto")
+        assert got.filter("schema IS NULL").count() == 0  # ...the read is not
+        assert got.count() == 405
