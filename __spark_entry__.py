@@ -49,6 +49,13 @@ _MODULES = (
 # rows-only entries (guaranteed `no_oracle`) out of the window. Everything
 # not listed here registers afterwards in module order and stays covered by
 # the local parity suite (tests/test_oracle_parity.py).
+# ROTATION (VERDICT r2 item 3): round 2 drove all 50 slots green, so this
+# round swaps 13 redundant already-driver-validated slots (the three
+# setop-ALL variants, second/third agg+window entries, date/array scalar
+# twins, q12, semi/anti twins of q18/q22) for 13 oracle-backed queries
+# that have never had a driver CORRECTNESS row. Every SURVEY §2 family
+# keeps ≥1 representative in-window; rotated-out queries remain covered
+# by the local dtype-strict parity suite.
 _PRIORITY = (
     # reference navigation surface (Q1-Q5, T1)
     "nav_list_packages",
@@ -57,47 +64,45 @@ _PRIORITY = (
     "nav_point_lookup",
     "nav_derived_partition_key",
     "nav_icon_extraction",
-    # joins + TPC-H shapes (incl. derived-partsupp q2/q20 and fixed q12)
+    # joins + TPC-H shapes (incl. derived-partsupp q2/q20; q10/q13/q16/
+    # q18/q19 newly in-window this round)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q2_min_cost_supplier",
     "q20_dominant_part_suppliers",
-    "q12_returnflag_priority_counts",
-    "semi_join_finished_customers",
-    "anti_join_orderless_customers",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "q18_large_volume_customers",
+    "q19_disjunctive_join",
+    "fuzzy_part_name_pairs",
     "asof_join_purchase_view",
-    # aggregations
+    # aggregations (incl. newly-in-window listagg/unpivot)
     "agg_rollup_returns",
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
     "pivot_priority_by_status",
-    "distinct_counts_lineitem",
     "stats_aggregates_lineitem",
+    "listagg_suppliers_by_nation",
+    "unpivot_part_metrics",
     # windows + sessionization
     "window_topk_orders_per_customer",
-    "window_rank_functions_customers",
-    "window_revenue_share_by_region",
     "sessionize_events",
-    # set ops (distinct + multiset ALL)
+    # set ops
     "setop_union_nations",
-    "setop_union_all_priorities",
-    "setop_intersect_all_priorities",
-    "setop_except_all_priorities",
-    # sorts/top-k + scalar/date/array functions
+    # sorts/top-k + scalar functions
     "topk_expensive_orders",
     "scalar_functions_showcase",
-    "date_functions_orders",
-    "array_functions_embeddings",
-    # events tier (streaming batch twins + X6 JSON extraction)
+    # events tier (streaming batch twins + X6 JSON extraction + gap-fill)
     "events_hourly_stats",
     "events_json_extract",
     "hypertable_rollup_events",
+    "gapfill_hourly_events",
     # SQL front door (correlated subqueries / lateral)
     "sql_correlated_scalar_subquery",
     "sql_lateral_topk_per_nation",
-    # X1/X2 dedup tier
+    # X1/X2 dedup tier (content-hash index newly in-window)
     "dedup_exact_docs",
+    "dedup_content_hash_index",
     "dedup_shingle_jaccard",
     "dedup_connected_groups",
     "dedup_embedding_cosine",
@@ -105,13 +110,16 @@ _PRIORITY = (
     # X3 similarity
     "embedding_near_pairs",
     "ann_topk_cosine",
-    # X4 text analysis (incl. fixed HUGEINT oracles)
+    # X4 text analysis
     "text_lang_stats",
     "text_source_token_counts",
     # X5 multimodal
     "mm_binary_stats",
-    # pipeline tier + flagship
+    # pipeline tier + flagship (mix/stratified/pack newly in-window)
     "split_train_test_docs",
+    "mix_corpus_weighted",
+    "stratified_sample_docs",
+    "pack_sequences_by_lang",
     "curate_corpus_end_to_end",
 )
 
