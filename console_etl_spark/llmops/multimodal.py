@@ -8,18 +8,22 @@ carries: BinaryType payload + media-type + size metadata, processed by
 ``mapInPandas`` so each Arrow batch crosses the JVM↔Python boundary once.
 
 Decoders: ``decoder='image'`` is a REAL stdlib-only 24-bit BMP codec
-(header parse + bottom-up padded pixel rows, struct module only — no
-PIL/ffmpeg in this container) computing features from decoded pixels;
-``decoder='fake'`` remains the deterministic byte-stat stand-in for
-non-image payloads. Same split for ``resize_payload``: 'image' is a
-real nearest-neighbor pixel resample re-encoded as BMP. Codecs for
-richer formats (JPEG/PNG/audio/video) stay behind the same one-function
-slot and raise ``NotImplementedError`` with the library they need.
+(header parse + bottom-up padded pixel rows, struct module only);
+``decoder='png'`` is a REAL stdlib-only 8-bit RGB/RGBA PNG codec (CRC'd
+chunks, zlib inflate, all five scanline filters) — the format the
+reference's actual catalog icons ship in. Both compute features from
+decoded pixels; ``decoder='fake'`` remains the deterministic byte-stat
+stand-in for opaque payloads. Same split for ``resize_payload``:
+'image'/'png' are real nearest-neighbor pixel resamples re-encoded in
+their format. Codecs for richer formats (JPEG/audio/video) stay behind
+the same one-function slot and raise ``NotImplementedError`` with the
+library they need.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 from collections.abc import Callable, Iterator
 
@@ -188,6 +192,203 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
 
 
 # --------------------------------------------------------------------------
+# Stdlib PNG codec (8-bit RGB / RGBA, non-interlaced): the reference's
+# real icon payloads are base64 PNG (main.go:305-316 ships icon bytes +
+# media type), and PNG is fully decodable with the stdlib — chunks with
+# CRC-32 (zlib.crc32), a DEFLATE pixel stream (zlib.decompress), and the
+# five scanline filters (None/Sub/Up/Average/Paeth) reconstructed
+# byte-exactly per the PNG spec. No PIL needed.
+# --------------------------------------------------------------------------
+
+PNG_MEDIA_TYPE = "image/png"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, ...]]],
+    filters: int | list[int] = 0,
+) -> bytes:
+    """Encode top-down RGB(A) rows as an 8-bit non-interlaced PNG.
+
+    ``rows`` holds (r,g,b) or (r,g,b,a) tuples; ``filters`` selects the
+    per-scanline filter (single int, or one per row — any of 0..4 is a
+    valid encoding, which lets fixtures exercise every decoder filter
+    path).
+    """
+    bpp = len(rows[0][0])
+    if bpp not in (3, 4):
+        raise ValueError("rows must hold RGB or RGBA tuples")
+    color_type = 2 if bpp == 3 else 6
+    stride = width * bpp
+    flist = [filters] * height if isinstance(filters, int) else list(filters)
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(v for px in rows[y] for v in px)
+        ft = flist[y]
+        if ft == 0:
+            enc = bytearray(line)
+        else:
+            enc = bytearray(stride)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = prev[i]
+                elif ft == 3:
+                    pred = (a + prev[i]) >> 1
+                elif ft == 4:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pred = _paeth(a, prev[i], c)
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, ...]]]]:
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG to (width, height,
+    top-down pixel rows). Validates chunk CRCs and pixel-stream length;
+    raises ValueError on anything truncated, corrupt, or outside the
+    supported variant (matching decode_bmp's error contract)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr: bytes | None = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    else:
+        raise ValueError("truncated PNG payload (no IEND)")
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            f"unsupported PNG variant (bit_depth={depth}, color_type={color_type})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
+    if len(raw) != h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    rows: list[list[tuple[int, ...]]] = []
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        rows.append([tuple(line[x * bpp : (x + 1) * bpp]) for x in range(w)])
+        prev = line
+    return w, h, rows
+
+
+def png_image_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL PNG bytes, media_type, n_bytes).
+
+    Same distributed-builder shape as image_table, but PNG: even docs get
+    RGB, odd docs RGBA (alpha = (id+x+y) % 256), and the per-row filter
+    cycles through all five types — every fixture payload exercises the
+    full unfilter matrix of the decoder."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = _doc_pixels(d)
+                if d % 2:  # RGBA branch (color type 6)
+                    px = [
+                        [(*px[y][x], (d + x + y) % 256) for x in range(IMG_W)]
+                        for y in range(IMG_H)
+                    ]
+                filters = [(d + y) % 5 for y in range(IMG_H)]
+                payloads.append(encode_png(IMG_W, IMG_H, px, filters))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": PNG_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+# --------------------------------------------------------------------------
 # Decode / feature-extraction plumbing (Pandas-UDF over mapInPandas)
 # --------------------------------------------------------------------------
 
@@ -221,16 +422,17 @@ def _fake_decode(payload: bytes) -> list[float]:
     ]
 
 
-def _image_features(payload: bytes) -> list[float]:
-    """REAL decode: parse the BMP, compute pixel statistics — [width,
-    height, mean_r, mean_g, mean_b, min_luma, max_luma, mean_luma]
-    (luma = the BT.601 integer approximation (299R+587G+114B)/1000)."""
-    w, h, rows = decode_bmp(bytes(payload))
+def _pixel_stats(w: int, h: int, rows) -> list[float]:
+    """Pixel statistics from decoded top-down rows — [width, height,
+    mean_r, mean_g, mean_b, min_luma, max_luma, mean_luma] (luma = the
+    BT.601 integer approximation (299R+587G+114B)/1000). RGBA rows use
+    the color channels; alpha doesn't enter the stats."""
     n = w * h
     sr = sg = sb = sl = 0
     lmin, lmax = 255000, 0
     for row in rows:
-        for r, g, b in row:
+        for px in row:
+            r, g, b = px[0], px[1], px[2]
             sr += r
             sg += g
             sb += b
@@ -250,7 +452,18 @@ def _image_features(payload: bytes) -> list[float]:
     ]
 
 
-_DECODERS = {"fake": _fake_decode, "image": _image_features}
+def _image_features(payload: bytes) -> list[float]:
+    """REAL decode: stdlib BMP parse → pixel statistics."""
+    return _pixel_stats(*decode_bmp(bytes(payload)))
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """REAL decode: stdlib PNG parse (zlib inflate + unfilter) → pixel
+    statistics, same vector as the BMP path."""
+    return _pixel_stats(*decode_png(bytes(payload)))
+
+
+_DECODERS = {"fake": _fake_decode, "image": _image_features, "png": _png_features}
 
 
 def extract_features(
@@ -258,19 +471,20 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract each payload via ``mapInPandas``.
 
-    ``decoder='image'`` REALLY decodes (stdlib BMP codec above) and
-    computes features from pixels; ``decoder='fake'`` uses deterministic
-    byte-stat features for non-image payloads. Richer codecs (JPEG/
-    audio/video) plug into the same slot but need external libraries.
+    ``decoder='image'`` (BMP) and ``decoder='png'`` REALLY decode
+    (stdlib codecs above) and compute features from pixels;
+    ``decoder='fake'`` uses deterministic byte-stat features for
+    non-image payloads. Richer codecs (JPEG/audio/video) plug into the
+    same slot but need external libraries.
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
     embarrassingly-parallel map over executors.
     """
-    if decoder in ("jpeg", "png", "audio", "video"):
+    if decoder in ("jpeg", "audio", "video"):
         raise NotImplementedError(
             f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
-            "in this container; 'image' (BMP) and 'fake' are built in"
+            "in this container; 'image' (BMP), 'png', and 'fake' are built in"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -341,6 +555,25 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("mm_png_features", None)  # rows-only: pixel decode not SQL-expressible
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pipeline: per-doc PNG payloads (distributed encode:
+    RGB + RGBA, every scanline filter exercised) → stdlib zlib-inflate +
+    unfilter decode → pixel-statistic features. The real-world analog of
+    the reference's base64-PNG catalog icons (main.go:305-316)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(png_image_table(d), decoder="png")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.round(F.element_at("features", 3), 6).alias("mean_r"),
+        F.round(F.element_at("features", 8), 6).alias("mean_luma"),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -351,15 +584,25 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _nn_resample(rows, w: int, h: int, out_w: int, out_h: int):
+    return [
+        [rows[(y * h) // out_h][(x * w) // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
+
+
 def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL thumbnail: decode, nearest-neighbor resample to (out_w,
     out_h), re-encode — all stdlib."""
     w, h, rows = decode_bmp(bytes(payload))
-    out = [
-        [rows[(y * h) // out_h][(x * w) // out_w] for x in range(out_w)]
-        for y in range(out_h)
-    ]
-    return encode_bmp(out_w, out_h, out)
+    return encode_bmp(out_w, out_h, _nn_resample(rows, w, h, out_w, out_h))
+
+
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """PNG thumbnail: decode (inflate+unfilter), nearest-neighbor
+    resample, re-encode (filter 0) — all stdlib. RGBA stays RGBA."""
+    w, h, rows = decode_png(bytes(payload))
+    return encode_png(out_w, out_h, _nn_resample(rows, w, h, out_w, out_h))
 
 
 def resize_payload(
@@ -371,23 +614,26 @@ def resize_payload(
 ) -> DataFrame:
     """Resize (image thumbnail / audio downsample slot).
 
-    ``resizer='image'`` REALLY resizes: stdlib BMP decode →
-    nearest-neighbor resample to (target_width, target_height) →
-    re-encode. ``resizer='fake'`` strides raw bytes down to
-    ``target_bytes`` for opaque non-image payloads. Both run in the same
-    mapInPandas batch loop (one Arrow crossing per batch, no shuffle).
+    ``resizer='image'`` (BMP) and ``resizer='png'`` REALLY resize:
+    stdlib decode → nearest-neighbor resample to (target_width,
+    target_height) → re-encode. ``resizer='fake'`` strides raw bytes
+    down to ``target_bytes`` for opaque non-image payloads. All run in
+    the same mapInPandas batch loop (one Arrow crossing per batch, no
+    shuffle).
     """
-    if resizer in ("jpeg", "png", "audio", "video"):
+    if resizer in ("jpeg", "audio", "video"):
         raise NotImplementedError(
             f"{resizer} resizing requires PIL/ffmpeg — not available in this "
-            "container; 'image' (BMP) and 'fake' are built in"
+            "container; 'image' (BMP), 'png', and 'fake' are built in"
         )
-    if resizer not in ("fake", "image"):
+    if resizer not in ("fake", "image", "png"):
         raise ValueError(f"unknown resizer {resizer!r}")
 
     def one(raw: bytes) -> bytes:
         if resizer == "image":
             return resize_bmp(raw, target_width, target_height)
+        if resizer == "png":
+            return resize_png(raw, target_width, target_height)
         if len(raw) <= target_bytes:
             return raw
         step = -(-len(raw) // target_bytes)  # ceil div

@@ -237,6 +237,85 @@ def test_image_table_decodes_to_generated_pixels(spark):
         assert r.media_type == multimodal.BMP_MEDIA_TYPE
 
 
+# --------------------------------------------------------------------------
+# PNG codec (X5): stdlib zlib-inflate + all five unfilter paths
+# --------------------------------------------------------------------------
+
+def test_png_round_trip_all_filters_rgb():
+    """encode→decode identity for every scanline filter type, RGB."""
+    px = multimodal._doc_pixels(7)  # 8×8 varied raster
+    for ft in range(5):
+        payload = multimodal.encode_png(8, 8, px, filters=ft)
+        assert payload[:8] == multimodal.PNG_SIG
+        assert multimodal.decode_png(payload) == (8, 8, px)
+    # mixed per-row filters in one image
+    mixed = multimodal.encode_png(8, 8, px, filters=[y % 5 for y in range(8)])
+    assert multimodal.decode_png(mixed) == (8, 8, px)
+
+
+def test_png_round_trip_rgba():
+    px = [
+        [(x * 16, y * 16, (x + y) * 8, (x * y * 7) % 256) for x in range(5)]
+        for y in range(4)
+    ]
+    for ft in (0, 2, 4):
+        payload = multimodal.encode_png(5, 4, px, filters=ft)
+        assert multimodal.decode_png(payload) == (5, 4, px)
+
+
+def test_png_corrupt_payloads_raise_value_error():
+    px = [[(1, 2, 3)] * 3 for _ in range(3)]
+    good = multimodal.encode_png(3, 3, px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"garbage")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(good[:-6])
+    flipped = bytearray(good)
+    flipped[-18] ^= 0xFF  # corrupt inside the IDAT body → CRC mismatch
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        multimodal.decode_png(bytes(flipped))
+
+
+def test_png_features_known_pixel_stats():
+    """Solid-color PNG: channel means are exactly the color, one luma."""
+    px = [[(10, 20, 30)] * 2 for _ in range(2)]
+    feats = multimodal._png_features(multimodal.encode_png(2, 2, px, filters=4))
+    luma = (299 * 10 + 587 * 20 + 114 * 30) / 1000
+    assert feats == [2.0, 2.0, 10.0, 20.0, 30.0, luma, luma, luma]
+
+
+def test_png_image_table_decodes_to_generated_pixels(spark):
+    """End-to-end: distributed PNG encode (RGB + RGBA, cycling filters)
+    → Spark decode features match an independent local computation."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.png_image_table(docs), decoder="png"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        px = multimodal._doc_pixels(r.doc_id)
+        n = multimodal.IMG_W * multimodal.IMG_H
+        mean_r = sum(p[0] for row in px for p in row) / n
+        assert r.features[2] == mean_r  # alpha never pollutes channel stats
+        assert r.media_type == multimodal.PNG_MEDIA_TYPE
+
+
+def test_resize_png_mode(spark):
+    """Distributed PNG thumbnails: every output decodes at 4×4 and picks
+    exactly every second source pixel (nearest-neighbor)."""
+    docs = load_table(spark, SF_TEST, "documents").limit(4)
+    it = multimodal.png_image_table(docs)
+    rows = multimodal.resize_payload(it, resizer="png").collect()
+    assert len(rows) == 4
+    for r in rows:
+        w, h, out = multimodal.decode_png(bytes(r.resized))
+        assert (w, h) == (4, 4)
+        src = multimodal._doc_pixels(r.doc_id)
+        for y in range(4):
+            for x in range(4):
+                assert out[y][x][:3] == src[2 * y][2 * x]
+
+
 def test_unavailable_decoders_raise(spark):
     docs = load_table(spark, SF_TEST, "documents").limit(1)
     with pytest.raises(NotImplementedError):
