@@ -155,6 +155,57 @@ def test_partition_pruning_in_plan(spark, store, catalog_metas):
     assert "pkg01" in plan
 
 
+def test_point_lookup_row_group_skipping(spark, tmp_path):
+    """The snapshot write sorts by ``name`` within each task (VERDICT r2
+    item 6) so parquet row-group min/max stats make the 3-key point
+    lookup (Q4) a skip-scan: on a multi-row-group partition, at most ONE
+    row group's [min,max] can contain a given name. Without the sort,
+    a point lookup at 100 TB reads the whole (package, schema) subtree."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from console_etl_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "rg_store"))
+    hconf = spark._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)  # force many row groups
+    try:
+        df = spark.range(40_000).selectExpr(
+            "'pkg' AS package",
+            "'olm.bundle' AS schema",
+            # id-scrambled names: unsorted on arrival, the publish sort
+            # is what makes the stats tight
+            "concat('n-', lpad(cast((id * 48271) % 40000 as string), 8, '0')) AS name",
+            "repeat('x', 64) AS blob",
+        ).coalesce(1)
+        info = store.publish(df, "cat_rg", "v1")
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    files = globmod.glob(f"{info.path}/package=pkg/schema=olm.bundle/*.parquet")
+    assert files, "expected parquet output"
+    pf = pq.ParquetFile(files[0])
+    assert pf.num_row_groups >= 4, "fixture must span multiple row groups"
+    name_idx = pf.schema_arrow.names.index("name")
+    bounds = []
+    for g in range(pf.num_row_groups):
+        st = pf.metadata.row_group(g).column(name_idx).statistics
+        assert st is not None and st.has_min_max
+        bounds.append((st.min, st.max))
+    # sorted layout → non-overlapping row-group ranges
+    for (lo1, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert lo1 <= hi1 <= lo2, bounds
+    # the skip-scan property: a probe key fits inside at most one group
+    for probe in ("n-00000000", "n-00019997", "n-00039999"):
+        containing = [b for b in bounds if b[0] <= probe <= b[1]]
+        assert len(containing) <= 1, (probe, containing)
+
+
 # --------------------------------------------------------------------------
 # S3/C1: freshness manager (304 analog, LRU, TTL)
 # --------------------------------------------------------------------------
