@@ -231,7 +231,7 @@ def stream_ingest_metas(
 # --------------------------------------------------------------------------
 
 def signup_purchase_join(
-    events: DataFrame, watermark: str = "2 hours"
+    events: DataFrame, watermark: str = "2 hours", how: str = "inner"
 ) -> DataFrame:
     """Stream-stream interval join — the streaming twin of the batch
     range_join_purchase_after_signup (relational.py).
@@ -241,7 +241,17 @@ def signup_purchase_join(
     row can no longer match (state is bounded by
     watermark + 24 h per side — without the time bound a stream-stream
     join would buffer forever).
+
+    ``how='left_outer'`` is the watermarked outer join: a signup with no
+    purchase in its 24 h window is emitted with NULL purchase columns
+    once the watermark passes the window's end and its state is evicted
+    — the standard "emit unmatched after watermark" pattern. Rows whose
+    window is still open when a bounded stream ends stay withheld (same
+    reason aggregate tests use complete mode); the stream-equals-batch
+    test bounds completeness by the final watermark.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
     s = (
         events.filter(F.col("event_type") == "signup")
         .select(
@@ -261,12 +271,18 @@ def signup_purchase_join(
         )
         .withWatermark("p_ts", watermark)
     )
+    cols = ["user_id", "signup_event", "purchase_event", "purchase_value"]
+    if how == "left_outer":
+        # carry the signup time so callers/tests can tell which unmatched
+        # rows' join windows had closed by end-of-stream
+        cols.insert(2, "s_ts")
     return s.join(
         p,
         (s.user_id == p.p_user)
         & (p.p_ts > s.s_ts)
         & (p.p_ts <= s.s_ts + F.expr("INTERVAL 24 HOURS")),
-    ).select("user_id", "signup_event", "purchase_event", "purchase_value")
+        how,
+    ).select(*cols)
 
 
 # --------------------------------------------------------------------------

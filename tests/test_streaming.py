@@ -211,6 +211,69 @@ def test_stream_stream_join_equals_batch_range_join(spark, events_stream_dir):
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
 
 
+def test_stream_stream_left_outer_join_equals_batch(spark, events_stream_dir):
+    """Watermarked LEFT OUTER interval join (VERDICT r2 item 7):
+    - matched rows must equal the batch inner range join exactly;
+    - every emitted NULL-purchase row must be a true batch-unmatched signup;
+    - every batch-unmatched signup whose join window closed before the
+      final watermark must have been emitted (state eviction emits it).
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.signup_purchase_join(stream, how="left_outer"),
+        "t_ssloj",
+        output_mode="append",
+    ).toPandas()
+
+    matched = got[got.purchase_event.notna()].drop(columns=["s_ts"])
+    want_inner = relational.range_join_purchase_after_signup(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(
+        _sorted(matched), _sorted(want_inner), check_dtype=False
+    )
+
+    # batch ground truth for unmatched signups
+    e = load_table(spark, SF_TEST, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event"), F.col("ts").alias("s_ts")
+    )
+    batch_unmatched = {
+        r.signup_event
+        for r in signups.join(
+            spark.createDataFrame(want_inner).select("signup_event").distinct(),
+            "signup_event",
+            "left_anti",
+        ).collect()
+    }
+    emitted_unmatched = got[got.purchase_event.isna()]
+    assert set(emitted_unmatched.signup_event) <= batch_unmatched
+
+    # completeness bound: the final watermark is (max event time seen
+    # BEFORE the last micro-batch) - 2h; any unmatched signup whose 24h
+    # window ended before it must have been evicted-and-emitted.
+    files = sorted(glob.glob(os.path.join(events_stream_dir, "part-*")))
+    wm = (
+        spark.read.parquet(*files[:-1])
+        .select(F.timestamp_micros(F.expr("max(ts) div 1000")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    threshold = wm - pd.Timedelta(hours=26)  # 2h watermark + 24h window
+    must_emit = {
+        r.signup_event
+        for r in signups.filter(
+            F.col("s_ts") < F.lit(threshold)
+        ).collect()
+        if r.signup_event in batch_unmatched
+    }
+    assert must_emit, "fixture should contain closed-window unmatched signups"
+    assert must_emit <= set(emitted_unmatched.signup_event)
+
+
 def test_stream_dedup_ingest_matches_batch_and_resumes(spark, tmp_path):
     """Online exact dedup: overlapping document files streamed in →
     output holds exactly the batch-dedup survivor set; re-running with
