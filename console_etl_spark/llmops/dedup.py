@@ -211,16 +211,26 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity bit-exact.
 
     Cost is Σ_shingle df². That's fine for corpora without pathological
-    shingle skew; when df² blows up (Zipfian real text at scale), use
-    dedup_shingle_jaccard_ppjoin below — identical results, prefix-
-    filtered candidates. At bench scale THIS plan wins (fewer stages;
-    the fixture vocabulary is uniform so prefixes prune only ~4x).
+    shingle skew; when df² blows up (Zipfian real text at scale), the
+    PPJoin kernel wins — identical results, prefix-filtered candidates.
+    At bench scale THIS plan wins (fewer stages; the fixture vocabulary
+    is uniform so prefixes prune only ~4x). The registered entries pin
+    one kernel each so driver plans stay deterministic; callers who
+    don't know their corpus shape should use ``shingle_jaccard_pairs``
+    (mode='auto'), which measures the skew and dispatches.
     """
     d = load_table(spark, sf_dir, "documents")
     # Persist the inverted index: it feeds both sides of the self-join
     # and the size table — without this the shingle explosion runs 3×.
     sh = exploded_shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _jaccard_index_pairs(sh, sizes)
+
+
+def _jaccard_index_pairs(
+    sh: DataFrame, sizes: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Inverted-index self-join kernel (cost Σ_shingle df²)."""
     a = sh.select(F.col("doc_id").alias("a_id"), "sh")
     b = sh.select(F.col("doc_id").alias("b_id"), "sh")
     pairs = (
@@ -229,10 +239,12 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
-    return _jaccard_finish(pairs, sizes)
+    return _jaccard_finish(pairs, sizes, threshold)
 
 
-def _jaccard_finish(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
+def _jaccard_finish(
+    pairs: DataFrame, sizes: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """Attach set sizes and keep pairs over the Jaccard threshold."""
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
@@ -243,7 +255,7 @@ def _jaccard_finish(pairs: DataFrame, sizes: DataFrame) -> DataFrame:
         pairs.join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_common", "jaccard")
     )
 
@@ -266,10 +278,17 @@ def dedup_shingle_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = exploded_shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return _jaccard_ppjoin_pairs(sh, sizes)
 
+
+def _ppjoin_candidates(
+    sh: DataFrame, sizes: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Prefix-filtered candidate (a_id, b_id) pairs — lossless for
+    J >= threshold; high-df shingles never generate candidates."""
+    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
     w = W.partitionBy("doc_id").orderBy("df", "sh")
-    prefix_len = F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     prefix = (
         sh.join(df_tbl, "sh")
         .withColumn("pos", F.row_number().over(w))
@@ -277,21 +296,86 @@ def dedup_shingle_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", "sh")
     )
-    cands = (
+    return (
         prefix.select(F.col("doc_id").alias("a_id"), "sh")
         .join(prefix.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    # exact verification: count true common shingles per candidate pair
+
+
+def _jaccard_ppjoin_pairs(
+    sh: DataFrame, sizes: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """PPJoin kernel: prefix-filtered candidates + exact verification
+    (count true common shingles per candidate pair from the full index)."""
+    cands = _ppjoin_candidates(sh, sizes, threshold)
     pairs = (
         cands.join(sh.select(F.col("doc_id").alias("a_id"), "sh"), "a_id")
         .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), ["b_id", "sh"])
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
     )
-    return _jaccard_finish(pairs, sizes)
+    return _jaccard_finish(pairs, sizes, threshold)
+
+
+# --------------------------------------------------------------------------
+# The user-facing operator: auto-dispatch between the two exact kernels
+# --------------------------------------------------------------------------
+
+# Dispatch statistic: the index join generates Σ_sh df² candidate rows.
+# On natural (Zipfian) text that sum is dominated by a few stop-shingles
+# and grows quadratically with corpus size, while PPJoin's prefix pruning
+# removes exactly those shingles. Σdf² / Σdf is the df-weighted mean
+# document frequency — scale-free, computed from the same aggregation
+# that PPJoin needs anyway. Above the ratio below, the ~4 extra PPJoin
+# stages are cheaper than the candidate blowup (measured: the uniform
+# fixture sits at ~1-2, the Zipfian test corpus at ~35+).
+JACCARD_SKEW_RATIO = 16.0
+
+
+def jaccard_skew_mode(sh: DataFrame, skew_ratio: float = JACCARD_SKEW_RATIO) -> str:
+    """Pick the Jaccard kernel from the measured shingle-df skew."""
+    row = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .select(
+            F.sum("df").alias("s1"),
+            F.sum(F.col("df") * F.col("df")).alias("s2"),
+        )
+        .first()  # bounded: one global-aggregate row
+    )
+    if row is None or row.s1 is None:
+        return "index"
+    return "ppjoin" if row.s2 > skew_ratio * row.s1 else "index"
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = 3,
+    mode: str = "auto",
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard pairs ≥ threshold — the operator
+    contract callers use; both kernels return bit-identical results.
+
+    ``mode='auto'`` (the at-scale default) measures Σdf²/Σdf on the
+    shingle index and dispatches: uniform corpora keep the cheaper
+    inverted-index join, Zipfian corpora (real text at 100 TB) get
+    PPJoin prefix filtering before the candidate blowup materializes.
+    The registered driver queries pin one kernel each so their plans
+    stay deterministic; the crossover is pinned by the Zipfian-fixture
+    test (tests/test_llmops_unit.py).
+    """
+    if mode not in ("auto", "index", "ppjoin"):
+        raise ValueError(f"unknown jaccard mode {mode!r}")
+    sh = exploded_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if mode == "auto":
+        mode = jaccard_skew_mode(sh)
+    kernel = _jaccard_index_pairs if mode == "index" else _jaccard_ppjoin_pairs
+    return kernel(sh, sizes, threshold)
 
 
 # --------------------------------------------------------------------------

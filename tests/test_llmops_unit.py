@@ -29,6 +29,51 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} on jaccard>=0.8 pairs"
 
 
+def _zipfian_docs(spark, n: int = 300):
+    """A corpus with one stop-shingle in EVERY doc (the Σdf² blowup) plus
+    an exact clone pair (docs 0 and n) so the result set is non-empty."""
+    rows = [
+        (i, "the quick fox " + " ".join(f"w{i}x{j}" for j in range(6)))
+        for i in range(n)
+    ]
+    rows.append((n, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_dispatch_measures_skew(spark):
+    """mode='auto' (VERDICT r2 item 8): the uniform fixture keeps the
+    inverted-index kernel; a Zipfian corpus dispatches to PPJoin."""
+    uniform = load_table(spark, SF_TEST, "documents")
+    assert dedup.jaccard_skew_mode(dedup.exploded_shingles(uniform)) == "index"
+    zipf = _zipfian_docs(spark)
+    assert dedup.jaccard_skew_mode(dedup.exploded_shingles(zipf)) == "ppjoin"
+
+
+def test_jaccard_zipfian_crossover_and_kernel_equality(spark):
+    """The crossover benchmark in structural form: on the Zipfian corpus
+    PPJoin's prefix filter must generate >10x fewer candidates than the
+    index join's Σdf² blowup, while all kernels (and the dispatcher)
+    return identical pairs."""
+    zipf = _zipfian_docs(spark)
+    sh = dedup.exploded_shingles(zipf).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    index_cand_rows = (
+        sh.select(F.col("doc_id").alias("a_id"), "sh")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .count()
+    )
+    pp_cands = dedup._ppjoin_candidates(sh, sizes).count()
+    assert pp_cands * 10 < index_cand_rows, (pp_cands, index_cand_rows)
+
+    key = lambda df: sorted((r.a_id, r.b_id, r.n_common) for r in df.collect())  # noqa: E731
+    r_index = key(dedup._jaccard_index_pairs(sh, sizes))
+    r_pp = key(dedup._jaccard_ppjoin_pairs(sh, sizes))
+    r_auto = key(dedup.shingle_jaccard_pairs(zipf))
+    assert r_index == r_pp == r_auto
+    assert r_index, "the clone pair must be found"
+
+
 def test_minhash_deterministic(spark):
     docs = load_table(spark, SF_TEST, "documents").limit(50)
     s1 = {(r.doc_id, tuple(r.sig)) for r in dedup.minhash_signatures(docs).collect()}
