@@ -136,6 +136,29 @@ def test_ivf_seed_pick_no_global_sort(spark):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_ann_ivf_full_plan_no_single_partition_exchange(spark):
+    """VERDICT r2 done-criterion: the whole ann_ivf_topk physical plan —
+    probe join, exact rank, everything — contains no single-partition
+    Exchange or global Sort. (Centroid fitting runs eagerly at build
+    time; its own plan is pinned by test_ivf_seed_pick_no_global_sort.)"""
+    from console_etl_spark.llmops import similarity as sim
+
+    plan = plan_of(sim.ann_ivf_topk(spark, SF_TEST))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Sort [" not in plan.replace("Sort [q_id", ""), plan[:2000]
+
+
+def test_ann_lsh_population_side_broadcasts(spark):
+    """The bucket-population (skew cap) side is bounded by 2^16 distinct
+    signatures — it must broadcast, never shuffle the corpus against it."""
+    from console_etl_spark.llmops import similarity as sim
+    from console_etl_spark.session import load_table
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    plan = plan_of(sim.srp_salted_vectors(e))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_no_unbounded_driver_materialization():
     """Grep-style scale contract (VERDICT r1 item 3): every .collect()/
     .toPandas() in the engine must sit in the pinned allowlist of
