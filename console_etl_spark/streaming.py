@@ -242,15 +242,15 @@ def signup_purchase_join(
     watermark + 24 h per side — without the time bound a stream-stream
     join would buffer forever).
 
-    ``how='left_outer'`` is the watermarked outer join: a signup with no
-    purchase in its 24 h window is emitted with NULL purchase columns
-    once the watermark passes the window's end and its state is evicted
-    — the standard "emit unmatched after watermark" pattern. Rows whose
-    window is still open when a bounded stream ends stay withheld (same
-    reason aggregate tests use complete mode); the stream-equals-batch
-    test bounds completeness by the final watermark.
+    ``how='left_outer'`` / ``'full_outer'`` are the watermarked outer
+    joins: an unmatched row is emitted with NULLs on the other side once
+    the watermark passes its join window and its state is evicted — the
+    standard "emit unmatched after watermark" pattern. Rows whose window
+    is still open when a bounded stream ends stay withheld (same reason
+    aggregate tests use complete mode); the stream-equals-batch tests
+    bound completeness by the final watermark.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type {how!r}")
     s = (
         events.filter(F.col("event_type") == "signup")
@@ -272,7 +272,7 @@ def signup_purchase_join(
         .withWatermark("p_ts", watermark)
     )
     cols = ["user_id", "signup_event", "purchase_event", "purchase_value"]
-    if how == "left_outer":
+    if how != "inner":
         # carry the signup time so callers/tests can tell which unmatched
         # rows' join windows had closed by end-of-stream
         cols.insert(2, "s_ts")

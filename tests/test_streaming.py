@@ -274,6 +274,44 @@ def test_stream_stream_left_outer_join_equals_batch(spark, events_stream_dir):
     assert must_emit <= set(emitted_unmatched.signup_event)
 
 
+def test_stream_stream_full_outer_join_subset_laws(spark, events_stream_dir):
+    """FULL OUTER completes the join matrix: matched rows equal the batch
+    inner join; every NULL-padded row on either side corresponds to a
+    truly unmatched batch row."""
+    from pyspark.sql import functions as F
+
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.signup_purchase_join(stream, how="full_outer"),
+        "t_ssfoj",
+        output_mode="append",
+    ).toPandas()
+
+    matched = got[got.purchase_event.notna() & got.signup_event.notna()].drop(
+        columns=["s_ts"]
+    )
+    want_inner = relational.range_join_purchase_after_signup(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(
+        _sorted(matched), _sorted(want_inner), check_dtype=False
+    )
+
+    e = load_table(spark, SF_TEST, "events")
+    matched_signups = set(want_inner.signup_event)
+    matched_purchases = set(want_inner.purchase_event)
+    all_signups = {
+        r.event_id for r in e.filter(F.col("event_type") == "signup").collect()
+    }
+    all_purchases = {
+        r.event_id for r in e.filter(F.col("event_type") == "purchase").collect()
+    }
+    unmatched_s = got[got.purchase_event.isna()]
+    unmatched_p = got[got.signup_event.isna()]
+    assert set(unmatched_s.signup_event) <= all_signups - matched_signups
+    assert set(unmatched_p.purchase_event) <= all_purchases - matched_purchases
+    # both sides actually emitted some evicted-unmatched rows
+    assert len(unmatched_s) > 0 and len(unmatched_p) > 0
+
+
 def test_stream_dedup_ingest_matches_batch_and_resumes(spark, tmp_path):
     """Online exact dedup: overlapping document files streamed in →
     output holds exactly the batch-dedup survivor set; re-running with
