@@ -705,6 +705,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_ann(
+    vectors: DataFrame,
+    tau: float = EMB_DUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB scale path for semantic dedup: candidate pairs from
+    multi-probe SRP-LSH buckets (never an all-pairs pass), true cosines
+    on candidates only, then the same min-id survivor rule as the exact
+    tier.
+
+    Because LSH candidates are a SUBSET of the true near-pair set and
+    every candidate carries its true cosine, the kept set is always a
+    superset of the exact tier's kept set (pinned by law in tests) —
+    the approximation can only under-drop, never wrongly drop. Cost:
+    O(n·(1+probes)) bucket rows + within-bucket capped joins.
+    """
+    from .similarity import (
+        COS_DECIMALS,
+        cosine,
+        srp_probe_signatures,
+        srp_salted_vectors,
+    )
+
+    corpus = srp_salted_vectors(vectors, id_col, vec_col)
+    nsub = corpus.groupBy("sig").agg(F.max("salt").alias("mx"))
+    probes = (
+        srp_probe_signatures(vectors, id_col, vec_col)
+        .withColumnRenamed(id_col, "q_id")
+        .join(F.broadcast(nsub.select("sig", (F.col("mx") + 1).alias("n_sub"))), "sig")
+        .withColumn("salt", F.pmod(F.xxhash64("q_id"), F.col("n_sub")))
+        .select("q_id", "sig", "salt")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("vn"), "sig", "salt"
+    )
+    qv = vectors.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("vq"))
+    dupes = (
+        probes.join(b, ["sig", "salt"])
+        .filter(F.col("q_id") < F.col("n_id"))  # unordered pair once
+        .dropDuplicates(["q_id", "n_id"])
+        .join(qv, "q_id")
+        .filter(F.round(cosine("vq", "vn"), COS_DECIMALS) >= tau)
+        .select(F.col("n_id").alias("dup_id"))
+        .distinct()
+    )
+    return vectors.join(
+        dupes, vectors[id_col] == F.col("dup_id"), "left_anti"
+    ).drop("dup_id")
+
+
+@_register("dedup_embedding_cosine_ann", None)  # rows-only: LSH buckets not SQL-portable
+def dedup_embedding_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of the ANN-backed semantic dedup over the fixture
+    embeddings (see embedding_dedup_ann). Rows-only by design; the
+    superset/consistency laws vs the exact tier are pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_dedup_ann(e).select("vec_id", "label").orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Benchmark decontamination (eval-set leakage scan)
 # --------------------------------------------------------------------------

@@ -651,6 +651,54 @@ def test_embedding_dedup_consistent_with_pair_set(spark):
     assert kept.count() + dropped.count() == corpus.count()
 
 
+def test_embedding_dedup_ann_laws(spark):
+    """ANN semantic dedup laws on a clustered corpus:
+    - kept_exact ⊆ kept_ann (LSH candidates ⊆ true pairs + true cosines
+      ⇒ the approximation can only under-drop);
+    - the ANN tier genuinely drops most cluster duplicates;
+    - on the real fixture, kept is a superset of the exact tier's kept.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows, vid = [], 0
+    for _ in range(50):
+        base = rng.normal(size=64)
+        for _ in range(4):
+            v = base + rng.normal(scale=0.05, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # exact ground truth in numpy: min-id survivor over true cosine pairs
+    mat = np.array([r[1] for r in rows])
+    sim_m = (mat @ mat.T) / np.outer(
+        np.linalg.norm(mat, axis=1), np.linalg.norm(mat, axis=1)
+    )
+    tau = dedup.EMB_DUP_TAU
+    dropped_exact = {
+        j for j in range(vid) if any(sim_m[i, j] >= tau for i in range(j))
+    }
+    kept_exact = set(range(vid)) - dropped_exact
+
+    kept_ann = {r.vec_id for r in dedup.embedding_dedup_ann(vecs).collect()}
+    assert kept_exact <= kept_ann
+    # tight clusters (cos ≈ 0.998): multi-probe LSH must catch most dupes
+    assert len(kept_ann) <= len(kept_exact) + 0.3 * len(dropped_exact), (
+        len(kept_exact),
+        len(kept_ann),
+    )
+
+    # fixture law: exact-tier kept ⊆ ann-tier kept
+    fixture_exact = {
+        r.vec_id for r in dedup.dedup_embedding_cosine(spark, SF_TEST).collect()
+    }
+    fixture_ann = {
+        r.vec_id for r in dedup.dedup_embedding_cosine_ann(spark, SF_TEST).collect()
+    }
+    assert fixture_exact <= fixture_ann
+
+
 def test_approx_percentile_within_tolerance(spark):
     """The sketch percentiles track the exact ones within 1% relative
     error at fixture scale (percentile_approx is rank-exact up to its
