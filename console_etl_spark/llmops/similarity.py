@@ -613,6 +613,94 @@ def assign_cells(
     )
 
 
+def ivf_build(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    dim: int = 64,
+) -> np.ndarray:
+    """Build a PERSISTED IVF index: fit centroids, then write the corpus
+    cell-partitioned (``partitionBy("cell")`` parquet) so a later search
+    touches only its probed cells via PARTITION PRUNING — the inverted
+    lists literally are the directory layout, the same trick the
+    catalog store uses for (package, schema). Returns the centroid
+    matrix (also persisted alongside as JSON for reuse across sessions).
+
+    Build once / search many is the production ANN shape: the O(n) fit +
+    write cost amortizes over every query batch, and at 100 TB a probe
+    reads nprobe/n_cells of the data with no job-side filtering at all.
+    """
+    import json
+    import os
+
+    cents = ivf_centroids(vectors, id_col, vec_col, n_cells, dim)
+    assigned = assign_cells(vectors, cents, id_col, vec_col).join(
+        vectors.select(id_col, vec_col), id_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "lists")
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    k: int = ANN_K,
+) -> DataFrame:
+    """Search a persisted IVF index: assign each query its nprobe nearest
+    cells, then join against ONLY those cells' partitions — the cell
+    equi-join filter prunes parquet directories, so the scan reads
+    nprobe/n_cells of the index (pinned by a PartitionFilters plan
+    test). Exact cosine ranks candidates top-k per query."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    probes = assign_cells(queries, cents, id_col, vec_col, nprobe).select(
+        F.col(id_col).alias("q_id"), "cell"
+    )
+    # Static partition pruning: the distinct probed-cell set is bounded by
+    # n_cells (centroid count — broadcast-sized by construction), so pin
+    # it as an IN-filter on the partition column rather than relying on
+    # DPP heuristics. The scan then lists only probed directories.
+    probed = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )  # bounded: ≤ n_cells values
+    lists = lists.filter(F.col("cell").isin(probed))
+    qvecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("vq")
+    )
+    cand = (
+        probes.join(
+            lists.select(
+                "cell", F.col(id_col).alias("n_id"), F.col(vec_col).alias("vn")
+            ),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(qvecs), "q_id")
+    )
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        cand.select("q_id", "n_id", cos.alias("cos_sim"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 @_register("ann_ivf_topk", None)  # rows-only: learned centroids not SQL-portable
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF: queries (vec_id % 50 == 0, same probe set as the

@@ -498,6 +498,27 @@ def test_ann_ivf_recall_beats_probed_fraction(spark):
     assert recall >= 2 * frac, f"recall {recall:.2f} <= 2x probed fraction {frac}"
 
 
+def test_ivf_build_search_matches_inline_tier(spark, tmp_path):
+    """Build-once/search-many: searching the PERSISTED cell-partitioned
+    index must return exactly what the inline ann_ivf_topk computes
+    (same centroids — deterministic fit — same probes, same ranking),
+    and the probe scan must be partition-pruned to the probed cells."""
+    e = load_table(spark, SF_TEST, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_build(e, idx)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    got = similarity.ivf_search(spark, idx, q)
+    inline = {
+        (r.q_id, r.n_id, r.cos_sim, r.rn)
+        for r in similarity.ann_ivf_topk(spark, SF_TEST).collect()
+    }
+    persisted = {(r.q_id, r.n_id, r.cos_sim, r.rn) for r in got.collect()}
+    assert persisted == inline
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:1500]
+
+
 def test_ann_ivf_cosines_are_true(spark):
     """IVF neighbors carry true cosines: none may exceed the exact top-1."""
     top1 = {

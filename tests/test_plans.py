@@ -173,6 +173,8 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "_corpus_arrays"),
         # IVF coarse quantizer: n_cells seed rows + n_cells refined means
         ("llmops/similarity.py", "ivf_centroids"),
+        # persisted-index search: distinct probed cells (≤ n_cells values)
+        ("llmops/similarity.py", "ivf_search"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
