@@ -364,9 +364,14 @@ def srp_probe_signatures(
     case where two near-duplicates land in adjacent buckets; probing
     those buckets recovers the recall that single-bucket LSH loses,
     at (1+n_probes)× probe cost instead of more signature tables.
-    All relational: margin rank is a window per id, flip is an XOR."""
-    comp = srp_projections(vectors, id_col, vec_col, bits, dim)
-    sigs = comp.groupBy(id_col).agg(F.sum(_pack_bit()).alias("sig"))
+    All relational: margin rank is a window per id, flip is an XOR.
+
+    The projection relation feeds BOTH the signature aggregate and the
+    margin-rank window, and the signatures feed both the base output and
+    the flip join — persisted so the posexplode×matrix join runs once,
+    not three times (same reasoning as dedup_minhash_lsh's persist)."""
+    comp = srp_projections(vectors, id_col, vec_col, bits, dim).persist()
+    sigs = comp.groupBy(id_col).agg(F.sum(_pack_bit()).alias("sig")).persist()
     w = W.partitionBy(id_col).orderBy(F.abs(F.col("proj")), "bit_idx")
     flips = (
         comp.withColumn("rk", F.row_number().over(w))
@@ -399,7 +404,9 @@ def srp_salted_vectors(
     skew bound. Bucket populations are one row per distinct signature
     (≤ 2^LSH_SIG_BITS — bounded), so the pop side broadcasts.
     """
-    sigs = srp_signatures(vectors, id_col, vec_col)
+    # sigs feeds both the vector join and the population count — persist
+    # so the projection pipeline runs once.
+    sigs = srp_signatures(vectors, id_col, vec_col).persist()
     vecs = vectors.select(id_col, vec_col).join(sigs, id_col)
     pops = sigs.groupBy("sig").agg(F.count("*").alias("pop"))
     n_sub = F.greatest(F.ceil(F.col("pop") / F.lit(cap)).cast("long"), F.lit(1))
