@@ -1691,6 +1691,44 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "map_functions_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT) AS n_urgent,
+           CAST(COALESCE(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW'), 0) AS BIGINT) AS n_low,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def map_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column coverage (the complex-type surface arrays don't
+    reach): per-status priority→count MAPS built with map_from_entries
+    over a sorted collect_list, then consumed with size / element_at /
+    a map_values fold — all JVM-side. The oracle checks the extracted
+    scalars (DuckDB's MAP isn't hash-comparable across engines; the
+    lookups and fold are), so the map plumbing itself is what's under
+    differential test."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    m = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return m.select(
+        "o_orderstatus",
+        F.size("m").cast("long").alias("n_priorities"),
+        F.coalesce(F.element_at("m", F.lit("1-URGENT")), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.element_at("m", F.lit("5-LOW")), F.lit(0)).alias("n_low"),
+        total.alias("n_total"),
+    )
+
+
+@_register(
     "q16_supplier_variety",
     """
     SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
