@@ -169,6 +169,50 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_repetition_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), bi AS (
+      SELECT doc_id, w || ' ' || LEAD(w) OVER win AS bg
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w) OVER win IS NOT NULL
+    ), cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-style 'fraction of the
+    document inside its most common n-gram' filter used to drop
+    boilerplate/spam from pretraining corpora): per document, total word
+    bigrams and the share held by the top bigram. Bigrams built
+    positionally in-row (no window shuffle); one doc_id aggregation.
+    Docs with <2 words carry no bigrams and drop out in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 9).alias("top_bigram_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------------
