@@ -89,11 +89,13 @@ _PRIORITY = (
     "sessionize_events",
     # set ops
     "setop_union_nations",
-    # sorts/top-k + scalar functions
-    "topk_expensive_orders",
+    # scalar + complex-type functions (map tier newly in-window; top-k
+    # family stays covered by q10/q18's TakeOrderedAndProject plans)
+    "map_functions_orders",
     "scalar_functions_showcase",
-    # events tier (streaming batch twins + X6 JSON extraction + gap-fill)
-    "events_hourly_stats",
+    # events tier (streaming twins stay covered by sessionize/hypertable;
+    # X6 JSON extraction + gap-fill)
+    "text_repetition_stats",
     "events_json_extract",
     "hypertable_rollup_events",
     "gapfill_hourly_events",
