@@ -217,6 +217,79 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fingerprinting
 # --------------------------------------------------------------------------
 
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: any match ≥ w+k-1 chars shares a fp)
+
+
+@_register(
+    "text_winnowed_fingerprints",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS i,
+             length(text) - {WINNOW_K - 1} AS m
+      FROM documents
+      WHERE length(text) >= {WINNOW_K}
+    ), grams AS (
+      SELECT doc_id, i, m,
+             md5(substring(text, CAST(i AS INT), {WINNOW_K})) AS h
+      FROM pos
+    ), wins AS (
+      SELECT doc_id, i, m,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - {WINNOW_W - 1}
+    """,
+)
+def text_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (Schleimer/MOSS shape): hash
+    every char k-gram, slide a w-window over the hash sequence, keep
+    each window's minimum — any substring match of length ≥ w+k-1 chars
+    between two documents is guaranteed to share a fingerprint, at ~1/w
+    the k-gram count. The copy-detection primitive for partial-overlap
+    dedup, where whole-doc hashes (text_fingerprints) see nothing.
+
+    Deliberately explode + codegen'd md5 + sliding window MIN, NOT an
+    in-row higher-order-function formulation: HOF lambdas evaluate
+    interpreted per element (an A/B at fixture scale measured ~78 s
+    interpreted vs ~2 s for this plan — same lesson as
+    minhash_signatures). One exchange on doc_id for the window, one for
+    the distinct; the text column is projected away before the shuffle.
+    Hashes are md5 hex strings: their lexicographic MIN agrees across
+    engines, making the whole construction oracle-checkable.
+    """
+    from pyspark.sql import Window as W
+
+    from ..session import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    grams = (
+        spread(d.select("doc_id", "text"))
+        .filter(n >= WINNOW_K)
+        .select(
+            "doc_id",
+            "text",
+            (n - (WINNOW_K - 1)).alias("m"),
+            F.explode(F.sequence(F.lit(1), n - (WINNOW_K - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            "m",
+            F.md5(F.col("text").substr(F.col("i"), F.lit(WINNOW_K))).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, WINNOW_W - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("m") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
 @_register(
     "text_fingerprints",
     f"""
