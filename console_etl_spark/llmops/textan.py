@@ -221,10 +221,8 @@ WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # winnowing window (guarantee: any match ≥ w+k-1 chars shares a fp)
 
 
-@_register(
-    "text_winnowed_fingerprints",
-    f"""
-    WITH pos AS (
+_WINNOW_FPS_SQL = f"""
+    pos AS (
       SELECT doc_id, text,
              unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS i,
              length(text) - {WINNOW_K - 1} AS m
@@ -239,9 +237,15 @@ WINNOW_W = 4  # winnowing window (guarantee: any match ≥ w+k-1 chars shares a 
              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
       FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - {WINNOW_W - 1}
     )
-    SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - {WINNOW_W - 1}
-    """,
+"""
+
+
+@_register(
+    "text_winnowed_fingerprints",
+    f"WITH {_WINNOW_FPS_SQL} SELECT doc_id, fp FROM fps",
 )
 def text_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints (Schleimer/MOSS shape): hash
@@ -288,6 +292,44 @@ def text_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i") <= F.col("m") - (WINNOW_W - 1))
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+PARTIAL_OVERLAP_MIN_FPS = 3
+
+
+@_register(
+    "text_partial_overlap_pairs",
+    f"""
+    WITH {_WINNOW_FPS_SQL}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {PARTIAL_OVERLAP_MIN_FPS}
+    """,
+)
+def text_partial_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap (copied-passage) candidates: document pairs
+    sharing ≥ {PARTIAL_OVERLAP_MIN_FPS} winnowed fingerprints — what the
+    winnowing guarantee is FOR: a copied span of w+k-1+ chars between
+    otherwise-different documents must collide here, while whole-doc
+    hashing and even shingle-Jaccard (diluted by document length) can
+    miss it. Same inverted-index join shape as dedup_shingle_jaccard,
+    but over the ~1/w-sampled fingerprint relation, so the Σdf² cost
+    runs on a corpus-size-divided index. The fingerprint relation is
+    persisted: it feeds both join sides.
+    """
+    fps = text_winnowed_fingerprints(spark, sf_dir).persist()
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= PARTIAL_OVERLAP_MIN_FPS)
     )
 
 @_register(
