@@ -267,6 +267,29 @@ def test_langid_deterministic_and_covering(spark):
     assert langs <= set(textan.LANG_PROFILES)
 
 
+def test_winnowing_guarantee_shared_span_shares_fingerprint(spark, tmp_path):
+    """The winnowing contract (Schleimer et al.): two documents sharing
+    any substring of length ≥ w+k-1 chars MUST share at least one
+    fingerprint, wherever the span sits in each document."""
+    span = "THE-COPIED-PASSAGE-IS-HERE"  # 26 ≥ WINNOW_W + WINNOW_K - 1 = 11
+    docs = [
+        (1, "aaaa bbbb " + span + " cccc dddd"),
+        (2, span + " totally different tail text"),
+        (3, "unrelated document with zero overlap at all"),
+        (4, "prefix words then " + span),
+    ]
+    pdir = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        pdir + "/documents.parquet"
+    )
+    fps = {}
+    for r in textan.text_winnowed_fingerprints(spark, pdir).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    for a, b in [(1, 2), (1, 4), (2, 4)]:
+        assert fps[a] & fps[b], f"docs {a},{b} share a 26-char span but no fp"
+    assert not (fps[3] & (fps[1] | fps[2] | fps[4]))
+
+
 def test_quality_scores_bounds(spark):
     rows = textan.text_quality_scores(spark, SF_TEST).collect()
     for r in rows:
