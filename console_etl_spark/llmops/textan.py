@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table
@@ -430,4 +430,117 @@ def text_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_subwords"),
         F.size(F.split("text", " ")).alias("n_whitespace_tokens"),
         "n_chars",
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level language-model signals
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_unigram_perplexity",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(EXP(-AVG(LN(CAST(c AS DOUBLE) / t))), 6) AS unigram_ppl
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal, with the corpus itself as
+    the unigram LM: ppl(doc) = exp(-mean_w ln p(w)), p(w) = freq(w)/N.
+    Low-perplexity docs are made of common tokens (boilerplate-ish);
+    high-perplexity docs are rare-token-heavy (noise-ish) — the standard
+    two-sided quality filter.
+
+    Scale: the vocabulary grows sublinearly in corpus size (Heaps' law),
+    so `freq` is orders of magnitude smaller than the token relation;
+    the token->freq equi-join shuffles on the token key where AQE's
+    skew-join splits the Zipfian head, and the 1-row total is a
+    broadcast nested loop. Rounded to 6 decimals on both sides: the
+    log-sum order differs between engines but agrees far past 6 places.
+    Capability analog: reference serves documents verbatim with no
+    quality signal (main.go:268); this is the scored tier a training
+    pipeline needs on top."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.exp(-F.avg(F.log(F.col("c").cast("double") / F.col("t")))), 6
+            ).alias("unigram_ppl"),
+        )
+    )
+
+
+@_register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY w),
+    tf AS (SELECT source, w, COUNT(*) AS term_freq FROM tok GROUP BY source, w),
+    scored AS (
+        SELECT source, w AS term, term_freq, doc_freq,
+               ROUND(term_freq * LN(CAST(n_docs AS DOUBLE) / doc_freq), 6)
+                 AS tfidf
+        FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT source, term, term_freq, doc_freq, tfidf, rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by TF-IDF (term frequency
+    within the source x inverse document frequency across the corpus) —
+    the "what is this data source about" fingerprint used when auditing
+    a training mix.
+
+    Scale: two token-keyed aggregations (both map-side partial), one
+    vocab-sized equi-join, and a per-source WindowGroupLimit top-k —
+    no corpus-sized sort. Ranking and values use the same ROUND(.,6)
+    on both engines so float ulp differences cannot flip ranks."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(tokens()).alias("w"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = tok.groupBy("source", "w").agg(F.count("*").alias("term_freq"))
+    scored = (
+        tf.join(df_, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            "term_freq",
+            "doc_freq",
+            F.round(
+                F.col("term_freq")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w_spec = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_spec))
+        .where(F.col("rnk") <= 5)
     )
