@@ -745,3 +745,200 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ANN_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (ADC shortlist + exact rerank — memory-bounded ANN)
+# --------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_KSUB = 16      # codes per subspace (4-bit codes)
+PQ_SHORTLIST = 64 # ADC shortlist size fed to the exact rerank
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks (m, ksub, dim/m).
+
+    Seeds: the same shuffle-free hash-strided pick the IVF coarse
+    quantizer uses (ksub corpus vectors, sliced per subspace) — no RNG,
+    reproducible on any cluster. Refinement: one distributed Lloyd step
+    per subspace — every vector's subvectors are assigned to their
+    nearest code (Arrow-batch GEMM, map-side), per-partition partial
+    sums are emitted, and the final (m·ksub)-row mean reduction is the
+    only thing collected. Empty codes keep their seed."""
+    n = vectors.count()
+    seed_rows = ivf_seed_candidates(vectors, id_col, vec_col, ksub, n).collect()
+    if len(seed_rows) < min(ksub, n):
+        seed_rows = (
+            vectors.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+        )
+    seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    ksub = len(seeds)
+    dsub = dim // m
+    books = seeds.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # (m,ksub,dsub)
+
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+    sum_cols = ", ".join(f"s{i} double" for i in range(dsub))
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per-partition (sub, code) -> (count, sum per dim) partials —
+        the map-side combine of the Lloyd mean."""
+        bks = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = []
+            for s in range(bks.shape[0]):
+                sub = mat[:, s * dsub : (s + 1) * dsub]  # (rows, dsub)
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1)
+                code = d2.argmin(1)
+                for c in np.unique(code):
+                    sel = sub[code == c]
+                    out.append(
+                        [s, int(c), len(sel)] + sel.sum(axis=0).tolist()
+                    )
+            cols = ["sub", "code", "cnt"] + [f"s{i}" for i in range(dsub)]
+            yield pd.DataFrame(out, columns=cols)
+
+    agg = [F.sum("cnt").alias("cnt")] + [
+        F.sum(f"s{i}").alias(f"s{i}") for i in range(dsub)
+    ]
+    rows = (
+        spread(vectors.select(id_col, vec_col))
+        .mapInPandas(partials, f"sub int, code int, cnt long, {sum_cols}")
+        .groupBy("sub", "code")
+        .agg(*agg)
+        .collect()
+    )  # bounded: <= m * ksub rows
+    refined = books.copy()
+    for r in rows:
+        refined[r["sub"], r["code"]] = [
+            r[f"s{i}"] / r["cnt"] for i in range(dsub)
+        ]
+    return refined
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m subspace code
+    ids (m·log2(ksub) bits vs dim·32 for the raw floats; 8 codes vs 64
+    floats here = 32x smaller candidate relation). Arrow-batch GEMM
+    argmin per subspace, map-side only."""
+    m, ksub, dsub = books.shape
+    bc = vectors.sparkSession.sparkContext.broadcast(books)
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - bks[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return spread(vectors.select(id_col, vec_col)).mapInPandas(
+        encode, f"{id_col} long, codes array<long>"
+    )
+
+
+@_register("ann_pq_topk", None)  # rows-only: learned codebooks not SQL-portable
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with exact rerank (the IVFADC recipe
+    minus the coarse level): corpus vectors are compressed to m code ids;
+    candidate scoring is asymmetric-distance (query x codebook lookup
+    tables, computed per Arrow batch); the per-query ADC shortlist
+    (PQ_SHORTLIST) is then reranked with EXACT cosine on the original
+    vectors, so only shortlist_k.|queries| full vectors are ever touched.
+
+    100 TB story: the scan that scores candidates reads the 32x-smaller
+    code relation, not the embeddings; per-partition partial top-k keeps
+    the shuffle at shortlist.|queries| rows; the rerank join touches a
+    bounded id set. Same query subset (vec_id % 50) as the exact tier so
+    recall is measured in tests/test_llmops_unit.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e)
+    m, ksub, dsub = books.shape
+    codes = pq_encode(e, books)
+
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    ids_q, mat_q, norms_q = _corpus_arrays(q, "vec_id", "embedding")
+    # per-code reconstruction norms: |recon|^2 = sum_s |books[s][code_s]|^2
+    code_norm2 = (books * books).sum(axis=2)  # (m, ksub)
+    # ADC lookup tables: LUT[s][q, c] = q_sub . books[s][c]
+    luts = np.stack(
+        [
+            mat_q[:, s * dsub : (s + 1) * dsub] @ books[s].T
+            for s in range(m)
+        ]
+    )  # (m, nq, ksub)
+    bc = spark.sparkContext.broadcast((ids_q, norms_q, luts, code_norm2))
+
+    def adc_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qnorms, tables, cn2 = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            nids = pdf["vec_id"].to_numpy()
+            cds = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (rows, m)
+            dots = np.zeros((len(qids), len(nids)))
+            rn2 = np.zeros(len(nids))
+            for s in range(tables.shape[0]):
+                dots += tables[s][:, cds[:, s]]  # (nq, rows)
+                rn2 += cn2[s, cds[:, s]]
+            sim = dots / np.maximum(
+                np.outer(qnorms, np.sqrt(rn2)), 1e-12
+            )
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                row = sim[qi]
+                cand = np.nonzero(nids != qids[qi])[0]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((nids[cand], -row[cand]))[:PQ_SHORTLIST]
+                pick = cand[order]
+                out_q.extend([qids[qi]] * len(pick))
+                out_n.extend(nids[pick])
+                out_s.extend(row[pick])
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "adc_sim": out_s}
+            )
+
+    cand = codes.mapInPandas(adc_topk, "q_id long, n_id long, adc_sim double")
+    ws = W.partitionBy("q_id").orderBy(F.desc("adc_sim"), "n_id")
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+    # exact rerank over the bounded shortlist
+    qvecs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
+    rerank = shortlist.join(
+        e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")),
+        "n_id",
+    ).join(F.broadcast(qvecs), "q_id")
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        rerank.select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+    )
