@@ -896,6 +896,45 @@ def range_join_purchase_after_signup(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @_register(
+    "events_user_enriched_stats",
+    """
+    SELECT n.n_name AS nation, e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def events_user_enriched_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream enrichment against slowly-changing dimensions: each
+    event picks up its user's nation, then per-(nation, event_type)
+    count + exact value sum. The dims are broadcast — the fact side
+    never shuffles for the join, only for the final small aggregation —
+    which is the 100 TB shape: enriching a firehose against
+    dictionary-sized dimensions is a map-side operation. The streaming
+    twin (same plan over readStream, stream-static broadcast join) is
+    streaming.enrich_events."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dims = F.broadcast(
+        c.join(n, c.c_nationkey == n.n_nationkey).select(
+            F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation")
+        )
+    )
+    return (
+        e.join(dims, "user_id")
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@_register(
     "sessionize_events",
     """
     WITH flagged AS (

@@ -285,6 +285,36 @@ def signup_purchase_join(
     ).select(*cols)
 
 
+def enrich_events(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join (streaming twin of
+    relational.events_user_enriched_stats): the unbounded event stream
+    picks up its user's nation from STATIC dimension tables, then
+    aggregates per (nation, event_type).
+
+    Stream-static joins need no watermark on the static side — the dim
+    is re-read per micro-batch (so slowly-changing dims are picked up)
+    and broadcast, keeping the join stateless and map-side: the 100 TB
+    firehose shape. Only the final small aggregation keeps state."""
+    dims = F.broadcast(
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        ).select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return (
+        events.join(dims, "user_id")
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum("value").alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming incremental dedup: online exact-dedup against a persistent
 # hash index (the ingestion-time dedup of a continuously-fed corpus)

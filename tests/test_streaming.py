@@ -71,6 +71,21 @@ def test_stream_sliding_equals_batch(spark, events_stream_dir):
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
 
 
+def test_stream_static_enrichment_equals_batch(spark, events_stream_dir):
+    """Stream-static broadcast join: enriching the event stream against
+    static customer/nation dims must equal the batch twin exactly (the
+    join is stateless per micro-batch, so incremental execution cannot
+    change the result)."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    customer = spark.read.parquet(f"{SF_TEST}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_TEST}/nation.parquet")
+    got = streaming.run_to_completion(
+        streaming.enrich_events(stream, customer, nation), "t_enrich"
+    ).toPandas()
+    want = relational.events_user_enriched_stats(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
 def test_stream_sessions_equal_batch_sessionize(spark, events_stream_dir):
     """session_window sessions must partition events identically to the
     batch lag+cumsum sessionization: same per-user session count and the
