@@ -113,6 +113,24 @@ def main() -> None:
         )
     load_after = os.getloadavg()
 
+    # Driver contract is ONE parseable JSON line; round 3's artifact blew
+    # the driver's line-capture budget by inlining 27x3 per-pass floats
+    # and went unparsed. The full diagnostic detail now lives in a
+    # sidecar (BENCH_DETAIL.json next to this script) and on stderr; the
+    # final stdout line stays compact: headline totals + per-query mins.
+    detail = {
+        "queries_cold": cold,
+        "queries_median": median,
+        "passes": passes,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:  # read-only checkout: detail still reaches stderr
+        print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -121,10 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value_cold": round(total_cold, 3),
-                "queries_cold": cold,
                 "value_median": round(total_median, 3),
-                "queries_median": median,
-                "passes": passes,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,

@@ -744,11 +744,19 @@ def embedding_dedup_ann(
     qv = vectors.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("vq"))
     dupes = (
         probes.join(b, ["sig", "salt"])
-        .filter(F.col("q_id") < F.col("n_id"))  # unordered pair once
-        .dropDuplicates(["q_id", "n_id"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        # normalize pairs with least/greatest instead of a q_id < n_id
+        # filter: a pair discovered only in the b->a probe direction (the
+        # larger id's flipped bits reaching the smaller id's bucket) is
+        # paid-for recall that a one-direction filter throws away
+        # (ADVICE r3). Cosine is symmetric, so scoring the surviving
+        # orientation is equivalent.
+        .withColumn("pair_lo", F.least("q_id", "n_id"))
+        .withColumn("pair_hi", F.greatest("q_id", "n_id"))
+        .dropDuplicates(["pair_lo", "pair_hi"])
         .join(qv, "q_id")
         .filter(F.round(cosine("vq", "vn"), COS_DECIMALS) >= tau)
-        .select(F.col("n_id").alias("dup_id"))
+        .select(F.col("pair_hi").alias("dup_id"))
         .distinct()
     )
     return vectors.join(

@@ -5,9 +5,10 @@ higher-order functions (zip_with / transform / aggregate) in double
 precision — JVM-side, no Python in the row path.
 
 Scale design:
-- Brute-force top-k broadcast-joins the (small) query set against the
-  corpus: one pass, no corpus shuffle, per-partition heaps via
-  row_number — the exactness baseline.
+- Brute-force top-k runs over asymmetric (corpus-block × query-chunk)
+  tiles — per-tile GEMM + partial top-k, global window rank — so neither
+  side is ever driver-materialized or broadcast, whatever the query-set
+  size. The exactness baseline for every ANN tier's recall.
 - Pairwise near-dup and ANN use sign-random-projection LSH buckets so
   candidate generation is a bucket equi-join (O(n·sig) work), not a
   corpus cross-join. The projection matrix is derived from xxhash64 —
@@ -88,20 +89,47 @@ COS_DECIMALS = 9  # calibrated: round-9 cosine is bit-identical vs DuckDB
 #   and the GEMM runs per tile inside applyInPandas. Nothing ever
 #   materializes on the driver; executor memory is O(2·n/blocks · dim)
 #   per tile, tuned by raising the block count with corpus size.
-# - Query top-k (ann_topk_cosine): the BOUNDED query subset (1/50 of ids)
-#   is broadcast; the corpus streams through mapInPandas partition-local.
+# - Query top-k (ann_topk_cosine / ann_pq_topk): ASYMMETRIC TILES —
+#   queries hash into fixed-size chunks, the corpus into blocks; each
+#   (block, chunk) pair is one tile. Nothing query-sized ever touches
+#   the driver or a broadcast: per-tile memory is O(chunk·dim +
+#   n/blocks·row), however large the query set grows. (The previous
+#   shape — driver toPandas + broadcast of the query subset — was the
+#   last structurally-unbounded driver path in the engine: the "bounded"
+#   subset was a fixed FRACTION of the corpus, i.e. linear growth.)
 
-def _corpus_arrays(df: DataFrame, id_col: str, vec_col: str):
-    """Driver-side materialization of a BOUNDED comparison side (the
-    ann_topk query subset — never an unbounded corpus; the all-pairs path
-    uses the tiled applyInPandas kernel instead). Cosine is computed as
-    (A@Bᵀ)/outer(na,nb) — exactly the per-pair formula, so results match
-    the exact tier. tests/test_llmops_unit.py pins the allowlist of
-    driver-side materialization sites."""
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+NEAR_TILE_BLOCKS = 8  # raise with corpus size so a tile (2·n/blocks rows) fits one executor
+ANN_QUERY_CHUNK = 1024  # queries per tile — the per-tile memory bound
+
+
+def _query_corpus_tiles(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_chunks: int,
+    n_blocks: int = NEAR_TILE_BLOCKS,
+) -> DataFrame:
+    """Union relation for the asymmetric tiling: every (query, corpus-row)
+    pair meets in EXACTLY one tile (blk(corpus row), chunk(query)) —
+    corpus rows replicate across query chunks, query rows across corpus
+    blocks, so per-tile candidate top-k needs no dedup pass. Column
+    layout: role 0 = corpus (rid, payload), role 1 = query (rid, qvec).
+    Shuffle volume is n·n_chunks + |Q|·n_blocks rows — a 1/chunk fraction
+    of the O(n·|Q|) FLOPs the exact scoring pays by definition."""
+    c = corpus.withColumn(
+        "blk", F.pmod(F.xxhash64("rid"), F.lit(n_blocks)).cast("int")
+    ).select(
+        F.lit(0).alias("role"),
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(n_chunks)])).alias("chunk"),
+    )
+    q = queries.withColumn(
+        "chunk", F.pmod(F.xxhash64("rid"), F.lit(n_chunks)).cast("int")
+    ).select(
+        F.lit(1).alias("role"),
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk"),
+    )
+    return c.unionByName(q, allowMissingColumns=True)
 
 
 # --------------------------------------------------------------------------
@@ -109,7 +137,6 @@ def _corpus_arrays(df: DataFrame, id_col: str, vec_col: str):
 # --------------------------------------------------------------------------
 
 NEAR_DUP_TAU = 0.4
-NEAR_TILE_BLOCKS = 8  # raise with corpus size so a tile (2·n/blocks rows) fits one executor
 
 @_register(
     "embedding_near_pairs",
@@ -213,52 +240,58 @@ ANN_K = 5
     """,
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (exact ANN baseline): the query subset
-    (vec_id % 50 == 0) is broadcast against the corpus; ranking is a
-    per-query row_number with deterministic tiebreak on neighbor id.
+    """Brute-force cosine top-k (exact ANN baseline), computed over
+    asymmetric (corpus-block × query-chunk) tiles: per-tile GEMM +
+    per-query partial top-k (global top-k is a subset of the union of
+    per-tile top-ks), then a global row_number with the deterministic
+    tiebreak (cos desc, n_id asc).
 
-    At 100 TB the corpus side never shuffles — scan × broadcast queries,
-    partial top-k per partition, tiny shuffle of k·|queries| rows.
+    At 100 TB neither side ever lands on the driver or in a broadcast:
+    the query set tiles into ANN_QUERY_CHUNK-row chunks however large it
+    grows, per-tile memory stays O(chunk·dim + n/blocks·dim), and the
+    rank shuffle carries only k·|queries|·n_blocks candidate rows.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    ids_q, mat_q, norms_q = _corpus_arrays(q, "vec_id", "embedding")
-    bc = spark.sparkContext.broadcast((ids_q, mat_q, norms_q))
+    n_chunks = max(1, -(-q.count() // ANN_QUERY_CHUNK))
+    tiles = _query_corpus_tiles(
+        q.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("qvec")),
+        e.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("nvec")),
+        n_chunks,
+    )
 
-    def block_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Per-partition candidate top-k per query (global top-k is a
-        subset of the union of per-block top-ks), so the shuffle carries
-        k·|queries| rows per block instead of |corpus|·|queries|."""
-        qids, qmat, qnorms = bc.value
-        for pdf in it:
-            if pdf.empty:
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "n_id": [], "cos_sim": []}).astype(
+            {"q_id": "int64", "n_id": "int64", "cos_sim": "float64"}
+        )
+        qs = pdf[pdf["role"] == 1]
+        ns = pdf[pdf["role"] == 0]
+        if qs.empty or ns.empty:
+            return empty
+        qids = qs["rid"].to_numpy()
+        qmat = np.array(qs["qvec"].tolist(), dtype=np.float64)
+        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+        nids = ns["rid"].to_numpy()
+        nmat = np.array(ns["nvec"].tolist(), dtype=np.float64)
+        nnorms = np.sqrt((nmat * nmat).sum(axis=1))
+        sim = np.round((qmat @ nmat.T) / np.outer(qnorms, nnorms), COS_DECIMALS)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = sim[qi]
+            # exact per-tile top-k with the global tiebreak
+            # (cos desc, n_id asc) — order-stable via lexsort
+            cand = np.nonzero(nids != qids[qi])[0]
+            if cand.size == 0:
                 continue
-            nids = pdf["vec_id"].to_numpy()
-            nmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            nnorms = np.sqrt((nmat * nmat).sum(axis=1))
-            sim = np.round(
-                (qmat @ nmat.T) / np.outer(qnorms, nnorms), COS_DECIMALS
-            )  # (n_queries, block)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                row = sim[qi]
-                valid = nids != qids[qi]
-                # exact per-block top-k with the global tiebreak
-                # (cos desc, n_id asc) — order-stable via lexsort
-                cand = np.nonzero(valid)[0]
-                if cand.size == 0:
-                    continue
-                order = np.lexsort((nids[cand], -row[cand]))[:ANN_K]
-                pick = cand[order]
-                out_q.extend([qids[qi]] * len(pick))
-                out_n.extend(nids[pick])
-                out_s.extend(row[pick])
-            yield pd.DataFrame(
-                {"q_id": out_q, "n_id": out_n, "cos_sim": out_s}
-            )
+            order = np.lexsort((nids[cand], -row[cand]))[:ANN_K]
+            pick = cand[order]
+            out_q.extend([qids[qi]] * len(pick))
+            out_n.extend(nids[pick])
+            out_s.extend(row[pick])
+        return pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos_sim": out_s})
 
-    cand = spread(e.select("vec_id", "embedding")).mapInPandas(
-        block_topk, "q_id long, n_id long, cos_sim double"
+    cand = tiles.groupBy("blk", "chunk").applyInPandas(
+        tile_topk, "q_id long, n_id long, cos_sim double"
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
     return cand.withColumn("rn", F.row_number().over(w)).filter(
@@ -369,7 +402,13 @@ def srp_probe_signatures(
     The projection relation feeds BOTH the signature aggregate and the
     margin-rank window, and the signatures feed both the base output and
     the flip join — persisted so the posexplode×matrix join runs once,
-    not three times (same reasoning as dedup_minhash_lsh's persist)."""
+    not three times (same reasoning as dedup_minhash_lsh's persist).
+
+    Cache contract: the persisted intermediates stay pinned for plan
+    reuse; a long-lived session calling this repeatedly must reclaim them
+    (``spark.catalog.clearCache()``, as bench.py does per measurement) —
+    there is no post-action hook in a lazily-evaluated return to
+    unpersist them safely from here."""
     comp = srp_projections(vectors, id_col, vec_col, bits, dim).persist()
     sigs = comp.groupBy(id_col).agg(F.sum(_pack_bit()).alias("sig")).persist()
     w = W.partitionBy(id_col).orderBy(F.abs(F.col("proj")), "bit_idx")
@@ -403,6 +442,10 @@ def srp_salted_vectors(
     self-join does O(pop·cap) work instead of O(pop²) — the VERDICT r2
     skew bound. Bucket populations are one row per distinct signature
     (≤ 2^LSH_SIG_BITS — bounded), so the pop side broadcasts.
+
+    Cache contract: the signature relation stays persisted for plan
+    reuse; long-lived sessions reclaim it via
+    ``spark.catalog.clearCache()`` (see srp_probe_signatures).
     """
     # sigs feeds both the vector join and the population count — persist
     # so the projection pipeline runs once.
@@ -568,9 +611,7 @@ def ivf_centroids(
     seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
     seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
 
-    assigned = assign_cells(vectors, seeds, id_col, vec_col).join(
-        vectors.select(id_col, vec_col), id_col
-    )
+    assigned = assign_cells(vectors, seeds, id_col, vec_col, keep_vec=True)
     mean_cols = [
         F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}") for i in range(dim)
     ]
@@ -588,12 +629,23 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell) assignment — or the nprobe nearest cells per vector when
     probing queries. Centroids are broadcast; assignment is an Arrow-batch
-    GEMM argmax over cosine (centroids are unit vectors, so dot/|v|)."""
+    GEMM argmax over cosine (centroids are unit vectors, so dot/|v|).
+
+    ``keep_vec=True`` carries the vector through the map, so consumers
+    that need (id, cell, vector) — the Lloyd refinement, the index write,
+    the inline probe join — avoid re-joining the corpus on id: that join
+    was one avoidable linear shuffle of the whole corpus (VERDICT r3
+    item 5)."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} long, cell long" + (
+        f", {vec_col} {vec_t}" if keep_vec else ""
+    )
 
     def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
@@ -601,23 +653,23 @@ def assign_cells(
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy()
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vecs = pdf[vec_col].tolist()
+            mat = np.array(vecs, dtype=np.float64)
             norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
             sim = (mat @ cents.T) / norms[:, None]
             # top-nprobe cells, best first; ties broken by cell id (argsort
             # is stable after negating similarities)
             top = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
             k = top.shape[1]
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, k),
-                    "cell": top.ravel().astype("int64"),
-                }
-            )
+            out = {
+                id_col: np.repeat(ids, k),
+                "cell": top.ravel().astype("int64"),
+            }
+            if keep_vec:
+                out[vec_col] = [v for v in vecs for _ in range(k)]
+            yield pd.DataFrame(out)
 
-    return spread(vectors.select(id_col, vec_col)).mapInPandas(
-        blocks, f"{id_col} long, cell long"
-    )
+    return spread(vectors.select(id_col, vec_col)).mapInPandas(blocks, schema)
 
 
 def ivf_build(
@@ -643,14 +695,17 @@ def ivf_build(
     import os
 
     cents = ivf_centroids(vectors, id_col, vec_col, n_cells, dim)
-    assigned = assign_cells(vectors, cents, id_col, vec_col).join(
-        vectors.select(id_col, vec_col), id_col
-    )
+    assigned = assign_cells(vectors, cents, id_col, vec_col, keep_vec=True)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, "lists")
     )
-    with open(os.path.join(index_dir, "centroids.json"), "w") as f:
-        json.dump(cents.tolist(), f)
+    # centroids travel through the same filesystem as the lists: a local
+    # open() would write the index to hdfs/s3 but silently strand the
+    # centroids on one driver's local disk (ADVICE r3)
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(cents.tolist()),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(index_dir, "centroids"))
     return cents
 
 
@@ -671,8 +726,8 @@ def ivf_search(
     import json
     import os
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        cents = np.array(json.load(f), dtype=np.float64)
+    cent_rows = spark.read.text(os.path.join(index_dir, "centroids")).collect()
+    cents = np.array(json.loads(cent_rows[0].value), dtype=np.float64)
     lists = spark.read.parquet(os.path.join(index_dir, "lists"))
     probes = assign_cells(queries, cents, id_col, vec_col, nprobe).select(
         F.col(id_col).alias("q_id"), "cell"
@@ -721,7 +776,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(e)
-    corpus = assign_cells(e, cents).join(e.select("vec_id", "embedding"), "vec_id")
+    corpus = assign_cells(e, cents, keep_vec=True)
     q = e.filter(F.col("vec_id") % 50 == 0)
     probes = assign_cells(q, cents, nprobe=IVF_NPROBE).select(
         F.col("vec_id").alias("q_id"), "cell"
@@ -870,71 +925,83 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, so only shortlist_k.|queries| full vectors are ever touched.
 
     100 TB story: the scan that scores candidates reads the 32x-smaller
-    code relation, not the embeddings; per-partition partial top-k keeps
-    the shuffle at shortlist.|queries| rows; the rerank join touches a
-    bounded id set. Same query subset (vec_id % 50) as the exact tier so
-    recall is measured in tests/test_llmops_unit.py."""
+    code relation, not the embeddings; ADC scoring runs over asymmetric
+    (code-block × query-chunk) tiles — the per-tile LUT is (m·chunk·ksub)
+    floats computed tile-locally from the raw query rows, so nothing
+    query-sized is ever driver-materialized or broadcast (only the
+    m·ksub·dsub codebooks are); per-tile partial top-k keeps the shuffle
+    at shortlist·|queries|·n_blocks rows; the rerank join touches a
+    bounded id set per query. Same query subset (vec_id % 50) as the
+    exact tier so recall is measured in tests/test_llmops_unit.py."""
     e = load_table(spark, sf_dir, "embeddings")
     books = pq_codebooks(e)
     m, ksub, dsub = books.shape
     codes = pq_encode(e, books)
 
     q = e.filter(F.col("vec_id") % 50 == 0)
-    ids_q, mat_q, norms_q = _corpus_arrays(q, "vec_id", "embedding")
+    n_chunks = max(1, -(-q.count() // ANN_QUERY_CHUNK))
+    tiles = _query_corpus_tiles(
+        q.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("qvec")),
+        codes.select(F.col("vec_id").alias("rid"), "codes"),
+        n_chunks,
+    )
     # per-code reconstruction norms: |recon|^2 = sum_s |books[s][code_s]|^2
     code_norm2 = (books * books).sum(axis=2)  # (m, ksub)
-    # ADC lookup tables: LUT[s][q, c] = q_sub . books[s][c]
-    luts = np.stack(
-        [
-            mat_q[:, s * dsub : (s + 1) * dsub] @ books[s].T
-            for s in range(m)
-        ]
-    )  # (m, nq, ksub)
-    bc = spark.sparkContext.broadcast((ids_q, norms_q, luts, code_norm2))
+    bc = spark.sparkContext.broadcast((books, code_norm2))
 
-    def adc_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, qnorms, tables, cn2 = bc.value
-        for pdf in it:
-            if pdf.empty:
+    def adc_tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "n_id": [], "adc_sim": []}).astype(
+            {"q_id": "int64", "n_id": "int64", "adc_sim": "float64"}
+        )
+        bks, cn2 = bc.value
+        qs = pdf[pdf["role"] == 1]
+        ns = pdf[pdf["role"] == 0]
+        if qs.empty or ns.empty:
+            return empty
+        qids = qs["rid"].to_numpy()
+        qmat = np.array(qs["qvec"].tolist(), dtype=np.float64)
+        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+        nids = ns["rid"].to_numpy()
+        cds = np.array(ns["codes"].tolist(), dtype=np.int64)  # (rows, m)
+        nm, _ksub, _dsub = bks.shape
+        # tile-local ADC lookup tables: LUT[s][q, c] = q_sub · books[s][c]
+        dots = np.zeros((len(qids), len(nids)))
+        rn2 = np.zeros(len(nids))
+        for s in range(nm):
+            lut = qmat[:, s * _dsub : (s + 1) * _dsub] @ bks[s].T  # (nq, ksub)
+            dots += lut[:, cds[:, s]]  # (nq, rows)
+            rn2 += cn2[s, cds[:, s]]
+        sim = dots / np.maximum(np.outer(qnorms, np.sqrt(rn2)), 1e-12)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = sim[qi]
+            cand = np.nonzero(nids != qids[qi])[0]
+            if cand.size == 0:
                 continue
-            nids = pdf["vec_id"].to_numpy()
-            cds = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (rows, m)
-            dots = np.zeros((len(qids), len(nids)))
-            rn2 = np.zeros(len(nids))
-            for s in range(tables.shape[0]):
-                dots += tables[s][:, cds[:, s]]  # (nq, rows)
-                rn2 += cn2[s, cds[:, s]]
-            sim = dots / np.maximum(
-                np.outer(qnorms, np.sqrt(rn2)), 1e-12
-            )
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(qids)):
-                row = sim[qi]
-                cand = np.nonzero(nids != qids[qi])[0]
-                if cand.size == 0:
-                    continue
-                order = np.lexsort((nids[cand], -row[cand]))[:PQ_SHORTLIST]
-                pick = cand[order]
-                out_q.extend([qids[qi]] * len(pick))
-                out_n.extend(nids[pick])
-                out_s.extend(row[pick])
-            yield pd.DataFrame(
-                {"q_id": out_q, "n_id": out_n, "adc_sim": out_s}
-            )
+            order = np.lexsort((nids[cand], -row[cand]))[:PQ_SHORTLIST]
+            pick = cand[order]
+            out_q.extend([qids[qi]] * len(pick))
+            out_n.extend(nids[pick])
+            out_s.extend(row[pick])
+        return pd.DataFrame({"q_id": out_q, "n_id": out_n, "adc_sim": out_s})
 
-    cand = codes.mapInPandas(adc_topk, "q_id long, n_id long, adc_sim double")
+    cand = tiles.groupBy("blk", "chunk").applyInPandas(
+        adc_tile_topk, "q_id long, n_id long, adc_sim double"
+    )
     ws = W.partitionBy("q_id").orderBy(F.desc("adc_sim"), "n_id")
     shortlist = (
         cand.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= PQ_SHORTLIST)
         .select("q_id", "n_id")
     )
-    # exact rerank over the bounded shortlist
+    # exact rerank over the bounded shortlist; the query-vector join is a
+    # plain equi-join (NOT a broadcast hint — |Q| scales with the corpus;
+    # AQE still broadcasts it when it is actually small)
     qvecs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
     rerank = shortlist.join(
         e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")),
         "n_id",
-    ).join(F.broadcast(qvecs), "q_id")
+    ).join(qvecs, "q_id")
     cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
     w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
     return (

@@ -271,18 +271,30 @@ def signup_purchase_join(
         )
         .withWatermark("p_ts", watermark)
     )
-    cols = ["user_id", "signup_event", "purchase_event", "purchase_value"]
-    if how != "inner":
-        # carry the signup time so callers/tests can tell which unmatched
-        # rows' join windows had closed by end-of-stream
-        cols.insert(2, "s_ts")
-    return s.join(
+    joined = s.join(
         p,
         (s.user_id == p.p_user)
         & (p.p_ts > s.s_ts)
         & (p.p_ts <= s.s_ts + F.expr("INTERVAL 24 HOURS")),
         how,
-    ).select(*cols)
+    )
+    if how == "inner":
+        return joined.select(
+            "user_id", "signup_event", "purchase_event", "purchase_value"
+        )
+    # Outer rows keep their join key from WHICHEVER side is present: a
+    # watermark-evicted unmatched purchase knows its user (p_user) even
+    # though the signup side is NULL — dropping it would make the row
+    # unattributable (ADVICE r3). Both event times are carried so callers
+    # can tell which unmatched rows' join windows had closed.
+    return joined.select(
+        F.coalesce(s.user_id, p.p_user).alias("user_id"),
+        "signup_event",
+        "s_ts",
+        "purchase_event",
+        "p_ts",
+        "purchase_value",
+    )
 
 
 def enrich_events(

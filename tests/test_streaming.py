@@ -245,7 +245,7 @@ def test_stream_stream_left_outer_join_equals_batch(spark, events_stream_dir):
         output_mode="append",
     ).toPandas()
 
-    matched = got[got.purchase_event.notna()].drop(columns=["s_ts"])
+    matched = got[got.purchase_event.notna()].drop(columns=["s_ts", "p_ts"])
     want_inner = relational.range_join_purchase_after_signup(spark, SF_TEST).toPandas()
     pd.testing.assert_frame_equal(
         _sorted(matched), _sorted(want_inner), check_dtype=False
@@ -303,7 +303,7 @@ def test_stream_stream_full_outer_join_subset_laws(spark, events_stream_dir):
     ).toPandas()
 
     matched = got[got.purchase_event.notna() & got.signup_event.notna()].drop(
-        columns=["s_ts"]
+        columns=["s_ts", "p_ts"]
     )
     want_inner = relational.range_join_purchase_after_signup(spark, SF_TEST).toPandas()
     pd.testing.assert_frame_equal(
@@ -325,6 +325,9 @@ def test_stream_stream_full_outer_join_subset_laws(spark, events_stream_dir):
     assert set(unmatched_p.purchase_event) <= all_purchases - matched_purchases
     # both sides actually emitted some evicted-unmatched rows
     assert len(unmatched_s) > 0 and len(unmatched_p) > 0
+    # ADVICE r3: an evicted unmatched purchase still knows its user — the
+    # join key must coalesce from whichever side is present
+    assert got.user_id.notna().all()
 
 
 def test_stream_dedup_ingest_matches_batch_and_resumes(spark, tmp_path):
