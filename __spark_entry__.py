@@ -49,13 +49,16 @@ _MODULES = (
 # rows-only entries (guaranteed `no_oracle`) out of the window. Everything
 # not listed here registers afterwards in module order and stays covered by
 # the local parity suite (tests/test_oracle_parity.py).
-# ROTATION (VERDICT r2 item 3): round 2 drove all 50 slots green, so this
-# round swaps 13 redundant already-driver-validated slots (the three
-# setop-ALL variants, second/third agg+window entries, date/array scalar
-# twins, q12, semi/anti twins of q18/q22) for 13 oracle-backed queries
-# that have never had a driver CORRECTNESS row. Every SURVEY §2 family
-# keeps ≥1 representative in-window; rotated-out queries remain covered
-# by the local dtype-strict parity suite.
+# ROTATION (VERDICT r3 item 4, third rotation): rounds 2-3 drove all 50
+# slots green, so this round swaps 13 redundant already-driver-validated
+# slots (second TPC-H shapes of covered join families q3/q5/q13/q16,
+# scalar/stats/unpivot twins, sessionize, the content-hash/mix/stratified/
+# fuzzy/correlated twins) for 13 oracle-backed queries that have never had
+# a driver CORRECTNESS row — prioritizing every round-3 text operator,
+# the PPJoin + normalized dedup twins, percentile/full-outer/range-join
+# shapes, the stream-enrichment batch twin, and q4/q12/q17. Every SURVEY
+# §2 family keeps ≥1 representative in-window; rotated-out queries remain
+# covered by the local dtype-strict parity suite.
 _PRIORITY = (
     # reference navigation surface (Q1-Q5, T1)
     "nav_list_packages",
@@ -64,63 +67,62 @@ _PRIORITY = (
     "nav_point_lookup",
     "nav_derived_partition_key",
     "nav_icon_extraction",
-    # joins + TPC-H shapes (incl. derived-partsupp q2/q20; q10/q13/q16/
-    # q18/q19 newly in-window this round)
+    # joins + TPC-H shapes (q4/q12/q17 newly in-window this round)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
     "q2_min_cost_supplier",
     "q20_dominant_part_suppliers",
     "q10_returned_items",
-    "q13_customer_distribution",
-    "q16_supplier_variety",
     "q18_large_volume_customers",
     "q19_disjunctive_join",
-    "fuzzy_part_name_pairs",
+    "q4_late_order_priority",
+    "q12_returnflag_priority_counts",
+    "q17_small_quantity_revenue",
+    # join variants (range + full-outer newly in-window)
     "asof_join_purchase_view",
-    # aggregations (incl. newly-in-window listagg/unpivot)
+    "range_join_purchase_after_signup",
+    "fullouter_nation_counts",
+    # aggregations (percentile newly in-window)
     "agg_rollup_returns",
     "pivot_priority_by_status",
-    "stats_aggregates_lineitem",
     "listagg_suppliers_by_nation",
-    "unpivot_part_metrics",
-    # windows + sessionization
+    "percentile_price_by_flag",
+    # windows
     "window_topk_orders_per_customer",
-    "sessionize_events",
     # set ops
     "setop_union_nations",
-    # scalar + complex-type functions (map tier newly in-window; top-k
-    # family stays covered by q10/q18's TakeOrderedAndProject plans)
+    # scalar + complex-type functions
     "map_functions_orders",
-    "scalar_functions_showcase",
-    # events tier (streaming twins stay covered by sessionize/hypertable;
-    # X6 JSON extraction + gap-fill)
-    "text_repetition_stats",
+    # events tier (X6 JSON extraction, gap-fill, rollup, and the
+    # stream-enrichment batch twin — newly in-window)
     "events_json_extract",
     "hypertable_rollup_events",
     "gapfill_hourly_events",
-    # SQL front door (correlated subqueries / lateral)
-    "sql_correlated_scalar_subquery",
+    "events_user_enriched_stats",
+    # SQL front door
     "sql_lateral_topk_per_nation",
-    # X1/X2 dedup tier (content-hash index newly in-window)
+    # X1/X2 dedup tier (PPJoin + normalized-groups newly in-window)
     "dedup_exact_docs",
-    "dedup_content_hash_index",
     "dedup_shingle_jaccard",
+    "dedup_shingle_jaccard_ppjoin",
+    "dedup_normalized_groups",
     "dedup_connected_groups",
     "dedup_embedding_cosine",
     "decontaminate_overlap_docs",
     # X3 similarity
     "embedding_near_pairs",
     "ann_topk_cosine",
-    # X4 text analysis
+    # X4 text analysis (all four round-3 operators newly in-window)
     "text_lang_stats",
     "text_source_token_counts",
+    "text_repetition_stats",
+    "text_winnowed_fingerprints",
+    "text_partial_overlap_pairs",
+    "text_unigram_perplexity",
+    "text_tfidf_top_terms",
     # X5 multimodal
     "mm_binary_stats",
-    # pipeline tier + flagship (mix/stratified/pack newly in-window)
+    # pipeline tier + flagship
     "split_train_test_docs",
-    "mix_corpus_weighted",
-    "stratified_sample_docs",
     "pack_sequences_by_lang",
     "curate_corpus_end_to_end",
 )
