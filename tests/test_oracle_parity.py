@@ -66,6 +66,33 @@ def test_driver_window_covers_all_families():
     assert all(n in ORACLE for n in first50), [n for n in first50 if n not in ORACLE]
 
 
+def test_doc_coverage_counts_match_registry():
+    """SURVEY.md §2.4 and README.md state the registry's size — pin the
+    prose to the actual counts so they can't drift again (ADVICE r3)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    reg, orc = len(QUERIES), len(ORACLE)
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(
+        r"(\d+) registered queries: (\d+) DuckDB-oracle value-hash-checked, "
+        r"(\d+) rows-only",
+        survey,
+    )
+    assert m, "SURVEY.md §2.4 count sentence missing"
+    assert tuple(map(int, m.groups())) == (reg, orc, reg - orc), (
+        f"SURVEY.md says {m.groups()}, registry has "
+        f"({reg}, {orc}, {reg - orc})"
+    )
+    readme = (root / "README.md").read_text()
+    m = re.search(r"\((\d+) registered queries, (\d+) value-hash-checked", readme)
+    assert m, "README.md count sentence missing"
+    assert tuple(map(int, m.groups())) == (reg, orc), (
+        f"README.md says {m.groups()}, registry has ({reg}, {orc})"
+    )
+
+
 def test_every_query_has_callable():
     assert QUERIES, "no queries registered"
     for name, fn in QUERIES.items():
