@@ -582,21 +582,32 @@ def ivf_seed_candidates(
     )
 
 
+IVF_LLOYD_ITERS = 2   # Lloyd refinements (spherical k-means steps)
+IVF_LLOYD_TOL = 1e-6  # max centroid movement (L2) that counts as converged
+
+
 def ivf_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = IVF_CELLS,
     dim: int = 64,
+    iters: int = IVF_LLOYD_ITERS,
+    tol: float = IVF_LLOYD_TOL,
 ) -> np.ndarray:
-    """Deterministic coarse quantizer: hash-strided seed sample + one
-    distributed Lloyd refinement.
+    """Deterministic coarse quantizer: hash-strided seed sample +
+    ``iters`` distributed Lloyd refinements with a convergence early-exit.
 
     Seeds: ~n_cells corpus vectors picked by a deterministic hash stride
     (no RNG, no global sort — reproducible on any cluster, map-side cheap
-    at any scale). Refinement: assign all vectors to their nearest seed
-    (GEMM map), then per-cell elementwise mean via dim parallel avg()
-    aggregates — one shuffle on cell id, all JVM-side.
+    at any scale). Each refinement assigns all vectors to their nearest
+    centroid (GEMM map), then takes per-cell elementwise means via dim
+    parallel avg() aggregates — one shuffle on cell id, all JVM-side,
+    collecting only the ≤ n_cells mean rows per step. Iteration stops
+    early once no centroid moved more than ``tol`` (spherical k-means is
+    monotone in the quantization objective, so extra iterations can only
+    refine, never regress — pinned in tests). Fully deterministic: same
+    data → same seeds → same assignment → same means, any cluster size.
     Returns the (n_cells, dim) L2-normalized centroid matrix.
     """
     n = vectors.count()
@@ -611,16 +622,22 @@ def ivf_centroids(
     seeds = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
     seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
 
-    assigned = assign_cells(vectors, seeds, id_col, vec_col, keep_vec=True)
     mean_cols = [
         F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}") for i in range(dim)
     ]
-    refined_rows = assigned.groupBy("cell").agg(*mean_cols).collect()
-    refined = seeds.copy()  # empty cells keep their seed
-    for r in refined_rows:
-        refined[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
-    refined /= np.maximum(np.linalg.norm(refined, axis=1, keepdims=True), 1e-12)
-    return refined
+    cents = seeds
+    for _ in range(max(iters, 0)):
+        assigned = assign_cells(vectors, cents, id_col, vec_col, keep_vec=True)
+        refined_rows = assigned.groupBy("cell").agg(*mean_cols).collect()
+        refined = cents.copy()  # empty cells keep their centroid
+        for r in refined_rows:
+            refined[r["cell"]] = [r[f"m{i}"] for i in range(dim)]
+        refined /= np.maximum(np.linalg.norm(refined, axis=1, keepdims=True), 1e-12)
+        moved = float(np.max(np.linalg.norm(refined - cents, axis=1)))
+        cents = refined
+        if moved <= tol:
+            break
+    return cents
 
 
 def assign_cells(
@@ -913,6 +930,192 @@ def pq_encode(
     return spread(vectors.select(id_col, vec_col)).mapInPandas(
         encode, f"{id_col} long, codes array<long>"
     )
+
+
+def _adc_score_candidates(
+    cand: DataFrame, books: np.ndarray, out_col: str = "adc_sim"
+) -> DataFrame:
+    """ADC-score (q_id, vq, cell, n_id, codes) candidate rows: per Arrow
+    batch, gather each candidate's reconstructed subvectors from the
+    broadcast codebooks and dot them with the query's subvectors —
+    vectorized numpy, no per-row Python. Carries `cell` through so the
+    rerank join can stay partition-pruned."""
+    m, ksub, dsub = books.shape
+    code_norm2 = (books * books).sum(axis=2)  # (m, ksub)
+    bc = cand.sparkSession.sparkContext.broadcast((books, code_norm2))
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks, cn2 = bc.value
+        nm, _k, _d = bks.shape
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qmat = np.array(pdf["vq"].tolist(), dtype=np.float64)
+            qnorms = np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1e-12)
+            cds = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (rows, m)
+            dots = np.zeros(len(pdf))
+            rn2 = np.zeros(len(pdf))
+            for s in range(nm):
+                sub = qmat[:, s * _d : (s + 1) * _d]
+                picked = bks[s][cds[:, s]]  # (rows, dsub)
+                dots += (sub * picked).sum(axis=1)
+                rn2 += cn2[s, cds[:, s]]
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "n_id": pdf["n_id"].to_numpy(),
+                    out_col: dots / np.maximum(qnorms * np.sqrt(rn2), 1e-12),
+                }
+            )
+
+    return cand.mapInPandas(
+        score, f"q_id long, cell long, n_id long, {out_col} double"
+    )
+
+
+def _ivf_pq_rank(
+    probes: DataFrame,
+    lists: DataFrame,
+    qvecs: DataFrame,
+    books: np.ndarray,
+    k: int = ANN_K,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared IVFADC ranking tail (inline and persisted paths): probe
+    join on cell → ADC scoring over the CODE column only → per-query
+    shortlist → exact-cosine rerank reading full vectors for just the
+    shortlisted (cell, n_id) rows → top-k.
+
+    At 100 TB the candidate scan reads (cell, id, codes) — the 32×
+    compressed representation, column-pruned away from the embeddings —
+    for nprobe/n_cells of the corpus; only shortlist·|queries| full
+    vectors are ever materialized, and the rerank join keeps the cell
+    key so partition pruning survives it."""
+    cand = (
+        probes.join(
+            lists.select(
+                "cell", F.col(id_col).alias("n_id"), "codes"
+            ),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(qvecs, "q_id")
+    )
+    scored = _adc_score_candidates(cand, books)
+    ws = W.partitionBy("q_id").orderBy(F.desc("adc_sim"), "n_id")
+    short = (
+        # a neighbor reached via two probed cells appears twice with the
+        # same ADC score — dedupe before the shortlist rank
+        scored.dropDuplicates(["q_id", "n_id"])
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "cell", "n_id")
+    )
+    rerank = short.join(
+        lists.select("cell", F.col(id_col).alias("n_id"), F.col(vec_col).alias("vn")),
+        ["cell", "n_id"],
+    ).join(qvecs, "q_id")
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        rerank.select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def ivf_pq_build(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = IVF_CELLS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build a persisted IVFADC index — the production ANN shape the IVF
+    and PQ tiers are halves of (VERDICT r3 item 6): coarse centroids
+    partition the corpus into cell directories (partition pruning at
+    probe time), and every row stores BOTH its PQ codes (the 32×-smaller
+    scan for ADC scoring — parquet column pruning keeps the embedding
+    bytes unread) and its full vector (the bounded exact rerank).
+    Returns (centroids, codebooks); both persist through the same
+    filesystem as the lists."""
+    import json
+    import os
+
+    cents = ivf_centroids(vectors, id_col, vec_col, n_cells, dim)
+    books = pq_codebooks(vectors, id_col, vec_col, m, ksub, dim)
+    assigned = assign_cells(vectors, cents, id_col, vec_col, keep_vec=True)
+    codes = pq_encode(vectors, books, id_col, vec_col)
+    assigned.join(codes, id_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "lists"))
+    spark = vectors.sparkSession
+    meta = json.dumps({"centroids": cents.tolist(), "codebooks": books.tolist()})
+    spark.createDataFrame([(meta,)], "meta_json string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(index_dir, "meta"))
+    return cents, books
+
+
+def ivf_pq_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = IVF_NPROBE,
+    k: int = ANN_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Search a persisted IVFADC index: probe nprobe cells per query
+    (static partition pruning, as ivf_search), ADC-score only those
+    cells' code rows, exact-rerank the per-query shortlist. See
+    _ivf_pq_rank for the scale story."""
+    import json
+    import os
+
+    meta_rows = spark.read.text(os.path.join(index_dir, "meta")).collect()
+    meta = json.loads(meta_rows[0].value)
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    probes = assign_cells(queries, cents, id_col, vec_col, nprobe).select(
+        F.col(id_col).alias("q_id"), "cell"
+    )
+    probed = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )  # bounded: ≤ n_cells values
+    lists = lists.filter(F.col("cell").isin(probed))
+    qvecs = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("vq"))
+    return _ivf_pq_rank(
+        probes, lists, qvecs, books, k, shortlist, id_col, vec_col
+    )
+
+
+@_register("ann_ivf_pq_topk", None)  # rows-only: learned centroids/codebooks not SQL-portable
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline IVFADC (same composition as ivf_pq_build + ivf_pq_search,
+    without the persisted index): queries probe their IVF_NPROBE nearest
+    cells, candidates are ADC-scored from PQ codes, the shortlist is
+    exact-reranked. Same query subset (vec_id % 50) as every ANN tier so
+    recall is comparable; persisted == inline is pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e)
+    books = pq_codebooks(e)
+    assigned = assign_cells(e, cents, keep_vec=True)
+    lists = assigned.join(pq_encode(e, books), "vec_id")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    probes = assign_cells(q, cents, nprobe=IVF_NPROBE).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    qvecs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
+    return _ivf_pq_rank(probes, lists, qvecs, books)
 
 
 @_register("ann_pq_topk", None)  # rows-only: learned codebooks not SQL-portable

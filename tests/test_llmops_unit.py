@@ -579,6 +579,51 @@ def test_ivf_build_search_matches_inline_tier(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan, plan[:1500]
 
 
+def test_ivf_pq_build_search_matches_inline_tier(spark, tmp_path):
+    """IVFADC (VERDICT r3 item 6): searching the persisted cell-
+    partitioned PQ index must return exactly what the inline
+    ann_ivf_pq_topk computes, and the probe scan must stay partition-
+    pruned to the probed cells."""
+    e = load_table(spark, SF_TEST, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx")
+    similarity.ivf_pq_build(e, idx)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    got = similarity.ivf_pq_search(spark, idx, q)
+    inline = {
+        (r.q_id, r.n_id, r.cos_sim, r.rn)
+        for r in similarity.ann_ivf_pq_topk(spark, SF_TEST).collect()
+    }
+    persisted = {(r.q_id, r.n_id, r.cos_sim, r.rn) for r in got.collect()}
+    assert persisted == inline
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:1500]
+
+
+def test_ann_ivf_pq_recall_and_true_cosines(spark):
+    """The IVFADC composition can only lose candidates at the coarse
+    level (unprobed cells) or the ADC shortlist — its recall must still
+    clearly beat a random scan of the probed fraction, and every
+    returned cosine is a true cosine (≤ the exact top-1)."""
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.ann_topk_cosine(spark, SF_TEST).collect()
+    }
+    rows = similarity.ann_ivf_pq_topk(spark, SF_TEST).collect()
+    got = {(r.q_id, r.n_id) for r in rows}
+    assert exact
+    recall = len(exact & got) / len(exact)
+    frac = similarity.IVF_NPROBE / similarity.IVF_CELLS
+    assert recall >= 1.5 * frac, f"recall {recall:.2f} vs probed fraction {frac}"
+    top1 = {
+        r.q_id: r.cos_sim
+        for r in similarity.ann_topk_cosine(spark, SF_TEST).collect()
+        if r.rn == 1
+    }
+    for r in rows:
+        if r.q_id in top1:
+            assert r.cos_sim <= top1[r.q_id] + 1e-12
+
+
 def test_ann_ivf_cosines_are_true(spark):
     """IVF neighbors carry true cosines: none may exceed the exact top-1."""
     top1 = {
@@ -589,6 +634,40 @@ def test_ann_ivf_cosines_are_true(spark):
     for r in similarity.ann_ivf_topk(spark, SF_TEST).collect():
         if r.q_id in top1:
             assert r.cos_sim <= top1[r.q_id] + 1e-12
+
+
+def test_ivf_lloyd_iterations_monotone_and_converge(spark):
+    """Lloyd refinement contract (VERDICT r3 item 8): on a clustered
+    fixture the spherical-k-means objective (mean best-cosine to a
+    centroid) must be non-decreasing in the iteration count, and once
+    assignments stabilize the early-exit makes extra iterations free —
+    identical centroids, bit for bit. Every iteration's collect stays
+    bounded at n_cells mean rows."""
+    import numpy as np
+
+    rng_free = lambda i, j: (((i * 1103515245 + j * 12345) % 1000) / 1000.0 - 0.5)
+    n_clusters, per, dim = 8, 40, 64
+    rows = []
+    for c in range(n_clusters):
+        base = np.array([rng_free(c, j) for j in range(dim)])
+        base /= np.linalg.norm(base)
+        for i in range(per):
+            v = base + 0.01 * np.array([rng_free(c * per + i, j + 7) for j in range(dim)])
+            rows.append((c * per + i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(cents):
+        mat = np.array([r[1] for r in rows])
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return float((mat @ cents.T).max(axis=1).mean())
+
+    c1 = similarity.ivf_centroids(vecs, n_cells=n_clusters, iters=1)
+    c2 = similarity.ivf_centroids(vecs, n_cells=n_clusters, iters=2)
+    assert objective(c2) >= objective(c1) - 1e-12
+    # well-separated clusters converge fast: more iterations beyond
+    # convergence must early-exit to the identical matrix
+    c8 = similarity.ivf_centroids(vecs, n_cells=n_clusters, iters=8)
+    assert (c8 == similarity.ivf_centroids(vecs, n_cells=n_clusters, iters=16)).all()
 
 
 def test_pq_codebooks_deterministic(spark):

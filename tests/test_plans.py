@@ -177,6 +177,8 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "ivf_centroids"),
         # persisted-index search: distinct probed cells (≤ n_cells values)
         ("llmops/similarity.py", "ivf_search"),
+        # IVFADC search: 1-row index metadata + distinct probed cells
+        ("llmops/similarity.py", "ivf_pq_search"),
         # PQ codebook fit: ksub seed rows + the m·ksub Lloyd mean rows
         ("llmops/similarity.py", "pq_codebooks"),
     }
