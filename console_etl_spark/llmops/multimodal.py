@@ -12,8 +12,11 @@ Decoders: ``decoder='image'`` is a REAL stdlib-only 24-bit BMP codec
 ``decoder='png'`` is a REAL stdlib-only 8-bit RGB/RGBA PNG codec (CRC'd
 chunks, zlib inflate, all five scanline filters) — the format the
 reference's actual catalog icons ship in. Both compute features from
-decoded pixels; ``decoder='fake'`` remains the deterministic byte-stat
-stand-in for opaque payloads. Same split for ``resize_payload``:
+decoded pixels. ``decoder='svg'`` is a REAL stdlib XML parse extracting
+structural metadata (size/viewBox/element census/depth) — the vector
+icon format where no pixel decode exists. ``decoder='fake'`` remains
+the deterministic byte-stat stand-in for opaque payloads. Same split
+for ``resize_payload``:
 'image'/'png' are real nearest-neighbor pixel resamples re-encoded in
 their format. Codecs for richer formats (JPEG/audio/video) stay behind
 the same one-function slot and raise ``NotImplementedError`` with the
@@ -389,6 +392,132 @@ def png_image_table(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SVG codec slot (stdlib XML): metadata extraction, no rasterizing
+# --------------------------------------------------------------------------
+# OLM catalog icons commonly ship as SVG next to PNG (the reference's
+# icon surface, main.go:305-316, is format-agnostic base64+mediatype).
+# A vector format has no pixels to stat — the useful, scalable analysis
+# is structural metadata: declared size, viewBox geometry, element
+# census, nesting depth. All stdlib xml.etree, no rasterizer.
+
+SVG_MEDIA_TYPE = "image/svg+xml"
+SVG_NS = "http://www.w3.org/2000/svg"
+
+
+def _svg_len(value: str | None) -> float:
+    """Parse an SVG length attribute ("64", "64px", "4.5in" → leading
+    numeric; percentages and malformed values → 0, callers fall back to
+    the viewBox)."""
+    if not value or value.endswith("%"):
+        return 0.0
+    num = ""
+    for ch in value.strip():
+        if ch.isdigit() or ch in ".+-eE":
+            num += ch
+        else:
+            break
+    try:
+        return float(num)
+    except ValueError:
+        return 0.0
+
+
+def svg_features(payload: bytes) -> list[float]:
+    """REAL parse: stdlib ElementTree over the SVG document → [width,
+    height, viewbox_w, viewbox_h, n_elements, n_paths, max_depth,
+    has_title]. width/height prefer the root attributes (units
+    stripped) and fall back to the viewBox box; element counts use XML
+    local names, so namespaced and plain documents behave identically."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(bytes(payload).decode("utf-8"))
+    if root.tag.split("}")[-1] != "svg":
+        raise ValueError(f"not an svg root: {root.tag!r}")
+    vb = (root.get("viewBox") or "").replace(",", " ").split()
+    vb_w = float(vb[2]) if len(vb) == 4 else 0.0
+    vb_h = float(vb[3]) if len(vb) == 4 else 0.0
+    width = _svg_len(root.get("width")) or vb_w
+    height = _svg_len(root.get("height")) or vb_h
+
+    n_elements = 0
+    n_paths = 0
+    has_title = 0.0
+    max_depth = 0
+
+    def walk(el, depth):
+        nonlocal n_elements, n_paths, has_title, max_depth
+        for child in el:
+            tag = child.tag.split("}")[-1]
+            n_elements += 1
+            max_depth = max(max_depth, depth)
+            if tag == "path":
+                n_paths += 1
+            if tag == "title":
+                has_title = 1.0
+            walk(child, depth + 1)
+
+    walk(root, 1)
+    return [
+        width,
+        height,
+        vb_w,
+        vb_h,
+        float(n_elements),
+        float(n_paths),
+        float(max_depth),
+        has_title,
+    ]
+
+
+def svg_icon_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL SVG bytes, media_type, n_bytes).
+
+    Distributed builder (same shape as image_table): every doc owns a
+    deterministic id-seeded SVG — declared size with a px unit, a
+    matching viewBox, an id-varied census of rect/circle/path elements,
+    an id-varied nesting depth, and a <title> on every third doc — so
+    the parser's whole surface is exercised by fixtures whose expected
+    features tests can compute independently."""
+
+    def svg_doc(d: int) -> bytes:
+        w, h = (d % 96) + 8, (d % 64) + 8
+        parts = [
+            f'<svg xmlns="{SVG_NS}" width="{w}px" height="{h}px" '
+            f'viewBox="0 0 {w} {h}">'
+        ]
+        if d % 3 == 0:
+            parts.append(f"<title>icon-{d}</title>")
+        for i in range(d % 4 + 1):
+            parts.append(f'<rect x="{i}" y="{i}" width="4" height="4"/>')
+        for i in range(d % 3):
+            parts.append(f'<circle cx="{i + 1}" cy="{i + 1}" r="2"/>')
+        for i in range(d * 7 % 3):
+            parts.append(f'<path d="M0 {i} L{i + 1} 0"/>')
+        depth = d % 3 + 1
+        parts.extend("<g>" * depth)
+        parts.append('<rect x="0" y="0" width="1" height="1"/>')
+        parts.extend("</g>" * depth)
+        parts.append("</svg>")
+        return "".join(parts).encode("utf-8")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [svg_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": SVG_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+# --------------------------------------------------------------------------
 # Decode / feature-extraction plumbing (Pandas-UDF over mapInPandas)
 # --------------------------------------------------------------------------
 
@@ -463,7 +592,12 @@ def _png_features(payload: bytes) -> list[float]:
     return _pixel_stats(*decode_png(bytes(payload)))
 
 
-_DECODERS = {"fake": _fake_decode, "image": _image_features, "png": _png_features}
+_DECODERS = {
+    "fake": _fake_decode,
+    "image": _image_features,
+    "png": _png_features,
+    "svg": svg_features,
+}
 
 
 def extract_features(
@@ -473,9 +607,10 @@ def extract_features(
 
     ``decoder='image'`` (BMP) and ``decoder='png'`` REALLY decode
     (stdlib codecs above) and compute features from pixels;
-    ``decoder='fake'`` uses deterministic byte-stat features for
-    non-image payloads. Richer codecs (JPEG/audio/video) plug into the
-    same slot but need external libraries.
+    ``decoder='svg'`` REALLY parses (stdlib XML) and extracts structural
+    metadata; ``decoder='fake'`` uses deterministic byte-stat features
+    for non-image payloads. Richer codecs (JPEG/audio/video) plug into
+    the same slot but need external libraries.
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
@@ -484,7 +619,8 @@ def extract_features(
     if decoder in ("jpeg", "audio", "video"):
         raise NotImplementedError(
             f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
-            "in this container; 'image' (BMP), 'png', and 'fake' are built in"
+            "in this container; 'image' (BMP), 'png', 'svg', and 'fake' are "
+            "built in"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -571,6 +707,28 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).alias("height"),
         F.round(F.element_at("features", 3), 6).alias("mean_r"),
         F.round(F.element_at("features", 8), 6).alias("mean_luma"),
+    )
+
+
+@_register("mm_svg_features", None)  # rows-only: XML parse not SQL-expressible
+def mm_svg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL SVG pipeline: per-doc SVG payloads (distributed encode) →
+    stdlib XML parse → structural metadata features (declared size,
+    viewBox, element census, nesting depth). The vector-format half of
+    the reference's icon surface (main.go:305-316), where no pixel
+    decode exists by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(svg_icon_table(d), decoder="svg")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.element_at("features", 5).alias("n_elements"),
+        F.element_at("features", 6).alias("n_paths"),
+        F.element_at("features", 7).alias("max_depth"),
+        F.element_at("features", 8).alias("has_title"),
     )
 
 

@@ -493,6 +493,68 @@ def test_png_image_table_decodes_to_generated_pixels(spark):
         assert r.media_type == multimodal.PNG_MEDIA_TYPE
 
 
+# --------------------------------------------------------------------------
+# SVG metadata extraction (X5): stdlib XML parse, no rasterizing
+# --------------------------------------------------------------------------
+
+def test_svg_features_hand_built_fixture():
+    """Exact feature vector from a hand-built namespaced SVG: unit-
+    suffixed size attributes, viewBox, element census, nesting depth,
+    title flag."""
+    svg = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="64px" height="32px" '
+        b'viewBox="0 0 64 32">'
+        b"<title>t</title>"
+        b'<g><g><rect width="1" height="1"/><circle r="2"/></g>'
+        b'<path d="M0 0"/></g></svg>'
+    )
+    # elements: title, g, g, path, rect, circle = 6; rect/circle at depth 3
+    assert multimodal.svg_features(svg) == [
+        64.0, 32.0, 64.0, 32.0, 6.0, 1.0, 3.0, 1.0,
+    ]
+
+
+def test_svg_features_viewbox_fallback_and_plain_namespace():
+    """width/height fall back to the viewBox when absent or percentage;
+    an un-namespaced document parses identically."""
+    svg = b'<svg viewBox="0,0 10 20"><rect/></svg>'
+    assert multimodal.svg_features(svg) == [10.0, 20.0, 10.0, 20.0, 1.0, 0.0, 1.0, 0.0]
+    pct = b'<svg width="100%" height="50%" viewBox="0 0 7 9"/>'
+    assert multimodal.svg_features(pct)[:4] == [7.0, 9.0, 7.0, 9.0]
+
+
+def test_svg_features_rejects_non_svg():
+    with pytest.raises(ValueError, match="not an svg root"):
+        multimodal.svg_features(b"<html><body/></html>")
+    with pytest.raises(Exception):
+        multimodal.svg_features(b"not xml at all")
+
+
+def test_svg_icon_table_features_match_generator(spark):
+    """End-to-end: distributed SVG encode → Spark XML parse; features
+    match the generator's id arithmetic computed independently."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.svg_icon_table(docs), decoder="svg"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        d = r.doc_id
+        assert r.features[0] == float((d % 96) + 8)   # declared width
+        assert r.features[1] == float((d % 64) + 8)   # declared height
+        assert r.features[5] == float(d * 7 % 3)      # n_paths
+        assert r.features[6] == float(d % 3 + 2)      # depth: gs + inner rect
+        assert r.features[7] == (1.0 if d % 3 == 0 else 0.0)  # title
+        assert r.media_type == multimodal.SVG_MEDIA_TYPE
+
+
+def test_mm_svg_features_registered(spark):
+    got = multimodal.mm_svg_features(spark, SF_TEST)
+    rows = got.collect()
+    assert len(rows) == 500
+    assert {r.doc_id for r in rows} == set(range(500))
+
+
 def test_resize_png_mode(spark):
     """Distributed PNG thumbnails: every output decodes at 4×4 and picks
     exactly every second source pixel (nearest-neighbor)."""
