@@ -544,3 +544,136 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w_spec))
         .where(F.col("rnk") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (training-corpus scrubbing)
+# --------------------------------------------------------------------------
+# Patterns are deliberately conservative and dialect-portable: every
+# construct below behaves identically under Java's regex (Spark) and
+# RE2 (DuckDB) — no lookarounds, no \b-adjacent unicode surprises, no
+# possessive quantifiers. Cross-engine behavior is pinned by a parity
+# unit test over synthetic PII fixtures (the corpus fixtures are clean
+# by construction, so the registered query's value is the plumbing).
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII census + redaction: counts of email / phone /
+    IPv4 matches and the text with each replaced by a typed tag.
+
+    Redaction order matters (an email's domain could otherwise be
+    half-eaten by the IP pattern): emails first, then phones, then IPs.
+    Pure regexp built-ins — JVM-side, codegen'd, no Python in the row
+    path; at 100 TB this is an embarrassingly-parallel map."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
+        redacted.alias("redacted"),
+    )
+
+
+@_register(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS INT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered PII scrub over the documents table (clean by
+    construction — the oracle still value-checks counts and the
+    redacted text byte-for-byte; synthetic-PII parity lives in unit
+    tests)."""
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram signal (C4-style cross-document repetition)
+# --------------------------------------------------------------------------
+
+BOILER_MIN_DF = 3  # a shingle in >= this many docs counts as boilerplate
+
+
+@_register(
+    "text_boilerplate_ngram_ratio",
+    f"""
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+    ), df AS (SELECT sh, COUNT(*) AS c FROM sh GROUP BY sh)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           ROUND(CAST(SUM(CASE WHEN c >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS boilerplate_ratio
+    FROM sh JOIN df USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def text_boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal (the C4 filter family): the
+    fraction of a document's distinct 3-word shingles that appear in at
+    least BOILER_MIN_DF documents — headers, footers, and template text
+    score high and get filtered before training.
+
+    Plan: one exploded-shingle relation feeds both the document-
+    frequency aggregate and the per-doc rollup — a vocab-sized
+    (Heaps-law sublinear) join on the shingle key, then one groupBy on
+    doc_id. Docs with fewer than 3 words have no shingles and are
+    absent from the output in both engines."""
+    from .dedup import exploded_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d)
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("c"))
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("c") >= BOILER_MIN_DF, 1).otherwise(0)).alias(
+                "n_boilerplate"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") >= BOILER_MIN_DF, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("boilerplate_ratio"),
+        )
+    )

@@ -2625,3 +2625,167 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 merge (warehouse dimension maintenance — the reference's
+# atomic snapshot publish, main.go:174-205, kept as *history* instead of
+# replace-in-place)
+# --------------------------------------------------------------------------
+
+# open-row sentinel (ISO string; far-future "9999-12-31" would overflow
+# pandas' ns timestamps if a consumer casts to date)
+SCD2_OPEN_END = "2200-01-01"
+
+
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective: str,
+    base_from: str,
+) -> DataFrame:
+    """Apply a change batch to a dimension, keeping full history (SCD
+    type 2): unchanged rows stay current, changed keys get their old row
+    closed at the effective date and a new current row opened.
+
+    Three branches over one key equi-join each (anti / semi / the batch
+    itself) — at 100 TB this is the standard MERGE shape: the updates
+    side is a day's change batch (usually broadcast-small vs the
+    dimension); nothing shuffles more than once per branch, and AQE
+    picks broadcast vs SMJ per actual batch size. Both inputs must share
+    the same non-key column set."""
+    cols = [c for c in base.columns if c != key]
+    # validity bounds are ISO strings, not DATE: neither engine's
+    # date->pandas dtype survives the driver's value-hash symmetrically
+    # (Spark dates arrive as objects, DuckDB as datetime64)
+    open_end = F.lit(SCD2_OPEN_END)
+    eff = F.lit(effective)
+    frm = F.lit(base_from)
+    unchanged = base.join(updates, key, "left_anti").select(
+        key,
+        *cols,
+        frm.alias("valid_from"),
+        open_end.alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    closed = base.join(updates.select(key), key, "left_semi").select(
+        key,
+        *cols,
+        frm.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    opened = updates.select(
+        key,
+        *cols,
+        eff.alias("valid_from"),
+        open_end.alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(opened)
+
+
+SCD2_EFFECTIVE = "2024-06-01"
+SCD2_BASE_FROM = "2024-01-01"
+
+
+@_register(
+    "scd2_customer_updates",
+    f"""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             ROUND(c_acctbal + 100.0, 2) AS c_acctbal,
+             'AUTOMOBILE' AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           '{SCD2_BASE_FROM}' AS valid_from,
+           '{SCD2_OPEN_END}' AS valid_to, 1 AS is_current
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           '{SCD2_BASE_FROM}', '{SCD2_EFFECTIVE}', 0
+    FROM customer WHERE c_custkey IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           '{SCD2_EFFECTIVE}', '{SCD2_OPEN_END}', 1
+    FROM upd
+    """,
+)
+def scd2_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the customer dimension with a deterministic change
+    batch (every 7th key gets a balance credit and a segment move): the
+    old row closes at the effective date, the new row opens, everything
+    else stays current — full history, no in-place loss."""
+    c = load_table(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("AUTOMOBILE").alias("c_mktsegment"),
+    )
+    return scd2_merge(c, upd, "c_custkey", SCD2_EFFECTIVE, SCD2_BASE_FROM)
+
+
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection over the event stream
+# --------------------------------------------------------------------------
+
+ZSCORE_LOOKBACK = 10   # trailing events per user forming the baseline
+ZSCORE_MIN_N = 5       # baseline must have at least this many events
+ZSCORE_TAU = 2.0       # |z| threshold (compared on the rounded value)
+
+
+@_register(
+    "events_value_anomalies",
+    f"""
+    SELECT user_id, event_id, event_type, value, z FROM (
+      SELECT user_id, event_id, event_type, value,
+             COUNT(value) OVER w AS n,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w,
+                   6) AS z
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ) t
+    WHERE n >= {ZSCORE_MIN_N} AND sd > 0 AND ABS(z) > {ZSCORE_TAU}
+    """,
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-window anomaly detection: each event's value is
+    z-scored against that user's previous ZSCORE_LOOKBACK events (the
+    event itself excluded — no self-contamination); events more than
+    ZSCORE_TAU sample-stddevs from their trailing mean are flagged.
+
+    One hash exchange on user_id serves every window aggregate (shared
+    frame), then a row-local filter — the standard streaming-analytics
+    shape run as batch. The z is rounded BEFORE thresholding so the
+    boundary decision is identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    z = F.round((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.count("value").over(w).alias("n"),
+            F.stddev_samp("value").over(w).alias("sd"),
+            z.alias("z"),
+        )
+        .filter(
+            (F.col("n") >= ZSCORE_MIN_N)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("z")) > ZSCORE_TAU)
+        )
+        .select("user_id", "event_id", "event_type", "value", "z")
+    )
