@@ -78,13 +78,21 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table (see TESTDATA.md).
 
-    Nanosecond-precision timestamp columns (read as long under
-    ``nanosAsLong``) are normalized to microsecond TimestampType by
-    truncation — the same truncation DuckDB applies when casting
-    timestamp_ns to timestamp, so oracle comparisons line up exactly.
+    The fixture's ``events.ts`` column has shipped under two different
+    parquet physical types across generations, and the engine accepts
+    both (the robustness contract in BASELINE.md):
+
+    - TIMESTAMP(NANOS): Spark has no nanos type, so ``nanosAsLong``
+      reads it as long; we truncate to microsecond TimestampType — the
+      same truncation DuckDB applies casting timestamp_ns to timestamp.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads this as
+      TIMESTAMP_NTZ; under the UTC session timezone pinned below, a cast
+      to TimestampType is wall-clock-identical, so every downstream
+      epoch/window/date expression (and the DuckDB oracle, which sees
+      naive micros either way) is unchanged.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         # The driver may hand us a session without this conf; it is
@@ -96,10 +104,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # idempotent — pin it here so queries are correct on ANY session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer `div`, not `/`: ns-since-epoch exceeds 2^53, double
-        # division would lose microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer `div`, not `/`: ns-since-epoch exceeds 2^53, double
+            # division would lose microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Wall-clock-identical under the UTC session TZ pinned above.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

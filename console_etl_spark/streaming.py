@@ -19,31 +19,52 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Micro-batch-friendly schema of the events stream (ts arrives as long
-# nanos like the fixture; normalized to timestamp on read).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """Events stream schema with ``ts`` as whatever physical type the
+    source files carry — long nanos (old fixture generation) or
+    TIMESTAMP_NTZ (current micros fixture). A file-source stream needs a
+    declared schema, and declaring the wrong ts dtype makes the reader
+    silently null/drop rows, so the dtype must be dispatched, never
+    assumed."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Long-nanos variant kept as the named constant tests import.
+EVENTS_STREAM_SCHEMA = _events_stream_schema(T.LongType())
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source events stream (the Kafka-shaped entry point in
-    production — swap format, keep the downstream plan)."""
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    production — swap format, keep the downstream plan).
+
+    Dtype-dispatches ``ts`` the same way session.load_table does: a
+    one-off batch footer read discovers the on-disk type, then the
+    stream normalizes to TimestampType (wall-clock-identical under the
+    UTC session TZ).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    stream = (
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _dec_sum(col: str):

@@ -113,9 +113,15 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, events_stream_dir, tmp
     boundaries — within-batch dedup alone would emit them."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql.types import LongType
+
     dup_dir = str(tmp_path / "dup")
     base = spark.read.parquet(events_stream_dir)
-    replay = base.withColumn("ts", F.col("ts") + F.lit(30 * 60 * 10**9))
+    if isinstance(base.schema["ts"].dataType, LongType):  # old nanos fixture
+        shift = F.col("ts") + F.lit(30 * 60 * 10**9)
+    else:  # timestamp (NTZ or TZ) fixture
+        shift = F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    replay = base.withColumn("ts", shift)
     write_ordered_stream(base.unionByName(replay), 6, dup_dir)
 
     stream = streaming.read_events_stream(spark, dup_dir)
@@ -270,13 +276,15 @@ def test_stream_stream_left_outer_join_equals_batch(spark, events_stream_dir):
     # completeness bound: the final watermark is (max event time seen
     # BEFORE the last micro-batch) - 2h; any unmatched signup whose 24h
     # window ended before it must have been evicted-and-emitted.
+    from pyspark.sql.types import LongType
+
     files = sorted(glob.glob(os.path.join(events_stream_dir, "part-*")))
-    wm = (
-        spark.read.parquet(*files[:-1])
-        .select(F.timestamp_micros(F.expr("max(ts) div 1000")).alias("m"))
-        .collect()[0]
-        .m
-    )
+    head = spark.read.parquet(*files[:-1])
+    if isinstance(head.schema["ts"].dataType, LongType):  # old nanos fixture
+        max_ts = F.timestamp_micros(F.expr("max(ts) div 1000"))
+    else:
+        max_ts = F.max("ts").cast("timestamp")
+    wm = head.select(max_ts.alias("m")).collect()[0].m
     threshold = wm - pd.Timedelta(hours=26)  # 2h watermark + 24h window
     must_emit = {
         r.signup_event
