@@ -49,72 +49,76 @@ _MODULES = (
 # rows-only entries (guaranteed `no_oracle`) out of the window. Everything
 # not listed here registers afterwards in module order and stays covered by
 # the local parity suite (tests/test_oracle_parity.py).
-# ROTATION (VERDICT r3 item 4, third rotation): rounds 2-3 drove all 50
-# slots green, so this round swaps 13 redundant already-driver-validated
-# slots (second TPC-H shapes of covered join families q3/q5/q13/q16,
-# scalar/stats/unpivot twins, sessionize, the content-hash/mix/stratified/
-# fuzzy/correlated twins) for 13 oracle-backed queries that have never had
-# a driver CORRECTNESS row — prioritizing every round-3 text operator,
-# the PPJoin + normalized dedup twins, percentile/full-outer/range-join
-# shapes, the stream-enrichment batch twin, and q4/q12/q17. Every SURVEY
-# §2 family keeps ≥1 representative in-window; rotated-out queries remain
-# covered by the local dtype-strict parity suite.
+# ROTATION (VERDICT r4 items 4-5, fourth rotation): cumulatively 94 of the
+# 109 oracle-backed queries now have at least one driver CORRECTNESS row.
+# This round windows ALL 16 never-checked queries (the four new r4 ops —
+# pii_scrub / boilerplate / SCD2 / anomalies — plus the q21/histogram/
+# FILTER/value-window/correlated-EXISTS/text-law/embedding-stats tier)
+# plus sessionize_events, which broke unwatched when the fixture ts dtype
+# changed (VERDICT r4 item 5) and needs a driver row proving the
+# TIMESTAMP_NTZ fix; window_trailing_hour_value (same regression) is in
+# the never-checked set already. Dropped to make room: 4 nav twins (keep
+# point-lookup + icon, the two nontrivial shapes), 7 of 9 TPC-H (keep
+# q1 + q19), 4 dedup twins (keep exact + ppjoin), gapfill — all
+# multi-round driver-green and still covered by the local dtype-strict
+# parity suite (tests/test_oracle_parity.py). Every SURVEY §2 family
+# keeps ≥1 representative in-window.
 _PRIORITY = (
-    # reference navigation surface (Q1-Q5, T1)
-    "nav_list_packages",
-    "nav_list_schemas",
-    "nav_list_objects",
+    # reference navigation surface (point lookup + nested icon extraction)
     "nav_point_lookup",
-    "nav_derived_partition_key",
     "nav_icon_extraction",
-    # joins + TPC-H shapes (q4/q12/q17 newly in-window this round)
+    # TPC-H representatives (aggregation + disjunctive join shapes)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q20_dominant_part_suppliers",
-    "q10_returned_items",
-    "q18_large_volume_customers",
     "q19_disjunctive_join",
-    "q4_late_order_priority",
-    "q12_returnflag_priority_counts",
-    "q17_small_quantity_revenue",
-    # join variants (range + full-outer newly in-window)
+    "q21_sole_supplier_orders",
+    # join variants
     "asof_join_purchase_view",
     "range_join_purchase_after_signup",
     "fullouter_nation_counts",
-    # aggregations (percentile newly in-window)
+    # aggregations (FILTER-clause + histogram newly in-window)
     "agg_rollup_returns",
+    "agg_filtered_counts_orders",
+    "histogram_order_totalprice",
     "pivot_priority_by_status",
     "listagg_suppliers_by_nation",
     "percentile_price_by_flag",
-    # windows
+    # windows (trailing-hour RANGE frame + value functions newly in-window;
+    # sessionize re-windowed after the TIMESTAMP_NTZ fix)
     "window_topk_orders_per_customer",
+    "window_trailing_hour_value",
+    "window_value_functions_orders",
+    "sessionize_events",
     # set ops
     "setop_union_nations",
     # scalar + complex-type functions
     "map_functions_orders",
-    # events tier (X6 JSON extraction, gap-fill, rollup, and the
-    # stream-enrichment batch twin — newly in-window)
+    # events tier (X6 JSON extraction, rollup, enrichment, SCD2 + anomaly
+    # detection newly in-window)
     "events_json_extract",
     "hypertable_rollup_events",
-    "gapfill_hourly_events",
     "events_user_enriched_stats",
-    # SQL front door
+    "scd2_customer_updates",
+    "events_value_anomalies",
+    # SQL front door (correlated EXISTS newly in-window)
     "sql_lateral_topk_per_nation",
-    # X1/X2 dedup tier (PPJoin + normalized-groups newly in-window)
+    "sql_correlated_exists",
+    # X1/X2 dedup tier representatives
     "dedup_exact_docs",
-    "dedup_shingle_jaccard",
     "dedup_shingle_jaccard_ppjoin",
-    "dedup_normalized_groups",
-    "dedup_connected_groups",
-    "dedup_embedding_cosine",
     "decontaminate_overlap_docs",
-    # X3 similarity
+    # X3 similarity (+ embedding label stats newly in-window)
     "embedding_near_pairs",
     "ann_topk_cosine",
-    # X4 text analysis (all four round-3 operators newly in-window)
+    "embedding_label_stats",
+    # X4 text analysis (7 never-checked ops newly in-window)
     "text_lang_stats",
-    "text_source_token_counts",
-    "text_repetition_stats",
+    "text_quality_scores",
+    "text_top_tokens",
+    "text_top_bigrams",
+    "text_fingerprints",
+    "text_subword_token_counts",
+    "text_pii_scrub",
+    "text_boilerplate_ngram_ratio",
     "text_winnowed_fingerprints",
     "text_partial_overlap_pairs",
     "text_unigram_perplexity",
