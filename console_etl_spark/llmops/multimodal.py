@@ -518,6 +518,169 @@ def svg_icon_table(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# JPEG codec slot (stdlib marker scan): SOF header metadata, no pixel decode
+# --------------------------------------------------------------------------
+# The reference's icon surface (main.go:305-316) carries base64 payloads
+# with arbitrary mediatypes — image/jpeg is a common one alongside PNG and
+# SVG. Full JPEG pixel decode needs an entropy decoder (PIL/libjpeg, not in
+# this container), but the frame header is plain marker-framed bytes:
+# walking SOI → APPn/DQT/... → SOFn yields width, height, component count,
+# sample precision, and progressive-vs-baseline without touching the scan
+# data. That is exactly the metadata a 100 TB media-curation pass filters
+# on (resolution/aspect/mode gates) — and it reads only the first ~1 KB of
+# each payload regardless of image size.
+
+JPEG_MEDIA_TYPE = "image/jpeg"
+
+# SOFn marker bytes carry the frame header. 0xC4/0xC8/0xCC look like SOFs
+# but are DHT/JPG-extension/DAC per the JPEG spec (ITU T.81 table B.1).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xD8)) | {0x01}  # RSTn, TEM
+
+
+def jpeg_metadata(payload: bytes) -> dict:
+    """REAL parse: walk the JPEG marker stream up to the first SOFn and
+    return the frame header plus marker census — width, height,
+    n_components, precision (bits/sample), progressive flag (SOF2/6/10/14),
+    JFIF/EXIF presence, and DQT count. Raises ValueError on non-JPEG or
+    truncated-before-SOF input (malformed media must be *detected*, not
+    silently zeroed — callers quarantine)."""
+    b = bytes(payload)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG: missing SOI marker")
+    has_jfif = has_exif = False
+    n_dqt = 0
+    i = 2
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {i}")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if i + 3 >= len(b):
+            break
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        if seglen < 2:
+            raise ValueError(f"bad segment length {seglen} at byte {i}")
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xE0 and seg[:5] == b"JFIF\x00":
+            has_jfif = True
+        elif marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            has_exif = True
+        elif marker == 0xDB:
+            n_dqt += 1
+        elif marker in _JPEG_SOF_MARKERS:
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
+            return {
+                "precision": seg[0],
+                "height": (seg[1] << 8) | seg[2],
+                "width": (seg[3] << 8) | seg[4],
+                "n_components": seg[5],
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+                "has_jfif": has_jfif,
+                "has_exif": has_exif,
+                "n_dqt": n_dqt,
+            }
+        elif marker == 0xDA:  # scan data starts; SOF must precede SOS
+            break
+        i += 2 + seglen
+    raise ValueError("no SOF frame header found")
+
+
+def jpeg_features(payload: bytes) -> list[float]:
+    """JPEG header metadata as the standard 8-dim feature vector:
+    [width, height, n_components, precision, progressive, has_jfif,
+    has_exif, n_dqt]. Same mapInPandas slot as the BMP/PNG/SVG paths."""
+    m = jpeg_metadata(payload)
+    return [
+        float(m["width"]),
+        float(m["height"]),
+        float(m["n_components"]),
+        float(m["precision"]),
+        float(m["progressive"]),
+        float(m["has_jfif"]),
+        float(m["has_exif"]),
+        float(m["n_dqt"]),
+    ]
+
+
+def encode_jpeg_header(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    with_jfif: bool = True,
+) -> bytes:
+    """Structurally-valid JPEG marker stream (SOI, APP0/JFIF, DQT, SOFn,
+    SOS with placeholder entropy data, EOI) for fixture generation. The
+    entropy-coded scan is a stub — any standards-compliant *metadata*
+    reader (including ours) parses everything before it; only a full
+    pixel decoder would notice."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    if with_jfif:
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    dqt = bytes([0]) + bytes(range(1, 65))  # table id 0 + 64 coefficients
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = bytearray([8])  # 8-bit precision
+    sof += height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof.append(n_components)
+    for c in range(n_components):
+        sof += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+    out += sof_marker + (len(sof) + 2).to_bytes(2, "big") + sof
+    sos = bytearray([n_components])
+    for c in range(n_components):
+        sos += bytes([c + 1, 0])
+    sos += b"\x00\x3f\x00"  # spectral selection
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += b"\x00" * 8  # placeholder entropy-coded data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_icon_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=JPEG marker stream, media_type,
+    n_bytes). Distributed builder, same shape as svg_icon_table: each doc
+    owns a deterministic id-seeded header (id-varied dimensions,
+    grayscale-vs-RGB, baseline-vs-progressive) so the parser's whole
+    surface is covered by fixtures whose expected metadata tests can
+    compute independently."""
+
+    def jpeg_doc(d: int) -> bytes:
+        return encode_jpeg_header(
+            width=(d % 96) + 8,
+            height=(d % 64) + 8,
+            n_components=1 if d % 5 == 0 else 3,
+            progressive=d % 2 == 1,
+            with_jfif=d % 3 != 2,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [jpeg_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": JPEG_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+# --------------------------------------------------------------------------
 # Decode / feature-extraction plumbing (Pandas-UDF over mapInPandas)
 # --------------------------------------------------------------------------
 
@@ -597,6 +760,7 @@ _DECODERS = {
     "image": _image_features,
     "png": _png_features,
     "svg": svg_features,
+    "jpeg": jpeg_features,  # header metadata only — pixel decode is gated
 }
 
 
@@ -607,20 +771,21 @@ def extract_features(
 
     ``decoder='image'`` (BMP) and ``decoder='png'`` REALLY decode
     (stdlib codecs above) and compute features from pixels;
-    ``decoder='svg'`` REALLY parses (stdlib XML) and extracts structural
-    metadata; ``decoder='fake'`` uses deterministic byte-stat features
-    for non-image payloads. Richer codecs (JPEG/audio/video) plug into
-    the same slot but need external libraries.
+    ``decoder='svg'`` REALLY parses (stdlib XML) and ``decoder='jpeg'``
+    REALLY parses the SOF marker stream — both extract structural
+    metadata, not pixels; ``decoder='fake'`` uses deterministic byte-stat
+    features for non-image payloads. Full JPEG pixel decode and
+    audio/video plug into the same slot but need external libraries.
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
     embarrassingly-parallel map over executors.
     """
-    if decoder in ("jpeg", "audio", "video"):
+    if decoder in ("jpeg_pixels", "audio", "video"):
         raise NotImplementedError(
             f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
-            "in this container; 'image' (BMP), 'png', 'svg', and 'fake' are "
-            "built in"
+            "in this container; 'image' (BMP), 'png', 'svg', 'jpeg' "
+            "(header metadata), and 'fake' are built in"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -729,6 +894,27 @@ def mm_svg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 6).alias("n_paths"),
         F.element_at("features", 7).alias("max_depth"),
         F.element_at("features", 8).alias("has_title"),
+    )
+
+
+@_register("mm_jpeg_features", None)  # rows-only: marker scan not SQL-expressible
+def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG pipeline: per-doc JPEG marker streams (distributed
+    encode) → stdlib SOF-marker scan → frame-header metadata (width,
+    height, components, precision, progressive). The image/jpeg half of
+    the reference's icon surface (main.go:305-316) — resolution/mode
+    filtering without an entropy decoder, reading only header bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(jpeg_icon_table(d), decoder="jpeg")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.element_at("features", 3).alias("n_components"),
+        F.element_at("features", 4).alias("precision"),
+        F.element_at("features", 5).alias("progressive"),
     )
 
 

@@ -605,6 +605,74 @@ def test_mm_svg_features_registered(spark):
     assert {r.doc_id for r in rows} == set(range(500))
 
 
+# --------------------------------------------------------------------------
+# JPEG metadata extraction (X5): stdlib SOF-marker scan, no pixel decode
+# --------------------------------------------------------------------------
+
+def test_jpeg_metadata_hand_built_fixture():
+    """Exact frame header from a hand-assembled marker stream: baseline
+    RGB with JFIF, progressive grayscale without."""
+    base = multimodal.encode_jpeg_header(640, 480, n_components=3)
+    m = multimodal.jpeg_metadata(base)
+    assert (m["width"], m["height"], m["n_components"]) == (640, 480, 3)
+    assert m["precision"] == 8 and not m["progressive"]
+    assert m["has_jfif"] and not m["has_exif"] and m["n_dqt"] == 1
+
+    prog = multimodal.encode_jpeg_header(
+        17, 3000, n_components=1, progressive=True, with_jfif=False
+    )
+    m = multimodal.jpeg_metadata(prog)
+    assert (m["width"], m["height"], m["n_components"]) == (17, 3000, 1)
+    assert m["progressive"] and not m["has_jfif"]
+
+
+def test_jpeg_metadata_skips_lookalike_markers():
+    """DHT (0xC4) sits in the SOF byte range but is NOT a frame header;
+    a stream with DHT before SOF0 must report the SOF0 dimensions."""
+    dht = bytes([0]) + bytes(16) + b""
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+        + multimodal.encode_jpeg_header(20, 10, with_jfif=False)[2:]
+    )
+    m = multimodal.jpeg_metadata(stream)
+    assert (m["width"], m["height"]) == (20, 10)
+
+
+def test_jpeg_metadata_rejects_malformed():
+    with pytest.raises(ValueError, match="missing SOI"):
+        multimodal.jpeg_metadata(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="no SOF"):
+        multimodal.jpeg_metadata(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+    with pytest.raises(ValueError):
+        multimodal.jpeg_metadata(b"")
+
+
+def test_jpeg_icon_table_features_match_generator(spark):
+    """End-to-end: distributed JPEG header encode → Spark marker scan;
+    features match the generator's id arithmetic computed independently."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.jpeg_icon_table(docs), decoder="jpeg"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        d = r.doc_id
+        assert r.features[0] == float((d % 96) + 8)            # width
+        assert r.features[1] == float((d % 64) + 8)            # height
+        assert r.features[2] == (1.0 if d % 5 == 0 else 3.0)   # components
+        assert r.features[3] == 8.0                            # precision
+        assert r.features[4] == (1.0 if d % 2 == 1 else 0.0)   # progressive
+        assert r.media_type == multimodal.JPEG_MEDIA_TYPE
+
+
+def test_mm_jpeg_features_registered(spark):
+    got = multimodal.mm_jpeg_features(spark, SF_TEST)
+    rows = got.collect()
+    assert len(rows) == 500
+    assert {r.doc_id for r in rows} == set(range(500))
+
+
 def test_resize_png_mode(spark):
     """Distributed PNG thumbnails: every output decodes at 4×4 and picks
     exactly every second source pixel (nearest-neighbor)."""
