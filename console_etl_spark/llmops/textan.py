@@ -321,6 +321,8 @@ def text_partial_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on a corpus-size-divided index. The fingerprint relation is
     persisted: it feeds both join sides.
     """
+    # Cache contract: pinned for plan reuse; long-lived sessions reclaim
+    # via spark.catalog.clearCache() after materializing (as bench.py does).
     fps = text_winnowed_fingerprints(spark, sf_dir).persist()
     a = fps.select(F.col("doc_id").alias("a_id"), "fp")
     b = fps.select(F.col("doc_id").alias("b_id"), "fp")
