@@ -14,13 +14,16 @@ chunks, zlib inflate, all five scanline filters) — the format the
 reference's actual catalog icons ship in. Both compute features from
 decoded pixels. ``decoder='svg'`` is a REAL stdlib XML parse extracting
 structural metadata (size/viewBox/element census/depth) — the vector
-icon format where no pixel decode exists. ``decoder='fake'`` remains
-the deterministic byte-stat stand-in for opaque payloads. Same split
-for ``resize_payload``:
+icon format where no pixel decode exists. ``decoder='jpeg'`` is a REAL
+stdlib SOF-marker scan (frame dimensions/components/precision, no
+entropy decode). ``decoder='wav'`` is a REAL stdlib PCM decode (the
+``wave`` module) computing signal features from actual samples.
+``decoder='fake'`` remains the deterministic byte-stat stand-in for
+opaque payloads. Same split for ``resize_payload``:
 'image'/'png' are real nearest-neighbor pixel resamples re-encoded in
-their format. Codecs for richer formats (JPEG/audio/video) stay behind
-the same one-function slot and raise ``NotImplementedError`` with the
-library they need.
+their format. Codecs for formats needing external libraries (JPEG
+pixels, compressed audio, video) stay behind the same one-function
+slot and raise ``NotImplementedError`` with the library they need.
 """
 
 from __future__ import annotations
@@ -681,6 +684,139 @@ def jpeg_icon_table(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# WAV codec slot (stdlib ``wave``): REAL PCM decode + signal features
+# --------------------------------------------------------------------------
+# The audio column of a multimodal corpus. Compressed audio (mp3/ogg/
+# flac) needs external codecs, but PCM WAV — the interchange format
+# feature-extraction pipelines normalize to before analysis — decodes
+# with the stdlib ``wave`` module, so this tier computes REAL signal
+# statistics from REAL samples, not byte stats. numpy (baked into the
+# container and already a pandas dependency) vectorizes the per-payload
+# sample math inside the Arrow batch.
+
+WAV_MEDIA_TYPE = "audio/wav"
+
+
+def encode_wav(
+    sample_rate: int, channels: int, samples: "list[int]"
+) -> bytes:
+    """16-bit PCM WAV from interleaved int16 samples (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        import array
+
+        w.writeframes(array.array("h", samples).tobytes())
+    return buf.getvalue()
+
+
+def wav_metadata(payload: bytes) -> dict:
+    """REAL parse: RIFF/fmt header via stdlib ``wave`` — sample rate,
+    channels, bit depth, frame count, duration. Raises wave.Error on
+    non-WAV input (malformed media is detected, not zeroed)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        return {
+            "sample_rate": w.getframerate(),
+            "n_channels": w.getnchannels(),
+            "bit_depth": w.getsampwidth() * 8,
+            "n_frames": w.getnframes(),
+            "duration_sec": w.getnframes() / w.getframerate(),
+        }
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """REAL decode: stdlib wave → PCM samples → signal features
+    [sample_rate, n_channels, bit_depth, duration_sec, rms, peak,
+    zero_crossing_rate, dc_offset]. Amplitudes normalized to [-1, 1]
+    (int16 full scale); ZCR is sign changes per sample interval over
+    the channel-mean signal. 8/16-bit PCM supported — the stdlib
+    module's own coverage."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        rate, nch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        nframes = w.getnframes()
+        raw = w.readframes(nframes)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM width {width} bytes")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    n = len(x)
+    if n == 0:
+        rms = peak = zcr = dc = 0.0
+    else:
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+        dc = float(np.mean(x))
+        zcr = (
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if n > 1
+            else 0.0
+        )
+    return [
+        float(rate),
+        float(nch),
+        float(width * 8),
+        n / rate,
+        rms,
+        peak,
+        zcr,
+        dc,
+    ]
+
+
+def wav_audio_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL 16-bit PCM WAV, media_type,
+    n_bytes). Distributed builder, same shape as the icon tables: each
+    doc owns a deterministic id-seeded square wave (id-varied rate,
+    period, amplitude, mono/stereo, length) whose RMS, peak, ZCR and DC
+    offset tests compute independently in closed form."""
+
+    def wav_doc(d: int) -> bytes:
+        rate = (8000, 16000, 22050, 44100)[d % 4]
+        period = (d % 7) + 2  # samples per half-cycle
+        amp = ((d % 5) + 1) * 5000
+        nch = 2 if d % 3 == 0 else 1
+        n = 64 * period  # whole half-cycles, so RMS == amp exactly
+        mono = [amp if (i // period) % 2 == 0 else -amp for i in range(n)]
+        samples = (
+            [s for s in mono for _ in range(2)] if nch == 2 else mono
+        )
+        return encode_wav(rate, nch, samples)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [wav_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": WAV_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+# --------------------------------------------------------------------------
 # Decode / feature-extraction plumbing (Pandas-UDF over mapInPandas)
 # --------------------------------------------------------------------------
 
@@ -761,6 +897,7 @@ _DECODERS = {
     "png": _png_features,
     "svg": svg_features,
     "jpeg": jpeg_features,  # header metadata only — pixel decode is gated
+    "wav": wav_features,  # REAL PCM decode (stdlib wave)
 }
 
 
@@ -773,19 +910,21 @@ def extract_features(
     (stdlib codecs above) and compute features from pixels;
     ``decoder='svg'`` REALLY parses (stdlib XML) and ``decoder='jpeg'``
     REALLY parses the SOF marker stream — both extract structural
-    metadata, not pixels; ``decoder='fake'`` uses deterministic byte-stat
-    features for non-image payloads. Full JPEG pixel decode and
-    audio/video plug into the same slot but need external libraries.
+    metadata, not pixels; ``decoder='wav'`` REALLY decodes PCM (stdlib
+    wave) and computes signal features from samples; ``decoder='fake'``
+    uses deterministic byte-stat features for opaque payloads. Full JPEG
+    pixel decode, compressed audio, and video plug into the same slot
+    but need external libraries.
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
     embarrassingly-parallel map over executors.
     """
-    if decoder in ("jpeg_pixels", "audio", "video"):
+    if decoder in ("jpeg_pixels", "audio_compressed", "video"):
         raise NotImplementedError(
             f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
             "in this container; 'image' (BMP), 'png', 'svg', 'jpeg' "
-            "(header metadata), and 'fake' are built in"
+            "(header metadata), 'wav' (PCM), and 'fake' are built in"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -915,6 +1054,26 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 3).alias("n_components"),
         F.element_at("features", 4).alias("precision"),
         F.element_at("features", 5).alias("progressive"),
+    )
+
+
+@_register("mm_wav_features", None)  # rows-only: PCM decode not SQL-expressible
+def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline: per-doc PCM WAV payloads (distributed
+    encode) → stdlib wave decode → signal features (RMS, peak, zero-
+    crossing rate, DC offset) from actual samples. The audio column of
+    the multimodal tier, with the decode the stdlib genuinely provides."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(wav_audio_table(d), decoder="wav")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("sample_rate"),
+        F.element_at("features", 2).alias("n_channels"),
+        F.element_at("features", 4).alias("duration_sec"),
+        F.round(F.element_at("features", 5), 9).alias("rms"),
+        F.round(F.element_at("features", 7), 9).alias("zero_crossing_rate"),
     )
 
 

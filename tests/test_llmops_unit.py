@@ -673,6 +673,78 @@ def test_mm_jpeg_features_registered(spark):
     assert {r.doc_id for r in rows} == set(range(500))
 
 
+# --------------------------------------------------------------------------
+# WAV audio analysis (X5): REAL stdlib PCM decode, closed-form features
+# --------------------------------------------------------------------------
+
+def test_wav_roundtrip_metadata_and_features():
+    """Exact metadata + signal features of a hand-built square wave:
+    RMS == peak == amp (constant |amplitude|), ZCR and DC in closed
+    form, stereo channel-mean identical to its mono source."""
+    amp, period, rate, n_half = 5000, 3, 8000, 64
+    n = n_half * period
+    mono = [amp if (i // period) % 2 == 0 else -amp for i in range(n)]
+    wav = multimodal.encode_wav(rate, 1, mono)
+    m = multimodal.wav_metadata(wav)
+    assert m == {
+        "sample_rate": rate,
+        "n_channels": 1,
+        "bit_depth": 16,
+        "n_frames": n,
+        "duration_sec": n / rate,
+    }
+    f = multimodal.wav_features(wav)
+    a = amp / 32768.0
+    assert f[0] == rate and f[1] == 1.0 and f[2] == 16.0
+    assert f[3] == n / rate
+    assert abs(f[4] - a) < 1e-12 and f[5] == a          # rms == peak == amp
+    assert abs(f[6] - (n // period - 1) / (n - 1)) < 1e-12  # zcr
+    assert f[7] == 0.0                                  # balanced DC
+
+    stereo = multimodal.encode_wav(rate, 2, [s for s in mono for _ in range(2)])
+    f2 = multimodal.wav_features(stereo)
+    assert f2[1] == 2.0 and f2[3:] == f[3:]  # channel-mean == mono signal
+
+
+def test_wav_features_rejects_non_wav():
+    import wave
+
+    # stdlib wave raises wave.Error on a bad RIFF tag, EOFError when the
+    # payload is shorter than a header — both are "detected, not zeroed"
+    with pytest.raises((wave.Error, EOFError)):
+        multimodal.wav_features(b"\xff\xd8\xff\xd9")
+    with pytest.raises((wave.Error, EOFError)):
+        multimodal.wav_metadata(b"RIFFxxxxWAVE")
+
+
+def test_wav_audio_table_features_match_generator(spark):
+    """End-to-end: distributed WAV encode → Spark PCM decode; features
+    match the generator's id arithmetic computed independently."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.wav_audio_table(docs), decoder="wav"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        d = r.doc_id
+        rate = (8000, 16000, 22050, 44100)[d % 4]
+        period = (d % 7) + 2
+        amp = ((d % 5) + 1) * 5000 / 32768.0
+        assert r.features[0] == float(rate)
+        assert r.features[1] == (2.0 if d % 3 == 0 else 1.0)
+        assert r.features[3] == 64 * period / rate        # duration
+        assert abs(r.features[4] - amp) < 1e-12           # rms
+        assert r.features[5] == amp                       # peak
+        assert r.media_type == multimodal.WAV_MEDIA_TYPE
+
+
+def test_mm_wav_features_registered(spark):
+    got = multimodal.mm_wav_features(spark, SF_TEST)
+    rows = got.collect()
+    assert len(rows) == 500
+    assert {r.doc_id for r in rows} == set(range(500))
+
+
 def test_resize_png_mode(spark):
     """Distributed PNG thumbnails: every output decodes at 4×4 and picks
     exactly every second source pixel (nearest-neighbor)."""
@@ -692,7 +764,11 @@ def test_resize_png_mode(spark):
 def test_unavailable_decoders_raise(spark):
     docs = load_table(spark, SF_TEST, "documents").limit(1)
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(multimodal.binary_table(docs), decoder="jpeg")
+        multimodal.extract_features(
+            multimodal.binary_table(docs), decoder="jpeg_pixels"
+        )
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(multimodal.binary_table(docs), decoder="video")
     with pytest.raises(ValueError):
         multimodal.extract_features(multimodal.binary_table(docs), decoder="bogus")
 
