@@ -80,6 +80,17 @@ def main() -> None:
     # load average is sampled before/after the suite — a loaded box shows
     # up in the artifact itself.
     load_before = os.getloadavg()
+    # Host-speed calibration (round-5 finding: an identical-code A/B across
+    # rounds showed ~2x wall-clock differences from VM/CPU speed alone —
+    # indistinguishable from a code regression without a same-host rerun).
+    # A fixed single-thread CPU-bound loop timed here lets any reader
+    # normalize suite seconds across rounds: compare value/calib ratios,
+    # not raw seconds.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    calib_sec = round(time.perf_counter() - t0, 4)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     median: dict[str, float] = {}
@@ -140,6 +151,7 @@ def main() -> None:
                 "queries": timings,
                 "value_cold": round(total_cold, 3),
                 "value_median": round(total_median, 3),
+                "calib_sec": calib_sec,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,
