@@ -247,6 +247,36 @@ def stream_ingest_metas(
     return writer.start()
 
 
+def write_stream_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Native checkpointed parquet file sink, driven to completion of
+    currently-available input (availableNow).
+
+    The file sink's transaction log plus the source checkpoint give
+    END-TO-END exactly-once for file→file pipelines without foreachBatch:
+    a restart with the same checkpoint resumes after the last committed
+    batch (already-processed source files are never re-emitted), and a
+    crash mid-batch leaves uncommitted output files invisible to readers
+    of the sink's _spark_metadata log. At scale this is the bronze-layer
+    landing pattern: partition-local appends, no shuffle, no driver
+    state beyond the offsets. File sinks support append mode only, so
+    this takes non-aggregating streams (ingest normalization, dedup,
+    enrichment) — aggregations land via foreachBatch (see
+    stream_ingest_metas).
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # --------------------------------------------------------------------------
 # Stream-stream join: purchases joined to same-user signups within 24 h
 # --------------------------------------------------------------------------

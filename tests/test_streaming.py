@@ -432,3 +432,46 @@ def test_split_column_is_streaming_compatible(spark, tmp_path):
     batch = docs.select("doc_id", split_column("doc_id").alias("split"))
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
+    """Native file sink + checkpoint = end-to-end exactly-once: a second
+    run with the same checkpoint re-emits NOTHING for already-committed
+    source files, and newly-arrived files are picked up incrementally —
+    the final sink equals one batch read of all input, no duplicates."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_TEST, "events")
+    first_half = events.filter("event_id % 2 = 0")
+    second_half = events.filter("event_id % 2 = 1")
+    first_half.coalesce(2).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = streaming.read_events_stream(spark, src, max_files_per_trigger=1)
+        streaming.write_stream_parquet(stream, out, ckpt)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first_half.count()
+
+    # restart with NO new input: nothing re-emitted
+    run_once()
+    assert spark.read.parquet(out).count() == n1
+
+    # land the second half as new files (bump mtimes so the source's
+    # mtime-ordered listing sees them as new arrivals), restart again
+    second_half.coalesce(2).write.mode("append").parquet(src)
+    now = time.time() + 5
+    for f in glob.glob(os.path.join(src, "part-*")):
+        os.utime(f, (now, now))
+    run_once()
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == events.count()
+    assert sink.select("event_id").distinct().count() == events.count()
+    assert sink.exceptAll(events).count() == 0
