@@ -54,6 +54,53 @@ def read_table(
     return reader.load(path)
 
 
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    media_type_by_ext: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a directory of media files through Spark's built-in
+    ``binaryFile`` source into the multimodal tier's binary-table shape
+    (doc_id, payload, media_type, n_bytes) + the source path.
+
+    The binaryFile source is the production front door for image/audio
+    payloads: distributed listing, per-file rows, pushdown on
+    path/modificationTime/length (a ``pathGlobFilter`` prunes at
+    listing time, before any bytes move). doc_id is a deterministic
+    content-address (xxhash64 of path) so re-ingests are stable;
+    media_type is derived from the extension, overridable per-call.
+    Feed the result straight to ``llmops.multimodal.extract_features``.
+    """
+    from pyspark.sql import functions as F
+
+    ext_map = {
+        "png": "image/png",
+        "bmp": "image/bmp",
+        "svg": "image/svg+xml",
+        "jpg": "image/jpeg",
+        "jpeg": "image/jpeg",
+        "wav": "audio/wav",
+        **(media_type_by_ext or {}),
+    }
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mt = F.coalesce(
+        *[F.when(ext == k, F.lit(v)) for k, v in ext_map.items()],
+        F.lit("application/octet-stream"),
+    )
+    return raw.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        mt.alias("media_type"),
+        F.col("length").cast("int").alias("n_bytes"),
+        "path",
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

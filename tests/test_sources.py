@@ -52,3 +52,48 @@ def test_unknown_format_rejected(spark, tmp_path):
         sources.write_table(docs, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unsupported"):
         sources.read_table(spark, str(tmp_path), "avro")
+
+
+def test_read_media_dir_end_to_end(spark, tmp_path):
+    """binaryFile ingestion of a real media directory: stdlib-encoded
+    WAV + PNG + SVG files on disk -> (doc_id, payload, media_type,
+    n_bytes) -> the multimodal decoders reproduce the encoded content."""
+    from console_etl_spark.llmops import multimodal
+
+    media = tmp_path / "media"
+    media.mkdir()
+    amp, period, rate = 8000, 4, 16000
+    n = 32 * period
+    mono = [amp if (i // period) % 2 == 0 else -amp for i in range(n)]
+    (media / "tone.wav").write_bytes(multimodal.encode_wav(rate, 1, mono))
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    (media / "dot.png").write_bytes(multimodal.encode_png(2, 2, px))
+    (media / "icon.svg").write_bytes(
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="3" height="4"/>'
+    )
+    (media / "notes.txt").write_bytes(b"not media")
+
+    df = sources.read_media_dir(spark, str(media))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"tone.wav", "dot.png", "icon.svg", "notes.txt"}
+    assert rows["tone.wav"].media_type == "audio/wav"
+    assert rows["dot.png"].media_type == "image/png"
+    assert rows["icon.svg"].media_type == "image/svg+xml"
+    assert rows["notes.txt"].media_type == "application/octet-stream"
+    assert all(r.n_bytes == len(bytes(r.payload)) for r in rows.values())
+    # distinct stable ids
+    assert len({r.doc_id for r in rows.values()}) == 4
+
+    # decoders run on the ingested payloads
+    wav = multimodal.extract_features(
+        df.filter("media_type = 'audio/wav'"), decoder="wav"
+    ).collect()[0]
+    assert wav.features[0] == rate and wav.features[5] == amp / 32768.0
+    png = multimodal.extract_features(
+        df.filter("media_type = 'image/png'"), decoder="png"
+    ).collect()[0]
+    assert png.features[:2] == [2.0, 2.0]
+
+    # pathGlobFilter prunes at listing time
+    only_wav = sources.read_media_dir(spark, str(media), glob="*.wav")
+    assert only_wav.count() == 1
