@@ -99,9 +99,10 @@ _PRIORITY = (
     "events_user_enriched_stats",
     "scd2_customer_updates",
     "events_value_anomalies",
-    # SQL front door (correlated EXISTS newly in-window)
+    # SQL front door (correlated EXISTS + recursive CTE newly in-window)
     "sql_lateral_topk_per_nation",
     "sql_correlated_exists",
+    "sql_recursive_hierarchy",
     # X1/X2 dedup tier representatives
     "dedup_exact_docs",
     "dedup_shingle_jaccard_ppjoin",

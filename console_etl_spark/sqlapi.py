@@ -102,6 +102,38 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECURSIVE_HIERARCHY_SQL = """
+    WITH RECURSIVE chain(n_nationkey, n_name, parent, depth, path) AS (
+      SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS parent, 0 AS depth,
+             n_name AS path
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT c.n_nationkey, c.n_name, p.n_nationkey AS parent,
+             p.depth + 1 AS depth, p.path || '/' || c.n_name AS path
+      FROM nation c JOIN chain p
+        ON CAST(FLOOR((c.n_nationkey - 1) / 2.0) AS BIGINT) = p.n_nationkey
+       AND c.n_nationkey > 0
+    )
+    SELECT n_nationkey, n_name, parent, depth, path FROM chain
+    ORDER BY n_nationkey
+"""
+
+
+@_register("sql_recursive_hierarchy", RECURSIVE_HIERARCHY_SQL)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) — hierarchy traversal
+    with per-row depth and materialized root-to-node path, over a
+    deterministic binary-tree parent relation on the nation table
+    (parent(k) = floor((k-1)/2)). The construct batch engines
+    historically lacked: each iteration is one distributed join of the
+    frontier against the (pushdown-pruned) child scan, state bounded by
+    the frontier — the same iterate-until-empty shape as the dedup
+    connected-components loop, but fully declarative. DuckDB runs the
+    identical ANSI SQL, so the recursion is value-checked end to end."""
+    register_views(spark, sf_dir, tables=("nation",))
+    return spark.sql(RECURSIVE_HIERARCHY_SQL)
+
+
 LATERAL_TOPK_SQL = """
     SELECT n_name, s_name, s_acctbal
     FROM nation, LATERAL (
