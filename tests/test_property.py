@@ -223,3 +223,62 @@ class TestConcatIngestRoundTrip:
         got = read_meta_stream(spark, path, fmt="auto")
         assert got.filter("schema IS NULL").count() == 0  # ...the read is not
         assert got.count() == 405
+
+
+class TestMediaCodecLaws:
+    """Codec round-trip laws for the stdlib JPEG/WAV paths: whatever the
+    generator parameters, encode → metadata-parse recovers them exactly.
+    Pure-Python (no Spark) so hypothesis can drive many examples."""
+
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        ncomp=st.sampled_from([1, 3, 4]),
+        progressive=st.booleans(),
+        with_jfif=st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_jpeg_header_roundtrip(self, w, h, ncomp, progressive, with_jfif):
+        from console_etl_spark.llmops import multimodal
+
+        m = multimodal.jpeg_metadata(
+            multimodal.encode_jpeg_header(
+                w, h, n_components=ncomp, progressive=progressive,
+                with_jfif=with_jfif,
+            )
+        )
+        assert (m["width"], m["height"], m["n_components"]) == (w, h, ncomp)
+        assert m["progressive"] is progressive
+        assert m["has_jfif"] is with_jfif
+        assert m["precision"] == 8 and m["n_dqt"] == 1
+
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100, 48000]),
+        nch=st.integers(1, 4),
+        nframes=st.integers(0, 500),
+        data=st.data(),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_wav_roundtrip_metadata_and_amplitude_bounds(
+        self, rate, nch, nframes, data
+    ):
+        from console_etl_spark.llmops import multimodal
+
+        samples = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=nframes * nch,
+                max_size=nframes * nch,
+            )
+        )
+        wav = multimodal.encode_wav(rate, nch, samples)
+        m = multimodal.wav_metadata(wav)
+        assert m["sample_rate"] == rate
+        assert m["n_channels"] == nch
+        assert m["n_frames"] == nframes
+        f = multimodal.wav_features(wav)
+        # invariants: 0 <= rms <= peak <= 1 (+eps for the -32768 edge),
+        # |dc| <= peak, zcr in [0, 1]
+        assert 0.0 <= f[4] <= f[5] + 1e-12 <= 1.0 + 1e-9 + 1e-12
+        assert abs(f[7]) <= f[5] + 1e-12
+        assert 0.0 <= f[6] <= 1.0
