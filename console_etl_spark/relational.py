@@ -2789,3 +2789,97 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "event_type", "value", "z")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint validation: the ingest gate a 100 TB pipeline
+# runs before publishing a snapshot (the distributed generalization of the
+# reference's per-object readiness/validity checks, main.go:341-357).
+# --------------------------------------------------------------------------
+
+DQ_ORDERDATE_MIN, DQ_ORDERDATE_MAX = "1992-01-01", "1998-12-31"
+
+_DQ_SQL = f"""
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      SELECT 'orders_null_pk' AS rule, COUNT(*) AS n_violations
+      FROM orders WHERE o_orderkey IS NULL
+      UNION ALL
+      SELECT 'orders_duplicate_pk',
+             COALESCE(SUM(cnt - 1), 0)
+      FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+            GROUP BY o_orderkey HAVING COUNT(*) > 1) d
+      UNION ALL
+      SELECT 'orders_date_out_of_range', COUNT(*)
+      FROM orders
+      WHERE o_orderdate < DATE '{DQ_ORDERDATE_MIN}'
+         OR o_orderdate > DATE '{DQ_ORDERDATE_MAX}'
+      UNION ALL
+      SELECT 'lineitem_orphan_fk', COUNT(*)
+      FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+      UNION ALL
+      SELECT 'lineitem_nonpositive_quantity', COUNT(*)
+      FROM lineitem WHERE l_quantity <= 0
+      UNION ALL
+      SELECT 'lineitem_negative_price', COUNT(*)
+      FROM lineitem WHERE l_extendedprice < 0
+      UNION ALL
+      SELECT 'customer_invalid_nation_fk', COUNT(*)
+      FROM customer WHERE c_nationkey NOT IN
+        (SELECT n_nationkey FROM nation)
+    ) v ORDER BY rule
+"""
+
+
+@_register("dq_violations_report", _DQ_SQL)
+def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report: one row per data-quality rule with
+    its violation count — PK nullability/uniqueness, FK referential
+    integrity (orphan facts, dangling dims), domain ranges.
+
+    Scale shape: each rule is one aggregate over one pruned scan —
+    single-column counts, map-side partial aggregation, and the FK
+    checks are anti-join-shaped (Catalyst turns NOT IN over a non-null
+    key into a left anti join; nation broadcasts, the orders key side
+    shuffles once at 100 TB). The rules union to a 7-row report, so the
+    final exchange is trivially small. A pipeline gates the snapshot
+    publish (store.publish) on every count being zero."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def one(rule: str, n: DataFrame) -> DataFrame:
+        return n.select(F.lit(rule).alias("rule"),
+                        F.col("n").cast("long").alias("n_violations"))
+
+    dup = (
+        orders.groupBy("o_orderkey").count().filter("count > 1")
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n"))
+    )
+    checks = [
+        one("orders_null_pk",
+            orders.filter(F.col("o_orderkey").isNull()).agg(F.count("*").alias("n"))),
+        one("orders_duplicate_pk", dup),
+        one("orders_date_out_of_range",
+            orders.filter(
+                (F.col("o_orderdate") < F.lit(DQ_ORDERDATE_MIN).cast("date"))
+                | (F.col("o_orderdate") > F.lit(DQ_ORDERDATE_MAX).cast("date"))
+            ).agg(F.count("*").alias("n"))),
+        one("lineitem_orphan_fk",
+            lineitem.join(orders.select("o_orderkey"),
+                          lineitem.l_orderkey == orders.o_orderkey,
+                          "left_anti").agg(F.count("*").alias("n"))),
+        one("lineitem_nonpositive_quantity",
+            lineitem.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n"))),
+        one("lineitem_negative_price",
+            lineitem.filter(F.col("l_extendedprice") < 0).agg(F.count("*").alias("n"))),
+        one("customer_invalid_nation_fk",
+            customer.join(F.broadcast(nation.select("n_nationkey")),
+                          customer.c_nationkey == nation.n_nationkey,
+                          "left_anti").agg(F.count("*").alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")
