@@ -195,3 +195,26 @@ def test_no_unbounded_driver_materialization():
                 hits.append((str(py.relative_to(root)), fn, i))
     extra = [(f, fn, i) for f, fn, i in hits if (f, fn) not in allowed]
     assert not extra, f"driver-side materialization outside allowlist: {extra}"
+
+
+def test_dq_report_anti_joins_and_broadcast_nation(spark):
+    """The FK checks must plan as anti joins (never a full join +
+    filter), the nation side must broadcast, and no rule may introduce
+    a cartesian product."""
+    plan = plan_of(relational.dq_violations_report(spark, SF_TEST))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_cte_no_cartesian_single_exchange(spark):
+    """Each recursion step is one distributed join of the frontier
+    against the child scan — never a cartesian, and no global
+    single-partition exchange."""
+    from console_etl_spark import sqlapi
+
+    plan = plan_of(sqlapi.sql_recursive_hierarchy(spark, SF_TEST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
