@@ -679,3 +679,71 @@ def text_boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+@_register(
+    "text_bigram_perplexity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, w AS w1, LEAD(w) OVER win AS w2
+      FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY LEAD(w) OVER win IS NOT NULL
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM tok)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(EXP(-AVG(LN((c2 + 0.5) / (c1 + 0.5 * vocab)))), 6)
+             AS bigram_ppl
+    FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity with add-0.5 smoothing, the corpus as its
+    own LM: ppl(doc) = exp(-mean_i ln p(w_i|w_{i-1})), p = (c2+k)/(c1+kV).
+    The conditional upgrade of text_unigram_perplexity — boilerplate
+    scores LOW only if its word *order* is common, so templated spam
+    that beats a unigram filter is caught here.
+
+    Scale: the bigram-count relation is the big intermediate (unique
+    bigrams ~ corpus tokens early, sublinear later); both count
+    aggregations are map-side partial, the probability join shuffles on
+    the (w1, w2) key where AQE's skew-join splits the Zipfian head, and
+    the 1-row vocab total broadcasts. Same ROUND(.,6) on both engines
+    so log-sum association order cannot flip hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("vocab"))
+    logp = F.log(
+        (F.col("c2") + F.lit(0.5))
+        / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.avg(logp)), 6).alias("bigram_ppl"),
+        )
+    )
