@@ -817,6 +817,172 @@ def wav_audio_table(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MP4 codec slot (stdlib box walk): ISO-BMFF container metadata, no decode
+# --------------------------------------------------------------------------
+# The video column of a multimodal corpus. Frame decode needs ffmpeg, but
+# the MP4 container is a length-prefixed box tree ([size:4][type:4] big-
+# endian, children nested in the payload): walking ftyp → moov → mvhd/trak
+# yields duration, timescale, track count and per-track dimensions from
+# header bytes alone — the metadata a curation pass filters on
+# (length/resolution/track-shape gates) without touching a single frame.
+
+MP4_MEDIA_TYPE = "video/mp4"
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the sibling boxes
+    in b[start:end]. size==1 (64-bit largesize) and size==0 (to-end) per
+    ISO/IEC 14496-12 §4.2."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError(f"truncated largesize box at {i}")
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"bad box size {size} at {i}")
+        yield btype, payload, i + size
+        i += size
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """REAL parse: ISO-BMFF box walk → container metadata — major brand
+    (ftyp), movie timescale/duration (mvhd, both version 0 and 1),
+    track count, and the first video-track width/height (tkhd, 16.16
+    fixed point). Raises ValueError on non-MP4 or truncated input."""
+    b = bytes(payload)
+    brand = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = 0.0
+    found_moov = False
+    for btype, s, e in _walk_boxes(b, 0, len(b)):
+        if btype == b"ftyp":
+            brand = b[s : s + 4].decode("latin-1")
+        elif btype == b"moov":
+            found_moov = True
+            for ctype, cs, ce in _walk_boxes(b, s, e):
+                if ctype == b"mvhd":
+                    ver = b[cs]
+                    if ver == 1:  # 64-bit times
+                        timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
+                        duration = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                    else:
+                        timescale = int.from_bytes(b[cs + 12 : cs + 16], "big")
+                        duration = int.from_bytes(b[cs + 16 : cs + 20], "big")
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for t2, ts_, te in _walk_boxes(b, cs, ce):
+                        if t2 == b"tkhd":
+                            ver = b[ts_]
+                            off = ts_ + (96 if ver == 1 else 84)
+                            w = int.from_bytes(b[off - 8 : off - 4], "big") / 65536.0
+                            h = int.from_bytes(b[off - 4 : off], "big") / 65536.0
+                            if width == 0.0 and w > 0:
+                                width, height = w, h
+    if brand is None or not found_moov or timescale in (None, 0):
+        raise ValueError("not an MP4: missing ftyp/moov/mvhd")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_sec": duration / timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def mp4_features(payload: bytes) -> list[float]:
+    """MP4 container metadata as the standard 8-dim feature vector:
+    [duration_sec, timescale, n_tracks, width, height, has_video,
+    n_bytes, brand_is_isom]."""
+    m = mp4_metadata(payload)
+    return [
+        m["duration_sec"],
+        float(m["timescale"]),
+        float(m["n_tracks"]),
+        m["width"],
+        m["height"],
+        1.0 if m["width"] > 0 else 0.0,
+        float(len(bytes(payload))),
+        1.0 if m["brand"] == "isom" else 0.0,
+    ]
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def encode_mp4_header(
+    duration_sec: float,
+    timescale: int = 1000,
+    video_size: tuple | None = (640, 480),
+    n_audio_tracks: int = 0,
+) -> bytes:
+    """Structurally-valid ISO-BMFF box tree (ftyp + moov[mvhd + trak...]
+    + empty mdat) for fixture generation. Sample tables are absent — any
+    standards-compliant *container metadata* reader parses everything
+    here; only a frame decoder would notice."""
+    dur = int(round(duration_sec * timescale))
+    mvhd = bytes(4) + bytes(8) + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big") + bytes(80)
+    boxes = [_mp4_box(b"mvhd", mvhd)]
+
+    def tkhd(w: int, h: int) -> bytes:
+        # version0 tkhd: 84-byte payload, width/height 16.16 at the end
+        body = bytearray(84)
+        body[76:80] = (w << 16).to_bytes(4, "big")
+        body[80:84] = (h << 16).to_bytes(4, "big")
+        return _mp4_box(b"trak", _mp4_box(b"tkhd", bytes(body)))
+
+    if video_size is not None:
+        boxes.append(tkhd(*video_size))
+    for _ in range(n_audio_tracks):
+        boxes.append(tkhd(0, 0))
+    return (
+        _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isommp42")
+        + _mp4_box(b"moov", b"".join(boxes))
+        + _mp4_box(b"mdat", b"")
+    )
+
+
+def mp4_video_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=MP4 box tree, media_type, n_bytes).
+    Distributed builder: id-seeded duration/timescale/resolution/track
+    census so the parser's whole surface is covered by fixtures whose
+    expected metadata tests compute independently."""
+
+    def mp4_doc(d: int) -> bytes:
+        return encode_mp4_header(
+            duration_sec=(d % 30) + 1.5,
+            timescale=(1000, 600, 90000)[d % 3],
+            video_size=None if d % 7 == 0 else ((d % 16) * 80 + 160, (d % 9) * 60 + 120),
+            n_audio_tracks=d % 2,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [mp4_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": MP4_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+# --------------------------------------------------------------------------
 # Decode / feature-extraction plumbing (Pandas-UDF over mapInPandas)
 # --------------------------------------------------------------------------
 
@@ -898,6 +1064,7 @@ _DECODERS = {
     "svg": svg_features,
     "jpeg": jpeg_features,  # header metadata only — pixel decode is gated
     "wav": wav_features,  # REAL PCM decode (stdlib wave)
+    "mp4": mp4_features,  # container metadata only — frame decode is gated
 }
 
 
@@ -920,11 +1087,12 @@ def extract_features(
     operator preserves partitioning (no shuffle) so at scale it is an
     embarrassingly-parallel map over executors.
     """
-    if decoder in ("jpeg_pixels", "audio_compressed", "video"):
+    if decoder in ("jpeg_pixels", "audio_compressed", "video_frames"):
         raise NotImplementedError(
             f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
             "in this container; 'image' (BMP), 'png', 'svg', 'jpeg' "
-            "(header metadata), 'wav' (PCM), and 'fake' are built in"
+            "(header metadata), 'wav' (PCM), 'mp4' (container metadata), "
+            "and 'fake' are built in"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -1074,6 +1242,27 @@ def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 4).alias("duration_sec"),
         F.round(F.element_at("features", 5), 9).alias("rms"),
         F.round(F.element_at("features", 7), 9).alias("zero_crossing_rate"),
+    )
+
+
+@_register("mm_mp4_features", None)  # rows-only: box walk not SQL-expressible
+def mm_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container pipeline: per-doc MP4 box trees (distributed
+    encode) → stdlib ISO-BMFF walk → container metadata (duration,
+    timescale, tracks, resolution). The video column's curation-pass
+    filter surface — length/resolution gates — without a frame decoder."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(mp4_video_table(d), decoder="mp4")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("duration_sec"),
+        F.element_at("features", 2).alias("timescale"),
+        F.element_at("features", 3).alias("n_tracks"),
+        F.element_at("features", 4).alias("width"),
+        F.element_at("features", 5).alias("height"),
+        F.element_at("features", 6).alias("has_video"),
     )
 
 

@@ -745,6 +745,70 @@ def test_mm_wav_features_registered(spark):
     assert {r.doc_id for r in rows} == set(range(500))
 
 
+# --------------------------------------------------------------------------
+# MP4 container metadata (X5): stdlib ISO-BMFF box walk, no frame decode
+# --------------------------------------------------------------------------
+
+def test_mp4_metadata_hand_built_fixture():
+    """Exact container metadata from a hand-assembled box tree: brand,
+    timescale/duration, track census, 16.16 fixed-point dimensions."""
+    m = multimodal.mp4_metadata(
+        multimodal.encode_mp4_header(12.5, 1000, (640, 480), n_audio_tracks=1)
+    )
+    assert m == {
+        "brand": "isom",
+        "timescale": 1000,
+        "duration_sec": 12.5,
+        "n_tracks": 2,
+        "width": 640.0,
+        "height": 480.0,
+    }
+    audio_only = multimodal.mp4_metadata(
+        multimodal.encode_mp4_header(3.0, 90000, video_size=None)
+    )
+    assert audio_only["width"] == 0.0 and audio_only["n_tracks"] == 0
+    assert audio_only["duration_sec"] == 3.0
+
+
+def test_mp4_metadata_rejects_malformed():
+    with pytest.raises(ValueError, match="missing ftyp"):
+        multimodal.mp4_metadata(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="bad box size"):
+        multimodal.mp4_metadata(b"\x00\x00\x00\x03xxxx")
+    with pytest.raises(ValueError):
+        multimodal.mp4_metadata(b"\xff\xd8\xff\xd9")
+
+
+def test_mp4_video_table_features_match_generator(spark):
+    """End-to-end: distributed MP4 encode → Spark box walk; features
+    match the generator's id arithmetic computed independently."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.mp4_video_table(docs), decoder="mp4"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        d = r.doc_id
+        ts = (1000, 600, 90000)[d % 3]
+        dur = round(((d % 30) + 1.5) * ts) / ts
+        assert abs(r.features[0] - dur) < 1e-9          # duration
+        assert r.features[1] == float(ts)               # timescale
+        has_video = d % 7 != 0
+        assert r.features[5] == (1.0 if has_video else 0.0)
+        if has_video:
+            assert r.features[3] == float((d % 16) * 80 + 160)
+            assert r.features[4] == float((d % 9) * 60 + 120)
+        assert r.features[2] == float((1 if has_video else 0) + d % 2)
+        assert r.media_type == multimodal.MP4_MEDIA_TYPE
+
+
+def test_mm_mp4_features_registered(spark):
+    got = multimodal.mm_mp4_features(spark, SF_TEST)
+    rows = got.collect()
+    assert len(rows) == 500
+    assert {r.doc_id for r in rows} == set(range(500))
+
+
 def test_resize_png_mode(spark):
     """Distributed PNG thumbnails: every output decodes at 4×4 and picks
     exactly every second source pixel (nearest-neighbor)."""
@@ -768,7 +832,9 @@ def test_unavailable_decoders_raise(spark):
             multimodal.binary_table(docs), decoder="jpeg_pixels"
         )
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(multimodal.binary_table(docs), decoder="video")
+        multimodal.extract_features(
+            multimodal.binary_table(docs), decoder="video_frames"
+        )
     with pytest.raises(ValueError):
         multimodal.extract_features(multimodal.binary_table(docs), decoder="bogus")
 
