@@ -81,6 +81,8 @@ def read_media_dir(
         "jpg": "image/jpeg",
         "jpeg": "image/jpeg",
         "wav": "audio/wav",
+        "mp4": "video/mp4",
+        "m4a": "audio/mp4",
         **(media_type_by_ext or {}),
     }
     reader = spark.read.format("binaryFile")

@@ -282,3 +282,29 @@ class TestMediaCodecLaws:
         assert 0.0 <= f[4] <= f[5] + 1e-12 <= 1.0 + 1e-9 + 1e-12
         assert abs(f[7]) <= f[5] + 1e-12
         assert 0.0 <= f[6] <= 1.0
+
+    @given(
+        dur=st.floats(0.1, 7200.0, allow_nan=False, allow_infinity=False),
+        ts_=st.sampled_from([600, 1000, 90000]),
+        w=st.integers(16, 8192),
+        h=st.integers(16, 8192),
+        n_audio=st.integers(0, 3),
+        has_video=st.booleans(),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_mp4_container_roundtrip(self, dur, ts_, w, h, n_audio, has_video):
+        from console_etl_spark.llmops import multimodal
+
+        m = multimodal.mp4_metadata(
+            multimodal.encode_mp4_header(
+                dur, ts_, (w, h) if has_video else None, n_audio_tracks=n_audio
+            )
+        )
+        assert m["brand"] == "isom" and m["timescale"] == ts_
+        # duration quantizes to the container timescale
+        assert abs(m["duration_sec"] - round(dur * ts_) / ts_) < 1e-12
+        assert m["n_tracks"] == n_audio + (1 if has_video else 0)
+        if has_video:
+            assert (m["width"], m["height"]) == (float(w), float(h))
+        else:
+            assert m["width"] == 0.0
