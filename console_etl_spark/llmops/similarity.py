@@ -1212,3 +1212,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ANN_K)
     )
+
+
+_INT8_QUANT_SQL = """
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> ABS(x)), 'max') AS s
+      FROM embeddings
+    ),
+    quant AS (
+      SELECT vec_id, s,
+        CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding,
+                    x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS INTEGER))
+        END AS q8,
+        ROUND(CASE WHEN s = 0 THEN 0.0 ELSE
+          list_aggregate(list_transform(list_zip(embedding,
+            CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding,
+                        x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS INTEGER)) END),
+            p -> ABS(p[1] - p[2] * s / 127.0)), 'sum') / len(embedding)
+          END, 6) AS mean_abs_err
+      FROM scaled
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(q8, 1) - 1 AS BIGINT) AS idx,
+           CAST(unnest(q8) AS INTEGER) AS q8_val,
+           ROUND(s, 6) AS scale, mean_abs_err
+    FROM quant
+"""
+
+
+@_register("embedding_int8_quantize", _INT8_QUANT_SQL)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage/bandwidth
+    compression pass run before indexing embeddings at 100 TB (q =
+    floor(x*127/max|x| + 0.5), scale kept alongside for dequant; the
+    same code layout IVFADC's PQ tier refines further). Row-local
+    built-in HOFs only (transform/zip_with/aggregate) — no shuffle, no
+    Python, embarrassingly parallel over executors; the per-vector
+    reconstruction error column is the quality audit a pipeline
+    thresholds on. floor(x+0.5) (not ROUND) so half-way cases are
+    engine-identical; error rounded to 6 so float fold order cannot
+    flip hashes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    zeros = F.transform("embedding", lambda x: F.lit(0))
+    q = F.when(s == 0, zeros).otherwise(
+        F.transform("embedding", lambda x: F.floor(x * 127.0 / s + 0.5).cast("int"))
+    )
+    err = F.round(
+        F.when(s == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "q8", lambda x, qq: F.abs(x - qq * s / 127.0)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("embedding")
+        ),
+        6,
+    )
+    return (
+        e.withColumn("q8", q)
+        .withColumn("scale", F.round(s, 6))
+        .withColumn("mean_abs_err", err)
+        .select(
+            "vec_id",
+            F.posexplode("q8").alias("idx", "q8_val"),
+            "scale",
+            "mean_abs_err",
+        )
+        .withColumn("idx", F.col("idx").cast("long"))
+    )
