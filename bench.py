@@ -50,6 +50,11 @@ HEADLINE = [
     "split_train_test_docs",
     "pack_sequences_by_lang",
     "curate_corpus_end_to_end",
+    # round-5 additions (new keys — round-over-round totals compare on
+    # matching min keys, so extending the suite is safe):
+    "text_bigram_perplexity",
+    "embedding_int8_quantize",
+    "dq_violations_report",
 ]
 
 
