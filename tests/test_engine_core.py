@@ -645,3 +645,48 @@ class TestHttpFreshness:
             assert t1 and t2 and t1 != t2, (t1, t2)
         finally:
             server.shutdown()
+
+
+def test_load_table_normalizes_all_ts_fixture_generations(spark, tmp_path):
+    """The events fixture has shipped with three different parquet
+    physical types for ``ts`` across driver regenerations; load_table
+    must read every generation to the SAME TimestampType values (the
+    BASELINE robustness contract — the round-4 fixture change broke two
+    queries and the whole streaming tier by assuming one of them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from console_etl_spark.session import load_table
+
+    base = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_123_456, 1_700_003_600_654_321],
+                           pa.timestamp("us")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    variants = {
+        "ntz_us": base,  # TIMESTAMP(MICROS, no tz) → Spark TIMESTAMP_NTZ
+        "nanos": base.set_column(
+            1, "ts", base["ts"].cast(pa.timestamp("ns"))
+        ),  # TIMESTAMP(NANOS) → long under nanosAsLong
+        "utc_us": base.set_column(
+            1, "ts", base["ts"].cast(pa.timestamp("us", tz="UTC"))
+        ),  # TIMESTAMP(MICROS, UTC-adjusted) → plain TimestampType
+    }
+    got = {}
+    for name, tbl in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), name
+        got[name] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert got["ntz_us"] == got["nanos"] == got["utc_us"], got
