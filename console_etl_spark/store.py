@@ -72,10 +72,26 @@ class SnapshotStore:
         catalog: str,
         version: str,
         partition_by: tuple[str, ...] = PARTITION_COLS,
+        gate: DataFrame | None = None,
     ) -> SnapshotInfo:
         """Write ``df`` as snapshot ``version`` and atomically point
         ``_CURRENT`` at it. Idempotent: same version again is a no-op.
+
+        ``gate``: an optional data-quality violations DataFrame (e.g. a
+        filtered ``relational.dq_violations_report``); if it contains ANY
+        row, publication aborts BEFORE the manifest flip — readers keep
+        the previous snapshot, making quality enforcement part of the
+        atomic-publish contract rather than a separate step that can be
+        forgotten. The gate is evaluated first so a failing batch writes
+        nothing.
         """
+        if gate is not None:
+            bad = gate.limit(5).collect()
+            if bad:
+                raise ValueError(
+                    f"publish gate failed for {catalog}@{version}: "
+                    f"{len(bad)}+ violation rows, first: {bad[0]}"
+                )
         current = self.current(catalog)
         if current is not None and current.version == version:
             return current

@@ -690,3 +690,24 @@ def test_load_table_normalizes_all_ts_fixture_generations(spark, tmp_path):
             (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
         )
     assert got["ntz_us"] == got["nanos"] == got["utc_us"], got
+
+
+def test_publish_gate_blocks_manifest_flip(spark, store, catalog_metas):
+    """A non-empty violations gate must abort BEFORE anything flips:
+    readers keep the previous snapshot, and a subsequent clean publish
+    of the same version succeeds (nothing half-published)."""
+    import pytest as _pytest
+
+    store.publish(catalog_metas, "gated", "v1")
+    assert store.current("gated").version == "v1"
+
+    violations = spark.createDataFrame(
+        [("orders_null_pk", 3)], "rule string, n_violations long"
+    )
+    with _pytest.raises(ValueError, match="publish gate failed"):
+        store.publish(catalog_metas, "gated", "v2", gate=violations)
+    assert store.current("gated").version == "v1"  # flip never happened
+
+    clean = violations.limit(0)
+    store.publish(catalog_metas, "gated", "v2", gate=clean)
+    assert store.current("gated").version == "v2"
