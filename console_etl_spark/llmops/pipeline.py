@@ -279,3 +279,61 @@ def curate_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+CHUNK_TOKENS = 32   # context-window length in whitespace tokens
+CHUNK_STRIDE = 16   # 50% overlap — the standard LM-pretraining stride
+
+_CHUNK_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(0, len(toks) - {CHUNK_TOKENS}) + 1,
+                          {CHUNK_STRIDE})) AS start,
+             generate_subscripts(range(0, greatest(0, len(toks) - {CHUNK_TOKENS})
+                          + 1, {CHUNK_STRIDE}), 1) - 1 AS chunk_id
+      FROM t)
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1,
+                                      start + {CHUNK_TOKENS}), ' ')
+             AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(toks) - start) AS BIGINT)
+             AS chunk_tokens
+    FROM s
+"""
+
+
+@_register("chunk_documents_sliding", _CHUNK_SQL)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every document becomes overlapping
+    CHUNK_TOKENS-token windows at CHUNK_STRIDE (50% overlap) — the
+    pretraining-prep step between curation and packing (pack_sequences
+    packs whole docs; this splits docs LONGER than the context window
+    so no text is truncated away, the span-coverage guarantee).
+
+    All built-ins — split/sequence/posexplode/slice/array_join — one
+    narrow explode, no shuffle, no Python; at 100 TB it is an
+    embarrassingly-parallel map whose output is bounded by
+    n_tokens/stride rows per doc. Start grid = 0..max(0, n-W) step S on
+    both engines, so boundary semantics (short docs → one chunk) are
+    engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.lit(0), n - CHUNK_TOKENS), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", toks.alias("t"), starts.alias("starts"))
+        .select("doc_id", "t", F.posexplode("starts").alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("start"))
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )
