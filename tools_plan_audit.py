@@ -1,0 +1,67 @@
+"""Plan auditor: dump per-query physical-plan quality metrics for every
+registered query to PLAN_AUDIT.json — exchanges, broadcast vs sort-merge
+joins, cartesian products, pushed filters, whole-stage codegen spans,
+Python (Arrow) stages. Evidence artifact for scale review; regenerate
+with `python tools_plan_audit.py [sf_dir]`.
+
+Reading the summary: `with_cartesian` must be empty. A listed
+single-partition exchange is only a scale problem when corpus-sized data
+flows through it; every current occurrence is a GLOBAL SCALAR AGGREGATE
+(1-row totals: q6/q14/q17/q19/q22 revenue numbers, distinct_counts,
+perplexity/tfidf corpus totals that then broadcast), a BOUNDED final
+sort (dq 7-row report, gapfill hourly grid, nav listings), or a point
+lookup — partial aggregation runs map-side first, so the single
+partition receives one row per upstream partition, not the data."""
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from console_etl_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            out[name] = {
+                "exchanges": plan.count("Exchange"),
+                "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+                "broadcast_joins": plan.count("BroadcastHashJoin"),
+                "sort_merge_joins": plan.count("SortMergeJoin"),
+                "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+                "cartesian": plan.count("CartesianProduct"),
+                "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+                "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+                "python_arrow_stages": plan.count("MapInPandas")
+                + plan.count("FlatMapGroupsInPandas")
+                + plan.count("ArrowEvalPython"),
+                "takeordered": plan.count("TakeOrderedAndProject"),
+            }
+        except Exception as exc:  # a query that cannot plan is itself a finding
+            out[name] = {"error": str(exc)[:200]}
+        spark.catalog.clearCache()
+    summary = {
+        "n_queries": len(out),
+        "errors": sorted(k for k, v in out.items() if "error" in v),
+        "with_cartesian": sorted(
+            k for k, v in out.items() if v.get("cartesian", 0) > 0
+        ),
+        "with_single_partition_exchange": sorted(
+            k for k, v in out.items() if v.get("single_partition_exchanges", 0) > 0
+        ),
+        "sf_dir": sf_dir,
+    }
+    with open("PLAN_AUDIT.json", "w") as fh:
+        json.dump({"summary": summary, "queries": out}, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
