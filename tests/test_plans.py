@@ -177,20 +177,31 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "ivf_centroids"),
         # persisted-index search: distinct probed cells (≤ n_cells values)
         ("llmops/similarity.py", "ivf_search"),
+        # incremental index ingest: the 1-row centroids JSON
+        ("llmops/similarity.py", "ivf_add"),
         # IVFADC search: 1-row index metadata + distinct probed cells
         ("llmops/similarity.py", "ivf_pq_search"),
         # PQ codebook fit: ksub seed rows + the m·ksub Lloyd mean rows
         ("llmops/similarity.py", "pq_codebooks"),
+        # publish gate probe: limit(5) on the violations relation
+        ("store.py", "publish"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
         fn = None
+        in_class = False
         for i, line in enumerate(py.read_text().splitlines(), 1):
-            # attribute to the enclosing TOP-LEVEL def: a nested helper's
-            # collect is still bounded (or not) by its outer function's
-            # contract, so only column-0 defs reset the attribution
-            if line.startswith("def "):
+            # attribute to the enclosing TOP-LEVEL def (or CLASS METHOD —
+            # a 4-space def under a class): a helper nested inside a
+            # function keeps the outer function's attribution, since its
+            # collect is bounded (or not) by that function's contract
+            if line.startswith("class "):
+                in_class = True
+            elif line.startswith("def "):
+                in_class = False
                 fn = line[4:].split("(")[0]
+            elif in_class and line.startswith("    def "):
+                fn = line[8:].split("(")[0]
             if ".collect()" in line or ".toPandas()" in line:
                 hits.append((str(py.relative_to(root)), fn, i))
     extra = [(f, fn, i) for f, fn, i in hits if (f, fn) not in allowed]
