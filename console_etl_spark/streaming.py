@@ -457,3 +457,54 @@ def stream_dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dq_monitor(
+    spark: SparkSession,
+    path: str,
+    metrics_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming data-quality monitor over the events stream: per
+    micro-batch, evaluate the ingest-gate rules (null keys, domain
+    violations, timestamp bounds) and APPEND one row per rule per batch
+    to a parquet metrics table — the observability half of the batch
+    ``dq_violations_report`` (relational.py), aggregated incrementally
+    instead of rescanned.
+
+    Each batch's rule evaluation is a handful of single-column counts
+    (map-side partial aggregation over only that batch); the metrics
+    table grows by n_rules rows per batch regardless of data volume, so
+    the monitor's own storage is O(batches), not O(events). Downstream,
+    alerting is a plain batch query over metrics_dir; a pipeline can
+    also gate each batch's promotion the way store.publish(gate=...)
+    gates snapshots.
+    """
+    stream = read_events_stream(spark, path)
+
+    def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        counts = batch_df.agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("event_id").isNull(), 1)).alias("null_pk"),
+            F.count(F.when(F.col("ts").isNull(), 1)).alias("null_ts"),
+            F.count(F.when(F.col("value") < 0, 1)).alias("negative_value"),
+            F.count(
+                F.when(~F.col("event_type").isin("view", "click", "purchase", "signup"), 1)
+            ).alias("unknown_event_type"),
+        ).collect()[0]  # bounded: ONE aggregated row per micro-batch
+        rows = [
+            (int(epoch_id), rule, int(counts[rule]), int(counts["n_rows"]))
+            for rule in ("null_pk", "null_ts", "negative_value", "unknown_event_type")
+        ]
+        batch_df.sparkSession.createDataFrame(
+            rows, "epoch_id long, rule string, n_violations long, batch_rows long"
+        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -185,6 +185,8 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "pq_codebooks"),
         # publish gate probe: limit(5) on the violations relation
         ("store.py", "publish"),
+        # per-micro-batch DQ audit: ONE aggregated row per batch
+        ("streaming.py", "stream_dq_monitor"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):

@@ -475,3 +475,43 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
     assert sink.count() == events.count()
     assert sink.select("event_id").distinct().count() == events.count()
     assert sink.exceptAll(events).count() == 0
+
+
+def test_stream_dq_monitor_counts_match_batch(spark, events_stream_dir, tmp_path):
+    """The per-batch violation counts summed over all micro-batches must
+    equal one batch evaluation of the same rules over the whole fixture,
+    and batch_rows must account for every event exactly once."""
+    from pyspark.sql import functions as F
+
+    metrics = str(tmp_path / "metrics")
+    q = streaming.stream_dq_monitor(
+        spark, events_stream_dir, metrics, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    m = spark.read.parquet(metrics)
+    assert {r.rule for r in m.select("rule").distinct().collect()} == {
+        "null_pk", "null_ts", "negative_value", "unknown_event_type"
+    }
+    # >1 micro-batch actually happened (4 source files, 1 per trigger)
+    assert m.select("epoch_id").distinct().count() >= 2
+
+    e = load_table(spark, SF_TEST, "events")
+    want = e.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("neg"),
+        F.count(
+            F.when(~F.col("event_type").isin("view", "click", "purchase", "signup"), 1)
+        ).alias("unk"),
+    ).collect()[0]
+    got = {
+        r.rule: r.total
+        for r in m.groupBy("rule").agg(F.sum("n_violations").alias("total")).collect()
+    }
+    rows_accounted = (
+        m.filter("rule = 'null_pk'").agg(F.sum("batch_rows")).collect()[0][0]
+    )
+    assert rows_accounted == want.n
+    assert got["negative_value"] == want.neg
+    assert got["unknown_event_type"] == want.unk
+    assert got["null_pk"] == 0 and got["null_ts"] == 0
