@@ -2883,3 +2883,118 @@ def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Behavioral analytics: cohort retention + ordered funnel over events.
+# --------------------------------------------------------------------------
+
+_COHORT_SQL = """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(datediff('day', cohort_week, active_week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@_register("cohort_weekly_retention", _COHORT_SQL)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each later week they were active — the retention triangle
+    every product-analytics stack computes.
+
+    Scale shape: two user-keyed aggregates (first week, distinct
+    user-weeks — both map-side partial) and one equi-join on user_id
+    sharing the hash partitioning, then a tiny (cohorts x offsets)
+    final aggregate. Week truncation is ISO-Monday in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            # ISO string on both engines: a raw DATE surfaces as python
+            # objects from Spark but datetime64 from DuckDB, failing the
+            # dtype-strict compare even when values agree
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_FUNNEL_SQL = """
+    WITH s AS (SELECT user_id, MIN(ts) AS ts_s FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(e.ts) AS ts_v FROM events e
+          JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.ts_s GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS ts_p FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.ts_v GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+      UNION ALL SELECT 'view_after_signup', COUNT(*) FROM v
+      UNION ALL SELECT 'purchase_after_view', COUNT(*) FROM p
+    ) f
+"""
+
+
+@_register("funnel_signup_view_purchase", _FUNNEL_SQL)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first signup, first view
+    AFTER that signup, first purchase AFTER that view — each stage's
+    user count. The ordered-sequence semantics (not mere co-occurrence)
+    is what makes funnels funnel-shaped.
+
+    Scale shape: each stage is one filtered user-keyed aggregate joined
+    to the previous stage's (user, ts) relation — all hash-partitioned
+    on user_id, so the three stages reuse one exchange under AQE; the
+    final union is 3 rows."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_s"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_v"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("ts_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_p"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("signup", s)
+        .unionByName(stage("view_after_signup", v))
+        .unionByName(stage("purchase_after_view", p))
+    )
