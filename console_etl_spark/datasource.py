@@ -1,0 +1,96 @@
+"""Custom Python Data Source (Spark 4 DataSource API): the reference's
+concatenated-JSON meta stream as a first-class ``spark.read.format``.
+
+The reference consumes ``all.json`` through a custom reader
+(``declcfg.WalkMetasReader``, /root/reference/cache.go:96) rather than a
+generic JSON parser, because the stream is concatenated/pretty-printed
+documents, not JSON-lines. ``ingest.read_meta_stream`` re-expresses that
+as text-read + mapInPandas; this module goes one step further and mounts
+the same tokenizer behind Spark's native source extension point, so the
+stream composes like any built-in format::
+
+    spark.dataSource.register(MetaStreamDataSource)
+    df = spark.read.format("console_meta").load("/path/to/dumps")
+
+Execution model: one input partition per stream file (a concatenated
+document can span arbitrary byte ranges, so files are the atomic split —
+the same granularity Spark's own multiLine JSON uses). Each partition
+walks its file with the depth-tracking splitter and emits byte-faithful
+blobs plus envelope fields; ``_pos`` encodes (file, offset) so last-wins
+dedup downstream (``shred_metas``) keeps the reference's sequential-
+overwrite semantics across a multi-file directory listed in name order.
+At cluster scale a dump directory fans out one task per file; truncated
+documents raise (the reference propagates decode errors, cache.go:96-98)
+instead of silently ingesting a partial catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, index: int, path: str):
+        self.index = index
+        self.path = path
+
+
+META_STREAM_SCHEMA = (
+    "schema string, package string, name string, blob string, _pos long"
+)
+
+
+class MetaStreamDataSource(DataSource):
+    """``format("console_meta")`` — options: ``path`` (file or directory
+    of stream files)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "console_meta"
+
+    def schema(self) -> str:
+        return META_STREAM_SCHEMA
+
+    def reader(self, schema):
+        return MetaStreamReader(self.options)
+
+
+class MetaStreamReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("console_meta requires a path")
+
+    def partitions(self):
+        import os
+
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            files = [p]
+        if not files:
+            raise ValueError(f"console_meta: no stream files under {p}")
+        return [_FilePartition(i, f) for i, f in enumerate(files)]
+
+    def read(self, partition: _FilePartition):
+        import json
+
+        from console_etl_spark.ingest import split_concatenated_json
+
+        with open(partition.path, encoding="utf-8") as fh:
+            text = fh.read()
+        base = partition.index << 32  # file-major stream position
+        for seq, blob in enumerate(split_concatenated_json(text)):
+            doc = json.loads(blob)
+            yield (
+                doc.get("schema"),
+                doc.get("package"),
+                doc.get("name"),
+                blob,
+                base + seq,
+            )

@@ -97,3 +97,66 @@ def test_read_media_dir_end_to_end(spark, tmp_path):
     # pathGlobFilter prunes at listing time
     only_wav = sources.read_media_dir(spark, str(media), glob="*.wav")
     assert only_wav.count() == 1
+
+
+def test_console_meta_datasource_matches_ingest_path(spark, tmp_path):
+    """The custom Python DataSource (format 'console_meta') must emit
+    the same documents as ingest.read_meta_stream on the same files -
+    byte-faithful blobs, envelope fields, one partition per file, and
+    file-major _pos so shred_metas' last-wins survives multi-file dumps."""
+    import json
+
+    from console_etl_spark.datasource import MetaStreamDataSource
+    from console_etl_spark.ingest import read_meta_stream, shred_metas
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.json").write_text(
+        '{"schema":"olm.package","package":"","name":"p1","v":1}\n'
+        '{"schema":"olm.bundle","package":"p1","name":"b1"}'
+    )
+    (d / "b.json").write_text(
+        '{\n "schema": "olm.package",\n "name": "p1",\n "v": 2\n}'
+        '{"schema":"olm.channel","package":"p1","name":"c1"}'
+    )
+
+    spark.dataSource.register(MetaStreamDataSource)
+    df = spark.read.format("console_meta").load(str(d))
+    assert df.rdd.getNumPartitions() == 2  # one task per stream file
+
+    rows = df.orderBy("_pos").collect()
+    assert [r.name for r in rows] == ["p1", "b1", "p1", "c1"]
+    # byte-faithful: the pretty-printed doc kept its formatting
+    assert rows[2].blob.startswith("{\n ")
+    # file order: b.json's docs sort after a.json's
+    assert rows[1]._pos < rows[2]._pos
+
+    # same multiset of blobs as the mapInPandas ingest path, per file
+    for f in ("a.json", "b.json"):
+        want = {r.blob for r in read_meta_stream(spark, str(d / f)).collect()}
+        got = {
+            r.blob
+            for r in df.collect()
+            if json.loads(r.blob).get("name")
+            in {json.loads(w).get("name") for w in want}
+            and r.blob in want
+        }
+        assert got == want
+
+    # last-wins across files: shred keeps b.json's p1 (v=2)
+    shredded = shred_metas(df)
+    p1 = [r for r in shredded.collect() if r.name == "p1"]
+    assert len(p1) == 1 and json.loads(p1[0].blob)["v"] == 2
+
+
+def test_console_meta_datasource_truncated_raises(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+
+    from console_etl_spark.datasource import MetaStreamDataSource
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "t.json").write_text('{"schema":"olm.package","name":"x"')  # no close
+    spark.dataSource.register(MetaStreamDataSource)
+    with pytest.raises((Exception, Py4JJavaError)):
+        spark.read.format("console_meta").load(str(d)).collect()
