@@ -29,6 +29,16 @@ from __future__ import annotations
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
+def register_meta_source(spark) -> None:
+    """Register ``format("console_meta")`` on a session. Also enables
+    ``spark.sql.python.filterPushdown.enabled`` (runtime-settable):
+    Spark refuses to plan a reader implementing ``pushFilters`` while
+    that conf is off, so registration and the conf travel together —
+    correct on ANY session, vanilla included."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MetaStreamDataSource)
+
+
 class _FilePartition(InputPartition):
     def __init__(self, index: int, path: str):
         self.index = index
@@ -42,7 +52,8 @@ META_STREAM_SCHEMA = (
 
 class MetaStreamDataSource(DataSource):
     """``format("console_meta")`` — options: ``path`` (file or directory
-    of stream files)."""
+    of stream files). Register via :func:`register_meta_source` (it also
+    enables the runtime-settable Python-pushdown conf this reader needs)."""
 
     @classmethod
     def name(cls) -> str:
@@ -60,6 +71,29 @@ class MetaStreamReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("console_meta requires a path")
+        self._pushed: list[tuple[str, str]] = []
+
+    def pushFilters(self, filters):
+        """Push envelope equality predicates into the scan (Spark 4.1
+        DataSource pushdown): ``schema/package/name = literal`` skips
+        non-matching documents at tokenize time, before any row reaches
+        Spark — the catalog queries' dominant predicate shape (the
+        3-key point lookup, main.go:268). Everything else is returned
+        for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo
+
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in ("schema", "package", "name")
+                and (f.value is None or isinstance(f.value, str))
+            ):
+                self._pushed.append((f.attribute[0], f.value))
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         import os
@@ -87,6 +121,10 @@ class MetaStreamReader(DataSourceReader):
         base = partition.index << 32  # file-major stream position
         for seq, blob in enumerate(split_concatenated_json(text)):
             doc = json.loads(blob)
+            # _pos stays the document's true stream position even when
+            # pushdown skips rows — last-wins ordering is unaffected
+            if any(doc.get(attr) != val for attr, val in self._pushed):
+                continue
             yield (
                 doc.get("schema"),
                 doc.get("package"),

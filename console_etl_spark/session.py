@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushdown (datasource.py implements
+        # pushFilters; Spark refuses to plan such a reader with this off)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type, so read as long and normalize in load_table().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -106,7 +106,7 @@ def test_console_meta_datasource_matches_ingest_path(spark, tmp_path):
     file-major _pos so shred_metas' last-wins survives multi-file dumps."""
     import json
 
-    from console_etl_spark.datasource import MetaStreamDataSource
+    from console_etl_spark.datasource import register_meta_source
     from console_etl_spark.ingest import read_meta_stream, shred_metas
 
     d = tmp_path / "dumps"
@@ -120,7 +120,7 @@ def test_console_meta_datasource_matches_ingest_path(spark, tmp_path):
         '{"schema":"olm.channel","package":"p1","name":"c1"}'
     )
 
-    spark.dataSource.register(MetaStreamDataSource)
+    register_meta_source(spark)
     df = spark.read.format("console_meta").load(str(d))
     assert df.rdd.getNumPartitions() == 2  # one task per stream file
 
@@ -152,11 +152,42 @@ def test_console_meta_datasource_matches_ingest_path(spark, tmp_path):
 def test_console_meta_datasource_truncated_raises(spark, tmp_path):
     from py4j.protocol import Py4JJavaError
 
-    from console_etl_spark.datasource import MetaStreamDataSource
+    from console_etl_spark.datasource import register_meta_source
 
     d = tmp_path / "bad"
     d.mkdir()
     (d / "t.json").write_text('{"schema":"olm.package","name":"x"')  # no close
-    spark.dataSource.register(MetaStreamDataSource)
+    register_meta_source(spark)
     with pytest.raises((Exception, Py4JJavaError)):
         spark.read.format("console_meta").load(str(d)).collect()
+
+
+def test_console_meta_pushdown_filters_at_source(spark, tmp_path):
+    """EqualTo predicates on envelope columns are pushed into the
+    Python reader (skipped at tokenize time); results equal post-scan
+    filtering, the plan carries the pushed filter, and non-envelope
+    predicates still evaluate in Spark."""
+    from console_etl_spark.datasource import register_meta_source
+
+    d = tmp_path / "pushd"
+    d.mkdir()
+    (d / "s.json").write_text(
+        '{"schema":"olm.package","package":"","name":"p1"}'
+        '{"schema":"olm.bundle","package":"p1","name":"b1"}'
+        '{"schema":"olm.bundle","package":"p1","name":"b2"}'
+    )
+    register_meta_source(spark)
+    base = spark.read.format("console_meta").load(str(d))
+
+    got = base.filter("schema = 'olm.bundle'")
+    rows = got.collect()
+    assert sorted(r.name for r in rows) == ["b1", "b2"]
+    # pushdown proof: the EqualTo left the plan (consumed by the
+    # reader) - only the residual null check remains above the scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "olm.bundle" not in plan, plan
+    assert "isnotnull(schema" in plan, plan
+
+    # combined pushed + residual predicate
+    both = base.filter("schema = 'olm.bundle' AND _pos > 1").collect()
+    assert [r.name for r in both] == ["b2"]
