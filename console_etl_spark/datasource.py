@@ -26,7 +26,12 @@ instead of silently ingesting a partial catalog.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def register_meta_source(spark) -> None:
@@ -64,6 +69,9 @@ class MetaStreamDataSource(DataSource):
 
     def reader(self, schema):
         return MetaStreamReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return MetaStreamSimpleStreamReader(self.options)
 
 
 class MetaStreamReader(DataSourceReader):
@@ -132,3 +140,71 @@ class MetaStreamReader(DataSourceReader):
                 blob,
                 base + seq,
             )
+
+
+def _list_stream_files(path: str) -> list[str]:
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    import os.path as osp
+
+    return [path] if osp.isfile(path) else []
+
+
+def _read_file_docs(path: str, file_index: int):
+    import json
+
+    from console_etl_spark.ingest import split_concatenated_json
+
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    base = file_index << 32
+    for seq, blob in enumerate(split_concatenated_json(text)):
+        doc = json.loads(blob)
+        yield (
+            doc.get("schema"),
+            doc.get("package"),
+            doc.get("name"),
+            blob,
+            base + seq,
+        )
+
+
+class MetaStreamSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of ``format("console_meta")`` — the native analog
+    of the reference's pull-based refresh (S3, cache.go:37-93): each
+    micro-batch picks up newly-arrived dump files, the offset is the
+    count of files consumed from the name-sorted listing (dumps are
+    append-only: new dumps get later names, the fixture convention).
+    ``readBetweenOffsets`` replays the exact file range, which is what
+    makes checkpoint recovery exactly-once; rows carry the same
+    file-major ``_pos`` as the batch reader so last-wins shredding is
+    identical either way."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("console_meta requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = _list_stream_files(self.path)
+        n0 = int(start["n_files"])
+        rows: list[tuple] = []
+        for i in range(n0, len(files)):
+            rows.extend(_read_file_docs(files[i], i))
+        return iter(rows), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_stream_files(self.path)
+        rows: list[tuple] = []
+        for i in range(int(start["n_files"]), int(end["n_files"])):
+            rows.extend(_read_file_docs(files[i], i))
+        return iter(rows)

@@ -191,3 +191,54 @@ def test_console_meta_pushdown_filters_at_source(spark, tmp_path):
     # combined pushed + residual predicate
     both = base.filter("schema = 'olm.bundle' AND _pos > 1").collect()
     assert [r.name for r in both] == ["b2"]
+
+
+def test_console_meta_streaming_incremental_pickup(spark, tmp_path):
+    """readStream over the custom source: micro-batches pick up newly
+    arrived dump files from the committed offset - restart with the
+    same checkpoint re-emits nothing, new files arrive incrementally,
+    and _pos matches the batch reader's file-major positions."""
+    from console_etl_spark.datasource import register_meta_source
+
+    d = tmp_path / "stream_dumps"
+    d.mkdir()
+    (d / "dump-000.json").write_text(
+        '{"schema":"olm.package","package":"","name":"p1"}'
+        '{"schema":"olm.bundle","package":"p1","name":"b1"}'
+    )
+    register_meta_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("console_meta")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out)
+
+    first = run_once().collect()
+    assert sorted(r.name for r in first) == ["b1", "p1"]
+
+    # no new input -> nothing re-emitted across a checkpointed restart
+    assert run_once().count() == 2
+
+    # a new dump arrives (later name = appended)
+    (d / "dump-001.json").write_text(
+        '{"schema":"olm.package","name":"p2"}'
+    )
+    third = run_once()
+    assert sorted(r.name for r in third.collect()) == ["b1", "p1", "p2"]
+    p2 = third.filter("name = 'p2'").collect()[0]
+    assert p2._pos == (1 << 32)  # file-major position, file index 1
+
+    # batch read of the same dir agrees on the full document set
+    batch = spark.read.format("console_meta").load(str(d)).collect()
+    assert sorted(r.name for r in batch) == ["b1", "p1", "p2"]
