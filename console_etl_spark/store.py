@@ -73,6 +73,7 @@ class SnapshotStore:
         version: str,
         partition_by: tuple[str, ...] = PARTITION_COLS,
         gate: DataFrame | None = None,
+        evolution: str = "additive",
     ) -> SnapshotInfo:
         """Write ``df`` as snapshot ``version`` and atomically point
         ``_CURRENT`` at it. Idempotent: same version again is a no-op.
@@ -83,6 +84,14 @@ class SnapshotStore:
         the previous snapshot, making quality enforcement part of the
         atomic-publish contract rather than a separate step that can be
         forgotten. The gate is evaluated first so a failing batch writes
+        nothing.
+
+        ``evolution``: schema policy against the CURRENT snapshot —
+        ``"additive"`` (default: new nullable columns may appear, but
+        dropping a column or changing a type aborts; readers written
+        against the old schema keep working), ``"strict"`` (schemas
+        must be identical), ``"any"`` (no check — migrations). Checked
+        before any write, like the gate: a rejected schema publishes
         nothing.
         """
         if gate is not None:
@@ -95,6 +104,8 @@ class SnapshotStore:
         current = self.current(catalog)
         if current is not None and current.version == version:
             return current
+        if current is not None and evolution != "any":
+            self._check_evolution(current, df.schema, evolution)
 
         path = self.snapshot_path(catalog, version)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -113,6 +124,41 @@ class SnapshotStore:
         info = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
         self._flip_manifest(info)
         return info
+
+    @staticmethod
+    def _check_evolution(current: SnapshotInfo, new_schema, mode: str) -> None:
+        """Compare ``new_schema`` to the published snapshot's schema
+        under the given policy (see publish). Pure metadata — no data
+        read; field order is irrelevant (columnar formats address by
+        name)."""
+        from pyspark.sql.types import StructType
+
+        if mode not in ("strict", "additive"):
+            raise ValueError(f"unknown evolution mode {mode!r}")
+        old = StructType.fromJson(json.loads(current.schema_json))
+        old_fields = {f.name: f for f in old.fields}
+        new_fields = {f.name: f for f in new_schema.fields}
+        problems = []
+        for name, f in old_fields.items():
+            if name not in new_fields:
+                problems.append(f"column dropped: {name}")
+            elif new_fields[name].dataType != f.dataType:
+                problems.append(
+                    f"type changed: {name} "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{new_fields[name].dataType.simpleString()}"
+                )
+        added = sorted(set(new_fields) - set(old_fields))
+        if mode == "strict" and added:
+            # additive allows ANY addition (nullability included):
+            # snapshots are immutable, so old readers simply don't
+            # select the new column — there is no back-fill hazard
+            problems.extend(f"column added: {n}" for n in added)
+        if problems:
+            raise ValueError(
+                f"schema evolution rejected ({mode}) vs "
+                f"{current.catalog}@{current.version}: " + "; ".join(problems)
+            )
 
     def _flip_manifest(self, info: SnapshotInfo) -> None:
         """Atomic publish pointer — the symlink-rename analog

@@ -711,3 +711,38 @@ def test_publish_gate_blocks_manifest_flip(spark, store, catalog_metas):
     clean = violations.limit(0)
     store.publish(catalog_metas, "gated", "v2", gate=clean)
     assert store.current("gated").version == "v2"
+
+
+def test_publish_schema_evolution_policies(spark, store, catalog_metas):
+    """additive (default): adding a column publishes; dropping a column
+    or changing a type aborts before anything flips. strict: even
+    additions abort. any: migrations pass. Field ORDER never matters
+    (columnar formats address by name)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    store.publish(catalog_metas, "evo", "v1")
+
+    widened = catalog_metas.withColumn("note", F.lit("x"))
+    store.publish(widened, "evo", "v2")  # additive default: ok
+    assert store.current("evo").version == "v2"
+
+    with _pytest.raises(ValueError, match="column dropped: note"):
+        store.publish(catalog_metas, "evo", "v3")
+    with _pytest.raises(ValueError, match="type changed: note"):
+        store.publish(
+            widened.withColumn("note", F.lit(1)), "evo", "v3"
+        )
+    assert store.current("evo").version == "v2"  # nothing flipped
+
+    reordered = widened.select(*sorted(widened.columns, reverse=True))
+    store.publish(reordered, "evo", "v3", evolution="strict")  # order-free
+    assert store.current("evo").version == "v3"
+
+    with _pytest.raises(ValueError, match="column added"):
+        store.publish(
+            widened.withColumn("extra", F.lit(0)), "evo", "v4",
+            evolution="strict",
+        )
+    store.publish(catalog_metas, "evo", "v5", evolution="any")  # migration
+    assert store.current("evo").version == "v5"
