@@ -55,8 +55,10 @@ def get_spark(
         # Python DataSource pushdown (datasource.py implements
         # pushFilters; Spark refuses to plan such a reader with this off)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # Fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanos
-        # timestamp type, so read as long and normalize in load_table().
+        # Older fixture generations ship events.ts as parquet
+        # TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read
+        # as long and normalize in load_table() (current micros fixtures
+        # take the TIMESTAMP_NTZ branch there instead).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Local benches read few small parquet files; the 128 MB default
         # split would give 1-3 tasks on 32 cores. On a real cluster (many

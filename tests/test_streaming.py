@@ -41,8 +41,8 @@ def write_ordered_stream(df, n_files: int, out: str) -> None:
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, tmp_path_factory):
     """The events fixture rewritten as 4 time-ordered parquet files (ts
-    stays long nanos, matching EVENTS_STREAM_SCHEMA) → 4 micro-batches at
-    maxFilesPerTrigger=1."""
+    keeps whatever dtype the fixture generation carries — the stream
+    reader dispatches on it) → 4 micro-batches at maxFilesPerTrigger=1."""
     out = str(tmp_path_factory.mktemp("events_stream"))
     write_ordered_stream(spark.read.parquet(f"{SF_TEST}/events.parquet"), 4, out)
     return out
