@@ -2998,3 +2998,54 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("view_after_signup", v))
         .unionByName(stage("purchase_after_view", p))
     )
+
+
+_RISING_RUNS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+             LAG(event_id, 2) OVER w AS start_event
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, start_event, event_id AS end_event,
+           CAST(ROUND(value - v2, 2) AS DOUBLE) AS rise
+    FROM seq
+    WHERE v2 IS NOT NULL AND value > v1 AND v1 > v2
+"""
+
+
+@_register("pattern_rising_purchase_runs", _RISING_RUNS_SQL)
+def pattern_rising_purchase_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE shape batch
+    engines bolt on): three consecutive strictly-rising purchase values
+    per user, emitted as (start, end, total rise). Two LAGs over one
+    per-user window — a single hash exchange on user_id serves the whole
+    pattern, and longer patterns are more LAG columns on the same frame,
+    not more shuffles. Row-local float subtraction rounded to 2 so both
+    engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("event_id", 2).over(w).alias("start_event"),
+    )
+    return (
+        seq.filter(
+            F.col("v2").isNotNull()
+            & (F.col("value") > F.col("v1"))
+            & (F.col("v1") > F.col("v2"))
+        )
+        .select(
+            "user_id",
+            "start_event",
+            F.col("event_id").alias("end_event"),
+            F.round(F.col("value") - F.col("v2"), 2).cast("double").alias("rise"),
+        )
+    )
