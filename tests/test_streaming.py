@@ -515,3 +515,51 @@ def test_stream_dq_monitor_counts_match_batch(spark, events_stream_dir, tmp_path
     assert got["negative_value"] == want.neg
     assert got["unknown_event_type"] == want.unk
     assert got["null_pk"] == 0 and got["null_ts"] == 0
+
+
+def test_chunking_is_streaming_compatible(spark, tmp_path):
+    """Context-window chunking is a stateless narrow op (split/sequence/
+    posexplode/slice), so the SAME expression pipeline runs under
+    readStream unchanged — chunking happens at ingest in production."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.llmops.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents_sliding,
+    )
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.size(toks) - CHUNK_TOKENS),
+        F.lit(CHUNK_STRIDE),
+    )
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src + "/*")
+        .select("doc_id", toks.alias("t"), starts.alias("starts"))
+        .select("doc_id", "t", F.posexplode("starts").alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice("t", F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = chunk_documents_sliding(spark, SF_TEST).drop("chunk_tokens")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
