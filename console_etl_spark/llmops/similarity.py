@@ -1103,6 +1103,35 @@ def ivf_pq_build(
     return cents, books
 
 
+def ivf_pq_add(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted IVFADC index without a
+    rebuild (the PQ twin of ivf_add): assign each new vector to its
+    nearest FROZEN coarse centroid, encode its PQ codes with the FROZEN
+    codebooks, and append to that cell's partition directory. Nothing
+    existing is rewritten; searches see old or new files, never partial
+    state. Codebook drift is the same audit as centroid drift
+    (ivf_cell_stats + reconstruction error sampling) — rebuild when it
+    degrades."""
+    import json
+    import os
+
+    meta_rows = spark.read.text(os.path.join(index_dir, "meta")).collect()
+    meta = json.loads(meta_rows[0].value)
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    assigned = assign_cells(new_vectors, cents, id_col, vec_col, keep_vec=True)
+    codes = pq_encode(new_vectors, books, id_col, vec_col)
+    assigned.join(codes, id_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "lists"))
+
+
 def ivf_pq_search(
     spark: SparkSession,
     index_dir: str,

@@ -1303,3 +1303,49 @@ def test_ivf_incremental_add_equals_bulk_write(spark, tmp_path):
     stats = {r.cell: r.n_vectors for r in similarity.ivf_cell_stats(spark, idx_inc).collect()}
     assert sum(stats.values()) == e.count()
     assert len(stats) <= similarity.IVF_CELLS
+
+
+def test_ivf_pq_incremental_add_equals_bulk_build_search(spark, tmp_path):
+    """IVFADC ingest path: build on half the corpus, ivf_pq_add the
+    other half with frozen centroids AND codebooks -> searching the
+    appended index equals searching a bulk index written from the union
+    under the same frozen parameters."""
+    import json
+    import os
+
+    import numpy as np
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0)
+    b = e.filter(F.col("vec_id") % 2 == 1)
+
+    idx_inc = str(tmp_path / "adc_inc")
+    similarity.ivf_pq_build(a, idx_inc)
+    similarity.ivf_pq_add(spark, idx_inc, b)
+
+    meta = json.loads(
+        spark.read.text(os.path.join(idx_inc, "meta")).collect()[0].value
+    )
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+
+    idx_bulk = str(tmp_path / "adc_bulk")
+    assigned = similarity.assign_cells(e, cents, keep_vec=True)
+    codes = similarity.pq_encode(e, books)
+    assigned.join(codes, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(idx_bulk, "lists"))
+    spark.createDataFrame(
+        [(json.dumps(meta),)], "meta_json string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(idx_bulk, "meta"))
+
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    got_inc = {
+        (r.q_id, r.n_id, r.cos_sim, r.rn)
+        for r in similarity.ivf_pq_search(spark, idx_inc, q).collect()
+    }
+    got_bulk = {
+        (r.q_id, r.n_id, r.cos_sim, r.rn)
+        for r in similarity.ivf_pq_search(spark, idx_bulk, q).collect()
+    }
+    assert got_inc == got_bulk and got_inc

@@ -177,8 +177,9 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "ivf_centroids"),
         # persisted-index search: distinct probed cells (≤ n_cells values)
         ("llmops/similarity.py", "ivf_search"),
-        # incremental index ingest: the 1-row centroids JSON
+        # incremental index ingest: the 1-row centroids/meta JSON
         ("llmops/similarity.py", "ivf_add"),
+        ("llmops/similarity.py", "ivf_pq_add"),
         # IVFADC search: 1-row index metadata + distinct probed cells
         ("llmops/similarity.py", "ivf_pq_search"),
         # PQ codebook fit: ksub seed rows + the m·ksub Lloyd mean rows
