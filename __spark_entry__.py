@@ -94,12 +94,12 @@ _PRIORITY = (
     "sessionize_events",
     "cohort_weekly_retention",
     "funnel_signup_view_purchase",
+    "pattern_rising_purchase_runs",
     # set ops
     "setop_union_nations",
     # events tier (X6 JSON extraction, rollup, enrichment, SCD2 + anomaly
     # detection newly in-window)
     "events_json_extract",
-    "hypertable_rollup_events",
     "events_user_enriched_stats",
     "scd2_customer_updates",
     "events_value_anomalies",
