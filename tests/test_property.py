@@ -308,3 +308,33 @@ class TestMediaCodecLaws:
             assert (m["width"], m["height"]) == (float(w), float(h))
         else:
             assert m["width"] == 0.0
+
+
+class TestChunkingLaws:
+    """Start-grid boundary laws for context-window chunking, on arbitrary
+    token counts: full coverage of every token up to the last window,
+    correct chunk count, exact overlap."""
+
+    @given(n_tok=st.integers(1, 500))
+    @settings(max_examples=100, deadline=None)
+    def test_start_grid_covers_and_counts(self, n_tok):
+        from console_etl_spark.llmops.pipeline import CHUNK_STRIDE, CHUNK_TOKENS
+
+        last_start = max(0, n_tok - CHUNK_TOKENS)
+        starts = list(range(0, last_start + 1, CHUNK_STRIDE))
+        # short docs -> exactly one whole-doc chunk
+        if n_tok <= CHUNK_TOKENS:
+            assert starts == [0]
+        # every token before the final window's start is inside >=1 chunk
+        covered = set()
+        for s_ in starts:
+            covered.update(range(s_, min(s_ + CHUNK_TOKENS, n_tok)))
+        assert covered == set(range(min(starts[-1] + CHUNK_TOKENS, n_tok)))
+        # consecutive chunks overlap by exactly W - S tokens (when 2+)
+        if len(starts) >= 2:
+            assert starts[1] - starts[0] == CHUNK_STRIDE
+            overlap = CHUNK_TOKENS - CHUNK_STRIDE
+            assert len(
+                set(range(starts[0], starts[0] + CHUNK_TOKENS))
+                & set(range(starts[1], starts[1] + CHUNK_TOKENS))
+            ) == overlap
