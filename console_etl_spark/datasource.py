@@ -108,10 +108,13 @@ class MetaStreamReader(DataSourceReader):
 
         p = self.path
         if os.path.isdir(p):
+            # isfile filter: a stray subdirectory inside a dump dir must
+            # not become a partition whose open() dies at execution time
             files = sorted(
-                os.path.join(p, f)
+                fp
                 for f in os.listdir(p)
                 if not f.startswith((".", "_"))
+                and os.path.isfile(fp := os.path.join(p, f))
             )
         else:
             files = [p]
@@ -147,9 +150,10 @@ def _list_stream_files(path: str) -> list[str]:
 
     if os.path.isdir(path):
         return sorted(
-            os.path.join(path, f)
+            fp
             for f in os.listdir(path)
             if not f.startswith((".", "_"))
+            and os.path.isfile(fp := os.path.join(path, f))
         )
     import os.path as osp
 

@@ -286,13 +286,22 @@ CHUNK_STRIDE = 16   # 50% overlap — the standard LM-pretraining stride
 
 _CHUNK_SQL = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > {CHUNK_TOKENS}
+                       AND (len(toks) - {CHUNK_TOKENS}) % {CHUNK_STRIDE} != 0
+                  THEN list_append(
+                         range(0, len(toks) - {CHUNK_TOKENS} + 1,
+                               {CHUNK_STRIDE}),
+                         len(toks) - {CHUNK_TOKENS})
+                  ELSE range(0, greatest(0, len(toks) - {CHUNK_TOKENS}) + 1,
+                             {CHUNK_STRIDE}) END AS starts
+      FROM t),
     s AS (
       SELECT doc_id, toks,
-             unnest(range(0, greatest(0, len(toks) - {CHUNK_TOKENS}) + 1,
-                          {CHUNK_STRIDE})) AS start,
-             generate_subscripts(range(0, greatest(0, len(toks) - {CHUNK_TOKENS})
-                          + 1, {CHUNK_STRIDE}), 1) - 1 AS chunk_id
-      FROM t)
+             unnest(starts) AS start,
+             generate_subscripts(starts, 1) - 1 AS chunk_id
+      FROM g)
     SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
            array_to_string(list_slice(toks, start + 1,
                                       start + {CHUNK_TOKENS}), ' ')
@@ -314,15 +323,22 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     All built-ins — split/sequence/posexplode/slice/array_join — one
     narrow explode, no shuffle, no Python; at 100 TB it is an
     embarrassingly-parallel map whose output is bounded by
-    n_tokens/stride rows per doc. Start grid = 0..max(0, n-W) step S on
-    both engines, so boundary semantics (short docs → one chunk) are
-    engine-identical."""
+    n_tokens/stride rows per doc. Start grid = 0..max(0, n-W) step S,
+    plus one tail start at n-W whenever (n-W) % S != 0 so the final
+    tokens are never dropped (true span coverage), on both engines —
+    boundary semantics (short docs → one chunk) are engine-identical."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
-    starts = F.sequence(
+    base = F.sequence(
         F.lit(0), F.greatest(F.lit(0), n - CHUNK_TOKENS), F.lit(CHUNK_STRIDE)
     )
+    tail_needed = (n > CHUNK_TOKENS) & (
+        (n - CHUNK_TOKENS) % CHUNK_STRIDE != 0
+    )
+    starts = F.when(
+        tail_needed, F.concat(base, F.array(n - CHUNK_TOKENS))
+    ).otherwise(base)
     return (
         d.select("doc_id", toks.alias("t"), starts.alias("starts"))
         .select("doc_id", "t", F.posexplode("starts").alias("chunk_id", "start"))

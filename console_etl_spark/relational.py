@@ -2814,8 +2814,11 @@ _DQ_SQL = f"""
       WHERE o_orderdate < DATE '{DQ_ORDERDATE_MIN}'
          OR o_orderdate > DATE '{DQ_ORDERDATE_MAX}'
       UNION ALL
+      SELECT 'lineitem_null_fk', COUNT(*)
+      FROM lineitem WHERE l_orderkey IS NULL
+      UNION ALL
       SELECT 'lineitem_orphan_fk', COUNT(*)
-      FROM lineitem WHERE l_orderkey NOT IN
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
         (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
       UNION ALL
       SELECT 'lineitem_nonpositive_quantity', COUNT(*)
@@ -2824,8 +2827,11 @@ _DQ_SQL = f"""
       SELECT 'lineitem_negative_price', COUNT(*)
       FROM lineitem WHERE l_extendedprice < 0
       UNION ALL
+      SELECT 'customer_null_nation_fk', COUNT(*)
+      FROM customer WHERE c_nationkey IS NULL
+      UNION ALL
       SELECT 'customer_invalid_nation_fk', COUNT(*)
-      FROM customer WHERE c_nationkey NOT IN
+      FROM customer WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
         (SELECT n_nationkey FROM nation)
     ) v ORDER BY rule
 """
@@ -2841,9 +2847,14 @@ def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-column counts, map-side partial aggregation, and the FK
     checks are anti-join-shaped (Catalyst turns NOT IN over a non-null
     key into a left anti join; nation broadcasts, the orders key side
-    shuffles once at 100 TB). The rules union to a 7-row report, so the
+    shuffles once at 100 TB). The rules union to a 9-row report, so the
     final exchange is trivially small. A pipeline gates the snapshot
-    publish (store.publish) on every count being zero."""
+    publish (store.publish) on every count being zero.
+
+    NULL FK handling is explicit and engine-identical: NULL foreign
+    keys are counted by their own *_null_fk rules, and the orphan rules
+    count only non-null keys on BOTH engines (a bare NOT IN would drop
+    NULL rows in ANSI SQL while a left-anti join counts them)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer")
@@ -2866,18 +2877,27 @@ def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderdate") < F.lit(DQ_ORDERDATE_MIN).cast("date"))
                 | (F.col("o_orderdate") > F.lit(DQ_ORDERDATE_MAX).cast("date"))
             ).agg(F.count("*").alias("n"))),
+        one("lineitem_null_fk",
+            lineitem.filter(F.col("l_orderkey").isNull())
+            .agg(F.count("*").alias("n"))),
         one("lineitem_orphan_fk",
-            lineitem.join(orders.select("o_orderkey"),
-                          lineitem.l_orderkey == orders.o_orderkey,
-                          "left_anti").agg(F.count("*").alias("n"))),
+            lineitem.filter(F.col("l_orderkey").isNotNull())
+            .join(orders.filter(F.col("o_orderkey").isNotNull())
+                  .select("o_orderkey"),
+                  lineitem.l_orderkey == orders.o_orderkey,
+                  "left_anti").agg(F.count("*").alias("n"))),
         one("lineitem_nonpositive_quantity",
             lineitem.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n"))),
         one("lineitem_negative_price",
             lineitem.filter(F.col("l_extendedprice") < 0).agg(F.count("*").alias("n"))),
+        one("customer_null_nation_fk",
+            customer.filter(F.col("c_nationkey").isNull())
+            .agg(F.count("*").alias("n"))),
         one("customer_invalid_nation_fk",
-            customer.join(F.broadcast(nation.select("n_nationkey")),
-                          customer.c_nationkey == nation.n_nationkey,
-                          "left_anti").agg(F.count("*").alias("n"))),
+            customer.filter(F.col("c_nationkey").isNotNull())
+            .join(F.broadcast(nation.select("n_nationkey")),
+                  customer.c_nationkey == nation.n_nationkey,
+                  "left_anti").agg(F.count("*").alias("n"))),
     ]
     out = checks[0]
     for c in checks[1:]:

@@ -135,6 +135,11 @@ class SnapshotStore:
 
         if mode not in ("strict", "additive"):
             raise ValueError(f"unknown evolution mode {mode!r}")
+        if current.schema_json is None:
+            # Manifest written before the schema field existed — there
+            # is nothing to compare against, so the check is vacuous.
+            # (Republishing records the schema; evolution='any' skips.)
+            return
         old = StructType.fromJson(json.loads(current.schema_json))
         old_fields = {f.name: f for f in old.fields}
         new_fields = {f.name: f for f in new_schema.fields}

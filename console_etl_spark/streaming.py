@@ -43,7 +43,10 @@ EVENTS_STREAM_SCHEMA = _events_stream_schema(T.LongType())
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    ts_type: T.DataType | None = None,
 ) -> DataFrame:
     """File-source events stream (the Kafka-shaped entry point in
     production — swap format, keep the downstream plan).
@@ -51,10 +54,18 @@ def read_events_stream(
     Dtype-dispatches ``ts`` the same way session.load_table does: a
     one-off batch footer read discovers the on-disk type, then the
     stream normalizes to TimestampType (wall-clock-identical under the
-    UTC session TZ).
+    UTC session TZ). When the source directory is still EMPTY (the
+    common start-the-stream-before-data-arrives deployment), schema
+    inference has nothing to read — fall back to the declared default
+    (long nanos, ``EVENTS_STREAM_SCHEMA``) or an explicit ``ts_type``.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    if ts_type is None:
+        try:
+            ts_type = spark.read.parquet(path).schema["ts"].dataType
+        except Exception:
+            # Empty/not-yet-populated directory: no footers to probe.
+            ts_type = T.LongType()
     stream = (
         spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -746,3 +746,89 @@ def test_publish_schema_evolution_policies(spark, store, catalog_metas):
         )
     store.publish(catalog_metas, "evo", "v5", evolution="any")  # migration
     assert store.current("evo").version == "v5"
+
+
+def test_dq_report_null_fk_parity_on_dirty_data(spark):
+    """NULL foreign keys must be handled identically by the Spark report
+    and the DuckDB oracle SQL: NULLs land in the *_null_fk rules, and
+    the orphan rules count only non-null keys on BOTH engines (a bare
+    NOT IN would silently drop NULL rows in ANSI SQL while a left-anti
+    join counts them — exactly the dirty data a DQ gate exists for)."""
+    import tempfile
+    from datetime import date
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from console_etl_spark.relational import _DQ_SQL, dq_violations_report
+
+    with tempfile.TemporaryDirectory() as d:
+        tables = {
+            "orders": pa.table(
+                {
+                    "o_orderkey": pa.array([1, 1, 2, None], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [date(1995, 1, 1), date(1995, 1, 1),
+                         date(1991, 1, 1), date(1995, 6, 1)],
+                        pa.date32(),
+                    ),
+                }
+            ),
+            "lineitem": pa.table(
+                {
+                    "l_orderkey": pa.array([1, 999, None], pa.int64()),
+                    "l_quantity": pa.array([1.0, -2.0, 3.0]),
+                    "l_extendedprice": pa.array([10.0, 5.0, -1.0]),
+                }
+            ),
+            "customer": pa.table(
+                {"c_nationkey": pa.array([0, 99, None], pa.int64())}
+            ),
+            "nation": pa.table({"n_nationkey": pa.array([0], pa.int64())}),
+        }
+        for name, tbl in tables.items():
+            pq.write_table(tbl, f"{d}/{name}.parquet")
+
+        got = {
+            r.rule: r.n_violations
+            for r in dq_violations_report(spark, d).collect()
+        }
+        con = duckdb.connect()
+        for name in tables:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * "
+                f"FROM read_parquet('{d}/{name}.parquet')"
+            )
+        want = dict(con.execute(_DQ_SQL).fetchall())
+
+        assert got == want, (got, want)
+        # and the dirty fixture genuinely fires every NULL/orphan rule
+        assert got["lineitem_null_fk"] == 1
+        assert got["lineitem_orphan_fk"] == 1
+        assert got["customer_null_nation_fk"] == 1
+        assert got["customer_invalid_nation_fk"] == 1
+        assert got["orders_null_pk"] == 1
+        assert got["orders_duplicate_pk"] == 1
+        assert got["orders_date_out_of_range"] == 1
+
+
+def test_publish_over_pre_schema_manifest_skips_evolution(spark, store, catalog_metas):
+    """Manifests written before the schema field existed have
+    schema_json=None; a default additive publish over such a catalog
+    must succeed with a vacuous evolution check (and record the schema
+    going forward), not crash with TypeError."""
+    store.publish(catalog_metas, "legacy", "v1")
+    # strip the schema field, simulating the pre-schema manifest format
+    mp = store._manifest_path("legacy")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["schema"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    assert store.current("legacy").schema_json is None
+
+    store.publish(catalog_metas, "legacy", "v2")  # vacuous check, no crash
+    cur = store.current("legacy")
+    assert cur.version == "v2"
+    assert cur.schema_json is not None  # schema recorded going forward

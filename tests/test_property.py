@@ -312,8 +312,8 @@ class TestMediaCodecLaws:
 
 class TestChunkingLaws:
     """Start-grid boundary laws for context-window chunking, on arbitrary
-    token counts: full coverage of every token up to the last window,
-    correct chunk count, exact overlap."""
+    token counts: full coverage of EVERY token (including the tail when
+    (n-W) % S != 0), correct chunk count, exact overlap."""
 
     @given(n_tok=st.integers(1, 500))
     @settings(max_examples=100, deadline=None)
@@ -321,20 +321,26 @@ class TestChunkingLaws:
         from console_etl_spark.llmops.pipeline import CHUNK_STRIDE, CHUNK_TOKENS
 
         last_start = max(0, n_tok - CHUNK_TOKENS)
-        starts = list(range(0, last_start + 1, CHUNK_STRIDE))
+        grid = list(range(0, last_start + 1, CHUNK_STRIDE))
+        starts = grid + (
+            [last_start] if last_start > 0 and last_start % CHUNK_STRIDE else []
+        )
         # short docs -> exactly one whole-doc chunk
         if n_tok <= CHUNK_TOKENS:
             assert starts == [0]
-        # every token before the final window's start is inside >=1 chunk
+        # EVERY token is inside >=1 chunk — true span coverage
         covered = set()
         for s_ in starts:
             covered.update(range(s_, min(s_ + CHUNK_TOKENS, n_tok)))
-        assert covered == set(range(min(starts[-1] + CHUNK_TOKENS, n_tok)))
-        # consecutive chunks overlap by exactly W - S tokens (when 2+)
-        if len(starts) >= 2:
-            assert starts[1] - starts[0] == CHUNK_STRIDE
+        assert covered == set(range(n_tok))
+        # consecutive GRID chunks overlap by exactly W - S tokens; the
+        # tail chunk (if any) overlaps its predecessor by MORE, never less
+        if len(grid) >= 2:
             overlap = CHUNK_TOKENS - CHUNK_STRIDE
+            assert grid[1] - grid[0] == CHUNK_STRIDE
             assert len(
-                set(range(starts[0], starts[0] + CHUNK_TOKENS))
-                & set(range(starts[1], starts[1] + CHUNK_TOKENS))
+                set(range(grid[0], grid[0] + CHUNK_TOKENS))
+                & set(range(grid[1], grid[1] + CHUNK_TOKENS))
             ) == overlap
+        if starts != grid:
+            assert 0 < starts[-1] - grid[-1] < CHUNK_STRIDE

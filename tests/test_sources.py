@@ -242,3 +242,26 @@ def test_console_meta_streaming_incremental_pickup(spark, tmp_path):
     # batch read of the same dir agrees on the full document set
     batch = spark.read.format("console_meta").load(str(d)).collect()
     assert sorted(r.name for r in batch) == ["b1", "p1", "p2"]
+
+
+def test_console_meta_tolerates_nested_subdirectory(spark, tmp_path):
+    """A stray subdirectory inside a dump directory (not dot/underscore
+    prefixed) must be skipped at planning time, not explode with
+    IsADirectoryError at execution — the tolerance Spark's built-in
+    file sources have."""
+    from console_etl_spark.datasource import (
+        _list_stream_files,
+        register_meta_source,
+    )
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.json").write_text('{"schema":"olm.package","name":"p1"}')
+    (d / "checkpoint").mkdir()  # stray nested dir, no dot/underscore prefix
+    (d / "checkpoint" / "x.json").write_text('{"schema":"olm.bundle","name":"nope"}')
+
+    assert _list_stream_files(str(d)) == [str(d / "a.json")]
+
+    register_meta_source(spark)
+    rows = spark.read.format("console_meta").load(str(d)).collect()
+    assert [r.name for r in rows] == ["p1"]

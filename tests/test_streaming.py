@@ -563,3 +563,50 @@ def test_chunking_is_streaming_compatible(spark, tmp_path):
     batch = chunk_documents_sliding(spark, SF_TEST).drop("chunk_tokens")
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_starts_against_empty_directory(spark, tmp_path):
+    """A stream must be startable BEFORE any data arrives (the normal
+    deployment order: deploy the job, then producers write). The schema
+    probe has nothing to read on an empty dir, so the reader falls back
+    to the declared default schema — and a file arriving later with that
+    physical type flows through the same normalized plan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    # starts clean on a dir with zero files
+    stream = streaming.read_events_stream(spark, str(src))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+    # a long-nanos file arriving later is picked up and normalized
+    ns = int(pd.Timestamp("2024-03-01 10:30:00").value)  # ns since epoch
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array(np.array([ns], dtype=np.int64), pa.int64()),
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["view"]),
+                "value": pa.array([1.5], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        str(src / "late.parquet"),
+    )
+    got = streaming.run_to_completion(
+        streaming.hourly_counts(stream), "t_empty_start"
+    ).toPandas()
+    assert len(got) == 1
+    assert str(got["hour"].iloc[0]) == "2024-03-01 10:00:00"
+
+    # explicit ts_type override is honored for NTZ-micros deployments
+    from pyspark.sql import types as T
+
+    s2 = streaming.read_events_stream(
+        spark, str(src), ts_type=T.TimestampNTZType()
+    )
+    assert dict(s2.dtypes)["ts"] == "timestamp"
