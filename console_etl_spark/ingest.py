@@ -52,6 +52,21 @@ def derive_partition_key(
     )
 
 
+def add_blob_variant(df: DataFrame, src: str = "blob", out: str = "blob_v") -> DataFrame:
+    """Derive a Spark 4 VARIANT column beside the byte-faithful blob
+    string: ``parse_json`` shreds the JSON once at ingest into the
+    binary VARIANT encoding, so every later path read is a
+    ``variant_get`` over pre-tokenized bytes instead of re-parsing the
+    string per query per path (the reference stores blobs verbatim and
+    re-parses on demand, cache.go:111 / main.go:268 — at 100 TB that
+    repeated tokenization dominates point-lookup cost).
+
+    The string column stays: serving byte-faithful blobs (Q4) reads it
+    untouched; schema-on-read queries use the VARIANT twin. Both survive
+    the parquet snapshot round trip (store.publish / read_current)."""
+    return df.withColumn(out, F.parse_json(F.col(src)))
+
+
 def shred_metas(raw: DataFrame) -> DataFrame:
     """Derive the envelope: replace ``package`` with the partition key,
     and enforce the store invariant of one object per

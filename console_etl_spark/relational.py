@@ -725,6 +725,49 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MAX(k) AS max_k,
+           ROUND(AVG(k), 6) AS avg_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events) t
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 via Spark 4 VARIANT: the schema-on-read props column parsed
+    ONCE into the shredded binary encoding (``parse_json``), then every
+    path read with ``variant_get`` — the 100 TB answer to repeated path
+    extraction, vs. ``get_json_object`` re-tokenizing the JSON string on
+    every call (events_json_extract is the string twin; this plan carries
+    exactly one parseJson node, pinned in test_plans).
+
+    Mirrors the reference's opaque-blob data model (cache.go:111,
+    main.go:268: blobs stored verbatim, parsed on demand)."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select("event_type", F.variant_get("v", "$.k", "long").alias("k"))
+    return (
+        keyed.filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins the reference (and stock Spark SQL) lack: as-of + range.
 # Implemented as compositions of built-in ops (SURVEY.md §2.2 joins row) —

@@ -832,3 +832,36 @@ def test_publish_over_pre_schema_manifest_skips_evolution(spark, store, catalog_
     cur = store.current("legacy")
     assert cur.version == "v2"
     assert cur.schema_json is not None  # schema recorded going forward
+
+
+def test_variant_column_survives_snapshot_roundtrip(spark, store, catalog_metas):
+    """add_blob_variant derives a VARIANT column beside the blob string
+    at ingest; both must survive the partitioned parquet snapshot round
+    trip — the string stays byte-faithful for blob serving (Q4), and
+    nested paths read back via variant_get without ever re-parsing the
+    JSON string."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.ingest import add_blob_variant, shred_metas
+
+    df = add_blob_variant(shred_metas(catalog_metas.drop("catalog")))
+    store.publish(df, "vcat", "v1")
+    back = store.read(spark, "vcat")
+
+    assert dict(back.dtypes)["blob_v"] == "variant"
+    # string blob byte-faithful (same multiset)
+    assert (
+        back.select("blob").exceptAll(df.select("blob")).count() == 0
+        and df.select("blob").exceptAll(back.select("blob")).count() == 0
+    )
+    # nested path extraction from the stored VARIANT agrees with the
+    # string-parsing path on every row
+    got = back.select(
+        "name",
+        F.variant_get("blob_v", "$.schema", "string").alias("s"),
+        F.get_json_object("blob", "$.schema").alias("s_str"),
+    )
+    assert got.filter(
+        ~(F.col("s").eqNullSafe(F.col("s_str")))
+    ).count() == 0
+    assert got.filter(F.col("s").isNotNull()).count() > 0

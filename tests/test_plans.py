@@ -232,3 +232,65 @@ def test_recursive_cte_no_cartesian_single_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_variant_extraction_does_not_parse_per_path(spark):
+    """The VARIANT twins tokenize the JSON into the binary VARIANT
+    encoding with parse_json, and every path is a variant_get over that
+    one value — tokenization must NOT scale with the number of paths
+    (get_json_object re-parses the string per path per row).
+    nav_icon_variant reads 4 nested paths off a single projected
+    parseJson; Catalyst's filter pushdown may clone the parse into the
+    Filter predicate, so the bound is per-operator, not per-path."""
+    from console_etl_spark import navigation
+
+    for df, n_paths in (
+        (navigation.nav_icon_variant(spark, SF_TEST), 4),
+        (relational.events_props_variant(spark, SF_TEST), 1),
+    ):
+        plan = plan_of(df)
+        if n_paths > 1:
+            # multi-path: the extraction Project reads ONE parsed
+            # variant attribute for every path — no parseJson in it
+            # (CollapseProject keeps the shared parse materialized;
+            # with a single path it rightly inlines it instead)
+            extract = next(
+                ln for ln in plan.splitlines() if "variant_get(v#" in ln
+            )
+            assert extract.count("variant_get(v#") >= n_paths, extract
+            assert "parseJson" not in extract, extract
+        # parse count is operator-bounded (Project + a filter-pushdown
+        # clone echoed by the scan), never path-bounded
+        assert plan.count("parseJson") <= 3, plan
+        # and never falls back to per-path string tokenization
+        assert "get_json_object" not in plan, plan
+
+
+def test_stored_variant_reads_with_zero_json_parsing(spark, tmp_path):
+    """The 100 TB path: once the VARIANT column is STORED (written by
+    add_blob_variant), reading paths never parses JSON again — Spark
+    shreds the variant into the parquet scan, so the plan is struct
+    field access over ONLY the requested paths, with the IS NOT NULL
+    predicate pushed to the scan. Zero parseJson, zero per-row
+    tokenization, pruned read schema."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.ingest import add_blob_variant
+
+    src = relational.load_table(spark, SF_TEST, "events").limit(100)
+    add_blob_variant(src, src="props", out="props_v").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "v"))
+
+    back = spark.read.parquet(str(tmp_path / "v"))
+    out = back.select(
+        F.variant_get("props_v", "$.k", "long").alias("k"),
+        F.try_variant_get("props_v", "$.missing", "string").alias("m"),
+    ).filter(F.col("k").isNotNull())
+    plan = plan_of(out)
+    assert "parseJson" not in plan, plan
+    # path extraction pushed into the scan: shredded struct access with
+    # the filter as a pushed parquet predicate
+    assert "PushedFilters: [IsNotNull(props_v)" in plan, plan
+    assert "ReadSchema: struct<props_v:struct<" in plan, plan
+    assert out.count() > 0
