@@ -44,97 +44,80 @@ _MODULES = (
 )
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
-# registration order is the coverage contract: front-load one (or more)
-# oracle-backed representative of every SURVEY.md §2.1/§2.3 family and keep
-# rows-only entries (guaranteed `no_oracle`) out of the window. Everything
-# not listed here registers afterwards in module order and stays covered by
-# the local parity suite (tests/test_oracle_parity.py).
-# ROTATION (VERDICT r4 items 4-5, fourth rotation): cumulatively 94 of the
-# 109 oracle-backed queries now have at least one driver CORRECTNESS row.
-# This round windows ALL 16 never-checked queries (the four new r4 ops —
-# pii_scrub / boilerplate / SCD2 / anomalies — plus the q21/histogram/
-# FILTER/value-window/correlated-EXISTS/text-law/embedding-stats tier)
-# plus sessionize_events, which broke unwatched when the fixture ts dtype
-# changed (VERDICT r4 item 5) and needs a driver row proving the
-# TIMESTAMP_NTZ fix; window_trailing_hour_value (same regression) is in
-# the never-checked set already. The 6 operators BUILT this round (DQ
-# gate, cohort, funnel, bigram perplexity, int8 quantization, chunking)
-# are also windowed — new code is exactly what the driver should watch.
-# Dropped to make room: 4 nav twins (keep point-lookup + icon, the two
-# nontrivial shapes), 7 of 9 TPC-H (keep q1 + q19), 4 dedup twins (keep
-# exact + ppjoin), gapfill, rollup/pivot/listagg agg twins (filtered/
-# histogram/percentile keep the family), map_functions (json keeps the
-# scalar family), near-pairs (ann_topk + int8 keep X3), partial-overlap
-# (winnowed keeps the fingerprint family) — all multi-round driver-green
-# and still covered by the local dtype-strict parity suite
-# (tests/test_oracle_parity.py). Every SURVEY §2 family keeps ≥1
-# representative in-window; 23 first-time slots this round.
+# registration order is the coverage contract. Everything not listed here
+# registers afterwards in module order and stays covered by the local
+# parity suite (tests/test_oracle_parity.py).
+# ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed. After
+# five rounds every oracle-backed query has ≥1 driver row, so the window
+# now re-proves the queries whose driver evidence is OLDEST, prioritizing
+# any whose implementation changed since their last row. This round
+# (fifth rotation): the 2 never-checked r6 VARIANT queries + all 42
+# queries whose latest row is r1-r3 (they predate the r4 ANN tiling and
+# r5 dtype-dispatch refactors) + chunk_documents_sliding and
+# dq_violations_report (r5-checked but changed by the r6 boundary/NULL-FK
+# fixes — changed code re-proves first) + 4 r4-checked queries the r5
+# refactors touch (hypertable/gapfill sit on the events ts dtype path;
+# shingle_jaccard and q2 are the two slowest headline kernels). The 46
+# r5-checked, r6-untouched queries rotate out; next round the r4 bucket
+# (21 remaining) is the stalest tier.
 _PRIORITY = (
-    # reference navigation surface (point lookup + nested icon extraction)
-    "nav_point_lookup",
-    "nav_icon_extraction",
-    # TPC-H representatives (aggregation + disjunctive join shapes)
-    "q1_pricing_summary",
-    "q19_disjunctive_join",
-    "q21_sole_supplier_orders",
-    # join variants
-    "asof_join_purchase_view",
-    "range_join_purchase_after_signup",
-    "fullouter_nation_counts",
-    # aggregations (FILTER-clause + histogram newly in-window)
-    "agg_filtered_counts_orders",
-    "dq_violations_report",
-    "histogram_order_totalprice",
-    "percentile_price_by_flag",
-    # windows (trailing-hour RANGE frame + value functions newly in-window;
-    # sessionize re-windowed after the TIMESTAMP_NTZ fix)
-    "window_topk_orders_per_customer",
-    "window_trailing_hour_value",
-    "window_value_functions_orders",
-    "sessionize_events",
-    "cohort_weekly_retention",
-    "funnel_signup_view_purchase",
-    "pattern_rising_purchase_runs",
-    # set ops
-    "setop_union_nations",
-    # events tier (X6 JSON extraction, rollup, enrichment, SCD2 + anomaly
-    # detection newly in-window)
-    "events_json_extract",
-    "events_user_enriched_stats",
-    "scd2_customer_updates",
-    "events_value_anomalies",
-    # SQL front door (correlated EXISTS + recursive CTE newly in-window)
-    "sql_lateral_topk_per_nation",
-    "sql_correlated_exists",
-    "sql_recursive_hierarchy",
-    # X1/X2 dedup tier representatives
-    "dedup_exact_docs",
-    "dedup_shingle_jaccard_ppjoin",
-    "decontaminate_overlap_docs",
-    # X3 similarity (+ embedding label stats newly in-window)
-    "ann_topk_cosine",
-    "embedding_int8_quantize",
-    "embedding_label_stats",
-    # X4 text analysis (7 never-checked ops newly in-window)
-    "text_lang_stats",
-    "text_quality_scores",
-    "text_top_tokens",
-    "text_top_bigrams",
-    "text_fingerprints",
-    "text_subword_token_counts",
-    "text_pii_scrub",
-    "text_boilerplate_ngram_ratio",
-    "text_winnowed_fingerprints",
-    "text_unigram_perplexity",
-    "text_bigram_perplexity",
-    "text_tfidf_top_terms",
-    # X5 multimodal
-    "mm_binary_stats",
-    # pipeline tier + flagship
-    "split_train_test_docs",
-    "pack_sequences_by_lang",
+    # never driver-checked: the r6 VARIANT twins
+    "events_props_variant",
+    "nav_icon_variant",
+    # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
-    "curate_corpus_end_to_end",
+    "dq_violations_report",
+    # stalest tier — latest driver row r1
+    "events_sliding_windows",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "range_join_price_bands",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "top_customers_by_revenue",
+    "window_order_gap_days",
+    "window_rank_parts_by_price",
+    "window_running_quantity",
+    # latest driver row r2
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "anti_join_orderless_customers",
+    "array_functions_embeddings",
+    "date_functions_orders",
+    "distinct_counts_lineitem",
+    "events_hourly_stats",
+    "semi_join_finished_customers",
+    "setop_except_all_priorities",
+    "setop_intersect_all_priorities",
+    "setop_union_all_priorities",
+    "topk_expensive_orders",
+    "window_rank_functions_customers",
+    "window_revenue_share_by_region",
+    # latest driver row r3
+    "dedup_content_hash_index",
+    "fuzzy_part_name_pairs",
+    "mix_corpus_weighted",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "scalar_functions_showcase",
+    "sql_correlated_scalar_subquery",
+    "stats_aggregates_lineitem",
+    "stratified_sample_docs",
+    "unpivot_part_metrics",
+    # r4-checked but refactor-adjacent (events ts dtype path; slowest
+    # headline kernels)
+    "hypertable_rollup_events",
+    "gapfill_hourly_events",
+    "dedup_shingle_jaccard",
+    "q2_min_cost_supplier",
 )
 
 
