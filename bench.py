@@ -16,7 +16,7 @@ import re
 import sys
 import time
 
-from console_etl_spark.session import get_spark
+from console_etl_spark.session import get_spark, release_pins
 
 # Headline set: one per operator family (scan-agg, star join, semi/HAVING
 # join, disjunctive join, as-of join, window decorrelation, top-k,
@@ -77,6 +77,7 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    release_pins()
     spark.catalog.clearCache()  # drop warmup persists before timing
     # Self-diagnosing artifact (VERDICT r2 item 5): the r02 bench recorded
     # a 5x outlier caused by co-tenant host load, indistinguishable from a
@@ -112,8 +113,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
-            # Queries that persist intermediates (dedup/similarity) would
-            # otherwise leak cache blocks into the next measurement.
+            # Queries that persist intermediates (dedup/similarity)
+            # self-bound via session.pin; release fully between
+            # measurements so passes are independent.
+            release_pins()
             spark.catalog.clearCache()
         passes[name] = runs
         timings[name] = min(runs)

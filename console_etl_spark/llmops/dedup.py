@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..session import load_table, spread
+from ..session import load_table, pin, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -222,12 +222,10 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Persist the inverted index: it feeds both sides of the self-join
     # and the size table — without this the shingle explosion runs 3×.
-    # Cache contract (module-wide): persisted intermediates stay pinned
-    # for plan reuse in the returned lazy DataFrame; long-lived sessions
-    # reclaim them via spark.catalog.clearCache() after materializing
-    # (bench.py does, per measurement) — no post-action hook exists to
-    # unpersist safely from inside a function returning an unevaluated plan.
-    sh = exploded_shingles(d).persist()
+    # Cache contract (module-wide): persisted intermediates go through
+    # session.pin — a bounded self-evicting registry — so long-lived
+    # sessions never accumulate blocks and no caller must clearCache.
+    sh = pin(exploded_shingles(d))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     return _jaccard_index_pairs(sh, sizes)
 
@@ -281,7 +279,7 @@ def dedup_shingle_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: df² grows quadratically, prefix candidates near-linearly).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(d).persist()  # cache contract: see dedup_shingle_jaccard
+    sh = pin(exploded_shingles(d))  # cache contract: see dedup_shingle_jaccard
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     return _jaccard_ppjoin_pairs(sh, sizes)
 
@@ -375,7 +373,7 @@ def shingle_jaccard_pairs(
     """
     if mode not in ("auto", "index", "ppjoin"):
         raise ValueError(f"unknown jaccard mode {mode!r}")
-    sh = exploded_shingles(docs, k).persist()  # cache contract: see dedup_shingle_jaccard
+    sh = pin(exploded_shingles(docs, k))  # cache contract: see dedup_shingle_jaccard
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     if mode == "auto":
         mode = jaccard_skew_mode(sh)
@@ -458,8 +456,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Persist: the signature relation feeds banding AND both sides of the
     # estimate join — unpersisted, the 64-hash aggregation runs 3x.
-    # Cache contract: see dedup_shingle_jaccard (callers clearCache()).
-    sigs = minhash_signatures(d).persist()
+    # Cache contract: see dedup_shingle_jaccard (pin bounds lifetime).
+    sigs = pin(minhash_signatures(d))
     cands = lsh_candidate_pairs(sigs)
     sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..session import load_table, spread
+from ..session import load_table, pin, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -404,13 +404,11 @@ def srp_probe_signatures(
     the flip join — persisted so the posexplode×matrix join runs once,
     not three times (same reasoning as dedup_minhash_lsh's persist).
 
-    Cache contract: the persisted intermediates stay pinned for plan
-    reuse; a long-lived session calling this repeatedly must reclaim them
-    (``spark.catalog.clearCache()``, as bench.py does per measurement) —
-    there is no post-action hook in a lazily-evaluated return to
-    unpersist them safely from here."""
-    comp = srp_projections(vectors, id_col, vec_col, bits, dim).persist()
-    sigs = comp.groupBy(id_col).agg(F.sum(_pack_bit()).alias("sig")).persist()
+    Cache contract: pinned via session.pin (bounded self-evicting
+    registry) — long-lived sessions never accumulate blocks and no
+    caller must clearCache."""
+    comp = pin(srp_projections(vectors, id_col, vec_col, bits, dim))
+    sigs = pin(comp.groupBy(id_col).agg(F.sum(_pack_bit()).alias("sig")))
     w = W.partitionBy(id_col).orderBy(F.abs(F.col("proj")), "bit_idx")
     flips = (
         comp.withColumn("rk", F.row_number().over(w))
@@ -443,13 +441,12 @@ def srp_salted_vectors(
     skew bound. Bucket populations are one row per distinct signature
     (≤ 2^LSH_SIG_BITS — bounded), so the pop side broadcasts.
 
-    Cache contract: the signature relation stays persisted for plan
-    reuse; long-lived sessions reclaim it via
-    ``spark.catalog.clearCache()`` (see srp_probe_signatures).
+    Cache contract: pinned via session.pin (bounded self-evicting
+    registry; see srp_probe_signatures).
     """
     # sigs feeds both the vector join and the population count — persist
     # so the projection pipeline runs once.
-    sigs = srp_signatures(vectors, id_col, vec_col).persist()
+    sigs = pin(srp_signatures(vectors, id_col, vec_col))
     vecs = vectors.select(id_col, vec_col).join(sigs, id_col)
     pops = sigs.groupBy("sig").agg(F.count("*").alias("pop"))
     n_sub = F.greatest(F.ceil(F.col("pop") / F.lit(cap)).cast("long"), F.lit(1))

@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import load_table, pin
 from .dedup import SQL_NORM, normalized_text, tokens
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -321,9 +321,9 @@ def text_partial_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on a corpus-size-divided index. The fingerprint relation is
     persisted: it feeds both join sides.
     """
-    # Cache contract: pinned for plan reuse; long-lived sessions reclaim
-    # via spark.catalog.clearCache() after materializing (as bench.py does).
-    fps = text_winnowed_fingerprints(spark, sf_dir).persist()
+    # Cache contract: pinned via session.pin (bounded self-evicting
+    # registry) — no caller-side clearCache needed.
+    fps = pin(text_winnowed_fingerprints(spark, sf_dir))
     a = fps.select(F.col("doc_id").alias("a_id"), "fp")
     b = fps.select(F.col("doc_id").alias("b_id"), "fp")
     return (

@@ -121,6 +121,65 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+from collections import OrderedDict as _OrderedDict
+import itertools as _itertools
+
+_PIN_GROUPS: "_OrderedDict[int, tuple]" = _OrderedDict()
+_PIN_CAP = int(os.environ.get("SPARK_GRAFT_PIN_GROUPS", "8"))
+_pin_seq = _itertools.count()
+
+
+def pin(*dfs):
+    """Persist operator intermediates with a BOUNDED lifetime.
+
+    Operators persist intermediates that feed multiple branches of the
+    lazy plan they return; they cannot unpersist before the caller acts,
+    and Spark's CacheManager holds cached plans until an explicit
+    unpersist/clearCache — so bare ``.persist()`` leaks storage in
+    long-lived sessions. ``pin`` closes the leak class with a
+    self-evicting FIFO of pin groups (one group per call): when more
+    than ``$SPARK_GRAFT_PIN_GROUPS`` (default 8) groups are live, the
+    oldest group is unpersisted. Cache usage is therefore bounded for
+    ANY session lifetime with no caller-side contract; an evicted block
+    is never a correctness event — the unpersisted InMemoryRelation
+    recomputes from lineage, only the reuse speedup is lost.
+
+    (A GC-finalizer tie to the returned DataFrame was considered and
+    rejected: helper results chained inside larger operators are
+    refcount-dropped at frame exit, which would release the cache
+    before the plan ever executes. ``localCheckpoint`` was rejected for
+    the 100 TB story: it truncates lineage, so losing one executor of a
+    thousand fails the job instead of recomputing.)
+
+    Returns the single DataFrame (or the tuple) persisted.
+    """
+    for d in dfs:
+        d.persist()
+    _PIN_GROUPS[next(_pin_seq)] = dfs
+    while len(_PIN_GROUPS) > _PIN_CAP:
+        _, old = _PIN_GROUPS.popitem(last=False)
+        for d in old:
+            try:
+                d.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+    return dfs[0] if len(dfs) == 1 else dfs
+
+
+def release_pins():
+    """Unpersist every live pin group (idempotent). Optional hygiene for
+    hosts that want cache empty NOW rather than bounded — bench.py calls
+    it between measurements."""
+    while _PIN_GROUPS:
+        _, old = _PIN_GROUPS.popitem(last=False)
+        for d in old:
+            try:
+                d.unpersist(False)
+            except Exception:
+                pass
+    return None
+
+
 def spread(df, multiplier: int = 1):
     """Round-robin repartition to the session's full parallelism.
 

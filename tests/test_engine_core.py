@@ -865,3 +865,41 @@ def test_variant_column_survives_snapshot_roundtrip(spark, store, catalog_metas)
         ~(F.col("s").eqNullSafe(F.col("s_str")))
     ).count() == 0
     assert got.filter(F.col("s").isNotNull()).count() > 0
+
+
+def test_pin_registry_bounds_cache_for_any_session_lifetime(spark):
+    """session.pin must close the persist-leak class: however many
+    operators a long-lived session runs, live pin groups stay bounded at
+    the cap and evicted groups are truly unpersisted (CacheManager
+    drained when everything is released)."""
+    import console_etl_spark.session as S
+
+    S.release_pins()
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    # run far more pin groups than the cap, acting on each
+    for i in range(S._PIN_CAP + 5):
+        df = pin_df = S.pin(
+            spark.range(100 + i).withColumnRenamed("id", f"c{i}")
+        )
+        assert pin_df.count() == 100 + i
+        del df, pin_df
+    assert len(S._PIN_GROUPS) == S._PIN_CAP  # bounded, oldest evicted
+    assert not cm.isEmpty()  # live groups genuinely cached
+
+    S.release_pins()
+    assert len(S._PIN_GROUPS) == 0
+    assert cm.isEmpty()  # nothing leaks after release
+
+    # a pinned operator still computes correctly after its group evicts
+    from console_etl_spark.llmops import dedup
+    from tests.conftest import SF_TEST
+
+    res = dedup.dedup_shingle_jaccard(spark, SF_TEST)
+    for i in range(S._PIN_CAP + 1):  # evict the operator's group
+        S.pin(spark.range(10 + i).withColumnRenamed("id", f"d{i}"))
+    assert res.count() > 0  # recompute-from-lineage, never wrong
+    S.release_pins()
+    spark.catalog.clearCache()
