@@ -610,3 +610,63 @@ def test_stream_starts_against_empty_directory(spark, tmp_path):
         spark, str(src), ts_type=T.TimestampNTZType()
     )
     assert dict(s2.dtypes)["ts"] == "timestamp"
+
+
+def test_running_user_totals_transform_with_state(spark, events_stream_dir):
+    """The transformWithState twin must satisfy the same stream==batch
+    contract as the applyInPandasWithState original: per-user running
+    totals accumulate across micro-batches on the RocksDB state store
+    (required by the API), final state equals the batch groupBy.
+
+    Skips when the `protobuf` package (TWS state-server protocol) is
+    absent — the container gate documented on running_user_totals_tws;
+    the plan still constructs, which IS asserted before skipping."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        stream = streaming.read_events_stream(spark, events_stream_dir)
+        plan = streaming.running_user_totals_tws(stream)
+        assert plan.isStreaming  # API wired; execution needs protobuf
+        assert dict(plan.dtypes)["total_cents"] == "bigint"
+        pytest.skip("protobuf not installed: transformWithState execution gated")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_events_stream(spark, events_stream_dir)
+        updates = streaming.run_to_completion(
+            streaming.running_user_totals_tws(stream),
+            "t_totals_tws",
+            output_mode="update",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = (
+        updates.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id", ignore_index=True)
+    )
+    e = load_table(spark, SF_TEST, "events").toPandas()
+    e["cents"] = e["value"].mul(100).round().astype("int64")
+    want = (
+        e.groupby("user_id", as_index=False)
+        .agg(
+            n_events=("event_id", "size"),
+            total_cents=("cents", "sum"),
+            max_event_id=("event_id", "max"),
+        )
+        .sort_values("user_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events", "total_cents", "max_event_id"]],
+        want,
+        check_dtype=False,
+    )
+    assert len(updates) > len(got)  # state really crossed micro-batches
