@@ -19,11 +19,15 @@ stdlib SOF-marker scan (frame dimensions/components/precision, no
 entropy decode). ``decoder='wav'`` is a REAL stdlib PCM decode (the
 ``wave`` module) computing signal features from actual samples.
 ``decoder='fake'`` remains the deterministic byte-stat stand-in for
-opaque payloads. Same split for ``resize_payload``:
-'image'/'png' are real nearest-neighbor pixel resamples re-encoded in
-their format. Codecs for formats needing external libraries (JPEG
-pixels, compressed audio, video) stay behind the same one-function
-slot and raise ``NotImplementedError`` with the library they need.
+opaque payloads. ``decoder='jpeg_pixels'`` is a REAL
+baseline-sequential JPEG decode (canonical huffman + dequantize +
+orthonormal IDCT + chroma upsample), stdlib + numpy, with a matching
+fixture encoder. Same split for ``resize_payload``:
+'image'/'png'/'jpeg' are real nearest-neighbor pixel resamples
+re-encoded in their format. Codecs for formats needing external
+libraries (compressed audio, video frames) stay behind the same
+one-function slot and raise ``NotImplementedError`` with the library
+they need.
 """
 
 from __future__ import annotations
@@ -684,6 +688,525 @@ def jpeg_icon_table(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Baseline-JPEG PIXEL codec (stdlib + numpy): the last image gap behind
+# the reference's icon mediatypes (main.go:314-315). Baseline sequential
+# DCT (SOF0) is fully decodable without PIL: segment parse → canonical
+# huffman decode → dequantize → orthonormal IDCT → chroma upsample →
+# YCbCr→RGB. The matching encoder exists for fixture generation (same
+# pattern as encode_bmp/encode_png/encode_wav): standard Annex K huffman
+# tables, caller-controlled quantization, optional 4:2:0 subsampling —
+# with unit quant tables a flat 8x8 block is DC-only and the round trip
+# is pixel-EXACT, which is what the tests pin.
+# --------------------------------------------------------------------------
+
+# zigzag index -> linear (row*8+col) position, JPEG spec Figure A.6
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Standard huffman tables (JPEG Annex K.3): (BITS counts per code length
+# 1..16, HUFFVAL symbol list)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment (spec C.2): symbol -> (length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the bit-at-a-time decoder."""
+    return {(ln, code): sym for sym, (ln, code) in _huff_codes(bits, vals).items()}
+
+
+def _dct_matrix():
+    """8x8 orthonormal DCT-II matrix T: coeffs = T @ block @ T.T."""
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for i in range(8):
+        c = (1 / 8) ** 0.5 if i == 0 else 0.25**0.5
+        for j in range(8):
+            t[i, j] = c * np.cos((2 * j + 1) * i * np.pi / 16)
+    return t
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _encode_block(coeffs, prev_dc: int, dc_tbl, ac_tbl, w: _BitWriter) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC."""
+
+    def magnitude(v: int) -> tuple[int, int]:
+        size = abs(v).bit_length()
+        return size, (v if v >= 0 else v + (1 << size) - 1)
+
+    dc = int(coeffs[0])
+    size, mbits = magnitude(dc - prev_dc)
+    ln, code = dc_tbl[size]
+    w.write(code, ln)
+    if size:
+        w.write(mbits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(coeffs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tbl[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, mbits = magnitude(v)
+        ln, code = ac_tbl[(run << 4) | size]
+        w.write(code, ln)
+        w.write(mbits, size)
+        run = 0
+    if run:
+        ln, code = ac_tbl[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def encode_baseline_jpeg(
+    rgb_rows: list[list[tuple[int, int, int]]],
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+    subsample_420: bool = False,
+    grayscale: bool = False,
+) -> bytes:
+    """Encode top-down RGB rows as a REAL baseline-sequential JPEG
+    (SOF0, standard Annex K huffman tables, true entropy-coded scan).
+
+    Quant tables default to all-ones (lossless quantization — the DCT
+    round trip is then exact for flat blocks, the test fixture law).
+    ``subsample_420`` encodes chroma at quarter resolution (2x2 mean)
+    inside 16x16 MCUs; ``grayscale`` emits a single-component scan.
+    """
+    import numpy as np
+
+    h = len(rgb_rows)
+    wd = len(rgb_rows[0])
+    rgb = np.array(rgb_rows, dtype=np.float64)  # (h, w, 3)
+    ql = np.array(quant_luma or [1] * 64, dtype=np.float64)
+    qc = np.array(quant_chroma or [1] * 64, dtype=np.float64)
+    t = _dct_matrix()
+
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+
+    def pad_to(img, mult):
+        ph = (-img.shape[0]) % mult
+        pw = (-img.shape[1]) % mult
+        return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+    # Quant tables are stored zigzagged in DQT and coefficients are
+    # emitted zigzagged — one reorder serves both.
+    def zz(img_block_coef):
+        return img_block_coef.reshape(64)[_JPEG_ZIGZAG]
+
+    def blocks_of(img):
+        for by in range(0, img.shape[0], 8):
+            for bx in range(0, img.shape[1], 8):
+                yield img[by : by + 8, bx : bx + 8]
+
+    dc_l = _huff_codes(*_STD_DC_LUMA)
+    ac_l = _huff_codes(*_STD_AC_LUMA)
+    dc_c = _huff_codes(*_STD_DC_CHROMA)
+    ac_c = _huff_codes(*_STD_AC_CHROMA)
+    bw = _BitWriter()
+
+    def quantized(blk, qt):
+        coef = t @ (blk - 128.0) @ t.T
+        return np.round(zz(coef) / qt)
+
+    if grayscale:
+        yp = pad_to(y, 8)
+        prev = 0
+        for blk in blocks_of(yp):
+            prev = _encode_block(quantized(blk, ql), prev, dc_l, ac_l, bw)
+        comps = [(1, 0x11, 0)]
+    elif not subsample_420:
+        yp, cbp, crp = pad_to(y, 8), pad_to(cb, 8), pad_to(cr, 8)
+        prevs = [0, 0, 0]
+        for by in range(0, yp.shape[0], 8):
+            for bx in range(0, yp.shape[1], 8):
+                sl = (slice(by, by + 8), slice(bx, bx + 8))
+                prevs[0] = _encode_block(quantized(yp[sl], ql), prevs[0], dc_l, ac_l, bw)
+                prevs[1] = _encode_block(quantized(cbp[sl], qc), prevs[1], dc_c, ac_c, bw)
+                prevs[2] = _encode_block(quantized(crp[sl], qc), prevs[2], dc_c, ac_c, bw)
+        comps = [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    else:
+        yp = pad_to(y, 16)
+        # chroma at quarter resolution: 2x2 mean, then pad to 8
+        def down(img):
+            p = pad_to(img, 2)
+            return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+        cbp, crp = pad_to(down(cb), 8), pad_to(down(cr), 8)
+        prevs = [0, 0, 0]
+        for my in range(0, yp.shape[0], 16):
+            for mx in range(0, yp.shape[1], 16):
+                for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    sl = (slice(my + dy, my + dy + 8), slice(mx + dx, mx + dx + 8))
+                    prevs[0] = _encode_block(
+                        quantized(yp[sl], ql), prevs[0], dc_l, ac_l, bw
+                    )
+                csl = (slice(my // 2, my // 2 + 8), slice(mx // 2, mx // 2 + 8))
+                prevs[1] = _encode_block(quantized(cbp[csl], qc), prevs[1], dc_c, ac_c, bw)
+                prevs[2] = _encode_block(quantized(crp[csl], qc), prevs[2], dc_c, ac_c, bw)
+        comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    for tid, qt in ((0, ql), (1, qc)) if not grayscale else ((0, ql),):
+        dqt = bytes([tid]) + bytes(int(v) & 0xFF for v in qt[:64])
+        out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    sof = bytearray([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big")
+    sof.append(len(comps))
+    for cid, samp, qid in comps:
+        sof += bytes([cid, samp, qid])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    tables = [(0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA)]
+    if not grayscale:
+        tables += [(0x01, _STD_DC_CHROMA), (0x11, _STD_AC_CHROMA)]
+    for tclass_id, (bits, vals) in tables:
+        dht = bytes([tclass_id]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    sos = bytearray([len(comps)])
+    for cid, _, qid in comps:
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers surface as events (reset DC predictors)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.rst_pending = False
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + predictor reset
+                self.pos += 2
+                self.acc = 0
+                self.n = 0
+                self.rst_pending = True
+                b = None
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        if b is not None:
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bit(self) -> int:
+        while self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_huff_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """Spec F.2.2.1 EXTEND: map `size` received bits to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_baseline(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """REAL pixel decode of a baseline-sequential JPEG (SOF0): huffman →
+    dequantize → orthonormal IDCT → nearest-neighbor chroma upsample →
+    YCbCr→RGB (BT.601/JFIF), clamped to 0..255. Supports grayscale and
+    1-2 sampling factors per axis (4:4:4 / 4:2:2 / 4:2:0), interleaved
+    single-scan, with restart markers. Progressive (SOF2) and arithmetic
+    coding raise — those genuinely need a wider decoder."""
+    import numpy as np
+
+    b = payload
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF or marker in _JPEG_STANDALONE:
+            i += 1 if marker == 0xFF else 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = (b[i + 2] << 8) | b[i + 3]
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw = seg[p + 1 : p + 1 + n]
+                vals = (
+                    [int.from_bytes(raw[k : k + 2], "big") for k in range(0, n, 2)]
+                    if prec
+                    else list(raw)
+                )
+                qtables[tid] = np.array(vals, dtype=np.float64)
+                p += 1 + n
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                tclass, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                htables[(tclass, tid)] = _huff_decoder(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker in _JPEG_SOF_MARKERS:
+            if marker != 0xC0:
+                raise ValueError(
+                    "only baseline sequential (SOF0) pixel decode is supported"
+                )
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker == 0xDA:  # SOS: scan header then entropy data
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tbl = {}
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                scan_tbl[cid] = (tt >> 4, tt & 0x0F)
+            data_start = i + 2 + seglen
+            return _decode_scan(
+                b, data_start, frame, scan_tbl, qtables, htables, restart_interval
+            )
+        i += 2 + seglen
+    raise ValueError("no scan found")
+
+
+def _decode_scan(
+    b, pos, frame, scan_tbl, qtables, htables, restart_interval
+):
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    t = _dct_matrix()
+    unzz = np.argsort(np.array(_JPEG_ZIGZAG))  # linear -> zigzag position
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in comps
+    ]
+    br = _BitReader(b, pos)
+    prevs = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # predictors reset at each restart; reader aligns on RSTn
+                if not br.rst_pending:
+                    # consume pending bits up to the marker
+                    while not br.rst_pending:
+                        br.bit()
+                br.rst_pending = False
+                prevs = [0] * len(comps)
+            if br.rst_pending:  # marker arrived exactly on schedule
+                br.rst_pending = False
+                prevs = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_tbl = htables[(0, scan_tbl[c["id"]][0])]
+                ac_tbl = htables[(1, scan_tbl[c["id"]][1])]
+                qt = qtables[c["q"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zzc = np.zeros(64)
+                        s = _read_huff_symbol(br, dc_tbl)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prevs[ci] += diff
+                        zzc[0] = prevs[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff_symbol(br, ac_tbl)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zzc[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = (zzc * qt)[unzz].reshape(8, 8)
+                        blk = t.T @ coef @ t + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = blk
+
+    # upsample each plane to full MCU-grid resolution, crop to (h, w)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.int64)
+        rows = [[(int(v), int(v), int(v)) for v in row] for row in y]
+        return w, h, rows
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = np.clip(np.round(y + 1.402 * cr), 0, 255).astype(np.int64)
+    g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255).astype(np.int64)
+    bl = np.clip(np.round(y + 1.772 * cb), 0, 255).astype(np.int64)
+    rows = [
+        [(int(r[yy, xx]), int(g[yy, xx]), int(bl[yy, xx])) for xx in range(w)]
+        for yy in range(h)
+    ]
+    return w, h, rows
+
+
+def jpeg_pixel_features(payload: bytes) -> list[float]:
+    """REAL decode: baseline-JPEG huffman+IDCT → pixel statistics, same
+    vector as the BMP/PNG paths."""
+    return _pixel_stats(*decode_jpeg_baseline(bytes(payload)))
+
+
+# --------------------------------------------------------------------------
 # WAV codec slot (stdlib ``wave``): REAL PCM decode + signal features
 # --------------------------------------------------------------------------
 # The audio column of a multimodal corpus. Compressed audio (mp3/ogg/
@@ -1062,7 +1585,8 @@ _DECODERS = {
     "image": _image_features,
     "png": _png_features,
     "svg": svg_features,
-    "jpeg": jpeg_features,  # header metadata only — pixel decode is gated
+    "jpeg": jpeg_features,  # header metadata (cheap path; any SOFn)
+    "jpeg_pixels": jpeg_pixel_features,  # REAL baseline huffman+IDCT decode
     "wav": wav_features,  # REAL PCM decode (stdlib wave)
     "mp4": mp4_features,  # container metadata only — frame decode is gated
 }
@@ -1073,26 +1597,26 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract each payload via ``mapInPandas``.
 
-    ``decoder='image'`` (BMP) and ``decoder='png'`` REALLY decode
-    (stdlib codecs above) and compute features from pixels;
-    ``decoder='svg'`` REALLY parses (stdlib XML) and ``decoder='jpeg'``
-    REALLY parses the SOF marker stream — both extract structural
-    metadata, not pixels; ``decoder='wav'`` REALLY decodes PCM (stdlib
-    wave) and computes signal features from samples; ``decoder='fake'``
-    uses deterministic byte-stat features for opaque payloads. Full JPEG
-    pixel decode, compressed audio, and video plug into the same slot
-    but need external libraries.
+    ``decoder='image'`` (BMP), ``decoder='png'``, and
+    ``decoder='jpeg_pixels'`` (baseline-sequential huffman+IDCT) REALLY
+    decode and compute features from pixels; ``decoder='svg'`` REALLY
+    parses (stdlib XML) and ``decoder='jpeg'`` REALLY parses the SOF
+    marker stream — both extract structural metadata, not pixels;
+    ``decoder='wav'`` REALLY decodes PCM (stdlib wave) and computes
+    signal features from samples; ``decoder='fake'`` uses deterministic
+    byte-stat features for opaque payloads. Compressed audio and video
+    frames plug into the same slot but need external libraries.
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
     embarrassingly-parallel map over executors.
     """
-    if decoder in ("jpeg_pixels", "audio_compressed", "video_frames"):
+    if decoder in ("audio_compressed", "video_frames"):
         raise NotImplementedError(
-            f"{decoder} decoding requires PIL/ffmpeg/librosa — not available "
-            "in this container; 'image' (BMP), 'png', 'svg', 'jpeg' "
-            "(header metadata), 'wav' (PCM), 'mp4' (container metadata), "
-            "and 'fake' are built in"
+            f"{decoder} decoding requires ffmpeg/librosa — not available "
+            "in this container; 'image' (BMP), 'png', 'jpeg_pixels' "
+            "(baseline decode), 'svg', 'jpeg' (header metadata), 'wav' "
+            "(PCM), 'mp4' (container metadata), and 'fake' are built in"
         )
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -1225,6 +1749,60 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_pixel_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL baseline-JPEG bytes, media_type,
+    n_bytes). Distributed encode (mapInPandas), same id-seeded raster as
+    the BMP/PNG fixtures so per-doc pixel stats are independently
+    computable; doc_id rotates the encoder surface: 4:4:4, 4:2:0, and
+    grayscale scans."""
+
+    def jpeg_doc(d: int) -> bytes:
+        px = _doc_pixels(d)
+        if d % 3 == 0:
+            return encode_baseline_jpeg(px)
+        if d % 3 == 1:
+            return encode_baseline_jpeg(px, subsample_420=True)
+        return encode_baseline_jpeg(px, grayscale=True)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [jpeg_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": JPEG_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+@_register("mm_jpeg_pixels", None)  # rows-only: pixel decode not SQL-expressible
+def mm_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG PIXEL pipeline (the formerly library-gated slot): per-doc
+    baseline-JPEG payloads with true entropy-coded scans (distributed
+    encode) → huffman+dequant+IDCT decode → pixel-statistic features,
+    same vector as the BMP/PNG paths. Closes the image half of the
+    reference's icon mediatypes (main.go:314-315) with zero external
+    libraries; compressed audio / video frames remain the only gated
+    slots."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(jpeg_pixel_table(d), decoder="jpeg_pixels")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.round(F.element_at("features", 3), 6).alias("mean_r"),
+        F.round(F.element_at("features", 8), 6).alias("mean_luma"),
+    )
+
+
 @_register("mm_wav_features", None)  # rows-only: PCM decode not SQL-expressible
 def mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio pipeline: per-doc PCM WAV payloads (distributed
@@ -1297,6 +1875,13 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     return encode_png(out_w, out_h, _nn_resample(rows, w, h, out_w, out_h))
 
 
+def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """JPEG thumbnail: baseline decode (huffman+IDCT), nearest-neighbor
+    resample, baseline re-encode (unit quant, 4:4:4) — stdlib + numpy."""
+    w, h, rows = decode_jpeg_baseline(bytes(payload))
+    return encode_baseline_jpeg(_nn_resample(rows, w, h, out_w, out_h))
+
+
 def resize_payload(
     binary_df: DataFrame,
     target_bytes: int = 64,
@@ -1306,19 +1891,19 @@ def resize_payload(
 ) -> DataFrame:
     """Resize (image thumbnail / audio downsample slot).
 
-    ``resizer='image'`` (BMP) and ``resizer='png'`` REALLY resize:
-    stdlib decode → nearest-neighbor resample to (target_width,
-    target_height) → re-encode. ``resizer='fake'`` strides raw bytes
-    down to ``target_bytes`` for opaque non-image payloads. All run in
-    the same mapInPandas batch loop (one Arrow crossing per batch, no
-    shuffle).
+    ``resizer='image'`` (BMP), ``resizer='png'``, and ``resizer='jpeg'``
+    (baseline decode/re-encode) REALLY resize: decode → nearest-neighbor
+    resample to (target_width, target_height) → re-encode.
+    ``resizer='fake'`` strides raw bytes down to ``target_bytes`` for
+    opaque non-image payloads. All run in the same mapInPandas batch
+    loop (one Arrow crossing per batch, no shuffle).
     """
-    if resizer in ("jpeg", "audio", "video"):
+    if resizer in ("audio", "video"):
         raise NotImplementedError(
-            f"{resizer} resizing requires PIL/ffmpeg — not available in this "
-            "container; 'image' (BMP), 'png', and 'fake' are built in"
+            f"{resizer} resizing requires ffmpeg — not available in this "
+            "container; 'image' (BMP), 'png', 'jpeg', and 'fake' are built in"
         )
-    if resizer not in ("fake", "image", "png"):
+    if resizer not in ("fake", "image", "png", "jpeg"):
         raise ValueError(f"unknown resizer {resizer!r}")
 
     def one(raw: bytes) -> bytes:
@@ -1326,6 +1911,8 @@ def resize_payload(
             return resize_bmp(raw, target_width, target_height)
         if resizer == "png":
             return resize_png(raw, target_width, target_height)
+        if resizer == "jpeg":
+            return resize_jpeg(raw, target_width, target_height)
         if len(raw) <= target_bytes:
             return raw
         step = -(-len(raw) // target_bytes)  # ceil div

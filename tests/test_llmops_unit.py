@@ -827,9 +827,11 @@ def test_resize_png_mode(spark):
 
 def test_unavailable_decoders_raise(spark):
     docs = load_table(spark, SF_TEST, "documents").limit(1)
+    # jpeg_pixels graduated from this gate in r6 (real baseline decode);
+    # only compressed audio and video frames remain library-bound
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(
-            multimodal.binary_table(docs), decoder="jpeg_pixels"
+            multimodal.binary_table(docs), decoder="audio_compressed"
         )
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(
@@ -1054,7 +1056,7 @@ def test_resize_payload_bounds_and_determinism(spark):
     for _, b in r1:
         assert 1 <= len(b) <= 32
     with pytest.raises(NotImplementedError):
-        multimodal.resize_payload(bt, 32, resizer="jpeg")
+        multimodal.resize_payload(bt, 32, resizer="video")
 
 
 def test_resize_bmp_nearest_neighbor_exact():
@@ -1411,3 +1413,133 @@ def test_ann_recall_laws_at_scale_on_clustered_fixture(spark, tmp_path):
     pq = {(r.q_id, r.n_id) for r in similarity.ann_pq_topk(spark, d).collect()}
     r_pq = len(ex5 & pq) / len(ex5)
     assert r_pq >= 0.75, f"PQ recall@5 {r_pq:.3f} < 0.75"
+
+
+# --------------------------------------------------------------------------
+# Baseline-JPEG PIXEL codec (X5): huffman+IDCT decode, encoder fixtures
+# --------------------------------------------------------------------------
+
+def test_jpeg_baseline_flat_roundtrip_exact():
+    """With unit quant tables a flat block is DC-only, so encode→decode
+    is pixel-EXACT — for 4:4:4, 4:2:0 (chroma mean of a flat area is the
+    area), and grayscale."""
+    flat = [[(128, 128, 128)] * 16 for _ in range(8)]
+    assert multimodal.decode_jpeg_baseline(
+        multimodal.encode_baseline_jpeg(flat)
+    ) == (16, 8, flat)
+
+    flatc = [[(200, 40, 90)] * 32 for _ in range(16)]
+    w, h, rows = multimodal.decode_jpeg_baseline(
+        multimodal.encode_baseline_jpeg(flatc, subsample_420=True)
+    )
+    assert (w, h) == (32, 16)
+    assert max(
+        abs(a - b)
+        for rr, fr in zip(rows, flatc)
+        for p, q in zip(rr, fr)
+        for a, b in zip(p, q)
+    ) <= 1
+
+    gray = [[(v, v, v) for v in range(0, 80, 5)] for _ in range(8)]
+    w, h, rows = multimodal.decode_jpeg_baseline(
+        multimodal.encode_baseline_jpeg(gray, grayscale=True)
+    )
+    assert (w, h) == (16, 8) and rows == gray
+
+
+def test_jpeg_baseline_gradient_and_odd_dims():
+    """Non-multiple-of-8 dimensions pad by edge replication and crop
+    back; with unit quant the round trip is within FP rounding (≤2)."""
+    grad = [
+        [(x * 7 % 256, y * 11 % 256, (x + y) * 3 % 256) for x in range(21)]
+        for y in range(13)
+    ]
+    w, h, rows = multimodal.decode_jpeg_baseline(
+        multimodal.encode_baseline_jpeg(grad)
+    )
+    assert (w, h) == (21, 13)
+    diff = max(
+        abs(a - b)
+        for rr, fr in zip(rows, grad)
+        for p, q in zip(rr, fr)
+        for a, b in zip(p, q)
+    )
+    assert diff <= 2, diff
+
+
+def test_jpeg_baseline_payload_is_standard_jpeg():
+    """The encoder's output is a standards-parseable JPEG: the header
+    metadata path (SOF scan) reads the same frame parameters, and the
+    scan is true entropy-coded data (bigger than any header stub)."""
+    px = multimodal._doc_pixels(42)
+    payload = multimodal.encode_baseline_jpeg(px)
+    m = multimodal.jpeg_metadata(payload)
+    assert (m["width"], m["height"]) == (multimodal.IMG_W, multimodal.IMG_H)
+    assert m["n_components"] == 3 and m["progressive"] is False
+    assert m["n_dqt"] == 2 and m["precision"] == 8
+    # quantized lossy tables still decode within the quant-error bound
+    q = [1] + [4] * 63
+    w, h, rows = multimodal.decode_jpeg_baseline(
+        multimodal.encode_baseline_jpeg(px, quant_luma=q, quant_chroma=q)
+    )
+    assert (w, h) == (multimodal.IMG_W, multimodal.IMG_H)
+
+
+def test_jpeg_pixel_table_decodes_to_generated_pixels(spark):
+    """End-to-end: distributed baseline-JPEG encode (4:4:4 / 4:2:0 /
+    grayscale by doc id) → Spark huffman+IDCT decode → features equal an
+    independent local decode, and the 4:4:4 docs' pixel means match the
+    raster generator within codec rounding."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.jpeg_pixel_table(docs), decoder="jpeg_pixels"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        d = int(r.doc_id)
+        px = multimodal._doc_pixels(d)
+        if d % 3 == 0:
+            payload = multimodal.encode_baseline_jpeg(px)
+        elif d % 3 == 1:
+            payload = multimodal.encode_baseline_jpeg(px, subsample_420=True)
+        else:
+            payload = multimodal.encode_baseline_jpeg(px, grayscale=True)
+        assert r.features == multimodal.jpeg_pixel_features(payload)
+        assert r.features[0] == float(multimodal.IMG_W)
+        assert r.features[1] == float(multimodal.IMG_H)
+        if d % 3 == 0:  # full-chroma docs: means track the raster
+            n = multimodal.IMG_W * multimodal.IMG_H
+            mean_r = sum(p[0] for row in px for p in row) / n
+            assert abs(r.features[2] - mean_r) <= 2.0
+        assert r.media_type == multimodal.JPEG_MEDIA_TYPE
+
+
+def test_mm_jpeg_pixels_query_runs(spark):
+    """The registered rows-only query decodes one row per document with
+    sane stats (the formerly gated slot is now a first-class operator)."""
+    out = multimodal.mm_jpeg_pixels(spark, SF_TEST)
+    rows = out.limit(20).collect()
+    n_docs = load_table(spark, SF_TEST, "documents").count()
+    assert out.count() == n_docs
+    for r in rows:
+        assert r.width == float(multimodal.IMG_W)
+        assert r.height == float(multimodal.IMG_H)
+        assert 0.0 <= r.mean_luma <= 255.0
+
+
+def test_resize_jpeg_thumbnail():
+    """JPEG resize: decode → nearest-neighbor resample → re-encode; the
+    thumbnail decodes to the resampled raster within codec rounding."""
+    px = multimodal._doc_pixels(11)
+    payload = multimodal.encode_baseline_jpeg(px)
+    thumb = multimodal.resize_jpeg(payload, 4, 4)
+    w, h, rows = multimodal.decode_jpeg_baseline(thumb)
+    assert (w, h) == (4, 4)
+    want = multimodal._nn_resample(px, multimodal.IMG_W, multimodal.IMG_H, 4, 4)
+    diff = max(
+        abs(a - b)
+        for rr, wr in zip(rows, want)
+        for p, q in zip(rr, wr)
+        for a, b in zip(p, q)
+    )
+    assert diff <= 4, diff  # two lossy trips, unit quant: FP rounding only
