@@ -535,11 +535,16 @@ def test_chunking_is_streaming_compatible(spark, tmp_path):
     out = str(tmp_path / "out")
 
     toks = F.split("text", " ")
-    starts = F.sequence(
+    n = F.size(toks)
+    base = F.sequence(
         F.lit(0),
-        F.greatest(F.lit(0), F.size(toks) - CHUNK_TOKENS),
+        F.greatest(F.lit(0), n - CHUNK_TOKENS),
         F.lit(CHUNK_STRIDE),
     )
+    tail_needed = (n > CHUNK_TOKENS) & ((n - CHUNK_TOKENS) % CHUNK_STRIDE != 0)
+    starts = F.when(
+        tail_needed, F.concat(base, F.array(n - CHUNK_TOKENS))
+    ).otherwise(base)
     q = (
         spark.readStream.schema(docs.schema)
         .parquet(src + "/*")
