@@ -142,3 +142,22 @@ def test_rows_only_queries_run(name, spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_is_full_and_oracle_backed():
+    """The driver's correctness gate checks the FIRST 50 registered
+    queries; a rotation mistake (typo'd name, rows-only query windowed,
+    short window) silently wastes driver evidence slots. Pin the
+    contract: exactly 50 priority slots, every one resolves to a
+    registered query, every one oracle-backed, no duplicates."""
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert len(E._PRIORITY) == 50
+    assert len(set(E._PRIORITY)) == 50  # no duplicate slots
+    missing = [n for n in E._PRIORITY if n not in qs]
+    assert not missing, f"window names not registered: {missing}"
+    rows_only = [n for n in E._PRIORITY if n not in osql]
+    assert not rows_only, f"rows-only queries wasting window slots: {rows_only}"
+    # and the window really is the first 50 registrations
+    assert list(qs)[:50] == list(E._PRIORITY)
