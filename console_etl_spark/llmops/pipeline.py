@@ -353,3 +353,48 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Training export: deterministic sharded JSONL — the wire format LLM
+# training loaders consume. Writer, not a query: the final step after
+# curate → split → chunk/pack.
+# --------------------------------------------------------------------------
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    shard_key: str | Column = "doc_id",
+    compression: str = "gzip",
+) -> None:
+    """Write ``df`` as exactly ``n_shards`` JSONL files (optionally
+    gzipped), sharded by a DETERMINISTIC content-addressed key — the
+    md5-band trick the split/sample tier uses, so the same row lands in
+    the same shard on every run, any cluster, any partitioning of the
+    input (``repartition(n)`` round-robin or a raw ``write.json`` would
+    both scatter rows differently per run).
+
+    Layout: ``<path>/shard=<i>/part-*.json.gz`` — one file per shard
+    (hive-partitioned directories, the layout training loaders and
+    ``spark.read.json(path)`` both consume natively).
+
+    Scale shape: one hash exchange co-locating each shard's rows on one
+    task, then ``partitionBy`` streams exactly one file per shard — no
+    driver involvement, no small-files problem (shard count is chosen,
+    not inherited), and gzip per shard keeps parallelism at the file
+    level (the granularity loaders parallelize over anyway)."""
+    key = F.col(shard_key) if isinstance(shard_key, str) else shard_key
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", compression)
+        .json(path)
+    )

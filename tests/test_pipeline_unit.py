@@ -124,3 +124,45 @@ def test_hash_band_matches_cpython_md5(spark):
         nib = hashlib.md5(str(i).encode()).hexdigest()[0]
         split = "train" if nib < "c" else ("val" if nib < "e" else "test")
         assert got[i] == (nib, split), i
+
+
+def test_export_jsonl_shards_deterministic_and_complete(spark, tmp_path):
+    """The training-export writer: gzipped JSONL, content-addressed
+    sharding — complete (every row lands exactly once), reproducible
+    (same shard assignment across runs), and shard-count-controlled."""
+    import glob
+    import gzip
+    import json as jsonlib
+
+    from console_etl_spark.llmops.pipeline import export_jsonl_shards
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents").select("doc_id", "lang", "text")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    export_jsonl_shards(docs, out1, n_shards=4)
+    export_jsonl_shards(docs, out2, n_shards=4)
+
+    shard_dirs = sorted(glob.glob(out1 + "/shard=*"))
+    assert len(shard_dirs) == 4  # chosen shard count, not inherited
+    for d in shard_dirs:  # one gz file per shard: co-located then streamed
+        assert len(glob.glob(d + "/part-*.json.gz")) == 1
+
+    # completeness: every doc exactly once across shards
+    back = spark.read.json(out1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+
+    # determinism: identical shard -> doc_id assignment across runs
+    def shard_sets(out):
+        sets = {}
+        for d in sorted(glob.glob(out + "/shard=*")):
+            sid = int(d.rsplit("=", 1)[1])
+            for f in glob.glob(d + "/part-*.json.gz"):
+                with gzip.open(f, "rt") as fh:
+                    sets[sid] = frozenset(
+                        jsonlib.loads(l)["doc_id"] for l in fh
+                    )
+        return sets
+
+    assert shard_sets(out1) == shard_sets(out2)
