@@ -1543,3 +1543,39 @@ def test_resize_jpeg_thumbnail():
         for a, b in zip(p, q)
     )
     assert diff <= 4, diff  # two lossy trips, unit quant: FP rounding only
+
+
+def test_embedding_queries_robust_to_fixture_element_dtype(spark, tmp_path):
+    """Fixture-regeneration robustness (the failure class that crashed a
+    prior round via events.ts): if the driver regenerates
+    embeddings.embedding as list<double> instead of list<float>, every
+    embeddings-tier query must produce identical values — all kernels
+    cast to double internally, so the physical element type is an input
+    detail, never a semantic one."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_TEST}/embeddings.parquet")
+    t2 = t.set_column(
+        t.schema.get_field_index("embedding"),
+        "embedding",
+        t["embedding"].cast(pa.list_(pa.float64())),
+    )
+    d = str(tmp_path)
+    pq.write_table(t2, f"{d}/embeddings.parquet")
+
+    for name in [
+        "embedding_int8_quantize",
+        "ann_topk_cosine",
+        "embedding_near_pairs",
+        "embedding_label_stats",
+    ]:
+        a = similarity.QUERIES[name](spark, SF_TEST).toPandas()
+        b = similarity.QUERIES[name](spark, d).toPandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols, ignore_index=True),
+            b[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False,
+        )
