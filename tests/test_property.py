@@ -344,3 +344,66 @@ class TestChunkingLaws:
             ) == overlap
         if starts != grid:
             assert 0 < starts[-1] - grid[-1] < CHUNK_STRIDE
+
+
+class TestJpegCodecLaws:
+    """Baseline-JPEG codec laws under hypothesis: with unit quant tables
+    a FLAT image round-trips pixel-exactly in every mode (the DC-only
+    law), and arbitrary rasters stay within DCT rounding (≤2/channel)."""
+
+    @given(
+        r=st.integers(0, 255),
+        g=st.integers(0, 255),
+        b=st.integers(0, 255),
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        mode=st.sampled_from(["444", "420", "gray"]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_flat_roundtrip_exact(self, r, g, b, w, h, mode):
+        from console_etl_spark.llmops import multimodal
+
+        if mode == "gray":
+            v = round(0.299 * r + 0.587 * g + 0.114 * b)
+            px = [[(v, v, v)] * w for _ in range(h)]
+            payload = multimodal.encode_baseline_jpeg(px, grayscale=True)
+        elif mode == "420":
+            px = [[(r, g, b)] * w for _ in range(h)]
+            payload = multimodal.encode_baseline_jpeg(px, subsample_420=True)
+        else:
+            px = [[(r, g, b)] * w for _ in range(h)]
+            payload = multimodal.encode_baseline_jpeg(px)
+        dw, dh, rows = multimodal.decode_jpeg_baseline(payload)
+        assert (dw, dh) == (w, h)
+        diff = max(
+            abs(a - c)
+            for rr, fr in zip(rows, px)
+            for p, q in zip(rr, fr)
+            for a, c in zip(p, q)
+        )
+        # flat blocks are DC-only: exact up to YCbCr int rounding
+        assert diff <= 1, (mode, diff)
+
+    @given(seed=st.integers(0, 10_000), w=st.integers(1, 24), h=st.integers(1, 24))
+    @settings(max_examples=40, deadline=None)
+    def test_arbitrary_raster_within_dct_rounding(self, seed, w, h):
+        import numpy as np
+
+        from console_etl_spark.llmops import multimodal
+
+        rng = np.random.default_rng(seed)
+        px = [
+            [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        dw, dh, rows = multimodal.decode_jpeg_baseline(
+            multimodal.encode_baseline_jpeg(px)
+        )
+        assert (dw, dh) == (w, h)
+        diff = max(
+            abs(a - c)
+            for rr, fr in zip(rows, px)
+            for p, q in zip(rr, fr)
+            for a, c in zip(p, q)
+        )
+        assert diff <= 2, diff
