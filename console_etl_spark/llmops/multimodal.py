@@ -806,7 +806,9 @@ class _BitWriter:
                 self.acc = 0
                 self.n = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the partial byte with 1-bits (spec F.1.2.3) — the state
+        every restart marker must be emitted at."""
         if self.n:
             self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
             self.out.append(self.acc)
@@ -814,6 +816,13 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.n = 0
+
+    def marker(self, m: int) -> None:
+        """Emit a literal marker (never stuffed) — caller aligns first."""
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -857,20 +866,34 @@ def encode_baseline_jpeg(
     quant_chroma: list[int] | None = None,
     subsample_420: bool = False,
     grayscale: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode top-down RGB rows as a REAL baseline-sequential JPEG
     (SOF0, standard Annex K huffman tables, true entropy-coded scan).
 
     Quant tables default to all-ones (lossless quantization — the DCT
-    round trip is then exact for flat blocks, the test fixture law).
+    round trip is then exact for flat blocks, the test fixture law);
+    values must be 1..255 (the 8-bit DQT form — validated, because a
+    silently truncated table would corrupt every decoder's dequant).
     ``subsample_420`` encodes chroma at quarter resolution (2x2 mean)
-    inside 16x16 MCUs; ``grayscale`` emits a single-component scan.
+    inside 16x16 MCUs; ``grayscale`` emits a single-component scan;
+    ``restart_interval`` N emits a DRI segment plus byte-aligned RSTn
+    markers (DC predictors reset) every N MCUs — the resync structure
+    real camera/libjpeg output uses.
     """
     import numpy as np
 
     h = len(rgb_rows)
     wd = len(rgb_rows[0])
     rgb = np.array(rgb_rows, dtype=np.float64)  # (h, w, 3)
+    for tbl in (quant_luma, quant_chroma):
+        if tbl is not None and any(
+            not (1 <= int(v) <= 255) for v in tbl
+        ):
+            raise ValueError(
+                "quantization values must be 1..255 (8-bit DQT); "
+                "0 divides to inf, >255 would silently truncate"
+            )
     ql = np.array(quant_luma or [1] * 64, dtype=np.float64)
     qc = np.array(quant_chroma or [1] * 64, dtype=np.float64)
     t = _dct_matrix()
@@ -904,17 +927,31 @@ def encode_baseline_jpeg(
         coef = t @ (blk - 128.0) @ t.T
         return np.round(zz(coef) / qt)
 
+    prevs = [0, 0, 0]
+    rst_state = {"mcu": 0, "rst": 0}
+
+    def mcu_boundary() -> None:
+        """Call at the top of each MCU: emits the byte-aligned RSTn and
+        resets DC predictors every restart_interval MCUs (spec E.2.4)."""
+        i = rst_state["mcu"]
+        if restart_interval and i and i % restart_interval == 0:
+            bw.align()
+            bw.marker(0xD0 + rst_state["rst"] % 8)
+            rst_state["rst"] += 1
+            prevs[:] = [0, 0, 0]
+        rst_state["mcu"] = i + 1
+
     if grayscale:
         yp = pad_to(y, 8)
-        prev = 0
         for blk in blocks_of(yp):
-            prev = _encode_block(quantized(blk, ql), prev, dc_l, ac_l, bw)
+            mcu_boundary()
+            prevs[0] = _encode_block(quantized(blk, ql), prevs[0], dc_l, ac_l, bw)
         comps = [(1, 0x11, 0)]
     elif not subsample_420:
         yp, cbp, crp = pad_to(y, 8), pad_to(cb, 8), pad_to(cr, 8)
-        prevs = [0, 0, 0]
         for by in range(0, yp.shape[0], 8):
             for bx in range(0, yp.shape[1], 8):
+                mcu_boundary()
                 sl = (slice(by, by + 8), slice(bx, bx + 8))
                 prevs[0] = _encode_block(quantized(yp[sl], ql), prevs[0], dc_l, ac_l, bw)
                 prevs[1] = _encode_block(quantized(cbp[sl], qc), prevs[1], dc_c, ac_c, bw)
@@ -928,9 +965,9 @@ def encode_baseline_jpeg(
             return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
 
         cbp, crp = pad_to(down(cb), 8), pad_to(down(cr), 8)
-        prevs = [0, 0, 0]
         for my in range(0, yp.shape[0], 16):
             for mx in range(0, yp.shape[1], 16):
+                mcu_boundary()
                 for dy, dx in ((0, 0), (0, 8), (8, 0), (8, 8)):
                     sl = (slice(my + dy, my + dy + 8), slice(mx + dx, mx + dx + 8))
                     prevs[0] = _encode_block(
@@ -947,8 +984,10 @@ def encode_baseline_jpeg(
     app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
     for tid, qt in ((0, ql), (1, qc)) if not grayscale else ((0, ql),):
-        dqt = bytes([tid]) + bytes(int(v) & 0xFF for v in qt[:64])
+        dqt = bytes([tid]) + bytes(int(v) for v in qt[:64])  # validated 1..255
         out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sof = bytearray([8]) + h.to_bytes(2, "big") + wd.to_bytes(2, "big")
     sof.append(len(comps))
     for cid, samp, qid in comps:
@@ -972,14 +1011,32 @@ def encode_baseline_jpeg(
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; RSTn markers surface as events (reset DC predictors)."""
+    unstuffing. Restart markers are NOT consumed as data: the decoder
+    calls :meth:`expect_restart` at each scheduled restart boundary
+    (spec E.2.4) — encountering any marker mid-symbol is an error, so a
+    corrupt stream fails loudly instead of decoding garbage."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.n = 0
-        self.rst_pending = False
+
+    def expect_restart(self) -> None:
+        """Byte-align (drop the current byte's padding bits) and consume
+        the RSTn marker that must sit at this restart boundary."""
+        self.acc = 0
+        self.n = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                f"expected restart marker at byte {self.pos} "
+                "(DRI interval does not match the scan)"
+            )
+        self.pos += 2
 
     def _fill(self) -> None:
         b = self.data[self.pos]
@@ -987,19 +1044,12 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RSTn: byte-align + predictor reset
-                self.pos += 2
-                self.acc = 0
-                self.n = 0
-                self.rst_pending = True
-                b = None
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         else:
             self.pos += 1
-        if b is not None:
-            self.acc = (self.acc << 8) | b
-            self.n += 8
+        self.acc = (self.acc << 8) | b
+        self.n += 8
 
     def bit(self) -> int:
         while self.n == 0:
@@ -1137,15 +1187,7 @@ def _decode_scan(
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # predictors reset at each restart; reader aligns on RSTn
-                if not br.rst_pending:
-                    # consume pending bits up to the marker
-                    while not br.rst_pending:
-                        br.bit()
-                br.rst_pending = False
-                prevs = [0] * len(comps)
-            if br.rst_pending:  # marker arrived exactly on schedule
-                br.rst_pending = False
+                br.expect_restart()  # byte-align + consume RSTn
                 prevs = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):

@@ -284,6 +284,25 @@ def curate_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 32   # context-window length in whitespace tokens
 CHUNK_STRIDE = 16   # 50% overlap — the standard LM-pretraining stride
 
+
+def chunk_starts(
+    toks: Column, window: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> Column:
+    """Start positions of the sliding context windows over a token
+    array: 0..max(0, n-W) step S, PLUS one tail start at n-W whenever
+    (n-W) % S != 0 — so the final tokens are never dropped (the span-
+    coverage guarantee). The single Spark-side definition of the grid;
+    chunk_documents_sliding, the streaming twin, and the tests all share
+    it (the DuckDB _CHUNK_SQL mirrors it by construction)."""
+    n = F.size(toks)
+    base = F.sequence(
+        F.lit(0), F.greatest(F.lit(0), n - window), F.lit(stride)
+    )
+    tail_needed = (n > window) & ((n - window) % stride != 0)
+    return F.when(
+        tail_needed, F.concat(base, F.array(n - window))
+    ).otherwise(base)
+
 _CHUNK_SQL = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     g AS (
@@ -329,16 +348,7 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary semantics (short docs → one chunk) are engine-identical."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n = F.size(toks)
-    base = F.sequence(
-        F.lit(0), F.greatest(F.lit(0), n - CHUNK_TOKENS), F.lit(CHUNK_STRIDE)
-    )
-    tail_needed = (n > CHUNK_TOKENS) & (
-        (n - CHUNK_TOKENS) % CHUNK_STRIDE != 0
-    )
-    starts = F.when(
-        tail_needed, F.concat(base, F.array(n - CHUNK_TOKENS))
-    ).otherwise(base)
+    starts = chunk_starts(toks)
     return (
         d.select("doc_id", toks.alias("t"), starts.alias("starts"))
         .select("doc_id", "t", F.posexplode("starts").alias("chunk_id", "start"))
@@ -398,3 +408,16 @@ def export_jsonl_shards(
         .option("compression", compression)
         .json(path)
     )
+    # Layout contract: shard=0..n-1 ALWAYS exist, even when a shard got
+    # zero rows (tiny/skewed inputs) — partitionBy writes no directory
+    # for an empty shard, and a loader iterating the documented range
+    # would hit missing paths. Hadoop FS mkdirs is scheme-agnostic
+    # (local, HDFS, s3a) and idempotent.
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    for i in range(n_shards):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={i}")
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            fs.mkdirs(p)

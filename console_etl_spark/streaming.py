@@ -61,11 +61,27 @@ def read_events_stream(
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if ts_type is None:
+        from pyspark.errors import AnalysisException
+
         try:
             ts_type = spark.read.parquet(path).schema["ts"].dataType
-        except Exception:
-            # Empty/not-yet-populated directory: no footers to probe.
-            ts_type = T.LongType()
+        except AnalysisException as e:
+            # Fall back ONLY for the start-before-data case: an EMPTY
+            # existing directory (no footers to infer from). Anything
+            # else — missing path (the stream source itself would refuse
+            # it), corrupt footer, permissions, a ts column missing —
+            # must surface at plan time, not be masked into a silently
+            # wrong long-nanos schema.
+            cond = ""
+            get_cond = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            if get_cond is not None:
+                cond = get_cond() or ""
+            if "UNABLE_TO_INFER_SCHEMA" in cond:
+                ts_type = T.LongType()
+            else:
+                raise
     stream = (
         spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1579,3 +1579,43 @@ def test_embedding_queries_robust_to_fixture_element_dtype(spark, tmp_path):
             b[cols].sort_values(cols, ignore_index=True),
             check_dtype=False,
         )
+
+
+def test_jpeg_restart_markers_roundtrip_and_fail_loudly():
+    """Restart-interval streams (DRI + byte-aligned RSTn, the resync
+    structure in real camera/libjpeg output) must decode to pixels
+    BIT-IDENTICAL to the no-restart encoding of the same raster in every
+    mode — including interval=1, which previously lost the first entropy
+    bit after each marker. A DRI that doesn't match the scan must raise,
+    not decode garbage; quant values outside the 8-bit DQT range must be
+    rejected at encode time, not silently truncated."""
+    grad = [
+        [(x * 7 % 256, y * 11 % 256, (x + y) * 3 % 256) for x in range(24)]
+        for y in range(17)
+    ]
+    gray = [[(v, v, v) for v in range(0, 96, 4)] for _ in range(17)]
+    for kwargs, src in (
+        ({}, grad),
+        ({"subsample_420": True}, grad),
+        ({"grayscale": True}, gray),
+    ):
+        base = multimodal.decode_jpeg_baseline(
+            multimodal.encode_baseline_jpeg(src, **kwargs)
+        )
+        for ri in (1, 2, 5):
+            got = multimodal.decode_jpeg_baseline(
+                multimodal.encode_baseline_jpeg(src, restart_interval=ri, **kwargs)
+            )
+            assert got == base, (kwargs, ri)
+
+    # DRI present but no markers in the scan: loud failure
+    good = multimodal.encode_baseline_jpeg(grad)
+    i = good.index(b"\xff\xc0")
+    tampered = good[:i] + b"\xff\xdd\x00\x04\x00\x01" + good[i:]
+    with pytest.raises(ValueError, match="restart marker"):
+        multimodal.decode_jpeg_baseline(tampered)
+
+    # 8-bit DQT range validation (256 would truncate to 0; 0 divides)
+    for bad in ([256] + [1] * 63, [0] + [1] * 63):
+        with pytest.raises(ValueError, match="1..255"):
+            multimodal.encode_baseline_jpeg(grad, quant_luma=bad)

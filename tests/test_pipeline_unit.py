@@ -166,3 +166,19 @@ def test_export_jsonl_shards_deterministic_and_complete(spark, tmp_path):
         return sets
 
     assert shard_sets(out1) == shard_sets(out2)
+
+
+def test_export_jsonl_shards_materializes_empty_shards(spark, tmp_path):
+    """The shard=0..n-1 layout contract holds even when some shards get
+    zero rows (tiny input): empty shard directories are materialized so
+    loaders iterating the documented range never hit missing paths."""
+    import glob
+
+    from console_etl_spark.llmops.pipeline import export_jsonl_shards
+
+    two = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = str(tmp_path / "tiny")
+    export_jsonl_shards(two, out, n_shards=8)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 8, dirs
+    assert spark.read.json(out).count() == 2

@@ -524,9 +524,9 @@ def test_chunking_is_streaming_compatible(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from console_etl_spark.llmops.pipeline import (
-        CHUNK_STRIDE,
         CHUNK_TOKENS,
         chunk_documents_sliding,
+        chunk_starts,
     )
 
     docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
@@ -535,16 +535,7 @@ def test_chunking_is_streaming_compatible(spark, tmp_path):
     out = str(tmp_path / "out")
 
     toks = F.split("text", " ")
-    n = F.size(toks)
-    base = F.sequence(
-        F.lit(0),
-        F.greatest(F.lit(0), n - CHUNK_TOKENS),
-        F.lit(CHUNK_STRIDE),
-    )
-    tail_needed = (n > CHUNK_TOKENS) & ((n - CHUNK_TOKENS) % CHUNK_STRIDE != 0)
-    starts = F.when(
-        tail_needed, F.concat(base, F.array(n - CHUNK_TOKENS))
-    ).otherwise(base)
+    starts = chunk_starts(toks)  # the ONE grid definition, shared
     q = (
         spark.readStream.schema(docs.schema)
         .parquet(src + "/*")
@@ -675,3 +666,25 @@ def test_running_user_totals_transform_with_state(spark, events_stream_dir):
         check_dtype=False,
     )
     assert len(updates) > len(got)  # state really crossed micro-batches
+
+
+def test_stream_schema_probe_masks_only_emptiness(spark, tmp_path):
+    """The empty-dir fallback must not swallow real failures: a source
+    whose files exist but carry no ts column (schema mismatch) raises at
+    plan time instead of silently starting with the long-nanos default
+    (which would fail per-micro-batch later, or read garbage)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = tmp_path / "bad_src"
+    bad.mkdir()
+    pq.write_table(pa.table({"not_ts": pa.array([1], pa.int64())}), str(bad / "f.parquet"))
+    with pytest.raises(Exception, match="ts"):
+        streaming.read_events_stream(spark, str(bad))
+
+    # a missing path is a real error too (the stream source itself would
+    # refuse it — only an EMPTY existing dir gets the fallback)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        streaming.read_events_stream(spark, str(tmp_path / "nope"))
