@@ -1619,3 +1619,39 @@ def test_jpeg_restart_markers_roundtrip_and_fail_loudly():
     for bad in ([256] + [1] * 63, [0] + [1] * 63):
         with pytest.raises(ValueError, match="1..255"):
             multimodal.encode_baseline_jpeg(grad, quant_luma=bad)
+
+
+def test_document_queries_robust_to_n_chars_width(spark, tmp_path):
+    """Fixture-regeneration robustness, documents flavor: if the driver
+    regenerates n_chars as int32 instead of int64 (values fit either),
+    the document-tier queries must produce identical values — integer
+    width is an input detail (Spark promotes integer sums to long either
+    way), never a semantic one."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from console_etl_spark.llmops import pipeline
+
+    t = pq.read_table(f"{SF_TEST}/documents.parquet")
+    t2 = t.set_column(
+        t.schema.get_field_index("n_chars"),
+        "n_chars",
+        t["n_chars"].cast(pa.int32()),
+    )
+    d = str(tmp_path)
+    pq.write_table(t2, f"{d}/documents.parquet")
+
+    for name, registry in [
+        ("dedup_exact_docs", dedup.QUERIES),
+        ("text_quality_scores", textan.QUERIES),
+        ("curate_corpus_end_to_end", pipeline.QUERIES),
+    ]:
+        a = registry[name](spark, SF_TEST).toPandas()
+        b = registry[name](spark, d).toPandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols, ignore_index=True),
+            b[cols].sort_values(cols, ignore_index=True),
+            check_dtype=False,
+        )
