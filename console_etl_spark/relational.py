@@ -768,6 +768,33 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("events_props_schema_census", None)  # rows-only: engine-specific schema rendering
+def events_props_schema_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-DRIFT census over the schema-on-read payload column: one
+    row per distinct inferred payload shape (``schema_of_variant`` of
+    the parsed VARIANT) with its document count — the audit a 100 TB
+    pipeline runs when producers may change the payload contract (the
+    reference's blobs are exactly such an uncontrolled contract,
+    cache.go:111). A single-row result proves shape uniformity; new
+    rows appearing ARE the drift alert.
+
+    Scale shape: parse once per row, then an ordinary low-cardinality
+    groupBy (distinct shapes ≪ rows) with map-side partial aggregation.
+    Rows-only check: the schema STRING rendering is engine-specific
+    (Spark ``OBJECT<k: BIGINT>`` vs DuckDB json_structure), so there is
+    no portable oracle; the census' correctness law (fixture is
+    single-shape; injected drift is counted exactly) is unit-tested."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.schema_of_variant(F.parse_json("props")).alias("payload_schema")
+        )
+        .groupBy("payload_schema")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "payload_schema")
+    )
+
+
 # --------------------------------------------------------------------------
 # Temporal joins the reference (and stock Spark SQL) lack: as-of + range.
 # Implemented as compositions of built-in ops (SURVEY.md §2.2 joins row) —

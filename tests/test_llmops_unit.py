@@ -1655,3 +1655,44 @@ def test_document_queries_robust_to_n_chars_width(spark, tmp_path):
             b[cols].sort_values(cols, ignore_index=True),
             check_dtype=False,
         )
+
+
+def test_props_schema_census_uniform_and_drift(spark, tmp_path):
+    """The VARIANT schema census: the fixture's props are a single shape
+    (one census row covering every event); injected payload drift (a
+    producer adding fields / changing types) appears as exactly the new
+    shapes with exact counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from console_etl_spark.relational import events_props_schema_census
+
+    rows = events_props_schema_census(spark, SF_TEST).collect()
+    n_events = load_table(spark, SF_TEST, "events").count()
+    assert len(rows) == 1
+    assert rows[0].n_docs == n_events
+    assert "k" in rows[0].payload_schema  # the known fixture field
+
+    # inject drift: 3 shapes with known counts
+    t = pq.read_table(f"{SF_TEST}/events.parquet")
+    props = (
+        ['{"k": 1}'] * 5 + ['{"k": 1, "new_field": "x"}'] * 3 + ['{"k": "str"}'] * 2
+    )
+    drift = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "ts": t["ts"][:10],
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "event_type": pa.array(["view"] * 10),
+            "value": pa.array([1.0] * 10, pa.float64()),
+            "props": pa.array(props),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(drift, f"{d}/events.parquet")
+    census = {
+        r.payload_schema: r.n_docs
+        for r in events_props_schema_census(spark, d).collect()
+    }
+    assert len(census) == 3
+    assert sorted(census.values()) == [2, 3, 5]
