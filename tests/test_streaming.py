@@ -688,3 +688,30 @@ def test_stream_schema_probe_masks_only_emptiness(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         streaming.read_events_stream(spark, str(tmp_path / "nope"))
+
+
+def test_variant_parse_is_streaming_compatible(spark, events_stream_dir):
+    """add_blob_variant's claim — shred the payload to VARIANT at ingest
+    — must hold under readStream: parse_json + variant_get are stateless
+    narrow ops, so the streamed extraction equals the batch one row for
+    row."""
+    from pyspark.sql import functions as F
+
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        stream.select(
+            "event_id",
+            F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        ),
+        "t_variant",
+        output_mode="append",
+    ).toPandas()
+    want = (
+        load_table(spark, SF_TEST, "events")
+        .select(
+            "event_id",
+            F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
