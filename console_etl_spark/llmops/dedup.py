@@ -836,3 +836,91 @@ def decontaminate_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_overlap") >= DECON_MIN_OVERLAP)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X2: cross-document segment-level dedup (CCNet paragraph-dedup shape)
+# --------------------------------------------------------------------------
+
+SEG_TOKENS = 20  # segment width for cross-doc segment dedup
+
+
+@_register(
+    "dedup_cross_doc_segments",
+    f"""
+    WITH segs AS (
+      SELECT doc_id, g.i AS seg_idx,
+             array_to_string(list_slice(string_split(text, ' '),
+                                        g.i*{SEG_TOKENS}+1,
+                                        g.i*{SEG_TOKENS}+{SEG_TOKENS}), ' ') AS seg
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+                      0,
+                      CAST(ceil(len(string_split(text, ' '))/{SEG_TOKENS}.0) AS INT) - 1
+                    )) AS i) g
+    ), marked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dup_segments,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx),
+                    '') AS dedup_text
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def dedup_cross_doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level dedup: the CCNet/Gopher
+    paragraph-dedup shape adapted to single-line fixtures. Each document
+    is cut into consecutive ``SEG_TOKENS``-token segments; a segment is a
+    duplicate if the identical segment text occurred earlier in the
+    corpus (earlier = lower ``(doc_id, seg_idx)``); the output keeps the
+    first occurrence of every segment and reassembles each document's
+    surviving text in original order. This removes boilerplate shared
+    across pages (headers, license blocks, navigation chrome) that
+    whole-document dedup cannot touch.
+
+    Scale: segmentation is one narrow projection (sequence + slice +
+    concat_ws, all codegen); the only wide op is one exchange on the
+    segment text — the same key profile as exact dedup, so partial
+    aggregation and AQE handle it; duplicate groups are tiny (dup
+    multiplicity), so the per-segment window never skews. Reassembly is
+    a per-document collect_list of (seg_idx, seg) structs — bounded by
+    tokens/SEG_TOKENS per doc, never corpus-sized. At 100 TB, dedupe on
+    xxhash64(seg) first and rejoin the survivors if segment strings are
+    too wide to shuffle.
+
+    Reference parity: the reference dedupes nothing (SURVEY §2.2); this
+    is extension-tier X2 (driver mandate).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    n_segs = F.ceil(F.size(w) / F.lit(float(SEG_TOKENS))).cast("int")
+    segs = spread(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    marked = segs.withColumn("rn", rn)
+    kept = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.count(F.when(F.col("rn") > 1, F.lit(1))).alias("n_dup_segments"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+            ),
+        ).alias("dedup_text"),
+    )

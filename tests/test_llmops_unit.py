@@ -1696,3 +1696,165 @@ def test_props_schema_census_uniform_and_drift(spark, tmp_path):
     }
     assert len(census) == 3
     assert sorted(census.values()) == [2, 3, 5]
+
+
+# --------------------------------------------------------------------------
+# GIF codec (X5): real LZW round-trips, interlace, features
+# --------------------------------------------------------------------------
+
+def test_gif_round_trip_sequential_and_interlaced():
+    px = multimodal._doc_pixels(11)  # 8×8 varied raster
+    for inter in (False, True):
+        payload = multimodal.encode_gif(8, 8, px, interlace=inter)
+        assert payload[:6] == b"GIF89a"
+        assert multimodal.decode_gif(payload) == (8, 8, px)
+
+
+def test_gif_round_trip_crosses_code_width_boundaries():
+    """A 200×60 raster pushes the LZW dictionary through several
+    variable-width boundaries (and past 8→9→10 bits), pinning the
+    encoder/decoder width-bump lag convention."""
+    px = [
+        [((x * y) % 7 * 30, (x + y) % 4 * 60, x % 5 * 50) for x in range(200)]
+        for y in range(60)
+    ]
+    for inter in (False, True):
+        assert multimodal.decode_gif(
+            multimodal.encode_gif(200, 60, px, interlace=inter)
+        ) == (200, 60, px)
+
+
+def test_gif_corrupt_payloads_raise_value_error():
+    px = [[(1, 2, 3)] * 3 for _ in range(3)]
+    good = multimodal.encode_gif(3, 3, px)
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.decode_gif(b"garbage")
+    with pytest.raises(ValueError, match="truncated|ended early|no image"):
+        # chop inside the LZW sub-blocks
+        multimodal.decode_gif(good[:-8] + b"\x00\x3b")
+    with pytest.raises(ValueError, match="truncated|ended early|no image"):
+        multimodal.decode_gif(good[: len(good) // 2])
+    too_many = [[(x % 256, y % 256, (x * y) % 256) for x in range(64)] for y in range(16)]
+    if len({p for row in too_many for p in row}) > 256:
+        with pytest.raises(ValueError, match="256"):
+            multimodal.encode_gif(64, 16, too_many)
+
+
+def test_gif_extension_blocks_are_skipped():
+    """A GCE extension spliced between the color table and the image
+    descriptor must not confuse the parser (real GIF89a files carry
+    them)."""
+    px = [[(9, 8, 7), (1, 2, 3)], [(1, 2, 3), (9, 8, 7)]]
+    good = bytearray(multimodal.encode_gif(2, 2, px))
+    idesc = good.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = bytes(good[:idesc]) + gce + bytes(good[idesc:])
+    assert multimodal.decode_gif(spliced) == (2, 2, px)
+
+
+def test_gif_features_known_pixel_stats():
+    px = [[(10, 20, 30)] * 2 for _ in range(2)]
+    feats = multimodal.gif_pixel_features(multimodal.encode_gif(2, 2, px))
+    luma = (299 * 10 + 587 * 20 + 114 * 30) / 1000
+    assert feats == [2.0, 2.0, 10.0, 20.0, 30.0, luma, luma, luma]
+
+
+def test_gif_image_table_decodes_to_generated_pixels(spark):
+    """End-to-end: distributed GIF encode (odd docs interlaced) → Spark
+    decode features match an independent local computation."""
+    docs = load_table(spark, SF_TEST, "documents").limit(9)
+    feats = multimodal.extract_features(
+        multimodal.gif_image_table(docs), decoder="gif"
+    ).collect()
+    assert len(feats) == 9
+    for r in feats:
+        px = multimodal._doc_pixels(r.doc_id)
+        n = multimodal.IMG_W * multimodal.IMG_H
+        assert r.features[2] == sum(p[0] for row in px for p in row) / n
+        assert r.media_type == multimodal.GIF_MEDIA_TYPE
+
+
+def test_resize_gif_thumbnail():
+    px = multimodal._doc_pixels(5)
+    payload = multimodal.encode_gif(8, 8, px)
+    small = multimodal.resize_gif(payload, 4, 4)
+    w, h, rows = multimodal.decode_gif(small)
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: every output pixel exists in the source raster
+    src = {p for row in px for p in row}
+    assert all(p in src for row in rows for p in row)
+
+
+# --------------------------------------------------------------------------
+# IMA-ADPCM codec (X5): real compressed-audio bitstream
+# --------------------------------------------------------------------------
+
+def _sine_int16(rate: int, freq: float, amp: int, n: int) -> list[int]:
+    import math
+
+    return [int(amp * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+
+
+def test_adpcm_structural_and_determinism():
+    samples = _sine_int16(16000, 220, 8000, 1000)
+    p = multimodal.encode_adpcm_wav(16000, samples)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    assert p == multimodal.encode_adpcm_wav(16000, samples)
+    # ~4:1 vs 16-bit PCM (plus fixed header overhead)
+    assert len(p) < 2 * len(samples) * 0.3
+    rate, dec = multimodal.decode_adpcm_wav(p)
+    assert rate == 16000 and len(dec) == len(samples)
+
+
+def test_adpcm_block_seeds_are_exact_and_error_bounded():
+    """Per-block first samples round-trip exactly (they ride in the
+    block header); smooth-signal reconstruction error stays within ADPCM
+    quantization noise (rms < 2% of amplitude)."""
+    import numpy as np
+
+    samples = _sine_int16(16000, 220, 8000, 2000)
+    _, dec = multimodal.decode_adpcm_wav(
+        multimodal.encode_adpcm_wav(16000, samples)
+    )
+    spb = (256 - 4) * 2 + 1
+    for b in range(0, len(samples), spb):
+        assert dec[b] == samples[b]
+    err = np.asarray(dec, dtype=float) - np.asarray(samples, dtype=float)
+    assert float(np.sqrt(np.mean(err**2))) < 0.02 * 8000
+
+
+def test_adpcm_rejects_malformed():
+    with pytest.raises(ValueError, match="not a WAV"):
+        multimodal.decode_adpcm_wav(b"garbage")
+    pcm = multimodal.encode_wav(8000, 1, [0] * 64)
+    with pytest.raises(ValueError, match="not IMA-ADPCM"):
+        multimodal.decode_adpcm_wav(pcm)  # PCM tag 0x0001, wrong codec
+    good = bytearray(multimodal.encode_adpcm_wav(8000, [0] * 600))
+    # corrupt a block's step index past the 0..88 table
+    data_off = good.index(b"data") + 8
+    good[data_off + 2] = 200
+    with pytest.raises(ValueError, match="step index"):
+        multimodal.decode_adpcm_wav(bytes(good))
+
+
+def test_adpcm_audio_table_features_match_local(spark):
+    """End-to-end: distributed ADPCM encode → Spark decode features
+    match an independent local encode/decode of the same id-seeded
+    signal."""
+    docs = load_table(spark, SF_TEST, "documents").limit(6)
+    feats = multimodal.extract_features(
+        multimodal.adpcm_audio_table(docs), decoder="adpcm"
+    ).collect()
+    assert len(feats) == 6
+    for r in feats:
+        d = int(r.doc_id)
+        rate = (8000, 16000, 22050)[d % 3]
+        n = 512 + (d % 3) * 256
+        local = multimodal.adpcm_features(
+            multimodal.encode_adpcm_wav(
+                rate,
+                _sine_int16(rate, 110.0 * ((d % 5) + 1), ((d % 4) + 1) * 6000, n),
+            )
+        )
+        assert r.features == local
+        assert r.media_type == multimodal.ADPCM_MEDIA_TYPE

@@ -407,3 +407,30 @@ class TestJpegCodecLaws:
             for a, c in zip(p, q)
         )
         assert diff <= 2, diff
+
+
+class TestGifCodecLaws:
+    """GIF codec laws: palette-exact encode means decode is bit-exact
+    for ANY raster with ≤256 distinct colors, sequential or interlaced."""
+
+    @given(
+        seed=st.integers(0, 10_000),
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ncolors=st.sampled_from([1, 2, 3, 5, 17, 64, 256]),
+        interlace=st.booleans(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_exact(self, seed, w, h, ncolors, interlace):
+        import random
+
+        from console_etl_spark.llmops import multimodal
+
+        rnd = random.Random(seed)
+        colors = [
+            (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+            for _ in range(ncolors)
+        ]
+        px = [[rnd.choice(colors) for _ in range(w)] for _ in range(h)]
+        payload = multimodal.encode_gif(w, h, px, interlace=interlace)
+        assert multimodal.decode_gif(payload) == (w, h, px)
