@@ -1858,3 +1858,80 @@ def test_adpcm_audio_table_features_match_local(spark):
         )
         assert r.features == local
         assert r.media_type == multimodal.ADPCM_MEDIA_TYPE
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE training (X4): exact parity with a reference trainer
+# --------------------------------------------------------------------------
+
+def _reference_bpe(word_counts: dict, n_merges: int):
+    """Independent pure-Python Sennrich-style BPE trainer: most-frequent
+    adjacent pair, lexicographic tie-break, greedy left-to-right merge."""
+    words = {w: list(w) + [textan.BPE_END] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, cnt in word_counts.items():
+            sym = words[w]
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w in words:
+            sym = words[w]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    docs = load_table(spark, SF_TEST, "documents")
+    wc = {
+        r.word: r.cnt
+        for r in textan.bpe_word_counts(docs).collect()
+    }
+    ref_merges, ref_words = _reference_bpe(wc, 16)
+    out, merges = textan.bpe_learn(spark, docs, n_merges=16)
+    got = [(r.left, r.right, r.pair_count) for r in out.orderBy("rank").collect()]
+    assert got == ref_merges
+    assert merges == [(a, b) for a, b, _ in ref_merges]
+
+
+def test_bpe_segment_matches_reference_apply(spark):
+    docs = load_table(spark, SF_TEST, "documents")
+    wc = {r.word: r.cnt for r in textan.bpe_word_counts(docs).collect()}
+    ref_merges, ref_words = _reference_bpe(wc, 16)
+    _, merges = textan.bpe_learn(spark, docs, n_merges=16)
+    seg = {
+        r.doc_id: r.subwords
+        for r in textan.bpe_segment(docs.limit(5), merges).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.limit(5).collect()}
+    for did, subwords in seg.items():
+        expected = [
+            s for w in texts[did].split(" ") if w for s in ref_words[w]
+        ]
+        assert subwords == expected, did
+
+
+def test_bpe_merge_expr_greedy_nonoverlap(spark):
+    """"aaa" + merge (a,a) must give ["aa","a"] (left-to-right,
+    non-overlapping), matching reference BPE."""
+    df = spark.createDataFrame([(["a", "a", "a"],)], "sym array<string>")
+    out = df.select(
+        textan._bpe_merge_expr(F.col("sym"), "a", "a").alias("m")
+    ).collect()
+    assert out[0].m == ["aa", "a"]
