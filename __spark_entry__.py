@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from console_etl_spark import navigation, relational, sqlapi
+from console_etl_spark import layout, navigation, relational, sqlapi
 from console_etl_spark.llmops import (
     dedup,
     multimodal,
@@ -35,6 +35,7 @@ _MODULES = (
     navigation,
     relational,
     sqlapi,
+    layout,
     dedup,
     textan,
     similarity,

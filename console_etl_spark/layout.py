@@ -1,0 +1,162 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The reference stores one snapshot sorted by a single key (`name` — see
+store.py's sortWithinPartitions row-group skip-scan for Q4). A single
+sort key only prunes scans that filter on THAT key; pipelines that
+filter on two dimensions at once (user × time, part × supplier,
+lat × lon) get no pruning on the second dimension. Z-ordering
+interleaves the bits of several columns' normalized ranks into one
+Morton key and sorts the layout by it, so parquet row-group/file
+min-max statistics become tight on EVERY participating dimension at
+once — the same layout optimization Delta's OPTIMIZE ZORDER BY and
+Iceberg's sort-order rewrite apply at 100 TB.
+
+Everything here is JVM-side built-in expressions (shift/and/or over a
+fixed bit budget — no UDFs), one bounded 1-row aggregate for the
+per-column ranges, and one range-repartition + in-partition sort for
+the write: the exact physical shape of a sorted-table rewrite job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+ZORDER_BITS = 8  # bits per dimension (2 dims → 16-bit Morton keys)
+
+
+def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Rank-scale an integer column into [0, 2^bits) with pure integer
+    arithmetic — `(x - lo) * (2^bits - 1) DIV (hi - lo)` — so the same
+    formula is bit-exact in any engine (no float rounding at bucket
+    boundaries). Degenerate ranges (hi == lo) map to 0."""
+    span = hi - lo
+    top = F.lit((1 << bits) - 1).cast("long")
+    return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
+        ((col.cast("long") - lo) * top).cast("long") / span
+    ).cast("long")
+
+
+def zorder_key(scaled: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave: bit i of dimension j lands at position
+    i*ndims + j. A fixed bits×ndims fan of shift/and/or built-ins —
+    whole-stage-codegen friendly, no Python in the row path."""
+    ndims = len(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndims + j))
+    return z
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    key: str = "__z",
+) -> DataFrame:
+    """Append the Morton key over integer columns ``cols``. One bounded
+    1-row aggregate fetches per-column ranges (the only job before the
+    rewrite); rows never leave executors."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    scaled = [
+        _scale_to_bits(
+            F.col(c),
+            F.lit(int(r[f"_lo_{c}"])).cast("long"),
+            F.lit(int(r[f"_hi_{c}"])).cast("long"),
+            bits,
+        )
+        for c in cols
+    ]
+    return df.withColumn(key, zorder_key(scaled, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    n_files: int = 8,
+) -> None:
+    """Rewrite ``df`` as parquet clustered on the Z-curve of ``cols``:
+    range-repartition on the Morton key (files own contiguous curve
+    segments) + sortWithinPartitions (row groups within a file stay
+    tight), then drop the key. Scans filtering any subset of ``cols``
+    prune on file and row-group min-max stats — the OPTIMIZE ZORDER
+    shape. At 100 TB, ``n_files`` comes from target file size, and the
+    range exchange is sampling-based so no coordinator sees the data."""
+    keyed = with_zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _zorder_sql_terms(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@_register(
+    "zorder_interleaved_keys",
+    f"""
+    WITH b AS (
+      SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+             min(CAST(floor(value) AS BIGINT)) AS vlo,
+             max(CAST(floor(value) AS BIGINT)) AS vhi
+      FROM events
+    ), scaled AS (
+      SELECT event_id,
+             CASE WHEN uhi <= ulo THEN 0
+                  ELSE (user_id - ulo) * {(1 << ZORDER_BITS) - 1} // (uhi - ulo)
+             END AS sx,
+             CASE WHEN vhi <= vlo THEN 0
+                  ELSE (CAST(floor(value) AS BIGINT) - vlo) * {(1 << ZORDER_BITS) - 1}
+                       // (vhi - vlo)
+             END AS sy
+      FROM events, b
+    )
+    SELECT event_id, {_zorder_sql_terms('sx', 'sy', ZORDER_BITS)} AS zval
+    FROM scaled
+    """,
+)
+def zorder_interleaved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, floor(value)) for every event —
+    the clustering key write_zordered sorts by, value-hash-checked
+    against the identical integer-exact interleave in ANSI SQL."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("x"),
+        F.floor("value").cast("long").alias("y"),
+    )
+    keyed = with_zorder_key(e, ["x", "y"], ZORDER_BITS, key="zval")
+    return keyed.select("event_id", "zval")

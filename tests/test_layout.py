@@ -1,0 +1,108 @@
+"""Z-order layout tests: Morton key laws + measured row-group pruning."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from console_etl_spark import layout
+from console_etl_spark.session import load_table
+from tests.conftest import SF_TEST
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(x, y) for x in range(0, 256, 37) for y in range(0, 256, 41)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", layout.zorder_key([F.col("x"), F.col("y")], 8).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _morton2(r.x, r.y, 8), (r.x, r.y)
+
+
+def test_zorder_scaling_is_integer_exact_and_degenerate_safe(spark):
+    df = spark.createDataFrame([(0, 5), (100, 5), (37, 5)], "x long, y long")
+    keyed = layout.with_zorder_key(df, ["x", "y"], bits=8)
+    got = {r.x: r["__z"] for r in keyed.collect()}
+    # y is constant (degenerate range) → contributes 0 bits; x spans
+    # [0,100] → scaled x*255//100
+    for x in (0, 100, 37):
+        assert got[x] == _morton2(x * 255 // 100, 0, 8)
+
+
+def _rowgroup_ranges(path_glob: str, col_a: str, col_b: str):
+    out = []
+    for f in sorted(glob.glob(path_glob)):
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            sa = g.column(names[col_a]).statistics
+            sb = g.column(names[col_b]).statistics
+            out.append(((sa.min, sa.max), (sb.min, sb.max), g.num_rows))
+    return out
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """The measurable claim behind OPTIMIZE ZORDER: after clustering on
+    the Morton curve of (l_partkey, l_suppkey), a box predicate on BOTH
+    dimensions overlaps far fewer row groups than a round-robin layout
+    of the same data — and a single-key sort only helps its own key."""
+    li = load_table(spark, SF_TEST, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    upath = str(tmp_path / "u")
+    layout.write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(upath)
+
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    # a ~12% × ~25% box in the middle of both domains
+    pk_lo, pk_hi_q = int(pk_hi * 0.4), int(pk_hi * 0.52)
+    sk_lo, sk_hi_q = int(sk_hi * 0.4), int(sk_hi * 0.65)
+
+    def overlapping(ranges):
+        hit = total = 0
+        for (pmin, pmax), (smin, smax), _ in ranges:
+            total += 1
+            if pmin <= pk_hi_q and pmax >= pk_lo and smin <= sk_hi_q and smax >= sk_lo:
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = overlapping(_rowgroup_ranges(f"{zpath}/*.parquet", "l_partkey", "l_suppkey"))
+    u_hit, u_total = overlapping(_rowgroup_ranges(f"{upath}/*.parquet", "l_partkey", "l_suppkey"))
+    assert u_total >= 8 and z_total >= 8
+    # round-robin: every row group spans the whole domain → zero pruning
+    assert u_hit == u_total
+    # z-order: the box touches only the curve segments crossing it
+    assert z_hit < z_total, (z_hit, z_total)
+    assert z_hit / z_total <= 0.75
+
+    # correctness: the clustered copy is the same relation
+    z_rows = spark.read.parquet(zpath).count()
+    assert z_rows == li.count()
+    got = (
+        spark.read.parquet(zpath)
+        .filter(
+            (F.col("l_partkey").between(pk_lo, pk_hi_q))
+            & (F.col("l_suppkey").between(sk_lo, sk_hi_q))
+        )
+        .count()
+    )
+    want = li.filter(
+        (F.col("l_partkey").between(pk_lo, pk_hi_q))
+        & (F.col("l_suppkey").between(sk_lo, sk_hi_q))
+    ).count()
+    assert got == want
