@@ -3139,3 +3139,63 @@ def pattern_rising_purchase_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") - F.col("v2"), 2).cast("double").alias("rise"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (X7 storage tier, store.py)
+# --------------------------------------------------------------------------
+
+_MV_SQL = """
+    WITH agg AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n_rows,
+             SUM(o_totalprice) AS s,
+             SUM(o_totalprice * o_totalprice) AS q,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           n_rows,
+           ROUND(s, 2) AS sum_price,
+           ROUND(s / n_rows, 6) AS avg_price,
+           min_price,
+           max_price,
+           ROUND(q / n_rows - (s / n_rows) * (s / n_rows), 2) AS var_price
+    FROM agg ORDER BY o_orderstatus
+"""
+
+
+@_register("mv_incremental_orders_stats", _MV_SQL)
+def mv_incremental_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view algebra end-to-end: orders arrives
+    as three hash-split deltas; the view state is built from delta 0 and
+    REFRESHED twice by merging delta partials (store.mv_partials /
+    mv_merge — sum-of-sums, min-of-mins, count+sumsq), then finalized.
+    The oracle computes the same aggregate DIRECTLY over the whole
+    table with the same algebra, so the value-hash check proves
+    merge(partial(d0), partial(d1), partial(d2)) == full recompute —
+    the correctness core of incremental view maintenance.
+
+    Scale: each refresh shuffles only the delta and the group-key
+    relation (O(|delta| + |groups|)), never the base; the stored state
+    is the partial relation itself, published atomically via
+    SnapshotStore versions (see store.MaterializedView)."""
+    from .store import mv_finalize, mv_merge, mv_partials
+
+    o = load_table(spark, sf_dir, "orders")
+    keys, measures = ("o_orderstatus",), ("o_totalprice",)
+    deltas = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    state = mv_partials(deltas[0], keys, measures)
+    for d in deltas[1:]:
+        state = mv_merge(state, mv_partials(d, keys, measures), keys, measures)
+    v = mv_finalize(state, keys, measures)
+    return v.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round("sum_o_totalprice", 2).alias("sum_price"),
+        F.round("avg_o_totalprice", 6).alias("avg_price"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+        F.round("var_o_totalprice", 2).alias("var_price"),
+    ).orderBy("o_orderstatus")

@@ -329,3 +329,118 @@ def apply_changes(
         for c in data_cols
     ]
     return merged.filter(keep_current | is_upsert).select(*out_cols)
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized-view maintenance (algebraic partial aggregates)
+# --------------------------------------------------------------------------
+
+MV_MEASURE_FIELDS = ("sum", "sumsq", "min", "max")
+
+
+def mv_partials(df: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...]) -> DataFrame:
+    """Per-group ALGEBRAIC partial state for an aggregate view: count +
+    per-measure (sum, sum-of-squares, min, max). Every field is
+    mergeable (sum-of-sums, min-of-mins…), which is what makes the view
+    incrementally maintainable — avg and variance finalize from the
+    partials without revisiting base rows."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("_cnt")]
+    for m in measures:
+        c = F.col(m).cast("double")
+        aggs += [
+            F.sum(c).alias(f"_sum_{m}"),
+            F.sum(c * c).alias(f"_sumsq_{m}"),
+            F.min(c).alias(f"_min_{m}"),
+            F.max(c).alias(f"_max_{m}"),
+        ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def mv_merge(
+    state: DataFrame, delta: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...]
+) -> DataFrame:
+    """Merge delta partials into view state: one union + one group-by on
+    the view key. Refresh cost is O(|delta| + |groups|) — never O(base),
+    the whole point of incremental view maintenance at 100 TB (the
+    reference re-materializes everything per refresh, cache.go:71-81)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.sum("_cnt").alias("_cnt")]
+    for m in measures:
+        aggs += [
+            F.sum(f"_sum_{m}").alias(f"_sum_{m}"),
+            F.sum(f"_sumsq_{m}").alias(f"_sumsq_{m}"),
+            F.min(f"_min_{m}").alias(f"_min_{m}"),
+            F.max(f"_max_{m}").alias(f"_max_{m}"),
+        ]
+    return state.unionByName(delta).groupBy(*keys).agg(*aggs)
+
+
+def mv_finalize(partials: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...]) -> DataFrame:
+    """Finalize partial state into the user-facing view: count, and per
+    measure sum/avg/min/max/population variance — all computed from the
+    algebraic fields, no base-table access."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(k) for k in keys] + [F.col("_cnt").alias("n_rows")]
+    for m in measures:
+        s, q, cnt = F.col(f"_sum_{m}"), F.col(f"_sumsq_{m}"), F.col("_cnt")
+        mean = s / cnt
+        cols += [
+            s.alias(f"sum_{m}"),
+            mean.alias(f"avg_{m}"),
+            F.col(f"_min_{m}").alias(f"min_{m}"),
+            F.col(f"_max_{m}").alias(f"max_{m}"),
+            (q / cnt - mean * mean).alias(f"var_{m}"),
+        ]
+    return partials.select(*cols)
+
+
+class MaterializedView:
+    """An incrementally-maintained aggregate view on top of
+    SnapshotStore: partial-aggregate state is the stored relation, each
+    refresh publishes a new atomic version (readers never see a half-
+    merged view; time travel and vacuum come free from the store)."""
+
+    def __init__(
+        self,
+        store: SnapshotStore,
+        catalog: str,
+        keys: tuple[str, ...],
+        measures: tuple[str, ...],
+    ) -> None:
+        self.store = store
+        self.catalog = catalog
+        self.keys = tuple(keys)
+        self.measures = tuple(measures)
+
+    def build(self, base: DataFrame, version: str = "v000001") -> SnapshotInfo:
+        """Initial full computation — the only base-sized pass."""
+        return self.store.publish(
+            mv_partials(base, self.keys, self.measures),
+            self.catalog,
+            version,
+            partition_by=(),
+        )
+
+    def refresh(self, delta: DataFrame) -> SnapshotInfo:
+        """Fold an append-only delta into the view: aggregate the delta,
+        merge with current state, publish the next version atomically."""
+        cur = self.store.current(self.catalog)
+        if cur is None:
+            return self.build(delta)
+        spark = delta.sparkSession
+        state = self.store.read_version(spark, self.catalog, cur.version)
+        merged = mv_merge(
+            state, mv_partials(delta, self.keys, self.measures), self.keys, self.measures
+        )
+        nxt = f"v{int(cur.version[1:]) + 1:06d}"
+        return self.store.publish(merged, self.catalog, nxt, partition_by=())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The finalized user-facing view at the current version."""
+        return mv_finalize(
+            self.store.read(spark, self.catalog), self.keys, self.measures
+        )

@@ -903,3 +903,52 @@ def test_pin_registry_bounds_cache_for_any_session_lifetime(spark):
     assert res.count() > 0  # recompute-from-lineage, never wrong
     S.release_pins()
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized view (store-backed lifecycle)
+# --------------------------------------------------------------------------
+
+def test_materialized_view_incremental_equals_full(spark, store):
+    from console_etl_spark.store import MaterializedView, mv_finalize, mv_partials
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    o = load_table(spark, SF_TEST, "orders")
+    keys, measures = ("o_orderstatus",), ("o_totalprice",)
+    mv = MaterializedView(store, "mv_orders", keys, measures)
+
+    deltas = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    mv.build(deltas[0])
+    mv.refresh(deltas[1])
+    mv.refresh(deltas[2])
+
+    got = {
+        r.o_orderstatus: (r.n_rows, round(r.sum_o_totalprice, 2),
+                          round(r.avg_o_totalprice, 6))
+        for r in mv.read(spark).collect()
+    }
+    full = {
+        r.o_orderstatus: (r.n_rows, round(r.sum_o_totalprice, 2),
+                          round(r.avg_o_totalprice, 6))
+        for r in mv_finalize(mv_partials(o, keys, measures), keys, measures).collect()
+    }
+    assert got == full
+    # three atomic versions, monotonically advancing
+    assert store.versions("mv_orders") == ["v000001", "v000002", "v000003"]
+
+
+def test_materialized_view_refresh_without_build_bootstraps(spark, store):
+    from console_etl_spark.store import MaterializedView
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    o = load_table(spark, SF_TEST, "orders").limit(50)
+    mv = MaterializedView(store, "mv_boot", ("o_orderstatus",), ("o_totalprice",))
+    mv.refresh(o)  # no current state → becomes the build
+    v = mv.read(spark)
+    assert v.count() > 0
+    assert {f.name for f in v.schema.fields} >= {
+        "o_orderstatus", "n_rows", "sum_o_totalprice", "avg_o_totalprice",
+        "min_o_totalprice", "max_o_totalprice", "var_o_totalprice",
+    }
