@@ -397,6 +397,11 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     interpreted HOF — the map-side partial aggregation also means the
     shuffle moves only num_perm longs per document, so the exchange is
     O(documents), not O(shingles).
+
+    (A hash-of-hash variant — one base string hash re-mixed per
+    permutation — was A/B'd at sf0.1 and is within noise of the direct
+    64 seeded string hashes on 3-word shingles, so the simpler direct
+    form stays.)
     """
     sh = exploded_shingles(docs)
     mins = [

@@ -720,18 +720,29 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row vocab total broadcasts. Same ROUND(.,6) on both engines
     so log-sum association order cannot flip hashes."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(tokens()).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
+    # Adjacent pairs come straight from the token ARRAY: zip the array
+    # with itself shifted by one (arrays_zip over two slices — all
+    # codegen'd built-ins, NOT a transform() lambda, which would run
+    # interpreted per element) — tokens are already ordered within the
+    # array, so the posexplode + per-doc window sort the LAG formulation
+    # needs is pure waste: this shape has zero exchanges before the
+    # count aggregations (interleaved A/B at sf0.1: 0.26 s vs 0.57 s
+    # for the pair-construction stage, identical output multiset).
+    w = tokens()
     big = (
-        toks.select(
+        d.filter(F.size(w) >= 2)
+        .select(
             "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w").over(win).alias("w2"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, F.size(w) - 1).alias("w1"),
+                    F.slice(w, 2, F.size(w) - 1).alias("w2"),
+                )
+            ).alias("p"),
         )
-        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "p.w1", "p.w2")
     )
+    toks = d.select("doc_id", F.explode(w).alias("w"))
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uc = big.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = toks.agg(F.countDistinct("w").alias("vocab"))
