@@ -3199,3 +3199,29 @@ def mv_incremental_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_o_totalprice").alias("max_price"),
         F.round("var_o_totalprice", 2).alias("var_price"),
     ).orderBy("o_orderstatus")
+
+
+@_register("approx_ndv_users_incremental", None)  # rows-only: sketch binaries engine-specific
+def approx_ndv_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX COUNT(DISTINCT): events arrives
+    as three hash-split deltas whose per-group Datasketches HLL sketches
+    (Spark 4 hll_sketch_agg) are merged with hll_union_agg and finalized
+    to estimates. COUNT(DISTINCT) is the aggregate exact algebra cannot
+    maintain incrementally (partials would need the full value set);
+    the sketch partial is bounded (KB per group) and losslessly
+    mergeable — unit laws pin merged == single-shot exactly, and
+    estimate within 5% of exact NDV. Rows-only driver check: sketch
+    binaries are engine-specific."""
+    from .store import mv_finalize, mv_merge, mv_partials
+
+    e = load_table(spark, sf_dir, "events")
+    keys, distinct = ("event_type",), ("user_id",)
+    deltas = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = mv_partials(deltas[0], keys, (), distinct)
+    for d in deltas[1:]:
+        state = mv_merge(state, mv_partials(d, keys, (), distinct), keys, (), distinct)
+    return (
+        mv_finalize(state, keys, (), distinct)
+        .select("event_type", "n_rows", "approx_ndv_user_id")
+        .orderBy("event_type")
+    )

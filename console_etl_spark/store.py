@@ -338,12 +338,23 @@ def apply_changes(
 MV_MEASURE_FIELDS = ("sum", "sumsq", "min", "max")
 
 
-def mv_partials(df: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...]) -> DataFrame:
+def mv_partials(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    measures: tuple[str, ...],
+    distinct: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-group ALGEBRAIC partial state for an aggregate view: count +
     per-measure (sum, sum-of-squares, min, max). Every field is
     mergeable (sum-of-sums, min-of-mins…), which is what makes the view
     incrementally maintainable — avg and variance finalize from the
-    partials without revisiting base rows."""
+    partials without revisiting base rows.
+
+    ``distinct`` columns get a Datasketches HLL sketch (Spark 4
+    ``hll_sketch_agg``) as their partial state: COUNT(DISTINCT) is not
+    algebraic (exact partials would need the full value set per group),
+    but the sketch IS losslessly mergeable — the standard way an
+    incrementally-maintained view supports distinct counts at 100 TB."""
     from pyspark.sql import functions as F
 
     aggs = [F.count("*").alias("_cnt")]
@@ -355,16 +366,24 @@ def mv_partials(df: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...])
             F.min(c).alias(f"_min_{m}"),
             F.max(c).alias(f"_max_{m}"),
         ]
+    for d in distinct:
+        aggs.append(F.hll_sketch_agg(d).alias(f"_hll_{d}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
 def mv_merge(
-    state: DataFrame, delta: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...]
+    state: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...],
+    measures: tuple[str, ...],
+    distinct: tuple[str, ...] = (),
 ) -> DataFrame:
     """Merge delta partials into view state: one union + one group-by on
     the view key. Refresh cost is O(|delta| + |groups|) — never O(base),
     the whole point of incremental view maintenance at 100 TB (the
-    reference re-materializes everything per refresh, cache.go:71-81)."""
+    reference re-materializes everything per refresh, cache.go:71-81).
+    HLL sketch columns merge with ``hll_union_agg`` (lossless for
+    same-configured sketches)."""
     from pyspark.sql import functions as F
 
     aggs = [F.sum("_cnt").alias("_cnt")]
@@ -375,13 +394,21 @@ def mv_merge(
             F.min(f"_min_{m}").alias(f"_min_{m}"),
             F.max(f"_max_{m}").alias(f"_max_{m}"),
         ]
+    for d in distinct:
+        aggs.append(F.hll_union_agg(f"_hll_{d}").alias(f"_hll_{d}"))
     return state.unionByName(delta).groupBy(*keys).agg(*aggs)
 
 
-def mv_finalize(partials: DataFrame, keys: tuple[str, ...], measures: tuple[str, ...]) -> DataFrame:
-    """Finalize partial state into the user-facing view: count, and per
-    measure sum/avg/min/max/population variance — all computed from the
-    algebraic fields, no base-table access."""
+def mv_finalize(
+    partials: DataFrame,
+    keys: tuple[str, ...],
+    measures: tuple[str, ...],
+    distinct: tuple[str, ...] = (),
+) -> DataFrame:
+    """Finalize partial state into the user-facing view: count, per
+    measure sum/avg/min/max/population variance, and per distinct
+    column the HLL estimate — all computed from the algebraic fields,
+    no base-table access."""
     from pyspark.sql import functions as F
 
     cols = [F.col(k) for k in keys] + [F.col("_cnt").alias("n_rows")]
@@ -395,6 +422,8 @@ def mv_finalize(partials: DataFrame, keys: tuple[str, ...], measures: tuple[str,
             F.col(f"_max_{m}").alias(f"max_{m}"),
             (q / cnt - mean * mean).alias(f"var_{m}"),
         ]
+    for d in distinct:
+        cols.append(F.hll_sketch_estimate(f"_hll_{d}").alias(f"approx_ndv_{d}"))
     return partials.select(*cols)
 
 
@@ -410,16 +439,18 @@ class MaterializedView:
         catalog: str,
         keys: tuple[str, ...],
         measures: tuple[str, ...],
+        distinct: tuple[str, ...] = (),
     ) -> None:
         self.store = store
         self.catalog = catalog
         self.keys = tuple(keys)
         self.measures = tuple(measures)
+        self.distinct = tuple(distinct)
 
     def build(self, base: DataFrame, version: str = "v000001") -> SnapshotInfo:
         """Initial full computation — the only base-sized pass."""
         return self.store.publish(
-            mv_partials(base, self.keys, self.measures),
+            mv_partials(base, self.keys, self.measures, self.distinct),
             self.catalog,
             version,
             partition_by=(),
@@ -434,7 +465,11 @@ class MaterializedView:
         spark = delta.sparkSession
         state = self.store.read_version(spark, self.catalog, cur.version)
         merged = mv_merge(
-            state, mv_partials(delta, self.keys, self.measures), self.keys, self.measures
+            state,
+            mv_partials(delta, self.keys, self.measures, self.distinct),
+            self.keys,
+            self.measures,
+            self.distinct,
         )
         nxt = f"v{int(cur.version[1:]) + 1:06d}"
         return self.store.publish(merged, self.catalog, nxt, partition_by=())
@@ -442,5 +477,8 @@ class MaterializedView:
     def read(self, spark: SparkSession) -> DataFrame:
         """The finalized user-facing view at the current version."""
         return mv_finalize(
-            self.store.read(spark, self.catalog), self.keys, self.measures
+            self.store.read(spark, self.catalog),
+            self.keys,
+            self.measures,
+            self.distinct,
         )

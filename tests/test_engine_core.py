@@ -952,3 +952,37 @@ def test_materialized_view_refresh_without_build_bootstraps(spark, store):
         "o_orderstatus", "n_rows", "sum_o_totalprice", "avg_o_totalprice",
         "min_o_totalprice", "max_o_totalprice", "var_o_totalprice",
     }
+
+
+def test_materialized_view_hll_distinct_is_mergeable_and_accurate(spark, store):
+    from console_etl_spark.store import (
+        MaterializedView, mv_finalize, mv_partials,
+    )
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    e = load_table(spark, SF_TEST, "events")
+    keys, distinct = ("event_type",), ("user_id",)
+    mv = MaterializedView(store, "mv_ndv", keys, (), distinct=distinct)
+    for i in range(3):
+        mv.refresh(e.filter(F.col("event_id") % 3 == i))
+
+    merged = {
+        r.event_type: r.approx_ndv_user_id for r in mv.read(spark).collect()
+    }
+    single = {
+        r.event_type: r.approx_ndv_user_id
+        for r in mv_finalize(
+            mv_partials(e, keys, (), distinct), keys, (), distinct
+        ).collect()
+    }
+    # lossless union of same-configured sketches: bit-identical estimates
+    assert merged == single
+    exact = {
+        r.event_type: r.ndv
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv"))
+        .collect()
+    }
+    for t, est in merged.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
