@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from console_etl_spark import layout, navigation, relational, sqlapi
+from console_etl_spark import graph, layout, navigation, relational, sqlapi
 from console_etl_spark.llmops import (
     dedup,
     multimodal,
@@ -36,6 +36,7 @@ _MODULES = (
     relational,
     sqlapi,
     layout,
+    graph,
     dedup,
     textan,
     similarity,

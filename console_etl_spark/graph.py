@@ -1,0 +1,135 @@
+"""Graph analytics over derived relations: PageRank.
+
+The reference has no graph surface (SURVEY §2.2); near-dup grouping
+already ships an iterative min-label connected-components kernel
+(llmops/dedup.py). PageRank completes the iterative-graph tier: rank
+propagation over a weighted digraph as driver-side control flow over
+DataFrame ops — each round one join + one aggregation shuffled on node
+id, ``localCheckpoint`` so round N never replays rounds 1..N-1. This is
+the shape GraphX/GraphFrames executes underneath; at 100 TB the edge
+relation is hash-partitioned on src and every round reuses that
+partitioning.
+
+Applied here to the customer↔supplier trade graph (who trades with
+whom, weighted by line items) — the centrality signal a marketplace
+would call "systemically important counterparties".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Weighted PageRank over (src, dst, w) — fixed-iteration power
+    method, fully deterministic.
+
+    Per round: one equi-join of edges against ranks on src (both sides
+    hash-partitioned on the join key, so the exchange is set up once),
+    one aggregation on dst, plus a 1-row dangling-mass aggregate that
+    broadcasts. Dangling nodes (no out-edges) redistribute their rank
+    uniformly — the standard stochastic-matrix fix. localCheckpoint per
+    round truncates lineage (same pattern as connected_components;
+    reliable checkpoint() on a cluster)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # normalized transition edges: weight share of src's out-mass
+    trans = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint()
+    )
+    has_out = out_w.select(F.col("src").alias("node")).withColumn(
+        "dangling", F.lit(False)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer↔supplier trade graph: an undirected edge (as two
+    directed edges) per trading relationship, weighted by line-item
+    count. Customers and suppliers live in one id space via prefixed
+    node ids (c<id> / s<id>)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").alias("w"))
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    fwd = pairs.select(c.alias("src"), s.alias("dst"), "w")
+    rev = pairs.select(s.alias("src"), c.alias("dst"), "w")
+    return fwd.unionByName(rev)
+
+
+@_register("graph_pagerank_trade", None)  # rows-only: iterative, not SQL-expressible
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the trade graph (10 damped power
+    iterations, deterministic). Unit tests pin every rank against an
+    independent pure-Python power iteration to 1e-12."""
+    ranks = pagerank(trade_edges(spark, sf_dir))
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -189,3 +189,98 @@ def bloom_contains(
         .groupBy(key)
         .agg((F.count("*") == F.count("_set")).alias("maybe_present"))
     )
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries)
+# --------------------------------------------------------------------------
+# The deterministic counter-based frequent-items summary (the k-counter
+# generalization of Boyer-Moore majority): each partition keeps at most
+# k counters in O(k) memory; summaries merge by summing counters and
+# pruning back to k (Agarwal et al., "Mergeable Summaries") — undercount
+# is bounded by the summed prune decrements, which the summary CARRIES,
+# so every estimate ships with its own certified error bar. Complements
+# CMS: no hashing, no collisions, certified bounds per survivor.
+
+MG_K = 32
+
+
+def mg_partition_summaries(df: DataFrame, key: str, k: int = MG_K) -> DataFrame:
+    """Per-partition Misra-Gries summaries via mapInPandas: Arrow
+    batches are pre-aggregated with value_counts (vectorized), then
+    folded into the bounded counter dict with the merge-and-prune step
+    (subtract the (k+1)-th largest, drop non-positive, accumulate the
+    decrement into the summary's error). Output: ≤ k+1 rows per
+    partition — the surviving counters (part_err=0) plus ONE meta row
+    (key NULL, cnt 0) carrying the partition's accumulated prune error,
+    so downstream error totals are exactly-once. O(partitions·k) rows
+    total, never data-sized."""
+    import pandas as pd
+
+    def batches(it):
+        counters: dict = {}
+        err = 0
+        for pdf in it:
+            vc = pdf[key].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                m = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - m for v, c in counters.items() if c > m}
+                err += m
+        yield pd.DataFrame(
+            {
+                key: list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [0],
+                "part_err": [0] * len(counters) + [err],
+            }
+        )
+
+    ktype = dict(df.dtypes)[key]
+    return df.select(key).mapInPandas(
+        batches, f"{key} {ktype}, cnt long, part_err long"
+    )
+
+
+def mg_heavy_hitters(df: DataFrame, key: str, k: int = MG_K) -> DataFrame:
+    """Global heavy hitters with certified bounds: merge the partition
+    summaries (sum counters per key), prune back to k with one window
+    rank over the O(partitions·k) relation, and attach
+    ``err_bound`` = Σ partition prune errors + the final merge prune.
+    Contract: for every surviving key, est ≤ true ≤ est + err_bound;
+    any key with true count > err_bound is guaranteed to survive. One
+    narrow mapInPandas pass over the data; everything downstream is
+    summary-sized (the window rank runs on ≤ partitions·k rows)."""
+    from pyspark.sql import Window as W
+
+    parts = mg_partition_summaries(df, key, k).localCheckpoint()
+    part_err_total = parts.agg(F.sum("part_err").alias("pe"))
+    merged = (
+        parts.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ranked = merged.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("cnt"), key))
+    )
+    m_final = ranked.filter(F.col("rn") == k + 1).agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).alias("m")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m_final))
+        .crossJoin(F.broadcast(part_err_total))
+        .withColumn("est", F.col("cnt") - F.col("m"))
+        .filter((F.col("rn") <= k) & (F.col("est") > 0))
+        .select(key, "est", (F.col("pe") + F.col("m")).alias("err_bound"))
+    )
+
+
+@_register("sketch_mg_heavy_tokens", None)  # rows-only: summary content depends on partitioning
+def sketch_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus token stream (k=32):
+    the deterministic-guarantee twin of approximate top-k. Unit laws
+    verify est ≤ true ≤ est + err_bound and that every token heavier
+    than the bound is present, against exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    return mg_heavy_hitters(toks, "tok", MG_K).orderBy(F.desc("est"), "tok")

@@ -106,3 +106,55 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
         & (F.col("l_suppkey").between(sk_lo, sk_hi_q))
     ).count()
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# PageRank (graph.py): exact parity with an independent power iteration
+# --------------------------------------------------------------------------
+
+def _reference_pagerank(edges, damping=0.85, iters=10):
+    """Independent dense power iteration over collected edges."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_w = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = [1.0 / n] * n
+    for _ in range(iters):
+        dm = sum(rank[idx[v]] for v in nodes if v not in out_w)
+        new = [(1.0 - damping) / n + damping * dm / n] * n
+        for s, d, w in edges:
+            new[idx[d]] += damping * rank[idx[s]] * (w / out_w[s])
+        rank = new
+    return dict(zip(nodes, rank))
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from console_etl_spark import graph
+
+    e = graph.trade_edges(spark, SF_TEST)
+    collected = [(r.src, r.dst, float(r.w)) for r in e.collect()]
+    ref = _reference_pagerank(collected)
+    got = {r.node: r.rank for r in graph.pagerank(e).collect()}
+    assert got.keys() == ref.keys()
+    for v, r in ref.items():
+        assert abs(got[v] - r) < 1e-12, (v, got[v], r)
+    # ranks are a probability distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    from console_etl_spark import graph
+
+    # b and c have no out-edges (pure sinks)
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 3.0), ("d", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r.node: r.rank for r in graph.pagerank(edges, iters=15).collect()}
+    ref = _reference_pagerank([("a", "b", 1.0), ("a", "c", 3.0), ("d", "a", 1.0)], iters=15)
+    for v, r in ref.items():
+        assert abs(got[v] - r) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["c"] > got["b"]  # 3x the edge weight into c

@@ -1935,3 +1935,49 @@ def test_bpe_merge_expr_greedy_nonoverlap(spark):
         textan._bpe_merge_expr(F.col("sym"), "a", "a").alias("m")
     ).collect()
     assert out[0].m == ["aa", "a"]
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters: certified bounds vs exact counts
+# --------------------------------------------------------------------------
+
+def test_mg_heavy_hitters_bounds_and_guarantee(spark):
+    """k=8 over a 31-token vocabulary: pruning genuinely fires (both in
+    partitions and at the merge), so the certified bounds are exercised,
+    not vacuous."""
+    from console_etl_spark.llmops import sketches
+
+    d = load_table(spark, SF_TEST, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = {r.tok: r.cnt for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    assert len(exact) > 8  # pruning must actually happen at k=8
+
+    hh = sketches.mg_heavy_hitters(toks, "tok", 8).collect()
+    assert 0 < len(hh) <= 8
+    bound = hh[0].err_bound
+    assert bound > 0  # the prune path ran
+    assert all(r.err_bound == bound for r in hh)
+    survivors = {r.tok: r.est for r in hh}
+    # certified sandwich: est <= true <= est + err_bound
+    for t, est in survivors.items():
+        assert est <= exact[t] <= est + bound, (t, est, exact[t], bound)
+    # guarantee: anything heavier than the bound must be in the summary
+    for t, c in exact.items():
+        if c > bound:
+            assert t in survivors, (t, c, bound)
+    # k=32 over a 31-token vocabulary degenerates to exact counts
+    exact_hh = {r.tok: (r.est, r.err_bound)
+                for r in sketches.mg_heavy_hitters(toks, "tok", 32).collect()}
+    assert exact_hh == {t: (c, 0) for t, c in exact.items()}
+
+
+def test_mg_summary_is_partition_merge_consistent(spark):
+    """Exact counts on a skewed single-partition input: with fewer than
+    k distinct keys the summary IS the exact count table (err 0)."""
+    from console_etl_spark.llmops import sketches
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "tok string").coalesce(1)
+    hh = {r.tok: (r.est, r.err_bound) for r in
+          sketches.mg_heavy_hitters(df, "tok", 8).collect()}
+    assert hh == {"a": (50, 0), "b": (30, 0), "c": (5, 0)}
