@@ -421,3 +421,83 @@ def export_jsonl_shards(
         fs = p.getFileSystem(hconf)
         if not fs.exists(p):
             fs.mkdirs(p)
+
+
+def export_wds_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write a WebDataset-style export: ``shard-00000.tar`` …, each tar
+    holding ``<key>.txt`` (the sample payload) and ``<key>.json`` (all
+    other columns as metadata) — the sequential-tar sample format
+    multimodal training loaders stream at scale.
+
+    Determinism contract (same as export_jsonl_shards): shard = md5 of
+    the key → same row, same shard, same position on every run and any
+    input partitioning; tar entries are sorted by key and carry zeroed
+    timestamps/owners, so re-exports are BYTE-identical (content-
+    addressable artifacts).
+
+    Scale shape: one hash exchange co-locates each shard's rows, a
+    task-local sort orders them, and each executor STREAMS its shard
+    tars entry-by-entry (foreachPartition over sorted rows — nothing
+    shard-sized is ever held in memory, no driver involvement). Tars
+    land on whatever FS ``path`` points to (shared storage on a
+    cluster)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    meta_cols = [c for c in df.columns if c not in (key_col, text_col)]
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    )
+    prepared = (
+        df.withColumn("_shard", shard)
+        .repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", key_col)
+    )
+
+    def write_partition(rows) -> None:
+        import tarfile
+
+        tar = None
+        cur = None
+        try:
+            for r in rows:
+                sid = r["_shard"]
+                if sid != cur:
+                    if tar is not None:
+                        tar.close()
+                    tar = tarfile.open(
+                        os.path.join(path, f"shard-{sid:05d}.tar"), "w"
+                    )
+                    cur = sid
+                key = str(r[key_col])
+                payload = (r[text_col] or "").encode("utf-8")
+                meta = json.dumps(
+                    {c: r[c] for c in meta_cols}, sort_keys=True, default=str
+                ).encode("utf-8")
+                for suffix, body in ((".txt", payload), (".json", meta)):
+                    info = tarfile.TarInfo(name=key + suffix)
+                    info.size = len(body)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    import io
+
+                    tar.addfile(info, io.BytesIO(body))
+        finally:
+            if tar is not None:
+                tar.close()
+
+    prepared.foreachPartition(write_partition)

@@ -3225,3 +3225,124 @@ def approx_ndv_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_rows", "approx_ndv_user_id")
         .orderBy("event_type")
     )
+
+
+@_register(
+    "sessionize_events_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def sessionize_events_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window — the same
+    operator the streaming tier uses, here in batch: one groupBy, the
+    session merge happens inside the aggregation (no lag + running-sum
+    window pair). Boundary semantics differ from the lag formulation:
+    session_window's window is [ts, ts+gap), so an event exactly gap
+    after its predecessor starts a NEW session — the oracle mirrors
+    that with >=. session_start == first event, session_end == last
+    event + gap (the native operator's contract).
+
+    Scale: one exchange on user_id; within partitions the merge is a
+    sort + linear scan — strictly cheaper than the two stacked window
+    functions of the lag formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "sample_k_per_group_docs",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents) t
+    WHERE rn <= 3
+    """,
+)
+def sample_k_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (k=3 docs per language):
+    rank by md5 of the key — a uniform-but-reproducible order, the same
+    content-addressed trick the split/sample tier uses — and keep the
+    first k. Unlike rand()-based sampling this is stable across runs,
+    clusters, and partitionings, so eval subsets are auditable. One
+    window over the group key; at scale, groups with billions of rows
+    would use a per-partition top-k pre-prune first (same as top-k)."""
+    d = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        d.select("doc_id", "lang", "source", rn.alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@_register(
+    "histogram_equidepth_prices",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 quantile buckets of equal row count) —
+    the complement of the existing equi-width histogram; NTILE over a
+    total order (price, key tiebreak) makes bucket boundaries exactly
+    reproducible in both engines. The optimizer-statistics shape: bucket
+    boundaries are the quantile summary a cost model consumes."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(8).over(W.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -182,3 +182,59 @@ def test_export_jsonl_shards_materializes_empty_shards(spark, tmp_path):
     dirs = sorted(glob.glob(out + "/shard=*"))
     assert len(dirs) == 8, dirs
     assert spark.read.json(out).count() == 2
+
+
+# --------------------------------------------------------------------------
+# WebDataset tar-shard export
+# --------------------------------------------------------------------------
+
+def test_export_wds_shards_complete_and_deterministic(spark, tmp_path):
+    import glob
+    import hashlib
+    import json
+    import tarfile
+
+    from console_etl_spark.llmops import pipeline
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents").limit(60)
+    out1 = str(tmp_path / "wds1")
+    out2 = str(tmp_path / "wds2")
+    pipeline.export_wds_shards(docs, out1, n_shards=4)
+    pipeline.export_wds_shards(docs, out2, n_shards=4)
+
+    files1 = sorted(glob.glob(f"{out1}/shard-*.tar"))
+    assert 0 < len(files1) <= 4
+
+    # completeness: every doc reconstructs exactly from the tars
+    got = {}
+    for f in files1:
+        with tarfile.open(f) as tar:
+            members = tar.getnames()
+            # each sample's two files are adjacent (loader streams pairs)
+            assert all(
+                members[i + 1] == members[i][:-4] + ".json"
+                for i in range(0, len(members), 2)
+            )
+            for m in tar.getmembers():
+                if m.name.endswith(".txt"):
+                    key = m.name[:-4]
+                    text = tar.extractfile(m).read().decode()
+                    meta = json.loads(
+                        tar.extractfile(key + ".json").read().decode()
+                    )
+                    got[int(key)] = (text, meta["lang"], meta["source"])
+    want = {
+        r.doc_id: (r.text, r.lang, r.source) for r in docs.collect()
+    }
+    assert got == want
+
+    # byte-determinism: the re-export is hash-identical file by file
+    def digest(d):
+        return {
+            f.split("/")[-1]: hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(f"{d}/shard-*.tar"))
+        }
+
+    assert digest(out1) == digest(out2)

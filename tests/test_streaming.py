@@ -715,3 +715,47 @@ def test_variant_parse_is_streaming_compatible(spark, events_stream_dir):
         .toPandas()
     )
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_stream_refresh_mv_equals_full_recompute(spark, tmp_path):
+    """Streaming MV maintenance: three delta files folded through
+    foreachBatch == one full-table aggregation; a restart with no new
+    files publishes nothing (exactly-once via checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.session import load_table
+    from console_etl_spark.store import (
+        MaterializedView, SnapshotStore, mv_finalize, mv_partials,
+    )
+    from tests.conftest import SF_TEST
+
+    o = load_table(spark, SF_TEST, "orders").limit(300).localCheckpoint()
+    facts = tmp_path / "facts"
+    for i in range(3):
+        (o.filter(F.col("o_orderkey") % 3 == i)
+         .coalesce(1).write.mode("append").parquet(str(facts)))
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    keys, measures = ("o_orderstatus",), ("o_totalprice",)
+    mv = MaterializedView(store, "mv_stream", keys, measures)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = streaming.stream_refresh_mv(spark, str(facts), mv, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r.o_orderstatus: (r.n_rows, round(r.sum_o_totalprice, 2))
+        for r in mv.read(spark).collect()
+    }
+    full = {
+        r.o_orderstatus: (r.n_rows, round(r.sum_o_totalprice, 2))
+        for r in mv_finalize(mv_partials(o, keys, measures), keys, measures).collect()
+    }
+    assert got == full
+    n_versions = len(store.versions("mv_stream"))
+    assert n_versions >= 1
+
+    # restart: nothing new arrived -> no new version published
+    q2 = streaming.stream_refresh_mv(spark, str(facts), mv, ckpt)
+    q2.awaitTermination(120)
+    assert len(store.versions("mv_stream")) == n_versions
