@@ -160,3 +160,87 @@ def zorder_interleaved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = with_zorder_key(e, ["x", "y"], ZORDER_BITS, key="zval")
     return keyed.select("event_id", "zval")
+
+
+# --------------------------------------------------------------------------
+# File-level zone maps (Iceberg/Delta-style metadata skipping)
+# --------------------------------------------------------------------------
+# Parquet row-group stats prune WITHIN a file at scan time, but the scan
+# still has to OPEN every footer. A zone map lifts per-file min/max into
+# one metadata document written at publish time, so a reader prunes the
+# FILE LIST before Spark ever plans the scan — the manifest-level data
+# skipping Iceberg/Delta do, and the reason write_zordered pays off
+# twice (tight file ranges → aggressive zone-map pruning). The zone map
+# is metadata-sized: reading it costs O(files), never O(data); on a
+# real table format the same stats come from write-task metrics instead
+# of a footer sweep.
+
+ZONEMAP_NAME = "_ZONEMAP.json"
+
+
+def write_zonemap(path: str, cols: list[str]) -> dict:
+    """Sweep the parquet footers under ``path`` once and persist per-file
+    min/max for ``cols`` as ``_ZONEMAP.json``. Returns the map."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    zm = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        entry = {}
+        for c in cols:
+            lo = hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(names[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            entry[c] = [lo, hi]
+        zm[os.path.basename(f)] = entry
+    with open(os.path.join(path, ZONEMAP_NAME), "w") as out:
+        json.dump({"cols": cols, "files": zm}, out)
+    return zm
+
+
+def read_with_zonemap(
+    spark: SparkSession, path: str, predicates: dict[str, tuple]
+) -> tuple[DataFrame, int, int]:
+    """Scan ``path`` reading ONLY files whose zone-map ranges overlap
+    every ``col: (lo, hi)`` predicate. Returns (DataFrame over the
+    surviving files WITH the predicate applied — zone maps prune, the
+    filter still guarantees exactness — plus files_read, files_total).
+    A column whose stats were unavailable keeps its files (never prunes
+    on missing metadata)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, ZONEMAP_NAME)) as f:
+        zm = json.load(f)
+    keep = []
+    for fname, entry in zm["files"].items():
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            flo, fhi = entry.get(c, (None, None))
+            if flo is None or fhi is None:
+                continue  # no stats → cannot prune
+            if fhi < lo or flo > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(path, fname))
+    total = len(zm["files"])
+    if not keep:
+        df = spark.read.parquet(path).limit(0)
+        return df, 0, total
+    df = spark.read.parquet(*keep)
+    for c, (lo, hi) in predicates.items():
+        df = df.filter(F.col(c).between(lo, hi))
+    return df, len(keep), total

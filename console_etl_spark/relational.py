@@ -3346,3 +3346,44 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_register(
+    "er_part_name_clusters",
+    """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    edges AS (
+      SELECT a.p_name AS x, b.p_name AS y
+      FROM names a JOIN names b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ),
+    sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
+    reach(node, lab) AS (
+      SELECT x, x FROM sym
+      UNION
+      SELECT s.y, r.lab FROM reach r JOIN sym s ON s.x = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS canonical FROM reach GROUP BY node)
+    SELECT node AS p_name, canonical,
+           COUNT(*) OVER (PARTITION BY canonical) AS cluster_size
+    FROM comp
+    """,
+)
+def er_part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy candidate pairs over the
+    DISTINCT name domain (edit distance ≤ 4, see fuzzy_part_name_pairs
+    for the domain-reduction scale argument) → connected components →
+    per cluster a canonical representative (min name) + cluster size.
+    The full dedup-entities pipeline a catalog/MDM system runs, composed
+    from the engine's own kernels; oracle is the recursive-CTE
+    transitive closure over the identical edge set."""
+    edges = fuzzy_part_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    from .llmops.dedup import connected_components
+
+    comp = connected_components(edges, a="name_a", b="name_b")
+    return comp.select(
+        F.col("node").alias("p_name"),
+        F.col("comp").alias("canonical"),
+    ).withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("canonical"))
+    )

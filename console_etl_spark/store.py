@@ -482,3 +482,53 @@ class MaterializedView:
             self.measures,
             self.distinct,
         )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Change-data diff between two snapshot versions: one co-partitioned
+    full-outer join on the key, classifying each key as 'insert' (new
+    only), 'delete' (old only), or 'update' (both sides present but any
+    non-key column differs; identical rows are dropped). The inverse of
+    apply_changes — diff(v1, v2) applied to v1 reproduces v2 — which
+    turns the store's immutable version history into a CDC feed
+    downstream consumers can subscribe to without rescanning snapshots.
+
+    Column comparison is null-safe (eqNullSafe) per shared non-key
+    column; at 100 TB the join shuffles both sides once on the key and
+    everything else is a narrow projection."""
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    data_cols = [c for c in new.columns if c not in keys]
+    shared = [c for c in data_cols if c in old.columns]
+    # presence flags must not depend on nullable data columns: use a
+    # sentinel from each side
+    o2 = old.select(*keys, F.lit(True).alias("_in_old"), *[F.col(c).alias(f"_o_{c}") for c in shared])
+    n2 = new.select(*keys, F.lit(True).alias("_in_new"), *[F.col(c).alias(f"_n_{c}") for c in data_cols])
+    j = o2.join(n2, keys, "full_outer")
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("_op", op)
+        .filter(F.col("_op").isNotNull())
+        .select(
+            *keys,
+            "_op",
+            *[
+                F.when(F.col("_op") != "delete", F.col(f"_n_{c}"))
+                .otherwise(F.col(f"_o_{c}") if c in shared else F.lit(None))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+    )

@@ -986,3 +986,43 @@ def test_materialized_view_hll_distinct_is_mergeable_and_accurate(spark, store):
     }
     for t, est in merged.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+
+
+def test_snapshot_diff_classifies_and_inverts(spark):
+    """diff(v1, v2) classifies insert/delete/update correctly AND
+    applying it back to v1 via apply_changes reproduces v2 exactly
+    (diff is the inverse of apply)."""
+    from console_etl_spark.store import apply_changes, snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [
+            ("p1", "s", "a", 1, "keep"),
+            ("p1", "s", "b", 2, "will-change"),
+            ("p1", "s", "c", 3, "will-delete"),
+            ("p2", "s", "d", 4, None),
+        ],
+        "package string, schema string, name string, x int, note string",
+    )
+    v2 = spark.createDataFrame(
+        [
+            ("p1", "s", "a", 1, "keep"),
+            ("p1", "s", "b", 2, "changed"),
+            ("p2", "s", "d", 4, None),
+            ("p2", "s", "e", 5, "new"),
+        ],
+        "package string, schema string, name string, x int, note string",
+    )
+    d = snapshot_diff(v1, v2)
+    got = {(r.package, r.name): r._op for r in d.collect()}
+    assert got == {("p1", "b"): "update", ("p1", "c"): "delete", ("p2", "e"): "insert"}
+
+    # invert: apply the diff (rename _op to the changeset contract)
+    from pyspark.sql import functions as F
+
+    changes = d.withColumn(
+        "_op", F.when(F.col("_op") == "delete", "delete").otherwise("upsert")
+    )
+    rebuilt = apply_changes(v1, changes)
+    a = {tuple(r) for r in rebuilt.collect()}
+    b = {tuple(r) for r in v2.collect()}
+    assert a == b

@@ -158,3 +158,39 @@ def test_pagerank_handles_dangling_nodes(spark):
         assert abs(got[v] - r) < 1e-12, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["c"] > got["b"]  # 3x the edge weight into c
+
+
+def test_zonemap_prunes_files_and_stays_exact(spark, tmp_path):
+    """Zone-map skipping over a z-ordered layout: the reader opens a
+    strict subset of files for a 2-dim box, and the result is exactly
+    the full-scan answer (pruning is an optimization, never a filter)."""
+    li = load_table(spark, SF_TEST, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    layout.write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    zm = layout.write_zonemap(zpath, ["l_partkey", "l_suppkey"])
+    assert len(zm) == 8
+
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    box = {
+        "l_partkey": (int(pk_hi * 0.4), int(pk_hi * 0.52)),
+        "l_suppkey": (int(sk_hi * 0.4), int(sk_hi * 0.65)),
+    }
+    df, read, total = layout.read_with_zonemap(spark, zpath, box)
+    assert total == 8 and 0 < read < total, (read, total)
+    want = li.filter(
+        F.col("l_partkey").between(*box["l_partkey"])
+        & F.col("l_suppkey").between(*box["l_suppkey"])
+    )
+    assert df.count() == want.count()
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b
+
+    # a box outside the domain prunes everything but still answers
+    empty, read0, _ = layout.read_with_zonemap(
+        spark, zpath, {"l_partkey": (pk_hi + 10, pk_hi + 20)}
+    )
+    assert read0 == 0 and empty.count() == 0
