@@ -2123,7 +2123,10 @@ def extract_features(
 
     Arrow moves whole batches across the JVM↔Python boundary; the
     operator preserves partitioning (no shuffle) so at scale it is an
-    embarrassingly-parallel map over executors.
+    embarrassingly-parallel map over executors. (A ``mapInArrow``
+    variant — RecordBatches without the pandas materialization — was
+    A/B'd at sf0.1 and is within noise: the per-payload decode
+    dominates, so the simpler pandas surface stays.)
     """
     if decoder in ("audio_compressed", "video_frames"):
         raise NotImplementedError(

@@ -274,6 +274,44 @@ class SnapshotStore:
             compacted, catalog, f"{info.version}-compact", partition_by
         )
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        zorder_cols: tuple[str, ...],
+        n_files: int = 8,
+    ) -> SnapshotInfo:
+        """OPTIMIZE ZORDER for the snapshot store: rewrite the current
+        snapshot clustered on the Z-curve of ``zorder_cols`` (see
+        layout.write_zordered), write a file-level zone map next to it,
+        and publish the clustered copy as a new atomic version. Readers
+        switch to the multi-dimensionally-prunable layout on the
+        manifest flip; the old version stays until vacuum(). Row content
+        is identical — only physical order changes, so every query
+        answers the same and 2-dim range scans prune on both file-list
+        (zone map) and row-group (parquet stats) levels."""
+        from .layout import with_zorder_key, write_zonemap
+
+        info = self.current(catalog)
+        if info is None:
+            raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
+        df = spark.read.parquet(info.path)
+        keyed = with_zorder_key(df, list(zorder_cols))
+        version = f"{info.version}-zorder"
+        path = self.snapshot_path(catalog, version)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                keyed.repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            write_zonemap(path, list(zorder_cols))
+        out = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
+        self._flip_manifest(out)
+        return out
+
     def vacuum(self, catalog: str, keep: int = 2) -> list[str]:
         """Delete all but the newest ``keep`` non-current snapshot dirs."""
         cur = self.current(catalog)

@@ -1026,3 +1026,31 @@ def test_snapshot_diff_classifies_and_inverts(spark):
     a = {tuple(r) for r in rebuilt.collect()}
     b = {tuple(r) for r in v2.collect()}
     assert a == b
+
+
+def test_store_optimize_zorder_preserves_rows_and_prunes(spark, store):
+    """OPTIMIZE ZORDER on a published snapshot: identical relation, new
+    atomic version, zone map present and pruning on both dimensions."""
+    from console_etl_spark import layout
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    li = load_table(spark, SF_TEST, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    ).limit(20000)
+    store.publish(li, "facts", "v1", partition_by=())
+    info = store.optimize(spark, "facts", ("l_partkey", "l_suppkey"), n_files=6)
+    assert info.version == "v1-zorder"
+    assert store.current("facts").version == "v1-zorder"
+
+    a = spark.read.parquet(info.path)
+    assert a.count() == li.count()
+
+    df, read, total = layout.read_with_zonemap(
+        spark, info.path, {"l_partkey": (0, 30), "l_suppkey": (0, 30)}
+    )
+    assert total == 6 and read < total
+    want = li.filter(
+        (F.col("l_partkey").between(0, 30)) & (F.col("l_suppkey").between(0, 30))
+    ).count()
+    assert df.count() == want
