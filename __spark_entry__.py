@@ -49,26 +49,34 @@ _MODULES = (
 # registration order is the coverage contract. Everything not listed here
 # registers afterwards in module order and stays covered by the local
 # parity suite (tests/test_oracle_parity.py).
-# ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed. After
-# five rounds every oracle-backed query has ≥1 driver row, so the window
-# now re-proves the queries whose driver evidence is OLDEST, prioritizing
-# any whose implementation changed since their last row. This round
-# (fifth rotation): the 2 never-checked r6 VARIANT queries + all 42
-# queries whose latest row is r1-r3 (they predate the r4 ANN tiling and
-# r5 dtype-dispatch refactors) + chunk_documents_sliding and
-# dq_violations_report (r5-checked but changed by the r6 boundary/NULL-FK
-# fixes — changed code re-proves first) + 4 r4-checked queries the r5
-# refactors touch (hypertable/gapfill sit on the events ts dtype path;
-# shingle_jaccard and q2 are the two slowest headline kernels). The 46
-# r5-checked, r6-untouched queries rotate out; next round the r4 bucket
-# (21 remaining) is the stalest tier.
+# ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
+# never-driver-checked queries first, then implementations changed since
+# their last driver row, then oldest rows first. This round (fifth
+# rotation): the 9 never-checked r6 queries (2 VARIANT twins + 7 new
+# operators: segment dedup, z-order, incremental MV, native
+# session_window, k-per-group sampling, equi-depth histogram, entity
+# resolution) + 3 r6-changed implementations (chunking + DQ fixes,
+# bigram-perplexity arrays_zip rewrite) + the 38 stalest r1-r3 rows
+# that fit. Rotated out to make room: the 4 r4-checked refactor-adjacent
+# extras (hypertable/gapfill/shingle/q2 — all have r4 rows and unchanged
+# code) and the 4 least-stale r3 rows (content_hash, fuzzy — whose edge
+# kernel er_part_name_clusters re-proves transitively — mix_corpus,
+# scalar_functions). Next round: the remaining r3 + r4 buckets.
 _PRIORITY = (
-    # never driver-checked: the r6 VARIANT twins
+    # never driver-checked: r6 VARIANT twins + r6 operators
     "events_props_variant",
     "nav_icon_variant",
+    "dedup_cross_doc_segments",
+    "zorder_interleaved_keys",
+    "mv_incremental_orders_stats",
+    "sessionize_events_native",
+    "sample_k_per_group_docs",
+    "histogram_equidepth_prices",
+    "er_part_name_clusters",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
+    "text_bigram_perplexity",
     # stalest tier — latest driver row r1
     "events_sliding_windows",
     "q6_revenue_forecast",
@@ -101,25 +109,15 @@ _PRIORITY = (
     "topk_expensive_orders",
     "window_rank_functions_customers",
     "window_revenue_share_by_region",
-    # latest driver row r3
-    "dedup_content_hash_index",
-    "fuzzy_part_name_pairs",
-    "mix_corpus_weighted",
+    # latest driver row r3 (stalest of the r3 bucket that still fit)
     "q3_shipping_priority",
     "q5_region_revenue",
     "q13_customer_distribution",
     "q16_supplier_variety",
-    "scalar_functions_showcase",
     "sql_correlated_scalar_subquery",
     "stats_aggregates_lineitem",
     "stratified_sample_docs",
     "unpivot_part_metrics",
-    # r4-checked but refactor-adjacent (events ts dtype path; slowest
-    # headline kernels)
-    "hypertable_rollup_events",
-    "gapfill_hourly_events",
-    "dedup_shingle_jaccard",
-    "q2_min_cost_supplier",
 )
 
 

@@ -55,6 +55,12 @@ HEADLINE = [
     "text_bigram_perplexity",
     "embedding_int8_quantize",
     "dq_violations_report",
+    # round-6 additions (segment dedup, z-order keys, incremental MV,
+    # native session_window):
+    "dedup_cross_doc_segments",
+    "zorder_interleaved_keys",
+    "mv_incremental_orders_stats",
+    "sessionize_events_native",
 ]
 
 

@@ -3331,7 +3331,13 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     the complement of the existing equi-width histogram; NTILE over a
     total order (price, key tiebreak) makes bucket boundaries exactly
     reproducible in both engines. The optimizer-statistics shape: bucket
-    boundaries are the quantile summary a cost model consumes."""
+    boundaries are the quantile summary a cost model consumes.
+
+    Scale note: the global NTILE is a single-partition window — exact
+    and oracle-checkable, right for dimension-sized inputs like orders.
+    For a 100 TB fact table the same output shape comes from
+    approx_percentile boundaries + a range bucket join (no global
+    sort); this query deliberately pins the EXACT tier."""
     o = load_table(spark, sf_dir, "orders")
     b = o.select(
         "o_totalprice",
