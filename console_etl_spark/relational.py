@@ -3393,3 +3393,163 @@ def er_part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cluster_size", F.count("*").over(W.partitionBy("canonical"))
     )
+
+
+@_register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             LN((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                / 4294967296.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS priority
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirtsos A-ES):
+    each row gets key u^(1/w) — here the equivalent ln(u)/w — with u a
+    DETERMINISTIC md5-derived uniform instead of an RNG, and the top-k
+    keys are the sample. Heavier documents (w = n_chars) win
+    proportionally more often, yet the draw is a pure projection +
+    top-k: reproducible row-for-row on any engine/cluster/partitioning,
+    which rand()-based weighted sampling can never be.
+
+    Scale: no shuffle before the top-k; TakeOrdered keeps k rows per
+    partition then merges — O(k) driver footprint."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("priority"))
+    )
+
+
+@_register(
+    "gapfill_interpolate_hourly",
+    """
+    WITH bounds AS (
+      SELECT CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(DATE_TRUNC('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT UNNEST(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT h.hour, t.event_type,
+             CAST(epoch_us(h.hour) / 3600000000 AS BIGINT) AS idx,
+             COALESCE(a.n, 0) AS n, a.v
+      FROM hours h CROSS JOIN types t
+      LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+    ),
+    ctx AS (
+      SELECT *,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY idx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM grid
+    )
+    SELECT hour, event_type, n,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (idx - pi) / (ni - pi)
+                 END, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR INTERPOLATION (the
+    `interpolate()` half of time_bucket_gapfill, next to the zero-fill
+    twin): empty hourly buckets get the line between their previous and
+    next observed per-type averages; leading/trailing gaps take the
+    nearest observation. Bucket averages divide an exact DECIMAL sum so
+    both engines interpolate from identical doubles.
+
+    Scale: same bounded grid as gapfill_hourly_events (hours × types
+    after one aggregation); the four IGNORE-NULLS windows share one
+    partitioning on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = (
+        e.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("v"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(types)
+        .join(agg, ["hour", "event_type"], "left")
+        .withColumn("idx", (F.unix_micros("hour") / F.lit(3600000000)).cast("long"))
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    back = W.partitionBy("event_type").orderBy("idx").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    fwd = W.partitionBy("event_type").orderBy("idx").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    ctx = (
+        grid.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pi", F.last(obs_idx, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("ni", F.first(obs_idx, ignorenulls=True).over(fwd))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("idx") - F.col("pi"))
+            / (F.col("ni") - F.col("pi"))
+        )
+    )
+    return ctx.select(
+        "hour", "event_type", "n", F.round(filled, 6).alias("value_interp")
+    )
