@@ -3553,3 +3553,42 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "hour", "event_type", "n", F.round(filled, 6).alias("value_interp")
     )
+
+
+@_register(
+    "window_rolling_corr_qty_price",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(corr(l_quantity, l_extendedprice) OVER (
+             PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6) AS rolling_corr
+    FROM lineitem
+    QUALIFY rolling_corr IS NOT NULL
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def window_rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation (quantity vs price over a trailing 100-row
+    window per return flag) — the moving-association signal risk/drift
+    monitors compute; corr as a WINDOW aggregate, not a group aggregate.
+    Round(6) absorbs the engines' different moment-update orders.
+
+    Scale: one exchange on the partition key; the frame is row-bounded
+    so state per window is O(1) moments, never frame-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-99, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.corr("l_quantity", "l_extendedprice").over(w), 6).alias(
+                "rolling_corr"
+            ),
+        )
+        .filter(F.col("rolling_corr").isNotNull())
+        .orderBy("l_orderkey", "l_linenumber")
+    )
