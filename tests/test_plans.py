@@ -305,3 +305,37 @@ def test_int8_quantize_computes_scale_once_per_row(spark):
 
     plan = plan_of(similarity.embedding_int8_quantize(spark, SF_TEST))
     assert plan.count("array_max") == 1, plan
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """A-ES weighted sampling must be projection + TakeOrdered — any
+    full sort or extra exchange means it stopped being O(k)-driver."""
+    plan = plan_of(relational.weighted_sample_docs(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_zorder_keys_no_shuffle(spark):
+    """Morton-key computation is a pure projection over the scan: zero
+    exchanges (the 1-row range aggregate runs as its own bounded job
+    before the plan under test)."""
+    from console_etl_spark import layout
+
+    plan = plan_of(layout.zorder_interleaved_keys(spark, SF_TEST))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.lstrip().startswith("*("), plan  # codegen'd projection
+
+
+def test_mv_merge_is_one_partial_aggregate_exchange(spark):
+    """The MV merge shape: union of partials → ONE hash exchange on the
+    view key with map-side partial aggregation (HashAggregate appears
+    above and below the exchange)."""
+    from console_etl_spark.store import mv_merge, mv_partials
+    from console_etl_spark.session import load_table
+
+    o = load_table(spark, SF_TEST, "orders")
+    keys, ms = ("o_orderstatus",), ("o_totalprice",)
+    a = mv_partials(o.filter("o_orderkey % 2 = 0"), keys, ms)
+    b = mv_partials(o.filter("o_orderkey % 2 = 1"), keys, ms)
+    plan = plan_of(mv_merge(a, b, keys, ms))
+    assert plan.count("HashAggregate") >= 2, plan
