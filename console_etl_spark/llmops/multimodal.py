@@ -25,10 +25,14 @@ orthonormal IDCT + chroma upsample), stdlib + numpy, with a matching
 fixture encoder. ``decoder='gif'`` is a REAL stdlib GIF89a codec
 (variable-width LZW, palette-exact, 4-pass interlace). Same split for
 ``resize_payload``: 'image'/'png'/'jpeg'/'gif' are real
-nearest-neighbor pixel resamples re-encoded in their format. Codecs for formats needing external
-libraries (compressed audio, video frames) stay behind the same
-one-function slot and raise ``NotImplementedError`` with the library
-they need.
+nearest-neighbor pixel resamples re-encoded in their format.
+``decoder='adpcm'`` is a REAL IMA-ADPCM compressed-audio decode and
+``decoder='mjpeg'`` a REAL AVI/MJPEG video FRAME decode (RIFF walk +
+per-frame baseline JPEG) — every media column (image, compressed audio,
+video frames) has at least one genuinely-decoded format. Only
+perceptual audio (MP3/AAC/Opus) and inter-predicted video
+(H.264/VP9/AV1) stay behind the gated slot, raising
+``NotImplementedError`` with the library they need.
 """
 
 from __future__ import annotations
@@ -1589,6 +1593,171 @@ def adpcm_audio_table(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# AVI/MJPEG codec slot: REAL video FRAME decode (RIFF walk + baseline JPEG)
+# --------------------------------------------------------------------------
+# Motion-JPEG in an AVI container is a genuine video format (cameras,
+# capture cards, scientific imaging): every frame is an independent
+# baseline JPEG inside a RIFF '00dc' chunk — no inter-frame prediction.
+# That makes it the one video format whose FRAMES this engine can really
+# decode: the RIFF walk is the same struct-level parsing as WAV/ADPCM,
+# and each frame feeds the existing huffman+IDCT baseline-JPEG decoder.
+# Inter-predicted codecs (H.264/VP9/AV1) remain the honestly-gated slot.
+
+AVI_MEDIA_TYPE = "video/x-msvideo"
+
+
+def _riff_chunks(b: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_start, payload_len) over a RIFF chunk
+    sequence; word-aligned like WAV."""
+    pos = start
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        ln = struct.unpack_from("<I", b, pos + 4)[0]
+        yield cid, pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    frames: "list[list[list[tuple[int, int, int]]]]",
+    fps: int = 10,
+) -> bytes:
+    """Minimal valid AVI/MJPEG: RIFF('AVI ') → LIST hdrl (avih + LIST
+    strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) → LIST movi with
+    one '00dc' baseline-JPEG chunk per frame."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    jpegs = [encode_baseline_jpeg(f) for f in frames]
+    n = len(jpegs)
+    max_bytes = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # microseconds per frame
+        max_bytes * fps,  # max bytes per sec
+        0, 0x10, n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """REAL video frame decode: RIFF walk → '00dc' MJPEG chunks → the
+    baseline-JPEG huffman+IDCT decoder per frame. Returns
+    (width, height, fps, frames) with frames as top-down RGB rows."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    fps = None
+    frames = []
+    width = height = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps, width, height
+        for cid, off, ln in _riff_chunks(b, start, end):
+            if cid == b"LIST":
+                walk(off + 4, off + ln)
+            elif cid == b"avih" and ln >= 4:
+                us = struct.unpack_from("<I", b, off)[0]
+                fps = round(1_000_000 / us) if us else None
+            elif cid == b"00dc":
+                w, h, rows = decode_jpeg_baseline(b[off : off + ln])
+                if width is None:
+                    width, height = w, h
+                elif (w, h) != (width, height):
+                    raise ValueError("AVI: frame dimensions change mid-stream")
+                frames.append(rows)
+
+    walk(12, len(b))
+    if not frames:
+        raise ValueError("AVI: no MJPEG frames")
+    return width, height, fps, frames
+
+
+def mjpeg_video_features(payload: bytes) -> list[float]:
+    """REAL per-frame decode features: [width, height, fps, n_frames,
+    duration_sec, mean_luma_first, mean_luma_last, temporal_motion] —
+    temporal_motion = mean |luma(t) - luma(t-1)| across consecutive
+    frames (the scene-change / static-clip curation signal that needs
+    actual pixels)."""
+    w, h, fps, frames = decode_avi_mjpeg(bytes(payload))
+    n = w * h
+
+    def luma_plane(rows):
+        return [
+            (299 * p[0] + 587 * p[1] + 114 * p[2]) / 1000.0
+            for row in rows
+            for p in row
+        ]
+
+    planes = [luma_plane(f) for f in frames]
+    mean_first = sum(planes[0]) / n
+    mean_last = sum(planes[-1]) / n
+    if len(planes) > 1:
+        motion = sum(
+            sum(abs(a - c) for a, c in zip(p1, p0)) / n
+            for p0, p1 in zip(planes, planes[1:])
+        ) / (len(planes) - 1)
+    else:
+        motion = 0.0
+    return [
+        float(w),
+        float(h),
+        float(fps or 0),
+        float(len(frames)),
+        len(frames) / fps if fps else 0.0,
+        mean_first,
+        mean_last,
+        motion,
+    ]
+
+
+def mjpeg_video_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL AVI/MJPEG bytes, media_type,
+    n_bytes). Each doc owns a 4-frame clip of its id-seeded raster
+    ROTATED one row per frame — deterministic motion every fixture clip
+    exhibits, so the temporal-diff feature is exercised by real pixel
+    change."""
+
+    def avi_doc(d: int) -> bytes:
+        base = _doc_pixels(d)
+        frames = [base[i:] + base[:i] for i in range(4)]
+        return encode_avi_mjpeg(IMG_W, IMG_H, frames, fps=10)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [avi_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": AVI_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+# --------------------------------------------------------------------------
 # MP4 codec slot (stdlib box walk): ISO-BMFF container metadata, no decode
 # --------------------------------------------------------------------------
 # The video column of a multimodal corpus. Frame decode needs ffmpeg, but
@@ -2103,6 +2272,7 @@ _DECODERS = {
     "mp4": mp4_features,  # container metadata only — frame decode is gated
     "gif": gif_pixel_features,  # REAL LZW decode (stdlib, incl. interlace)
     "adpcm": adpcm_features,  # REAL compressed-audio decode (IMA-ADPCM 4:1)
+    "mjpeg": mjpeg_video_features,  # REAL video FRAME decode (AVI/MJPEG)
 }
 
 
@@ -2380,6 +2550,28 @@ def mm_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 4).alias("duration_sec"),
         F.round(F.element_at("features", 5), 9).alias("rms"),
         F.round(F.element_at("features", 7), 9).alias("zero_crossing_rate"),
+    )
+
+
+@_register("mm_mjpeg_video_features", None)  # rows-only: frame decode not SQL-expressible
+def mm_mjpeg_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video FRAME pipeline (the formerly library-gated slot): per-
+    doc AVI/MJPEG clips (distributed encode, 4 rotating frames) → RIFF
+    walk + per-frame baseline-JPEG huffman+IDCT decode → clip features
+    including the temporal-motion signal only actual pixels can give.
+    Inter-predicted codecs (H.264/VP9) remain the gated slot; the video
+    column's decode plumbing itself is now real end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(mjpeg_video_table(d), decoder="mjpeg")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 4).alias("n_frames"),
+        F.element_at("features", 5).alias("duration_sec"),
+        F.round(F.element_at("features", 6), 6).alias("mean_luma_first"),
+        F.round(F.element_at("features", 8), 6).alias("temporal_motion"),
     )
 
 

@@ -188,6 +188,10 @@ def test_no_unbounded_driver_materialization():
         ("store.py", "publish"),
         # per-micro-batch DQ audit: ONE aggregated row per batch
         ("streaming.py", "stream_dq_monitor"),
+        # z-order rank scaling: ONE row of per-column min/max
+        ("layout.py", "with_zorder_key"),
+        # BPE training: the 1-row argmax pair per bounded merge round
+        ("llmops/textan.py", "bpe_learn"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
