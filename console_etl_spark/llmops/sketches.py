@@ -284,3 +284,102 @@ def sketch_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     return mg_heavy_hitters(toks, "tok", MG_K).orderBy(F.desc("est"), "tok")
+
+
+def mg_combine(a: DataFrame, b: DataFrame, key: str, k: int = MG_K) -> DataFrame:
+    """Merge two Misra-Gries SUMMARIES into one (both in the summary
+    schema mg_partition_summaries emits: counter rows + NULL-key meta
+    rows carrying accumulated error): sum counters per key, prune back
+    to k by subtracting the (k+1)-th largest, fold the prune decrement
+    into one new meta row. The mergeable-summaries theorem keeps the
+    certified bound valid for ANY merge tree — which is what lets a
+    STREAM fold batch summaries into a running summary without ever
+    revisiting data. Everything here is summary-sized."""
+    from pyspark.sql import Window as W
+
+    u = a.unionByName(b)
+    merged = (
+        u.filter(F.col(key).isNotNull()).groupBy(key).agg(F.sum("cnt").alias("cnt"))
+    )
+    ranked = merged.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("cnt"), key))
+    )
+    m_df = ranked.filter(F.col("rn") == k + 1).agg(
+        F.coalesce(F.max("cnt"), F.lit(0)).alias("m")
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(m_df))
+        .withColumn("cnt", F.col("cnt") - F.col("m"))
+        .filter((F.col("rn") <= k) & (F.col("cnt") > 0))
+        .select(key, "cnt", F.lit(0).cast("long").alias("part_err"))
+    )
+    ktype = dict(u.dtypes)[key]
+    meta = (
+        u.agg(F.coalesce(F.sum("part_err"), F.lit(0)).alias("pe"))
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.lit(None).cast(ktype).alias(key),
+            F.lit(0).cast("long").alias("cnt"),
+            (F.col("pe") + F.col("m")).alias("part_err"),
+        )
+    )
+    return kept.unionByName(meta)
+
+
+def mg_finalize(summary: DataFrame, key: str) -> DataFrame:
+    """Summary → (key, est, err_bound): counter rows with the summed
+    meta error attached (est ≤ true ≤ est + err_bound)."""
+    err = summary.agg(F.coalesce(F.sum("part_err"), F.lit(0)).alias("err_bound"))
+    return (
+        summary.filter(F.col(key).isNotNull())
+        .crossJoin(F.broadcast(err))
+        .select(key, F.col("cnt").alias("est"), "err_bound")
+    )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    path: str,
+    store,
+    catalog: str,
+    checkpoint: str,
+    key: str,
+    k: int = MG_K,
+    trigger_available_now: bool = True,
+):
+    """Streaming heavy hitters: each arriving micro-batch is folded into
+    a persisted Misra-Gries summary — batch summary (one narrow pass
+    over the batch) combined with the stored summary (summary-sized
+    merge+prune), published as a new atomic SnapshotStore version. The
+    running summary's certified bounds stay valid across any number of
+    batches (mergeable-summaries theorem); the checkpoint makes each
+    fold exactly-once across restarts. Per-batch cost: O(|batch| + k)."""
+    reader = (
+        spark.readStream.format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .schema(spark.read.parquet(path).schema)
+    )
+    raw = reader.load(path)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sum = mg_partition_summaries(batch_df.select(key), key, k)
+        cur = store.current(catalog)
+        if cur is None:
+            merged = mg_combine(
+                batch_sum, batch_sum.limit(0), key, k
+            )
+            store.publish(merged, catalog, "v000001", partition_by=())
+            return
+        state = store.read_version(spark, catalog, cur.version)
+        merged = mg_combine(state, batch_sum, key, k)
+        nxt = f"v{int(cur.version[1:]) + 1:06d}"
+        store.publish(merged, catalog, nxt, partition_by=())
+
+    writer = raw.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

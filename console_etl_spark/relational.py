@@ -3592,3 +3592,148 @@ def window_rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rolling_corr").isNotNull())
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@_register(
+    "profile_column_stats_orders",
+    """
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS ndv,
+           ROUND(MIN(o_orderkey), 2) AS min_num,
+           ROUND(MAX(o_orderkey), 2) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           ROUND(MIN(o_custkey), 2), ROUND(MAX(o_custkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics (the CBO's food): per
+    numeric column — row count, null count, exact NDV, min, max — in
+    ONE pass over the table (all aggregates fused into a single
+    map-side-partial aggregation, then unpivoted to the long stats
+    shape; the oracle's UNION-ALL formulation would scan once per
+    column).
+
+    Scale: a single scan + one 1-row exchange; NDV is exact here
+    (dimension-sized input) — the 100 TB variant swaps countDistinct
+    for the HLL sketch the store's MV tier already carries."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_ndv_{c}"),
+            F.round(F.min(c).cast("double"), 2).alias(f"_min_{c}"),
+            F.round(F.max(c).cast("double"), 2).alias(f"_max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_ndv_{c}").alias("ndv"),
+            F.col(f"_min_{c}").alias("min_num"),
+            F.col(f"_max_{c}").alias("max_num"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("col")
+    )
+
+
+@_register(
+    "profile_key_candidates",
+    """
+    SELECT 'orders.o_orderkey unique' AS probe,
+           CASE WHEN COUNT(DISTINCT o_orderkey) = COUNT(o_orderkey)
+                 AND COUNT(*) = COUNT(o_orderkey) THEN 1 ELSE 0 END AS holds
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey unique',
+           CASE WHEN COUNT(DISTINCT l_orderkey) = COUNT(l_orderkey)
+                 AND COUNT(*) = COUNT(l_orderkey) THEN 1 ELSE 0 END
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           CASE WHEN NOT EXISTS (
+             SELECT 1 FROM lineitem l LEFT JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+           ) THEN 1 ELSE 0 END
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer.c_custkey',
+           CASE WHEN NOT EXISTS (
+             SELECT 1 FROM orders o LEFT JOIN customer c
+               ON o.o_custkey = c.c_custkey
+             WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+           ) THEN 1 ELSE 0 END
+    ORDER BY probe
+    """,
+)
+def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint DISCOVERY (schema profiling): test uniqueness (primary
+    key candidates) and inclusion dependencies (foreign key candidates)
+    from the data itself — what a catalog crawler infers before anyone
+    declares constraints. Uniqueness is one aggregate per table; each
+    FK probe is a left-anti existence check on distinct keys.
+
+    Scale: uniqueness = map-side-partial count vs countDistinct;
+    inclusion = anti join of the child's DISTINCT key domain (value-
+    domain-sized, not row-sized) against the parent — the same
+    domain-reduction argument as the fuzzy join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def unique_probe(df: DataFrame, col: str, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("probe"),
+            F.when(
+                (F.countDistinct(col) == F.count(col))
+                & (F.count("*") == F.count(col)),
+                1,
+            )
+            .otherwise(0)
+            .alias("holds"),
+        )
+
+    def fk_probe(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str) -> DataFrame:
+        orphans = (
+            child.select(F.col(ck).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+            .join(parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti")
+        )
+        return orphans.agg(
+            F.lit(label).alias("probe"),
+            F.when(F.count("*") == 0, 1).otherwise(0).alias("holds"),
+        )
+
+    return (
+        unique_probe(o, "o_orderkey", "orders.o_orderkey unique")
+        .unionByName(unique_probe(li, "l_orderkey", "lineitem.l_orderkey unique"))
+        .unionByName(
+            fk_probe(li, "l_orderkey", o, "o_orderkey",
+                     "lineitem.l_orderkey -> orders.o_orderkey")
+        )
+        .unionByName(
+            fk_probe(o, "o_custkey", c, "c_custkey",
+                     "orders.o_custkey -> customer.c_custkey")
+        )
+        .orderBy("probe")
+    )

@@ -759,3 +759,50 @@ def test_stream_refresh_mv_equals_full_recompute(spark, tmp_path):
     q2 = streaming.stream_refresh_mv(spark, str(facts), mv, ckpt)
     q2.awaitTermination(120)
     assert len(store.versions("mv_stream")) == n_versions
+
+
+def test_stream_heavy_hitters_bounds_hold_over_batches(spark, tmp_path):
+    """Streaming Misra-Gries: tokens arrive as three parquet deltas; the
+    running summary's certified bounds hold against exact counts over
+    everything seen, and a restart with no new files publishes nothing."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.llmops import sketches
+    from console_etl_spark.session import load_table
+    from console_etl_spark.store import SnapshotStore
+    from tests.conftest import SF_TEST
+
+    toks = (
+        load_table(spark, SF_TEST, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint()
+    )
+    facts = tmp_path / "toks"
+    for i in range(3):
+        (toks.filter(F.col("doc_id") % 3 == i).select("tok")
+         .coalesce(1).write.mode("append").parquet(str(facts)))
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    q = sketches.stream_heavy_hitters(spark, str(facts), store, "hh", ckpt, "tok", k=8)
+    q.awaitTermination(120)
+
+    state = store.read(spark, "hh")
+    hh = {r.tok: (r.est, r.err_bound)
+          for r in sketches.mg_finalize(state, "tok").collect()}
+    assert 0 < len(hh) <= 8
+    exact = {r.tok: r.cnt
+             for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    bound = next(iter(hh.values()))[1]
+    assert bound > 0
+    for t, (est, eb) in hh.items():
+        assert eb == bound
+        assert est <= exact[t] <= est + eb, (t, est, exact[t], eb)
+    for t, c in exact.items():
+        if c > bound:
+            assert t in hh, (t, c, bound)
+
+    n_versions = len(store.versions("hh"))
+    q2 = sketches.stream_heavy_hitters(spark, str(facts), store, "hh", ckpt, "tok", k=8)
+    q2.awaitTermination(120)
+    assert len(store.versions("hh")) == n_versions
