@@ -1054,3 +1054,50 @@ def test_store_optimize_zorder_preserves_rows_and_prunes(spark, store):
         (F.col("l_partkey").between(0, 30)) & (F.col("l_suppkey").between(0, 30))
     ).count()
     assert df.count() == want
+
+
+# --------------------------------------------------------------------------
+# C2: load-balanced replica selection (portforward.go analog)
+# --------------------------------------------------------------------------
+
+def test_replica_balancer_rotation_failover_and_recovery(spark, tmp_path, catalog_metas):
+    import shutil
+
+    from console_etl_spark.replicas import ReplicaBalancer
+    from console_etl_spark.store import SnapshotStore
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    roots = [str(tmp_path / f"rep{i}") for i in range(3)]
+    for r in roots:
+        SnapshotStore(r).publish(df, "cat", "v1")
+
+    bal = ReplicaBalancer(cooldown_sec=0.5)
+    for r in roots:
+        bal.add_replica(r)
+
+    # rotation: successive picks cycle through all ready replicas
+    picks = [bal.pick("cat") for _ in range(6)]
+    assert picks == [0, 1, 2, 0, 1, 2]
+
+    # reads resolve to identical content from any replica
+    n = bal.read(spark, "cat").count()
+    assert n == df.count()
+
+    # kill replica picked next; read fails over and marks it unready
+    nxt = bal.pick("cat")
+    shutil.rmtree(roots[nxt])
+    assert bal.read(spark, "cat").count() == n
+    assert all(p != nxt for p in (bal.pick("cat") for _ in range(4)))
+
+    # unknown catalog: the no-ready-endpoint error (portforward.go:63)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no ready replica"):
+        bal.read(spark, "nope")
+
+    # cooldown expiry re-probes the dead replica; it stays unready
+    # (manifest gone) but the balancer keeps serving from the live ones
+    import time as _time
+
+    _time.sleep(0.6)
+    assert bal.read(spark, "cat").count() == n
