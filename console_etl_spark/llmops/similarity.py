@@ -1202,7 +1202,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at shortlist·|queries|·n_blocks rows; the rerank join touches a
     bounded id set per query. Same query subset (vec_id % 50) as the
     exact tier so recall is measured in tests/test_llmops_unit.py."""
-    e = load_table(spark, sf_dir, "embeddings")
+    return _pq_search(spark, load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_search(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """ADC shortlist + exact rerank over any (vec_id, embedding)
+    relation — shared by plain PQ and the OPQ-rotated tier (the
+    rotation is orthogonal, so cosines are preserved and the rerank
+    stays exact in the rotated space)."""
     books = pq_codebooks(e)
     m, ksub, dsub = books.shape
     codes = pq_encode(e, books)
@@ -1278,6 +1285,121 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ANN_K)
     )
+
+
+# --------------------------------------------------------------------------
+# OPQ-style rotation: PCA + eigenvalue-balanced subspace allocation
+# --------------------------------------------------------------------------
+# Plain PQ quantizes fixed coordinate slices; when dimensions are
+# correlated, some subspaces carry most of the variance and their 4-bit
+# codebooks saturate. The OPQ family (Ge et al.) rotates the space
+# first. This is the non-parametric OPQ initialization: PCA-decorrelate,
+# then deal principal directions across the m subspaces so each gets a
+# balanced share of total variance (greedy min-log-variance-sum deal).
+# The rotation is orthogonal — inner products and norms are preserved —
+# so the ADC shortlist quality improves while the exact rerank stays
+# exact.
+
+
+def pca_opq_rotation(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+) -> np.ndarray:
+    """(dim, dim) orthogonal rotation learned distributed: per-partition
+    second-moment partials (ONE row per partition: count, sum, flattened
+    x·xᵀ) are the only thing collected — O(partitions · dim²), bounded
+    and data-independent; eigendecomposition of the (dim, dim)
+    covariance runs on the driver in numpy. Deterministic: covariance is
+    exact (no sampling) and eigenvectors are sign-fixed."""
+
+    def moments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        o = np.zeros((dim, dim))
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += len(mat)
+            s += mat.sum(axis=0)
+            o += mat.T @ mat
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "o": [o.flatten().tolist()]}
+        )
+
+    rows = (
+        vectors.select(vec_col)
+        .mapInPandas(moments, "n long, s array<double>, o array<double>")
+        .collect()
+    )  # bounded: one row per partition
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    o = np.sum([np.array(r["o"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1]
+    eigval, eigvec = eigval[order], eigvec[:, order]
+    # sign fix: make each eigenvector's largest-|.| component positive
+    for j in range(dim):
+        k = np.argmax(np.abs(eigvec[:, j]))
+        if eigvec[k, j] < 0:
+            eigvec[:, j] = -eigvec[:, j]
+    # balanced allocation: deal directions (desc variance) to the
+    # subspace with the smallest accumulated log-variance
+    dsub = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    loads = np.zeros(m)
+    for j in range(dim):
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda i: loads[i])
+        buckets[b].append(j)
+        loads[b] += np.log(max(eigval[j], 1e-12))
+    perm = [j for b in buckets for j in b]
+    return eigvec[:, perm]  # columns grouped subspace-contiguously
+
+
+def rotate_vectors(
+    vectors: DataFrame,
+    rotation: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply the orthogonal rotation (x → Rᵀx) as one Arrow-batch GEMM
+    per partition — map-side, shuffle-free, schema-preserving."""
+    bc = vectors.sparkSession.sparkContext.broadcast(rotation)
+
+    def rot(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: (mat @ r).tolist(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        rot, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+@_register("ann_opq_topk", None)  # rows-only: learned rotation+codebooks not SQL-portable
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated product quantization: learn the PCA-balanced
+    rotation, rotate the corpus (one map-side GEMM), then run the exact
+    same ADC-shortlist + exact-rerank kernel as ann_pq_topk. Because
+    the rotation is orthogonal, reranked cosines ARE true cosines —
+    recall laws compare both tiers against the same exact ground truth
+    (tests pin OPQ ≥ PQ - epsilon on the clustered fixture)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rot = pca_opq_rotation(e)
+    return _pq_search(spark, rotate_vectors(e, rot))
 
 
 _INT8_QUANT_SQL = """

@@ -2042,3 +2042,59 @@ def test_mjpeg_video_table_distributed_decode(spark):
         assert r.features[0] == 8.0 and r.features[3] == 4.0
         assert r.features[7] > 0  # every fixture clip rotates -> motion
         assert r.media_type == multimodal.AVI_MEDIA_TYPE
+
+
+# --------------------------------------------------------------------------
+# OPQ rotation (X3): measured recall gain over plain PQ
+# --------------------------------------------------------------------------
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark):
+    import numpy as np
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    r1 = similarity.pca_opq_rotation(e)
+    r2 = similarity.pca_opq_rotation(e)
+    assert np.allclose(r1, r2)  # exact covariance + sign fix => stable
+    assert np.allclose(r1.T @ r1, np.eye(64), atol=1e-9)  # orthogonal
+    # rotation preserves cosines (the exact-rerank-stays-exact argument)
+    rot = similarity.rotate_vectors(e.limit(20), r1).collect()
+    raw = {r.vec_id: np.array(r.embedding) for r in e.limit(20).collect()}
+    rtd = {r.vec_id: np.array(r.embedding) for r in rot}
+    ids = sorted(raw)
+    for a in ids[:5]:
+        for b in ids[5:10]:
+            ca = raw[a] @ raw[b] / (np.linalg.norm(raw[a]) * np.linalg.norm(raw[b]))
+            cb = rtd[a] @ rtd[b] / (np.linalg.norm(rtd[a]) * np.linalg.norm(rtd[b]))
+            assert abs(ca - cb) < 1e-9
+
+
+def test_opq_beats_plain_pq_on_anisotropic_clusters(spark, tmp_path):
+    """The OPQ claim, measured: on correlated/anisotropic clustered
+    vectors (where fixed coordinate slices concentrate variance in few
+    subspaces) the PCA-balanced rotation lifts ADC shortlist recall.
+    Pinned: OPQ ≥ 0.95, and OPQ ≥ PQ (measured 0.995 vs 0.93 at pin
+    time). Deterministic end to end: fixed-seed fixture, exact
+    covariance, sign-fixed eigenvectors, deterministic codebooks."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    scales = np.exp(rng.normal(size=64))
+    mix = rng.normal(size=(64, 64)) * 0.15 + np.eye(64)
+    rows, vid = [], 0
+    for _ in range(500):
+        base = rng.normal(size=64)
+        for _ in range(4):
+            v = ((base + rng.normal(scale=0.12, size=64)) * scales) @ mix
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path)
+    vecs.write.mode("overwrite").parquet(d + "/embeddings.parquet")
+
+    exact = {(r.q_id, r.n_id) for r in similarity.ann_topk_cosine(spark, d).collect()}
+    pq = {(r.q_id, r.n_id) for r in similarity.ann_pq_topk(spark, d).collect()}
+    opq = {(r.q_id, r.n_id) for r in similarity.ann_opq_topk(spark, d).collect()}
+    r_pq = len(exact & pq) / len(exact)
+    r_opq = len(exact & opq) / len(exact)
+    assert r_opq >= 0.95, f"OPQ recall@5 {r_opq:.3f} < 0.95"
+    assert r_opq >= r_pq, f"rotation hurt recall: {r_opq:.3f} < {r_pq:.3f}"

@@ -190,6 +190,8 @@ def test_no_unbounded_driver_materialization():
         ("streaming.py", "stream_dq_monitor"),
         # z-order rank scaling: ONE row of per-column min/max
         ("layout.py", "with_zorder_key"),
+        # OPQ rotation: one (count, sum, dim^2 outer) row per partition
+        ("llmops/similarity.py", "pca_opq_rotation"),
         # BPE training: the 1-row argmax pair per bounded merge round
         ("llmops/textan.py", "bpe_learn"),
     }
