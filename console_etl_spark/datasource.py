@@ -29,8 +29,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -72,6 +74,9 @@ class MetaStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return MetaStreamSimpleStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return MetaStreamWriter(self.options, overwrite)
 
 
 class MetaStreamReader(DataSourceReader):
@@ -212,3 +217,78 @@ class MetaStreamSimpleStreamReader(SimpleDataSourceStreamReader):
         for i in range(int(start["n_files"]), int(end["n_files"])):
             rows.extend(_read_file_docs(files[i], i))
         return iter(rows)
+
+
+# --------------------------------------------------------------------------
+# Batch WRITE side: the dump-producer role (what the reference only
+# consumes, this source can also emit) — df.write.format("console_meta")
+# --------------------------------------------------------------------------
+
+
+class _WroteFile(WriterCommitMessage):
+    """Commit message: the file a task wrote (for abort cleanup)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+class MetaStreamWriter(DataSourceWriter):
+    """Per-task writer: each partition's rows become ONE concatenated-
+    JSON dump file (``part-<pid>-<uuid>.json``) holding the byte-faithful
+    ``blob`` of every row — the exact stream format the reader tokenizes,
+    so read→write→read round-trips blob-identically. Commit drops a
+    ``_SUCCESS`` marker (the atomic-visibility convention every consumer
+    in this repo already respects); abort removes the written files."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("console_meta write requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.json"
+        )
+        n = 0
+        with open(fname, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                blob = row["blob"]
+                if blob is None:
+                    continue
+                fh.write(blob)
+                fh.write("\n")
+                n += 1
+        if n == 0:
+            os.remove(fname)
+            return _WroteFile("")
+        return _WroteFile(fname)
+
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            written = {m.path for m in messages if m and m.path}
+            for f in os.listdir(self.path):
+                fp = os.path.join(self.path, f)
+                if (
+                    os.path.isfile(fp)
+                    and fp not in written
+                    and not f.startswith("_")
+                ):
+                    os.remove(fp)
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)

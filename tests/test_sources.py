@@ -265,3 +265,46 @@ def test_console_meta_tolerates_nested_subdirectory(spark, tmp_path):
     register_meta_source(spark)
     rows = spark.read.format("console_meta").load(str(d)).collect()
     assert [r.name for r in rows] == ["p1"]
+
+
+def test_console_meta_write_roundtrip(spark, tmp_path):
+    """df.write.format('console_meta'): read a dump directory, write it
+    back through the source's write side, re-read — blob-identical
+    round trip (the byte-faithful contract both directions), _SUCCESS
+    marker present, overwrite replaces prior files."""
+    import json
+    import os
+
+    from console_etl_spark.datasource import register_meta_source
+
+    register_meta_source(spark)
+    src_dir = tmp_path / "dump"
+    src_dir.mkdir()
+    docs = [
+        {"schema": "olm.bundle", "package": "pkgA", "name": f"b{i}", "x": i}
+        for i in range(7)
+    ]
+    with open(src_dir / "all.json", "w") as f:
+        for d in docs:
+            json.dump(d, f, indent=2)  # pretty-printed concatenated docs
+            f.write("\n")
+
+    df = spark.read.format("console_meta").load(str(src_dir))
+    out = tmp_path / "rewritten"
+    df.write.format("console_meta").option("path", str(out)).mode(
+        "append"
+    ).save()
+    assert os.path.exists(out / "_SUCCESS")
+
+    back = spark.read.format("console_meta").load(str(out))
+    a = sorted(r.blob for r in df.collect())
+    b = sorted(r.blob for r in back.collect())
+    assert a == b and len(a) == 7
+
+    # overwrite mode replaces the previous dump files
+    small = df.filter("name = 'b0'")
+    small.write.format("console_meta").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    again = spark.read.format("console_meta").load(str(out))
+    assert [r.name for r in again.collect()] == ["b0"]
