@@ -244,3 +244,85 @@ def read_with_zonemap(
     for c, (lo, hi) in predicates.items():
         df = df.filter(F.col(c).between(lo, hi))
     return df, len(keep), total
+
+
+# --------------------------------------------------------------------------
+# Per-file Bloom indexes (Delta bloom-filter-index analog)
+# --------------------------------------------------------------------------
+# Zone maps prune RANGE predicates; they are useless for equality on a
+# column whose values interleave across files (high-cardinality ids in
+# an unsorted layout — every file's [min,max] covers everything). A
+# per-file Bloom filter answers "could value v be in this file?" with
+# no false negatives, so point lookups prune the file list even when
+# min/max cannot. Same deterministic xxhash64 family as the engine's
+# Bloom join pruner (llmops/sketches.py).
+
+BLOOM_INDEX_NAME = "_BLOOM.json"
+
+
+def _bloom_positions(value: str, m_bits: int, k_hashes: int) -> list[int]:
+    """k deterministic bit positions for a value: md5-derived double
+    hashing (h1 + i*h2 mod m) — stdlib-only, stable across runs."""
+    import hashlib
+
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k_hashes)]
+
+
+def write_bloom_index(
+    path: str, col: str, m_bits: int = 32768, k_hashes: int = 5
+) -> dict:
+    """One Bloom bitset per parquet file over ``col``'s values,
+    persisted as ``_BLOOM.json`` (hex bitsets). Built with a bounded
+    per-file scan of just that column (pyarrow, column-pruned) at
+    index-build time; on a table format this would come from write-task
+    state like the zone map."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    idx = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        bits = 0
+        tbl = pq.read_table(f, columns=[col])
+        for v in tbl.column(col).to_pylist():
+            if v is None:
+                continue
+            for p in _bloom_positions(str(v), m_bits, k_hashes):
+                bits |= 1 << p
+        idx[os.path.basename(f)] = f"{bits:x}"
+    doc = {"col": col, "m_bits": m_bits, "k_hashes": k_hashes, "files": idx}
+    with open(os.path.join(path, BLOOM_INDEX_NAME), "w") as out:
+        json.dump(doc, out)
+    return doc
+
+
+def read_with_bloom(
+    spark: SparkSession, path: str, value
+) -> tuple[DataFrame, int, int]:
+    """Point-lookup scan reading ONLY files whose Bloom filter admits
+    ``value`` (no false negatives: a pruned file provably lacks it).
+    Returns (DataFrame filtered to the value, files_read, files_total)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, BLOOM_INDEX_NAME)) as f:
+        doc = json.load(f)
+    col, m, k = doc["col"], doc["m_bits"], doc["k_hashes"]
+    pos = _bloom_positions(str(value), m, k)
+    keep = []
+    for fname, hexbits in doc["files"].items():
+        bits = int(hexbits, 16)
+        if all(bits >> p & 1 for p in pos):
+            keep.append(os.path.join(path, fname))
+    total = len(doc["files"])
+    if not keep:
+        return spark.read.parquet(path).limit(0), 0, total
+    df = spark.read.parquet(*keep).filter(F.col(col) == value)
+    return df, len(keep), total

@@ -3737,3 +3737,35 @@ def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+@_register("sliding_distinct_users_hourly", None)  # rows-only: sketch binaries engine-specific
+def sliding_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT(DISTINCT): distinct users per hour AND over
+    the trailing 3-hour window — the second via HLL sketch UNION AS A
+    WINDOW AGGREGATE (hll_union_agg over a row frame). This is the
+    query shape exact semantics cannot scale: an exact trailing
+    distinct needs every window to re-deduplicate its full user set
+    (window-size × buckets blowup), while the sketch version carries
+    one KB-bounded sketch per bucket and unions three of them per row.
+    Unit law pins the estimates against exact trailing distincts (the
+    sparse HLL regime is exact at fixture cardinalities)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.countDistinct("user_id").alias("ndv_hour"),
+            F.hll_sketch_agg("user_id").alias("sk"),
+        )
+    )
+    w = W.orderBy("hour").rowsBetween(-2, 0)
+    return (
+        hourly.select(
+            "hour",
+            "ndv_hour",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+                "ndv_trailing_3h"
+            ),
+        )
+        .orderBy("hour")
+    )

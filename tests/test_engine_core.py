@@ -1101,3 +1101,30 @@ def test_replica_balancer_rotation_failover_and_recovery(spark, tmp_path, catalo
 
     _time.sleep(0.6)
     assert bal.read(spark, "cat").count() == n
+
+
+def test_sliding_distinct_users_sketch_matches_exact(spark):
+    """HLL sketch-union AS A WINDOW AGGREGATE: the trailing-3h distinct
+    estimates must match exact trailing distincts (sparse-HLL regime is
+    exact at fixture cardinality)."""
+    from console_etl_spark import relational
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    got = {
+        r.hour: (r.ndv_hour, r.ndv_trailing_3h)
+        for r in relational.sliding_distinct_users_hourly(spark, SF_TEST).collect()
+    }
+    e = load_table(spark, SF_TEST, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    )
+    hours = sorted(got)
+    from collections import defaultdict
+    by_hour = defaultdict(set)
+    for r in e.distinct().collect():
+        by_hour[r.hour].add(r.user_id)
+    for i, h in enumerate(hours):
+        exact_trailing = set().union(*(by_hour[x] for x in hours[max(0, i - 2): i + 1]))
+        nh, nt = got[h]
+        assert nh == len(by_hour[h]), h
+        assert abs(nt - len(exact_trailing)) / max(1, len(exact_trailing)) < 0.05, h

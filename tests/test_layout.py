@@ -194,3 +194,31 @@ def test_zonemap_prunes_files_and_stays_exact(spark, tmp_path):
         spark, zpath, {"l_partkey": (pk_hi + 10, pk_hi + 20)}
     )
     assert read0 == 0 and empty.count() == 0
+
+
+def test_bloom_index_prunes_point_lookups_with_no_false_negatives(spark, tmp_path):
+    """Per-file Bloom index over an UNSORTED high-cardinality key:
+    zone maps can't prune (every file spans the domain) but the bloom
+    index can — and a pruned read returns exactly the full-scan answer
+    for every probed key (no false negatives)."""
+    li = load_table(spark, SF_TEST, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "u")
+    li.repartition(8).write.mode("overwrite").parquet(path)  # interleaved keys
+    layout.write_bloom_index(path, "l_orderkey")
+
+    keys = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(20).collect()]
+    pruned_any = False
+    for key in keys:
+        df, read, total = layout.read_with_bloom(spark, path, key)
+        assert total == 8
+        want = li.filter(F.col("l_orderkey") == key).count()
+        assert df.count() == want and want > 0
+        if read < total:
+            pruned_any = True
+    assert pruned_any  # at 8k bits/file the index must prune some probes
+
+    # absent key: may prune to zero files, must return zero rows
+    df, read, total = layout.read_with_bloom(spark, path, -99999)
+    assert df.count() == 0
