@@ -53,11 +53,17 @@ class FreshnessManager:
         capacity: int = DEFAULT_CAPACITY,
         ttl_seconds: float = DEFAULT_TTL_SECONDS,
         clock: Callable[[], float] = time.time,
+        balancer=None,
     ) -> None:
         self.store = store
         self.capacity = capacity
         self.ttl = ttl_seconds
         self.clock = clock
+        # optional replicas.ReplicaBalancer: the READ path load-balances
+        # across snapshot mirrors (C2) while publish stays on the
+        # primary store — the reference's split between the serving
+        # port-forward pool and the single refresh loop
+        self.balancer = balancer
         self._lru: OrderedDict[str, _CacheSlot] = OrderedDict()
         self.refresh_count = 0  # ingest jobs actually run (test/observability)
         self.hit_count = 0  # 304-analog short-circuits
@@ -83,7 +89,7 @@ class FreshnessManager:
                 # 304 path: serve cached snapshot, zero recompute.
                 self._lru.move_to_end(catalog)
                 self.hit_count += 1
-                return slot.df if slot.df is not None else self.store.read(spark, catalog)
+                return slot.df if slot.df is not None else self._read(spark, catalog)
 
         version = source_version()
         current = self.store.current(catalog)
@@ -92,11 +98,16 @@ class FreshnessManager:
         else:
             info = self.store.publish(build(spark), catalog, version)
             self.refresh_count += 1
-        df = self.store.read(spark, catalog)
+        df = self._read(spark, catalog)
         if cache_df:
             df = df.cache()
         self._admit(catalog, _CacheSlot(info, df if cache_df else None, now))
         return df
+
+    def _read(self, spark: SparkSession, catalog: str) -> DataFrame:
+        if self.balancer is not None:
+            return self.balancer.read(spark, catalog)
+        return self.store.read(spark, catalog)
 
     # -- LRU/TTL plumbing ------------------------------------------------
     def _admit(self, catalog: str, slot: _CacheSlot) -> None:

@@ -1128,3 +1128,35 @@ def test_sliding_distinct_users_sketch_matches_exact(spark):
         nh, nt = got[h]
         assert nh == len(by_hour[h]), h
         assert abs(nt - len(exact_trailing)) / max(1, len(exact_trailing)) < 0.05, h
+
+
+def test_freshness_manager_reads_through_replica_balancer(spark, tmp_path, catalog_metas):
+    """C2 x S3 integration: the freshness cache's READ path load-
+    balances across snapshot mirrors while publish stays primary —
+    and failover keeps serving when a mirror dies."""
+    import shutil
+
+    from console_etl_spark.refresh import FreshnessManager
+    from console_etl_spark.replicas import ReplicaBalancer
+    from console_etl_spark.store import SnapshotStore
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    primary = SnapshotStore(str(tmp_path / "primary"))
+    mirror_root = str(tmp_path / "mirror")
+    primary.publish(df, "cat", "v1")
+    # mirror: a byte-level copy of the primary (what replication yields)
+    shutil.copytree(str(tmp_path / "primary"), mirror_root)
+
+    bal = ReplicaBalancer(cooldown_sec=60)
+    bal.add_replica(str(tmp_path / "primary"))
+    bal.add_replica(mirror_root)
+    fm = FreshnessManager(primary, balancer=bal)
+
+    n = df.count()
+    got = fm.get(spark, "cat", lambda: "v1", lambda s: df, cache_df=False)
+    assert got.count() == n
+    # mirror dies: subsequent gets keep serving via failover
+    shutil.rmtree(mirror_root)
+    for _ in range(3):
+        assert fm.get(spark, "cat", lambda: "v1", lambda s: df, cache_df=False).count() == n
+    assert fm.hit_count >= 3  # all 304-path serves
