@@ -155,3 +155,35 @@ def sql_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, tables=("nation", "supplier"))
     return spark.sql(LATERAL_TOPK_SQL)
+
+
+@_register(
+    "sql_parameterized_topn",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    ORDER BY revenue DESC, o_orderpriority
+    LIMIT 3
+    """,
+)
+def sql_parameterized_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PARAMETERIZED SQL (named-parameter binding — the
+    injection-safe front door an application layer needs): the query
+    text carries :status/:floor/:k markers and values bind at execution,
+    never by string concatenation. The oracle runs the equivalent with
+    literals — value parity proves binding changes nothing semantically."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        ORDER BY revenue DESC, o_orderpriority
+        LIMIT 3
+        """,
+        args={"status": "F", "floor": 50000},
+    )

@@ -570,3 +570,38 @@ def snapshot_diff(
             ],
         )
     )
+
+
+def table_stats(store: SnapshotStore, catalog: str) -> dict:
+    """Physical table report for the CURRENT snapshot — file count,
+    total bytes, row count, row groups, per-file mean size — from
+    parquet FOOTERS only (no data read, no Spark job): the maintenance
+    signal that drives compact()/optimize() decisions (small-files
+    pressure, row-group shape). Metadata-sized at any table size."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    info = store.current(catalog)
+    if info is None:
+        raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
+    files = [
+        f
+        for f in glob.glob(os.path.join(info.path, "**", "*.parquet"), recursive=True)
+    ]
+    n_rows = n_groups = n_bytes = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        n_rows += meta.num_rows
+        n_groups += meta.num_row_groups
+        n_bytes += os.path.getsize(f)
+    return {
+        "catalog": catalog,
+        "version": info.version,
+        "n_files": len(files),
+        "n_rows": n_rows,
+        "n_row_groups": n_groups,
+        "total_bytes": n_bytes,
+        "mean_file_bytes": n_bytes // max(1, len(files)),
+        "mean_rows_per_group": n_rows // max(1, n_groups),
+    }

@@ -1160,3 +1160,19 @@ def test_freshness_manager_reads_through_replica_balancer(spark, tmp_path, catal
     for _ in range(3):
         assert fm.get(spark, "cat", lambda: "v1", lambda s: df, cache_df=False).count() == n
     assert fm.hit_count >= 3  # all 304-path serves
+
+
+def test_table_stats_reports_physical_shape(spark, store, catalog_metas):
+    from console_etl_spark.store import table_stats
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    stats = table_stats(store, "cat0")
+    assert stats["version"] == "v1"
+    assert stats["n_rows"] == df.count()
+    assert stats["n_files"] >= 1 and stats["total_bytes"] > 0
+    assert stats["mean_file_bytes"] * stats["n_files"] <= stats["total_bytes"] + stats["n_files"]
+    # compaction changes the file count, never the row count
+    store.compact(spark, "cat0")
+    after = table_stats(store, "cat0")
+    assert after["n_rows"] == stats["n_rows"]
