@@ -73,6 +73,13 @@ _PRIORITY = (
     "sample_k_per_group_docs",
     "histogram_equidepth_prices",
     "er_part_name_clusters",
+    # never driver-checked: r6 third-wave oracle queries
+    "weighted_sample_docs",
+    "gapfill_interpolate_hourly",
+    "window_rolling_corr_qty_price",
+    "profile_column_stats_orders",
+    "profile_key_candidates",
+    "sql_parameterized_topn",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
@@ -109,15 +116,11 @@ _PRIORITY = (
     "topk_expensive_orders",
     "window_rank_functions_customers",
     "window_revenue_share_by_region",
-    # latest driver row r3 (stalest of the r3 bucket that still fit)
+    # latest driver row r3 (the two heaviest TPC-H shapes of that
+    # bucket; the other six r3 rows rotated out for the never-checked
+    # third-wave queries above — never-checked outranks stale)
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q13_customer_distribution",
-    "q16_supplier_variety",
-    "sql_correlated_scalar_subquery",
-    "stats_aggregates_lineitem",
-    "stratified_sample_docs",
-    "unpivot_part_metrics",
 )
 
 

@@ -3560,7 +3560,8 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            ROUND(corr(l_quantity, l_extendedprice) OVER (
-             PARTITION BY l_returnflag ORDER BY l_shipdate, l_orderkey, l_linenumber
+             PARTITION BY l_returnflag
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
              ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 6) AS rolling_corr
     FROM lineitem
     QUALIFY rolling_corr IS NOT NULL
@@ -3573,12 +3574,21 @@ def window_rolling_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame
     monitors compute; corr as a WINDOW aggregate, not a group aggregate.
     Round(6) absorbs the engines' different moment-update orders.
 
+    The ORDER BY spells out a TOTAL order — (l_orderkey, l_linenumber)
+    is NOT unique in this fixture, and a row frame over a tied order is
+    nondeterministic (DuckDB's parallel sort broke ties differently
+    across runs; caught by a full-window rehearsal, not the single
+    lucky-pass parity run). (orderkey, linenumber, partkey, suppkey) is
+    verified unique.
+
     Scale: one exchange on the partition key; the frame is row-bounded
     so state per window is O(1) moments, never frame-sized."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_returnflag")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        )
         .rowsBetween(-99, W.currentRow)
     )
     return (
