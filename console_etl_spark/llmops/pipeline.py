@@ -501,3 +501,71 @@ def export_wds_shards(
                 tar.close()
 
     prepared.foreachPartition(write_partition)
+
+
+def curate_with_observed_metrics(spark: SparkSession, sf_dir: str):
+    """The curation pipeline with IN-FLIGHT observability: Spark's
+    ``Observation`` attaches metric expressions to the flowing rows of
+    the ACTUAL job — rows kept, docs per split, mean token count — so
+    pipeline telemetry costs ZERO extra scans (a separate metrics
+    aggregation would re-run the whole curation plan). Returns
+    (result rows, metrics dict).
+
+    The idiomatic-Spark point: observe() metrics are computed by the
+    same tasks that produce the output, which is the only way telemetry
+    stays free at 100 TB — any "run a count() after" pattern doubles
+    the pipeline cost."""
+    from pyspark.sql import Observation
+
+    curated = curate_corpus_end_to_end(spark, sf_dir)
+    obs = Observation("curation")
+    observed = curated.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_docs_total"),
+        F.sum("total_chars").alias("total_chars_all"),
+        F.approx_count_distinct("split").alias("n_splits"),  # DISTINCT is barred in observed metrics
+    )
+    rows = observed.collect()  # metrics materialize with the job itself
+    return rows, obs.get
+
+
+def export_manifest(path: str) -> dict:
+    """Write ``index.json`` for a training export — per shard: file
+    name, sample count, byte size — the manifest an epoch-planning
+    dataloader needs for deterministic sharding without scanning data.
+    Handles both export layouts: WebDataset ``shard-*.tar`` (samples =
+    tar members / 2) and hive ``shard=N/*.json[.gz]`` JSONL (samples =
+    line count). Metadata-sized work: one pass over shard files."""
+    import glob
+    import gzip
+    import json
+    import os
+    import tarfile
+
+    shards = []
+    for f in sorted(glob.glob(os.path.join(path, "shard-*.tar"))):
+        with tarfile.open(f) as tar:
+            n = len(tar.getnames()) // 2
+        shards.append(
+            {"file": os.path.basename(f), "n_samples": n,
+             "bytes": os.path.getsize(f)}
+        )
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        n = b = 0
+        for f in sorted(glob.glob(os.path.join(d, "part-*"))):
+            opener = gzip.open if f.endswith(".gz") else open
+            with opener(f, "rt", encoding="utf-8") as fh:
+                n += sum(1 for _ in fh)
+            b += os.path.getsize(f)
+        shards.append(
+            {"file": os.path.basename(d), "n_samples": n, "bytes": b}
+        )
+    doc = {
+        "n_shards": len(shards),
+        "n_samples": sum(s["n_samples"] for s in shards),
+        "shards": shards,
+    }
+    with open(os.path.join(path, "index.json"), "w") as out:
+        json.dump(doc, out, indent=1)
+    return doc

@@ -238,3 +238,38 @@ def test_export_wds_shards_complete_and_deterministic(spark, tmp_path):
         }
 
     assert digest(out1) == digest(out2)
+
+
+def test_observed_metrics_match_separate_aggregation(spark):
+    """Observation metrics ride the actual curation job (zero extra
+    scans) and must equal an independently-computed aggregate."""
+    from console_etl_spark.llmops import pipeline
+    from tests.conftest import SF_TEST
+
+    rows, metrics = pipeline.curate_with_observed_metrics(spark, SF_TEST)
+    assert metrics["n_groups"] == len(rows)
+    assert metrics["n_docs_total"] == sum(r.n_docs for r in rows)
+    assert metrics["total_chars_all"] == sum(r.total_chars for r in rows)
+    assert metrics["n_splits"] == len({r.split for r in rows})
+
+
+def test_export_manifest_counts_both_layouts(spark, tmp_path):
+    import json
+
+    from console_etl_spark.llmops import pipeline
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents").limit(40)
+    wds = str(tmp_path / "wds")
+    pipeline.export_wds_shards(docs, wds, n_shards=3)
+    m1 = pipeline.export_manifest(wds)
+    assert m1["n_samples"] == 40
+    assert m1["n_shards"] == len(m1["shards"]) > 0
+    assert json.load(open(f"{wds}/index.json")) == m1
+
+    jl = str(tmp_path / "jl")
+    pipeline.export_jsonl_shards(docs, jl, n_shards=3)
+    m2 = pipeline.export_manifest(jl)
+    assert m2["n_samples"] == 40
+    assert m2["n_shards"] == 3  # hive layout materializes every shard dir
