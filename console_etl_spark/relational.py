@@ -3779,3 +3779,119 @@ def sliding_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("hour")
     )
+
+
+@_register(
+    "weighted_median_price_by_flag",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 2) AS weighted_median_price
+    FROM w
+    WHERE cumw >= totw / 2.0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (the robust center no built-in provides): the
+    smallest price whose cumulative quantity-weight reaches half the
+    group's total — one ordered cumulative-sum window over a TOTAL
+    order (the rolling-corr lesson: ties in the order would make cumw,
+    and therefore the crossing row, engine-dependent) plus a min-
+    aggregate over the crossing set. Quantities are integers in this
+    fixture, so cumw/totw are exact and the crossing row is
+    deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.partitionBy("l_returnflag")
+    cum = (
+        li.withColumn("cumw", F.sum("l_quantity").over(w))
+        .withColumn("totw", F.sum("l_quantity").over(tot))
+    )
+    return (
+        cum.filter(F.col("cumw") >= F.col("totw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "division_customers_all_priorities",
+    """
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) =
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    ORDER BY o_custkey
+    """,
+)
+def division_customers_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (the "for all" quantifier — customers who
+    placed orders in EVERY priority class): the classic operator SQL
+    has no keyword for, expressed as the count-distinct-equality
+    rewrite. The divisor cardinality is a 1-row scalar that broadcasts;
+    the dividend side is one map-side-partial distinct aggregation on
+    the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    total = o.agg(F.countDistinct("o_orderpriority").alias("_t"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_priorities") == F.col("_t"))
+        .drop("_t")
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "mad_price_by_flag",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(MAX(m.med), 6) AS median_price,
+           ROUND(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5), 6) AS mad_price
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust spread statistic outlier
+    gates use where stddev is poisoned by the outliers themselves. Two
+    exact interpolated quantile passes: group medians (tiny relation,
+    broadcast back) then the median of absolute deviations. Both
+    engines use the identical linear-interpolation quantile
+    definition; round(6) absorbs the join-order float noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad_price"),
+        )
+        .orderBy("l_returnflag")
+    )
