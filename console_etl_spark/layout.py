@@ -326,3 +326,74 @@ def read_with_bloom(
         return spark.read.parquet(path).limit(0), 0, total
     df = spark.read.parquet(*keep).filter(F.col(col) == value)
     return df, len(keep), total
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple] | None = None,
+    equals: dict[str, object] | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Unified metadata-skipping reader: intersect the zone map's
+    range-surviving file set with the Bloom index's equality-surviving
+    set, read only the intersection, and apply every predicate for
+    exactness. Uses whichever index files exist — a missing index
+    simply doesn't prune. Returns (DataFrame, files_read, files_total)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    all_files = None
+    keep = None
+
+    zm_path = os.path.join(path, ZONEMAP_NAME)
+    if ranges and os.path.exists(zm_path):
+        with open(zm_path) as f:
+            zm = json.load(f)
+        all_files = set(zm["files"])
+        zkeep = set()
+        for fname, entry in zm["files"].items():
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                flo, fhi = entry.get(c, (None, None))
+                if flo is None or fhi is None:
+                    continue
+                if fhi < lo or flo > hi:
+                    ok = False
+                    break
+            if ok:
+                zkeep.add(fname)
+        keep = zkeep
+
+    bl_path = os.path.join(path, BLOOM_INDEX_NAME)
+    if equals and os.path.exists(bl_path):
+        with open(bl_path) as f:
+            doc = json.load(f)
+        all_files = set(doc["files"]) if all_files is None else all_files
+        col, m, k = doc["col"], doc["m_bits"], doc["k_hashes"]
+        if col in equals:
+            pos = _bloom_positions(str(equals[col]), m, k)
+            bkeep = {
+                fname
+                for fname, hexbits in doc["files"].items()
+                if all(int(hexbits, 16) >> p & 1 for p in pos)
+            }
+            keep = bkeep if keep is None else (keep & bkeep)
+
+    if all_files is None:  # no usable index: plain scan
+        df = spark.read.parquet(path)
+        total = read = -1
+    else:
+        total = len(all_files)
+        files = sorted(keep if keep is not None else all_files)
+        read = len(files)
+        if not files:
+            df = spark.read.parquet(path).limit(0)
+            return df, 0, total
+        df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    for c, (lo, hi) in (ranges or {}).items():
+        df = df.filter(F.col(c).between(lo, hi))
+    for c, v in (equals or {}).items():
+        df = df.filter(F.col(c) == v)
+    return df, read, total

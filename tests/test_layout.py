@@ -222,3 +222,35 @@ def test_bloom_index_prunes_point_lookups_with_no_false_negatives(spark, tmp_pat
     # absent key: may prune to zero files, must return zero rows
     df, read, total = layout.read_with_bloom(spark, path, -99999)
     assert df.count() == 0
+
+
+def test_read_pruned_combines_zonemap_and_bloom(spark, tmp_path):
+    """The unified reader intersects both indexes: a (range AND
+    equality) probe reads no more files than either index alone would,
+    with the full-scan answer pinned."""
+    li = load_table(spark, SF_TEST, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "both")
+    layout.write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+    layout.write_zonemap(path, ["l_partkey", "l_suppkey"])
+    layout.write_bloom_index(path, "l_orderkey")
+
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    key = li.filter(F.col("l_partkey") <= int(pk_hi * 0.3)).select(
+        "l_orderkey"
+    ).first().l_orderkey
+    ranges = {"l_partkey": (0, int(pk_hi * 0.3))}
+    equals = {"l_orderkey": key}
+
+    df, read_both, total = layout.read_pruned(spark, path, ranges, equals)
+    _, read_zm, _ = layout.read_pruned(spark, path, ranges, None)
+    _, read_bl, _ = layout.read_pruned(spark, path, None, equals)
+    assert total == 8
+    assert read_both <= min(read_zm, read_bl)
+    want = li.filter(
+        (F.col("l_partkey").between(0, int(pk_hi * 0.3)))
+        & (F.col("l_orderkey") == key)
+    )
+    assert df.count() == want.count() > 0
+    assert {tuple(r) for r in df.collect()} == {tuple(r) for r in want.collect()}

@@ -806,3 +806,45 @@ def test_stream_heavy_hitters_bounds_hold_over_batches(spark, tmp_path):
     q2 = sketches.stream_heavy_hitters(spark, str(facts), store, "hh", ckpt, "tok", k=8)
     q2.awaitTermination(120)
     assert len(store.versions("hh")) == n_versions
+
+
+def test_stream_refresh_mv_with_hll_distinct_state(spark, tmp_path):
+    """Composition law: streaming MV maintenance × HLL distinct state —
+    per-micro-batch sketch folds must land on the same estimates as one
+    batch aggregation over everything streamed (lossless sketch union),
+    and within 5% of exact NDV."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.session import load_table
+    from console_etl_spark.store import (
+        MaterializedView, SnapshotStore, mv_finalize, mv_partials,
+    )
+    from tests.conftest import SF_TEST
+
+    e = load_table(spark, SF_TEST, "events").limit(3000).localCheckpoint()
+    facts = tmp_path / "ev"
+    for i in range(3):
+        (e.filter(F.col("event_id") % 3 == i)
+         .coalesce(1).write.mode("append").parquet(str(facts)))
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    keys, distinct = ("event_type",), ("user_id",)
+    mv = MaterializedView(store, "mv_ndv_stream", keys, (), distinct=distinct)
+    q = streaming.stream_refresh_mv(spark, str(facts), mv, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {r.event_type: r.approx_ndv_user_id for r in mv.read(spark).collect()}
+    single = {
+        r.event_type: r.approx_ndv_user_id
+        for r in mv_finalize(
+            mv_partials(e, keys, (), distinct), keys, (), distinct
+        ).collect()
+    }
+    assert got == single  # streamed folds == one-shot sketch, bit-identical
+    exact = {
+        r.event_type: r.ndv
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv")).collect()
+    }
+    for t, est in got.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05
