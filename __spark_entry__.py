@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from console_etl_spark import graph, layout, navigation, relational, sqlapi
 from console_etl_spark.llmops import (
+    clustering,
     dedup,
     multimodal,
     pipeline,
@@ -43,6 +44,7 @@ _MODULES = (
     multimodal,
     sketches,
     pipeline,
+    clustering,
 )
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
@@ -80,6 +82,14 @@ _PRIORITY = (
     "profile_column_stats_orders",
     "profile_key_candidates",
     "sql_parameterized_topn",
+    # never driver-checked: r6 fourth-wave oracle queries (regression
+    # aggregates, deterministic mode, gaps-and-islands, triangle census,
+    # distributed global enumeration)
+    "regression_price_on_qty_by_flag",
+    "mode_event_type_by_user",
+    "islands_user_active_hours",
+    "graph_triangle_parts_basket",
+    "enumerate_docs_global",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
@@ -110,17 +120,14 @@ _PRIORITY = (
     "distinct_counts_lineitem",
     "events_hourly_stats",
     "semi_join_finished_customers",
-    "setop_except_all_priorities",
-    "setop_intersect_all_priorities",
-    "setop_union_all_priorities",
     "topk_expensive_orders",
     "window_rank_functions_customers",
     "window_revenue_share_by_region",
-    # latest driver row r3 (the two heaviest TPC-H shapes of that
-    # bucket; the other six r3 rows rotated out for the never-checked
-    # third-wave queries above — never-checked outranks stale)
-    "q3_shipping_priority",
-    "q5_region_revenue",
+    # Rotated out for the fourth-wave never-checked queries above
+    # (never-checked outranks stale): the three ALL-variant setops
+    # (their *_nations twins hold r1 slots in this window and the code
+    # is shared) and the two r3 TPC-H rows q3/q5 (unchanged code, next
+    # round's first stale bucket).
 )
 
 

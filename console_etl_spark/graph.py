@@ -133,3 +133,72 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@_register(
+    "graph_triangle_parts_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), nodes AS (
+      SELECT p1 AS p FROM edges UNION SELECT p2 FROM edges
+    ), tris AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.p2 = e2.p1
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT n_triangles FROM tris) AS n_triangles
+    """,
+)
+def graph_triangle_parts_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the market-basket graph: parts are nodes, an
+    edge links two parts that co-occur in an order ("bought together").
+    Triangles = closed co-purchase triples, the clustering signal a
+    recommender's neighborhood quality depends on.
+
+    Scale shape: edges are oriented p1 < p2 once and every triangle is
+    enumerated exactly once as (a<b<c) — the standard compact-forward
+    algorithm. Both joins shuffle on a part key, and the basket
+    pair-build is bounded by sum over orders of C(items_per_order, 2),
+    not |parts|^2; the part id space keeps the graph sparse so the
+    wedge join (e1.p2 = e2.p1) stays linear in sum of deg^2, the same
+    bound any distributed triangle count pays."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("p1").alias("p")).union(
+        edges.select(F.col("p2").alias("p"))
+    ).distinct()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tris)
+    )

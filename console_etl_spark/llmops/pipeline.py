@@ -569,3 +569,96 @@ def export_manifest(path: str) -> dict:
     with open(os.path.join(path, "index.json"), "w") as out:
         json.dump(doc, out, indent=1)
     return doc
+
+
+# --------------------------------------------------------------------------
+# Global contiguous row numbering without a single-partition window
+# (round-6 fourth wave)
+# --------------------------------------------------------------------------
+
+def global_enumerate(
+    df: DataFrame,
+    sort_cols: list[str],
+    out_col: str = "global_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a contiguous 0-based global index in ``sort_cols`` order
+    WITHOUT collapsing the data to one partition.
+
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` plans a SinglePartition
+    exchange — the canonical scale-killer for training-sample
+    enumeration (every row through one task). This is the two-phase
+    distributed form:
+
+      1. range-repartition on the sort key and sort within partitions
+         (global order = partition order + intra-partition order);
+      2. count rows per partition — one tiny aggregate whose result is
+         bounded by the partition count, never the row count — and
+         prefix-sum the counts into per-partition offsets on the
+         driver;
+      3. broadcast-join the offsets back and add a row_number windowed
+         BY PARTITION ID (so the window exchange is on _pid, parallel
+         across partitions).
+
+    The ranged intermediate is pinned so phases 2 and 3 see the same
+    physical partitioning. Output is bit-deterministic when the sort
+    key is total (pass a tiebreaker column).
+    """
+    from pyspark.sql import Window as W
+
+    from ..session import pin
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pin(ranged)
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_cnt"]
+    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    w = W.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w).cast("bigint") + F.col("_off") - 1),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+@_register(
+    "enumerate_docs_global",
+    """
+    SELECT doc_id,
+           md5('doc:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (
+                  ORDER BY md5('doc:' || CAST(doc_id AS VARCHAR)), doc_id)
+                - 1 AS BIGINT) AS global_idx
+    FROM documents
+    """,
+)
+def enumerate_docs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle + contiguous sample index —
+    the 'shuffle the corpus once, then address samples by position'
+    step every epoch-based training loader needs. Order is by the md5
+    of a seed-prefixed doc key (uniform, content-derived, reproducible
+    anywhere); the index comes from global_enumerate, so no
+    SinglePartition exchange appears anywhere in the plan (pinned by
+    tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return global_enumerate(keyed, ["shuffle_key", "doc_id"])

@@ -3895,3 +3895,121 @@ def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-regression aggregates, deterministic mode, gaps-and-islands
+# (round-6 fourth wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "regression_price_on_qty_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def regression_price_on_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares aggregates (slope / intercept /
+    R2 / pair count) of extendedprice on quantity — the SQL-standard
+    ``REGR_*`` family, one partial-aggregable pass (sums of x, y, xy,
+    x2, y2 combine associatively, so map-side combine applies and the
+    shuffle carries 5 doubles per group). Rounded to 6 decimals: the
+    moment algebra agrees across engines far past that (same contract
+    as stats_aggregates_lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "mode_event_type_by_user",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS top_event_type, n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_event_type_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent event_type per user,
+    ties broken lexicographically. Built-in ``mode()`` is
+    tie-nondeterministic in both engines, so the portable form is
+    count + rank — two exchanges on user_id that AQE plans as one
+    (the count's shuffle already co-locates the window's key)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
+    )
+
+
+@_register(
+    "islands_user_active_hours",
+    """
+    WITH hours AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr
+      FROM events
+    ), marked AS (
+      SELECT user_id, hr,
+             hr - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS island
+      FROM hours
+    ), islands AS (
+      SELECT user_id, island, COUNT(*) AS run_hours
+      FROM marked GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           MAX(run_hours) AS longest_run_hours,
+           CAST(SUM(run_hours) AS BIGINT) AS total_active_hours
+    FROM islands GROUP BY user_id
+    """,
+)
+def islands_user_active_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity hours: maximal runs of
+    consecutive hours with >=1 event, via the classic
+    value-minus-row_number grouping key. All integer arithmetic
+    (microsecond epochs floor-divided to hour indexes), so exactly
+    reproducible. One exchange on user_id serves the distinct, the
+    window, and both aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("bigint")
+    hours = e.select("user_id", hr.alias("hr")).distinct()
+    w = W.partitionBy("user_id").orderBy("hr")
+    return (
+        hours.withColumn("island", F.col("hr") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("run_hours"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("run_hours").alias("longest_run_hours"),
+            F.sum("run_hours").cast("bigint").alias("total_active_hours"),
+        )
+    )

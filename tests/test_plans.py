@@ -194,6 +194,13 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "pca_opq_rotation"),
         # BPE training: the 1-row argmax pair per bounded merge round
         ("llmops/textan.py", "bpe_learn"),
+        # observability demo: collects the CURATED result — a per-(split,
+        # lang) aggregate bounded by splits x languages, never corpus rows
+        ("llmops/pipeline.py", "curate_with_observed_metrics"),
+        # global enumeration: one count row PER PARTITION (never per row)
+        ("llmops/pipeline.py", "global_enumerate"),
+        # k-means fit: k seed rows + k·dim partial-sum rows per round
+        ("llmops/clustering.py", "kmeans_fit"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
