@@ -90,6 +90,13 @@ _PRIORITY = (
     "islands_user_active_hours",
     "graph_triangle_parts_basket",
     "enumerate_docs_global",
+    # never driver-checked: r6 fifth-wave oracle queries (quality-aware
+    # dedup survivor, curation funnel, lang x source association, skew
+    # diagnosis)
+    "dedup_keep_best_quality",
+    "curation_funnel_report",
+    "text_lang_source_mi",
+    "skew_report_lineitem_partkey",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
@@ -112,22 +119,19 @@ _PRIORITY = (
     "window_rank_parts_by_price",
     "window_running_quantity",
     # latest driver row r2
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
     "anti_join_orderless_customers",
-    "array_functions_embeddings",
-    "date_functions_orders",
     "distinct_counts_lineitem",
     "events_hourly_stats",
     "semi_join_finished_customers",
     "topk_expensive_orders",
     "window_rank_functions_customers",
     "window_revenue_share_by_region",
-    # Rotated out for the fourth-wave never-checked queries above
+    # Rotated out for the fourth/fifth-wave never-checked queries above
     # (never-checked outranks stale): the three ALL-variant setops
     # (their *_nations twins hold r1 slots in this window and the code
-    # is shared) and the two r3 TPC-H rows q3/q5 (unchanged code, next
-    # round's first stale bucket).
+    # is shared), the two r3 TPC-H rows q3/q5, and four r2 rows with
+    # unchanged code (agg_cube, agg_grouping_sets, array_functions,
+    # date_functions) — all next round's first stale bucket.
 )
 
 

@@ -929,3 +929,63 @@ def dedup_cross_doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dedup_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware dedup: keep the BEST duplicate, not the first
+# (round-6 fifth wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_keep_best_quality",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {SQL_NORM} AS norm,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, quality,
+             COUNT(*) OVER (PARTITION BY norm) AS group_size,
+             ROW_NUMBER() OVER (PARTITION BY norm
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(group_size AS BIGINT) AS group_size,
+           ROUND(quality, 6) AS quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection by QUALITY, not arrival order: per
+    normalized-content group keep the document with the highest lexical
+    diversity (type-token ratio), doc_id as the deterministic
+    tie-break. This is what production curation actually does — 'first
+    seen wins' keeps whichever crawl shard arrived first; 'best wins'
+    keeps the cleanest rendition of the duplicated content.
+
+    Scale shape: identical to keep-first dedup — one exchange on the
+    normalized-content key serves the group count and the rank; the
+    quality score is a per-row projection computed before the shuffle,
+    so the added semantics cost zero extra passes. (At 100 TB, swap the
+    raw norm string for its 128-bit hash as the shuffle key, same as
+    dedup_exact_docs documents.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    quality = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    scored = d.select(
+        "doc_id", normalized_text().alias("norm"), quality.alias("quality")
+    )
+    wp = W.partitionBy("norm")
+    wr = wp.orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("group_size", F.count("*").over(wp))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.round("quality", 6).alias("quality"),
+        )
+    )

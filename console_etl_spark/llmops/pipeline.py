@@ -662,3 +662,78 @@ def enumerate_docs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return global_enumerate(keyed, ["shuffle_key", "doc_id"])
+
+
+@_register(
+    "curation_funnel_report",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             MIN(doc_id) OVER (PARTITION BY {SQL_NORM}) AS canonical_id
+      FROM documents
+    ), flags AS (
+      SELECT CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN n_tokens BETWEEN 20 AND 80 AND ttr > 0.25
+                  THEN 1 ELSE 0 END AS f_quality,
+             CASE WHEN n_tokens BETWEEN 20 AND 80 AND ttr > 0.25
+                       AND doc_id = canonical_id
+                  THEN 1 ELSE 0 END AS f_dedup
+      FROM scored
+    ), agg AS (
+      SELECT COUNT(*) AS c0, SUM(f_len) AS c1, SUM(f_quality) AS c2,
+             SUM(f_dedup) AS c3
+      FROM flags
+    )
+    SELECT 0 AS stage, 'ingested' AS gate, CAST(c0 AS BIGINT) AS n_surviving FROM agg
+    UNION ALL
+    SELECT 1, 'length_20_80', CAST(c1 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 2, 'lexical_diversity', CAST(c2 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 3, 'dedup_canonical', CAST(c3 AS BIGINT) FROM agg
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts of the curation funnel (ingest ->
+    length gate -> lexical-diversity gate -> dedup-canonical) — the
+    'where did my corpus go' report every pipeline run ships with.
+
+    All four counts come from ONE pass: per-row flags are cumulative
+    (each stage ANDs the previous), summed by a single aggregate, then
+    unpivoted with stack(). The only shuffle is the dedup window's
+    exchange on the normalized-content key — the report adds no pass
+    over the corpus beyond what the curation itself does."""
+    from .dedup import normalized_text, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+
+    from pyspark.sql import Window as W
+
+    canonical = F.min("doc_id").over(W.partitionBy(normalized_text()))
+    f_len = (n_tok.between(20, 80)).cast("int")
+    f_quality = (n_tok.between(20, 80) & (ttr > 0.25)).cast("int")
+    f_dedup = (
+        n_tok.between(20, 80) & (ttr > 0.25) & (F.col("doc_id") == canonical)
+    ).cast("int")
+    agg = d.select(
+        f_len.alias("f_len"), f_quality.alias("f_quality"), f_dedup.alias("f_dedup")
+    ).agg(
+        F.count("*").alias("c0"),
+        F.sum("f_len").alias("c1"),
+        F.sum("f_quality").alias("c2"),
+        F.sum("f_dedup").alias("c3"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             0, 'ingested',          CAST(c0 AS BIGINT),
+             1, 'length_20_80',      CAST(c1 AS BIGINT),
+             2, 'lexical_diversity', CAST(c2 AS BIGINT),
+             3, 'dedup_canonical',   CAST(c3 AS BIGINT)
+           ) AS (stage, gate, n_surviving)"""
+    )

@@ -955,3 +955,68 @@ def bpe_segment_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.size("_u").alias("n_distinct_units"),
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical association: mutual information + chi-square
+# (round-6 fifth wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "text_lang_source_mi",
+    """
+    WITH j AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ), cl AS (
+      SELECT lang, CAST(SUM(c) AS DOUBLE) AS cl FROM j GROUP BY lang
+    ), cs AS (
+      SELECT source, CAST(SUM(c) AS DOUBLE) AS cs FROM j GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM j
+    ), grid AS (
+      SELECT cl.cl, cs.cs, tot.n, CAST(COALESCE(jj.c, 0) AS DOUBLE) AS c
+      FROM cl CROSS JOIN cs CROSS JOIN tot
+      LEFT JOIN j jj ON jj.lang = cl.lang AND jj.source = cs.source
+    )
+    SELECT ROUND(SUM(CASE WHEN c > 0
+                          THEN (c / n) * ln(c * n / (cl * cs))
+                          ELSE 0 END), 6) AS mi_nats,
+           ROUND(SUM(pow(c - cl * cs / n, 2) / (cl * cs / n)), 6) AS chi2,
+           CAST(MAX(n) AS BIGINT) AS n_docs
+    FROM grid
+    """,
+)
+def text_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between two categorical corpus dimensions (language
+    x source): mutual information in nats and the chi-square statistic
+    — the 'is my source mix confounded with language' audit that
+    decides whether per-source sampling weights must be
+    language-stratified.
+
+    Both statistics run over the FULL category grid (absent cells count
+    0 — they contribute expected mass to chi-square; MI's 0*ln0 limit
+    is 0). One corpus pass builds the joint counts; everything after is
+    category-sized (grid = |langs| x |sources| rows, broadcast joins,
+    1-row output)."""
+    d = load_table(spark, sf_dir, "documents")
+    j = pin(d.groupBy("lang", "source").agg(F.count("*").alias("c")))
+    cl = j.groupBy("lang").agg(F.sum("c").cast("double").alias("cl"))
+    cs = j.groupBy("source").agg(F.sum("c").cast("double").alias("cs"))
+    tot = j.agg(F.sum("c").cast("double").alias("n"))
+    grid = (
+        cl.crossJoin(cs)
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(j), ["lang", "source"], "left")
+        .select(
+            "cl", "cs", "n", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c")
+        )
+    )
+    c, n, pcl, pcs = F.col("c"), F.col("n"), F.col("cl"), F.col("cs")
+    mi_term = F.when(c > 0, (c / n) * F.log(c * n / (pcl * pcs))).otherwise(0.0)
+    expected = pcl * pcs / n
+    chi_term = F.pow(c - expected, F.lit(2)) / expected
+    return grid.agg(
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.round(F.sum(chi_term), 6).alias("chi2"),
+        F.max(n).cast("bigint").alias("n_docs"),
+    )

@@ -4013,3 +4013,64 @@ def islands_user_active_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("run_hours").cast("bigint").alias("total_active_hours"),
         )
     )
+
+
+@_register(
+    "skew_report_lineitem_partkey",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS rn FROM c
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ), top10 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM ranked WHERE rn <= 10
+    )
+    SELECT n_rows, ndv, max_cnt,
+           ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_key_share,
+           ROUND(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share,
+           ROUND(CAST(n_rows AS DOUBLE) / ndv, 6) AS avg_rows_per_key
+    FROM tot CROSS JOIN top10
+    """,
+)
+def skew_report_lineitem_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for a join/aggregation key: NDV,
+    hottest-key share, top-10 share, mean rows per key — the numbers
+    that decide between a plain shuffle, AQE skew-join, or explicit
+    salting (salted_join above) BEFORE a 100 TB job is launched.
+
+    One pass builds per-key counts (map-side combined); everything
+    after is key-cardinality-sized, and the top-10 is a TakeOrdered,
+    never a global sort."""
+    from .session import pin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = pin(li.groupBy("l_partkey").agg(F.count("*").alias("cnt")))
+    tot = c.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("ndv"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top10 = (
+        c.orderBy(F.desc("cnt"), "l_partkey")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+    )
+    return tot.crossJoin(top10).select(
+        "n_rows",
+        "ndv",
+        "max_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+            "max_key_share"
+        ),
+        F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("n_rows").cast("double") / F.col("ndv"), 6).alias(
+            "avg_rows_per_key"
+        ),
+    )
