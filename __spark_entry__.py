@@ -97,6 +97,11 @@ _PRIORITY = (
     "curation_funnel_report",
     "text_lang_source_mi",
     "skew_report_lineitem_partkey",
+    # never driver-checked: r6 sixth-wave oracle queries (time-weighted
+    # average, OHLC bars, deterministic-hash-sample AQP)
+    "twap_value_by_user",
+    "ohlc_hourly_value",
+    "aqp_revenue_estimate",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
@@ -121,17 +126,15 @@ _PRIORITY = (
     # latest driver row r2
     "anti_join_orderless_customers",
     "distinct_counts_lineitem",
-    "events_hourly_stats",
     "semi_join_finished_customers",
-    "topk_expensive_orders",
-    "window_rank_functions_customers",
     "window_revenue_share_by_region",
-    # Rotated out for the fourth/fifth-wave never-checked queries above
-    # (never-checked outranks stale): the three ALL-variant setops
+    # Rotated out for the fourth/fifth/sixth-wave never-checked queries
+    # above (never-checked outranks stale): the three ALL-variant setops
     # (their *_nations twins hold r1 slots in this window and the code
-    # is shared), the two r3 TPC-H rows q3/q5, and four r2 rows with
+    # is shared), the two r3 TPC-H rows q3/q5, and seven r2 rows with
     # unchanged code (agg_cube, agg_grouping_sets, array_functions,
-    # date_functions) — all next round's first stale bucket.
+    # date_functions, events_hourly_stats, topk_expensive,
+    # window_rank_functions) — all next round's first stale bucket.
 )
 
 

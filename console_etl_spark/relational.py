@@ -4074,3 +4074,161 @@ def skew_report_lineitem_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_rows_per_key"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average, OHLC resample, hash-sampled AQP
+# (round-6 sixth wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "twap_value_by_user",
+    """
+    WITH stepped AS (
+      SELECT user_id,
+             value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM stepped
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(t_next - t) > 0
+    """,
+)
+def twap_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user — each reading
+    holds until the next one, so the mean weights values by how long
+    they were current (the step-function integral sensors/prices need;
+    a plain AVG over-weights bursts). Interval arithmetic is integer
+    microseconds; one exchange on user_id serves the lead window and
+    the aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    stepped = e.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(dt).alias("_span"),
+        )
+        .filter(F.col("_span") > 0)
+        .drop("_span")
+    )
+
+
+@_register(
+    "ohlc_hourly_value",
+    """
+    WITH ordered AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_ts,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT bar_ts,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ordered GROUP BY bar_ts
+    """,
+)
+def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per hour, the opening value (earliest
+    (ts, event_id)), high, low, closing value (latest), and the event
+    count — the canonical time-series downsample. First/last are
+    struct-extrema aggregates (min/max of (ts, event_id, value)), so
+    the whole bar is ONE partial-aggregable pass — no window, no sort:
+    map-side combine reduces each partition to one struct per bar
+    before the shuffle, which is the shape that survives 100 TB of
+    ticks."""
+    e = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.groupBy(bar.alias("bar_ts"))
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+AQP_SAMPLE_THRESHOLD = "2"  # md5 hex < '2' → 2/16 = exactly 12.5 % of hash space
+
+
+@_register(
+    "aqp_revenue_estimate",
+    """
+    WITH sampled AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             md5('aqp:' || CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)) < '2' AS in_sample
+      FROM lineitem
+    )
+    SELECT CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           ROUND(CAST(SUM(CASE WHEN in_sample THEN rev END) AS DOUBLE) / 0.125, 2)
+             AS est_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS exact_revenue,
+           ROUND(ABS(CAST(SUM(CASE WHEN in_sample THEN rev END) AS DOUBLE) / 0.125
+                     - CAST(SUM(rev) AS DOUBLE))
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS rel_err
+    FROM sampled
+    """,
+)
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing on a DETERMINISTIC hash sample:
+    rows whose md5(key) falls in the first 1/8 of hex space form an
+    exactly-reproducible 12.5 % Bernoulli sample (no RNG, no seed
+    state — the same rows everywhere, which is what makes a sampled
+    estimate auditable). The estimate scales the sampled sum by the
+    inverse rate; the exact pass rides the same single scan via
+    conditional aggregation, so this query doubles as its own error
+    audit. At scale you'd persist the sample as a materialized 1/8
+    table and skip the exact branch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.lit("aqp:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    rev = dec("l_extendedprice") * (one() - rate("l_discount"))
+    scored = li.select(
+        rev.alias("rev"), (F.md5(key) < AQP_SAMPLE_THRESHOLD).alias("in_sample")
+    )
+    s_rev = F.sum(F.when(F.col("in_sample"), F.col("rev"))).cast("double")
+    x_rev = F.sum("rev").cast("double")
+    est = s_rev / 0.125
+    return scored.agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("bigint").alias(
+            "n_sampled"
+        ),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.round(est, 2).alias("est_revenue"),
+        F.round(x_rev, 2).alias("exact_revenue"),
+        F.round(F.abs(est - x_rev) / x_rev, 6).alias("rel_err"),
+    )
