@@ -102,6 +102,12 @@ _PRIORITY = (
     "twap_value_by_user",
     "ohlc_hourly_value",
     "aqp_revenue_estimate",
+    # never driver-checked: r6 seventh-wave oracle queries (nearest
+    # as-of, winsorized stats, Benford audit, Poisson bootstrap CI)
+    "asof_join_nearest_view",
+    "winsorized_price_stats",
+    "benford_totalprice_audit",
+    "bootstrap_revenue_ci",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
@@ -123,18 +129,14 @@ _PRIORITY = (
     "window_order_gap_days",
     "window_rank_parts_by_price",
     "window_running_quantity",
-    # latest driver row r2
-    "anti_join_orderless_customers",
-    "distinct_counts_lineitem",
-    "semi_join_finished_customers",
-    "window_revenue_share_by_region",
-    # Rotated out for the fourth/fifth/sixth-wave never-checked queries
+    # Rotated out for the fourth..seventh-wave never-checked queries
     # above (never-checked outranks stale): the three ALL-variant setops
     # (their *_nations twins hold r1 slots in this window and the code
-    # is shared), the two r3 TPC-H rows q3/q5, and seven r2 rows with
-    # unchanged code (agg_cube, agg_grouping_sets, array_functions,
-    # date_functions, events_hourly_stats, topk_expensive,
-    # window_rank_functions) — all next round's first stale bucket.
+    # is shared), the two r3 TPC-H rows q3/q5, and the whole r2 bucket
+    # (agg_cube, agg_grouping_sets, array_functions, date_functions,
+    # events_hourly_stats, topk_expensive, window_rank_functions,
+    # anti_join_orderless, distinct_counts, semi_join_finished,
+    # window_revenue_share) — all next round's first stale bucket.
 )
 
 

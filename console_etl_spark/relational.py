@@ -4232,3 +4232,326 @@ def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x_rev, 2).alias("exact_revenue"),
         F.round(F.abs(est - x_rev) / x_rev, 6).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of, winsorized stats, Benford audit, Poisson bootstrap
+# (round-6 seventh wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "asof_join_nearest_view",
+    """
+    WITH unioned AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, 0 AS side,
+             event_id AS eid, event_id AS q_eid, CAST(ts AS TIMESTAMP) AS q_ts
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL, NULL
+      FROM events WHERE event_type = 'purchase'
+    ), marked AS (
+      SELECT user_id, side, eid, ts_us,
+             LAST_VALUE(q_eid IGNORE NULLS) OVER wb AS b_eid,
+             LAST_VALUE(q_ts IGNORE NULLS) OVER wb AS b_ts,
+             LAST_VALUE(q_eid IGNORE NULLS) OVER wf AS f_eid,
+             LAST_VALUE(q_ts IGNORE NULLS) OVER wf AS f_ts
+      FROM unioned
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, side, eid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts_us DESC, side DESC, eid DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT eid AS purchase_event, user_id,
+           CASE WHEN b_eid IS NULL AND f_eid IS NULL THEN NULL
+                WHEN f_eid IS NULL THEN b_eid
+                WHEN b_eid IS NULL THEN f_eid
+                WHEN epoch_us(ts_us) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts_us) THEN b_eid
+                ELSE f_eid END AS nearest_view_event,
+           CASE WHEN b_eid IS NULL AND f_eid IS NULL THEN 'none'
+                WHEN f_eid IS NULL THEN 'backward'
+                WHEN b_eid IS NULL THEN 'forward'
+                WHEN epoch_us(ts_us) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts_us) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CASE WHEN b_eid IS NULL AND f_eid IS NULL THEN NULL
+                WHEN f_eid IS NULL THEN epoch_us(ts_us) - epoch_us(b_ts)
+                WHEN b_eid IS NULL THEN epoch_us(f_ts) - epoch_us(ts_us)
+                ELSE LEAST(epoch_us(ts_us) - epoch_us(b_ts),
+                           epoch_us(f_ts) - epoch_us(ts_us)) END AS gap_us
+    FROM marked WHERE side = 1
+    """,
+)
+def asof_join_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    purchase matched to the same user's closest view in either time
+    direction — backward wins ties, equal-timestamp views count as
+    backward.
+
+    Same O(n+m) union+window shape as the backward as-of above, run
+    twice over ONE exchange on user_id: an ascending carry-forward pass
+    (latest view at-or-before) and a descending pass (earliest view
+    strictly after); the nearest pick is then a per-row CASE on the two
+    integer-microsecond gaps. No join operator, no per-pair expansion."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.col("event_id").alias("q_eid"),
+        F.col("ts").alias("q_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("q_eid"),
+        F.lit(None).cast("timestamp").alias("q_ts"),
+    )
+    bounds = (W.unboundedPreceding, W.currentRow)
+    wb = W.partitionBy("user_id").orderBy("ts_us", "side", "eid").rowsBetween(*bounds)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("side"), F.desc("eid"))
+        .rowsBetween(*bounds)
+    )
+    marked = (
+        views.unionByName(purchases)
+        .withColumn("b_eid", F.last("q_eid", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last("q_ts", ignorenulls=True).over(wb))
+        .withColumn("f_eid", F.last("q_eid", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.last("q_ts", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    gap_b = F.unix_micros(F.col("ts_us")) - F.unix_micros(F.col("b_ts"))
+    gap_f = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts_us"))
+    none_b, none_f = F.col("b_eid").isNull(), F.col("f_eid").isNull()
+    back_wins = none_f | (~none_b & (gap_b <= gap_f))
+    return marked.select(
+        F.col("eid").alias("purchase_event"),
+        "user_id",
+        F.when(none_b & none_f, F.lit(None).cast("long"))
+        .when(back_wins, F.col("b_eid"))
+        .otherwise(F.col("f_eid"))
+        .alias("nearest_view_event"),
+        F.when(none_b & none_f, "none")
+        .when(back_wins, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(none_b & none_f, F.lit(None).cast("long"))
+        .when(none_f, gap_b)
+        .when(none_b, gap_f)
+        .otherwise(F.least(gap_b, gap_f))
+        .alias("gap_us"),
+    )
+
+
+@_register(
+    "winsorized_price_stats",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE),
+                                              lo), hi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_winsorized,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean per group beside the raw mean
+    and clip counts — the robust-statistics gate feature pipelines
+    apply before z-scoring heavy-tailed columns. Exactness contract:
+    the clipped per-row double is cast to DECIMAL(18,6) before summing,
+    so the group mean is summation-order-independent (same trick as the
+    money columns); the tiny quantile relation broadcasts back onto the
+    fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    price = F.col("l_extendedprice").cast("double")
+    clipped = F.least(F.greatest(price, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_winsorized"),
+            F.sum(F.when(price < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(price > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+        )
+    )
+
+
+@_register(
+    "benford_totalprice_audit",
+    """
+    WITH digits AS (
+      SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS digit
+      FROM orders
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n_orders FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n_orders) AS DOUBLE) AS n FROM counts
+    )
+    SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(n_orders / n, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_p,
+           ROUND(ABS(n_orders / n
+                     - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+    FROM counts CROSS JOIN tot
+    """,
+)
+def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1 + 1/d) share per leading digit — the classic
+    fabricated-numbers screen auditors run over financial columns (a
+    synthetic uniform-ish price column fails it loudly, which is itself
+    the point of the audit). One digit-projection pass, then everything
+    is 9-row arithmetic."""
+    from .session import pin
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    counts = pin(
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = counts.agg(F.sum("n_orders").cast("double").alias("n"))
+    obs = F.col("n_orders") / F.col("n")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(exp, 6).alias("expected_p"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+# Poisson(1) CDF as 8-hex-digit thresholds over md5's first 32 bits:
+# weight = #{k : md5_8 >= H[k]} reproduces an inverse-CDF Poisson draw
+# from a DETERMINISTIC uniform — identical literals in both engines, so
+# every replicate estimate is exact-decimal and bit-identical.
+BOOT_B = 32
+BOOT_POISSON_HEX = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c",
+]
+
+
+@_register(
+    "bootstrap_revenue_ci",
+    f"""
+    WITH exploded AS (
+      SELECT b.b,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             SUBSTRING(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                           || CAST(l_orderkey AS VARCHAR) || ':'
+                           || CAST(l_linenumber AS VARCHAR)), 1, 8) AS h8
+      FROM lineitem CROSS JOIN (SELECT UNNEST(RANGE({BOOT_B})) AS b) b
+    ), weighted AS (
+      SELECT b, rev,
+             {" + ".join(f"(CASE WHEN h8 >= '{h}' THEN 1 ELSE 0 END)" for h in BOOT_POISSON_HEX)}
+               AS w
+      FROM exploded
+    ), ests AS (
+      SELECT b, CAST(SUM(w * rev) AS DOUBLE) AS est,
+             CAST(SUM(rev) AS DOUBLE) AS tot
+      FROM weighted GROUP BY b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(AVG(est), 2) AS boot_mean,
+           ROUND(STDDEV_SAMP(est), 2) AS boot_se,
+           ROUND(AVG(est) - 1.96 * STDDEV_SAMP(est), 2) AS ci_lo,
+           ROUND(AVG(est) + 1.96 * STDDEV_SAMP(est), 2) AS ci_hi,
+           ROUND(MAX(tot), 2) AS exact_total
+    FROM ests
+    """,
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for total revenue — the
+    one-pass resampling scheme distributed engines use (per-row
+    Poisson(1) weights instead of with-replacement draws, so replicates
+    need no shuffle of the data). Weights come from a deterministic
+    md5-derived uniform pushed through the Poisson inverse CDF (shared
+    hex thresholds), making every replicate estimate an exact decimal
+    sum — the whole CI is reproducible anywhere. B x row expansion is
+    the entire cost; each replicate partial-aggregates map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (one() - rate("l_discount"))
+    exploded = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        rev.alias("rev"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ).select(
+        "b",
+        "rev",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ).alias("h8"),
+    )
+    w = sum(
+        (F.col("h8") >= F.lit(h)).cast("int") for h in BOOT_POISSON_HEX
+    )
+    ests = (
+        exploded.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("rev")).cast("double").alias("est"),
+            F.sum("rev").cast("double").alias("tot"),
+        )
+    )
+    mean, sd = F.avg("est"), F.stddev_samp("est")
+    return ests.agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.round(mean, 2).alias("boot_mean"),
+        F.round(sd, 2).alias("boot_se"),
+        F.round(mean - 1.96 * sd, 2).alias("ci_lo"),
+        F.round(mean + 1.96 * sd, 2).alias("ci_hi"),
+        F.round(F.max("tot"), 2).alias("exact_total"),
+    )
