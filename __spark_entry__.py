@@ -108,6 +108,13 @@ _PRIORITY = (
     "winsorized_price_stats",
     "benford_totalprice_audit",
     "bootstrap_revenue_ci",
+    # never driver-checked: r6 eighth-wave oracle queries (hypothesis
+    # testing: chi-square independence, Welch t-test, binned two-sample
+    # KS, one-pass pairwise correlation matrix)
+    "stats_chi2_independence",
+    "stats_welch_ttest",
+    "stats_ks_two_sample",
+    "stats_corr_matrix_lineitem",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",
@@ -125,6 +132,10 @@ _PRIORITY = (
     "range_join_price_bands",
     "setop_except_nations",
     "setop_intersect_nations",
+    # top_customers_by_revenue / window_order_gap_days /
+    # window_rank_parts_by_price / window_running_quantity sit past slot
+    # 50 now that the eighth-wave stats queries (never-checked) joined
+    # the window — they stay r1-stale for the next rotation.
     "top_customers_by_revenue",
     "window_order_gap_days",
     "window_rank_parts_by_price",

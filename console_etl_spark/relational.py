@@ -4555,3 +4555,380 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean + 1.96 * sd, 2).alias("ci_hi"),
         F.round(F.max("tot"), 2).alias("exact_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hypothesis-testing statistics: chi-square independence, Welch t-test,
+# binned two-sample KS, pairwise correlation matrix (round 6, eighth wave)
+# --------------------------------------------------------------------------
+#
+# The reference has no statistics tier at all (SURVEY.md §2.2 "Aggregations
+# beyond county"); these make the classical test statistics a data-quality
+# pipeline runs on 100 TB concrete as one-shuffle DataFrame plans: each
+# query reduces the fact scan to a bounded relation (contingency cells,
+# per-group moment sums, fixed histogram bins) in a single partial-agg
+# shuffle, then finishes the statistic on that bounded relation. Exactness
+# contract: all moment sums accumulate in DECIMAL (summation-order
+# independent), and the final float arithmetic applies the identical
+# operation sequence in Spark and DuckDB before a ROUND(_, 6).
+
+
+@_register(
+    "stats_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS obs
+      FROM orders GROUP BY 1, 2
+    ), ann AS (
+      SELECT s, p, obs,
+             SUM(obs) OVER () AS n,
+             SUM(obs) OVER (PARTITION BY s) AS rt,
+             SUM(obs) OVER (PARTITION BY p) AS ct
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT s) * COUNT(DISTINCT p) = COUNT(*)) AS INT)
+             AS is_complete,
+           CAST(((SELECT COUNT(DISTINCT s) FROM cells) - 1)
+                * ((SELECT COUNT(DISTINCT p) FROM cells) - 1) AS BIGINT)
+             AS dof,
+           ROUND(SUM(POW(obs - rt * ct / CAST(n AS DOUBLE), 2)
+                     / (rt * ct / CAST(n AS DOUBLE))), 6) AS chi2,
+           ROUND(SQRT(SUM(POW(obs - rt * ct / CAST(n AS DOUBLE), 2)
+                          / (rt * ct / CAST(n AS DOUBLE)))
+                      / (MAX(n)
+                         * LEAST((SELECT COUNT(DISTINCT s) FROM cells) - 1,
+                                 (SELECT COUNT(DISTINCT p) FROM cells) - 1))),
+                 6) AS cramers_v
+    FROM ann
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (order status x priority) with
+    Cramer's V effect size — the categorical-association audit a
+    curation pipeline runs before trusting a stratification column.
+
+    Scale shape: ONE partial-agg shuffle reduces the fact table to the
+    r x c contingency cells (<= 15 rows here); the expected counts,
+    chi2 sum, and dof all live on that bounded relation (windows over a
+    single task). is_complete flags whether every (row, col) pair was
+    observed — expected-count formulas silently assume it."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    ann = cells.select(
+        "obs",
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+        F.sum("obs").over(W.partitionBy("s")).alias("rt"),
+        F.sum("obs").over(W.partitionBy("p")).alias("ct"),
+        F.col("s"),
+        F.col("p"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    chi2 = F.sum(F.pow(F.col("obs") - e, F.lit(2.0)) / e)
+    n_s = F.countDistinct("s")
+    n_p = F.countDistinct("p")
+    return ann.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.countDistinct("s") * F.countDistinct("p") == F.count("*"))
+        .cast("int")
+        .alias("is_complete"),
+        ((n_s - 1) * (n_p - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * F.least(n_s - 1, n_p - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@_register(
+    "stats_welch_ttest",
+    """
+    WITH moments AS (
+      SELECT l_returnflag AS flag,
+             COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag
+    ), stats AS (
+      SELECT flag, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+               AS var,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) / n
+               AS se2
+      FROM moments
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_a,
+           CAST(r.n AS BIGINT) AS n_r,
+           ROUND(a.mean, 6) AS mean_a,
+           ROUND(r.mean, 6) AS mean_r,
+           ROUND((a.mean - r.mean) / SQRT(a.se2 + r.se2), 6) AS t_stat,
+           ROUND(POW(a.se2 + r.se2, 2)
+                 / (POW(a.se2, 2) / (a.n - 1) + POW(r.se2, 2) / (r.n - 1)),
+                 4) AS welch_dof
+    FROM (SELECT * FROM stats WHERE flag = 'A') a,
+         (SELECT * FROM stats WHERE flag = 'R') r
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the A and R return-flag
+    price populations: t statistic and Welch-Satterthwaite degrees of
+    freedom, from exact decimal moment sums.
+
+    Scale shape: one filtered partial-agg shuffle produces two moment
+    rows (n, sum x, sum x^2 — DECIMAL, so summation-order independent);
+    the statistic is a scalar expression over those two rows. The same
+    two-pass-free moment formula var = (sxx - sx^2/n)/(n-1) runs
+    identically in DuckDB, so values match bit-for-bit before ROUND."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    sx, sxx, n = (
+        F.col("sx").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("n"),
+    )
+    var = (sxx - sx * sx / n) / (n - 1)
+    stats = m.select(
+        "flag",
+        "n",
+        (sx / n).alias("mean"),
+        var.alias("var"),
+        (var / n).alias("se2"),
+    )
+    a = stats.filter(F.col("flag") == "A").alias("a")
+    r = stats.filter(F.col("flag") == "R").alias("r")
+    se2 = F.col("a.se2") + F.col("r.se2")
+    return a.crossJoin(F.broadcast(r)).select(
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("r.n").cast("bigint").alias("n_r"),
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.round(F.col("r.mean"), 6).alias("mean_r"),
+        F.round((F.col("a.mean") - F.col("r.mean")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, F.lit(2.0))
+            / (
+                F.pow(F.col("a.se2"), F.lit(2.0)) / (F.col("a.n") - 1)
+                + F.pow(F.col("r.se2"), F.lit(2.0)) / (F.col("r.n") - 1)
+            ),
+            4,
+        ).alias("welch_dof"),
+    )
+
+
+@_register(
+    "stats_ks_two_sample",
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), mm AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM s
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 512.0)) AS BIGINT),
+                   511) AS bin,
+             g1
+      FROM s, mm
+    ), cnt AS (
+      SELECT bin, SUM(g1) AS c1, SUM(1 - g1) AS c2
+      FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY bin) AS a1,
+             SUM(c2) OVER (ORDER BY bin) AS a2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM cnt
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(512 AS BIGINT) AS n_bins,
+           ROUND(MAX(ABS(CAST(a1 AS DOUBLE) / n1
+                         - CAST(a2 AS DOUBLE) / n2)), 6) AS d_stat,
+           ROUND(MAX(ABS(CAST(a1 AS DOUBLE) / n1
+                         - CAST(a2 AS DOUBLE) / n2))
+                 * SQRT(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+                        / (MAX(n1) + MAX(n2))), 6) AS ks_scaled
+    FROM cum
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the URGENT and LOW
+    priority order-value distributions, computed on a fixed 512-bin
+    equi-width grid — the distribution-drift check a training pipeline
+    runs between corpus snapshots.
+
+    Scale shape: the distributed work is ONE partial-agg shuffle from
+    the fact scan down to <= 512 (bin, c1, c2) rows; the CDF prefix sum
+    and max-gap run on that bounded relation (the single-task window is
+    over 512 rows by construction, never over the data). Binning makes
+    the statistic deterministic AND scalable — an exact KS needs a
+    global sort of both samples; on the grid, both engines apply
+    identical double arithmetic, so values match before ROUND."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    mm = s.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(512.0)
+    binned = s.join(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+            F.lit(511).cast("bigint"),
+        ).alias("bin"),
+        "g1",
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnt.select(
+        F.sum("c1").over(wcum).alias("a1"),
+        F.sum("c2").over(wcum).alias("a2"),
+        F.sum("c1").over(W.partitionBy()).alias("n1"),
+        F.sum("c2").over(W.partitionBy()).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("a1").cast("double") / F.col("n1")
+        - F.col("a2").cast("double") / F.col("n2")
+    )
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.lit(512).cast("bigint").alias("n_bins"),
+        F.round(F.max(gap), 6).alias("d_stat"),
+        F.round(
+            F.max(gap)
+            * F.sqrt(
+                F.max("n1").cast("double")
+                * F.max("n2")
+                / (F.max("n1") + F.max("n2"))
+            ),
+            6,
+        ).alias("ks_scaled"),
+    )
+
+
+@_register(
+    "stats_corr_matrix_lineitem",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))) AS s_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS s_p,
+             SUM(CAST(l_discount      AS DECIMAL(19,4))) AS s_d,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_quantity      AS DECIMAL(19,4))) AS s_qq,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+               * CAST(l_extendedprice AS DECIMAL(19,4))) AS s_pp,
+             SUM(CAST(l_discount      AS DECIMAL(19,4))
+               * CAST(l_discount      AS DECIMAL(19,4))) AS s_dd,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_extendedprice AS DECIMAL(19,4))) AS s_qp,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_discount      AS DECIMAL(19,4))) AS s_qd,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+               * CAST(l_discount      AS DECIMAL(19,4))) AS s_pd
+      FROM lineitem
+    ), c AS (
+      SELECT n,
+             (n * CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+             / SQRT((n * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * (n * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)))
+               AS corr_qp,
+             (n * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+             / SQRT((n * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * (n * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+               AS corr_qd,
+             (n * CAST(s_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+             / SQRT((n * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                  * (n * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+               AS corr_pd
+      FROM m
+    )
+    SELECT var_x, var_y, CAST(n AS BIGINT) AS n, ROUND(corr, 6) AS corr
+    FROM (
+      SELECT n, 'quantity' AS var_x, 'extendedprice' AS var_y,
+             corr_qp AS corr FROM c
+      UNION ALL
+      SELECT n, 'quantity', 'discount', corr_qd FROM c
+      UNION ALL
+      SELECT n, 'extendedprice', 'discount', corr_pd FROM c
+    )
+    ORDER BY var_x, var_y
+    """,
+)
+def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long form) over the lineitem
+    numeric columns (quantity, extendedprice, discount) — the feature-
+    redundancy screen run before fitting anything on tabular columns.
+
+    Scale shape: ONE aggregation computes every first and second moment
+    (9 decimal sums) in a single pass over the fact scan — no per-pair
+    re-scan, no shuffle beyond the scalar partial-agg tree. The
+    correlations derive from those exact decimal sums on a 1-row
+    relation, unpivoted to long form with stack(). All moment sums are
+    DECIMAL (order-independent); the double arithmetic applies the
+    identical operation sequence in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,4)")
+    p = F.col("l_extendedprice").cast("decimal(12,4)")
+    d = F.col("l_discount").cast("decimal(12,4)")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s_q"),
+        F.sum(p).alias("s_p"),
+        F.sum(d).alias("s_d"),
+        F.sum(q * q).alias("s_qq"),
+        F.sum(p * p).alias("s_pp"),
+        F.sum(d * d).alias("s_dd"),
+        F.sum(q * p).alias("s_qp"),
+        F.sum(q * d).alias("s_qd"),
+        F.sum(p * d).alias("s_pd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> Column:
+        n = F.col("n")
+        xy, x, y = (F.col(c).cast("double") for c in (sxy, sx, sy))
+        xx, yy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        return (n * xy - x * y) / F.sqrt(
+            (n * xx - x * x) * (n * yy - y * y)
+        )
+
+    c = m.select(
+        "n",
+        corr("s_qp", "s_q", "s_p", "s_qq", "s_pp").alias("corr_qp"),
+        corr("s_qd", "s_q", "s_d", "s_qq", "s_dd").alias("corr_qd"),
+        corr("s_pd", "s_p", "s_d", "s_pp", "s_dd").alias("corr_pd"),
+    )
+    return c.select(
+        F.expr(
+            "stack(3, "
+            "'quantity', 'extendedprice', corr_qp, "
+            "'quantity', 'discount', corr_qd, "
+            "'extendedprice', 'discount', corr_pd) AS (var_x, var_y, corr0)"
+        ),
+        F.col("n").cast("bigint").alias("n"),
+    ).select(
+        "var_x", "var_y", "n", F.round("corr0", 6).alias("corr")
+    ).orderBy("var_x", "var_y")
