@@ -115,6 +115,10 @@ _PRIORITY = (
     "stats_welch_ttest",
     "stats_ks_two_sample",
     "stats_corr_matrix_lineitem",
+    # never driver-checked: r6 ninth-wave oracle queries (frontier BFS
+    # vs recursive-CTE oracle; interval-overlap session concurrency)
+    "graph_bfs_hop_histogram",
+    "overlap_sessions_per_hour",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

@@ -202,3 +202,76 @@ def graph_triangle_parts_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(edges.agg(F.count("*").alias("n_edges")))
         .crossJoin(tris)
     )
+
+
+@_register(
+    "graph_bfs_hop_histogram",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src,
+             's' || CAST(s AS VARCHAR) AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM pairs
+    ), bfs AS (
+      SELECT 's1' AS node, 0 AS hops
+      UNION
+      SELECT e.dst, b.hops + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hops < 3
+    ), dist AS (
+      SELECT node, MIN(hops) AS hops FROM bfs GROUP BY node
+    )
+    SELECT CAST(hops AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY hops ORDER BY hops
+    """,
+)
+def graph_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-hop histogram from supplier node s1 over
+    the customer<->supplier trade graph, depth-capped at 3 — the
+    reachability profile ("how many counterparties are 1 / 2 / 3 hops
+    away") that graph engines answer with single-source BFS.
+
+    Spark shape: textbook frontier BFS as driver-side control flow — a
+    FIXED 3 iterations, each one equi-join of the current frontier
+    against the edge relation (hash-partitioned on src once, reused
+    every round) + an anti-join against the visited set; localCheckpoint
+    truncates lineage per round (same contract as pagerank above). No
+    step is proportional to anything but the frontier x degree. The
+    DuckDB oracle expresses the identical min-hop semantics as a
+    recursive CTE, so the histogram is value-checked end to end."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c = F.concat(F.lit("c"), F.col("o_custkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    edges = (
+        pairs.select(c.alias("src"), s.alias("dst"))
+        .unionByName(pairs.select(s.alias("src"), c.alias("dst")))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([("s1", 0)], "node string, hops int")
+    frontier = dist.select("node")
+    for h in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return (
+        dist.groupBy("hops")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(F.col("hops").cast("int").alias("hops"), "n_nodes")
+        .orderBy("hops")
+    )

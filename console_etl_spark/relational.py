@@ -4932,3 +4932,86 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "var_x", "var_y", "n", F.round("corr0", 6).alias("corr")
     ).orderBy("var_x", "var_y")
+
+
+@_register(
+    "overlap_sessions_per_hour",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ), bounds AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ), spans AS (
+      SELECT user_id,
+             UNNEST(generate_series(date_trunc('hour', s_start),
+                                    date_trunc('hour', s_end),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT hour,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM spans GROUP BY hour ORDER BY hour
+    """,
+)
+def overlap_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join of user sessions against the hourly time
+    grid: every session (30-min-gap definition, identical to
+    sessionize_events) counts in EVERY hour bucket its [start, end]
+    interval overlaps — even hours with no event inside them. This is
+    the concurrency profile ("how many sessions were live at hour H")
+    that a naive per-event rollup gets wrong.
+
+    Scale shape: interval-to-grid overlap as one narrow explode —
+    sequence(hour(start), hour(end)) per session, bounded by session
+    duration, never a range-predicate join. The grid side never
+    materializes; there is exactly one shuffle beyond sessionization
+    (the per-hour re-aggregation). At 100 TB this is the bucketized
+    interval-join pattern: equality on hour replaces the
+    non-equi overlap predicate Catalyst would turn into a
+    broadcast-nested-loop."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    bounds = (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    spans = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
+    )
+    return (
+        spans.groupBy("hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("hour")
+    )
