@@ -737,3 +737,78 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              3, 'dedup_canonical',   CAST(c3 AS BIGINT)
            ) AS (stage, gate, n_surviving)"""
     )
+
+
+PACK_FFD_SHARDS = 4
+
+
+@_register("pack_sequences_ffd", None)  # rows-only: bin-packing heuristic not SQL-expressible
+def pack_sequences_ffd(
+    spark: SparkSession, sf_dir: str, n_shards: int = PACK_FFD_SHARDS
+) -> DataFrame:
+    """First-fit-decreasing sequence packing: documents are binned into
+    fixed-token-budget packs per (lang, shard), placing each document
+    (largest first) into the first pack with room — the tighter packing
+    a training-data builder runs when pad-token waste matters more than
+    stream order (FFD <= 11/9 OPT + 1 bins vs 2 OPT for the streaming
+    packer pack_sequences_by_lang above).
+
+    Scale shape: packing is inherently sequential WITHIN a bin set, so
+    the group is the unit of distribution — documents are salted into
+    PACK_FFD_SHARDS shards per lang (deterministic xxhash64), and FFD
+    runs independently per (lang, shard) inside one applyInPandas batch.
+    Group size is corpus/(langs*shards) — tune PACK_FFD_SHARDS so a
+    group fits an executor; pack ids stay globally unique via the
+    (lang, shard, local bin) triple. Unit laws pin: every doc assigned
+    exactly once; no pack over capacity unless it is a single oversize
+    document; at most one pack per group at most half full (the
+    first-fit guarantee)."""
+    cap = PACK_CONTEXT_TOKENS
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_tokens"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["est_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        lang = pdf["lang"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        remaining: list[int] = []
+        assigned: list[int] = []
+        for tok in pdf["est_tokens"]:
+            tok = int(tok)
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if rem >= tok:
+                    placed = i
+                    break
+            if placed < 0:
+                remaining.append(cap - tok)  # oversize goes negative: own bin
+                placed = len(remaining) - 1
+            else:
+                remaining[placed] -= tok
+            assigned.append(placed)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "est_tokens": pdf["est_tokens"],
+                "pack_id": [f"{lang}/{shard}/{b}" for b in assigned],
+            }
+        )
+
+    return (
+        d.groupBy("lang", "shard")
+        .applyInPandas(
+            ffd, "doc_id long, lang string, est_tokens long, pack_id string"
+        )
+        .orderBy("doc_id")
+    )

@@ -383,3 +383,119 @@ def stream_heavy_hitters(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: mergeable NDV / union /
+# intersection estimation (round 6, ninth wave)
+# --------------------------------------------------------------------------
+#
+# The k smallest hash values of a set determine an unbiased NDV estimate
+# ndv ~= (k-1) / u_(k) (u_(k) = k-th smallest hash mapped into (0,1)),
+# and two sketches combine by "union the hash sets, keep the k smallest"
+# — the mergeability that lets 100 TB of per-partition sketches reduce
+# to one k-row relation. Set operations follow without ever joining the
+# raw data: Jaccard ~= |K(A u B) that appear in both A_k and B_k| / k,
+# intersection ~= J * union. Error is O(1/sqrt(k)) relative; tests pin
+# the merge-equality law EXACTLY (same k smallest either way) and the
+# estimate error empirically.
+
+KMV_K = 256
+
+
+def kmv_sketch(df: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest DISTINCT xxhash64 values of df[key], as a k-row
+    DataFrame (column h, ascending by construction via TakeOrdered).
+
+    Scale shape: distinct on the hash (partial-agg shuffle), then a
+    global ascending top-k — Spark executes sort().limit(k) as
+    TakeOrderedAndProject: per-partition heaps of size k, one k-row
+    merge on the driver side of the exchange; nothing data-sized moves."""
+    return (
+        df.select(F.xxhash64(F.col(key)).alias("h"))
+        .distinct()
+        .sort("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union the two sketches' hash sets, keep the k smallest — the
+    exact same sketch kmv_sketch would produce on the unioned input
+    (restricted to the keys both sketches saw; tests pin equality)."""
+    return a.unionByName(b).distinct().sort("h").limit(k)
+
+
+def _kmv_u(h: Column) -> Column:
+    """Map a signed-64 hash into u in (0, 1): (h + 2^63 + 1) / (2^64+2) —
+    strictly inside the open interval so 1/u never divides by zero."""
+    return (h.cast("double") + F.lit(2.0**63 + 1.0)) / F.lit(2.0**64 + 2.0)
+
+
+def kmv_ndv(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """NDV estimate from one sketch: (k-1)/u_(k); if the sketch holds
+    fewer than k hashes the set was small — the sketch IS the distinct
+    set, so the exact count is returned."""
+    agg = sketch.agg(
+        F.count("*").alias("m"), F.max(_kmv_u(F.col("h"))).alias("uk")
+    )
+    return agg.select(
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise((F.lit(k - 1)) / F.col("uk"))
+        .alias("ndv_est")
+    )
+
+
+@_register("sketch_kmv_user_overlap", None)  # rows-only: xxhash64 order not SQL-portable
+def sketch_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between the 'view' and 'purchase' event
+    populations, estimated purely from two KMV sketches (k=256) — the
+    corpus-overlap / audience-intersection estimate that at 100 TB must
+    come from mergeable sketches, not a distinct-join.
+
+    Output: one row with the two NDV estimates, union and intersection
+    estimates, and the Jaccard — all deterministic (fixed xxhash64).
+    Unit laws pin merge-equality exactly and estimate error vs exact
+    NDV on the same fixture."""
+    e = load_table(spark, sf_dir, "events")
+    a = kmv_sketch(e.filter(F.col("event_type") == "view"), "user_id")
+    b = kmv_sketch(e.filter(F.col("event_type") == "purchase"), "user_id")
+    m = kmv_merge(a, b)
+    # tag membership of each merged hash in the source sketches
+    tagged = (
+        m.join(a.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(b.withColumn("in_b", F.lit(1)), "h", "left")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    stats = tagged.agg(
+        F.count("*").alias("m"),
+        F.max(_kmv_u(F.col("h"))).alias("uk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both"),
+    )
+    k = KMV_K
+    union_est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(F.lit(k - 1) / F.col("uk"))
+    jac = F.col("both") / F.col("m")
+    ndv = lambda s: s.agg(  # noqa: E731 — tiny local alias
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.lit(k - 1) / F.max(_kmv_u(F.col("h"))))
+        .alias("v")
+    )
+    a_est = ndv(a).withColumnRenamed("v", "ndv_view_est")
+    b_est = ndv(b).withColumnRenamed("v", "ndv_purchase_est")
+    return (
+        stats.crossJoin(F.broadcast(a_est))
+        .crossJoin(F.broadcast(b_est))
+        .select(
+            F.round("ndv_view_est", 2).alias("ndv_view_est"),
+            F.round("ndv_purchase_est", 2).alias("ndv_purchase_est"),
+            F.round(union_est, 2).alias("ndv_union_est"),
+            F.round(jac, 4).alias("jaccard_est"),
+            F.round(jac * union_est, 2).alias("ndv_intersect_est"),
+        )
+    )

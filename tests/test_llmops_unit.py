@@ -2098,3 +2098,55 @@ def test_opq_beats_plain_pq_on_anisotropic_clusters(spark, tmp_path):
     r_opq = len(exact & opq) / len(exact)
     assert r_opq >= 0.95, f"OPQ recall@5 {r_opq:.3f} < 0.95"
     assert r_opq >= r_pq, f"rotation hurt recall: {r_opq:.3f} < {r_pq:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch laws
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability, EXACT: merging the sketches of two disjoint slices
+    yields the identical k smallest hashes as sketching the union."""
+    from console_etl_spark.llmops import sketches as sk
+
+    e = load_table(spark, SF_TEST, "events")
+    a = e.filter(F.col("event_type") == "view")
+    b = e.filter(F.col("event_type") == "click")
+    merged = sk.kmv_merge(
+        sk.kmv_sketch(a, "user_id"), sk.kmv_sketch(b, "user_id")
+    )
+    direct = sk.kmv_sketch(a.unionByName(b), "user_id")
+    mh = [r.h for r in merged.orderBy("h").collect()]
+    dh = [r.h for r in direct.orderBy("h").collect()]
+    assert mh == dh
+
+
+def test_kmv_ndv_estimate_error(spark):
+    """NDV estimate within the O(1/sqrt(k)) relative-error regime:
+    k=256 -> sigma ~ 6.3%; assert within 4 sigma (25%) — loose enough
+    to never flake, tight enough to catch a broken estimator (which is
+    typically off by 2x+)."""
+    from console_etl_spark.llmops import sketches as sk
+
+    e = load_table(spark, SF_TEST, "events")
+    exact = e.select("user_id").distinct().count()
+    est = sk.kmv_ndv(sk.kmv_sketch(e, "user_id")).collect()[0].ndv_est
+    if exact < sk.KMV_K:
+        assert est == float(exact)  # sub-k sets are exact by contract
+    else:
+        assert abs(est - exact) / exact < 0.25
+
+
+def test_kmv_overlap_query_shape_and_bounds(spark):
+    """The registered overlap query: one row, estimates positive,
+    jaccard in [0,1], intersection <= min(ndv_a, ndv_b) * (1 + slack),
+    union >= max(ndv_a, ndv_b) * (1 - slack)."""
+    from console_etl_spark.llmops import sketches as sk
+
+    row = sk.sketch_kmv_user_overlap(spark, SF_TEST).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0.0 <= r.jaccard_est <= 1.0
+    assert r.ndv_union_est >= max(r.ndv_view_est, r.ndv_purchase_est) * 0.75
+    assert r.ndv_intersect_est <= min(r.ndv_view_est, r.ndv_purchase_est) * 1.25

@@ -273,3 +273,67 @@ def test_export_manifest_counts_both_layouts(spark, tmp_path):
     m2 = pipeline.export_manifest(jl)
     assert m2["n_samples"] == 40
     assert m2["n_shards"] == 3  # hive layout materializes every shard dir
+
+
+def test_pack_ffd_laws(spark):
+    """FFD packing: (1) every doc assigned exactly once; (2) no
+    multi-doc pack exceeds capacity (oversize docs sit alone); (3) the
+    first-fit guarantee — at most ONE pack per (lang, shard) group is
+    at most half full."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.llmops.pipeline import (
+        PACK_CONTEXT_TOKENS,
+        pack_sequences_ffd,
+    )
+
+    out = pack_sequences_ffd(spark, SF_TEST)
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+    loads = out.groupBy("pack_id").agg(
+        F.sum("est_tokens").alias("load"), F.count("*").alias("n")
+    )
+    assert (
+        loads.filter(
+            (F.col("load") > PACK_CONTEXT_TOKENS) & (F.col("n") > 1)
+        ).count()
+        == 0
+    )
+    # first-fit half-full law, per (lang, shard) group
+    half = (
+        loads.withColumn(
+            "grp", F.regexp_extract("pack_id", r"^(.+/\d+)/\d+$", 1)
+        )
+        .filter(F.col("load") * 2 <= PACK_CONTEXT_TOKENS)
+        .groupBy("grp")
+        .count()
+    )
+    assert half.filter(F.col("count") > 1).count() == 0
+
+
+def test_pack_ffd_no_worse_than_streaming_packer(spark):
+    """FFD's bin count is <= the streaming packer's pack count on the
+    same corpus and capacity (FFD <= 11/9 OPT + 1 vs 2 OPT) — packing
+    quality, measured, not assumed."""
+    from console_etl_spark.llmops.pipeline import (
+        pack_sequences_by_lang,
+        pack_sequences_ffd,
+    )
+
+    # n_shards=1: shard-for-shard comparison (each extra shard adds at
+    # least one bin of fragmentation, which at 500 docs dominates)
+    ffd_packs = (
+        pack_sequences_ffd(spark, SF_TEST, n_shards=1)
+        .select("pack_id")
+        .distinct()
+        .count()
+    )
+    stream_packs = (
+        pack_sequences_by_lang(spark, SF_TEST)
+        .select("lang", "pack_id")
+        .distinct()
+        .count()
+    )
+    assert ffd_packs <= stream_packs
