@@ -119,6 +119,10 @@ _PRIORITY = (
     # vs recursive-CTE oracle; interval-overlap session concurrency)
     "graph_bfs_hop_histogram",
     "overlap_sessions_per_hour",
+    # never driver-checked: r6 tenth-wave oracle queries (trailing EWMA
+    # with exact rational weights; hourly-series autocorrelation)
+    "ewma_trailing_user_value",
+    "acf_hourly_event_counts",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

@@ -5015,3 +5015,191 @@ def overlap_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series: trailing EWMA with exact rational weights; autocorrelation
+# of the hourly activity series (round 6, tenth wave)
+# --------------------------------------------------------------------------
+
+# EWMA weights for alpha=0.2 over a 20-row trailing window, as EXACT
+# integers: weight(lag d) = (4/5)^d scaled by 5^19 -> 4^d * 5^(19-d).
+# Integer weights make the weighted sum a DECIMAL accumulation
+# (summation-order independent), so Spark and DuckDB agree bit-for-bit
+# before the final double division — the same exactness trick as the
+# money columns, applied to exponential decay.
+EWMA_WINDOW = 20
+EWMA_WEIGHTS = [19073486328125, 15258789062500, 12207031250000, 9765625000000, 7812500000000, 6250000000000, 5000000000000, 4000000000000, 3200000000000, 2560000000000, 2048000000000, 1638400000000, 1310720000000, 1048576000000, 838860800000, 671088640000, 536870912000, 429496729600, 343597383680, 274877906944]
+
+
+@_register(
+    "ewma_trailing_user_value",
+    """
+    WITH weights(d, wt) AS (
+      VALUES (0, 19073486328125),
+             (1, 15258789062500),
+             (2, 12207031250000),
+             (3, 9765625000000),
+             (4, 7812500000000),
+             (5, 6250000000000),
+             (6, 5000000000000),
+             (7, 4000000000000),
+             (8, 3200000000000),
+             (9, 2560000000000),
+             (10, 2048000000000),
+             (11, 1638400000000),
+             (12, 1310720000000),
+             (13, 1048576000000),
+             (14, 838860800000),
+             (15, 671088640000),
+             (16, 536870912000),
+             (17, 429496729600),
+             (18, 343597383680),
+             (19, 274877906944)
+    ), r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           ROUND(CAST(SUM(CAST(b.value AS DECIMAL(9,2)) * w.wt) AS DOUBLE)
+                 / CAST(SUM(w.wt) AS DOUBLE), 6) AS ewma_20
+    FROM r a
+    JOIN r b ON a.user_id = b.user_id
+            AND b.rn BETWEEN a.rn - 19 AND a.rn
+    JOIN weights w ON w.d = a.rn - b.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def ewma_trailing_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.2, normalized,
+    20-row trailing window) of each user's event values — the smoothed
+    activity signal feature stores compute per entity.
+
+    Scale shape: ONE shuffle (partition by user), then collect_list
+    over the bounded trailing frame and two JVM-side higher-order
+    functions (zip_with + aggregate) per row — no self-join, no Python.
+    The oracle expresses the identical weighted sum as a bounded
+    rn-band self-join against a 20-row weights relation; both sides
+    accumulate in DECIMAL with the same exact integer weights, so the
+    division operands match exactly."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), W.currentRow)
+    )
+    arr = F.collect_list(F.col("value").cast("decimal(9,2)")).over(w)
+    wts = F.array(*[F.lit(v) for v in EWMA_WEIGHTS])
+    num = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.size("arr") - 1, F.lit(0), F.lit(-1)),
+            lambda x, d: x * F.element_at(wts, d + 1),
+        ),
+        F.lit(0).cast("decimal(38,2)"),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(0), F.size("arr") - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + F.element_at(wts, d + 1),
+    )
+    return (
+        e.select("user_id", "event_id", arr.alias("arr"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("ewma_20"),
+        )
+    )
+
+
+@_register(
+    "acf_hourly_event_counts",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT c,
+             LAG(c, 1) OVER (ORDER BY hour) AS l1,
+             LAG(c, 2) OVER (ORDER BY hour) AS l2,
+             LAG(c, 3) OVER (ORDER BY hour) AS l3,
+             LAG(c, 4) OVER (ORDER BY hour) AS l4,
+             LAG(c, 5) OVER (ORDER BY hour) AS l5,
+             LAG(c, 6) OVER (ORDER BY hour) AS l6
+      FROM hourly
+    ), pairs AS (
+      SELECT 1 AS lag, c AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL SELECT 2, c, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL SELECT 3, c, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL SELECT 4, c, l4 FROM lagged WHERE l4 IS NOT NULL
+      UNION ALL SELECT 5, c, l5 FROM lagged WHERE l5 IS NOT NULL
+      UNION ALL SELECT 6, c, l6 FROM lagged WHERE l6 IS NOT NULL
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / SQRT((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                      * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+                         - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))),
+                 6) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def acf_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..6 — the seasonality probe run before choosing rollup windows or
+    forecast features.
+
+    Scale shape: the fact scan reduces to the hourly count series in
+    one partial-agg shuffle; the series (bounded by the time span, not
+    the data) then takes 6 window lags in a single pass and aggregates
+    exact integer moment sums per lag. The single-partition window is
+    over the bounded series only. Counts are integers, so every moment
+    sum is exact; the correlation arithmetic is the same double
+    operation sequence in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("c"))
+    )
+    wo = W.orderBy("hour")
+    lagged = hourly.select(
+        "c", *[F.lag("c", d).over(wo).alias(f"l{d}") for d in range(1, 7)]
+    )
+    pairs = None
+    for d in range(1, 7):
+        p = (
+            lagged.filter(F.col(f"l{d}").isNotNull())
+            .select(
+                F.lit(d).alias("lag"),
+                F.col("c").alias("x"),
+                F.col(f"l{d}").alias("y"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    n = F.count("*")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+        .select(F.col("lag").cast("int").alias("lag"), "n", "acf")
+        .orderBy("lag")
+    )
