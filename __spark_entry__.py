@@ -123,6 +123,10 @@ _PRIORITY = (
     # with exact rational weights; hourly-series autocorrelation)
     "ewma_trailing_user_value",
     "acf_hourly_event_counts",
+    # never driver-checked: r6 eleventh-wave oracle queries (PMI
+    # collocations, Flesch readability)
+    "text_pmi_collocations",
+    "text_readability_scores",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

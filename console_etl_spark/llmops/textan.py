@@ -1020,3 +1020,150 @@ def text_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(chi_term), 6).alias("chi2"),
         F.max(n).cast("bigint").alias("n_docs"),
     )
+
+
+@_register(
+    "text_pmi_collocations",
+    """
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), uni AS (
+      SELECT w, COUNT(*) AS c FROM words GROUP BY w
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS c_xy FROM (
+        SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM words QUALIFY w2 IS NOT NULL) t
+      GROUP BY w1, w2
+    ), nb AS (
+      SELECT CAST(SUM(c_xy) AS BIGINT) AS n_big FROM bi
+    )
+    SELECT w1 || ' ' || w2 AS bigram,
+           CAST(c_xy AS BIGINT) AS freq,
+           ROUND(LN(CAST(c_xy AS DOUBLE) * n_tok * n_tok
+                    / (CAST(u1.c AS DOUBLE) * u2.c * n_big))
+                 / LN(2), 6) AS pmi
+    FROM bi JOIN uni u1 ON bi.w1 = u1.w
+            JOIN uni u2 ON bi.w2 = u2.w
+            CROSS JOIN nt CROSS JOIN nb
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information (min bigram
+    count 5): PMI = log2(p(xy) / (p(x) p(y))) — the statistically-bound
+    phrase detector (multi-word expressions) corpus linguists and
+    tokenizer builders run before merging frequent pairs.
+
+    Scale shape: bigram pairs come from arrays_zip over two slices of
+    the in-row token array (zero exchanges before aggregation); the
+    unigram relation (vocabulary, Heaps-law sublinear) joins back onto
+    bigram counts by token key; the two scalar totals broadcast. PMI is
+    computed from exact integer counts; ordering is on the ROUNDED
+    value (ties broken by bigram), so top-20 selection is identical in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    big = (
+        d.filter(F.size(w) >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, F.size(w) - 1).alias("w1"),
+                    F.slice(w, 2, F.size(w) - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    uni = (
+        d.select(F.explode(w).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    # total bigrams BEFORE the min-count filter (population size)
+    n_big = (
+        d.filter(F.size(w) >= 2)
+        .agg(F.sum(F.size(w) - 1).cast("bigint").alias("n_big"))
+    )
+    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")
+    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")
+    pmi = F.log(
+        F.col("c_xy").cast("double")
+        * F.col("n_tok")
+        * F.col("n_tok")
+        / (F.col("c1").cast("double") * F.col("c2") * F.col("n_big"))
+    ) / F.log(F.lit(2.0))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c_xy").cast("bigint").alias("freq"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )
+
+
+@_register(
+    "text_readability_scores",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                            / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                 - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                                AS DOUBLE)
+                           / len(string_split(text, ' '))), 4)
+             AS flesch_ease
+    FROM documents
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with its three ingredient
+    counts (words, sentence-ending runs, vowel-group syllable proxy) —
+    the grade-level prior quality pipelines mix into curation scores.
+
+    Scale shape: embarrassingly parallel — three regexp counts and one
+    arithmetic expression per row, zero shuffles, whole-stage codegen
+    end to end. The identical regular expressions ([.!?]+ sentence
+    runs, [aeiouy]+ vowel groups) run in both engines, so the integer
+    ingredients match exactly and the double formula follows."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syl.cast("double") / n_words)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch_ease"),
+    )
