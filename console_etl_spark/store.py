@@ -33,7 +33,8 @@ import tempfile
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_CURRENT.json"
 PARTITION_COLS = ("package", "schema")
@@ -311,6 +312,99 @@ class SnapshotStore:
         out = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
         self._flip_manifest(out)
         return out
+
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        predicate: "str | Column",
+        partition_by: tuple[str, ...] = PARTITION_COLS,
+    ) -> SnapshotInfo:
+        """Row-level DELETE as file-granularity copy-on-write: rewrite
+        ONLY the Hive partitions that contain matching rows; every
+        untouched partition is hard-linked into the new snapshot
+        (metadata-only, no data movement — parquet files are immutable,
+        so versions safely share inodes until vacuum() unlinks them).
+        This is the Iceberg/Delta copy-on-write DELETE shape: at 100 TB
+        a delete touching one package must not rewrite the other ten
+        thousand.
+
+        The predicate may reference any column. Deletes are atomic: the
+        new snapshot is fully written (rewritten partitions + links +
+        _SUCCESS) before the manifest flips, and the old version stays
+        readable for time travel until vacuumed. A predicate matching
+        nothing returns the current snapshot unchanged (no version
+        churn). Capability analog: the reference rebuilds its whole
+        cache to drop anything (cache.go getCatalogFS); this deletes
+        in-place at partition granularity."""
+        info = self.current(catalog)
+        if info is None:
+            raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
+        df = spark.read.parquet(info.path)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sep = "\x1f"
+        key = F.concat_ws(sep, *[F.col(c).cast("string") for c in partition_by])
+        # bounded collect: one row per AFFECTED partition, never data-sized
+        hit = {
+            r.k
+            for r in df.filter(cond).select(key.alias("k")).distinct().collect()
+        }
+        if not hit:
+            return info
+        version = f"{info.version}-delete"
+        path = self.snapshot_path(catalog, version)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # rewrite ONLY hit partitions (partition-pruned scan: the
+            # isin filter is on partition columns, so untouched
+            # partitions are never read), keeping surviving rows
+            survivors = df.filter(key.isin(*hit)).filter(~cond)
+            (
+                survivors.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+            self._link_untouched(info.path, path, partition_by, hit, sep="\x1f")
+            # the write above creates _SUCCESS; ensure it exists even if
+            # every hit partition deleted to empty
+            open(os.path.join(path, "_SUCCESS"), "a").close()
+        out = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
+        self._flip_manifest(out)
+        return out
+
+    @staticmethod
+    def _link_untouched(
+        old_path: str,
+        new_path: str,
+        partition_by: tuple[str, ...],
+        hit: set,
+        sep: str,
+    ) -> None:
+        """Hard-link every partition directory of ``old_path`` whose
+        partition-value tuple is NOT in ``hit`` into ``new_path``,
+        preserving the Hive directory layout. Pure filesystem metadata:
+        no byte of parquet is copied."""
+        depth = len(partition_by)
+
+        def walk(cur: str, vals: list) -> None:
+            if len(vals) == depth:
+                if sep.join(vals) in hit:
+                    return
+                dst = os.path.join(new_path, *[
+                    f"{c}={v}" for c, v in zip(partition_by, vals)
+                ])
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(cur):
+                    sp_, dp = os.path.join(cur, f), os.path.join(dst, f)
+                    if os.path.isfile(sp_) and not os.path.exists(dp):
+                        os.link(sp_, dp)
+                return
+            for entry in sorted(os.listdir(cur)):
+                full = os.path.join(cur, entry)
+                if os.path.isdir(full) and "=" in entry:
+                    walk(full, vals + [entry.split("=", 1)[1]])
+
+        walk(old_path, [])
 
     def vacuum(self, catalog: str, keep: int = 2) -> list[str]:
         """Delete all but the newest ``keep`` non-current snapshot dirs."""

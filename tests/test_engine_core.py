@@ -1176,3 +1176,68 @@ def test_table_stats_reports_physical_shape(spark, store, catalog_metas):
     store.compact(spark, "cat0")
     after = table_stats(store, "cat0")
     assert after["n_rows"] == stats["n_rows"]
+
+
+# --------------------------------------------------------------------------
+# delete_where: partition-pruned copy-on-write DELETE
+# --------------------------------------------------------------------------
+
+
+class TestDeleteWhere:
+    def _publish(self, spark, store):
+        import pyspark.sql.functions as F
+
+        rows = [
+            ("pkgA", "s1", f"n{i}", i) for i in range(10)
+        ] + [
+            ("pkgB", "s1", f"n{i}", 100 + i) for i in range(10)
+        ] + [
+            ("pkgC", "s2", f"n{i}", 200 + i) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "package string, schema string, name string, v int"
+        )
+        return store.publish(df, "del0", "v1"), df
+
+    def test_deletes_exactly_matching_rows(self, spark, store):
+        info, df = self._publish(spark, store)
+        out = store.delete_where(spark, "del0", "package = 'pkgA' AND v < 5")
+        assert out.version == "v1-delete"
+        back = store.read(spark, "del0")
+        assert back.count() == 25
+        assert back.filter("package = 'pkgA'").count() == 5
+        # untouched partitions intact
+        assert back.filter("package = 'pkgB'").count() == 10
+        assert back.filter("package = 'pkgC'").count() == 10
+
+    def test_untouched_partitions_are_hardlinks(self, spark, store):
+        import os
+
+        info, df = self._publish(spark, store)
+        out = store.delete_where(spark, "del0", "package = 'pkgA'")
+        old_dir = os.path.join(info.path, "package=pkgB", "schema=s1")
+        new_dir = os.path.join(out.path, "package=pkgB", "schema=s1")
+        old_files = sorted(
+            f for f in os.listdir(old_dir) if f.endswith(".parquet")
+        )
+        new_files = sorted(
+            f for f in os.listdir(new_dir) if f.endswith(".parquet")
+        )
+        assert old_files == new_files and old_files
+        for f in old_files:
+            assert (
+                os.stat(os.path.join(old_dir, f)).st_ino
+                == os.stat(os.path.join(new_dir, f)).st_ino
+            ), "expected hard link, found a copy"
+        # fully-deleted partition is gone from the new snapshot
+        assert not os.path.exists(os.path.join(out.path, "package=pkgA"))
+
+    def test_time_travel_and_noop(self, spark, store):
+        info, df = self._publish(spark, store)
+        out = store.delete_where(spark, "del0", "v >= 200")
+        assert store.read(spark, "del0").count() == 20
+        # old version still fully readable (time travel)
+        assert store.read_version(spark, "del0", "v1").count() == 30
+        # predicate matching nothing: no version churn
+        again = store.delete_where(spark, "del0", "v > 99999")
+        assert again.version == out.version
