@@ -127,6 +127,10 @@ _PRIORITY = (
     # collocations, Flesch readability)
     "text_pmi_collocations",
     "text_readability_scores",
+    # never driver-checked: r6 twelfth-wave oracle queries (PSI cohort
+    # drift, Jensen-Shannon event-mix divergence)
+    "psi_totalprice_drift",
+    "jsd_event_type_weekend",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

@@ -5203,3 +5203,184 @@ def acf_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lag").cast("int").alias("lag"), "n", "acf")
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: PSI between cohorts, Jensen-Shannon divergence
+# (round 6, twelfth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "psi_totalprice_drift",
+    """
+    WITH ref AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS TIMESTAMP)) = 1995
+    ), cur AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS TIMESTAMP)) = 2000
+    ), mm AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM ref
+    ), rb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 10.0))
+                                 AS BIGINT), 0), 9) AS bin
+      FROM ref, mm
+    ), cb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 10.0))
+                                 AS BIGINT), 0), 9) AS bin
+      FROM cur, mm
+    ), grid AS (
+      SELECT UNNEST(generate_series(0, 9)) AS bin
+    ), cnt AS (
+      SELECT g.bin,
+             COALESCE(r.c, 0) AS n_ref,
+             COALESCE(c.c, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN (SELECT bin, COUNT(*) AS c FROM rb GROUP BY bin) r
+        ON g.bin = r.bin
+      LEFT JOIN (SELECT bin, COUNT(*) AS c FROM cb GROUP BY bin) c
+        ON g.bin = c.bin
+    ), probs AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 1.0) / (SUM(n_ref) OVER () + 10.0) AS p,
+             (n_cur + 1.0) / (SUM(n_cur) OVER () + 10.0) AS q
+      FROM cnt
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(p, 6) AS p_ref,
+           ROUND(q, 6) AS p_cur,
+           ROUND((q - p) * LN(q / p), 6) AS psi_term,
+           ROUND(SUM((q - p) * LN(q / p)) OVER (), 6) AS psi_total
+    FROM probs ORDER BY bin
+    """,
+)
+def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order value between the 1995
+    (reference) and 2000 (current) cohorts on a 10-bin equal-width grid
+    anchored to the REFERENCE min/max — the standard drift gate model
+    monitors run between training and serving populations. Laplace
+    smoothing ((c+1)/(n+10)) keeps empty bins defined identically in
+    both engines.
+
+    Scale shape: two filtered partial-agg shuffles reduce the fact scan
+    to <= 10 bin-count rows each; the 10-row literal grid left-joins
+    the counts so empty bins surface; every window below that point
+    runs on a 10-row relation. Deterministic: binning and smoothing use
+    the identical double arithmetic in both engines, PSI terms round
+    at 6."""
+    o = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    x = F.col("o_totalprice").cast("double")
+    ref = o.filter(year == 1995).select(x.alias("x"))
+    cur = o.filter(year == 2000).select(x.alias("x"))
+    mm = ref.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binc = F.least(
+        F.greatest(
+            F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(9).cast("bigint"),
+    ).alias("bin")
+    rb = ref.join(F.broadcast(mm)).select(binc).groupBy("bin").agg(
+        F.count("*").alias("rc")
+    )
+    cb = cur.join(F.broadcast(mm)).select(binc).groupBy("bin").agg(
+        F.count("*").alias("cc")
+    )
+    grid = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    cnt = (
+        grid.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("rc", F.lit(0)).alias("n_ref"),
+            F.coalesce("cc", F.lit(0)).alias("n_cur"),
+        )
+    )
+    wall = W.partitionBy()
+    p = (F.col("n_ref") + 1.0) / (F.sum("n_ref").over(wall) + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.sum("n_cur").over(wall) + 10.0)
+    probs = cnt.select("bin", "n_ref", "n_cur", p.alias("p"), q.alias("q"))
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    return probs.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    ).orderBy("bin")
+
+
+@_register(
+    "jsd_event_type_weekend",
+    """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN isodow(CAST(ts AS TIMESTAMP)) >= 6
+                  THEN 1 ELSE 0 END AS wknd
+      FROM events
+    ), cnt AS (
+      SELECT event_type,
+             SUM(1 - wknd) AS c_wd,
+             SUM(wknd) AS c_we
+      FROM tagged GROUP BY event_type
+    ), probs AS (
+      SELECT event_type, c_wd, c_we,
+             CAST(c_wd AS DOUBLE) / SUM(c_wd) OVER () AS p,
+             CAST(c_we AS DOUBLE) / SUM(c_we) OVER () AS q
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(c_wd AS BIGINT) AS n_weekday,
+           CAST(c_we AS BIGINT) AS n_weekend,
+           ROUND(0.5 * (p * LN(p / ((p + q) / 2)))
+                 + 0.5 * (q * LN(q / ((p + q) / 2))), 6) AS jsd_term,
+           ROUND(SUM(0.5 * (p * LN(p / ((p + q) / 2)))
+                     + 0.5 * (q * LN(q / ((p + q) / 2)))) OVER (), 6)
+             AS jsd_total
+    FROM probs ORDER BY event_type
+    """,
+)
+def jsd_event_type_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the weekday and weekend
+    event-type distributions (ISO day-of-week, Saturday/Sunday =
+    weekend) — the bounded symmetric drift measure (0 <= JSD <= ln 2)
+    used when KL's asymmetry or infinities are unacceptable.
+
+    Scale shape: one partial-agg shuffle reduces events to one row per
+    event type carrying both cohort counts (conditional aggregation —
+    no second scan, no join of two cohort relations); the probability
+    normalization and JSD sum run on that bounded relation. Counts are
+    exact integers; the double formula is the identical operation
+    sequence in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wknd = (F.weekday("ts") >= 5).cast("int")
+    cnt = (
+        e.select("event_type", wknd.alias("wknd"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(1 - F.col("wknd")).alias("c_wd"),
+            F.sum("wknd").alias("c_we"),
+        )
+    )
+    wall = W.partitionBy()
+    p = F.col("c_wd").cast("double") / F.sum("c_wd").over(wall)
+    q = F.col("c_we").cast("double") / F.sum("c_we").over(wall)
+    probs = cnt.select("event_type", "c_wd", "c_we", p.alias("p"), q.alias("q"))
+    m = (F.col("p") + F.col("q")) / 2
+    term = 0.5 * (F.col("p") * F.log(F.col("p") / m)) + 0.5 * (
+        F.col("q") * F.log(F.col("q") / m)
+    )
+    return probs.select(
+        "event_type",
+        F.col("c_wd").cast("bigint").alias("n_weekday"),
+        F.col("c_we").cast("bigint").alias("n_weekend"),
+        F.round(term, 6).alias("jsd_term"),
+        F.round(F.sum(term).over(wall), 6).alias("jsd_total"),
+    ).orderBy("event_type")

@@ -372,6 +372,58 @@ class SnapshotStore:
         self._flip_manifest(out)
         return out
 
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        predicate: "str | Column",
+        assignments: dict,
+        partition_by: tuple[str, ...] = PARTITION_COLS,
+    ) -> SnapshotInfo:
+        """Row-level UPDATE as the same file-granularity copy-on-write
+        as delete_where: only partitions containing matching rows are
+        rewritten (with each assignment applied under the predicate);
+        untouched partitions hard-link into the new snapshot. Updating
+        a partition column moves rows: the rewritten survivors land in
+        their new Hive directories first, then untouched-partition
+        links are added file-by-file next to them — the destination
+        partition ends up holding its old files plus the moved rows,
+        which tests pin. Completes the DML triad with apply_changes
+        (MERGE) and delete_where (DELETE)."""
+        info = self.current(catalog)
+        if info is None:
+            raise FileNotFoundError(f"catalog {catalog!r} has no published snapshot")
+        df = spark.read.parquet(info.path)
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        sep = "\x1f"
+        key = F.concat_ws(sep, *[F.col(c).cast("string") for c in partition_by])
+        hit = {
+            r.k
+            for r in df.filter(cond).select(key.alias("k")).distinct().collect()
+        }
+        if not hit:
+            return info
+        version = f"{info.version}-update"
+        path = self.snapshot_path(catalog, version)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            updated = df.filter(key.isin(*hit))
+            for col, expr in assignments.items():
+                new_val = F.expr(expr) if isinstance(expr, str) else expr
+                updated = updated.withColumn(
+                    col, F.when(cond, new_val).otherwise(F.col(col))
+                )
+            (
+                updated.write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+            self._link_untouched(info.path, path, partition_by, hit, sep=sep)
+            open(os.path.join(path, "_SUCCESS"), "a").close()
+        out = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
+        self._flip_manifest(out)
+        return out
+
     @staticmethod
     def _link_untouched(
         old_path: str,

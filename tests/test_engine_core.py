@@ -1241,3 +1241,39 @@ class TestDeleteWhere:
         # predicate matching nothing: no version churn
         again = store.delete_where(spark, "del0", "v > 99999")
         assert again.version == out.version
+
+    def test_update_where_rewrites_only_hit_partitions(self, spark, store):
+        import os
+
+        info, df = self._publish(spark, store)
+        out = store.update_where(
+            spark, "del0", "package = 'pkgA' AND v < 3", {"v": "v + 1000"}
+        )
+        back = store.read(spark, "del0")
+        assert back.count() == 30
+        assert back.filter("v >= 1000 AND v < 1100").count() == 3
+        assert back.filter("package = 'pkgA' AND v < 3").count() == 0
+        # untouched partition is hard-linked, not copied
+        old_dir = os.path.join(info.path, "package=pkgC", "schema=s2")
+        new_dir = os.path.join(out.path, "package=pkgC", "schema=s2")
+        for f in os.listdir(old_dir):
+            if f.endswith(".parquet"):
+                assert (
+                    os.stat(os.path.join(old_dir, f)).st_ino
+                    == os.stat(os.path.join(new_dir, f)).st_ino
+                )
+
+    def test_update_where_can_move_rows_across_partitions(self, spark, store):
+        info, df = self._publish(spark, store)
+        out = store.update_where(
+            spark,
+            "del0",
+            "package = 'pkgA' AND v = 0",
+            {"package": "'pkgB'"},
+        )
+        back = store.read(spark, "del0")
+        assert back.count() == 30
+        assert back.filter("package = 'pkgA'").count() == 9
+        # destination partition holds its old rows plus the moved one
+        assert back.filter("package = 'pkgB'").count() == 11
+        assert back.filter("package = 'pkgB' AND v = 0").count() == 1
