@@ -131,6 +131,10 @@ _PRIORITY = (
     # drift, Jensen-Shannon event-mix divergence)
     "psi_totalprice_drift",
     "jsd_event_type_weekend",
+    # never driver-checked: r6 thirteenth-wave oracle queries (basket
+    # association rules by lift, Markov event-transition matrix)
+    "assoc_part_pairs_lift",
+    "markov_event_transitions",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

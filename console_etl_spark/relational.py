@@ -5384,3 +5384,135 @@ def jsd_event_type_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("jsd_term"),
         F.round(F.sum(term).over(wall), 6).alias("jsd_total"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Association mining: basket pair rules, Markov transitions
+# (round 6, thirteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "assoc_part_pairs_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM items
+    ), freq AS (
+      SELECT p, COUNT(*) AS c FROM items GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c_pair
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(c_pair AS BIGINT) AS n_pair,
+           ROUND(CAST(c_pair AS DOUBLE) / n_baskets, 6) AS support,
+           ROUND(CAST(c_pair AS DOUBLE) / f1.c, 6) AS confidence,
+           ROUND(CAST(c_pair AS DOUBLE) * n_baskets
+                 / (CAST(f1.c AS DOUBLE) * f2.c), 6) AS lift
+    FROM pairs JOIN freq f1 ON pairs.p1 = f1.p
+               JOIN freq f2 ON pairs.p2 = f2.p
+               CROSS JOIN n
+    WHERE c_pair >= 3
+    ORDER BY lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules over order baskets by lift: for part
+    pairs co-occurring in >= 3 orders, support, confidence(p1 -> p2),
+    and lift = P(pair) / (P(p1) P(p2)) — the market-basket kernel
+    behind recommendation co-occurrence features.
+
+    Scale shape: the pair relation comes from an equi-self-join on the
+    basket key — pair count per basket is quadratic in BASKET size
+    (small and bounded), never in catalog size; the a.p < b.p predicate
+    halves it and canonicalizes. Item frequencies join back by part
+    key; the single-row basket total broadcasts. All counts exact;
+    ordering on the ROUNDED lift with key tiebreaks picks the same
+    top-20 in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = items.agg(F.countDistinct("o").cast("bigint").alias("n_baskets"))
+    freq = items.groupBy("p").agg(F.count("*").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= 3)
+    )
+    f1 = freq.withColumnRenamed("p", "p1").withColumnRenamed("c", "c1")
+    f2 = freq.withColumnRenamed("p", "p2").withColumnRenamed("c", "c2")
+    cp = F.col("c_pair").cast("double")
+    return (
+        pairs.join(f1, "p1")
+        .join(f2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("p1").cast("bigint").alias("p1"),
+            F.col("p2").cast("bigint").alias("p2"),
+            F.col("c_pair").cast("bigint").alias("n_pair"),
+            F.round(cp / F.col("n_baskets"), 6).alias("support"),
+            F.round(cp / F.col("c1"), 6).alias("confidence"),
+            F.round(
+                cp * F.col("n_baskets")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@_register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt ORDER BY from_type, to_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types within each
+    user's ordered stream: P(next = to | current = from) — the
+    behavioral-sequence features session-prediction models start from.
+
+    Scale shape: one shuffle partitions by user for the LEAD, then the
+    transition counts reduce to an event-type x event-type relation
+    (bounded by the category vocabulary squared) where the row
+    normalization runs. Probabilities derive from exact integer counts
+    identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
