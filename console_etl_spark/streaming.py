@@ -634,3 +634,91 @@ def stream_refresh_mv(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_psi_monitor(
+    spark: SparkSession,
+    path: str,
+    reference: DataFrame,
+    metrics_dir: str,
+    checkpoint: str,
+    value_col: str = "value",
+    n_bins: int = 10,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution-drift monitor: per micro-batch, bin the
+    batch's ``value_col`` on a grid anchored to the REFERENCE
+    distribution's min/max and append (epoch_id, bin, n_batch, p_ref,
+    psi_batch) rows — the population-stability-index gate
+    (relational.psi_totalprice_drift) run incrementally against a
+    frozen training-time reference instead of rescanned.
+
+    The reference reduces ONCE at start to n_bins proportions plus two
+    scalars (a bounded collect); each micro-batch contributes one
+    n_bins-row aggregate (map-side partials over that batch only), so
+    monitor state and output are O(batches * n_bins) regardless of
+    stream volume. Laplace smoothing ((c+1)/(n+bins)) matches the batch
+    PSI query, keeping empty bins defined. A pipeline alerts on
+    psi_batch > 0.2 (the conventional "significant shift" line) with a
+    plain batch query over metrics_dir."""
+    x = F.col(value_col).cast("double")
+    mm = reference.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+    lo, hi = float(mm.lo), float(mm.hi)
+    width = (hi - lo) / float(n_bins)
+
+    def bin_of(col):
+        return F.least(
+            F.greatest(F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+                       F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+
+    ref_rows = (
+        reference.select(bin_of(x).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+        .collect()  # bounded: <= n_bins rows
+    )
+    ref_counts = {int(r.bin): int(r.c) for r in ref_rows}
+    n_ref = sum(ref_counts.values())
+    p_ref = [
+        (ref_counts.get(b, 0) + 1.0) / (n_ref + n_bins) for b in range(n_bins)
+    ]
+
+    stream = read_events_stream(spark, path)
+
+    def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import math
+
+        rows = (
+            batch_df.select(bin_of(F.col(value_col).cast("double")).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("c"))
+            .collect()  # bounded: <= n_bins rows per micro-batch
+        )
+        counts = {int(r.bin): int(r.c) for r in rows}
+        n = sum(counts.values())
+        if n == 0:
+            return
+        q = [(counts.get(b, 0) + 1.0) / (n + n_bins) for b in range(n_bins)]
+        psi = sum(
+            (q[b] - p_ref[b]) * math.log(q[b] / p_ref[b])
+            for b in range(n_bins)
+        )
+        out = [
+            (int(epoch_id), b, counts.get(b, 0), p_ref[b], psi)
+            for b in range(n_bins)
+        ]
+        batch_df.sparkSession.createDataFrame(
+            out,
+            "epoch_id long, bin int, n_batch long, p_ref double, "
+            "psi_batch double",
+        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

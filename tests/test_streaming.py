@@ -848,3 +848,68 @@ def test_stream_refresh_mv_with_hll_distinct_state(spark, tmp_path):
     }
     for t, est in got.items():
         assert abs(est - exact[t]) / exact[t] < 0.05
+
+
+def test_stream_psi_monitor_composes_and_recomputes(
+    spark, events_stream_dir, tmp_path
+):
+    """PSI monitor laws: (1) per-bin batch counts summed over all
+    micro-batches equal one batch binning of the whole fixture on the
+    same reference grid; (2) each epoch's stored psi_batch equals PSI
+    recomputed from that epoch's stored bin counts and reference
+    proportions."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    ref = load_table(spark, SF_TEST, "events")
+    metrics = str(tmp_path / "psi_metrics")
+    q = streaming.stream_psi_monitor(
+        spark, events_stream_dir, ref, metrics, str(tmp_path / "psi_ckpt")
+    )
+    q.awaitTermination(120)
+
+    m = spark.read.parquet(metrics)
+    n_bins = 10
+    assert m.select("epoch_id").distinct().count() >= 2
+
+    # law 1: counts compose to the batch histogram on the same grid
+    mm = ref.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    ).collect()[0]
+    width = (mm.hi - mm.lo) / float(n_bins)
+    want = {
+        int(r.bin): int(r.c)
+        for r in ref.select(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("value").cast("double") - F.lit(mm.lo))
+                        / F.lit(width)
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    got = {
+        int(r.bin): int(r.total)
+        for r in m.groupBy("bin").agg(F.sum("n_batch").alias("total")).collect()
+    }
+    assert got == want
+
+    # law 2: stored psi matches recomputation from stored ingredients
+    for epoch in [r.epoch_id for r in m.select("epoch_id").distinct().collect()]:
+        rows = sorted(
+            m.filter(F.col("epoch_id") == epoch).collect(), key=lambda r: r.bin
+        )
+        n = sum(r.n_batch for r in rows)
+        qs = [(r.n_batch + 1.0) / (n + n_bins) for r in rows]
+        ps = [r.p_ref for r in rows]
+        psi = sum((qb - pb) * math.log(qb / pb) for qb, pb in zip(qs, ps))
+        assert abs(psi - rows[0].psi_batch) < 1e-12
