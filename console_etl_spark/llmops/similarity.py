@@ -1301,18 +1301,18 @@ def _pq_search(spark: SparkSession, e: DataFrame) -> DataFrame:
 # exact.
 
 
-def pca_opq_rotation(
+def pca_fit(
     vectors: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
-    m: int = PQ_M,
-) -> np.ndarray:
-    """(dim, dim) orthogonal rotation learned distributed: per-partition
-    second-moment partials (ONE row per partition: count, sum, flattened
-    x·xᵀ) are the only thing collected — O(partitions · dim²), bounded
-    and data-independent; eigendecomposition of the (dim, dim)
-    covariance runs on the driver in numpy. Deterministic: covariance is
-    exact (no sampling) and eigenvectors are sign-fixed."""
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Distributed exact PCA fit: (mean, eigenvalues desc, eigenvectors
+    by column). Per-partition second-moment partials (ONE row per
+    partition: count, sum, flattened x·xᵀ) are the only thing collected
+    — O(partitions · dim²), bounded and data-independent; the (dim, dim)
+    eigendecomposition runs on the driver in numpy. Deterministic:
+    covariance is exact (no sampling) and eigenvectors are sign-fixed
+    (largest-|.| component positive)."""
 
     def moments(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -1347,6 +1347,74 @@ def pca_opq_rotation(
         k = np.argmax(np.abs(eigvec[:, j]))
         if eigvec[k, j] < 0:
             eigvec[:, j] = -eigvec[:, j]
+    return mean, eigval, eigvec
+
+
+def pca_project(
+    vectors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    fit: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None,
+) -> DataFrame:
+    """Project each vector onto the top-k principal components:
+    adds a ``pca`` array<double> column of length k (mean-centered,
+    W_kᵀ(x - mean)). The (dim, k) projection broadcasts inside the
+    mapInPandas closure; the data crosses Arrow once per batch — the
+    same transport shape as the GEMM tiles above. Dimensionality
+    reduction before ANN indexing is the standard recall/compute trade."""
+    mean, _, eigvec = fit if fit is not None else pca_fit(vectors, vec_col, dim)
+    wk = eigvec[:, :k]
+    other = [c for c in vectors.columns]
+
+    def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            proj = (mat - mean) @ wk
+            out = pdf.copy()
+            out["pca"] = [r.tolist() for r in proj]
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
+    ) + ", pca array<double>"
+    return vectors.mapInPandas(project, schema)
+
+
+@_register("embedding_pca_scree", None)  # rows-only: eigensolve not SQL-portable
+def embedding_pca_scree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scree report of the embedding corpus: top-8 principal-component
+    eigenvalues with variance ratios and the cumulative share — the
+    intrinsic-dimensionality check run before choosing an ANN index's
+    reduced dimension. Unit laws pin trace preservation (sum of all
+    eigenvalues equals total variance), per-component projection
+    variance equal to its eigenvalue, and orthonormality of the fitted
+    basis."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, eigval, _ = pca_fit(e)
+    total = float(eigval.sum())
+    rows = []
+    cum = 0.0
+    for j in range(8):
+        ratio = float(eigval[j]) / total
+        cum += ratio
+        rows.append((j, round(float(eigval[j]), 6), round(ratio, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_ratio double, cum_ratio double"
+    )
+
+
+def pca_opq_rotation(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_M,
+) -> np.ndarray:
+    """(dim, dim) orthogonal rotation from the shared distributed PCA
+    fit (pca_fit above), with eigenvalue-balanced subspace allocation."""
+    _, eigval, eigvec = pca_fit(vectors, vec_col, dim)
     # balanced allocation: deal directions (desc variance) to the
     # subspace with the smallest accumulated log-variance
     dsub = dim // m

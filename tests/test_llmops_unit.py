@@ -2150,3 +2150,49 @@ def test_kmv_overlap_query_shape_and_bounds(spark):
     assert 0.0 <= r.jaccard_est <= 1.0
     assert r.ndv_union_est >= max(r.ndv_view_est, r.ndv_purchase_est) * 0.75
     assert r.ndv_intersect_est <= min(r.ndv_view_est, r.ndv_purchase_est) * 1.25
+
+
+# ---------------------------------------------------------------------------
+# PCA laws
+# ---------------------------------------------------------------------------
+
+
+def test_pca_fit_laws(spark):
+    """Trace preservation, orthonormal basis, descending eigenvalues."""
+    import numpy as np
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    mean, eigval, eigvec = similarity.pca_fit(e)
+    mat = np.array(
+        [r.embedding for r in e.select("embedding").collect()], dtype=np.float64
+    )
+    cov = np.cov(mat.T, bias=True)
+    assert abs(eigval.sum() - np.trace(cov)) < 1e-9 * max(1.0, np.trace(cov))
+    assert np.allclose(eigvec.T @ eigvec, np.eye(64), atol=1e-9)
+    assert all(eigval[i] >= eigval[i + 1] - 1e-12 for i in range(63))
+
+
+def test_pca_projection_variance_matches_eigenvalues(spark):
+    """The variance of the data projected on component j equals
+    eigenvalue j (definition of PCA), and pca_project preserves every
+    input column."""
+    import numpy as np
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    fit = similarity.pca_fit(e)
+    k = 4
+    proj = similarity.pca_project(e, k, fit=fit)
+    assert set(proj.columns) == set(e.columns) | {"pca"}
+    pmat = np.array(
+        [r.pca for r in proj.select("pca").collect()], dtype=np.float64
+    )
+    var = pmat.var(axis=0)  # biased, matching the covariance convention
+    assert np.allclose(var, fit[1][:k], rtol=1e-9)
+
+
+def test_pca_scree_query_shape(spark):
+    rows = similarity.embedding_pca_scree(spark, SF_TEST).collect()
+    assert len(rows) == 8
+    assert rows[-1].cum_ratio <= 1.0 + 1e-9
+    ratios = [r.var_ratio for r in rows]
+    assert all(ratios[i] >= ratios[i + 1] for i in range(7))
