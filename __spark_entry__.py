@@ -135,6 +135,12 @@ _PRIORITY = (
     # association rules by lift, Markov event-transition matrix)
     "assoc_part_pairs_lift",
     "markov_event_transitions",
+    # never driver-checked: r6 fourteenth-wave oracle queries
+    # (k-anonymity audit, per-source token entropy, last-touch
+    # attribution)
+    "kanonymity_customer_audit",
+    "text_source_token_entropy",
+    "attribution_last_touch",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

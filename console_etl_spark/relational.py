@@ -5516,3 +5516,186 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# Privacy audit + marketing attribution (round 6, fourteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "kanonymity_customer_audit",
+    """
+    WITH classes AS (
+      SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+             COUNT(*) AS class_size
+      FROM customer c GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, segment,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM classes WHERE class_size < 10
+    ORDER BY class_size, nation, segment
+    """,
+)
+def kanonymity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment) quasi-
+    identifier pair: every equivalence class smaller than k=10 — the
+    re-identification risk report run before releasing joined
+    demographic slices; a violating class means those customers are
+    distinguishable by the quasi-identifiers alone.
+
+    Scale shape: one partial-agg shuffle to the class relation (bounded
+    by the quasi-identifier domain product), then a filter — never a
+    self-join. Counts exact."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < 10)
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "segment",
+            F.col("class_size").cast("bigint").alias("class_size"),
+        )
+        .orderBy("class_size", "nation", "segment")
+    )
+
+
+@_register(
+    "text_source_token_entropy",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
+    ), tot AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS vocab FROM freq GROUP BY source
+    )
+    SELECT f.source,
+           CAST(MAX(t.n) AS BIGINT) AS n_tokens,
+           CAST(MAX(t.vocab) AS BIGINT) AS vocab,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t.n)
+                      * LN(CAST(c AS DOUBLE) / t.n)), 6) AS entropy,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t.n)
+                      * LN(CAST(c AS DOUBLE) / t.n))
+                 / LN(CAST(MAX(t.vocab) AS DOUBLE)), 6) AS norm_entropy
+    FROM freq f JOIN tot t ON f.source = t.source
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+)
+def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution, raw and
+    normalized by ln(vocab) — the diversity signal that separates
+    template-generated slices (low entropy) from organic text when
+    weighting corpus mixtures.
+
+    Scale shape: tokens reduce to (source, token) counts in one
+    partial-agg shuffle (vocabulary-sized, Heaps-law sublinear); the
+    per-source totals join back on source and the entropy sum runs over
+    the count relation. Probabilities derive from exact integer counts;
+    the log-sum's engine-order difference is orders of magnitude below
+    the 6-decimal round (same contract as the perplexity tier)."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = freq.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        freq.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("vocab").cast("bigint").alias("vocab"),
+            F.round(ent, 6).alias("entropy"),
+            F.round(
+                ent / F.log(F.max("vocab").cast("double")), 6
+            ).alias("norm_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "attribution_last_touch",
+    """
+    WITH carried AS (
+      SELECT event_type, ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mkt_ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mkt_type
+      FROM events
+    )
+    SELECT CASE WHEN mkt_ts IS NOT NULL
+                 AND epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(CAST(mkt_ts AS TIMESTAMP))
+                     <= 604800000000
+                THEN mkt_type ELSE 'unattributed' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent marketing touch (view / click / signup) within a 7-day
+    lookback, else 'unattributed' — the conversion-credit report
+    marketing analytics starts from.
+
+    Scale shape: one shuffle partitions by user; the carried last-
+    marketing-touch columns are two IGNORE-NULLS last_value windows
+    over the SAME frame (both resolve to the same source row, so ts and
+    type stay consistent); attribution is then a row-local expression
+    and the final aggregation is over the channel domain. Microsecond
+    integer arithmetic keeps the 7-day cutoff exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_mkt = F.col("event_type").isin("view", "click", "signup")
+    mkt_ts = F.last(F.when(is_mkt, F.col("ts")), ignorenulls=True).over(w)
+    mkt_type = F.last(
+        F.when(is_mkt, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    carried = e.select(
+        "event_type",
+        "ts",
+        mkt_ts.alias("mkt_ts"),
+        mkt_type.alias("mkt_type"),
+    )
+    within = (
+        F.col("mkt_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("mkt_ts"))
+            <= 604_800_000_000
+        )
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(within, F.col("mkt_type"))
+            .otherwise(F.lit("unattributed"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("channel")
+    )
