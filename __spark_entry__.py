@@ -141,6 +141,12 @@ _PRIORITY = (
     "kanonymity_customer_audit",
     "text_source_token_entropy",
     "attribution_last_touch",
+    # never driver-checked: r6 fifteenth-wave oracle queries (time-to-
+    # convert percentiles, RFM quintile segmentation, out-of-order
+    # ingest audit)
+    "conversion_time_percentiles",
+    "rfm_customer_segments",
+    "events_out_of_order_audit",
     # r6-changed implementations (re-prove changed code first)
     "chunk_documents_sliding",
     "dq_violations_report",

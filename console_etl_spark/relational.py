@@ -5699,3 +5699,173 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Lifecycle analytics: conversion latency, RFM segmentation, ingest-order
+# audit (round 6, fifteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "conversion_time_percentiles",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS su,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS pu
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT (pu - su) / 3600000000.0 AS hours
+      FROM firsts WHERE su IS NOT NULL AND pu IS NOT NULL AND pu >= su
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(hours, 0.5), 6) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 6) AS p90_hours,
+           ROUND(SUM(hours) / COUNT(*), 6) AS mean_hours
+    FROM conv
+    """,
+)
+def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's first
+    signup to their first purchase at or after it — the p50/p90
+    latency summary growth analytics tracks release over release.
+
+    Scale shape: one conditional aggregation reduces events to a row
+    per user (both firsts in a single pass — no signup-purchase join);
+    the percentile runs over the converted-user relation. Microsecond
+    integer diffs make hours exact to double precision; both engines
+    use the same linear-interpolation percentile definition."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("su"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("pu"),
+    )
+    conv = firsts.filter(
+        F.col("su").isNotNull()
+        & F.col("pu").isNotNull()
+        & (F.col("pu") >= F.col("su"))
+    ).select(((F.col("pu") - F.col("su")) / 3_600_000_000.0).alias("hours"))
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 6).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 6).alias("p90_hours"),
+        F.round(F.sum("hours") / F.count("*"), 6).alias("mean_hours"),
+    )
+
+
+@_register(
+    "rfm_customer_segments",
+    """
+    WITH maxd AS (
+      SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS d FROM orders
+    ), rfm AS (
+      SELECT o_custkey,
+             DATEDIFF('day', MAX(CAST(o_orderdate AS TIMESTAMP)), MAX(maxd.d))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders, maxd GROUP BY o_custkey
+    ), scored AS (
+      SELECT NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1 ORDER BY segment
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    ordering customer (5 = best: most recent, most frequent, highest
+    spend), rolled up to segment population counts — the classical
+    customer-value grid.
+
+    Scale shape: orders reduce to one RFM row per customer in a single
+    partial-agg shuffle; the three NTILE windows run over that
+    customer-sized relation with fully-tied-off ordering (metric,
+    custkey), so quintile assignment is deterministic in both engines;
+    exact decimal monetary sums keep the M ordering identical."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("d"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(dec("o_totalprice")).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5)
+        .over(W.orderBy(F.desc("recency_days"), "o_custkey"))
+        .alias("r"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.lit("R"), F.col("r"), F.lit("F"), F.col("f"),
+                F.lit("M"), F.col("m"),
+            ).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@_register(
+    "events_out_of_order_audit",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(delta) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           ROUND(CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(delta), 6) AS inversion_rate
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingest audit: within each user's stream ordered by
+    event id (arrival order), how often does the event timestamp step
+    BACKWARD — the late-data rate that calibrates streaming watermark
+    widths (streaming.py uses '2 hours'; this measures whether that
+    holds).
+
+    Scale shape: one shuffle partitions by user for the LAG; the
+    aggregation reduces to the event-type domain. Microsecond integer
+    deltas, exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("delta")
+    )
+    inv = F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("delta").cast("bigint").alias("n_pairs"),
+            inv.cast("bigint").alias("n_inversions"),
+            F.round(inv.cast("double") / F.count("delta"), 6).alias(
+                "inversion_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )
