@@ -54,16 +54,13 @@ _MODULES = (
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. This round (fifth
-# rotation): the 9 never-checked r6 queries (2 VARIANT twins + 7 new
-# operators: segment dedup, z-order, incremental MV, native
-# session_window, k-per-group sampling, equi-depth histogram, entity
-# resolution) + 3 r6-changed implementations (chunking + DQ fixes,
-# bigram-perplexity arrays_zip rewrite) + the 38 stalest r1-r3 rows
-# that fit. Rotated out to make room: the 4 r4-checked refactor-adjacent
-# extras (hypertable/gapfill/shingle/q2 — all have r4 rows and unchanged
-# code) and the 4 least-stale r3 rows (content_hash, fuzzy — whose edge
-# kernel er_part_name_clusters re-proves transitively — mix_corpus,
-# scalar_functions). Next round: the remaining r3 + r4 buckets.
+# rotation, updated as round-6 waves landed): round 6 registered 51 new
+# oracle-backed queries across fifteen waves, none of which has a driver
+# row yet — the window is filled entirely by the 50 oldest of them (the
+# 51st, events_out_of_order_audit, leads the next rotation). Everything
+# with an existing driver row (r5's 50/50 pass plus the r1-r4 evidence)
+# waits behind the never-checked tier per policy; the local parity suite
+# keeps covering all of it every round.
 _PRIORITY = (
     # never driver-checked: r6 VARIANT twins + r6 operators
     "events_props_variant",
@@ -142,44 +139,17 @@ _PRIORITY = (
     "text_source_token_entropy",
     "attribution_last_touch",
     # never driver-checked: r6 fifteenth-wave oracle queries (time-to-
-    # convert percentiles, RFM quintile segmentation, out-of-order
-    # ingest audit)
+    # convert percentiles, RFM quintile segmentation)
     "conversion_time_percentiles",
     "rfm_customer_segments",
-    "events_out_of_order_audit",
-    # r6-changed implementations (re-prove changed code first)
-    "chunk_documents_sliding",
-    "dq_violations_report",
-    "text_bigram_perplexity",
-    # stalest tier — latest driver row r1
-    "events_sliding_windows",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q22_idle_rich_customers",
-    "range_join_price_bands",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    # top_customers_by_revenue / window_order_gap_days /
-    # window_rank_parts_by_price / window_running_quantity sit past slot
-    # 50 now that the eighth-wave stats queries (never-checked) joined
-    # the window — they stay r1-stale for the next rotation.
-    "top_customers_by_revenue",
-    "window_order_gap_days",
-    "window_rank_parts_by_price",
-    "window_running_quantity",
-    # Rotated out for the fourth..seventh-wave never-checked queries
-    # above (never-checked outranks stale): the three ALL-variant setops
-    # (their *_nations twins hold r1 slots in this window and the code
-    # is shared), the two r3 TPC-H rows q3/q5, and the whole r2 bucket
-    # (agg_cube, agg_grouping_sets, array_functions, date_functions,
-    # events_hourly_stats, topk_expensive, window_rank_functions,
-    # anti_join_orderless, distinct_counts, semi_join_finished,
-    # window_revenue_share) — all next round's first stale bucket.
+    # WINDOW FULL at 50. Still never-driver-checked and first in line
+    # for the next rotation: events_out_of_order_audit (fifteenth wave,
+    # 51st registrant). Rotated out behind it: the 3 r6-changed
+    # implementations (chunk_documents_sliding, dq_violations_report,
+    # text_bigram_perplexity — all hold green r5 driver rows) and the
+    # r1-stale tier (events_sliding_windows, q6-q22 singles,
+    # range_join_price_bands, setops, top_customers, window_* — r1
+    # rows, unchanged code), which re-register in module order.
 )
 
 

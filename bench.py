@@ -61,6 +61,13 @@ HEADLINE = [
     "zorder_interleaved_keys",
     "mv_incremental_orders_stats",
     "sessionize_events_native",
+    # round-6 late-wave additions (stats tier, EWMA window kernel,
+    # basket self-join, interval-overlap explode, FFD packing):
+    "stats_corr_matrix_lineitem",
+    "ewma_trailing_user_value",
+    "assoc_part_pairs_lift",
+    "overlap_sessions_per_hour",
+    "pack_sequences_ffd",
 ]
 
 

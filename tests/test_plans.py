@@ -201,6 +201,15 @@ def test_no_unbounded_driver_materialization():
         ("llmops/pipeline.py", "global_enumerate"),
         # k-means fit: k seed rows + k·dim partial-sum rows per round
         ("llmops/clustering.py", "kmeans_fit"),
+        # PCA fit: one (count, sum, dim^2 outer) moment row per partition
+        ("llmops/similarity.py", "pca_fit"),
+        # copy-on-write DML: one row per AFFECTED Hive partition (the
+        # hit-partition key list), never data rows
+        ("store.py", "delete_where"),
+        ("store.py", "update_where"),
+        # streaming PSI monitor: n_bins reference rows once at start +
+        # n_bins aggregated rows per micro-batch
+        ("streaming.py", "stream_psi_monitor"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):

@@ -493,3 +493,63 @@ class TestAdpcmCodecLaws:
         # step-table granularity floor.
         rms = float(np.sqrt(np.mean(err**2)))
         assert rms < amp * (0.02 + 1.8 * freq / rate) + 16, (freq, amp, rms)
+
+
+class TestEwmaKernelLaws:
+    """The zip_with/aggregate EWMA kernel (relational.py) against a pure
+    Python reference on arbitrary value sequences: the Spark plan's
+    normalized trailing-window EWMA must equal the direct definition
+    sum(w_d * x_{i-d}) / sum(w_d), w_d = (4/5)^d, computed with the
+    same exact integer weights."""
+
+    @given(
+        vals=st.lists(
+            st.decimals(
+                min_value=0, max_value=500, places=2, allow_nan=False
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_reference(self, spark, vals):
+        import datetime
+
+        from console_etl_spark.relational import (
+            EWMA_WEIGHTS,
+            EWMA_WINDOW,
+            ewma_trailing_user_value,
+        )
+
+        # one synthetic user stream, strictly increasing timestamps
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (i, base + datetime.timedelta(minutes=i), 1, "view", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+            out = {
+                r.event_id: r.ewma_20
+                for r in ewma_trailing_user_value(spark, tmp).collect()
+            }
+        from decimal import Decimal
+
+        for i in range(len(vals)):
+            lo = max(0, i - (EWMA_WINDOW - 1))
+            window = [Decimal(str(v)) for v in vals[lo : i + 1]]
+            num = sum(
+                x * EWMA_WEIGHTS[len(window) - 1 - p]
+                for p, x in enumerate(window)
+            )
+            den = sum(EWMA_WEIGHTS[d] for d in range(len(window)))
+            want = round(float(num) / float(den), 6)
+            assert abs(out[i] - want) < 1e-9, (i, out[i], want)
