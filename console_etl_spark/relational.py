@@ -5869,3 +5869,225 @@ def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest, survival analysis, concentration (round 6,
+# sixteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "smape_seasonal_backtest",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), joined AS (
+      SELECT c AS actual,
+             LAG(c, 24) OVER (ORDER BY hour) AS forecast
+      FROM hourly
+    )
+    SELECT CAST(COUNT(forecast) AS BIGINT) AS n_hours,
+           ROUND(SUM(ABS(actual - forecast)) * 1.0 / SUM(actual), 6)
+             AS wape,
+           ROUND(AVG(2.0 * ABS(actual - forecast)
+                     / (actual + forecast)), 6) AS smape,
+           ROUND(SQRT(AVG(POW(CAST(actual - forecast AS DOUBLE), 2))), 6)
+             AS rmse
+    FROM joined WHERE forecast IS NOT NULL
+    """,
+)
+def smape_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict each hour with
+    the same hour yesterday) on the hourly event-count series: WAPE,
+    sMAPE, and RMSE — the baseline every demand-forecast model must
+    beat, measured the way a forecast pipeline actually scores.
+
+    Scale shape: the fact scan reduces to the bounded hourly series in
+    one partial-agg shuffle; the lag-24 join is one window pass over
+    that series and the error aggregates are scalars. Counts are
+    integers, so WAPE's ratio is exact-integer-derived; sMAPE and RMSE
+    apply identical double arithmetic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("c"))
+    )
+    joined = hourly.select(
+        F.col("c").alias("actual"),
+        F.lag("c", 24).over(W.orderBy("hour")).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    err = F.col("actual") - F.col("forecast")
+    return joined.agg(
+        F.count("forecast").cast("bigint").alias("n_hours"),
+        F.round(
+            F.sum(F.abs(err)) * 1.0 / F.sum("actual"), 6
+        ).alias("wape"),
+        F.round(
+            F.avg(2.0 * F.abs(err) / (F.col("actual") + F.col("forecast"))), 6
+        ).alias("smape"),
+        F.round(F.sqrt(F.avg(F.pow(err.cast("double"), F.lit(2.0)))), 6).alias(
+            "rmse"
+        ),
+    )
+
+
+@_register(
+    "survival_user_retention_km",
+    """
+    WITH span AS (
+      SELECT user_id,
+             DATEDIFF('day', MIN(CAST(ts AS TIMESTAMP)),
+                      MAX(CAST(ts AS TIMESTAMP))) AS dur,
+             CASE WHEN DATEDIFF('day', MAX(CAST(ts AS TIMESTAMP)),
+                               (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))
+                       <= 7
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ), times AS (
+      SELECT dur AS t,
+             SUM(churned) AS d,
+             COUNT(*) AS leaving
+      FROM span GROUP BY dur
+    ), risk AS (
+      SELECT t, d,
+             SUM(leaving) OVER (ORDER BY t DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n_at_risk
+      FROM times
+    )
+    SELECT CAST(t AS INT) AS t_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM risk WHERE d > 0
+    ORDER BY t_days
+    """,
+)
+def survival_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve: per user, the observed activity
+    span in days; users still active in the final week of the fixture
+    are right-CENSORED (they count in the at-risk set but not as churn
+    events) — the survival-analysis estimator done properly, not a
+    naive churn histogram.
+
+    Scale shape: events reduce to one (duration, censored) row per user
+    in a single aggregation (the corpus-max timestamp is a broadcast
+    scalar); durations group to the bounded distinct-time relation
+    where the descending-cumulative at-risk counts and the cumulative
+    KM product (exp of an ORDERED log sum — deterministic order, same
+    doubles both engines) run. Every window is over the time grid,
+    never the data."""
+    e = load_table(spark, sf_dir, "events")
+    maxd = e.agg(F.max("ts").alias("mx"))
+    span = (
+        e.crossJoin(F.broadcast(maxd))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("ts"), F.min("ts")).alias("dur"),
+            F.when(
+                F.datediff(F.max(F.col("mx")), F.max("ts")) <= 7, 0
+            )
+            .otherwise(1)
+            .alias("churned"),
+        )
+    )
+    times = span.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count("*").alias("leaving")
+    )
+    wdesc = W.orderBy(F.desc("t")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = times.select(
+        "t", "d", F.sum("leaving").over(wdesc).alias("n_at_risk")
+    )
+    wasc = W.orderBy("t")
+    return (
+        risk.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("int").alias("t_days"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").cast("bigint").alias("n_churned"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0 - F.col("d").cast("double") / F.col("n_at_risk")
+                        )
+                    ).over(wasc)
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@_register(
+    "gini_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(r) AS DOUBLE), 2) AS total_revenue,
+           ROUND(2.0 * CAST(SUM(i * r) AS DOUBLE)
+                 / (MAX(n) * CAST(SUM(r) AS DOUBLE))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+           ROUND(CAST(SUM(CASE WHEN i > n - CAST(CEIL(n / 10.0) AS BIGINT)
+                               THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(r) AS DOUBLE), 6) AS top_decile_share
+    FROM ranked
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue across ordering customers plus the
+    top-decile revenue share — the concentration audit run on corpus
+    source weights and customer value alike (a Gini near 1 means a few
+    heads dominate; near 0, uniform).
+
+    Scale shape: orders reduce to one exact-decimal revenue row per
+    customer; the rank is a window over that customer-sized relation
+    with a fully tied-off total order (revenue, custkey), and the Gini
+    reduces to exact decimal sums (sum of i*r stays decimal — the rank
+    weight is an integer), so both engines divide identical operands.
+    The formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n assumes ascending
+    rank, which the ORDER BY pins."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("r"))
+    wr = W.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    top = F.col("i") > F.col("n") - F.ceil(F.col("n") / 10.0).cast("bigint")
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("r").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")).cast("double")
+            / (F.max("n") * F.sum("r").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(top, F.col("r")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double")
+            / F.sum("r").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
