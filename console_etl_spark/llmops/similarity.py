@@ -1356,15 +1356,23 @@ def pca_project(
     vec_col: str = "embedding",
     dim: int = 64,
     fit: "tuple[np.ndarray, np.ndarray, np.ndarray] | None" = None,
+    whiten: bool = False,
 ) -> DataFrame:
     """Project each vector onto the top-k principal components:
     adds a ``pca`` array<double> column of length k (mean-centered,
-    W_kᵀ(x - mean)). The (dim, k) projection broadcasts inside the
+    W_kᵀ(x - mean)). With ``whiten=True`` each component is scaled by
+    1/sqrt(eigenvalue), giving unit variance per dimension — the
+    normalization contrastive-embedding pipelines apply before cosine
+    retraining. The (dim, k) projection broadcasts inside the
     mapInPandas closure; the data crosses Arrow once per batch — the
     same transport shape as the GEMM tiles above. Dimensionality
     reduction before ANN indexing is the standard recall/compute trade."""
-    mean, _, eigvec = fit if fit is not None else pca_fit(vectors, vec_col, dim)
+    mean, eigval, eigvec = (
+        fit if fit is not None else pca_fit(vectors, vec_col, dim)
+    )
     wk = eigvec[:, :k]
+    if whiten:
+        wk = wk / np.sqrt(np.maximum(eigval[:k], 1e-12))
     other = [c for c in vectors.columns]
 
     def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1167,3 +1167,79 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_syl.cast("bigint").alias("n_syllables"),
         F.round(flesch, 4).alias("flesch_ease"),
     )
+
+
+@_register(
+    "calibration_diversity_vs_canonical",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS score,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY {{SQL_NORM}})
+                  THEN 1 ELSE 0 END AS canonical
+      FROM documents
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+             score, canonical
+      FROM scored
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(score) / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(canonical) AS DOUBLE) / COUNT(*), 6)
+             AS canonical_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """.replace("{SQL_NORM}", SQL_NORM),
+)
+def calibration_diversity_vs_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability (calibration) curve: lexical-diversity score deciles
+    against the empirical rate of being the canonical copy under
+    normalized exact dedup — the monitoring curve that checks whether a
+    quality score actually predicts the outcome it gates
+    (well-calibrated: monotone rate across bins).
+
+    Scale shape: the per-document score is row-local; the canonical
+    label is one window over the normalized-text group (the same
+    partitioning dedup itself shuffles on); the curve reduces to 10
+    fixed-width score bins. Mean score divides an exact double sum by
+    an integer count identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    ).alias("score")
+    from pyspark.sql import Window as W
+
+    canonical = (
+        F.when(
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(normalized_text())),
+            1,
+        )
+        .otherwise(0)
+        .alias("canonical")
+    )
+    scored = d.select("doc_id", score, canonical)
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+        "score",
+        "canonical",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("score") / F.count("*"), 6).alias("mean_score"),
+            F.round(
+                F.sum("canonical").cast("double") / F.count("*"), 6
+            ).alias("canonical_rate"),
+        )
+        .select(F.col("bin").cast("int").alias("bin"), "n_docs",
+                "mean_score", "canonical_rate")
+        .orderBy("bin")
+    )

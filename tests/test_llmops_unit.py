@@ -2196,3 +2196,17 @@ def test_pca_scree_query_shape(spark):
     assert rows[-1].cum_ratio <= 1.0 + 1e-9
     ratios = [r.var_ratio for r in rows]
     assert all(ratios[i] >= ratios[i + 1] for i in range(7))
+
+
+def test_pca_whitening_unit_variance(spark):
+    """Whitened projection: every retained component has variance 1."""
+    import numpy as np
+
+    e = load_table(spark, SF_TEST, "embeddings")
+    fit = similarity.pca_fit(e)
+    proj = similarity.pca_project(e, 4, fit=fit, whiten=True)
+    pmat = np.array(
+        [r.pca for r in proj.select("pca").collect()], dtype=np.float64
+    )
+    assert np.allclose(pmat.var(axis=0), np.ones(4), rtol=1e-9)
+    assert np.allclose(pmat.mean(axis=0), np.zeros(4), atol=1e-9)
