@@ -227,6 +227,60 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+MARKOV_OUTPUT = "user_id long, from_type string, to_type string, n long"
+MARKOV_STATE = "last_type string"
+
+
+def stream_markov_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition counts maintained incrementally
+    across micro-batches — the streaming twin of the batch
+    markov_event_transitions query (relational.py), for arrival-ordered
+    streams (time-range-ordered file drops; the out-of-order audit
+    measures how safe that assumption is).
+
+    State per user is ONE string: the last event type seen. Each batch
+    sorts its rows for the user by (ts, event_id) — deterministic within
+    the batch — bridges the carried state to the batch's first event,
+    and emits the batch's transition pair counts in append mode; the
+    final transition matrix is a plain aggregation over the sink, and
+    stream==batch is pinned by test. At scale the state store shards by
+    user_id and holds one short string per user."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        pairs: dict = {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                if last is not None:
+                    k = (last, t)
+                    pairs[k] = pairs.get(k, 0) + 1
+                last = t
+        if last is not None:
+            state.update((last,))
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "from_type": [k[0] for k in pairs],
+                    "to_type": [k[1] for k in pairs],
+                    "n": list(pairs.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        MARKOV_OUTPUT,
+        MARKOV_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """``running_user_totals`` on Spark 4's transformWithState API — the
     supported successor of applyInPandasWithState for arbitrary per-key

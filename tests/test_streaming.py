@@ -913,3 +913,32 @@ def test_stream_psi_monitor_composes_and_recomputes(
         ps = [r.p_ref for r in rows]
         psi = sum((qb - pb) * math.log(qb / pb) for qb, pb in zip(qs, ps))
         assert abs(psi - rows[0].psi_batch) < 1e-12
+
+
+def test_stream_markov_equals_batch(spark, events_stream_dir):
+    """Transition counts folded over arrival-ordered micro-batches equal
+    the batch Markov matrix computed over the same (ts, event_id)
+    order — per-user sequence state survives batch boundaries (the
+    carried last-type bridges each batch's first event)."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.relational import markov_event_transitions
+
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    sink = streaming.run_to_completion(
+        streaming.stream_markov_transitions(stream),
+        "markov_sink",
+        "append",
+    )
+
+    got = (
+        sink.groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got = {(r.from_type, r.to_type): r.n for r in got}
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in markov_event_transitions(spark, SF_TEST).collect()
+    }
+    assert got == want
