@@ -146,7 +146,8 @@ _PRIORITY = (
     # for the next rotation: events_out_of_order_audit (fifteenth wave,
     # 51st registrant), the sixteenth wave (smape_seasonal_backtest,
     # survival_user_retention_km, gini_revenue_concentration), and the
-    # seventeenth (calibration_diversity_vs_canonical). Rotated out behind it: the 3 r6-changed
+    # seventeenth (calibration_diversity_vs_canonical) and eighteenth
+    # (dedup_shingle_containment, text_zipf_fit). Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the
     # r1-stale tier (events_sliding_windows, q6-q22 singles,

@@ -989,3 +989,74 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("quality", 6).alias("quality"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@_register(
+    "dedup_shingle_containment",
+    f"""
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id AS contained_id, b_id AS container_id, n_common,
+           CAST(sa.n AS BIGINT) AS n_contained,
+           ROUND(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment
+    FROM pairs JOIN sizes sa ON a_id = sa.doc_id
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained_id, container_id
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A ∩ B| / |A| >= 0.8 —
+    the subset-duplicate detector Jaccard structurally misses (a
+    paragraph fully copied into a much longer document has high
+    containment but low Jaccard, because the union is dominated by the
+    container). The directed output names which document is contained
+    in which.
+
+    Scale shape: the same persisted inverted-index self-join as the
+    Jaccard kernel (candidates only where shingles collide), but pairs
+    are DIRECTED (a != b, not a < b) because containment is asymmetric;
+    the divisor joins only the contained side's size. Integer
+    intersection counts make the ratio exact before the 6-decimal
+    round."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = pin(exploded_shingles(d))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cont = F.col("n_common").cast("double") / F.col("na")
+    return (
+        pairs.join(sa, "a_id")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+            "n_common",
+            F.col("na").cast("bigint").alias("n_contained"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("contained_id", "container_id")
+    )

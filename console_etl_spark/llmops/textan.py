@@ -1243,3 +1243,75 @@ def calibration_diversity_vs_canonical(
                 "mean_score", "canonical_rate")
         .orderBy("bin")
     )
+
+
+@_register(
+    "text_zipf_fit",
+    """
+    WITH freq AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY w
+    ), ranked AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE))
+               AS lr,
+             LN(CAST(c AS DOUBLE)) AS lf
+      FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND((COUNT(*) * SUM(lr * lf) - SUM(lr) * SUM(lf))
+                 / (COUNT(*) * SUM(lr * lr) - SUM(lr) * SUM(lr)), 6)
+             AS zipf_slope,
+           ROUND((SUM(lf) - ((COUNT(*) * SUM(lr * lf) - SUM(lr) * SUM(lf))
+                             / (COUNT(*) * SUM(lr * lr) - SUM(lr) * SUM(lr)))
+                            * SUM(lr)) / COUNT(*), 6) AS zipf_intercept,
+           ROUND(POW(COUNT(*) * SUM(lr * lf) - SUM(lr) * SUM(lf), 2)
+                 / ((COUNT(*) * SUM(lr * lr) - SUM(lr) * SUM(lr))
+                    * (COUNT(*) * SUM(lf * lf) - SUM(lf) * SUM(lf))), 6)
+             AS r_squared
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: the log-log
+    regression slope of frequency on rank (natural text ~ -1; synthetic
+    or templated corpora drift far from it), with intercept and R² —
+    the corpus-naturalness diagnostic run before trusting perplexity
+    filters trained on real text.
+
+    Scale shape: the token stream reduces to the vocabulary relation in
+    one shuffle; the rank is a window over the vocabulary (tie-broken
+    by token for determinism); slope/intercept/R² come from the
+    standard least-squares sums in a single aggregation. The log-sum
+    ordering difference between engines is far below the 6-decimal
+    round (perplexity-tier contract)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = freq.select(
+        F.log(
+            F.row_number().over(W.orderBy(F.desc("c"), "w")).cast("double")
+        ).alias("lr"),
+        F.log(F.col("c").cast("double")).alias("lf"),
+    )
+    n = F.count("*")
+    slr, slf = F.sum("lr"), F.sum("lf")
+    srl = F.sum(F.col("lr") * F.col("lf"))
+    srr = F.sum(F.col("lr") * F.col("lr"))
+    sff = F.sum(F.col("lf") * F.col("lf"))
+    slope = (n * srl - slr * slf) / (n * srr - slr * slr)
+    return ranked.agg(
+        n.cast("bigint").alias("vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((slf - slope * slr) / n, 6).alias("zipf_intercept"),
+        F.round(
+            F.pow(n * srl - slr * slf, F.lit(2.0))
+            / ((n * srr - slr * slr) * (n * sff - slf * slf)),
+            6,
+        ).alias("r_squared"),
+    )
