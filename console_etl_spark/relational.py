@@ -5939,11 +5939,12 @@ def smape_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH span AS (
       SELECT user_id,
-             DATEDIFF('day', MIN(CAST(ts AS TIMESTAMP)),
-                      MAX(CAST(ts AS TIMESTAMP))) AS dur,
-             CASE WHEN DATEDIFF('day', MAX(CAST(ts AS TIMESTAMP)),
-                               (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))
-                       <= 7
+             CAST(FLOOR((epoch_us(MAX(CAST(ts AS TIMESTAMP)))
+                         - epoch_us(MIN(CAST(ts AS TIMESTAMP))))
+                        / 3600000000.0) AS BIGINT) AS dur,
+             CASE WHEN (epoch_us((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))
+                        - epoch_us(MAX(CAST(ts AS TIMESTAMP))))
+                       <= 12 * 3600000000
                   THEN 0 ELSE 1 END AS churned
       FROM events GROUP BY user_id
     ), times AS (
@@ -5958,21 +5959,22 @@ def smape_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 AND CURRENT ROW) AS n_at_risk
       FROM times
     )
-    SELECT CAST(t AS INT) AS t_days,
+    SELECT CAST(t AS INT) AS t_hours,
            CAST(n_at_risk AS BIGINT) AS n_at_risk,
            CAST(d AS BIGINT) AS n_churned,
            ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk))
                      OVER (ORDER BY t)), 6) AS survival
     FROM risk WHERE d > 0
-    ORDER BY t_days
+    ORDER BY t_hours
     """,
 )
 def survival_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention curve: per user, the observed activity
-    span in days; users still active in the final week of the fixture
-    are right-CENSORED (they count in the at-risk set but not as churn
-    events) — the survival-analysis estimator done properly, not a
-    naive churn histogram.
+    span in HOURS; users whose last event falls within 12 hours of the
+    corpus end are right-CENSORED (they count in the at-risk set but
+    not as churn events) — the survival-analysis estimator done
+    properly, not a naive churn histogram. The hour scale matches the
+    fixture's activity density (day-level gaps barely exist).
 
     Scale shape: events reduce to one (duration, censored) row per user
     in a single aggregation (the corpus-max timestamp is a broadcast
@@ -5987,9 +5989,16 @@ def survival_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(maxd))
         .groupBy("user_id")
         .agg(
-            F.datediff(F.max("ts"), F.min("ts")).alias("dur"),
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(3_600_000_000.0)
+            )
+            .cast("bigint")
+            .alias("dur"),
             F.when(
-                F.datediff(F.max(F.col("mx")), F.max("ts")) <= 7, 0
+                F.unix_micros(F.max("mx")) - F.unix_micros(F.max("ts"))
+                <= 12 * 3_600_000_000,
+                0,
             )
             .otherwise(1)
             .alias("churned"),
@@ -6008,7 +6017,7 @@ def survival_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         risk.filter(F.col("d") > 0)
         .select(
-            F.col("t").cast("int").alias("t_days"),
+            F.col("t").cast("int").alias("t_hours"),
             F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
             F.col("d").cast("bigint").alias("n_churned"),
             F.round(
@@ -6022,7 +6031,7 @@ def survival_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("survival"),
         )
-        .orderBy("t_days")
+        .orderBy("t_hours")
     )
 
 
