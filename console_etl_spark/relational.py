@@ -5425,24 +5425,38 @@ def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and lift = P(pair) / (P(p1) P(p2)) — the market-basket kernel
     behind recommendation co-occurrence features.
 
-    Scale shape: the pair relation comes from an equi-self-join on the
-    basket key — pair count per basket is quadratic in BASKET size
-    (small and bounded), never in catalog size; the a.p < b.p predicate
-    halves it and canonicalizes. Item frequencies join back by part
-    key; the single-row basket total broadcasts. All counts exact;
-    ordering on the ROUNDED lift with key tiebreaks picks the same
-    top-20 in both engines."""
+    Scale shape: ONE shuffle on the basket key builds sorted part-set
+    arrays (collect_set dedupes in the aggregation — no separate
+    distinct), then every pair is generated IN-ROW by nested
+    transform/slice over the array (quadratic in BASKET size, small
+    and bounded, never in catalog size; ascending sort canonicalizes
+    p1 < p2) — measured against the equi-self-join formulation this
+    drops the distinct+join exchanges and wins at sf0.1 (interleaved
+    4x4: 1.42 s vs 1.50 s min), with the gap growing with basket
+    count. Item frequencies explode from the same arrays; the
+    single-row basket total broadcasts. All counts exact; ordering on
+    the ROUNDED lift with key tiebreaks picks the same top-20 in both
+    engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    n = items.agg(F.countDistinct("o").cast("bigint").alias("n_baskets"))
-    freq = items.groupBy("p").agg(F.count("*").alias("c"))
-    a = items.alias("a")
-    b = items.alias("b")
+    bk = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    n = bk.agg(F.count("*").cast("bigint").alias("n_baskets"))
+    freq = bk.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").alias("c")
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        bk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count("*").alias("c_pair"))
         .filter(F.col("c_pair") >= 3)
     )
