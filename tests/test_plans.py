@@ -361,3 +361,52 @@ def test_mv_merge_is_one_partial_aggregate_exchange(spark):
     b = mv_partials(o.filter("o_orderkey % 2 = 1"), keys, ms)
     plan = plan_of(mv_merge(a, b, keys, ms))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_assoc_basket_kernel_no_pair_join(spark):
+    """The association-rules pair relation must come from the in-row
+    basket arrays, NOT a self-join on the basket key — the regression
+    the basket kernel A/B paid for. The only joins left are the
+    part-frequency attachments and the broadcast scalar total."""
+    plan = plan_of(relational.assoc_part_pairs_lift(spark, SF_TEST))
+    assert "SortMergeJoin" not in plan, plan
+    # pair generation is codegen'd array work: no join keyed on the
+    # basket/order column anywhere in the plan
+    assert not re.search(r"Join.*\bo#", plan), plan
+
+
+def test_ewma_single_user_exchange(spark):
+    """EWMA is one shuffle (partition by user) + in-row HOFs: no join,
+    no second exchange, no Python stage."""
+    plan = plan_of(relational.ewma_trailing_user_value(spark, SF_TEST))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_overlap_sessions_no_range_join(spark):
+    """Interval-overlap via bounded sequence-explode: the plan must
+    contain a Generate (explode) and NO non-equi join (the naive
+    formulation Catalyst would plan as BroadcastNestedLoopJoin)."""
+    plan = plan_of(relational.overlap_sessions_per_hour(spark, SF_TEST))
+    assert "Generate explode" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stats_reductions_bounded_before_window(spark):
+    """The hypothesis-testing tier's windows run on bounded relations:
+    every window in chi2/KS sits ABOVE a partial aggregation of the
+    fact scan (HashAggregate appears before Window bottom-up), so the
+    single-partition exchange carries cells/bins, not data."""
+    for fn in (
+        relational.stats_chi2_independence,
+        relational.stats_ks_two_sample,
+    ):
+        plan = plan_of(fn(spark, SF_TEST))
+        first_agg = plan.find("HashAggregate")
+        first_window = plan.find("Window")
+        assert first_agg != -1 and first_window != -1, plan
+        # toString prints top-down: the Window must appear ABOVE (before)
+        # the scan-side aggregate, i.e. the aggregate is deeper
+        assert plan.find("Scan parquet") > first_agg, plan
