@@ -5804,7 +5804,15 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle; the three NTILE windows run over that
     customer-sized relation with fully-tied-off ordering (metric,
     custkey), so quintile assignment is deterministic in both engines;
-    exact decimal monetary sums keep the M ordering identical."""
+    exact decimal monetary sums keep the M ordering identical. A naive
+    NTILE window would plan a SinglePartition exchange — small for the
+    fixture's customers, not at 100 TB — so each quintile is assigned
+    from a DISTRIBUTED global position (the two-phase range-partition +
+    offset kernel, llmops.pipeline.global_enumerate) with the exact
+    NTILE bucket formula (first n%k buckets one larger); the plan test
+    pins the plan SinglePartition-free."""
+    from .llmops.pipeline import global_enumerate
+
     o = load_table(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("d"))
     rfm = (
@@ -5815,13 +5823,33 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum(dec("o_totalprice")).alias("monetary"),
         )
+        .withColumn("neg_recency", -F.col("recency_days"))
     )
-    scored = rfm.select(
-        F.ntile(5)
-        .over(W.orderBy(F.desc("recency_days"), "o_custkey"))
-        .alias("r"),
-        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+    n_row = rfm.agg(F.count("*").alias("n"))
+
+    def quintile(sort_cols: list, out: str) -> DataFrame:
+        df = global_enumerate(rfm, sort_cols).select(
+            "o_custkey", (F.col("global_idx") + 1).alias("pos")
+        )
+        n, k = F.col("n"), F.lit(5)
+        q = F.floor(n / k)
+        r = n % k
+        big = r * (q + 1)
+        bucket = (
+            F.when(F.col("pos") <= big, F.ceil(F.col("pos") / (q + 1)))
+            .otherwise(
+                r + F.ceil((F.col("pos") - big) / F.greatest(q, F.lit(1)))
+            )
+            .cast("int")
+        )
+        return df.crossJoin(F.broadcast(n_row)).select(
+            "o_custkey", bucket.alias(out)
+        )
+
+    scored = (
+        quintile(["neg_recency", "o_custkey"], "r")
+        .join(quintile(["frequency", "o_custkey"], "f"), "o_custkey")
+        .join(quintile(["monetary", "o_custkey"], "m"), "o_custkey")
     )
     return (
         scored.select(
@@ -6085,14 +6113,20 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces to exact decimal sums (sum of i*r stays decimal — the rank
     weight is an integer), so both engines divide identical operands.
     The formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n assumes ascending
-    rank, which the ORDER BY pins."""
+    rank, which the total order pins. The rank comes from the
+    DISTRIBUTED global-enumeration kernel (range partitions + driver
+    prefix-summed offsets, llmops.pipeline.global_enumerate), not a
+    SinglePartition ROW_NUMBER — the customer relation will not fit
+    one task at 100 TB."""
+    from .llmops.pipeline import global_enumerate
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("r"))
-    wr = W.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(wr).alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
+    n_row = rev.agg(F.count("*").alias("n"))
+    ranked = (
+        global_enumerate(rev, ["r", "o_custkey"])
+        .select("r", (F.col("global_idx") + 1).alias("i"))
+        .crossJoin(F.broadcast(n_row))
     )
     top = F.col("i") > F.col("n") - F.ceil(F.col("n") / 10.0).cast("bigint")
     return ranked.agg(

@@ -410,3 +410,24 @@ def test_stats_reductions_bounded_before_window(spark):
         # toString prints top-down: the Window must appear ABOVE (before)
         # the scan-side aggregate, i.e. the aggregate is deeper
         assert plan.find("Scan parquet") > first_agg, plan
+
+
+def test_gini_and_rfm_rank_without_single_partition(spark):
+    """Global ranks in the Gini and RFM queries come from the
+    distributed enumeration kernel: no Window or Sort runs on a
+    SinglePartition exchange (the naive ROW_NUMBER()/NTILE() OVER a
+    global ORDER BY would plan exactly that). The SinglePartition
+    exchanges that remain feed GLOBAL SCALAR AGGREGATES only — each
+    one's child is a partial HashAggregate with no grouping keys, so
+    it carries one row per upstream partition, never the data."""
+    for fn in (
+        relational.gini_revenue_concentration,
+        relational.rfm_customer_segments,
+    ):
+        plan = plan_of(fn(spark, SF_TEST))
+        # ranks are windowed by the range-partition id, never globally
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            assert "_pid" in m.group(1), m.group(0)
+        # every single-partition exchange is a scalar-aggregate reduce
+        for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+            assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
