@@ -25,6 +25,7 @@ from console_etl_spark import graph, layout, navigation, relational, sqlapi
 from console_etl_spark.llmops import (
     clustering,
     dedup,
+    modeleval,
     multimodal,
     pipeline,
     similarity,
@@ -45,6 +46,7 @@ _MODULES = (
     sketches,
     pipeline,
     clustering,
+    modeleval,
 )
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
@@ -145,9 +147,11 @@ _PRIORITY = (
     # WINDOW FULL at 50. Still never-driver-checked and first in line
     # for the next rotation: events_out_of_order_audit (fifteenth wave,
     # 51st registrant), the sixteenth wave (smape_seasonal_backtest,
-    # survival_user_retention_km, gini_revenue_concentration), and the
-    # seventeenth (calibration_diversity_vs_canonical) and eighteenth
-    # (dedup_shingle_containment, text_zipf_fit). Rotated out behind it: the 3 r6-changed
+    # survival_user_retention_km, gini_revenue_concentration), the
+    # seventeenth (calibration_diversity_vs_canonical), eighteenth
+    # (dedup_shingle_containment, text_zipf_fit), and nineteenth
+    # (eval_auc_doc_length, eval_gains_deciles,
+    # eval_calibration_bins). Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the
     # r1-stale tier (events_sliding_windows, q6-q22 singles,

@@ -1,0 +1,278 @@
+"""Model-evaluation analytics over scored corpora (X4/X8 adjunct).
+
+A training-data engine that can score documents (quality, language,
+dedup survivorship) also needs to EVALUATE those scores at corpus
+scale: ranking power (AUC), targeting efficiency (gains/lift
+deciles), and probability calibration (reliability bins). These are
+the standard model-eval relations, re-expressed as exact Spark
+dataflow over the ``documents`` fixture with ``n_chars`` standing in
+for a model score and ``lang = 'en'`` for the binary label — the same
+shapes apply verbatim to any (score, label) projection.
+
+Scale notes (the reason these aren't one-liner windows):
+
+- **AUC** is the Mann-Whitney statistic. The naive form ranks every
+  row with ``ROW_NUMBER() OVER (ORDER BY score)`` — a SinglePartition
+  exchange, the canonical scale-killer. Here the corpus first
+  collapses to one row per DISTINCT score (map-side combinable; the
+  grouped relation is bounded by score cardinality, not row count),
+  then a distributed exclusive prefix-scan
+  (llmops.pipeline.global_prefix_sum) supplies "negatives strictly
+  below this score". The tie-corrected identity
+
+      AUC = Σ_s pos_s · (2·neg_below(s) + neg_s) / (2·P·N)
+
+  is all 64-bit integer arithmetic until one final division, so both
+  engines agree bit-for-bit after ROUND(_, 6).
+- **Gains deciles** need a global position — supplied by
+  llmops.pipeline.global_enumerate (two-phase, no SinglePartition on
+  the corpus); deciles use integer `div`, never float floor, so
+  bucket boundaries cannot drift between engines. The cumulative
+  window then runs over 10 rows.
+- **Calibration bins** are pure groupBy: the predicted probability
+  is kept as an integer numerator (``least(n_chars, CAL_SCALE)``)
+  until the final division, so per-bin means are
+  summation-order-independent.
+
+The reference (a catalog/blob service, SURVEY §2.1) has no analytics
+surface; this module is part of the §2.3 extension tier the driver
+mandates for LLM-pipeline workloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .pipeline import global_enumerate, global_prefix_sum
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, label): n_chars as the score, lang='en' as the
+    positive class — deterministic, engine-agnostic, tie-rich."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("label"),
+    )
+
+
+_SQL_SCORED = """
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS score,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM documents
+"""
+
+
+@_register(
+    "eval_auc_doc_length",
+    f"""
+    WITH scored AS ({_SQL_SCORED}),
+    by_score AS (
+      SELECT score,
+             CAST(SUM(label) AS BIGINT)     AS pos,
+             CAST(SUM(1 - label) AS BIGINT) AS neg
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT pos, neg,
+             CAST(COALESCE(SUM(neg) OVER (
+                    ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS neg_below
+      FROM by_score
+    )
+    SELECT ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE), 6) AS auc,
+           ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / CAST(SUM(pos) * SUM(neg) AS DOUBLE) - 1.0, 6)
+             AS gini_stat,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+)
+def eval_auc_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC AUC of doc length predicting lang='en' —
+    grouped-by-score counts, then a distributed exclusive prefix-scan
+    of negatives (no per-row global rank anywhere in the plan)."""
+    by_score = (
+        _scored(spark, sf_dir)
+        .groupBy("score")
+        .agg(
+            F.sum("label").alias("pos"),
+            F.sum(F.lit(1) - F.col("label")).alias("neg"),
+        )
+    )
+    cum = global_prefix_sum(
+        by_score, ["score"], "neg", out_col="neg_below", inclusive=False
+    )
+    num = F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+    pos_tot = F.sum("pos")
+    neg_tot = F.sum("neg")
+    return cum.agg(
+        F.round(
+            num.cast("double") / (2 * pos_tot * neg_tot).cast("double"), 6
+        ).alias("auc"),
+        F.round(
+            num.cast("double") / (pos_tot * neg_tot).cast("double") - F.lit(1.0),
+            6,
+        ).alias("gini_stat"),
+        pos_tot.cast("bigint").alias("n_pos"),
+        neg_tot.cast("bigint").alias("n_neg"),
+    )
+
+
+@_register(
+    "eval_gains_deciles",
+    f"""
+    WITH scored AS ({_SQL_SCORED}),
+    idx AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    ), dec AS (
+      SELECT CAST((rn * 10) // n AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT)   AS n_docs,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM idx GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT)  AS tp,
+             CAST(SUM(n_docs) AS BIGINT) AS td
+      FROM dec
+    )
+    SELECT decile, n_docs, n_pos,
+           ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(tp AS DOUBLE), 6) AS cum_capture,
+           ROUND((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 / (CAST(tp AS DOUBLE) / CAST(td AS DOUBLE)), 6) AS lift
+    FROM dec, tot
+    ORDER BY decile
+    """,
+)
+def eval_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table: rank by score desc (doc_id tiebreak)
+    through the distributed enumeration kernel, bucket by integer
+    `div`, then cumulative capture over the 10-row decile relation."""
+    scored = _scored(spark, sf_dir).withColumn("_ns", -F.col("score"))
+    idx = global_enumerate(scored, ["_ns", "doc_id"], out_col="_rn")
+    # total rows from the un-enumerated relation: one scan-side scalar
+    # aggregate instead of a second pass through the rank kernel
+    total = _scored(spark, sf_dir).agg(F.count("*").cast("bigint").alias("_n"))
+    dec = (
+        idx.crossJoin(F.broadcast(total))
+        .withColumn("decile", F.expr("CAST((_rn * 10) DIV _n AS BIGINT)"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = dec.agg(
+        F.sum("n_pos").cast("bigint").alias("tp"),
+        F.sum("n_docs").cast("bigint").alias("td"),
+    )
+    from pyspark.sql import Window as W
+
+    # 10-row relation: a global window here is bounded, not a scale
+    # hazard (same shape as the other report-sized finals).
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_capture",
+            F.round(
+                F.sum("n_pos").over(w).cast("double") / F.col("tp").cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs").cast("double"))
+                / (F.col("tp").cast("double") / F.col("td").cast("double")),
+                6,
+            ),
+        )
+        .select("decile", "n_docs", "n_pos", "cum_capture", "lift")
+        .orderBy("decile")
+    )
+
+
+# Probability scale: score/CAL_SCALE clamped to [0, 1]; ten
+# equal-width bins via integer arithmetic so bucket edges are
+# engine-exact. 600 comfortably covers the fixture's n_chars range.
+CAL_SCALE = 600
+
+
+@_register(
+    "eval_calibration_bins",
+    f"""
+    WITH scored AS ({_SQL_SCORED}),
+    binned AS (
+      SELECT LEAST((LEAST(score, {CAL_SCALE}) * 10) // {CAL_SCALE}, 9)
+               AS bin,
+             LEAST(score, {CAL_SCALE}) AS pred_num,
+             label
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(pred_num) AS DOUBLE)
+                 / ({CAL_SCALE}.0 * COUNT(*)), 6) AS mean_pred,
+           ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: predicted probability = min(score, CAL_SCALE)
+    / CAL_SCALE, ten equal-width bins. Numerators stay integer until
+    the final division, so per-bin means are order-independent."""
+    pred_num = F.least(F.col("score"), F.lit(CAL_SCALE))
+    return (
+        _scored(spark, sf_dir)
+        .withColumn("pred_num", pred_num)
+        .withColumn(
+            "bin",
+            F.least(
+                F.expr(f"(pred_num * 10) DIV {CAL_SCALE}"), F.lit(9)
+            ).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("pred_num").cast("double")
+                / (F.lit(float(CAL_SCALE)) * F.count("*")),
+                6,
+            ).alias("mean_pred"),
+            F.round(F.sum("label").cast("double") / F.count("*"), 6).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("bin")
+    )

@@ -635,6 +635,73 @@ def global_enumerate(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    sort_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` in global ``sort_cols`` order
+    WITHOUT a SinglePartition window — the sibling of
+    ``global_enumerate`` for weighted ranks (Mann-Whitney AUC, Lorenz
+    curves, cumulative-capture tables).
+
+    Same two-phase shape: range-repartition on the sort key, aggregate
+    ONE partial sum per partition (driver traffic bounded by the
+    partition count, never the row count), prefix-scan those partials
+    into per-partition offsets, broadcast them back, and finish with a
+    window keyed BY PARTITION ID so the running total parallelizes.
+
+    Exactness contract: pass an integral ``value_col`` (counts,
+    flags, scaled decimals) — partials and offsets then carry exact
+    64-bit sums, reduce order-independently, and the result is
+    bit-deterministic under any partitioning. ``inclusive=
+    False`` yields the exclusive scan (sum of strictly-preceding rows),
+    the form rank statistics want. Ties within ``sort_cols`` should be
+    broken by a tiebreaker column unless the caller aggregates per key
+    first (then keys are unique by construction).
+    """
+    from pyspark.sql import Window as W
+
+    from ..session import pin
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pin(ranged)
+    # Bounded collect: one row per shuffle partition (≤ num_partitions),
+    # independent of |df| — allowlisted in tests/test_plans.py.
+    parts = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    acc = 0
+    offsets = []
+    for row in sorted(parts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_s"] or 0
+    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    end = 0 if inclusive else -1
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(W.unboundedPreceding, end)
+    )
+    return (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w).cast("bigint"), F.lit(0))
+            + F.col("_off"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 @_register(
     "enumerate_docs_global",
     """

@@ -337,3 +337,35 @@ def test_pack_ffd_no_worse_than_streaming_packer(spark):
         .count()
     )
     assert ffd_packs <= stream_packs
+
+
+def test_global_prefix_sum_matches_naive_scan(spark):
+    """Kernel law: global_prefix_sum == the single-partition running
+    total, inclusive and exclusive, on keys far outnumbering the
+    shuffle partitions (so offsets really compose across partitions)."""
+    rows = [(k, (k * 37 + 11) % 13) for k in range(997)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    expected = []
+    acc = 0
+    for k, v in rows:  # rows are already in k order
+        expected.append((k, acc, acc + v))
+        acc += v
+    for inclusive, col in ((False, 1), (True, 2)):
+        got = {
+            r["k"]: r["ps"]
+            for r in pipeline.global_prefix_sum(
+                df, ["k"], "v", out_col="ps", inclusive=inclusive
+            ).collect()
+        }
+        assert got == {e[0]: e[col] for e in expected}, f"inclusive={inclusive}"
+
+
+def test_global_prefix_sum_deterministic_under_repartitioning(spark):
+    """Bit-determinism: the scan is identical whatever the input
+    partitioning (the kernel re-ranges internally)."""
+    rows = [(k, k % 7) for k in range(300)]
+    a = spark.createDataFrame(rows, "k bigint, v bigint")
+    b = spark.createDataFrame(rows, "k bigint, v bigint").repartition(17)
+    ra = pipeline.global_prefix_sum(a, ["k"], "v").collect()
+    rb = pipeline.global_prefix_sum(b, ["k"], "v").collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))

@@ -199,6 +199,8 @@ def test_no_unbounded_driver_materialization():
         ("llmops/pipeline.py", "curate_with_observed_metrics"),
         # global enumeration: one count row PER PARTITION (never per row)
         ("llmops/pipeline.py", "global_enumerate"),
+        # global prefix-scan: one partial-sum row PER PARTITION
+        ("llmops/pipeline.py", "global_prefix_sum"),
         # k-means fit: k seed rows + k·dim partial-sum rows per round
         ("llmops/clustering.py", "kmeans_fit"),
         # PCA fit: one (count, sum, dim^2 outer) moment row per partition
@@ -431,3 +433,40 @@ def test_gini_and_rfm_rank_without_single_partition(spark):
         # every single-partition exchange is a scalar-aggregate reduce
         for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
             assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
+
+
+def test_eval_auc_prefix_scan_no_global_window(spark):
+    """AUC ranks via the distributed prefix-scan kernel: every Window
+    is keyed by the range-partition id, and the only SinglePartition
+    exchange is the final 1-row scalar reduce (partial-aggregated)."""
+    from console_etl_spark.llmops import modeleval
+
+    plan = plan_of(modeleval.eval_auc_doc_length(spark, SF_TEST))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(1), m.group(0)
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
+
+
+def test_eval_gains_corpus_rank_distributed(spark):
+    """The gains table's corpus-wide rank comes from the enumeration
+    kernel (_pid-keyed windows); the only global window runs over the
+    10-row decile relation, and every SinglePartition exchange either
+    reduces to a scalar (keys=[] partial aggregate) or broadcasts that
+    1-row scalar into the cross join."""
+    from console_etl_spark.llmops import modeleval
+
+    plan = plan_of(modeleval.eval_gains_deciles(spark, SF_TEST))
+    pid_windows = 0
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        spec = m.group(1)
+        if "_pid" in spec:
+            pid_windows += 1
+        else:
+            assert "decile" in spec, m.group(0)
+    assert pid_windows >= 1, plan
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        nxt = m.group(1)
+        assert (
+            "HashAggregate(keys=[]" in nxt or "BroadcastNestedLoopJoin" in nxt
+        ), m.group(0)
