@@ -149,9 +149,10 @@ _PRIORITY = (
     # 51st registrant), the sixteenth wave (smape_seasonal_backtest,
     # survival_user_retention_km, gini_revenue_concentration), the
     # seventeenth (calibration_diversity_vs_canonical), eighteenth
-    # (dedup_shingle_containment, text_zipf_fit), and nineteenth
-    # (eval_auc_doc_length, eval_gains_deciles,
-    # eval_calibration_bins). Rotated out behind it: the 3 r6-changed
+    # (dedup_shingle_containment, text_zipf_fit), nineteenth
+    # (eval_auc_doc_length, eval_gains_deciles, eval_calibration_bins),
+    # and twentieth (profile_fd_violations, profile_value_shapes).
+    # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the
     # r1-stale tier (events_sliding_windows, q6-q22 singles,

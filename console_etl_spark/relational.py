@@ -3749,6 +3749,171 @@ def profile_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "profile_fd_violations",
+    """
+    WITH probes AS (
+      SELECT 'lineitem: l_partkey -> l_suppkey' AS fd,
+             l_partkey AS lhs, CAST(l_suppkey AS VARCHAR) AS rhs
+      FROM lineitem WHERE l_partkey IS NOT NULL
+      UNION ALL
+      SELECT 'orders: o_custkey -> o_orderpriority',
+             o_custkey, o_orderpriority
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'orders: o_orderkey -> o_orderstatus',
+             o_orderkey, o_orderstatus
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT 'customer: c_nationkey -> c_mktsegment',
+             c_nationkey, c_mktsegment
+      FROM customer WHERE c_nationkey IS NOT NULL
+    ), pair_counts AS (
+      SELECT fd, lhs, rhs, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY fd, lhs, rhs
+    ), keep AS (
+      SELECT fd, lhs, MAX(cnt) AS keep_cnt, SUM(cnt) AS lhs_cnt
+      FROM pair_counts GROUP BY fd, lhs
+    )
+    SELECT fd,
+           CAST(SUM(lhs_cnt) AS BIGINT)  AS n_rows,
+           CAST(SUM(keep_cnt) AS BIGINT) AS n_keep,
+           ROUND(1.0 - CAST(SUM(keep_cnt) AS DOUBLE)
+                       / CAST(SUM(lhs_cnt) AS DOUBLE), 6) AS g3_violation
+    FROM keep
+    GROUP BY fd
+    ORDER BY fd
+    """,
+)
+def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery with the g3 error
+    measure (Kivinen-Mannila: the minimum fraction of rows to delete
+    for lhs → rhs to hold exactly — 0 means the FD holds). Each probe
+    is two map-side-combinable aggregations: count per (lhs, rhs)
+    pair, keep the majority rhs per lhs, reduce to one row per FD.
+
+    Scale: the shuffled relation per probe is the DISTINCT (lhs, rhs)
+    domain, never the table; probes over the same table still scan it
+    once each here for clarity — a crawler batching dozens of FDs
+    would pivot them through one scan like profile_column_stats."""
+
+    def probe(df: DataFrame, lhs: str, rhs: str, label: str) -> DataFrame:
+        pair = (
+            df.filter(F.col(lhs).isNotNull())
+            .groupBy(
+                F.col(lhs).alias("lhs"),
+                F.col(rhs).cast("string").alias("rhs"),
+            )
+            .agg(F.count("*").alias("cnt"))
+        )
+        keep = pair.groupBy("lhs").agg(
+            F.max("cnt").alias("keep_cnt"), F.sum("cnt").alias("lhs_cnt")
+        )
+        return keep.agg(
+            F.lit(label).alias("fd"),
+            F.sum("lhs_cnt").cast("bigint").alias("n_rows"),
+            F.sum("keep_cnt").cast("bigint").alias("n_keep"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("keep_cnt").cast("double")
+                / F.sum("lhs_cnt").cast("double"),
+                6,
+            ).alias("g3_violation"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        probe(li, "l_partkey", "l_suppkey", "lineitem: l_partkey -> l_suppkey")
+        .unionByName(
+            probe(o, "o_custkey", "o_orderpriority",
+                  "orders: o_custkey -> o_orderpriority")
+        )
+        .unionByName(
+            probe(o, "o_orderkey", "o_orderstatus",
+                  "orders: o_orderkey -> o_orderstatus")
+        )
+        .unionByName(
+            probe(c, "c_nationkey", "c_mktsegment",
+                  "customer: c_nationkey -> c_mktsegment")
+        )
+        .orderBy("fd")
+    )
+
+
+@_register(
+    "profile_value_shapes",
+    """
+    WITH vals AS (
+      SELECT 'customer.c_name' AS col, c_name AS val FROM customer
+      UNION ALL
+      SELECT 'part.p_brand', p_brand FROM part
+      UNION ALL
+      SELECT 'part.p_type', p_type FROM part
+    ), shaped AS (
+      SELECT col,
+             regexp_replace(regexp_replace(regexp_replace(
+               val, '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a',
+               'g') AS shape,
+             val
+      FROM vals WHERE val IS NOT NULL
+    )
+    SELECT col, shape,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           MIN(val) AS example
+    FROM shaped
+    GROUP BY col, shape
+    ORDER BY col, shape
+    """,
+)
+def profile_value_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-pattern census (the profiler step that catches mixed
+    formats before they break a parser): map every string to its
+    shape — digits → 9, uppercase → A, lowercase → a, punctuation
+    kept verbatim — and count rows per (column, shape), with the
+    lexicographically-first example as evidence.
+
+    Scale: shapes are computed JVM-side (chained regexp_replace, no
+    Python), and the shuffled relation is one row per distinct shape —
+    format censuses are tiny even when tables aren't."""
+
+    def shaped(df: DataFrame, colname: str, label: str) -> DataFrame:
+        shape = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(colname), "[0-9]", "9"),
+                "[A-Z]",
+                "A",
+            ),
+            "[a-z]",
+            "a",
+        )
+        return (
+            df.filter(F.col(colname).isNotNull())
+            .select(
+                F.lit(label).alias("col"),
+                shape.alias("shape"),
+                F.col(colname).alias("val"),
+            )
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    allv = (
+        shaped(c, "c_name", "customer.c_name")
+        .unionByName(shaped(p, "p_brand", "part.p_brand"))
+        .unionByName(shaped(p, "p_type", "part.p_type"))
+    )
+    return (
+        allv.groupBy("col", "shape")
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.min("val").alias("example"),
+        )
+        .orderBy("col", "shape")
+    )
+
+
 @_register("sliding_distinct_users_hourly", None)  # rows-only: sketch binaries engine-specific
 def sliding_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window COUNT(DISTINCT): distinct users per hour AND over
