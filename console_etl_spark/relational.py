@@ -1049,6 +1049,67 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_events_debounce",
+    """
+    WITH keyed AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 600000000 AS win_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id, value
+      FROM events
+    ), ranked AS (
+      SELECT user_id, event_type, win_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, win_id
+               ORDER BY us, event_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY user_id, event_type, win_id) AS n_in_win
+      FROM keyed
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           user_id, event_type,
+           CAST(win_id AS BIGINT) AS win_id,
+           value AS kept_value,
+           CAST(n_in_win - 1 AS BIGINT) AS n_suppressed
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def dedup_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: keep the FIRST event per (user, event type)
+    in each 10-minute tumbling window, reporting how many duplicates
+    each kept event absorbed — the batch twin of the streaming
+    watermark-dedup tier.
+
+    Plan shape: pure partial-aggregable groupBy — the earliest event
+    is a min over (ts, event_id, value) structs and the suppression
+    count an ordinary count, so the debounce combines map-side and
+    never plans a Window. Window ids come from integer microsecond
+    floors (the exactness recipe both engines agree on)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts) DIV 600000000").alias("win_id"),
+        )
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("k"),
+            F.count("*").alias("n_in_win"),
+        )
+        .select(
+            F.col("k.event_id").cast("bigint").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.col("win_id").cast("bigint").alias("win_id"),
+            F.col("k.value").alias("kept_value"),
+            (F.col("n_in_win") - 1).cast("bigint").alias("n_suppressed"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-derived suite (adapted to the fixture schema: no partsupp /
 # commitdate / receiptdate — see FIXTURES.md). Each query adds a plan

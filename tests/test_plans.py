@@ -470,3 +470,12 @@ def test_eval_gains_corpus_rank_distributed(spark):
         assert (
             "HashAggregate(keys=[]" in nxt or "BroadcastNestedLoopJoin" in nxt
         ), m.group(0)
+
+
+def test_debounce_is_pure_partial_aggregation(spark):
+    """The event debounce must plan as groupBy aggregation (min-struct
+    pick + count, map-side combinable) — no Window, no global sort
+    beyond the final presentation orderBy."""
+    plan = plan_of(relational.dedup_events_debounce(spark, SF_TEST))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
