@@ -151,8 +151,9 @@ _PRIORITY = (
     # seventeenth (calibration_diversity_vs_canonical), eighteenth
     # (dedup_shingle_containment, text_zipf_fit), nineteenth
     # (eval_auc_doc_length, eval_gains_deciles, eval_calibration_bins),
-    # twentieth (profile_fd_violations, profile_value_shapes), and
-    # twenty-first (dedup_events_debounce).
+    # twentieth (profile_fd_violations, profile_value_shapes),
+    # twenty-first (dedup_events_debounce), and twenty-second
+    # (text_keyword_rake).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

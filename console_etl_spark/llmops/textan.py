@@ -1315,3 +1315,94 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (degree-ranked variant)
+# --------------------------------------------------------------------------
+
+# Stop tokens delimit candidate phrases (Rose et al. 2010, RAKE). The
+# canonical score deg(w)/freq(w) is a rational whose float summation
+# order differs between engines; ranking by the integer co-occurrence
+# degree alone keeps the extractor bit-exact everywhere and preserves
+# the property RAKE actually uses — words that live in long phrases
+# outrank words that appear alone. Documented as the degree variant.
+RAKE_STOPS = ("a", "the", "of", "and", "or", "is", "in", "to")
+# Candidate phrases longer than this are discarded (standard RAKE
+# practice — unbounded runs in stopword-sparse text aren't keywords).
+RAKE_MAX_WORDS = 4
+_RAKE_PAT = r"\b(" + "|".join(RAKE_STOPS) + r")\b"
+
+
+@_register(
+    "text_keyword_rake",
+    f"""
+    WITH segs AS (
+      SELECT trim(s) AS phrase
+      FROM (SELECT unnest(string_split(
+                     regexp_replace(text, '{_RAKE_PAT}', '|', 'g'),
+                     '|')) AS s
+            FROM documents) t
+      WHERE trim(s) <> ''
+        AND len(string_split(trim(s), ' ')) <= {RAKE_MAX_WORDS}
+    ), occ_words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w,
+             len(string_split(phrase, ' ')) AS plen
+      FROM segs
+    ), deg AS (
+      SELECT w, CAST(SUM(plen) AS BIGINT) AS deg
+      FROM occ_words GROUP BY w
+    ), phrases AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM segs GROUP BY phrase
+    )
+    SELECT p.phrase, p.n_occurrences,
+           CAST(SUM(d.deg) AS BIGINT) AS score
+    FROM phrases p, UNNEST(string_split(p.phrase, ' ')) AS t(w)
+    JOIN deg d ON d.w = t.w
+    GROUP BY p.phrase, p.n_occurrences
+    ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction, degree-ranked: stop tokens split each
+    document into candidate phrases (maximal non-stopword runs), each
+    word's degree is the total length of every phrase occurrence it
+    appears in, and a phrase scores the sum of its words' degrees —
+    top-20 phrases with occurrence counts. Runs longer than
+    RAKE_MAX_WORDS tokens are discarded (standard practice).
+
+    Plan shape: phrase extraction is IN-ROW (one regexp_replace turns
+    stop tokens into delimiters, then split — no window, no
+    per-position explode); degrees aggregate over the exploded word
+    relation (bounded by vocabulary) and broadcast back onto the
+    distinct-phrase relation; the top-20 is TakeOrdered. Scores are
+    pure integers, so both engines agree exactly with no rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    segs = (
+        d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.col("text"), _RAKE_PAT, "|"), r"\|")
+            ).alias("s")
+        )
+        .select(F.trim(F.col("s")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .filter(F.size(F.split(F.col("phrase"), " ")) <= RAKE_MAX_WORDS)
+    )
+    occ = segs.withColumn("ws", F.split(F.col("phrase"), " "))
+    deg = (
+        occ.select(F.explode("ws").alias("w"), F.size("ws").alias("plen"))
+        .groupBy("w")
+        .agg(F.sum("plen").cast("bigint").alias("deg"))
+    )
+    phrases = segs.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    return (
+        phrases.withColumn("w", F.explode(F.split(F.col("phrase"), " ")))
+        .join(F.broadcast(deg), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("deg").cast("bigint").alias("score"))
+        .orderBy(F.desc("score"), "phrase")
+        .limit(20)
+    )
