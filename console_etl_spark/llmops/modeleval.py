@@ -276,3 +276,87 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_register(
+    "eval_woe_iv_doc_length",
+    f"""
+    WITH scored AS ({_SQL_SCORED}),
+    binned AS (
+      SELECT LEAST((LEAST(score, {CAL_SCALE}) * 10) // {CAL_SCALE}, 9)
+               AS bin,
+             label
+      FROM scored
+    ), per_bin AS (
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(SUM(label) AS BIGINT)     AS n_pos,
+             CAST(SUM(1 - label) AS BIGINT) AS n_neg
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n_neg) AS BIGINT) AS n
+      FROM per_bin
+    )
+    SELECT bin, n_pos, n_neg,
+           ROUND(LN(((n_pos + 0.5) * (n + 5.0))
+                    / ((n_neg + 0.5) * (p + 5.0))), 6) AS woe,
+           ROUND(((n_pos + 0.5) / (p + 5.0) - (n_neg + 0.5) / (n + 5.0))
+                 * LN(((n_pos + 0.5) * (n + 5.0))
+                      / ((n_neg + 0.5) * (p + 5.0))), 6) AS iv_term
+    FROM per_bin, tot
+    ORDER BY bin
+    """,
+)
+def eval_woe_iv_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table for the length
+    score vs the lang='en' label — the credit-scoring-style feature
+    diagnostic (how separating is each score band). Bins reuse the
+    calibration grid; counts stay integer and the Laplace smoothing
+    (+0.5 per class per bin, +5 to each total for 10 bins) keeps WOE
+    finite in empty classes. Both engines evaluate the identical
+    IEEE expression, so ROUND(_, 6) agrees.
+
+    Scale: one groupBy to 10 rows, totals cross-joined back from a
+    1-row broadcast — nothing row-sized past the first aggregation."""
+    per_bin = (
+        _scored(spark, sf_dir)
+        .withColumn(
+            "bin",
+            F.least(
+                F.expr(
+                    f"(LEAST(score, {CAL_SCALE}) * 10) DIV {CAL_SCALE}"
+                ),
+                F.lit(9),
+            ).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("label").cast("bigint").alias("n_pos"),
+            F.sum(F.lit(1) - F.col("label")).cast("bigint").alias("n_neg"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_neg").cast("bigint").alias("n"),
+    )
+    woe_arg = ((F.col("n_pos") + 0.5) * (F.col("n") + 5.0)) / (
+        (F.col("n_neg") + 0.5) * (F.col("p") + 5.0)
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            F.round(F.log(woe_arg), 6).alias("woe"),
+            F.round(
+                (
+                    (F.col("n_pos") + 0.5) / (F.col("p") + 5.0)
+                    - (F.col("n_neg") + 0.5) / (F.col("n") + 5.0)
+                )
+                * F.log(woe_arg),
+                6,
+            ).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )

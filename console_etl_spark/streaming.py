@@ -149,6 +149,37 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def debounce_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming telemetry debounce — twin of
+    relational.dedup_events_debounce, same output columns: the FIRST
+    event per (user, event type) in each tumbling window plus the
+    suppression count, as a watermarked window aggregation (min over
+    (ts, event_id, value) structs — state per open window is one
+    struct and one counter; closed windows evict at the watermark).
+    win_id matches the batch integer-microsecond floor because
+    F.window() aligns starts to epoch multiples of the slide."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id", "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("k"),
+            F.count("*").alias("n_in_win"),
+        )
+        .select(
+            F.col("k.event_id").cast("bigint").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(w.start) DIV 600000000").cast("bigint").alias(
+                "win_id"
+            ),
+            F.col("k.value").alias("kept_value"),
+            (F.col("n_in_win") - 1).cast("bigint").alias("n_suppressed"),
+        )
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -71,6 +71,17 @@ def test_stream_sliding_equals_batch(spark, events_stream_dir):
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
 
 
+def test_stream_debounce_equals_batch(spark, events_stream_dir):
+    """The watermarked debounce emits exactly the batch debounce:
+    same kept events, same suppression counts, same window ids."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.debounce_stream(stream), "t_debounce"
+    ).toPandas()
+    want = relational.dedup_events_debounce(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
 def test_stream_static_enrichment_equals_batch(spark, events_stream_dir):
     """Stream-static broadcast join: enriching the event stream against
     static customer/nation dims must equal the batch twin exactly (the
