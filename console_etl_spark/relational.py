@@ -5161,6 +5161,115 @@ def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_spearman_qty_price",
+    """
+    WITH xr AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), xcum AS (
+      SELECT v,
+             2 * CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) + c + 1 AS r2
+      FROM xr
+    ), yr AS (
+      SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), ycum AS (
+      SELECT v,
+             2 * CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) + c + 1 AS r2
+      FROM yr
+    ), ranked AS (
+      SELECT x.r2 AS rx, y.r2 AS ry
+      FROM lineitem l
+      JOIN xcum x ON l.l_quantity = x.v
+      JOIN ycum y ON l.l_extendedprice = y.v
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE)       AS n,
+             CAST(SUM(rx) AS DOUBLE)        AS sx,
+             CAST(SUM(ry) AS DOUBLE)        AS sy,
+             CAST(SUM(rx * rx) AS DOUBLE)   AS sxx,
+             CAST(SUM(ry * ry) AS DOUBLE)   AS syy,
+             CAST(SUM(rx * ry) AS DOUBLE)   AS sxy,
+             CAST(COUNT(*) AS BIGINT)       AS n_rows
+      FROM ranked
+    )
+    SELECT n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS rho_spearman
+    FROM m
+    """,
+)
+def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price — the
+    tie-robust monotone-association statistic (Pearson on average
+    ranks). The naive form ranks every row globally twice; here each
+    variable collapses to its DISTINCT-value counts (map-side
+    combinable), the distributed prefix-scan kernel turns those into
+    doubled average ranks (2r = 2·below + cnt + 1, exact integers —
+    the doubling cancels in the correlation), and the rank relations
+    join back value-domain-sized. Moments accumulate as DECIMAL(38,0)
+    (exact, order-independent), so both engines compute the identical
+    doubles before ROUND(_, 6).
+
+    Kernel citation: llmops.pipeline.global_prefix_sum — same
+    two-phase shape as the AUC query; no SinglePartition window."""
+    from .llmops.pipeline import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rank_rel(col: str) -> DataFrame:
+        cnts = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        cum = global_prefix_sum(cnts, ["v"], "c", out_col="below",
+                                inclusive=False)
+        return cum.select(
+            "v", (2 * F.col("below") + F.col("c") + 1).alias("r2")
+        )
+
+    ranked = (
+        li.select(F.col("l_quantity").alias("xv"),
+                  F.col("l_extendedprice").alias("yv"))
+        .join(rank_rel("l_quantity").withColumnRenamed("r2", "rx"),
+              F.col("xv") == F.col("v"))
+        .drop("v")
+        .join(rank_rel("l_extendedprice").withColumnRenamed("r2", "ry"),
+              F.col("yv") == F.col("v"))
+        .drop("v")
+    )
+    d38 = "decimal(38,0)"
+    # cast BEFORE multiplying: long*long would overflow at extreme row
+    # counts; decimal*decimal stays exact to 38 digits
+    rxd, ryd = F.col("rx").cast(d38), F.col("ry").cast(d38)
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(rxd).cast("double").alias("sx"),
+        F.sum(ryd).cast("double").alias("sy"),
+        F.sum(rxd * rxd).cast("double").alias("sxx"),
+        F.sum(ryd * ryd).cast("double").alias("syy"),
+        F.sum(rxd * ryd).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "n_rows",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+@_register(
     "overlap_sessions_per_hour",
     """
     WITH flagged AS (

@@ -479,3 +479,15 @@ def test_debounce_is_pure_partial_aggregation(spark):
     plan = plan_of(relational.dedup_events_debounce(spark, SF_TEST))
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_spearman_ranks_distributed(spark):
+    """Both variables' average ranks come from the prefix-scan kernel:
+    every Window in the Spearman plan is keyed by the range-partition
+    id, and SinglePartition exchanges only feed the final 1-row scalar
+    reduce."""
+    plan = plan_of(relational.stats_spearman_qty_price(spark, SF_TEST))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(1), m.group(0)
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
