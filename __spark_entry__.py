@@ -153,8 +153,9 @@ _PRIORITY = (
     # (eval_auc_doc_length, eval_gains_deciles, eval_calibration_bins),
     # twentieth (profile_fd_violations, profile_value_shapes),
     # twenty-first (dedup_events_debounce), twenty-second
-    # (text_keyword_rake), twenty-third (eval_woe_iv_doc_length), and
-    # twenty-fourth (stats_spearman_qty_price).
+    # (text_keyword_rake), twenty-third (eval_woe_iv_doc_length),
+    # twenty-fourth (stats_spearman_qty_price), and twenty-fifth
+    # (eval_pr_curve_points).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

@@ -360,3 +360,86 @@ def eval_woe_iv_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_register(
+    "eval_pr_curve_points",
+    f"""
+    WITH scored AS ({_SQL_SCORED}),
+    by_score AS (
+      SELECT score,
+             CAST(SUM(label) AS BIGINT)     AS pos,
+             CAST(SUM(1 - label) AS BIGINT) AS neg
+      FROM scored GROUP BY score
+    ), tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p FROM by_score
+    ), cum AS (
+      SELECT score,
+             CAST(COALESCE(SUM(pos) OVER (
+                    ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS pos_below,
+             CAST(COALESCE(SUM(neg) OVER (
+                    ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS neg_below,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p,
+             CAST(SUM(neg) OVER () AS BIGINT) AS n
+      FROM by_score
+    )
+    SELECT score AS threshold,
+           p - pos_below AS tp,
+           n - neg_below AS fp,
+           ROUND(CAST(p - pos_below AS DOUBLE)
+                 / CAST((p - pos_below) + (n - neg_below) AS DOUBLE), 6)
+             AS precision_at,
+           ROUND(CAST(p - pos_below AS DOUBLE) / CAST(p AS DOUBLE), 6)
+             AS recall_at
+    FROM cum
+    ORDER BY threshold
+    """,
+)
+def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every distinct score threshold (classifier
+    'predict positive iff score >= t'): TP(t) = positives at-or-above
+    t = P minus the exclusive below-prefix — the same grouped-by-score
+    relation and prefix-scan kernel as the AUC, re-read for the curve.
+    Counts stay integer; one division per output row.
+
+    Scale: output is one row per DISTINCT score (bounded by score
+    cardinality), the only per-row work is the map-side group."""
+    by_score = (
+        _scored(spark, sf_dir)
+        .groupBy("score")
+        .agg(
+            F.sum("label").cast("bigint").alias("pos"),
+            F.sum(F.lit(1) - F.col("label")).cast("bigint").alias("neg"),
+        )
+    )
+    cum = global_prefix_sum(
+        by_score, ["score"], "pos", out_col="pos_below", inclusive=False
+    )
+    cum = global_prefix_sum(
+        cum, ["score"], "neg", out_col="neg_below", inclusive=False
+    )
+    tot = by_score.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("n"),
+    )
+    tp = F.col("p") - F.col("pos_below")
+    fp = F.col("n") - F.col("neg_below")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            F.round(tp.cast("double") / (tp + fp).cast("double"), 6).alias(
+                "precision_at"
+            ),
+            F.round(tp.cast("double") / F.col("p").cast("double"), 6).alias(
+                "recall_at"
+            ),
+        )
+        .orderBy("threshold")
+    )
