@@ -1406,3 +1406,105 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(20)
     )
+
+
+@_register(
+    "text_heaps_law_fit",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ), firsts AS (
+      SELECT w, MIN(doc_id) AS fd FROM (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents) t
+      GROUP BY w
+    ), news AS (
+      SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_toks
+      FROM firsts GROUP BY fd
+    ), joined AS (
+      SELECT p.doc_id, p.n_toks, COALESCE(n.new_toks, 0) AS new_toks
+      FROM per_doc p LEFT JOIN news n USING (doc_id)
+    ), cum AS (
+      SELECT LN(CAST(SUM(n_toks) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)) AS lx,
+             LN(CAST(SUM(new_toks) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE)) AS ly
+      FROM joined
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_checkpoints,
+           ROUND((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+                 / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)), 6)
+             AS heaps_beta,
+           ROUND((SUM(ly) - ((COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+                             / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)))
+                            * SUM(lx)) / COUNT(*), 6) AS heaps_logk,
+           ROUND(POW(COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly), 2)
+                 / ((COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx))
+                    * (COUNT(*) * SUM(ly * ly) - SUM(ly) * SUM(ly))), 6)
+             AS r_squared
+    FROM cum
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth, V(N) ~ K*N^beta: checkpoint
+    the corpus at every document (in doc_id order), take cumulative
+    token count N and cumulative distinct-vocabulary size V, and fit
+    the log-log regression — the companion corpus-naturalness
+    diagnostic to the Zipf fit (natural text: beta 0.4-0.6; a
+    template-generated or closed-vocabulary corpus saturates early).
+
+    Scale shape: V needs no per-checkpoint re-deduplication — each
+    token contributes one first-occurrence event at MIN(doc_id), so V
+    is a prefix sum of new-token counts, N a prefix sum of doc
+    lengths, both through the distributed prefix-scan kernel (no
+    SinglePartition window); the OLS moments follow the Zipf-tier
+    log-sum contract (ordering noise far below the 6-decimal round)."""
+    from .pipeline import global_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    firsts = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    news = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_toks")
+    )
+    joined = per_doc.join(news, "doc_id", "left").fillna(0, ["new_toks"])
+    cum = global_prefix_sum(
+        joined, ["doc_id"], "n_toks", out_col="cum_toks", inclusive=True
+    )
+    cum = global_prefix_sum(
+        cum, ["doc_id"], "new_toks", out_col="cum_vocab", inclusive=True
+    )
+    pts = cum.select(
+        F.log(F.col("cum_toks").cast("double")).alias("lx"),
+        F.log(F.col("cum_vocab").cast("double")).alias("ly"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("lx"), F.sum("ly")
+    sxy = F.sum(F.col("lx") * F.col("ly"))
+    sxx = F.sum(F.col("lx") * F.col("lx"))
+    syy = F.sum(F.col("ly") * F.col("ly"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.agg(
+        n.cast("bigint").alias("n_checkpoints"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((sy - slope * sx) / n, 6).alias("heaps_logk"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2.0))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )
