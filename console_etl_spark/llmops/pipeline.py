@@ -879,3 +879,59 @@ def pack_sequences_ffd(
         )
         .orderBy("doc_id")
     )
+
+
+def global_prefix_max(
+    df: DataFrame,
+    sort_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_max",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running MAX of an integral ``value_col`` in global ``sort_cols``
+    order — same two-phase shape as ``global_prefix_sum`` (range
+    partition → one partial per partition → broadcast offsets →
+    partition-id-keyed window), with max composing instead of sum:
+    each partition's offset is the max over all PRECEDING partitions'
+    partials, and rows combine it with their within-partition running
+    max via ``greatest`` (null-skipping, so the exclusive scan's first
+    rows stay NULL — the max identity). Powers order-dominance
+    operators: skyline/Pareto fronts, record-so-far flags, watermark
+    carries."""
+    from pyspark.sql import Window as W
+
+    from ..session import pin
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pin(ranged)
+    # Bounded collect: one partial-max row per shuffle partition.
+    parts = ranged.groupBy("_pid").agg(F.max(value_col).alias("_m")).collect()
+    best = None
+    offsets = []
+    for row in sorted(parts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], best))
+        if row["_m"] is not None and (best is None or row["_m"] > best):
+            best = row["_m"]
+    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+    end = 0 if inclusive else -1
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(W.unboundedPreceding, end)
+    )
+    return (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col,
+            F.greatest(F.max(value_col).over(w).cast("bigint"), F.col("_off")),
+        )
+        .drop("_pid", "_off")
+    )

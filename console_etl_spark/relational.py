@@ -5270,6 +5270,71 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_skyline_price_date",
+    """
+    WITH per_price AS (
+      SELECT o_totalprice AS p, MAX(o_orderdate) AS md
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT p,
+             MAX(md) OVER (ORDER BY p DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+      FROM per_price
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN cum c ON o.o_totalprice = c.p
+    WHERE c.pm IS NULL OR o.o_orderdate > c.pm
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def orders_skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of orders on (totalprice, orderdate):
+    keep every order not dominated by another with >= price AND >=
+    date (strict in at least one) — the multi-criteria shortlist
+    operator (best price-recency tradeoffs).
+
+    Distributed 2-D skyline: collapse to one (price, max date) row per
+    DISTINCT price (map-side combinable), take the EXCLUSIVE prefix
+    max of date over price descending through the prefix-max kernel
+    (llmops.pipeline.global_prefix_max — no SinglePartition window),
+    and join back: a row survives iff its date strictly exceeds the
+    best date among all strictly-higher prices (NULL prefix = highest
+    price band, always on the front). Dates ride the kernel as integer
+    epoch days."""
+    from .llmops.pipeline import global_prefix_max
+
+    o = load_table(spark, sf_dir, "orders")
+    per_price = o.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("md")
+    )
+    # descending price order via the negated sort key
+    cum = global_prefix_max(
+        per_price.withColumn("_np", -F.col("p")),
+        ["_np"],
+        "md",
+        out_col="pm",
+        inclusive=False,
+    ).drop("_np")
+    return (
+        o.join(cum, o["o_totalprice"] == cum["p"])
+        .filter(
+            F.col("pm").isNull()
+            | (
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast(
+                    "bigint"
+                )
+                > F.col("pm")
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@_register(
     "overlap_sessions_per_hour",
     """
     WITH flagged AS (

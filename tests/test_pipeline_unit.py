@@ -369,3 +369,24 @@ def test_global_prefix_sum_deterministic_under_repartitioning(spark):
     ra = pipeline.global_prefix_sum(a, ["k"], "v").collect()
     rb = pipeline.global_prefix_sum(b, ["k"], "v").collect()
     assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+
+
+def test_global_prefix_max_matches_naive_scan(spark):
+    """Kernel law: global_prefix_max == the single-partition running
+    max (inclusive and exclusive; NULL before the first row of the
+    exclusive scan — the max identity)."""
+    rows = [(k, ((k * 73 + 19) % 41) - 5) for k in range(611)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    expected = []
+    best = None
+    for k, v in rows:
+        expected.append((k, best, v if best is None else max(best, v)))
+        best = v if best is None else max(best, v)
+    for inclusive, col in ((False, 1), (True, 2)):
+        got = {
+            r["k"]: r["pm"]
+            for r in pipeline.global_prefix_max(
+                df, ["k"], "v", out_col="pm", inclusive=inclusive
+            ).collect()
+        }
+        assert got == {e[0]: e[col] for e in expected}, f"inclusive={inclusive}"

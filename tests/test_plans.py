@@ -201,6 +201,8 @@ def test_no_unbounded_driver_materialization():
         ("llmops/pipeline.py", "global_enumerate"),
         # global prefix-scan: one partial-sum row PER PARTITION
         ("llmops/pipeline.py", "global_prefix_sum"),
+        # global prefix-max: one partial-max row PER PARTITION
+        ("llmops/pipeline.py", "global_prefix_max"),
         # k-means fit: k seed rows + k·dim partial-sum rows per round
         ("llmops/clustering.py", "kmeans_fit"),
         # PCA fit: one (count, sum, dim^2 outer) moment row per partition
