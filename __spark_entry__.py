@@ -155,8 +155,9 @@ _PRIORITY = (
     # twenty-first (dedup_events_debounce), twenty-second
     # (text_keyword_rake), twenty-third (eval_woe_iv_doc_length),
     # twenty-fourth (stats_spearman_qty_price), twenty-fifth
-    # (eval_pr_curve_points), twenty-sixth (text_heaps_law_fit), and
-    # twenty-seventh (orders_skyline_price_date).
+    # (eval_pr_curve_points), twenty-sixth (text_heaps_law_fit),
+    # twenty-seventh (orders_skyline_price_date), and twenty-eighth
+    # (hhi_supplier_concentration).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

@@ -5270,6 +5270,63 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hhi_supplier_concentration",
+    """
+    WITH s AS (
+      SELECT n.n_name,
+             CAST(s_acctbal AS DECIMAL(19,4)) AS bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s_acctbal > 0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(bal * bal) AS DOUBLE)
+                 / (CAST(SUM(bal) AS DOUBLE) * CAST(SUM(bal) AS DOUBLE)),
+                 6) AS hhi,
+           ROUND(1.0 / COUNT(*), 6) AS hhi_floor
+    FROM s
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier account balances
+    per nation — the market-concentration audit (HHI = sum of squared
+    shares; equals Σbal²/(Σbal)², so shares never materialize). The
+    1/n floor column contextualizes it (HHI == floor means perfectly
+    even). Negative balances are excluded (shares must be
+    nonnegative).
+
+    Scale: one broadcast dim join + one map-side-combinable groupBy;
+    balances square as DECIMAL so the sums are exact and
+    order-independent, with one double division per nation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(19,4)")
+    joined = (
+        s.filter(F.col("s_acctbal") > 0)
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", bal.alias("bal"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("bal") * F.col("bal")).cast("double")
+                / (
+                    F.sum("bal").cast("double")
+                    * F.sum("bal").cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+            F.round(F.lit(1.0) / F.count("*"), 6).alias("hhi_floor"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register(
     "orders_skyline_price_date",
     """
     WITH per_price AS (
