@@ -5269,6 +5269,108 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALLOC_BUDGET = 100
+
+
+@_register(
+    "allocation_hamilton_quota",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev
+    ), quota AS (
+      SELECT n_name, cents,
+             ({ALLOC_BUDGET} * cents) // t AS base_units,
+             ({ALLOC_BUDGET} * cents) % t AS remainder,
+             t
+      FROM rev, tot
+    ), ranked AS (
+      SELECT n_name, cents, base_units, remainder,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, n_name)
+               AS rem_rank,
+             CAST({ALLOC_BUDGET} - SUM(base_units) OVER () AS BIGINT)
+               AS leftover
+      FROM quota
+    )
+    SELECT n_name,
+           CAST(base_units
+                + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_units,
+           CAST(base_units AS BIGINT) AS base_units,
+           CAST(remainder AS BIGINT) AS remainder
+    FROM ranked
+    ORDER BY n_name
+    """,
+)
+def allocation_hamilton_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional quota allocation by Hamilton's largest-remainder
+    method: split a fixed budget of ALLOC_BUDGET units across nations
+    in proportion to order revenue — the exact apportionment every
+    quota-sampling pipeline needs (per-stratum sample budgets that sum
+    EXACTLY to the total, no rounding drift). Each nation gets
+    floor(B*share); the leftover units go to the largest remainders
+    (name tiebreak).
+
+    Exactness: revenue becomes integer cents, quotas use integer
+    div/mod against the integer grand total — no floating point
+    anywhere, so both engines agree bit-for-bit. Scale: revenue
+    aggregates map-side; the apportionment itself runs on the
+    GROUP-CARDINALITY relation (here 25 rows), where a global window
+    is bounded, not a hazard."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.expr(f"({ALLOC_BUDGET} * cents) DIV t").alias("base_units"),
+        F.expr(f"({ALLOC_BUDGET} * cents) % t").alias("remainder"),
+    )
+    from pyspark.sql import Window as W
+
+    # group-cardinality relation: bounded global windows
+    rk = W.orderBy(F.desc("remainder"), "n_name")
+    return (
+        quota.withColumn("rem_rank", F.row_number().over(rk))
+        .withColumn(
+            "leftover",
+            (F.lit(ALLOC_BUDGET) - F.sum("base_units").over(
+                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )).cast("bigint"),
+        )
+        .select(
+            "n_name",
+            (
+                F.col("base_units")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_units"),
+            F.col("base_units").cast("bigint").alias("base_units"),
+            F.col("remainder").cast("bigint").alias("remainder"),
+        )
+        .orderBy("n_name")
+    )
+
+
 @_register(
     "hhi_supplier_concentration",
     """
