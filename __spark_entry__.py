@@ -157,8 +157,9 @@ _PRIORITY = (
     # twenty-fourth (stats_spearman_qty_price), twenty-fifth
     # (eval_pr_curve_points), twenty-sixth (text_heaps_law_fit),
     # twenty-seventh (orders_skyline_price_date), twenty-eighth
-    # (hhi_supplier_concentration), and twenty-ninth
-    # (allocation_hamilton_quota).
+    # (hhi_supplier_concentration), twenty-ninth
+    # (allocation_hamilton_quota), and thirtieth
+    # (control_chart_xmr_user_value).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

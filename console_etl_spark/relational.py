@@ -5269,6 +5269,93 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "control_chart_xmr_user_value",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             LAG(value) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+      FROM events
+    ), lim AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE)
+               / COUNT(*) AS mean0,
+             CAST(SUM(ABS(CAST(value AS DECIMAL(8,2))
+                          - CAST(prev AS DECIMAL(8,2)))) AS DOUBLE)
+               / NULLIF(COUNT(prev), 0) AS mrbar0
+      FROM seq GROUP BY user_id
+    )
+    SELECT e.user_id, l.n_events,
+           ROUND(l.mean0, 6)  AS mean_value,
+           ROUND(l.mrbar0, 6) AS mr_bar,
+           ROUND(l.mean0 + 2.66 * l.mrbar0, 6) AS ucl,
+           ROUND(l.mean0 - 2.66 * l.mrbar0, 6) AS lcl,
+           CAST(SUM(CASE WHEN e.value > l.mean0 + 2.66 * l.mrbar0
+                           OR e.value < l.mean0 - 2.66 * l.mrbar0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM events e JOIN lim l USING (user_id)
+    GROUP BY e.user_id, l.n_events, l.mean0, l.mrbar0
+    ORDER BY user_id
+    """,
+)
+def control_chart_xmr_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart per user — the
+    SPC process-stability monitor: center line = mean value, control
+    limits = mean ± 2.66 · mean(|x_t − x_{t−1}|), plus the count of
+    points outside the limits. The 2.66 constant is the standard
+    XmR d2-derived factor for n=2 subgroups.
+
+    Exactness: values and consecutive diffs accumulate as DECIMAL
+    (order-independent); limits are one double expression both engines
+    share; violations compare the raw doubles against unrounded
+    limits. Scale: one user-keyed window for the lag, one grouped
+    reduce, and a co-partitioned join-back of the user-cardinality
+    limits relation — nothing global anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    dec = lambda c: F.col(c).cast("decimal(8,2)")  # noqa: E731
+    seq = e.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    )
+    lim = seq.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.sum(dec("value")).cast("double") / F.count("*")).alias("mean0"),
+        (
+            F.sum(F.abs(dec("value") - dec("prev"))).cast("double")
+            / F.nullif(F.count("prev"), F.lit(0))
+        ).alias("mrbar0"),
+    )
+    ucl = F.col("mean0") + 2.66 * F.col("mrbar0")
+    lcl = F.col("mean0") - 2.66 * F.col("mrbar0")
+    return (
+        e.select("user_id", "value")
+        .join(lim, "user_id")
+        .groupBy("user_id", "n_events", "mean0", "mrbar0")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") > ucl) | (F.col("value") < lcl), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round("mean0", 6).alias("mean_value"),
+            F.round("mrbar0", 6).alias("mr_bar"),
+            F.round(ucl, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            "n_violations",
+        )
+        .orderBy("user_id")
+    )
+
+
 ALLOC_BUDGET = 100
 
 
