@@ -158,8 +158,9 @@ _PRIORITY = (
     # (eval_pr_curve_points), twenty-sixth (text_heaps_law_fit),
     # twenty-seventh (orders_skyline_price_date), twenty-eighth
     # (hhi_supplier_concentration), twenty-ninth
-    # (allocation_hamilton_quota), and thirtieth
-    # (control_chart_xmr_user_value).
+    # (allocation_hamilton_quota), thirtieth
+    # (control_chart_xmr_user_value), and thirty-first
+    # (text_trigram_novelty).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

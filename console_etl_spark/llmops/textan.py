@@ -1508,3 +1508,79 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+@_register(
+    "text_trigram_novelty",
+    """
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               w || ' ' || LEAD(w, 1) OVER win
+                 || ' ' || LEAD(w, 2) OVER win AS g
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+        QUALIFY g IS NOT NULL) t
+    ), firsts AS (
+      SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+           CAST(SUM(CASE WHEN f.fd = gr.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.fd = gr.doc_id THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+    FROM grams gr JOIN firsts f ON gr.g = f.g
+    GROUP BY gr.doc_id
+    ORDER BY gr.doc_id
+    """,
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty vs everything EARLIER in the corpus
+    (doc_id order): the fraction of a document's distinct 3-grams seen
+    in no lower-id document — the memorization/contamination curve a
+    curation pipeline watches (novelty collapsing to ~0 means the tail
+    of the corpus restates its head; 1.0 means genuinely new text).
+
+    'Seen earlier' needs no per-prefix re-scan: a trigram is novel in
+    exactly the document that is its MIN(doc_id), so one grouped min
+    plus a join-back settles every document at once — the same
+    first-occurrence trick as the Heaps fit, at n-gram granularity.
+    Trigrams build in-row (positional transform over the token array,
+    no window); counts stay integer to one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    idx = F.sequence(F.lit(1), F.size(w) - 2)
+    tris = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        d.select("doc_id", F.explode(F.array_distinct(tris)).alias("g"))
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    novel = F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_trigrams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )
