@@ -180,6 +180,37 @@ def debounce_stream(
     )
 
 
+def ohlc_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC bars — twin of relational.ohlc_hourly_value, same
+    columns: open/close as watermarked min/max over (ts, event_id,
+    value) structs, high/low/count as plain aggregates. One struct
+    pair and three scalars of state per open bar; closed bars evict at
+    the watermark. The canonical live-ticker downsample."""
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

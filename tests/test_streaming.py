@@ -82,6 +82,17 @@ def test_stream_debounce_equals_batch(spark, events_stream_dir):
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
 
 
+def test_stream_ohlc_equals_batch(spark, events_stream_dir):
+    """Streaming OHLC bars equal the batch resample: same open (first
+    by ts,event_id), high, low, close (last), count per hour."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.ohlc_stream(stream), "t_ohlc"
+    ).toPandas()
+    want = relational.ohlc_hourly_value(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
 def test_stream_static_enrichment_equals_batch(spark, events_stream_dir):
     """Stream-static broadcast join: enriching the event stream against
     static customer/nation dims must equal the batch twin exactly (the
