@@ -2692,3 +2692,82 @@ def resize_payload(
             )
 
     return binary_df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash (pHash) — near-duplicate image fingerprinting
+# --------------------------------------------------------------------------
+
+PHASH_GRID = 32  # luma raster is resampled to this square before the DCT
+
+
+def phash64(rgb_rows: list) -> int:
+    """64-bit perceptual hash of an RGB raster (pHash): Rec.601 luma →
+    nearest-neighbor resample to PHASH_GRID² → orthonormal 2-D DCT-II →
+    the 8x8 low-frequency block minus its DC term → one bit per
+    coefficient, set iff above the block median.
+
+    Dropping the DC coefficient makes the hash EXACTLY invariant to
+    any uniform brightness shift that doesn't clip (a constant offset
+    lives entirely in DC), and the median threshold makes it invariant
+    to contrast scaling — the two transformations that defeat
+    byte-exact dedup. Pure numpy; deterministic."""
+    import numpy as np
+
+    a = np.asarray(rgb_rows, dtype=np.float64)
+    gray = a @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    yi = (np.arange(PHASH_GRID) * h) // PHASH_GRID
+    xi = (np.arange(PHASH_GRID) * w) // PHASH_GRID
+    g = gray[np.ix_(yi, xi)]
+    n = PHASH_GRID
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis *= np.sqrt(2.0 / n)
+    basis[0, :] *= 1.0 / np.sqrt(2.0)
+    d = basis @ g @ basis.T
+    vals = d[:8, :8].flatten()[1:]  # 63 AC coefficients
+    med = float(np.median(vals))
+    out = 0
+    for i, v in enumerate(vals):
+        if v > med:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+@_register("mm_image_phash", None)  # rows-only: pixel decode not SQL-expressible
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash fingerprints for the corpus image payloads: the
+    near-duplicate detector byte-exact dedup cannot be (re-encoded,
+    brightness-shifted, contrast-stretched copies collide on pHash but
+    not on sha2). Decode + hash run in one mapInPandas pass; the
+    64-bit hash lands in a plain bigint column, so downstream grouping
+    or banded hamming-join is ordinary relational work.
+
+    Laws (tests/test_llmops_unit.py): determinism; EXACT invariance
+    to unclipped brightness shifts; pinned hamming separation between
+    distinct fixture images."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = image_table(d)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for payload in pdf["payload"]:
+                _, _, rows = decode_bmp(bytes(payload))
+                hashes.append(phash64(rows))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.array(hashes, dtype="int64"),
+                    "n_bytes": pdf["n_bytes"],
+                }
+            )
+
+    return imgs.mapInPandas(
+        batches, "doc_id long, phash long, n_bytes int"
+    ).orderBy("doc_id")

@@ -2210,3 +2210,62 @@ def test_pca_whitening_unit_variance(spark):
     )
     assert np.allclose(pmat.var(axis=0), np.ones(4), rtol=1e-9)
     assert np.allclose(pmat.mean(axis=0), np.zeros(4), atol=1e-9)
+
+
+class TestPerceptualHash:
+    def _raster(self, seed: int, lo: int = 50, hi: int = 200):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return [
+            [tuple(int(v) for v in rng.integers(lo, hi, 3)) for _ in range(8)]
+            for _ in range(8)
+        ]
+
+    def test_deterministic_and_63_bits(self):
+        from console_etl_spark.llmops import multimodal as mm
+
+        px = self._raster(7)
+        h1, h2 = mm.phash64(px), mm.phash64(px)
+        assert h1 == h2
+        assert 0 <= h1 < (1 << 63)
+
+    def test_exact_invariance_to_unclipped_brightness_shift(self):
+        """A uniform +/-delta on every channel lives entirely in the
+        dropped DC coefficient: the hash must be IDENTICAL."""
+        from console_etl_spark.llmops import multimodal as mm
+
+        px = self._raster(11)
+        for delta in (-30, 10, 40):
+            shifted = [
+                [tuple(c + delta for c in p) for p in row] for row in px
+            ]
+            assert mm.phash64(shifted) == mm.phash64(px), delta
+
+    def test_contrast_scaling_invariance(self):
+        """Scaling luma by a positive factor preserves every
+        coefficient's order vs the median: identical hash."""
+        from console_etl_spark.llmops import multimodal as mm
+
+        px = self._raster(13, lo=40, hi=120)
+        scaled = [[tuple(c * 2 for c in p) for p in row] for row in px]
+        assert mm.phash64(scaled) == mm.phash64(px)
+
+    def test_distinct_images_separate(self):
+        from console_etl_spark.llmops import multimodal as mm
+
+        d = mm.hamming64(
+            mm.phash64(self._raster(1)), mm.phash64(self._raster(2))
+        )
+        assert d >= 10, d
+
+    def test_query_hashes_match_local_replica(self, spark):
+        from console_etl_spark.llmops import multimodal as mm
+        from tests.conftest import SF_TEST
+
+        rows = mm.mm_image_phash(spark, SF_TEST).limit(8).collect()
+        for r in rows:
+            _, _, px = mm.decode_bmp(
+                mm.encode_bmp(mm.IMG_W, mm.IMG_H, mm._doc_pixels(int(r["doc_id"])))
+            )
+            assert r["phash"] == mm.phash64(px), r["doc_id"]
