@@ -2771,3 +2771,68 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(
         batches, "doc_id long, phash long, n_bytes int"
     ).orderBy("doc_id")
+
+
+PHASH_BANDS = 8  # 8 bands x 8 bits: pigeonhole-EXACT for hamming <= 7
+PHASH_MAX_HAMMING = 6
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate pairs by banded hamming join over 64-bit pHashes.
+
+    Each hash splits into PHASH_BANDS byte-bands; candidate pairs must
+    share at least one (band index, band value) bucket, then verify
+    with bit_count(xor). With 8 bands, any pair within hamming 7 has
+    ≤7 differing bits spread over 8 bands, so at least one band
+    matches exactly — the banding is EXACT (zero missed pairs) for
+    every threshold ≤ 7, not probabilistic (law-pinned vs the
+    brute-force join). Scale: candidates arise only where byte-bands
+    collide — never an all-pairs product; verification is two JVM
+    bit ops per candidate."""
+    band_idx = F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))
+    banded = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(band_idx).alias("_b"),
+    ).withColumn("_bv", F.expr("shiftright(_h, _b * 8) & 255"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@_register("dedup_image_phash_near", None)  # rows-only: pixel decode not SQL-expressible
+def dedup_image_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs over the corpus payloads: pHash
+    fingerprints (mm_image_phash) through the banded hamming join —
+    the X5 counterpart of MinHash-LSH text dedup. The fixture's
+    doc_id-derived images are mutually distinct, so an empty result is
+    the CORRECT answer here; the operator's recall law (banded ==
+    brute force for hamming <= 7) is pinned on planted near-dups in
+    tests/test_llmops_unit.py."""
+    return phash_near_pairs(mm_image_phash(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )

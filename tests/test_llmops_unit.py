@@ -2269,3 +2269,61 @@ class TestPerceptualHash:
                 mm.encode_bmp(mm.IMG_W, mm.IMG_H, mm._doc_pixels(int(r["doc_id"])))
             )
             assert r["phash"] == mm.phash64(px), r["doc_id"]
+
+
+class TestPhashBandedJoin:
+    def test_banded_equals_bruteforce_within_guarantee(self, spark):
+        """Pigeonhole law: with 8 byte-bands, the banded join finds
+        EVERY pair within hamming 7 — compare against the O(n^2)
+        cross-join ground truth on a planted corpus (exact copies,
+        k-bit perturbations for k=1..9, and random distinct hashes)."""
+        import itertools
+        import random
+
+        from console_etl_spark.llmops import multimodal as mm
+
+        rng = random.Random(42)
+        base = rng.getrandbits(63)
+        rows = [(0, base), (1, base)]  # exact dup
+        for k in range(1, 10):  # k-bit perturbations
+            h = base
+            for bit in rng.sample(range(63), k):
+                h ^= 1 << bit
+            rows.append((1 + k, h))
+        rows += [(20 + i, rng.getrandbits(63)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, phash long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in mm.phash_near_pairs(df, max_hamming=6).collect()
+        }
+        want = set()
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            d = bin(ha ^ hb).count("1")
+            if d <= 6:
+                want.add((min(ia, ib), max(ia, ib), d))
+        assert got == want
+        assert (0, 1, 0) in got  # the exact copy surfaces at distance 0
+
+    def test_corpus_query_equals_bruteforce(self, spark):
+        """On the real fixture images the banded join must return
+        exactly the brute-force hamming<=6 pair set (the tiny 8x8
+        rasters genuinely share low-band spectra, so pairs exist)."""
+        import itertools
+
+        from console_etl_spark.llmops import multimodal as mm
+        from tests.conftest import SF_TEST
+
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in mm.dedup_image_phash_near(spark, SF_TEST).collect()
+        }
+        hashes = [
+            (r.doc_id, r.phash)
+            for r in mm.mm_image_phash(spark, SF_TEST).collect()
+        ]
+        want = set()
+        for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+            d = bin(ha ^ hb).count("1")
+            if d <= mm.PHASH_MAX_HAMMING:
+                want.add((min(ia, ib), max(ia, ib), d))
+        assert got == want and got
