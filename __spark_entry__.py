@@ -159,8 +159,10 @@ _PRIORITY = (
     # twenty-seventh (orders_skyline_price_date), twenty-eighth
     # (hhi_supplier_concentration), twenty-ninth
     # (allocation_hamilton_quota), thirtieth
-    # (control_chart_xmr_user_value), and thirty-first
-    # (text_trigram_novelty).
+    # (control_chart_xmr_user_value), thirty-first
+    # (text_trigram_novelty), and thirty-fifth
+    # (abc_pareto_parts; thirty-second through thirty-fourth are the
+    # streaming OHLC twin and the rows-only pHash tier).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

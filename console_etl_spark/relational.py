@@ -5270,6 +5270,95 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "abc_pareto_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               * 10000 AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT l_partkey, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(SUM(r) OVER () AS BIGINT) AS t
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN c * 5 <= t * 4 THEN 'A'
+                  WHEN c * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(r) AS DOUBLE) / 10000, 2) AS class_revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE)
+                 / CAST((SELECT SUM(r) FROM rev) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: A = parts whose
+    inclusive cumulative share stays within 80% of total revenue,
+    B within 95%, C the tail — the inventory-analytics workhorse
+    ('which 20% of SKUs earn 80%?').
+
+    Exactness: per-row revenue is exact DECIMAL scaled to integer
+    ten-thousandths, so the cumulative is integer and class boundaries
+    are integer cross-multiplications (c*5 <= t*4), never float
+    shares. Scale: revenue collapses per part map-side; the cumulative
+    runs through the distributed prefix-scan kernel over the
+    part-cardinality relation sorted by revenue (tie-broken by key) —
+    no SinglePartition window."""
+    from .llmops.pipeline import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_int = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(rev_int).cast("bigint").alias("r")
+    )
+    cum = global_prefix_sum(
+        rev.withColumn("_nr", -F.col("r")),
+        ["_nr", "l_partkey"],
+        "r",
+        out_col="c",
+        inclusive=True,
+    ).drop("_nr")
+    tot = rev.agg(F.sum("r").cast("bigint").alias("t"))
+    cls = (
+        F.when(F.col("c") * 5 <= F.col("t") * 4, "A")
+        .when(F.col("c") * 20 <= F.col("t") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "r", "t")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("r").cast("double") / 10000, 2).alias(
+                "class_revenue"
+            ),
+            F.round(
+                F.sum("r").cast("double") / F.first("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@_register(
     "control_chart_xmr_user_value",
     """
     WITH seq AS (
