@@ -5270,6 +5270,72 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "retention_dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), cover AS (
+      SELECT DISTINCT ud.user_id, ud.day + CAST(i.i AS INTEGER) AS td
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+    ), wau AS (
+      SELECT c.td AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM cover c JOIN days d ON c.td = d.day
+      GROUP BY c.td
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+)
+def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the growth
+    metric every product dashboard leads with. The trailing distinct
+    needs no per-day re-deduplication: each (user, active day) row
+    covers the 7 target days it contributes to, so WAU(d) is a
+    distinct count over the exploded coverage relation (bounded at
+    7x the DEDUPLICATED user-day relation, far smaller than events),
+    restricted to observed days.
+
+    Exactness: dates and counts are integers; one division per day."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("td"),
+        )
+        .distinct()
+        .join(days.withColumnRenamed("day", "td"), "td", "left_semi")
+    )
+    wau = cover.groupBy(F.col("td").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            # timestamp (midnight) so both engines surface datetime64
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@_register(
     "abc_pareto_parts",
     """
     WITH rev AS (
