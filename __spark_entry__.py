@@ -162,8 +162,9 @@ _PRIORITY = (
     # (control_chart_xmr_user_value), thirty-first
     # (text_trigram_novelty), and thirty-fifth
     # (abc_pareto_parts; thirty-second through thirty-fourth are the
-    # streaming OHLC twin and the rows-only pHash tier), and
-    # thirty-sixth (retention_dau_wau_stickiness).
+    # streaming OHLC twin and the rows-only pHash tier), thirty-sixth
+    # (retention_dau_wau_stickiness), and thirty-seventh
+    # (scd2_point_in_time_join).
     # Rotated out behind it: the 3 r6-changed
     # implementations (chunk_documents_sliding, dq_violations_report,
     # text_bigram_perplexity — all hold green r5 driver rows) and the

@@ -2860,6 +2860,107 @@ def scd2_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(c, upd, "c_custkey", SCD2_EFFECTIVE, SCD2_BASE_FROM)
 
 
+@_register(
+    "scd2_point_in_time_join",
+    f"""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             ROUND(c_acctbal + 100.0, 2) AS c_acctbal,
+             'AUTOMOBILE' AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+    ), scd2 AS (
+      SELECT c_custkey, c_mktsegment,
+             '{SCD2_BASE_FROM}' AS valid_from,
+             '{SCD2_OPEN_END}' AS valid_to, 1 AS is_current
+      FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             '{SCD2_BASE_FROM}', '{SCD2_EFFECTIVE}', 0
+      FROM customer WHERE c_custkey IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             '{SCD2_EFFECTIVE}', '{SCD2_OPEN_END}', 1
+      FROM upd
+    ), facts AS (
+      SELECT o_custkey, o_totalprice,
+             strftime(DATE '2024-01-01'
+                      + CAST(o_orderkey % 365 AS INTEGER), '%Y-%m-%d')
+               AS as_of
+      FROM orders
+    )
+    SELECT s.c_mktsegment,
+           CAST(s.is_current AS BIGINT) AS matched_current_version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE), 2) AS total_price
+    FROM facts f JOIN scd2 s
+      ON f.o_custkey = s.c_custkey
+     AND f.as_of >= s.valid_from AND f.as_of < s.valid_to
+    GROUP BY s.c_mktsegment, s.is_current
+    ORDER BY c_mktsegment, matched_current_version
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join of facts against SCD2 dimension
+    history: each order resolves to the customer version valid AT its
+    as-of date, not the current one — the query SCD2 exists to serve.
+    Orders carry a deterministic in-era as-of date (base date +
+    orderkey mod 365 days) that straddles the effective date, so both
+    the closed pre-update versions and the reopened current ones
+    receive facts; the report shows order counts and exact decimal
+    revenue per (segment, matched-version) cell.
+
+    Plan shape: equality on the surrogate key drives an ordinary hash
+    join (co-partitioned on custkey); the validity-interval bounds are
+    residual filters, never a range cross-product. Validity endpoints
+    are ISO-8601 strings, which compare lexicographically identically
+    in both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("AUTOMOBILE").alias("c_mktsegment"),
+    )
+    scd2 = scd2_merge(c, upd, "c_custkey", SCD2_EFFECTIVE, SCD2_BASE_FROM).select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
+    )
+    facts = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.date_format(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("o_orderkey") % 365).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("as_of"),
+    )
+    return (
+        facts.join(
+            scd2,
+            (facts["o_custkey"] == scd2["c_custkey"])
+            & (facts["as_of"] >= scd2["valid_from"])
+            & (facts["as_of"] < scd2["valid_to"]),
+        )
+        .groupBy("c_mktsegment", F.col("is_current").cast("bigint").alias(
+            "matched_current_version"
+        ))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("c_mktsegment", "matched_current_version")
+    )
+
+
 # --------------------------------------------------------------------------
 # Trailing-window anomaly detection over the event stream
 # --------------------------------------------------------------------------
