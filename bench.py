@@ -68,6 +68,13 @@ HEADLINE = [
     "assoc_part_pairs_lift",
     "overlap_sessions_per_hour",
     "pack_sequences_ffd",
+    # round-6 resume additions (order-statistics kernels at sf0.1:
+    # prefix-scan AUC, double prefix-scan Spearman, ABC prefix cumsum,
+    # map-side debounce):
+    "eval_auc_doc_length",
+    "stats_spearman_qty_price",
+    "abc_pareto_parts",
+    "dedup_events_debounce",
 ]
 
 

@@ -493,3 +493,14 @@ def test_spearman_ranks_distributed(spark):
         assert "_pid" in m.group(1), m.group(0)
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
         assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
+
+
+def test_skyline_prefix_max_distributed(spark):
+    """The skyline's dominance scan runs through the prefix-max kernel:
+    every Window keyed by the range-partition id; SinglePartition
+    exchanges only feed scalar reduces."""
+    plan = plan_of(relational.orders_skyline_price_date(spark, SF_TEST))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(1), m.group(0)
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
