@@ -559,3 +559,59 @@ class TestEwmaKernelLaws:
             den = sum(EWMA_WEIGHTS[d] for d in range(len(window)))
             want = round(float(num) / float(den), 6)
             assert abs(out[i] - want) < 1e-9, (i, out[i], want)
+
+
+class TestPrefixKernelLaws:
+    """Hypothesis laws for the order-statistics kernels: any value mix
+    (negatives included), any partition count (including more
+    partitions than rows → empty range partitions), inclusive and
+    exclusive, always equal to the single-threaded scan."""
+
+    @given(
+        vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60),
+        nparts=st.integers(1, 40),
+        inclusive=st.booleans(),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_prefix_sum_equals_naive(self, spark, vals, nparts, inclusive):
+        from console_etl_spark.llmops import pipeline
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        got = {
+            r["k"]: r["ps"]
+            for r in pipeline.global_prefix_sum(
+                df, ["k"], "v", out_col="ps",
+                inclusive=inclusive, num_partitions=nparts,
+            ).collect()
+        }
+        acc, want = 0, {}
+        for k, v in rows:
+            want[k] = acc + v if inclusive else acc
+            acc += v
+        assert got == want
+
+    @given(
+        vals=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60),
+        nparts=st.integers(1, 40),
+        inclusive=st.booleans(),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_prefix_max_equals_naive(self, spark, vals, nparts, inclusive):
+        from console_etl_spark.llmops import pipeline
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        got = {
+            r["k"]: r["pm"]
+            for r in pipeline.global_prefix_max(
+                df, ["k"], "v", out_col="pm",
+                inclusive=inclusive, num_partitions=nparts,
+            ).collect()
+        }
+        best, want = None, {}
+        for k, v in rows:
+            inc = v if best is None else max(best, v)
+            want[k] = inc if inclusive else best
+            best = inc
+        assert got == want
