@@ -935,3 +935,69 @@ def global_prefix_max(
         )
         .drop("_pid", "_off")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget corpus selection
+# --------------------------------------------------------------------------
+
+CURATE_TOKEN_BUDGET = 10_000  # tokens the selected sub-corpus may total
+
+
+@_register(
+    "curate_token_budget",
+    f"""
+    WITH td AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS q
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens, q,
+             CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS BIGINT)
+               AS cum_tokens
+      FROM td
+    )
+    SELECT doc_id, n_tokens, ROUND(q, 6) AS quality, cum_tokens
+    FROM c
+    WHERE cum_tokens <= {CURATE_TOKEN_BUDGET}
+    """,
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget — 'give me
+    the best documents that fit N training tokens', the data-selection
+    primitive behind budgeted pretraining mixes. Documents rank by a
+    quality signal (type-token ratio, higher is better; doc_id breaks
+    ties) and are taken greedily while the running token total stays
+    within the budget.
+
+    The running total uses the distributed prefix-scan kernel
+    (global_prefix_sum: range-repartition on the sort key, one partial
+    per partition to the driver, broadcast offsets, per-partition
+    window) — NO SinglePartition window, so ranking a 100 TB corpus
+    parallelizes across the cluster. Token counts accumulate as exact
+    int64, so the budget cut is bit-deterministic under any
+    partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w).cast("bigint")
+    q = F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
+    td = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        q.alias("q"),
+        (-q).alias("negq"),
+    )
+    cum = global_prefix_sum(
+        td, ["negq", "doc_id"], "n_tokens", out_col="cum_tokens", inclusive=True
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= CURATE_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("q", 6).alias("quality"),
+            "cum_tokens",
+        )
+    )

@@ -222,6 +222,82 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_K = 5
 
+
+def _tiled_exact_topk(
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    skip_same_id: bool = True,
+    skip_same_label: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k of ``q`` (rid, qvec[, qlab]) against ``c``
+    (rid, nvec[, nlab]) over asymmetric (corpus-block × query-chunk)
+    tiles: per-tile GEMM + per-query partial top-k (the global top-k is
+    a subset of the union of per-tile top-ks), then a global row_number
+    with the deterministic tiebreak (cos desc, n_id asc).
+
+    At 100 TB neither side ever lands on the driver or in a broadcast:
+    the query set tiles into ANN_QUERY_CHUNK-row chunks however large it
+    grows, per-tile memory stays O(chunk·dim + n/blocks·dim), and the
+    rank shuffle carries only k·|queries|·n_blocks candidate rows.
+    ``skip_same_label`` turns the kernel into hard-negative mining:
+    candidates must disagree with the query's label column."""
+    n_chunks = max(1, -(-q.count() // ANN_QUERY_CHUNK))
+    tiles = _query_corpus_tiles(q, c, n_chunks)
+
+    cols = {"q_id": "int64", "n_id": "int64", "cos_sim": "float64"}
+    if skip_same_label:
+        cols["q_label"] = "int32"  # rides the tile rows — no join-back
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: [] for c in cols}).astype(cols)
+        qs = pdf[pdf["role"] == 1]
+        ns = pdf[pdf["role"] == 0]
+        if qs.empty or ns.empty:
+            return empty
+        qids = qs["rid"].to_numpy()
+        qmat = np.array(qs["qvec"].tolist(), dtype=np.float64)
+        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+        nids = ns["rid"].to_numpy()
+        nmat = np.array(ns["nvec"].tolist(), dtype=np.float64)
+        nnorms = np.sqrt((nmat * nmat).sum(axis=1))
+        qlabs = qs["qlab"].to_numpy() if skip_same_label else None
+        nlabs = ns["nlab"].to_numpy() if skip_same_label else None
+        sim = np.round((qmat @ nmat.T) / np.outer(qnorms, nnorms), COS_DECIMALS)
+        out_q, out_n, out_s, out_l = [], [], [], []
+        for qi in range(len(qids)):
+            row = sim[qi]
+            keep = np.ones(len(nids), dtype=bool)
+            if skip_same_id:
+                keep &= nids != qids[qi]
+            if skip_same_label:
+                keep &= nlabs != qlabs[qi]
+            cand = np.nonzero(keep)[0]
+            if cand.size == 0:
+                continue
+            # exact per-tile top-k with the global tiebreak
+            # (cos desc, n_id asc) — order-stable via lexsort
+            order = np.lexsort((nids[cand], -row[cand]))[:k]
+            pick = cand[order]
+            out_q.extend([qids[qi]] * len(pick))
+            out_n.extend(nids[pick])
+            out_s.extend(row[pick])
+            if skip_same_label:
+                out_l.extend([qlabs[qi]] * len(pick))
+        data = {"q_id": out_q, "n_id": out_n, "cos_sim": out_s}
+        if skip_same_label:
+            # the union with the corpus role nulls qlab on those rows, so
+            # pandas upcast the column to float64 — values are exact ints
+            data["q_label"] = np.asarray(out_l, dtype=np.int32)
+        return pd.DataFrame(data)
+
+    sql_t = {"int64": "long", "int32": "int", "float64": "double"}
+    schema = ", ".join(f"{c} {sql_t[t]}" for c, t in cols.items())
+    cand = tiles.groupBy("blk", "chunk").applyInPandas(tile_topk, schema)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 @_register(
     "ann_topk_cosine",
     f"""
@@ -240,63 +316,107 @@ ANN_K = 5
     """,
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (exact ANN baseline), computed over
-    asymmetric (corpus-block × query-chunk) tiles: per-tile GEMM +
-    per-query partial top-k (global top-k is a subset of the union of
-    per-tile top-ks), then a global row_number with the deterministic
-    tiebreak (cos desc, n_id asc).
-
-    At 100 TB neither side ever lands on the driver or in a broadcast:
-    the query set tiles into ANN_QUERY_CHUNK-row chunks however large it
-    grows, per-tile memory stays O(chunk·dim + n/blocks·dim), and the
-    rank shuffle carries only k·|queries|·n_blocks candidate rows.
-    """
+    """Brute-force cosine top-k (exact ANN baseline) via the shared
+    asymmetric-tile kernel — see ``_tiled_exact_topk`` for the 100 TB
+    memory/shuffle contract."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    n_chunks = max(1, -(-q.count() // ANN_QUERY_CHUNK))
-    tiles = _query_corpus_tiles(
+    return _tiled_exact_topk(
         q.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("qvec")),
         e.select(F.col("vec_id").alias("rid"), F.col("embedding").alias("nvec")),
-        n_chunks,
+        ANN_K,
     )
 
-    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"q_id": [], "n_id": [], "cos_sim": []}).astype(
-            {"q_id": "int64", "n_id": "int64", "cos_sim": "float64"}
-        )
-        qs = pdf[pdf["role"] == 1]
-        ns = pdf[pdf["role"] == 0]
-        if qs.empty or ns.empty:
-            return empty
-        qids = qs["rid"].to_numpy()
-        qmat = np.array(qs["qvec"].tolist(), dtype=np.float64)
-        qnorms = np.sqrt((qmat * qmat).sum(axis=1))
-        nids = ns["rid"].to_numpy()
-        nmat = np.array(ns["nvec"].tolist(), dtype=np.float64)
-        nnorms = np.sqrt((nmat * nmat).sum(axis=1))
-        sim = np.round((qmat @ nmat.T) / np.outer(qnorms, nnorms), COS_DECIMALS)
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(qids)):
-            row = sim[qi]
-            # exact per-tile top-k with the global tiebreak
-            # (cos desc, n_id asc) — order-stable via lexsort
-            cand = np.nonzero(nids != qids[qi])[0]
-            if cand.size == 0:
-                continue
-            order = np.lexsort((nids[cand], -row[cand]))[:ANN_K]
-            pick = cand[order]
-            out_q.extend([qids[qi]] * len(pick))
-            out_n.extend(nids[pick])
-            out_s.extend(row[pick])
-        return pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos_sim": out_s})
 
-    cand = tiles.groupBy("blk", "chunk").applyInPandas(
-        tile_topk, "q_id long, n_id long, cos_sim double"
+MRL_DIM = 16  # matryoshka prefix length (full fixture dim is larger)
+
+@_register(
+    "embedding_matryoshka_topk",
+    f"""
+    WITH t AS (
+      SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{MRL_DIM}] AS emb
+      FROM embeddings
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
-    return cand.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= ANN_K
+    SELECT q_id, n_id, cos_sim, rn FROM (
+      SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             ROUND(list_cosine_similarity(q.emb, n.emb), {COS_DECIMALS}) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(q.emb, n.emb),
+                              {COS_DECIMALS}) DESC,
+                        n.vec_id) AS rn
+      FROM t q JOIN t n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id % 50 = 0) x
+    WHERE rn <= {ANN_K}
+    """,
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval: exact cosine top-k over only the FIRST
+    MRL_DIM dimensions of each embedding (MRL-style nested
+    representations truncate to a prefix; cosine is scale-invariant so
+    no renormalization is needed). The cheap first-pass ranking of a
+    truncate-then-rerank pipeline: the GEMM shrinks by dim/MRL_DIM and
+    the shuffled vectors shrink likewise, while the recall-vs-full law
+    in tests/test_llmops_unit.py pins how much ranking quality the
+    prefix retains. The slice happens at the scan (JVM `slice`, column
+    pruned before the Arrow crossing) — tiles carry only 16 floats/row.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb16 = F.slice("embedding", 1, MRL_DIM)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return _tiled_exact_topk(
+        q.select(F.col("vec_id").alias("rid"), emb16.alias("qvec")),
+        e.select(F.col("vec_id").alias("rid"), emb16.alias("nvec")),
+        ANN_K,
     )
+
+
+HARDNEG_K = 5
+
+@_register(
+    "contrastive_hard_negatives",
+    f"""
+    SELECT q_id, q_label, n_id, cos_sim, rn FROM (
+      SELECT q.vec_id AS q_id, q.label AS q_label, n.vec_id AS n_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(n.embedding AS DOUBLE[])), {COS_DECIMALS}) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(n.embedding AS DOUBLE[])), {COS_DECIMALS}) DESC,
+                        n.vec_id) AS rn
+      FROM embeddings q JOIN embeddings n ON n.label <> q.label
+      WHERE q.vec_id % 100 = 0) t
+    WHERE rn <= {HARDNEG_K}
+    """,
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each sampled
+    anchor, the top-k most-similar vectors with a DIFFERENT label — the
+    near-misses that make the strongest negatives. Same exact tiled
+    kernel as ann_topk_cosine with the label-disagreement predicate
+    applied inside the tile (the label rides the tile rows, so the
+    filter costs a boolean mask per tile, not a join). Exact tier by
+    design: its ANN sibling would bucket first and mask labels second.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    out = _tiled_exact_topk(
+        q.select(
+            F.col("vec_id").alias("rid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlab"),
+        ),
+        e.select(
+            F.col("vec_id").alias("rid"),
+            F.col("embedding").alias("nvec"),
+            F.col("label").alias("nlab"),
+        ),
+        HARDNEG_K,
+        skip_same_id=False,
+        skip_same_label=True,
+    )
+    return out.select("q_id", "q_label", "n_id", "cos_sim", "rn")
 
 
 @_register(

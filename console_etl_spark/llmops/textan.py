@@ -1584,3 +1584,109 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("vector", "join", "stream")  # fixed query; present across fixtures
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@_register(
+    "text_bm25_topk",
+    f"""
+    WITH td AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t = '{BM25_TERMS[0]}')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t = '{BM25_TERMS[1]}')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t = '{BM25_TERMS[2]}')) AS DOUBLE) AS tf2
+      FROM documents
+    ), st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM td
+    )
+    SELECT doc_id,
+           ROUND(
+             (ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+           + (ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+           + (ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+             6) AS bm25
+    FROM td, st
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 top-k retrieval for a fixed multi-term query — the
+    classic lexical ranker behind training-data retrieval/dedup-by-query
+    pipelines. For a small bound query the per-term tf is a ROW-LOCAL
+    `size(filter(tokens))` (no posting-list explode, no shuffle per
+    term); the corpus statistics (N, avgdl, per-term df) are ONE
+    aggregate row broadcast back, so the whole query is scan → one
+    scalar agg → scan-side score → TakeOrdered(k). At 100 TB the only
+    exchanges are the single-row statistics agg and the top-k — both
+    constant-size. Score terms sum in fixed query order (left-assoc) so
+    both engines produce the identical double before ROUND(_, 6);
+    BM25+-style idf `ln(1 + (N - df + .5)/(df + .5))` keeps every term
+    non-negative even at df > N/2 (this fixture's vocabulary is tiny, so
+    every term is common)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    dl = F.size(w).cast("double")
+    def tf_of(term: str) -> Column:
+        # NB: a two-parameter lambda would make F.filter bind the second
+        # parameter to the ELEMENT INDEX — close over the term instead
+        return F.size(F.filter(w, lambda t: t == F.lit(term))).cast("double")
+
+    tf = [tf_of(term) for term in BM25_TERMS]
+    td = d.select(
+        "doc_id",
+        dl.alias("dl"),
+        *[c.alias(f"tf{i}") for i, c in enumerate(tf)],
+    )
+    n_docs = F.count("*").cast("double")
+    st = td.agg(
+        n_docs.alias("n_docs"),
+        (F.sum("dl") / n_docs).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int) -> Column:
+        tfi, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1) + (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        )
+        denom = tfi + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * (tfi * F.lit(BM25_K1 + 1)) / denom
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        td.crossJoin(F.broadcast(st))
+        .filter(F.col("tf0") + F.col("tf1") + F.col("tf2") > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -2327,3 +2327,113 @@ class TestPhashBandedJoin:
             if d <= mm.PHASH_MAX_HAMMING:
                 want.add((min(ia, ib), max(ia, ib), d))
         assert got == want and got
+
+
+# --------------------------------------------------------------------------
+# Round-6 retrieval wave: BM25 / token budget / matryoshka / hard negatives
+# --------------------------------------------------------------------------
+
+def test_bm25_scores_descending_and_hits_only(spark):
+    rows = textan.text_bm25_topk(spark, SF_TEST).collect()
+    assert 0 < len(rows) <= textan.BM25_TOPK
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores), "hit-only filter admitted a zero score"
+
+
+def test_bm25_tf_monotone_on_synthetic(spark):
+    # same length, more query-term occurrences => strictly higher score
+    import console_etl_spark.llmops.textan as t
+    docs = spark.createDataFrame(
+        [
+            (1, "vector join stream pad pad pad", "en", "s", 30),
+            (2, "vector vector join stream pad pad", "en", "s", 30),
+            (3, "pad pad pad pad pad pad", "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("__bm25_docs")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r.bm25 for r in t.text_bm25_topk(spark, td).collect()}
+    assert 3 not in out, "doc with zero query terms must not be retrieved"
+    assert out[2] > out[1] > 0
+
+
+def test_curate_token_budget_greedy_maximal(spark):
+    from console_etl_spark.llmops import pipeline as pl
+    sel = pl.curate_token_budget(spark, SF_TEST).collect()
+    assert sel, "budget should admit at least one document"
+    assert max(r.cum_tokens for r in sel) <= pl.CURATE_TOKEN_BUDGET
+    # greedy maximality: the next-ranked excluded doc would overflow
+    docs = load_table(spark, SF_TEST, "documents")
+    w = F.split("text", " ")
+    q = F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
+    ranked = (
+        docs.select("doc_id", F.size(w).cast("bigint").alias("n_tokens"), q.alias("q"))
+        .orderBy(F.desc("q"), "doc_id")
+        .collect()
+    )
+    chosen = {r.doc_id for r in sel}
+    cum = 0
+    for r in ranked:
+        cum += r.n_tokens
+        if cum <= pl.CURATE_TOKEN_BUDGET:
+            assert r.doc_id in chosen, f"doc {r.doc_id} fits prefix but excluded"
+        else:
+            assert r.doc_id not in chosen, f"doc {r.doc_id} overflows but included"
+            break
+
+
+def test_hard_negatives_labels_disagree(spark):
+    rows = similarity.contrastive_hard_negatives(spark, SF_TEST).collect()
+    assert rows
+    e = {r.vec_id: r.label for r in load_table(spark, SF_TEST, "embeddings").collect()}
+    for r in rows:
+        assert r.q_label == e[r.q_id]
+        assert e[r.n_id] != r.q_label, f"negative {r.n_id} shares label {r.q_label}"
+
+
+def test_matryoshka_prefix_retains_ranking(spark):
+    """On an MRL-STRUCTURED corpus (information front-loaded into the
+    prefix dims, as matryoshka-trained encoders produce), truncated
+    retrieval must substantially agree with full-dim retrieval. The
+    driver fixture's embeddings spread information uniformly across
+    dims (measured prefix overlap ~0.06 — truncation is lossy there by
+    construction), so the law runs on a fixture with the property the
+    operator assumes: cluster identity lives in dims 0-15, iid noise
+    fills the tail."""
+    import os
+    import random
+    import tempfile
+
+    rng = random.Random(7)
+    dim, pre = 64, similarity.MRL_DIM
+    rows = []
+    for vid in range(400):
+        c = vid % 8
+        head = [
+            (1.0 if j == 2 * c else 0.5 if j == 2 * c + 1 else 0.0)
+            + rng.gauss(0, 0.05)
+            for j in range(pre)
+        ]
+        tail = [rng.gauss(0, 0.02) for _ in range(dim - pre)]
+        rows.append((vid, [float(x) for x in head + tail], c))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "embeddings.parquet"))
+        full = similarity.ann_topk_cosine(spark, td)
+        trunc = similarity.embedding_matryoshka_topk(spark, td)
+        f = {}
+        for r in full.collect():
+            f.setdefault(r.q_id, set()).add(r.n_id)
+        t = {}
+        for r in trunc.collect():
+            t.setdefault(r.q_id, set()).add(r.n_id)
+    assert set(f) == set(t), "query sets must coincide"
+    overlaps = [len(f[q] & t[q]) / len(f[q]) for q in f]
+    mean_overlap = sum(overlaps) / len(overlaps)
+    assert mean_overlap >= 0.6, f"prefix overlap@k collapsed: {mean_overlap:.2f}"
