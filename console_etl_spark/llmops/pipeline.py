@@ -1001,3 +1001,160 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_tokens",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-matched data selection (DSIR-style) and temperature mixing
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"  # the distribution we want the selected data to match
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS c_s,
+             CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT)
+               AS c_t
+      FROM tok GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c_s) AS DOUBLE) AS t_s,
+             CAST(SUM(c_t) AS DOUBLE) AS t_t,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM vocab
+    ), ratio AS (
+      SELECT w,
+             LN((CAST(c_t AS DOUBLE) + 1) / (t_t + v))
+               - LN((CAST(c_s AS DOUBLE) + 1) / (t_s + v)) AS lr
+      FROM vocab CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lr), 6) AS log_ir,
+           ROUND(SUM(lr) / COUNT(*), 6) AS log_ir_per_token,
+           CASE WHEN ROUND(SUM(lr), 6) > 0 THEN 1 ELSE 0 END AS selected
+    FROM tok JOIN ratio USING (w)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR-style): score
+    every document by how much more likely its tokens are under a
+    TARGET unigram distribution (here the corpus's target-language
+    slice) than under the raw SOURCE distribution (the whole corpus).
+    log_ir(doc) = Σ_w [ln p_target(w) − ln p_source(w)] with add-one
+    smoothing over the shared vocabulary; positive means
+    'target-like — keep/upsample when matching a pretraining mix to a
+    high-quality target'.
+
+    Scale: both distributions come from ONE token-keyed aggregation
+    (map-side partial; vocabulary is Heaps-sublinear in corpus size),
+    the per-token log-ratio relation is vocab-sized, and scoring is a
+    single token→ratio equi-join + per-doc sum — the same join shape
+    as the perplexity queries, AQE-skew-split on the Zipfian head.
+    Nothing corpus-sized is broadcast or collected."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("c_s"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tot = vocab.agg(
+        F.sum("c_s").cast("double").alias("t_s"),
+        F.sum("c_t").cast("double").alias("t_t"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lr = F.log(
+        (F.col("c_t").cast("double") + F.lit(1)) / (F.col("t_t") + F.col("v"))
+    ) - F.log(
+        (F.col("c_s").cast("double") + F.lit(1)) / (F.col("t_s") + F.col("v"))
+    )
+    ratio = vocab.crossJoin(F.broadcast(tot)).select("w", lr.alias("lr"))
+    return (
+        tok.join(ratio, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_ir"),
+            F.round(F.sum("lr") / F.count("*"), 6).alias("log_ir_per_token"),
+            F.when(F.round(F.sum("lr"), 6) > 0, 1).otherwise(0).alias("selected"),
+        )
+    )
+
+
+MIX_TEMPERATURE_ALPHA = 0.3  # multilingual temperature-sampling exponent
+
+
+@_register(
+    "mix_temperature_weights",
+    f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(total_tokens) AS DOUBLE) AS t FROM lt
+    ), pw AS (
+      SELECT lang, n_docs, total_tokens,
+             CAST(total_tokens AS DOUBLE) / t AS p,
+             POW(CAST(total_tokens AS DOUBLE) / t, {MIX_TEMPERATURE_ALPHA}) AS pa
+      FROM lt CROSS JOIN tot
+    ), z AS (
+      SELECT CAST(SUM(pa) AS DOUBLE) AS zsum FROM pw
+    )
+    SELECT lang, n_docs, total_tokens,
+           ROUND(p, 6) AS p_raw,
+           ROUND(pa / zsum, 6) AS p_sample,
+           ROUND((pa / zsum) / p, 6) AS upsample_factor
+    FROM pw CROSS JOIN z
+    ORDER BY lang
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language — the standard
+    multilingual pretraining mix: sampling probability ∝ p^α flattens
+    the head (α < 1), upweighting low-resource slices without
+    truncating high-resource ones. Emits the raw token share, the
+    α-tempered sampling share, and the implied up/down-sampling
+    factor per language.
+
+    Scale: one grouped aggregate to a languages-sized relation, two
+    1-row scalar totals broadcast back — constant-size exchanges
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+    tot = lt.agg(F.sum("total_tokens").cast("double").alias("t"))
+    p = F.col("total_tokens").cast("double") / F.col("t")
+    pw = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        p.alias("p"),
+        F.pow(p, F.lit(MIX_TEMPERATURE_ALPHA)).alias("pa"),
+    )
+    z = pw.agg(F.sum("pa").cast("double").alias("zsum"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round("p", 6).alias("p_raw"),
+            F.round(F.col("pa") / F.col("zsum"), 6).alias("p_sample"),
+            F.round((F.col("pa") / F.col("zsum")) / F.col("p"), 6).alias(
+                "upsample_factor"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2437,3 +2437,31 @@ def test_matryoshka_prefix_retains_ranking(spark):
     overlaps = [len(f[q] & t[q]) / len(f[q]) for q in f]
     mean_overlap = sum(overlaps) / len(overlaps)
     assert mean_overlap >= 0.6, f"prefix overlap@k collapsed: {mean_overlap:.2f}"
+
+
+def test_dsir_targets_score_higher(spark):
+    """Target-language documents must out-score the rest on average —
+    the sanity law of importance weighting (the target slice IS drawn
+    from the target distribution)."""
+    from console_etl_spark.llmops import pipeline as pl
+    w = {r.doc_id: r.log_ir for r in pl.dsir_importance_weights(spark, SF_TEST).collect()}
+    langs = {r.doc_id: r.lang for r in load_table(spark, SF_TEST, "documents").collect()}
+    tgt = [w[d] for d in w if langs[d] == pl.DSIR_TARGET_LANG]
+    rest = [w[d] for d in w if langs[d] != pl.DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_temperature_mixing_flattens(spark):
+    """Weights are a distribution, and alpha < 1 moves every slice's
+    share toward uniform: below-average languages get upsampled,
+    above-average ones downsampled."""
+    from console_etl_spark.llmops import pipeline as pl
+    rows = pl.mix_temperature_weights(spark, SF_TEST).collect()
+    assert abs(sum(r.p_sample for r in rows) - 1.0) < 1e-4
+    # exact law: w/p = p^(alpha-1)/Z is strictly decreasing in p, so the
+    # smallest slice is the most upsampled and the largest the least
+    by_share = sorted(rows, key=lambda r: r.p_raw)
+    factors = [r.upsample_factor for r in by_share]
+    assert factors == sorted(factors, reverse=True), factors
+    assert factors[0] > factors[-1], "temperature must flatten the mix"
