@@ -75,6 +75,15 @@ HEADLINE = [
     "stats_spearman_qty_price",
     "abc_pareto_parts",
     "dedup_events_debounce",
+    # round-6 retrieval/data-selection wave (BM25 broadcast-stats scan,
+    # prefix-scan budget cut, 16-dim matryoshka GEMM, label-masked
+    # hard negatives, vocab-join DSIR, constant-size temperature mix):
+    "text_bm25_topk",
+    "curate_token_budget",
+    "embedding_matryoshka_topk",
+    "contrastive_hard_negatives",
+    "dsir_importance_weights",
+    "mix_temperature_weights",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary
