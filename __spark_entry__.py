@@ -59,7 +59,14 @@ _MODULES = (
 # rotation, updated as round-6 waves landed): round 6 registered 51 new
 # oracle-backed queries across fifteen waves, none of which has a driver
 # row yet — the window is filled entirely by the 50 oldest of them (the
-# 51st, events_out_of_order_audit, leads the next rotation). Everything
+# 51st, events_out_of_order_audit, leads the next rotation, followed by
+# the later-wave never-checked queries: the order-statistics tier —
+# spearman/dau-wau/abc/xmr/hamilton/hhi/skyline/smape/km/gini —, the
+# text-diagnostics tier — zipf/rake/heaps/trigram-novelty —, the eval
+# tier, weighted-median/division/mad, scd2_point_in_time_join, and the
+# round-6 retrieval wave: text_bm25_topk, curate_token_budget,
+# embedding_matryoshka_topk, contrastive_hard_negatives,
+# dsir_importance_weights, mix_temperature_weights). Everything
 # with an existing driver row (r5's 50/50 pass plus the r1-r4 evidence)
 # waits behind the never-checked tier per policy; the local parity suite
 # keeps covering all of it every round.
