@@ -504,3 +504,62 @@ def test_skyline_prefix_max_distributed(spark):
         assert "_pid" in m.group(1), m.group(0)
     for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
         assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
+
+
+def test_bm25_single_scan_scalar_stats(spark):
+    """BM25 for a bounded query is scan → one scalar-stats row
+    (broadcast) → scored scan → TakeOrdered: no posting-list explode,
+    no token-keyed shuffle, the top-k planned as TakeOrderedAndProject,
+    and every SinglePartition exchange feeding a keyless (1-row)
+    aggregate."""
+    from console_etl_spark.llmops import textan
+
+    plan = plan_of(textan.text_bm25_topk(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate explode" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
+
+
+def test_token_budget_cut_distributed(spark):
+    """The budget prefix sum must run through the kernel: every Window
+    keyed by the range-partition id — no SinglePartition global
+    window over the corpus."""
+    from console_etl_spark.llmops import pipeline as pl
+
+    plan = plan_of(pl.curate_token_budget(spark, SF_TEST))
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "_pid" in m.group(1), m.group(0)
+    assert "WindowExec" not in plan or "SinglePartition" not in plan.split(
+        "Window"
+    )[0], plan
+
+
+def test_matryoshka_slice_before_arrow(spark):
+    """The 16-dim prefix slice must happen JVM-side before the Arrow
+    crossing, so tiles ship MRL_DIM floats per row, not the full
+    vector."""
+    from console_etl_spark.llmops import similarity
+
+    plan = plan_of(similarity.embedding_matryoshka_topk(spark, SF_TEST))
+    arrow = plan.find("FlatMapGroupsInPandas")
+    assert arrow != -1, plan
+    assert "slice(embedding" in plan, plan
+    # no full-width embedding column survives into the pandas stage's
+    # input projection: the only embedding reference below the Arrow
+    # node is inside the slice expression
+    below = plan[arrow:]
+    assert "qvec" in below and "nvec" in below, plan
+
+
+def test_dsir_join_shape_matches_perplexity(spark):
+    """DSIR scoring is the perplexity join shape: token-keyed equi-join
+    against the vocab-sized ratio relation; SinglePartition exchanges
+    only feed scalar reduces (the corpus totals)."""
+    from console_etl_spark.llmops import pipeline as pl
+
+    plan = plan_of(pl.dsir_importance_weights(spark, SF_TEST))
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan):
+        assert "HashAggregate(keys=[]" in m.group(1), m.group(0)
+    assert "CartesianProduct" not in plan, plan
