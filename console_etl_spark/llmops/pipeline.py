@@ -1158,3 +1158,79 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "split_leakage_safe",
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT a_id, b_id
+      FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+    ), sym AS (
+      SELECT a_id AS x, b_id AS y FROM edges
+      UNION SELECT b_id, a_id FROM edges
+    ), reach(node, lab) AS (
+      SELECT x, x FROM sym
+      UNION
+      SELECT s.y, r.lab FROM reach r JOIN sym s ON s.x = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id,
+           CASE WHEN substring(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substring(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: documents that are
+    near-duplicates of each other (shingle-jaccard >= 0.6, transitively
+    closed) MUST land in the same split, or test examples leak into
+    training as paraphrases. Split is therefore a function of the
+    near-dup GROUP id (connected-component minimum doc_id; singletons
+    are their own group), hashed with the same md5-band convention as
+    split_train_test_docs — deterministic, engine-independent, stable
+    under re-partitioning.
+
+    Scale: the pair generator is the inverted-index shingle join (never
+    all-pairs), components run frontier-bounded min-id propagation, and
+    the final assignment is one left join of the corpus against the
+    (much smaller) grouped-docs relation plus a hash projection. The
+    oracle recomputes the identical closure with a recursive CTE."""
+    from .dedup import connected_components, dedup_shingle_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    gid = F.coalesce("component", "doc_id").cast("bigint")
+    return (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            gid.alias("group_id"),
+            split_column(gid).alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2465,3 +2465,20 @@ def test_temperature_mixing_flattens(spark):
     factors = [r.upsample_factor for r in by_share]
     assert factors == sorted(factors, reverse=True), factors
     assert factors[0] > factors[-1], "temperature must flatten the mix"
+
+
+def test_leakage_safe_split_keeps_groups_together(spark):
+    """The defining law: every near-dup pair lands in the SAME split,
+    and the fixture must actually contain multi-document groups for the
+    law to bite."""
+    from console_etl_spark.llmops import pipeline as pl
+    rows = pl.split_leakage_safe(spark, SF_TEST).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    group_of = {r.doc_id: r.group_id for r in rows}
+    from collections import Counter
+    sizes = Counter(group_of.values())
+    assert any(c > 1 for c in sizes.values()), "fixture has no near-dup groups"
+    from console_etl_spark.llmops import dedup
+    for p in dedup.dedup_shingle_jaccard(spark, SF_TEST).collect():
+        assert split_of[p.a_id] == split_of[p.b_id], (p.a_id, p.b_id)
+        assert group_of[p.a_id] == group_of[p.b_id], (p.a_id, p.b_id)
