@@ -49,6 +49,15 @@ class SnapshotInfo:
     schema_json: str | None = None  # DDL-round-trippable StructType json
 
 
+class ConcurrentPublishError(RuntimeError):
+    """Another writer published between this writer's read of the
+    current version and its manifest flip (optimistic-concurrency
+    conflict — retry on top of the new current snapshot)."""
+
+
+_UNGUARDED = object()  # publish(expected_current=...) sentinel: no CAS check
+
+
 class SnapshotStore:
     """Versioned, partitioned Parquet store with atomic publish."""
 
@@ -75,6 +84,7 @@ class SnapshotStore:
         partition_by: tuple[str, ...] = PARTITION_COLS,
         gate: DataFrame | None = None,
         evolution: str = "additive",
+        expected_current: str | None | object = _UNGUARDED,
     ) -> SnapshotInfo:
         """Write ``df`` as snapshot ``version`` and atomically point
         ``_CURRENT`` at it. Idempotent: same version again is a no-op.
@@ -94,6 +104,19 @@ class SnapshotStore:
         must be identical), ``"any"`` (no check — migrations). Checked
         before any write, like the gate: a rejected schema publishes
         nothing.
+
+        ``expected_current``: optimistic concurrency for multi-writer
+        catalogs. Pass the version this writer derived from (or None
+        for "expect never-published") and the manifest flip becomes a
+        compare-and-swap: if another writer published in between,
+        ``ConcurrentPublishError`` is raised, the manifest is left on
+        the other writer's snapshot, and this writer's data directory
+        stays orphaned for ``vacuum`` — a lost-update can no longer be
+        silent. The check-and-flip pair is serialized by an OS file
+        lock next to the manifest (single-host writers; a multi-host
+        deployment would route flips through one committer process, as
+        object-store table formats do). Default: unguarded last-wins,
+        the reference's symlink semantics (cache.go:85-91).
         """
         if gate is not None:
             bad = gate.limit(5).collect()
@@ -105,6 +128,15 @@ class SnapshotStore:
         current = self.current(catalog)
         if current is not None and current.version == version:
             return current
+        if expected_current is not _UNGUARDED:
+            curv = current.version if current is not None else None
+            if curv != expected_current:
+                # fail fast BEFORE the expensive write — the flip-time
+                # re-check below closes the remaining race window
+                raise ConcurrentPublishError(
+                    f"{catalog}: expected current={expected_current!r}, "
+                    f"found {curv!r} before write"
+                )
         if current is not None and evolution != "any":
             self._check_evolution(current, df.schema, evolution)
 
@@ -123,7 +155,30 @@ class SnapshotStore:
                 .parquet(path)
             )
         info = SnapshotInfo(catalog, version, path, time.time(), df.schema.json())
-        self._flip_manifest(info)
+        if expected_current is _UNGUARDED:
+            self._flip_manifest(info)
+            return info
+        # CAS flip: re-verify under the lock so check+flip is atomic
+        # against other same-host writers
+        import fcntl
+
+        cat_dir = self._catalog_dir(catalog)
+        os.makedirs(cat_dir, exist_ok=True)
+        lock_path = os.path.join(cat_dir, ".publish.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                now = self.current(catalog)
+                nowv = now.version if now is not None else None
+                if nowv != expected_current:
+                    raise ConcurrentPublishError(
+                        f"{catalog}: expected current={expected_current!r}, "
+                        f"found {nowv!r} at flip time — snapshot "
+                        f"{version} written but NOT published"
+                    )
+                self._flip_manifest(info)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         return info
 
     @staticmethod

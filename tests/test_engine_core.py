@@ -129,6 +129,32 @@ def test_publish_flips_pointer_atomically(spark, store, catalog_metas):
     assert os.path.exists(os.path.join(store.snapshot_path("cat0", "v1"), "_SUCCESS"))
 
 
+def test_publish_cas_detects_lost_update(spark, store, catalog_metas):
+    """Optimistic concurrency: a writer that derived from v1 must NOT
+    silently overwrite another writer's v2 — the conflict raises, the
+    manifest stays on v2, and the loser's directory is left for
+    vacuum."""
+    from console_etl_spark.store import ConcurrentPublishError
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    # writer B publishes v2 first (derived from v1)
+    store.publish(df.limit(10), "cat0", "v2", expected_current="v1")
+    # writer A also derived from v1 — its CAS must fail
+    with pytest.raises(ConcurrentPublishError):
+        store.publish(df.limit(5), "cat0", "v2b", expected_current="v1")
+    assert store.current("cat0").version == "v2"
+    # expect-never-published guard on a fresh catalog works, and a wrong
+    # expectation on one fails fast
+    store.publish(df.limit(3), "cat1", "v1", expected_current=None)
+    with pytest.raises(ConcurrentPublishError):
+        store.publish(df.limit(3), "cat2", "v1", expected_current="v9")
+    # the correctly-derived retry succeeds
+    info = store.publish(df.limit(5), "cat0", "v3", expected_current="v2")
+    assert info.version == "v3"
+    assert store.read(spark, "cat0").count() == 5
+
+
 def test_vacuum_keeps_current(spark, store, catalog_metas):
     df = shred_metas(catalog_metas.drop("catalog"))
     for v in ["v1", "v2", "v3"]:
