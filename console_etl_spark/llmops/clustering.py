@@ -182,3 +182,55 @@ def cluster_kmeans_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("cluster", "label")
     )
+
+
+SEMDEDUP_TAU = 0.4  # same near-dup cosine threshold as the exact pair tier
+
+
+@_register("semdedup_cluster_prune", None)  # rows-only: built on the iterative fit
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: k-means the embeddings, then
+    WITHIN each cluster greedily keep a maximal set of vectors no two
+    of which are near-duplicates (cosine >= SEMDEDUP_TAU), preferring
+    the vectors FARTHEST from their centroid (edge examples carry more
+    diversity than near-centroid ones — the published SemDeDup keep
+    rule), with vec_id as the deterministic tie-break.
+
+    Scale: pairwise similarity never crosses clusters, so the quadratic
+    term is O(Σ_c n_c²) — bounded by raising k with corpus size exactly
+    as the fit itself requires (cluster size ~n/k stays the
+    applyInPandas group bound). The fit is the deterministic Lloyd
+    kernel above; the prune is one groupBy(cluster).applyInPandas with
+    a numpy GEMM per cluster. Laws (tests): bit-identical across runs,
+    no two survivors within a cluster at >= tau, and every dropped
+    vector has a kept near-dup witness in its cluster (maximality)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans_fit(emb)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["dist", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if kept:
+                sims = np.round(
+                    (m[kept] @ m[i]) / (norms[kept] * norms[i]), 9
+                )
+                if sims.max() >= SEMDEDUP_TAU:
+                    continue
+            kept.append(i)
+        out = pdf.iloc[kept][["vec_id", "cluster", "dist"]].copy()
+        out["dist"] = out["dist"].round(6)
+        return out
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(prune, "vec_id long, cluster int, dist double")
+        .orderBy("vec_id")
+    )

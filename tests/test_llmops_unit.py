@@ -2482,3 +2482,35 @@ def test_leakage_safe_split_keeps_groups_together(spark):
     for p in dedup.dedup_shingle_jaccard(spark, SF_TEST).collect():
         assert split_of[p.a_id] == split_of[p.b_id], (p.a_id, p.b_id)
         assert group_of[p.a_id] == group_of[p.b_id], (p.a_id, p.b_id)
+
+
+def test_semdedup_laws(spark):
+    """SemDeDup pruning: deterministic, no two survivors within a
+    cluster at cosine >= tau, and every dropped vector has a kept
+    near-dup witness in its cluster (greedy maximality)."""
+    import numpy as np
+    from console_etl_spark.llmops import clustering
+
+    a = clustering.semdedup_cluster_prune(spark, SF_TEST).collect()
+    b = clustering.semdedup_cluster_prune(spark, SF_TEST).collect()
+    assert a == b, "prune must be bit-deterministic"
+    kept = {r.vec_id for r in a}
+    assigned, _, _ = clustering.kmeans_fit(load_table(spark, SF_TEST, "embeddings"))
+    rows = assigned.collect()
+    assert 0 < len(kept) < len(rows), "prune must drop something but not all"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    tau = clustering.SEMDEDUP_TAU
+    for cl, members in by_cluster.items():
+        m = np.array([r.embedding for r in members], dtype=np.float64)
+        n = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((m @ m.T) / np.outer(n, n), 9)
+        ids = [r.vec_id for r in members]
+        kidx = [i for i, v in enumerate(ids) if v in kept]
+        for x in range(len(kidx)):
+            for y in range(x + 1, len(kidx)):
+                assert sims[kidx[x], kidx[y]] < tau, (cl, ids[kidx[x]], ids[kidx[y]])
+        for i, v in enumerate(ids):
+            if v not in kept:
+                assert any(sims[i, j] >= tau for j in kidx), (cl, v)
