@@ -6481,6 +6481,69 @@ def kanonymity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ldiversity_customer_audit",
+    """
+    WITH bands AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS bal_band
+      FROM customer
+    ), classes AS (
+      SELECT nation, segment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, segment, class_size, l_distinct
+    FROM classes WHERE l_distinct < 3
+    ORDER BY l_distinct, nation, segment
+    """,
+)
+def ldiversity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to the
+    k-anonymity report: an equivalence class can be large (k-anonymous)
+    yet still leak if its SENSITIVE attribute is homogeneous, because
+    knowing someone is in the class reveals their value. Sensitive
+    attribute here is the account-balance band; classes over the same
+    (nation, segment) quasi-identifiers with fewer than l=3 distinct
+    bands are reported.
+
+    Scale shape: one partial-agg shuffle keyed by the quasi-identifier
+    pair with COUNT(DISTINCT band) over a 4-value domain (rewritten by
+    Spark into a two-level exact aggregate, still bounded by the class
+    relation) — never a self-join, nothing corpus-sized collected."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("bal_band"),
+        )
+        .groupBy("nation", "segment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "segment",
+            "class_size",
+            "l_distinct",
+        )
+        .orderBy("l_distinct", "nation", "segment")
+    )
+
+
+@_register(
     "text_source_token_entropy",
     """
     WITH tok AS (
