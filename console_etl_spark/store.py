@@ -287,6 +287,45 @@ class SnapshotStore:
             reader = reader.schema(StructType.fromJson(json.loads(info.schema_json)))
         return reader.parquet(info.path)
 
+    def rollback(
+        self,
+        catalog: str,
+        version: str,
+        expected_current: str | None | object = _UNGUARDED,
+    ) -> SnapshotInfo:
+        """Point ``_CURRENT`` back at an existing (non-vacuumed)
+        snapshot — the recovery move when a bad publish slipped past the
+        gate. Pure manifest flip: no data is written, the bad snapshot
+        stays on disk for forensics until ``vacuum``. The recorded
+        schema is re-derived from the target snapshot's parquet footer
+        so post-rollback reads pin the OLD schema, not the bad one.
+        ``expected_current`` gives the same CAS semantics as publish."""
+        path = self.snapshot_path(catalog, version)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(
+                f"catalog {catalog!r} has no snapshot version {version!r}"
+            )
+        if expected_current is not _UNGUARDED:
+            cur = self.current(catalog)
+            curv = cur.version if cur is not None else None
+            if curv != expected_current:
+                raise ConcurrentPublishError(
+                    f"{catalog}: expected current={expected_current!r}, "
+                    f"found {curv!r} at rollback"
+                )
+        import pyarrow.dataset as pads
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema_json = None
+        try:
+            ds = pads.dataset(path, format="parquet", partitioning="hive")
+            schema_json = from_arrow_schema(ds.schema).json()
+        except Exception:
+            pass  # schema pin is best-effort; read() falls back to discovery
+        info = SnapshotInfo(catalog, version, path, time.time(), schema_json)
+        self._flip_manifest(info)
+        return info
+
     # -- lifecycle -------------------------------------------------------
     def versions(self, catalog: str) -> list[str]:
         cat_dir = self._catalog_dir(catalog)

@@ -155,6 +155,32 @@ def test_publish_cas_detects_lost_update(spark, store, catalog_metas):
     assert store.read(spark, "cat0").count() == 5
 
 
+def test_rollback_restores_previous_snapshot(spark, store, catalog_metas):
+    """rollback() must flip the pointer back to an intact old version
+    without touching data, re-pin the old schema, and honor the same
+    CAS guard as publish."""
+    from console_etl_spark.store import ConcurrentPublishError
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    store.publish(df.limit(10).withColumn("extra", F.lit(1)), "cat0", "v2",
+                  evolution="any")
+    assert store.current("cat0").version == "v2"
+    info = store.rollback("cat0", "v1", expected_current="v2")
+    assert info.version == "v1"
+    back = store.read(spark, "cat0")
+    assert back.count() == df.count()
+    assert "extra" not in back.columns
+    # the bad snapshot is still on disk for forensics
+    assert "v2" in store.versions("cat0")
+    # CAS guard applies
+    with pytest.raises(ConcurrentPublishError):
+        store.rollback("cat0", "v2", expected_current="v2")
+    # unknown version refuses
+    with pytest.raises(FileNotFoundError):
+        store.rollback("cat0", "v9")
+
+
 def test_vacuum_keeps_current(spark, store, catalog_metas):
     df = shred_metas(catalog_metas.drop("catalog"))
     for v in ["v1", "v2", "v3"]:
