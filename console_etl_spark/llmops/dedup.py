@@ -1060,3 +1060,51 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+@_register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH {_SHINGLE_EDGES_SQL}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM edges
+    JOIN documents da ON a_id = da.doc_id
+    JOIN documents db ON b_id = db.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many near-duplicate pairs
+    (jaccard >= 0.6) link each pair of sources — the audit that tells a
+    data team WHERE its duplication comes from (mirrors/scrapes of the
+    same upstream show up as heavy off-diagonal cells; within-source
+    boilerplate as the diagonal). Source pair is order-normalized
+    (least, greatest) so the matrix is upper-triangular.
+
+    Derived from the same inverted-index pair set as the dedup tier
+    (never all-pairs); the two doc_id→source joins are equi-joins
+    against the corpus projection and the final aggregate is bounded by
+    the source-pair domain."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("a_id", "b_id")
+    out = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa")),
+            "a_id",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb")),
+            "b_id",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+    return out

@@ -1690,3 +1690,92 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+@_register(
+    "text_next_token_table",
+    """
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), trs AS (
+      SELECT ctx, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT w || ' ' || LEAD(w, 1) OVER win AS ctx,
+               LEAD(w, 2) OVER win AS nxt
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+        QUALIFY LEAD(w, 2) OVER win IS NOT NULL) t
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT ctx, CAST(SUM(c) AS BIGINT) AS n FROM trs GROUP BY ctx
+    ), top AS (
+      SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_ctx FROM trs GROUP BY ctx
+      ORDER BY CAST(SUM(c) AS BIGINT) DESC, ctx LIMIT 10
+    )
+    SELECT t.ctx, r.nxt, r.c,
+           ROUND(CAST(r.c AS DOUBLE) / o.n, 6) AS p, rnk
+    FROM (
+      SELECT ctx, nxt, c, ROW_NUMBER() OVER (
+               PARTITION BY ctx ORDER BY c DESC, nxt) AS rnk
+      FROM trs) r
+    JOIN top t ON r.ctx = t.ctx
+    JOIN tot o ON r.ctx = o.ctx
+    WHERE rnk <= 3
+    ORDER BY t.ctx, rnk
+    """,
+)
+def text_next_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM continuation table: for the 10 most frequent bigram
+    contexts, the top-3 next tokens with their conditional
+    probabilities — the inspect-your-LM-data view (what completions
+    does this corpus teach?) and the exact-count core of a backoff
+    n-gram model.
+
+    Trigrams build IN-ROW (positional transform over the token array,
+    no per-doc window shuffle); everything after is two token-keyed
+    aggregations (map-side partial) and a per-context WindowGroupLimit
+    top-k. Counts exact; the only float is one final division, rounded
+    identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    idx = F.sequence(F.lit(1), F.size(w) - 2)
+    tris = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ).alias("ctx"),
+                F.element_at(w, i + 2).alias("nxt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,nxt:string>>"))
+    trs = (
+        d.select(F.explode(tris).alias("t"))
+        .select("t.ctx", "t.nxt")
+        .groupBy("ctx", "nxt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = trs.groupBy("ctx").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_ctx"),
+    )
+    top = tot.orderBy(F.desc("n"), "ctx").limit(10).select("ctx", "n_ctx")
+    wnd = Window.partitionBy("ctx").orderBy(F.desc("c"), "nxt")
+    ranked = trs.withColumn("rnk", F.row_number().over(wnd)).filter(
+        F.col("rnk") <= 3
+    )
+    return (
+        ranked.join(F.broadcast(top), "ctx")
+        .join(tot.select("ctx", "n"), "ctx")
+        .select(
+            "ctx",
+            "nxt",
+            "c",
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias("p"),
+            "rnk",
+        )
+        .orderBy("ctx", "rnk")
+    )
