@@ -1779,3 +1779,206 @@ def text_next_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training
+# --------------------------------------------------------------------------
+
+UNI_MAX_PIECE = 6   # longest candidate subword
+UNI_VOCAB = 48      # multi-char vocabulary budget (single chars always kept)
+UNI_ITERS = 4       # Viterbi-EM rounds
+
+
+def unigram_lm_learn(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_piece: int = UNI_MAX_PIECE,
+    vocab_size: int = UNI_VOCAB,
+    iters: int = UNI_ITERS,
+) -> tuple[dict[str, float], list[float], DataFrame]:
+    """SentencePiece-style unigram-LM tokenizer training, distributed.
+
+    The corpus is touched ONCE (the word-TYPE relation with
+    frequencies — Heaps-sublinear, the same single pass as BPE). Seed
+    vocabulary = the ``vocab_size`` highest-weighted substrings up to
+    ``max_piece`` chars plus every single character (coverage
+    guarantee: Viterbi always has a path). Each Viterbi-EM round is
+    one mapInPandas over word TYPES with the piece log-probs closed
+    over (vocab-bounded broadcast), one piece-keyed aggregation of
+    frequency-weighted counts (map-side partial), and a vocab-bounded
+    collect for the M-step renormalization — nothing corpus-sized
+    reaches the driver, exactly the kmeans_fit driver-loop shape.
+
+    Hard (Viterbi) EM: E-step picks each word's best segmentation
+    under current probs, M-step renormalizes piece probabilities from
+    the weighted counts; the joint objective — the corpus Viterbi
+    log-likelihood returned per round — is non-decreasing (pinned as a
+    law). Ties break deterministically: higher score, then fewer
+    pieces, then lexicographic piece sequence.
+
+    Returns (piece→prob, per-round log-likelihoods, word-type DataFrame).
+    """
+    import math
+
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    subs = words.select(
+        "cnt",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(1, least({max_piece}, length(word) - i + 1)), "
+                    "l -> substring(word, i, l))))"
+                )
+            )
+        ).alias("piece"),
+    )
+    seed = subs.groupBy("piece").agg(F.sum("cnt").alias("w"))
+    # bounded collects: top-K multi-char candidates + the alphabet
+    top = (
+        seed.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("w"), "piece")
+        .limit(vocab_size)
+        .collect()
+    )
+    chars = seed.filter(F.length("piece") == 1).collect()
+    weights = {r.piece: float(r.w) for r in top}
+    for r in chars:
+        weights[r.piece] = float(r.w)
+    total = sum(weights.values())
+    probs = {p: w / total for p, w in weights.items()}
+
+    lls: list[float] = []
+    for _ in range(iters):
+        logp = {p: math.log(v) for p, v in probs.items() if v > 0.0}
+
+        def viterbi_batch(batches, _logp=logp, _mx=max_piece):
+            for pdf in batches:
+                out_rows = []
+                for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                    n = len(word)
+                    # best[i]: (score, -n_pieces, pieces tuple) for word[:i]
+                    best = [None] * (n + 1)
+                    best[0] = (0.0, 0, ())
+                    for i in range(1, n + 1):
+                        cand = None
+                        for l in range(1, min(_mx, i) + 1):
+                            piece = word[i - l : i]
+                            lp = _logp.get(piece)
+                            if lp is None or best[i - l] is None:
+                                continue
+                            s, np_, seq = best[i - l]
+                            t = (round(s + lp, 12), np_ - 1, seq + (piece,))
+                            if cand is None or t > cand:
+                                cand = t
+                        best[i] = cand
+                    s, np_, seq = best[n]
+                    out_rows.append((word, int(cnt), list(seq), float(s)))
+                yield pd.DataFrame(
+                    out_rows, columns=["word", "cnt", "pieces", "logp"]
+                )
+
+        seg = words.mapInPandas(
+            viterbi_batch, "word string, cnt long, pieces array<string>, logp double"
+        )
+        stats = seg.select(
+            (F.col("logp") * F.col("cnt")).alias("wll"),
+            "cnt",
+            F.explode("pieces").alias("piece"),
+        )
+        counts = stats.groupBy("piece").agg(F.sum("cnt").alias("c"))
+        ll = seg.agg(F.sum(F.col("logp") * F.col("cnt"))).collect()[0][0]
+        lls.append(float(ll))
+        crows = counts.collect()  # bounded by vocab size
+        cmap = {r.piece: float(r.c) for r in crows}
+        # M-step: exact renormalization; unused single chars keep an
+        # epsilon floor so coverage never breaks
+        floor = 1e-9
+        new = {}
+        for p in probs:
+            c = cmap.get(p, 0.0)
+            if c == 0.0 and len(p) == 1:
+                c = floor
+            new[p] = c
+        z = sum(new.values())
+        probs = {p: (c / z) for p, c in new.items() if c > 0.0}
+    return probs, lls, words
+
+
+@_register("unigram_lm_vocab", None)  # rows-only: iterative EM not SQL-expressible
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM tokenizer vocabulary: every piece with
+    its final probability and rank. Laws pin determinism, Viterbi-EM
+    log-likelihood monotonicity, and round-trip coverage."""
+    d = load_table(spark, sf_dir, "documents")
+    probs, _, _ = unigram_lm_learn(spark, d)
+    rows = sorted(probs.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(i, p, round(v, 10)) for i, (p, v) in enumerate(rows)],
+        "rank int, piece string, prob double",
+    )
+
+
+@_register("unigram_lm_token_counts", None)  # rows-only: applies the EM fit
+def unigram_lm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply round trip for the unigram tokenizer: per-doc
+    piece counts under the learned vocabulary vs whitespace tokens —
+    the billing number a trained SentencePiece-style tokenizer
+    produces. Apply = one Viterbi pass over word TYPES (not tokens)
+    joined back to the exploded corpus — the same type-level trick as
+    BPE segmentation."""
+    import math
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    probs, _, words = unigram_lm_learn(spark, d)
+    logp = {p: math.log(v) for p, v in probs.items()}
+    mx = UNI_MAX_PIECE
+
+    def count_batch(batches):
+        for pdf in batches:
+            out = []
+            for word in pdf["word"]:
+                n = len(word)
+                best = [None] * (n + 1)
+                best[0] = (0.0, 0, ())
+                for i in range(1, n + 1):
+                    cand = None
+                    for l in range(1, min(mx, i) + 1):
+                        piece = word[i - l : i]
+                        lp = logp.get(piece)
+                        if lp is None or best[i - l] is None:
+                            continue
+                        s, np_, seq = best[i - l]
+                        t = (round(s + lp, 12), np_ - 1, seq + (piece,))
+                        if cand is None or t > cand:
+                            cand = t
+                    best[i] = cand
+                out.append((word, len(best[n][2])))
+            yield pd.DataFrame(out, columns=["word", "n_pieces"])
+
+    per_type = words.select("word").mapInPandas(
+        count_batch, "word string, n_pieces int"
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    return (
+        tok.join(per_type, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_unigram_pieces"),
+        )
+        .orderBy("doc_id")
+    )

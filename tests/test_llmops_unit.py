@@ -2514,3 +2514,45 @@ def test_semdedup_laws(spark):
         for i, v in enumerate(ids):
             if v not in kept:
                 assert any(sims[i, j] >= tau for j in kidx), (cl, v)
+
+
+def test_unigram_lm_laws(spark):
+    """Viterbi-EM tokenizer: deterministic, log-likelihood
+    non-decreasing per round, full coverage (every word type
+    segmentable, pieces concatenate back to the word), and single
+    characters always present in the vocabulary."""
+    from console_etl_spark.llmops.textan import unigram_lm_learn
+    docs = load_table(spark, SF_TEST, "documents")
+    p1, ll1, words = unigram_lm_learn(spark, docs)
+    p2, ll2, _ = unigram_lm_learn(spark, docs)
+    assert p1 == p2 and ll1 == ll2, "EM must be deterministic"
+    for a, b in zip(ll1, ll1[1:]):
+        assert b >= a - 1e-9 * abs(a), f"Viterbi-LL decreased: {ll1}"
+    alphabet = {ch for (w,) in words.select("word").collect() for ch in w}
+    assert alphabet <= set(p1), "single-char coverage broken"
+    import math
+    logp = {k: math.log(v) for k, v in p1.items()}
+    from console_etl_spark.llmops.textan import UNI_MAX_PIECE as MX
+    for (w,) in words.select("word").limit(50).collect():
+        n = len(w); best = [None] * (n + 1); best[0] = (0.0, ())
+        for i in range(1, n + 1):
+            for l in range(1, min(MX, i) + 1):
+                piece = w[i - l:i]
+                if piece in logp and best[i - l] is not None:
+                    s, seq = best[i - l]
+                    t = (s + logp[piece], seq + (piece,))
+                    if best[i] is None or t > best[i]:
+                        best[i] = t
+        assert best[n] is not None and "".join(best[n][1]) == w
+
+
+def test_unigram_token_counts_bounds(spark):
+    """Piece counts are at least the word count (a word is >= 1 piece)
+    and at most the character count (a piece is >= 1 char)."""
+    from console_etl_spark.llmops import textan as t
+    rows = t.unigram_lm_token_counts(spark, SF_TEST).collect()
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_TEST, "documents").collect()}
+    assert len(rows) == len(docs)
+    for r in rows:
+        n_chars_nospace = len(docs[r.doc_id].replace(" ", ""))
+        assert r.n_words <= r.n_unigram_pieces <= n_chars_nospace, r
