@@ -194,6 +194,10 @@ def test_no_unbounded_driver_materialization():
         ("llmops/similarity.py", "pca_opq_rotation"),
         # BPE training: the 1-row argmax pair per bounded merge round
         ("llmops/textan.py", "bpe_learn"),
+        # unigram-LM training: limit(vocab_size) seed candidates, the
+        # alphabet, the vocab-bounded M-step counts, and a 1-row
+        # log-likelihood per bounded EM round — never word types
+        ("llmops/textan.py", "unigram_lm_learn"),
         # observability demo: collects the CURATED result — a per-(split,
         # lang) aggregate bounded by splits x languages, never corpus rows
         ("llmops/pipeline.py", "curate_with_observed_metrics"),
