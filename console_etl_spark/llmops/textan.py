@@ -1982,3 +1982,72 @@ def unigram_lm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+W2V_SUBSAMPLE_T = 1e-3  # word2vec subsampling threshold
+W2V_NEG_ALPHA = 0.75    # noise-distribution exponent
+W2V_TABLE_TOPK = 30
+
+
+@_register(
+    "word2vec_sampling_tables",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n,
+             CAST(SUM(POW(CAST(c AS DOUBLE), {W2V_NEG_ALPHA})) AS DOUBLE) AS z
+      FROM freq
+    )
+    SELECT w, c,
+           ROUND(CAST(c AS DOUBLE) / n, 6) AS p,
+           ROUND(LEAST(1.0, SQRT({W2V_SUBSAMPLE_T} / (CAST(c AS DOUBLE) / n))
+                            + {W2V_SUBSAMPLE_T} / (CAST(c AS DOUBLE) / n)), 6)
+             AS keep_prob,
+           ROUND(POW(CAST(c AS DOUBLE), {W2V_NEG_ALPHA}) / z, 6) AS neg_weight
+    FROM freq CROSS JOIN tot
+    ORDER BY c DESC, w LIMIT {W2V_TABLE_TOPK}
+    """,
+)
+def word2vec_sampling_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two classic embedding-training preprocessing tables in one
+    pass: the word2vec SUBSAMPLING keep-probability
+    (sqrt(t/f) + t/f, capped at 1 — frequent words get dropped from
+    training windows) and the NEGATIVE-SAMPLING noise distribution
+    (f^0.75 normalized — the flattened unigram the sampler draws
+    negatives from), for the corpus head.
+
+    One token-keyed aggregation (map-side partial) to the vocab-sized
+    frequency relation, one 1-row scalar total broadcast back, one
+    TakeOrdered for the head — constant exchanges at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    tot = freq.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.sum(F.pow(cd, F.lit(W2V_NEG_ALPHA))).cast("double").alias("z"),
+    )
+    p = cd / F.col("n")
+    t = F.lit(W2V_SUBSAMPLE_T)
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            F.round(p, 6).alias("p"),
+            F.round(F.least(F.lit(1.0), F.sqrt(t / p) + t / p), 6).alias(
+                "keep_prob"
+            ),
+            F.round(F.pow(cd, F.lit(W2V_NEG_ALPHA)) / F.col("z"), 6).alias(
+                "neg_weight"
+            ),
+        )
+        .orderBy(F.desc("c"), "w")
+        .limit(W2V_TABLE_TOPK)
+    )
