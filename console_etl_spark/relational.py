@@ -2687,37 +2687,57 @@ def fuzzy_blocked_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipfian gram head at real scale gets the rarest-prefix filtering
     already implemented for PPJoin (dedup.py) — index the globally
     rarest grams of each string instead of all of them. Strings
-    shorter than 6 characters (none in this domain) would pair inside
-    a single bounded short-string block to keep the guarantee
-    universal."""
+    shorter than q + q·d = 6 characters pair inside a single bounded
+    short-string block (only short-short pairs lack the shared-gram
+    guarantee; this domain has none, but the operator stays universal
+    — pinned by a hypothesis property over random strings)."""
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    # substring with a dynamic start needs expr(): F.substring takes
-    # literal positions only
+    return blocked_edit_distance_pairs(names, "p_name", d=2)
+
+
+def blocked_edit_distance_pairs(
+    names: DataFrame, col: str, d: int = 2
+) -> DataFrame:
+    """All unordered pairs of ``names[col]`` within edit distance ``d``,
+    via lossless bigram inverted-index blocking (see
+    fuzzy_blocked_name_pairs). q = 2; pairs whose longer string has
+    >= q + q·d chars are guaranteed a shared bigram (count filter), and
+    anything shorter meets every other short string in one bounded
+    block keyed by a NUL-prefixed sentinel no real bigram can equal."""
+    q = 2
+    short_len = q + q * d
+    # substring with a dynamic start needs expr(); guard length-1
+    # strings (sequence(1, 0) counts DOWN and would index position 0)
     grams = names.select(
-        "p_name",
+        F.col(col),
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, length(p_name) - 1), "
-                    "i -> substring(p_name, i, 2))"
-                )
-            )
+            F.when(
+                F.length(col) >= 2,
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length({col}) - 1), "
+                        f"i -> substring({col}, i, 2))"
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
-    a = grams.select(F.col("p_name").alias("name_a"), "g")
-    b = grams.select(F.col("p_name").alias("name_b"), "g")
+    short = names.filter(F.length(col) < short_len).select(
+        F.col(col), F.lit("\x00short").alias("g")
+    )
+    blocks = grams.unionByName(short)
+    a = blocks.select(F.col(col).alias("name_a"), "g")
+    b = blocks.select(F.col(col).alias("name_b"), "g")
     cand = (
         a.join(b, "g")
         .filter(F.col("name_a") < F.col("name_b"))
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= 2
-        )
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= d)
         .select("name_a", "name_b")
         .distinct()
     )
     return (
         cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist") <= d)
         .orderBy("name_a", "name_b")
     )
 

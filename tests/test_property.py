@@ -615,3 +615,47 @@ class TestPrefixKernelLaws:
             want[k] = inc if inclusive else best
             best = inc
         assert got == want
+
+
+class TestBlockedEditDistanceLaws:
+    """The bigram-blocked edit-distance join must equal the quadratic
+    join on ARBITRARY string sets — including strings shorter than the
+    count-filter guarantee (covered by the short-string block) and
+    single characters (no bigrams at all)."""
+
+    @given(
+        names=st.lists(
+            st.text(alphabet="abcx", min_size=1, max_size=9),
+            min_size=2,
+            max_size=14,
+            unique=True,
+        )
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_blocked_equals_quadratic(self, spark, names):
+        from console_etl_spark.relational import blocked_edit_distance_pairs
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        want = {
+            (a, b, lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1:]
+            if lev(a, b) <= 2
+        }
+        want = {(min(a, b), max(a, b), d) for a, b, d in want}
+        df = spark.createDataFrame([(n,) for n in names], "s string")
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in blocked_edit_distance_pairs(df, "s", d=2).collect()
+        }
+        assert got == want
