@@ -1108,3 +1108,39 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b")
     )
     return out
+
+
+@_register(
+    "dedup_degree_histogram",
+    f"""
+    WITH {_SHINGLE_EDGES_SQL},
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a_id AS doc_id FROM edges
+        UNION ALL SELECT b_id FROM edges) t
+      GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup degree distribution: how many near-duplicate partners
+    each duplicated document has, histogrammed — the shape that tells a
+    data team whether duplication is DIFFUSE (many degree-1 pairs:
+    mirrors) or CLUSTERED (heavy tail: template farms / boilerplate
+    explosions, which dedup-by-pairs handles badly and clustering
+    handles well). Derived from the inverted-index pair set with one
+    symmetric union, one doc-keyed count, one degree-keyed count —
+    every aggregate map-side partial, the result bounded by max
+    degree."""
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("a_id", "b_id")
+    sym = pairs.select(F.col("a_id").alias("doc_id")).unionAll(
+        pairs.select(F.col("b_id").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("degree")
+    )

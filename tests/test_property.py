@@ -659,3 +659,66 @@ class TestBlockedEditDistanceLaws:
             for r in blocked_edit_distance_pairs(df, "s", d=2).collect()
         }
         assert got == want
+
+
+class TestBM25Laws:
+    """text_bm25_topk's scoring against an independent pure-Python
+    Okapi implementation on arbitrary corpora (fixed query terms)."""
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["vector", "join", "stream", "pad", "x", "y"]),
+                min_size=1,
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_bm25_matches_reference(self, spark, docs):
+        import math
+        import os
+        import tempfile
+
+        from console_etl_spark.llmops import textan as t
+
+        texts = [" ".join(ws) for ws in docs]
+        n = len(texts)
+        avgdl = sum(len(ws) for ws in docs) / n
+        dfs = {
+            term: sum(1 for ws in docs if term in ws)
+            for term in t.BM25_TERMS
+        }
+
+        def score(ws):
+            s = 0.0
+            for term in t.BM25_TERMS:
+                tf = ws.count(term)
+                idf = math.log(1 + (n - dfs[term] + 0.5) / (dfs[term] + 0.5))
+                s += idf * (tf * (t.BM25_K1 + 1)) / (
+                    tf + t.BM25_K1 * (1 - t.BM25_B + t.BM25_B * len(ws) / avgdl)
+                )
+            return round(s, 6)
+
+        want = sorted(
+            (
+                (i, score(ws))
+                for i, ws in enumerate(docs)
+                if any(term in ws for term in t.BM25_TERMS)
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: t.BM25_TOPK]
+        df = spark.createDataFrame(
+            [(i, txt, "en", "s", len(txt)) for i, txt in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        with tempfile.TemporaryDirectory() as td:
+            df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+            got = [
+                (r.doc_id, r.bm25)
+                for r in t.text_bm25_topk(spark, td).collect()
+            ]
+        assert got == want
