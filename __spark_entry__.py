@@ -64,9 +64,13 @@ _MODULES = (
 # spearman/dau-wau/abc/xmr/hamilton/hhi/skyline/smape/km/gini —, the
 # text-diagnostics tier — zipf/rake/heaps/trigram-novelty —, the eval
 # tier, weighted-median/division/mad, scd2_point_in_time_join, and the
-# round-6 retrieval wave: text_bm25_topk, curate_token_budget,
-# embedding_matryoshka_topk, contrastive_hard_negatives,
-# dsir_importance_weights, mix_temperature_weights). Everything
+# round-6 retrieval/data-selection waves: text_bm25_topk,
+# curate_token_budget, embedding_matryoshka_topk,
+# contrastive_hard_negatives, dsir_importance_weights,
+# mix_temperature_weights, split_leakage_safe,
+# ldiversity_customer_audit, fuzzy_blocked_name_pairs,
+# text_next_token_table, dedup_cross_source_matrix,
+# word2vec_sampling_tables, dedup_degree_histogram). Everything
 # with an existing driver row (r5's 50/50 pass plus the r1-r4 evidence)
 # waits behind the never-checked tier per policy; the local parity suite
 # keeps covering all of it every round.
