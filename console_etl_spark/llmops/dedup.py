@@ -1144,3 +1144,84 @@ def dedup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("degree")
     )
+
+
+SWEEP_TAUS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@_register(
+    "dedup_threshold_sweep",
+    """
+    WITH words AS (
+      SELECT doc_id, w, ord FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents) t
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT a_id, b_id,
+             CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS j
+      FROM pairs JOIN sizes sa ON a_id = sa.doc_id
+                 JOIN sizes sb ON b_id = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.3
+    ), taus(tau) AS (
+      VALUES (0.3), (0.4), (0.5), (0.6), (0.7), (0.8), (0.9)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT CAST(tau AS DOUBLE) AS tau,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_removed,
+           n_docs - CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_survivors
+    FROM taus JOIN jac ON j >= tau CROSS JOIN tot
+    GROUP BY tau, n_docs
+    ORDER BY tau
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve: for each candidate jaccard cutoff,
+    how many near-dup pairs fire and how many documents survive the
+    min-id survivor rule (a document is removed when any smaller-id
+    neighbor reaches the cutoff) — the sweep a data team runs ONCE to
+    pick τ before committing a dedup pass, instead of re-running dedup
+    per candidate.
+
+    One pair materialization at the loosest cutoff feeds every τ: the
+    τ grid is a 7-row literal joined against the pair set (a bounded
+    multiplication, ≤ 7× pairs rows), and survivors come from a
+    COUNT(DISTINCT removed-doc) per τ — no per-τ corpus pass. The pair
+    set itself is the inverted-index kernel (never all-pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    jac = shingle_jaccard_pairs(d, threshold=0.3, mode="index").select(
+        "a_id", "b_id", F.col("jaccard").alias("j")
+    )
+    taus = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_TAUS])).alias("tau")
+    )
+    tot = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        F.broadcast(taus)
+        .join(jac, F.col("j") >= F.col("tau"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("tau", "n_docs")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("b_id").cast("bigint").alias("n_removed"),
+        )
+        .select(
+            F.col("tau").cast("double").alias("tau"),
+            "n_pairs",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).alias("n_survivors"),
+        )
+        .orderBy("tau")
+    )
