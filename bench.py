@@ -89,9 +89,10 @@ HEADLINE = [
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary
 # "value" metric totals THESE, so the cross-round series (and the judge's
 # BASELINE.md comparison, whose measured denominator predates the round-6
-# suite growth) stays apples-to-apples; the full 43-query suite total is
-# reported alongside as "value_extended". Without this split, growing the
-# suite 30->43 queries would read as a ~2.4x slowdown that never happened.
+# suite growth) stays apples-to-apples; the FULL suite total (whatever
+# its current size — len(HEADLINE), 49 as of round 6) is reported
+# alongside as "value_extended". Without this split, growing the suite
+# would read as a slowdown that never happened.
 CORE = HEADLINE[: HEADLINE.index("dedup_cross_doc_segments")]
 
 
@@ -197,7 +198,7 @@ def main() -> None:
                 "queries": timings,
                 "value_cold": round(total_cold, 3),
                 "value_median": round(total_median, 3),
-                # full 43-query suite (CORE + round-6 additions); the
+                # full suite (CORE + post-r5 additions; size below); the
                 # primary value stays the r5-comparable 30-query total
                 "value_extended": round(sum(timings.values()), 3),
                 "core_size": len(CORE),

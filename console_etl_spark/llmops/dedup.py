@@ -1190,10 +1190,22 @@ SWEEP_TAUS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold tuning curve: for each candidate jaccard cutoff,
     how many near-dup pairs fire and how many documents survive the
-    min-id survivor rule (a document is removed when any smaller-id
-    neighbor reaches the cutoff) — the sweep a data team runs ONCE to
-    pick τ before committing a dedup pass, instead of re-running dedup
-    per candidate.
+    ONE-SHOT min-id survivor rule (a document is removed when ANY
+    smaller-id neighbor reaches the cutoff) — the sweep a data team
+    runs ONCE to pick τ before committing a dedup pass, instead of
+    re-running dedup per candidate.
+
+    Survivor-rule contract (ADVICE r6): the one-shot rule here is
+    EXACTLY the rule the engine's committed drop passes apply
+    (dedup_embedding_cosine / embedding_dedup_ann anti-join every
+    pair's larger id, kept or not), so n_survivors predicts the real
+    pass bit-for-bit. Under a chain-aware greedy/connected-component
+    rule (doc 3 survives when its only near-dup, doc 2, was itself
+    removed via doc 1) n_survivors is a LOWER bound — the engine
+    deliberately uses one-shot, not greedy, because it is deterministic
+    in a single distributed pass (greedy is inherently sequential in
+    id order); teams wanting component-level survivorship compose
+    dedup_connected_groups instead.
 
     One pair materialization at the loosest cutoff feeds every τ: the
     τ grid is a 7-row literal joined against the pair set (a bounded

@@ -241,7 +241,14 @@ def _tiled_exact_topk(
     grows, per-tile memory stays O(chunk·dim + n/blocks·dim), and the
     rank shuffle carries only k·|queries|·n_blocks candidate rows.
     ``skip_same_label`` turns the kernel into hard-negative mining:
-    candidates must disagree with the query's label column."""
+    candidates must disagree with the query's label column. Null labels
+    are excluded up front on BOTH sides (ADVICE r6): after the
+    union-role upcast a null label becomes NaN and numpy's ``NaN != x``
+    is True, which would admit null-label rows as negatives — SQL's
+    ``n.label <> q.label`` three-valued semantics excludes them."""
+    if skip_same_label:
+        q = q.filter(F.col("qlab").isNotNull())
+        c = c.filter(F.col("nlab").isNotNull())
     n_chunks = max(1, -(-q.count() // ANN_QUERY_CHUNK))
     tiles = _query_corpus_tiles(q, c, n_chunks)
 

@@ -31,6 +31,7 @@ import os
 import shutil
 import tempfile
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -126,9 +127,12 @@ class SnapshotStore:
                     f"{len(bad)}+ violation rows, first: {bad[0]}"
                 )
         current = self.current(catalog)
-        if current is not None and current.version == version:
-            return current
         if expected_current is not _UNGUARDED:
+            # Guard BEFORE the idempotent no-op: two racing writers both
+            # derive from v1 and both compute next version "v2" — if the
+            # loser short-circuited on current.version == version it
+            # would "succeed" returning the WINNER's v2 (different data)
+            # instead of raising.
             curv = current.version if current is not None else None
             if curv != expected_current:
                 # fail fast BEFORE the expensive write — the flip-time
@@ -137,6 +141,8 @@ class SnapshotStore:
                     f"{catalog}: expected current={expected_current!r}, "
                     f"found {curv!r} before write"
                 )
+        if current is not None and current.version == version:
+            return current
         if current is not None and evolution != "any":
             self._check_evolution(current, df.schema, evolution)
 
@@ -160,6 +166,24 @@ class SnapshotStore:
             return info
         # CAS flip: re-verify under the lock so check+flip is atomic
         # against other same-host writers
+        with self._publish_lock(catalog):
+            now = self.current(catalog)
+            nowv = now.version if now is not None else None
+            if nowv != expected_current:
+                raise ConcurrentPublishError(
+                    f"{catalog}: expected current={expected_current!r}, "
+                    f"found {nowv!r} at flip time — snapshot "
+                    f"{version} written but NOT published"
+                )
+            self._flip_manifest(info)
+        return info
+
+    @contextmanager
+    def _publish_lock(self, catalog: str):
+        """Exclusive OS file lock serializing check+flip pairs for one
+        catalog — shared by publish() and rollback() so their CAS paths
+        can't interleave (ADVICE r6: rollback's check-then-flip raced
+        a concurrent guarded publish)."""
         import fcntl
 
         cat_dir = self._catalog_dir(catalog)
@@ -168,18 +192,9 @@ class SnapshotStore:
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             try:
-                now = self.current(catalog)
-                nowv = now.version if now is not None else None
-                if nowv != expected_current:
-                    raise ConcurrentPublishError(
-                        f"{catalog}: expected current={expected_current!r}, "
-                        f"found {nowv!r} at flip time — snapshot "
-                        f"{version} written but NOT published"
-                    )
-                self._flip_manifest(info)
+                yield
             finally:
                 fcntl.flock(lock, fcntl.LOCK_UN)
-        return info
 
     @staticmethod
     def _check_evolution(current: SnapshotInfo, new_schema, mode: str) -> None:
@@ -299,20 +314,16 @@ class SnapshotStore:
         stays on disk for forensics until ``vacuum``. The recorded
         schema is re-derived from the target snapshot's parquet footer
         so post-rollback reads pin the OLD schema, not the bad one.
-        ``expected_current`` gives the same CAS semantics as publish."""
+        ``expected_current`` gives the same CAS semantics as publish:
+        the current()-recheck and the flip run under the same
+        ``.publish.lock`` flock publish() uses, and the (slow) pyarrow
+        schema derivation happens BEFORE the lock so a concurrent CAS
+        publish can't land in a check→flip window (ADVICE r6)."""
         path = self.snapshot_path(catalog, version)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             raise FileNotFoundError(
                 f"catalog {catalog!r} has no snapshot version {version!r}"
             )
-        if expected_current is not _UNGUARDED:
-            cur = self.current(catalog)
-            curv = cur.version if cur is not None else None
-            if curv != expected_current:
-                raise ConcurrentPublishError(
-                    f"{catalog}: expected current={expected_current!r}, "
-                    f"found {curv!r} at rollback"
-                )
         import pyarrow.dataset as pads
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -323,7 +334,18 @@ class SnapshotStore:
         except Exception:
             pass  # schema pin is best-effort; read() falls back to discovery
         info = SnapshotInfo(catalog, version, path, time.time(), schema_json)
-        self._flip_manifest(info)
+        if expected_current is _UNGUARDED:
+            self._flip_manifest(info)
+            return info
+        with self._publish_lock(catalog):
+            cur = self.current(catalog)
+            curv = cur.version if cur is not None else None
+            if curv != expected_current:
+                raise ConcurrentPublishError(
+                    f"{catalog}: expected current={expected_current!r}, "
+                    f"found {curv!r} at rollback"
+                )
+            self._flip_manifest(info)
         return info
 
     # -- lifecycle -------------------------------------------------------

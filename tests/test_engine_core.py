@@ -155,6 +155,55 @@ def test_publish_cas_detects_lost_update(spark, store, catalog_metas):
     assert store.read(spark, "cat0").count() == 5
 
 
+def test_publish_guarded_same_version_conflict_raises(spark, store, catalog_metas):
+    """ADVICE r6 (store.py): two racing writers derive from v1 and both
+    compute next version 'v2'. The loser publishes v2 with
+    expected_current='v1' AFTER the winner flipped to v2 — it must
+    raise, not hit the idempotent same-version no-op and 'succeed'
+    returning the winner's different data."""
+    from console_etl_spark.store import ConcurrentPublishError
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    store.publish(df.limit(10), "cat0", "v2", expected_current="v1")
+    with pytest.raises(ConcurrentPublishError):
+        store.publish(df.limit(5), "cat0", "v2", expected_current="v1")
+    # winner's snapshot untouched
+    assert store.read(spark, "cat0").count() == 10
+    # UNGUARDED republish of the current version stays an idempotent no-op
+    assert store.publish(df.limit(5), "cat0", "v2").version == "v2"
+    assert store.read(spark, "cat0").count() == 10
+
+
+def test_rollback_cas_serialized_by_publish_lock(spark, store, catalog_metas):
+    """ADVICE r6 (store.py): guarded rollback must take the same
+    .publish.lock flock as publish's CAS flip — while another writer
+    holds the lock, rollback's check+flip blocks instead of racing."""
+    import fcntl
+    import threading
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat0", "v1")
+    store.publish(df.limit(10), "cat0", "v2")
+    lock_path = os.path.join(store._catalog_dir("cat0"), ".publish.lock")
+    done = threading.Event()
+    with open(lock_path, "w") as holder:
+        fcntl.flock(holder, fcntl.LOCK_EX)
+        t = threading.Thread(
+            target=lambda: (
+                store.rollback("cat0", "v1", expected_current="v2"),
+                done.set(),
+            )
+        )
+        t.start()
+        # rollback must be blocked on the flock while we hold it
+        assert not done.wait(timeout=1.0)
+        fcntl.flock(holder, fcntl.LOCK_UN)
+    t.join(timeout=30)
+    assert done.is_set()
+    assert store.current("cat0").version == "v1"
+
+
 def test_rollback_restores_previous_snapshot(spark, store, catalog_metas):
     """rollback() must flip the pointer back to an intact old version
     without touching data, re-pin the old schema, and honor the same

@@ -2556,3 +2556,33 @@ def test_unigram_token_counts_bounds(spark):
     for r in rows:
         n_chars_nospace = len(docs[r.doc_id].replace(" ", ""))
         assert r.n_words <= r.n_unigram_pieces <= n_chars_nospace, r
+
+
+def test_hard_negative_mask_excludes_null_labels(spark):
+    """ADVICE r6 (similarity.py): a null label upcasts to NaN inside the
+    tile and NaN != x is True in numpy — without the up-front filter,
+    null-label rows would be admitted as hard negatives where the SQL
+    oracle's n.label <> q.label excludes them (three-valued logic)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # anchor, label 1
+        (1, [0.9, 0.1], 1),     # same label -> excluded
+        (2, [0.8, 0.2], 2),     # different label -> admitted
+        (3, [0.99, 0.01], None),  # null label -> MUST be excluded
+        (4, [0.7, 0.3], None),    # null-label anchor -> MUST not anchor
+    ]
+    df = spark.createDataFrame(rows, "rid long, vec array<double>, lab int")
+    out = similarity._tiled_exact_topk(
+        df.select("rid", F.col("vec").alias("qvec"), F.col("lab").alias("qlab")),
+        df.select("rid", F.col("vec").alias("nvec"), F.col("lab").alias("nlab")),
+        k=3,
+        skip_same_id=False,
+        skip_same_label=True,
+    ).collect()
+    anchors = {r.q_id for r in out}
+    negatives = {r.n_id for r in out}
+    assert 3 not in negatives and 4 not in negatives
+    assert 3 not in anchors and 4 not in anchors
+    # label-2 candidate survives for the label-1 anchors and vice versa
+    assert negatives == {0, 1, 2} and anchors <= {0, 1, 2}
