@@ -1,0 +1,1709 @@
+"""Statistical analytics: regression aggregates through hypothesis tests (split from relational.py, round 7).
+
+See the package ``__init__`` for the tier-wide conventions doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..session import load_table
+from ._base import ORACLE, QUERIES, QueryFn, _register, dec, one, rate
+
+# Linear-regression aggregates, deterministic mode, gaps-and-islands
+# (round-6 fourth wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "regression_price_on_qty_by_flag",
+    """
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def regression_price_on_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares aggregates (slope / intercept /
+    R2 / pair count) of extendedprice on quantity — the SQL-standard
+    ``REGR_*`` family, one partial-aggregable pass (sums of x, y, xy,
+    x2, y2 combine associatively, so map-side combine applies and the
+    shuffle carries 5 doubles per group). Rounded to 6 decimals: the
+    moment algebra agrees across engines far past that (same contract
+    as stats_aggregates_lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "mode_event_type_by_user",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n_events DESC, event_type) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS top_event_type, n_events
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_event_type_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent event_type per user,
+    ties broken lexicographically. Built-in ``mode()`` is
+    tie-nondeterministic in both engines, so the portable form is
+    count + rank — two exchanges on user_id that AQE plans as one
+    (the count's shuffle already co-locates the window's key)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
+    )
+
+
+@_register(
+    "islands_user_active_hours",
+    """
+    WITH hours AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr
+      FROM events
+    ), marked AS (
+      SELECT user_id, hr,
+             hr - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS island
+      FROM hours
+    ), islands AS (
+      SELECT user_id, island, COUNT(*) AS run_hours
+      FROM marked GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           MAX(run_hours) AS longest_run_hours,
+           CAST(SUM(run_hours) AS BIGINT) AS total_active_hours
+    FROM islands GROUP BY user_id
+    """,
+)
+def islands_user_active_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity hours: maximal runs of
+    consecutive hours with >=1 event, via the classic
+    value-minus-row_number grouping key. All integer arithmetic
+    (microsecond epochs floor-divided to hour indexes), so exactly
+    reproducible. One exchange on user_id serves the distinct, the
+    window, and both aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000).cast("bigint")
+    hours = e.select("user_id", hr.alias("hr")).distinct()
+    w = W.partitionBy("user_id").orderBy("hr")
+    return (
+        hours.withColumn("island", F.col("hr") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("run_hours"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("run_hours").alias("longest_run_hours"),
+            F.sum("run_hours").cast("bigint").alias("total_active_hours"),
+        )
+    )
+
+
+@_register(
+    "skew_report_lineitem_partkey",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS rn FROM c
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS ndv,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ), top10 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM ranked WHERE rn <= 10
+    )
+    SELECT n_rows, ndv, max_cnt,
+           ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_key_share,
+           ROUND(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share,
+           ROUND(CAST(n_rows AS DOUBLE) / ndv, 6) AS avg_rows_per_key
+    FROM tot CROSS JOIN top10
+    """,
+)
+def skew_report_lineitem_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for a join/aggregation key: NDV,
+    hottest-key share, top-10 share, mean rows per key — the numbers
+    that decide between a plain shuffle, AQE skew-join, or explicit
+    salting (salted_join above) BEFORE a 100 TB job is launched.
+
+    One pass builds per-key counts (map-side combined); everything
+    after is key-cardinality-sized, and the top-10 is a TakeOrdered,
+    never a global sort."""
+    from ..session import pin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = pin(li.groupBy("l_partkey").agg(F.count("*").alias("cnt")))
+    tot = c.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("ndv"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top10 = (
+        c.orderBy(F.desc("cnt"), "l_partkey")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+    )
+    return tot.crossJoin(top10).select(
+        "n_rows",
+        "ndv",
+        "max_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+            "max_key_share"
+        ),
+        F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 6).alias(
+            "top10_share"
+        ),
+        F.round(F.col("n_rows").cast("double") / F.col("ndv"), 6).alias(
+            "avg_rows_per_key"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average, OHLC resample, hash-sampled AQP
+# (round-6 sixth wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "twap_value_by_user",
+    """
+    WITH stepped AS (
+      SELECT user_id,
+             value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM stepped
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(t_next - t) > 0
+    """,
+)
+def twap_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user — each reading
+    holds until the next one, so the mean weights values by how long
+    they were current (the step-function integral sensors/prices need;
+    a plain AVG over-weights bursts). Interval arithmetic is integer
+    microseconds; one exchange on user_id serves the lead window and
+    the aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    stepped = e.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(dt).alias("_span"),
+        )
+        .filter(F.col("_span") > 0)
+        .drop("_span")
+    )
+
+
+@_register(
+    "ohlc_hourly_value",
+    """
+    WITH ordered AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_ts,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT bar_ts,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ordered GROUP BY bar_ts
+    """,
+)
+def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: per hour, the opening value (earliest
+    (ts, event_id)), high, low, closing value (latest), and the event
+    count — the canonical time-series downsample. First/last are
+    struct-extrema aggregates (min/max of (ts, event_id, value)), so
+    the whole bar is ONE partial-aggregable pass — no window, no sort:
+    map-side combine reduces each partition to one struct per bar
+    before the shuffle, which is the shape that survives 100 TB of
+    ticks."""
+    e = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.groupBy(bar.alias("bar_ts"))
+        .agg(
+            first.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last.getField("value").alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+AQP_SAMPLE_THRESHOLD = "2"  # md5 hex < '2' → 2/16 = exactly 12.5 % of hash space
+
+
+@_register(
+    "aqp_revenue_estimate",
+    """
+    WITH sampled AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             md5('aqp:' || CAST(l_orderkey AS VARCHAR) || ':'
+                        || CAST(l_linenumber AS VARCHAR)) < '2' AS in_sample
+      FROM lineitem
+    )
+    SELECT CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           ROUND(CAST(SUM(CASE WHEN in_sample THEN rev END) AS DOUBLE) / 0.125, 2)
+             AS est_revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS exact_revenue,
+           ROUND(ABS(CAST(SUM(CASE WHEN in_sample THEN rev END) AS DOUBLE) / 0.125
+                     - CAST(SUM(rev) AS DOUBLE))
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS rel_err
+    FROM sampled
+    """,
+)
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing on a DETERMINISTIC hash sample:
+    rows whose md5(key) falls in the first 1/8 of hex space form an
+    exactly-reproducible 12.5 % Bernoulli sample (no RNG, no seed
+    state — the same rows everywhere, which is what makes a sampled
+    estimate auditable). The estimate scales the sampled sum by the
+    inverse rate; the exact pass rides the same single scan via
+    conditional aggregation, so this query doubles as its own error
+    audit. At scale you'd persist the sample as a materialized 1/8
+    table and skip the exact branch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.lit("aqp:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    rev = dec("l_extendedprice") * (one() - rate("l_discount"))
+    scored = li.select(
+        rev.alias("rev"), (F.md5(key) < AQP_SAMPLE_THRESHOLD).alias("in_sample")
+    )
+    s_rev = F.sum(F.when(F.col("in_sample"), F.col("rev"))).cast("double")
+    x_rev = F.sum("rev").cast("double")
+    est = s_rev / 0.125
+    return scored.agg(
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0)).cast("bigint").alias(
+            "n_sampled"
+        ),
+        F.count("*").cast("bigint").alias("n_total"),
+        F.round(est, 2).alias("est_revenue"),
+        F.round(x_rev, 2).alias("exact_revenue"),
+        F.round(F.abs(est - x_rev) / x_rev, 6).alias("rel_err"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of, winsorized stats, Benford audit, Poisson bootstrap
+# (round-6 seventh wave)
+# --------------------------------------------------------------------------
+
+@_register(
+    "asof_join_nearest_view",
+    """
+    WITH unioned AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, 0 AS side,
+             event_id AS eid, event_id AS q_eid, CAST(ts AS TIMESTAMP) AS q_ts
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL, NULL
+      FROM events WHERE event_type = 'purchase'
+    ), marked AS (
+      SELECT user_id, side, eid, ts_us,
+             LAST_VALUE(q_eid IGNORE NULLS) OVER wb AS b_eid,
+             LAST_VALUE(q_ts IGNORE NULLS) OVER wb AS b_ts,
+             LAST_VALUE(q_eid IGNORE NULLS) OVER wf AS f_eid,
+             LAST_VALUE(q_ts IGNORE NULLS) OVER wf AS f_ts
+      FROM unioned
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, side, eid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts_us DESC, side DESC, eid DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT eid AS purchase_event, user_id,
+           CASE WHEN b_eid IS NULL AND f_eid IS NULL THEN NULL
+                WHEN f_eid IS NULL THEN b_eid
+                WHEN b_eid IS NULL THEN f_eid
+                WHEN epoch_us(ts_us) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts_us) THEN b_eid
+                ELSE f_eid END AS nearest_view_event,
+           CASE WHEN b_eid IS NULL AND f_eid IS NULL THEN 'none'
+                WHEN f_eid IS NULL THEN 'backward'
+                WHEN b_eid IS NULL THEN 'forward'
+                WHEN epoch_us(ts_us) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts_us) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CASE WHEN b_eid IS NULL AND f_eid IS NULL THEN NULL
+                WHEN f_eid IS NULL THEN epoch_us(ts_us) - epoch_us(b_ts)
+                WHEN b_eid IS NULL THEN epoch_us(f_ts) - epoch_us(ts_us)
+                ELSE LEAST(epoch_us(ts_us) - epoch_us(b_ts),
+                           epoch_us(f_ts) - epoch_us(ts_us)) END AS gap_us
+    FROM marked WHERE side = 1
+    """,
+)
+def asof_join_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    purchase matched to the same user's closest view in either time
+    direction — backward wins ties, equal-timestamp views count as
+    backward.
+
+    Same O(n+m) union+window shape as the backward as-of above, run
+    twice over ONE exchange on user_id: an ascending carry-forward pass
+    (latest view at-or-before) and a descending pass (earliest view
+    strictly after); the nearest pick is then a per-row CASE on the two
+    integer-microsecond gaps. No join operator, no per-pair expansion."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.col("event_id").alias("q_eid"),
+        F.col("ts").alias("q_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("q_eid"),
+        F.lit(None).cast("timestamp").alias("q_ts"),
+    )
+    bounds = (W.unboundedPreceding, W.currentRow)
+    wb = W.partitionBy("user_id").orderBy("ts_us", "side", "eid").rowsBetween(*bounds)
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts_us"), F.desc("side"), F.desc("eid"))
+        .rowsBetween(*bounds)
+    )
+    marked = (
+        views.unionByName(purchases)
+        .withColumn("b_eid", F.last("q_eid", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last("q_ts", ignorenulls=True).over(wb))
+        .withColumn("f_eid", F.last("q_eid", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.last("q_ts", ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    gap_b = F.unix_micros(F.col("ts_us")) - F.unix_micros(F.col("b_ts"))
+    gap_f = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts_us"))
+    none_b, none_f = F.col("b_eid").isNull(), F.col("f_eid").isNull()
+    back_wins = none_f | (~none_b & (gap_b <= gap_f))
+    return marked.select(
+        F.col("eid").alias("purchase_event"),
+        "user_id",
+        F.when(none_b & none_f, F.lit(None).cast("long"))
+        .when(back_wins, F.col("b_eid"))
+        .otherwise(F.col("f_eid"))
+        .alias("nearest_view_event"),
+        F.when(none_b & none_f, "none")
+        .when(back_wins, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(none_b & none_f, F.lit(None).cast("long"))
+        .when(none_f, gap_b)
+        .when(none_b, gap_f)
+        .otherwise(F.least(gap_b, gap_f))
+        .alias("gap_us"),
+    )
+
+
+@_register(
+    "winsorized_price_stats",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE),
+                                              lo), hi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_winsorized,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean per group beside the raw mean
+    and clip counts — the robust-statistics gate feature pipelines
+    apply before z-scoring heavy-tailed columns. Exactness contract:
+    the clipped per-row double is cast to DECIMAL(18,6) before summing,
+    so the group mean is summation-order-independent (same trick as the
+    money columns); the tiny quantile relation broadcasts back onto the
+    fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    price = F.col("l_extendedprice").cast("double")
+    clipped = F.least(F.greatest(price, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / F.count("*"), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_winsorized"),
+            F.sum(F.when(price < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(price > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+        )
+    )
+
+
+@_register(
+    "benford_totalprice_audit",
+    """
+    WITH digits AS (
+      SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS digit
+      FROM orders
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n_orders FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(n_orders) AS DOUBLE) AS n FROM counts
+    )
+    SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(n_orders / n, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_p,
+           ROUND(ABS(n_orders / n
+                     - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+    FROM counts CROSS JOIN tot
+    """,
+)
+def benford_totalprice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1 + 1/d) share per leading digit — the classic
+    fabricated-numbers screen auditors run over financial columns (a
+    synthetic uniform-ish price column fails it loudly, which is itself
+    the point of the audit). One digit-projection pass, then everything
+    is 9-row arithmetic."""
+    from ..session import pin
+
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    counts = pin(
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = counts.agg(F.sum("n_orders").cast("double").alias("n"))
+    obs = F.col("n_orders") / F.col("n")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(exp, 6).alias("expected_p"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+# Poisson(1) CDF as 8-hex-digit thresholds over md5's first 32 bits:
+# weight = #{k : md5_8 >= H[k]} reproduces an inverse-CDF Poisson draw
+# from a DETERMINISTIC uniform — identical literals in both engines, so
+# every replicate estimate is exact-decimal and bit-identical.
+BOOT_B = 32
+BOOT_POISSON_HEX = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c",
+]
+
+
+@_register(
+    "bootstrap_revenue_ci",
+    f"""
+    WITH exploded AS (
+      SELECT b.b,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             SUBSTRING(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+                           || CAST(l_orderkey AS VARCHAR) || ':'
+                           || CAST(l_linenumber AS VARCHAR)), 1, 8) AS h8
+      FROM lineitem CROSS JOIN (SELECT UNNEST(RANGE({BOOT_B})) AS b) b
+    ), weighted AS (
+      SELECT b, rev,
+             {" + ".join(f"(CASE WHEN h8 >= '{h}' THEN 1 ELSE 0 END)" for h in BOOT_POISSON_HEX)}
+               AS w
+      FROM exploded
+    ), ests AS (
+      SELECT b, CAST(SUM(w * rev) AS DOUBLE) AS est,
+             CAST(SUM(rev) AS DOUBLE) AS tot
+      FROM weighted GROUP BY b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(AVG(est), 2) AS boot_mean,
+           ROUND(STDDEV_SAMP(est), 2) AS boot_se,
+           ROUND(AVG(est) - 1.96 * STDDEV_SAMP(est), 2) AS ci_lo,
+           ROUND(AVG(est) + 1.96 * STDDEV_SAMP(est), 2) AS ci_hi,
+           ROUND(MAX(tot), 2) AS exact_total
+    FROM ests
+    """,
+)
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for total revenue — the
+    one-pass resampling scheme distributed engines use (per-row
+    Poisson(1) weights instead of with-replacement draws, so replicates
+    need no shuffle of the data). Weights come from a deterministic
+    md5-derived uniform pushed through the Poisson inverse CDF (shared
+    hex thresholds), making every replicate estimate an exact decimal
+    sum — the whole CI is reproducible anywhere. B x row expansion is
+    the entire cost; each replicate partial-aggregates map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * (one() - rate("l_discount"))
+    exploded = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        rev.alias("rev"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ).select(
+        "b",
+        "rev",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ).alias("h8"),
+    )
+    w = sum(
+        (F.col("h8") >= F.lit(h)).cast("int") for h in BOOT_POISSON_HEX
+    )
+    ests = (
+        exploded.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("rev")).cast("double").alias("est"),
+            F.sum("rev").cast("double").alias("tot"),
+        )
+    )
+    mean, sd = F.avg("est"), F.stddev_samp("est")
+    return ests.agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.round(mean, 2).alias("boot_mean"),
+        F.round(sd, 2).alias("boot_se"),
+        F.round(mean - 1.96 * sd, 2).alias("ci_lo"),
+        F.round(mean + 1.96 * sd, 2).alias("ci_hi"),
+        F.round(F.max("tot"), 2).alias("exact_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypothesis-testing statistics: chi-square independence, Welch t-test,
+# binned two-sample KS, pairwise correlation matrix (round 6, eighth wave)
+# --------------------------------------------------------------------------
+#
+# The reference has no statistics tier at all (SURVEY.md §2.2 "Aggregations
+# beyond county"); these make the classical test statistics a data-quality
+# pipeline runs on 100 TB concrete as one-shuffle DataFrame plans: each
+# query reduces the fact scan to a bounded relation (contingency cells,
+# per-group moment sums, fixed histogram bins) in a single partial-agg
+# shuffle, then finishes the statistic on that bounded relation. Exactness
+# contract: all moment sums accumulate in DECIMAL (summation-order
+# independent), and the final float arithmetic applies the identical
+# operation sequence in Spark and DuckDB before a ROUND(_, 6).
+
+
+@_register(
+    "stats_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS obs
+      FROM orders GROUP BY 1, 2
+    ), ann AS (
+      SELECT s, p, obs,
+             SUM(obs) OVER () AS n,
+             SUM(obs) OVER (PARTITION BY s) AS rt,
+             SUM(obs) OVER (PARTITION BY p) AS ct
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT s) * COUNT(DISTINCT p) = COUNT(*)) AS INT)
+             AS is_complete,
+           CAST(((SELECT COUNT(DISTINCT s) FROM cells) - 1)
+                * ((SELECT COUNT(DISTINCT p) FROM cells) - 1) AS BIGINT)
+             AS dof,
+           ROUND(SUM(POW(obs - rt * ct / CAST(n AS DOUBLE), 2)
+                     / (rt * ct / CAST(n AS DOUBLE))), 6) AS chi2,
+           ROUND(SQRT(SUM(POW(obs - rt * ct / CAST(n AS DOUBLE), 2)
+                          / (rt * ct / CAST(n AS DOUBLE)))
+                      / (MAX(n)
+                         * LEAST((SELECT COUNT(DISTINCT s) FROM cells) - 1,
+                                 (SELECT COUNT(DISTINCT p) FROM cells) - 1))),
+                 6) AS cramers_v
+    FROM ann
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (order status x priority) with
+    Cramer's V effect size — the categorical-association audit a
+    curation pipeline runs before trusting a stratification column.
+
+    Scale shape: ONE partial-agg shuffle reduces the fact table to the
+    r x c contingency cells (<= 15 rows here); the expected counts,
+    chi2 sum, and dof all live on that bounded relation (windows over a
+    single task). is_complete flags whether every (row, col) pair was
+    observed — expected-count formulas silently assume it."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    ann = cells.select(
+        "obs",
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+        F.sum("obs").over(W.partitionBy("s")).alias("rt"),
+        F.sum("obs").over(W.partitionBy("p")).alias("ct"),
+        F.col("s"),
+        F.col("p"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    chi2 = F.sum(F.pow(F.col("obs") - e, F.lit(2.0)) / e)
+    n_s = F.countDistinct("s")
+    n_p = F.countDistinct("p")
+    return ann.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.countDistinct("s") * F.countDistinct("p") == F.count("*"))
+        .cast("int")
+        .alias("is_complete"),
+        ((n_s - 1) * (n_p - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * F.least(n_s - 1, n_p - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@_register(
+    "stats_welch_ttest",
+    """
+    WITH moments AS (
+      SELECT l_returnflag AS flag,
+             COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag
+    ), stats AS (
+      SELECT flag, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+               AS var,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) / n
+               AS se2
+      FROM moments
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_a,
+           CAST(r.n AS BIGINT) AS n_r,
+           ROUND(a.mean, 6) AS mean_a,
+           ROUND(r.mean, 6) AS mean_r,
+           ROUND((a.mean - r.mean) / SQRT(a.se2 + r.se2), 6) AS t_stat,
+           ROUND(POW(a.se2 + r.se2, 2)
+                 / (POW(a.se2, 2) / (a.n - 1) + POW(r.se2, 2) / (r.n - 1)),
+                 4) AS welch_dof
+    FROM (SELECT * FROM stats WHERE flag = 'A') a,
+         (SELECT * FROM stats WHERE flag = 'R') r
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the A and R return-flag
+    price populations: t statistic and Welch-Satterthwaite degrees of
+    freedom, from exact decimal moment sums.
+
+    Scale shape: one filtered partial-agg shuffle produces two moment
+    rows (n, sum x, sum x^2 — DECIMAL, so summation-order independent);
+    the statistic is a scalar expression over those two rows. The same
+    two-pass-free moment formula var = (sxx - sx^2/n)/(n-1) runs
+    identically in DuckDB, so values match bit-for-bit before ROUND."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    sx, sxx, n = (
+        F.col("sx").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("n"),
+    )
+    var = (sxx - sx * sx / n) / (n - 1)
+    stats = m.select(
+        "flag",
+        "n",
+        (sx / n).alias("mean"),
+        var.alias("var"),
+        (var / n).alias("se2"),
+    )
+    a = stats.filter(F.col("flag") == "A").alias("a")
+    r = stats.filter(F.col("flag") == "R").alias("r")
+    se2 = F.col("a.se2") + F.col("r.se2")
+    return a.crossJoin(F.broadcast(r)).select(
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("r.n").cast("bigint").alias("n_r"),
+        F.round(F.col("a.mean"), 6).alias("mean_a"),
+        F.round(F.col("r.mean"), 6).alias("mean_r"),
+        F.round((F.col("a.mean") - F.col("r.mean")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, F.lit(2.0))
+            / (
+                F.pow(F.col("a.se2"), F.lit(2.0)) / (F.col("a.n") - 1)
+                + F.pow(F.col("r.se2"), F.lit(2.0)) / (F.col("r.n") - 1)
+            ),
+            4,
+        ).alias("welch_dof"),
+    )
+
+
+@_register(
+    "stats_ks_two_sample",
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), mm AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM s
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 512.0)) AS BIGINT),
+                   511) AS bin,
+             g1
+      FROM s, mm
+    ), cnt AS (
+      SELECT bin, SUM(g1) AS c1, SUM(1 - g1) AS c2
+      FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY bin) AS a1,
+             SUM(c2) OVER (ORDER BY bin) AS a2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM cnt
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(512 AS BIGINT) AS n_bins,
+           ROUND(MAX(ABS(CAST(a1 AS DOUBLE) / n1
+                         - CAST(a2 AS DOUBLE) / n2)), 6) AS d_stat,
+           ROUND(MAX(ABS(CAST(a1 AS DOUBLE) / n1
+                         - CAST(a2 AS DOUBLE) / n2))
+                 * SQRT(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+                        / (MAX(n1) + MAX(n2))), 6) AS ks_scaled
+    FROM cum
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the URGENT and LOW
+    priority order-value distributions, computed on a fixed 512-bin
+    equi-width grid — the distribution-drift check a training pipeline
+    runs between corpus snapshots.
+
+    Scale shape: the distributed work is ONE partial-agg shuffle from
+    the fact scan down to <= 512 (bin, c1, c2) rows; the CDF prefix sum
+    and max-gap run on that bounded relation (the single-task window is
+    over 512 rows by construction, never over the data). Binning makes
+    the statistic deterministic AND scalable — an exact KS needs a
+    global sort of both samples; on the grid, both engines apply
+    identical double arithmetic, so values match before ROUND."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    mm = s.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(512.0)
+    binned = s.join(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+            F.lit(511).cast("bigint"),
+        ).alias("bin"),
+        "g1",
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = cnt.select(
+        F.sum("c1").over(wcum).alias("a1"),
+        F.sum("c2").over(wcum).alias("a2"),
+        F.sum("c1").over(W.partitionBy()).alias("n1"),
+        F.sum("c2").over(W.partitionBy()).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("a1").cast("double") / F.col("n1")
+        - F.col("a2").cast("double") / F.col("n2")
+    )
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.lit(512).cast("bigint").alias("n_bins"),
+        F.round(F.max(gap), 6).alias("d_stat"),
+        F.round(
+            F.max(gap)
+            * F.sqrt(
+                F.max("n1").cast("double")
+                * F.max("n2")
+                / (F.max("n1") + F.max("n2"))
+            ),
+            6,
+        ).alias("ks_scaled"),
+    )
+
+
+@_register(
+    "stats_corr_matrix_lineitem",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))) AS s_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS s_p,
+             SUM(CAST(l_discount      AS DECIMAL(19,4))) AS s_d,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_quantity      AS DECIMAL(19,4))) AS s_qq,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+               * CAST(l_extendedprice AS DECIMAL(19,4))) AS s_pp,
+             SUM(CAST(l_discount      AS DECIMAL(19,4))
+               * CAST(l_discount      AS DECIMAL(19,4))) AS s_dd,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_extendedprice AS DECIMAL(19,4))) AS s_qp,
+             SUM(CAST(l_quantity      AS DECIMAL(19,4))
+               * CAST(l_discount      AS DECIMAL(19,4))) AS s_qd,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+               * CAST(l_discount      AS DECIMAL(19,4))) AS s_pd
+      FROM lineitem
+    ), c AS (
+      SELECT n,
+             (n * CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+             / SQRT((n * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * (n * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)))
+               AS corr_qp,
+             (n * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+             / SQRT((n * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * (n * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+               AS corr_qd,
+             (n * CAST(s_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+             / SQRT((n * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                  * (n * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+               AS corr_pd
+      FROM m
+    )
+    SELECT var_x, var_y, CAST(n AS BIGINT) AS n, ROUND(corr, 6) AS corr
+    FROM (
+      SELECT n, 'quantity' AS var_x, 'extendedprice' AS var_y,
+             corr_qp AS corr FROM c
+      UNION ALL
+      SELECT n, 'quantity', 'discount', corr_qd FROM c
+      UNION ALL
+      SELECT n, 'extendedprice', 'discount', corr_pd FROM c
+    )
+    ORDER BY var_x, var_y
+    """,
+)
+def stats_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long form) over the lineitem
+    numeric columns (quantity, extendedprice, discount) — the feature-
+    redundancy screen run before fitting anything on tabular columns.
+
+    Scale shape: ONE aggregation computes every first and second moment
+    (9 decimal sums) in a single pass over the fact scan — no per-pair
+    re-scan, no shuffle beyond the scalar partial-agg tree. The
+    correlations derive from those exact decimal sums on a 1-row
+    relation, unpivoted to long form with stack(). All moment sums are
+    DECIMAL (order-independent); the double arithmetic applies the
+    identical operation sequence in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,4)")
+    p = F.col("l_extendedprice").cast("decimal(12,4)")
+    d = F.col("l_discount").cast("decimal(12,4)")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s_q"),
+        F.sum(p).alias("s_p"),
+        F.sum(d).alias("s_d"),
+        F.sum(q * q).alias("s_qq"),
+        F.sum(p * p).alias("s_pp"),
+        F.sum(d * d).alias("s_dd"),
+        F.sum(q * p).alias("s_qp"),
+        F.sum(q * d).alias("s_qd"),
+        F.sum(p * d).alias("s_pd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> Column:
+        n = F.col("n")
+        xy, x, y = (F.col(c).cast("double") for c in (sxy, sx, sy))
+        xx, yy = F.col(sxx).cast("double"), F.col(syy).cast("double")
+        return (n * xy - x * y) / F.sqrt(
+            (n * xx - x * x) * (n * yy - y * y)
+        )
+
+    c = m.select(
+        "n",
+        corr("s_qp", "s_q", "s_p", "s_qq", "s_pp").alias("corr_qp"),
+        corr("s_qd", "s_q", "s_d", "s_qq", "s_dd").alias("corr_qd"),
+        corr("s_pd", "s_p", "s_d", "s_pp", "s_dd").alias("corr_pd"),
+    )
+    return c.select(
+        F.expr(
+            "stack(3, "
+            "'quantity', 'extendedprice', corr_qp, "
+            "'quantity', 'discount', corr_qd, "
+            "'extendedprice', 'discount', corr_pd) AS (var_x, var_y, corr0)"
+        ),
+        F.col("n").cast("bigint").alias("n"),
+    ).select(
+        "var_x", "var_y", "n", F.round("corr0", 6).alias("corr")
+    ).orderBy("var_x", "var_y")
+
+
+@_register(
+    "stats_spearman_qty_price",
+    """
+    WITH xr AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), xcum AS (
+      SELECT v,
+             2 * CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) + c + 1 AS r2
+      FROM xr
+    ), yr AS (
+      SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), ycum AS (
+      SELECT v,
+             2 * CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) + c + 1 AS r2
+      FROM yr
+    ), ranked AS (
+      SELECT x.r2 AS rx, y.r2 AS ry
+      FROM lineitem l
+      JOIN xcum x ON l.l_quantity = x.v
+      JOIN ycum y ON l.l_extendedprice = y.v
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE)       AS n,
+             CAST(SUM(rx) AS DOUBLE)        AS sx,
+             CAST(SUM(ry) AS DOUBLE)        AS sy,
+             CAST(SUM(rx * rx) AS DOUBLE)   AS sxx,
+             CAST(SUM(ry * ry) AS DOUBLE)   AS syy,
+             CAST(SUM(rx * ry) AS DOUBLE)   AS sxy,
+             CAST(COUNT(*) AS BIGINT)       AS n_rows
+      FROM ranked
+    )
+    SELECT n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS rho_spearman
+    FROM m
+    """,
+)
+def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price — the
+    tie-robust monotone-association statistic (Pearson on average
+    ranks). The naive form ranks every row globally twice; here each
+    variable collapses to its DISTINCT-value counts (map-side
+    combinable), the distributed prefix-scan kernel turns those into
+    doubled average ranks (2r = 2·below + cnt + 1, exact integers —
+    the doubling cancels in the correlation), and the rank relations
+    join back value-domain-sized. Moments accumulate as DECIMAL(38,0)
+    (exact, order-independent), so both engines compute the identical
+    doubles before ROUND(_, 6).
+
+    Kernel citation: llmops.pipeline.global_prefix_sum — same
+    two-phase shape as the AUC query; no SinglePartition window."""
+    from ..llmops.pipeline import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rank_rel(col: str) -> DataFrame:
+        cnts = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        cum = global_prefix_sum(cnts, ["v"], "c", out_col="below",
+                                inclusive=False)
+        return cum.select(
+            "v", (2 * F.col("below") + F.col("c") + 1).alias("r2")
+        )
+
+    ranked = (
+        li.select(F.col("l_quantity").alias("xv"),
+                  F.col("l_extendedprice").alias("yv"))
+        .join(rank_rel("l_quantity").withColumnRenamed("r2", "rx"),
+              F.col("xv") == F.col("v"))
+        .drop("v")
+        .join(rank_rel("l_extendedprice").withColumnRenamed("r2", "ry"),
+              F.col("yv") == F.col("v"))
+        .drop("v")
+    )
+    d38 = "decimal(38,0)"
+    # cast BEFORE multiplying: long*long would overflow at extreme row
+    # counts; decimal*decimal stays exact to 38 digits
+    rxd, ryd = F.col("rx").cast(d38), F.col("ry").cast(d38)
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(rxd).cast("double").alias("sx"),
+        F.sum(ryd).cast("double").alias("sy"),
+        F.sum(rxd * rxd).cast("double").alias("sxx"),
+        F.sum(ryd * ryd).cast("double").alias("syy"),
+        F.sum(rxd * ryd).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "n_rows",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+@_register(
+    "retention_dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), cover AS (
+      SELECT DISTINCT ud.user_id, ud.day + CAST(i.i AS INTEGER) AS td
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+    ), wau AS (
+      SELECT c.td AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM cover c JOIN days d ON c.td = d.day
+      GROUP BY c.td
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+)
+def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the growth
+    metric every product dashboard leads with. The trailing distinct
+    needs no per-day re-deduplication: each (user, active day) row
+    covers the 7 target days it contributes to, so WAU(d) is a
+    distinct count over the exploded coverage relation (bounded at
+    7x the DEDUPLICATED user-day relation, far smaller than events),
+    restricted to observed days.
+
+    Exactness: dates and counts are integers; one division per day."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    cover = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("td"),
+        )
+        .distinct()
+        .join(days.withColumnRenamed("day", "td"), "td", "left_semi")
+    )
+    wau = cover.groupBy(F.col("td").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            # timestamp (midnight) so both engines surface datetime64
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@_register(
+    "abc_pareto_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               * 10000 AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), cum AS (
+      SELECT l_partkey, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(SUM(r) OVER () AS BIGINT) AS t
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN c * 5 <= t * 4 THEN 'A'
+                  WHEN c * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(r) AS DOUBLE) / 10000, 2) AS class_revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE)
+                 / CAST((SELECT SUM(r) FROM rev) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: A = parts whose
+    inclusive cumulative share stays within 80% of total revenue,
+    B within 95%, C the tail — the inventory-analytics workhorse
+    ('which 20% of SKUs earn 80%?').
+
+    Exactness: per-row revenue is exact DECIMAL scaled to integer
+    ten-thousandths, so the cumulative is integer and class boundaries
+    are integer cross-multiplications (c*5 <= t*4), never float
+    shares. Scale: revenue collapses per part map-side; the cumulative
+    runs through the distributed prefix-scan kernel over the
+    part-cardinality relation sorted by revenue (tie-broken by key) —
+    no SinglePartition window."""
+    from ..llmops.pipeline import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_int = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(rev_int).cast("bigint").alias("r")
+    )
+    cum = global_prefix_sum(
+        rev.withColumn("_nr", -F.col("r")),
+        ["_nr", "l_partkey"],
+        "r",
+        out_col="c",
+        inclusive=True,
+    ).drop("_nr")
+    tot = rev.agg(F.sum("r").cast("bigint").alias("t"))
+    cls = (
+        F.when(F.col("c") * 5 <= F.col("t") * 4, "A")
+        .when(F.col("c") * 20 <= F.col("t") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "r", "t")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("r").cast("double") / 10000, 2).alias(
+                "class_revenue"
+            ),
+            F.round(
+                F.sum("r").cast("double") / F.first("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@_register(
+    "control_chart_xmr_user_value",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             LAG(value) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+      FROM events
+    ), lim AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DOUBLE)
+               / COUNT(*) AS mean0,
+             CAST(SUM(ABS(CAST(value AS DECIMAL(8,2))
+                          - CAST(prev AS DECIMAL(8,2)))) AS DOUBLE)
+               / NULLIF(COUNT(prev), 0) AS mrbar0
+      FROM seq GROUP BY user_id
+    )
+    SELECT e.user_id, l.n_events,
+           ROUND(l.mean0, 6)  AS mean_value,
+           ROUND(l.mrbar0, 6) AS mr_bar,
+           ROUND(l.mean0 + 2.66 * l.mrbar0, 6) AS ucl,
+           ROUND(l.mean0 - 2.66 * l.mrbar0, 6) AS lcl,
+           CAST(SUM(CASE WHEN e.value > l.mean0 + 2.66 * l.mrbar0
+                           OR e.value < l.mean0 - 2.66 * l.mrbar0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM events e JOIN lim l USING (user_id)
+    GROUP BY e.user_id, l.n_events, l.mean0, l.mrbar0
+    ORDER BY user_id
+    """,
+)
+def control_chart_xmr_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart per user — the
+    SPC process-stability monitor: center line = mean value, control
+    limits = mean ± 2.66 · mean(|x_t − x_{t−1}|), plus the count of
+    points outside the limits. The 2.66 constant is the standard
+    XmR d2-derived factor for n=2 subgroups.
+
+    Exactness: values and consecutive diffs accumulate as DECIMAL
+    (order-independent); limits are one double expression both engines
+    share; violations compare the raw doubles against unrounded
+    limits. Scale: one user-keyed window for the lag, one grouped
+    reduce, and a co-partitioned join-back of the user-cardinality
+    limits relation — nothing global anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    dec = lambda c: F.col(c).cast("decimal(8,2)")  # noqa: E731
+    seq = e.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    )
+    lim = seq.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.sum(dec("value")).cast("double") / F.count("*")).alias("mean0"),
+        (
+            F.sum(F.abs(dec("value") - dec("prev"))).cast("double")
+            / F.nullif(F.count("prev"), F.lit(0))
+        ).alias("mrbar0"),
+    )
+    ucl = F.col("mean0") + 2.66 * F.col("mrbar0")
+    lcl = F.col("mean0") - 2.66 * F.col("mrbar0")
+    return (
+        e.select("user_id", "value")
+        .join(lim, "user_id")
+        .groupBy("user_id", "n_events", "mean0", "mrbar0")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("value") > ucl) | (F.col("value") < lcl), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round("mean0", 6).alias("mean_value"),
+            F.round("mrbar0", 6).alias("mr_bar"),
+            F.round(ucl, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            "n_violations",
+        )
+        .orderBy("user_id")
+    )
+
+
+ALLOC_BUDGET = 100
+
+
+@_register(
+    "allocation_hamilton_quota",
+    f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev
+    ), quota AS (
+      SELECT n_name, cents,
+             ({ALLOC_BUDGET} * cents) // t AS base_units,
+             ({ALLOC_BUDGET} * cents) % t AS remainder,
+             t
+      FROM rev, tot
+    ), ranked AS (
+      SELECT n_name, cents, base_units, remainder,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, n_name)
+               AS rem_rank,
+             CAST({ALLOC_BUDGET} - SUM(base_units) OVER () AS BIGINT)
+               AS leftover
+      FROM quota
+    )
+    SELECT n_name,
+           CAST(base_units
+                + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_units,
+           CAST(base_units AS BIGINT) AS base_units,
+           CAST(remainder AS BIGINT) AS remainder
+    FROM ranked
+    ORDER BY n_name
+    """,
+)
+def allocation_hamilton_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional quota allocation by Hamilton's largest-remainder
+    method: split a fixed budget of ALLOC_BUDGET units across nations
+    in proportion to order revenue — the exact apportionment every
+    quota-sampling pipeline needs (per-stratum sample budgets that sum
+    EXACTLY to the total, no rounding drift). Each nation gets
+    floor(B*share); the leftover units go to the largest remainders
+    (name tiebreak).
+
+    Exactness: revenue becomes integer cents, quotas use integer
+    div/mod against the integer grand total — no floating point
+    anywhere, so both engines agree bit-for-bit. Scale: revenue
+    aggregates map-side; the apportionment itself runs on the
+    GROUP-CARDINALITY relation (here 25 rows), where a global window
+    is bounded, not a hazard."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.expr(f"({ALLOC_BUDGET} * cents) DIV t").alias("base_units"),
+        F.expr(f"({ALLOC_BUDGET} * cents) % t").alias("remainder"),
+    )
+    from pyspark.sql import Window as W
+
+    # group-cardinality relation: bounded global windows
+    rk = W.orderBy(F.desc("remainder"), "n_name")
+    return (
+        quota.withColumn("rem_rank", F.row_number().over(rk))
+        .withColumn(
+            "leftover",
+            (F.lit(ALLOC_BUDGET) - F.sum("base_units").over(
+                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            )).cast("bigint"),
+        )
+        .select(
+            "n_name",
+            (
+                F.col("base_units")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_units"),
+            F.col("base_units").cast("bigint").alias("base_units"),
+            F.col("remainder").cast("bigint").alias("remainder"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "hhi_supplier_concentration",
+    """
+    WITH s AS (
+      SELECT n.n_name,
+             CAST(s_acctbal AS DECIMAL(19,4)) AS bal
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s_acctbal > 0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(bal * bal) AS DOUBLE)
+                 / (CAST(SUM(bal) AS DOUBLE) * CAST(SUM(bal) AS DOUBLE)),
+                 6) AS hhi,
+           ROUND(1.0 / COUNT(*), 6) AS hhi_floor
+    FROM s
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier account balances
+    per nation — the market-concentration audit (HHI = sum of squared
+    shares; equals Σbal²/(Σbal)², so shares never materialize). The
+    1/n floor column contextualizes it (HHI == floor means perfectly
+    even). Negative balances are excluded (shares must be
+    nonnegative).
+
+    Scale: one broadcast dim join + one map-side-combinable groupBy;
+    balances square as DECIMAL so the sums are exact and
+    order-independent, with one double division per nation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(19,4)")
+    joined = (
+        s.filter(F.col("s_acctbal") > 0)
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", bal.alias("bal"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("bal") * F.col("bal")).cast("double")
+                / (
+                    F.sum("bal").cast("double")
+                    * F.sum("bal").cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+            F.round(F.lit(1.0) / F.count("*"), 6).alias("hhi_floor"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "orders_skyline_price_date",
+    """
+    WITH per_price AS (
+      SELECT o_totalprice AS p, MAX(o_orderdate) AS md
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT p,
+             MAX(md) OVER (ORDER BY p DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+      FROM per_price
+    )
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN cum c ON o.o_totalprice = c.p
+    WHERE c.pm IS NULL OR o.o_orderdate > c.pm
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def orders_skyline_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of orders on (totalprice, orderdate):
+    keep every order not dominated by another with >= price AND >=
+    date (strict in at least one) — the multi-criteria shortlist
+    operator (best price-recency tradeoffs).
+
+    Distributed 2-D skyline: collapse to one (price, max date) row per
+    DISTINCT price (map-side combinable), take the EXCLUSIVE prefix
+    max of date over price descending through the prefix-max kernel
+    (llmops.pipeline.global_prefix_max — no SinglePartition window),
+    and join back: a row survives iff its date strictly exceeds the
+    best date among all strictly-higher prices (NULL prefix = highest
+    price band, always on the front). Dates ride the kernel as integer
+    epoch days."""
+    from ..llmops.pipeline import global_prefix_max
+
+    o = load_table(spark, sf_dir, "orders")
+    per_price = o.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("md")
+    )
+    # descending price order via the negated sort key
+    cum = global_prefix_max(
+        per_price.withColumn("_np", -F.col("p")),
+        ["_np"],
+        "md",
+        out_col="pm",
+        inclusive=False,
+    ).drop("_np")
+    return (
+        o.join(cum, o["o_totalprice"] == cum["p"])
+        .filter(
+            F.col("pm").isNull()
+            | (
+                F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast(
+                    "bigint"
+                )
+                > F.col("pm")
+            )
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@_register(
+    "overlap_sessions_per_hour",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ), bounds AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ), spans AS (
+      SELECT user_id,
+             UNNEST(generate_series(date_trunc('hour', s_start),
+                                    date_trunc('hour', s_end),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT hour,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM spans GROUP BY hour ORDER BY hour
+    """,
+)
+def overlap_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join of user sessions against the hourly time
+    grid: every session (30-min-gap definition, identical to
+    sessionize_events) counts in EVERY hour bucket its [start, end]
+    interval overlaps — even hours with no event inside them. This is
+    the concurrency profile ("how many sessions were live at hour H")
+    that a naive per-event rollup gets wrong.
+
+    Scale shape: interval-to-grid overlap as one narrow explode —
+    sequence(hour(start), hour(end)) per session, bounded by session
+    duration, never a range-predicate join. The grid side never
+    materializes; there is exactly one shuffle beyond sessionization
+    (the per-hour re-aggregation). At 100 TB this is the bucketized
+    interval-join pattern: equality on hour replaces the
+    non-equi overlap predicate Catalyst would turn into a
+    broadcast-nested-loop."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    bounds = (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    spans = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour"),
+    )
+    return (
+        spans.groupBy("hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("hour")
+    )
+
+
+# --------------------------------------------------------------------------

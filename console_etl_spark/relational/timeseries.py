@@ -1,0 +1,1207 @@
+"""Time-series, drift, association, privacy, lifecycle, survival (split from relational.py, round 7).
+
+See the package ``__init__`` for the tier-wide conventions doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..session import load_table
+from ._base import ORACLE, QUERIES, QueryFn, _register, dec, one, rate
+
+# Time-series: trailing EWMA with exact rational weights; autocorrelation
+# of the hourly activity series (round 6, tenth wave)
+# --------------------------------------------------------------------------
+
+# EWMA weights for alpha=0.2 over a 20-row trailing window, as EXACT
+# integers: weight(lag d) = (4/5)^d scaled by 5^19 -> 4^d * 5^(19-d).
+# Integer weights make the weighted sum a DECIMAL accumulation
+# (summation-order independent), so Spark and DuckDB agree bit-for-bit
+# before the final double division — the same exactness trick as the
+# money columns, applied to exponential decay.
+EWMA_WINDOW = 20
+EWMA_WEIGHTS = [19073486328125, 15258789062500, 12207031250000, 9765625000000, 7812500000000, 6250000000000, 5000000000000, 4000000000000, 3200000000000, 2560000000000, 2048000000000, 1638400000000, 1310720000000, 1048576000000, 838860800000, 671088640000, 536870912000, 429496729600, 343597383680, 274877906944]
+
+
+@_register(
+    "ewma_trailing_user_value",
+    """
+    WITH weights(d, wt) AS (
+      VALUES (0, 19073486328125),
+             (1, 15258789062500),
+             (2, 12207031250000),
+             (3, 9765625000000),
+             (4, 7812500000000),
+             (5, 6250000000000),
+             (6, 5000000000000),
+             (7, 4000000000000),
+             (8, 3200000000000),
+             (9, 2560000000000),
+             (10, 2048000000000),
+             (11, 1638400000000),
+             (12, 1310720000000),
+             (13, 1048576000000),
+             (14, 838860800000),
+             (15, 671088640000),
+             (16, 536870912000),
+             (17, 429496729600),
+             (18, 343597383680),
+             (19, 274877906944)
+    ), r AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           ROUND(CAST(SUM(CAST(b.value AS DECIMAL(9,2)) * w.wt) AS DOUBLE)
+                 / CAST(SUM(w.wt) AS DOUBLE), 6) AS ewma_20
+    FROM r a
+    JOIN r b ON a.user_id = b.user_id
+            AND b.rn BETWEEN a.rn - 19 AND a.rn
+    JOIN weights w ON w.d = a.rn - b.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def ewma_trailing_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.2, normalized,
+    20-row trailing window) of each user's event values — the smoothed
+    activity signal feature stores compute per entity.
+
+    Scale shape: ONE shuffle (partition by user), then collect_list
+    over the bounded trailing frame and two JVM-side higher-order
+    functions (zip_with + aggregate) per row — no self-join, no Python.
+    The oracle expresses the identical weighted sum as a bounded
+    rn-band self-join against a 20-row weights relation; both sides
+    accumulate in DECIMAL with the same exact integer weights, so the
+    division operands match exactly."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), W.currentRow)
+    )
+    arr = F.collect_list(F.col("value").cast("decimal(9,2)")).over(w)
+    wts = F.array(*[F.lit(v) for v in EWMA_WEIGHTS])
+    num = F.aggregate(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.size("arr") - 1, F.lit(0), F.lit(-1)),
+            lambda x, d: x * F.element_at(wts, d + 1),
+        ),
+        F.lit(0).cast("decimal(38,2)"),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(0), F.size("arr") - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + F.element_at(wts, d + 1),
+    )
+    return (
+        e.select("user_id", "event_id", arr.alias("arr"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("ewma_20"),
+        )
+    )
+
+
+@_register(
+    "acf_hourly_event_counts",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT c,
+             LAG(c, 1) OVER (ORDER BY hour) AS l1,
+             LAG(c, 2) OVER (ORDER BY hour) AS l2,
+             LAG(c, 3) OVER (ORDER BY hour) AS l3,
+             LAG(c, 4) OVER (ORDER BY hour) AS l4,
+             LAG(c, 5) OVER (ORDER BY hour) AS l5,
+             LAG(c, 6) OVER (ORDER BY hour) AS l6
+      FROM hourly
+    ), pairs AS (
+      SELECT 1 AS lag, c AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL SELECT 2, c, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL SELECT 3, c, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL SELECT 4, c, l4 FROM lagged WHERE l4 IS NOT NULL
+      UNION ALL SELECT 5, c, l5 FROM lagged WHERE l5 IS NOT NULL
+      UNION ALL SELECT 6, c, l6 FROM lagged WHERE l6 IS NOT NULL
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / SQRT((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                      * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+                         - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))),
+                 6) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def acf_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..6 — the seasonality probe run before choosing rollup windows or
+    forecast features.
+
+    Scale shape: the fact scan reduces to the hourly count series in
+    one partial-agg shuffle; the series (bounded by the time span, not
+    the data) then takes 6 window lags in a single pass and aggregates
+    exact integer moment sums per lag. The single-partition window is
+    over the bounded series only. Counts are integers, so every moment
+    sum is exact; the correlation arithmetic is the same double
+    operation sequence in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("c"))
+    )
+    wo = W.orderBy("hour")
+    lagged = hourly.select(
+        "c", *[F.lag("c", d).over(wo).alias(f"l{d}") for d in range(1, 7)]
+    )
+    pairs = None
+    for d in range(1, 7):
+        p = (
+            lagged.filter(F.col(f"l{d}").isNotNull())
+            .select(
+                F.lit(d).alias("lag"),
+                F.col("c").alias("x"),
+                F.col(f"l{d}").alias("y"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    n = F.count("*")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+        .select(F.col("lag").cast("int").alias("lag"), "n", "acf")
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift: PSI between cohorts, Jensen-Shannon divergence
+# (round 6, twelfth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "psi_totalprice_drift",
+    """
+    WITH ref AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS TIMESTAMP)) = 1995
+    ), cur AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS TIMESTAMP)) = 2000
+    ), mm AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM ref
+    ), rb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 10.0))
+                                 AS BIGINT), 0), 9) AS bin
+      FROM ref, mm
+    ), cb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((x - lo) / ((hi - lo) / 10.0))
+                                 AS BIGINT), 0), 9) AS bin
+      FROM cur, mm
+    ), grid AS (
+      SELECT UNNEST(generate_series(0, 9)) AS bin
+    ), cnt AS (
+      SELECT g.bin,
+             COALESCE(r.c, 0) AS n_ref,
+             COALESCE(c.c, 0) AS n_cur
+      FROM grid g
+      LEFT JOIN (SELECT bin, COUNT(*) AS c FROM rb GROUP BY bin) r
+        ON g.bin = r.bin
+      LEFT JOIN (SELECT bin, COUNT(*) AS c FROM cb GROUP BY bin) c
+        ON g.bin = c.bin
+    ), probs AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 1.0) / (SUM(n_ref) OVER () + 10.0) AS p,
+             (n_cur + 1.0) / (SUM(n_cur) OVER () + 10.0) AS q
+      FROM cnt
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(p, 6) AS p_ref,
+           ROUND(q, 6) AS p_cur,
+           ROUND((q - p) * LN(q / p), 6) AS psi_term,
+           ROUND(SUM((q - p) * LN(q / p)) OVER (), 6) AS psi_total
+    FROM probs ORDER BY bin
+    """,
+)
+def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order value between the 1995
+    (reference) and 2000 (current) cohorts on a 10-bin equal-width grid
+    anchored to the REFERENCE min/max — the standard drift gate model
+    monitors run between training and serving populations. Laplace
+    smoothing ((c+1)/(n+10)) keeps empty bins defined identically in
+    both engines.
+
+    Scale shape: two filtered partial-agg shuffles reduce the fact scan
+    to <= 10 bin-count rows each; the 10-row literal grid left-joins
+    the counts so empty bins surface; every window below that point
+    runs on a 10-row relation. Deterministic: binning and smoothing use
+    the identical double arithmetic in both engines, PSI terms round
+    at 6."""
+    o = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    x = F.col("o_totalprice").cast("double")
+    ref = o.filter(year == 1995).select(x.alias("x"))
+    cur = o.filter(year == 2000).select(x.alias("x"))
+    mm = ref.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binc = F.least(
+        F.greatest(
+            F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(9).cast("bigint"),
+    ).alias("bin")
+    rb = ref.join(F.broadcast(mm)).select(binc).groupBy("bin").agg(
+        F.count("*").alias("rc")
+    )
+    cb = cur.join(F.broadcast(mm)).select(binc).groupBy("bin").agg(
+        F.count("*").alias("cc")
+    )
+    grid = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    cnt = (
+        grid.join(rb, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("rc", F.lit(0)).alias("n_ref"),
+            F.coalesce("cc", F.lit(0)).alias("n_cur"),
+        )
+    )
+    wall = W.partitionBy()
+    p = (F.col("n_ref") + 1.0) / (F.sum("n_ref").over(wall) + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.sum("n_cur").over(wall) + 10.0)
+    probs = cnt.select("bin", "n_ref", "n_cur", p.alias("p"), q.alias("q"))
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    return probs.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    ).orderBy("bin")
+
+
+@_register(
+    "jsd_event_type_weekend",
+    """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN isodow(CAST(ts AS TIMESTAMP)) >= 6
+                  THEN 1 ELSE 0 END AS wknd
+      FROM events
+    ), cnt AS (
+      SELECT event_type,
+             SUM(1 - wknd) AS c_wd,
+             SUM(wknd) AS c_we
+      FROM tagged GROUP BY event_type
+    ), probs AS (
+      SELECT event_type, c_wd, c_we,
+             CAST(c_wd AS DOUBLE) / SUM(c_wd) OVER () AS p,
+             CAST(c_we AS DOUBLE) / SUM(c_we) OVER () AS q
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(c_wd AS BIGINT) AS n_weekday,
+           CAST(c_we AS BIGINT) AS n_weekend,
+           ROUND(0.5 * (p * LN(p / ((p + q) / 2)))
+                 + 0.5 * (q * LN(q / ((p + q) / 2))), 6) AS jsd_term,
+           ROUND(SUM(0.5 * (p * LN(p / ((p + q) / 2)))
+                     + 0.5 * (q * LN(q / ((p + q) / 2)))) OVER (), 6)
+             AS jsd_total
+    FROM probs ORDER BY event_type
+    """,
+)
+def jsd_event_type_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the weekday and weekend
+    event-type distributions (ISO day-of-week, Saturday/Sunday =
+    weekend) — the bounded symmetric drift measure (0 <= JSD <= ln 2)
+    used when KL's asymmetry or infinities are unacceptable.
+
+    Scale shape: one partial-agg shuffle reduces events to one row per
+    event type carrying both cohort counts (conditional aggregation —
+    no second scan, no join of two cohort relations); the probability
+    normalization and JSD sum run on that bounded relation. Counts are
+    exact integers; the double formula is the identical operation
+    sequence in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    wknd = (F.weekday("ts") >= 5).cast("int")
+    cnt = (
+        e.select("event_type", wknd.alias("wknd"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(1 - F.col("wknd")).alias("c_wd"),
+            F.sum("wknd").alias("c_we"),
+        )
+    )
+    wall = W.partitionBy()
+    p = F.col("c_wd").cast("double") / F.sum("c_wd").over(wall)
+    q = F.col("c_we").cast("double") / F.sum("c_we").over(wall)
+    probs = cnt.select("event_type", "c_wd", "c_we", p.alias("p"), q.alias("q"))
+    m = (F.col("p") + F.col("q")) / 2
+    term = 0.5 * (F.col("p") * F.log(F.col("p") / m)) + 0.5 * (
+        F.col("q") * F.log(F.col("q") / m)
+    )
+    return probs.select(
+        "event_type",
+        F.col("c_wd").cast("bigint").alias("n_weekday"),
+        F.col("c_we").cast("bigint").alias("n_weekend"),
+        F.round(term, 6).alias("jsd_term"),
+        F.round(F.sum(term).over(wall), 6).alias("jsd_total"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Association mining: basket pair rules, Markov transitions
+# (round 6, thirteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "assoc_part_pairs_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM items
+    ), freq AS (
+      SELECT p, COUNT(*) AS c FROM items GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS c_pair
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(c_pair AS BIGINT) AS n_pair,
+           ROUND(CAST(c_pair AS DOUBLE) / n_baskets, 6) AS support,
+           ROUND(CAST(c_pair AS DOUBLE) / f1.c, 6) AS confidence,
+           ROUND(CAST(c_pair AS DOUBLE) * n_baskets
+                 / (CAST(f1.c AS DOUBLE) * f2.c), 6) AS lift
+    FROM pairs JOIN freq f1 ON pairs.p1 = f1.p
+               JOIN freq f2 ON pairs.p2 = f2.p
+               CROSS JOIN n
+    WHERE c_pair >= 3
+    ORDER BY lift DESC, p1, p2 LIMIT 20
+    """,
+)
+def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules over order baskets by lift: for part
+    pairs co-occurring in >= 3 orders, support, confidence(p1 -> p2),
+    and lift = P(pair) / (P(p1) P(p2)) — the market-basket kernel
+    behind recommendation co-occurrence features.
+
+    Scale shape: ONE shuffle on the basket key builds sorted part-set
+    arrays (collect_set dedupes in the aggregation — no separate
+    distinct), then every pair is generated IN-ROW by nested
+    transform/slice over the array (quadratic in BASKET size, small
+    and bounded, never in catalog size; ascending sort canonicalizes
+    p1 < p2) — measured against the equi-self-join formulation this
+    drops the distinct+join exchanges and wins at sf0.1 (interleaved
+    4x4: 1.42 s vs 1.50 s min), with the gap growing with basket
+    count. Item frequencies explode from the same arrays; the
+    single-row basket total broadcasts. All counts exact; ordering on
+    the ROUNDED lift with key tiebreaks picks the same top-20 in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bk = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    n = bk.agg(F.count("*").cast("bigint").alias("n_baskets"))
+    freq = bk.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").alias("c")
+    )
+    pairs = (
+        bk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= 3)
+    )
+    f1 = freq.withColumnRenamed("p", "p1").withColumnRenamed("c", "c1")
+    f2 = freq.withColumnRenamed("p", "p2").withColumnRenamed("c", "c2")
+    cp = F.col("c_pair").cast("double")
+    return (
+        pairs.join(f1, "p1")
+        .join(f2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("p1").cast("bigint").alias("p1"),
+            F.col("p2").cast("bigint").alias("p2"),
+            F.col("c_pair").cast("bigint").alias("n_pair"),
+            F.round(cp / F.col("n_baskets"), 6).alias("support"),
+            F.round(cp / F.col("c1"), 6).alias("confidence"),
+            F.round(
+                cp * F.col("n_baskets")
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+    )
+
+
+@_register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt ORDER BY from_type, to_type
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types within each
+    user's ordered stream: P(next = to | current = from) — the
+    behavioral-sequence features session-prediction models start from.
+
+    Scale shape: one shuffle partitions by user for the LEAD, then the
+    transition counts reduce to an event-type x event-type relation
+    (bounded by the category vocabulary squared) where the row
+    normalization runs. Probabilities derive from exact integer counts
+    identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# Privacy audit + marketing attribution (round 6, fourteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "kanonymity_customer_audit",
+    """
+    WITH classes AS (
+      SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+             COUNT(*) AS class_size
+      FROM customer c GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, segment,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM classes WHERE class_size < 10
+    ORDER BY class_size, nation, segment
+    """,
+)
+def kanonymity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment) quasi-
+    identifier pair: every equivalence class smaller than k=10 — the
+    re-identification risk report run before releasing joined
+    demographic slices; a violating class means those customers are
+    distinguishable by the quasi-identifiers alone.
+
+    Scale shape: one partial-agg shuffle to the class relation (bounded
+    by the quasi-identifier domain product), then a filter — never a
+    self-join. Counts exact."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .filter(F.col("class_size") < 10)
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "segment",
+            F.col("class_size").cast("bigint").alias("class_size"),
+        )
+        .orderBy("class_size", "nation", "segment")
+    )
+
+
+@_register(
+    "ldiversity_customer_audit",
+    """
+    WITH bands AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS bal_band
+      FROM customer
+    ), classes AS (
+      SELECT nation, segment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, segment, class_size, l_distinct
+    FROM classes WHERE l_distinct < 3
+    ORDER BY l_distinct, nation, segment
+    """,
+)
+def ldiversity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to the
+    k-anonymity report: an equivalence class can be large (k-anonymous)
+    yet still leak if its SENSITIVE attribute is homogeneous, because
+    knowing someone is in the class reveals their value. Sensitive
+    attribute here is the account-balance band; classes over the same
+    (nation, segment) quasi-identifiers with fewer than l=3 distinct
+    bands are reported.
+
+    Scale shape: one partial-agg shuffle keyed by the quasi-identifier
+    pair with COUNT(DISTINCT band) over a 4-value domain (rewritten by
+    Spark into a two-level exact aggregate, still bounded by the class
+    relation) — never a self-join, nothing corpus-sized collected."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("bal_band"),
+        )
+        .groupBy("nation", "segment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("bal_band").cast("bigint").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "segment",
+            "class_size",
+            "l_distinct",
+        )
+        .orderBy("l_distinct", "nation", "segment")
+    )
+
+
+@_register(
+    "text_source_token_entropy",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
+    ), tot AS (
+      SELECT source, SUM(c) AS n, COUNT(*) AS vocab FROM freq GROUP BY source
+    )
+    SELECT f.source,
+           CAST(MAX(t.n) AS BIGINT) AS n_tokens,
+           CAST(MAX(t.vocab) AS BIGINT) AS vocab,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t.n)
+                      * LN(CAST(c AS DOUBLE) / t.n)), 6) AS entropy,
+           ROUND(-SUM((CAST(c AS DOUBLE) / t.n)
+                      * LN(CAST(c AS DOUBLE) / t.n))
+                 / LN(CAST(MAX(t.vocab) AS DOUBLE)), 6) AS norm_entropy
+    FROM freq f JOIN tot t ON f.source = t.source
+    GROUP BY f.source
+    ORDER BY f.source
+    """,
+)
+def text_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution, raw and
+    normalized by ln(vocab) — the diversity signal that separates
+    template-generated slices (low entropy) from organic text when
+    weighting corpus mixtures.
+
+    Scale shape: tokens reduce to (source, token) counts in one
+    partial-agg shuffle (vocabulary-sized, Heaps-law sublinear); the
+    per-source totals join back on source and the entropy sum runs over
+    the count relation. Probabilities derive from exact integer counts;
+    the log-sum's engine-order difference is orders of magnitude below
+    the 6-decimal round (same contract as the perplexity tier)."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = freq.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        freq.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("vocab").cast("bigint").alias("vocab"),
+            F.round(ent, 6).alias("entropy"),
+            F.round(
+                ent / F.log(F.max("vocab").cast("double")), 6
+            ).alias("norm_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "attribution_last_touch",
+    """
+    WITH carried AS (
+      SELECT event_type, ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mkt_ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mkt_type
+      FROM events
+    )
+    SELECT CASE WHEN mkt_ts IS NOT NULL
+                 AND epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(CAST(mkt_ts AS TIMESTAMP))
+                     <= 604800000000
+                THEN mkt_type ELSE 'unattributed' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent marketing touch (view / click / signup) within a 7-day
+    lookback, else 'unattributed' — the conversion-credit report
+    marketing analytics starts from.
+
+    Scale shape: one shuffle partitions by user; the carried last-
+    marketing-touch columns are two IGNORE-NULLS last_value windows
+    over the SAME frame (both resolve to the same source row, so ts and
+    type stay consistent); attribution is then a row-local expression
+    and the final aggregation is over the channel domain. Microsecond
+    integer arithmetic keeps the 7-day cutoff exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_mkt = F.col("event_type").isin("view", "click", "signup")
+    mkt_ts = F.last(F.when(is_mkt, F.col("ts")), ignorenulls=True).over(w)
+    mkt_type = F.last(
+        F.when(is_mkt, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    carried = e.select(
+        "event_type",
+        "ts",
+        mkt_ts.alias("mkt_ts"),
+        mkt_type.alias("mkt_type"),
+    )
+    within = (
+        F.col("mkt_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("mkt_ts"))
+            <= 604_800_000_000
+        )
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(within, F.col("mkt_type"))
+            .otherwise(F.lit("unattributed"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lifecycle analytics: conversion latency, RFM segmentation, ingest-order
+# audit (round 6, fifteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "conversion_time_percentiles",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS su,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS pu
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT (pu - su) / 3600000000.0 AS hours
+      FROM firsts WHERE su IS NOT NULL AND pu IS NOT NULL AND pu >= su
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(hours, 0.5), 6) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 6) AS p90_hours,
+           ROUND(SUM(hours) / COUNT(*), 6) AS mean_hours
+    FROM conv
+    """,
+)
+def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's first
+    signup to their first purchase at or after it — the p50/p90
+    latency summary growth analytics tracks release over release.
+
+    Scale shape: one conditional aggregation reduces events to a row
+    per user (both firsts in a single pass — no signup-purchase join);
+    the percentile runs over the converted-user relation. Microsecond
+    integer diffs make hours exact to double precision; both engines
+    use the same linear-interpolation percentile definition."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("su"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("pu"),
+    )
+    conv = firsts.filter(
+        F.col("su").isNotNull()
+        & F.col("pu").isNotNull()
+        & (F.col("pu") >= F.col("su"))
+    ).select(((F.col("pu") - F.col("su")) / 3_600_000_000.0).alias("hours"))
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 6).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 6).alias("p90_hours"),
+        F.round(F.sum("hours") / F.count("*"), 6).alias("mean_hours"),
+    )
+
+
+@_register(
+    "rfm_customer_segments",
+    """
+    WITH maxd AS (
+      SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS d FROM orders
+    ), rfm AS (
+      SELECT o_custkey,
+             DATEDIFF('day', MAX(CAST(o_orderdate AS TIMESTAMP)), MAX(maxd.d))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders, maxd GROUP BY o_custkey
+    ), scored AS (
+      SELECT NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1 ORDER BY segment
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    ordering customer (5 = best: most recent, most frequent, highest
+    spend), rolled up to segment population counts — the classical
+    customer-value grid.
+
+    Scale shape: orders reduce to one RFM row per customer in a single
+    partial-agg shuffle; the three NTILE windows run over that
+    customer-sized relation with fully-tied-off ordering (metric,
+    custkey), so quintile assignment is deterministic in both engines;
+    exact decimal monetary sums keep the M ordering identical. A naive
+    NTILE window would plan a SinglePartition exchange — small for the
+    fixture's customers, not at 100 TB — so each quintile is assigned
+    from a DISTRIBUTED global position (the two-phase range-partition +
+    offset kernel, llmops.pipeline.global_enumerate) with the exact
+    NTILE bucket formula (first n%k buckets one larger); the plan test
+    pins the plan SinglePartition-free."""
+    from ..llmops.pipeline import global_enumerate
+
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("d"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(dec("o_totalprice")).alias("monetary"),
+        )
+        .withColumn("neg_recency", -F.col("recency_days"))
+    )
+    n_row = rfm.agg(F.count("*").alias("n"))
+
+    def quintile(sort_cols: list, out: str) -> DataFrame:
+        df = global_enumerate(rfm, sort_cols).select(
+            "o_custkey", (F.col("global_idx") + 1).alias("pos")
+        )
+        n, k = F.col("n"), F.lit(5)
+        q = F.floor(n / k)
+        r = n % k
+        big = r * (q + 1)
+        bucket = (
+            F.when(F.col("pos") <= big, F.ceil(F.col("pos") / (q + 1)))
+            .otherwise(
+                r + F.ceil((F.col("pos") - big) / F.greatest(q, F.lit(1)))
+            )
+            .cast("int")
+        )
+        return df.crossJoin(F.broadcast(n_row)).select(
+            "o_custkey", bucket.alias(out)
+        )
+
+    scored = (
+        quintile(["neg_recency", "o_custkey"], "r")
+        .join(quintile(["frequency", "o_custkey"], "f"), "o_custkey")
+        .join(quintile(["monetary", "o_custkey"], "m"), "o_custkey")
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.lit("R"), F.col("r"), F.lit("F"), F.col("f"),
+                F.lit("M"), F.col("m"),
+            ).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@_register(
+    "events_out_of_order_audit",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(delta) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           ROUND(CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(delta), 6) AS inversion_rate
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingest audit: within each user's stream ordered by
+    event id (arrival order), how often does the event timestamp step
+    BACKWARD — the late-data rate that calibrates streaming watermark
+    widths (streaming.py uses '2 hours'; this measures whether that
+    holds).
+
+    Scale shape: one shuffle partitions by user for the LAG; the
+    aggregation reduces to the event-type domain. Microsecond integer
+    deltas, exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("delta")
+    )
+    inv = F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("delta").cast("bigint").alias("n_pairs"),
+            inv.cast("bigint").alias("n_inversions"),
+            F.round(inv.cast("double") / F.count("delta"), 6).alias(
+                "inversion_rate"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest, survival analysis, concentration (round 6,
+# sixteenth wave)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "smape_seasonal_backtest",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), joined AS (
+      SELECT c AS actual,
+             LAG(c, 24) OVER (ORDER BY hour) AS forecast
+      FROM hourly
+    )
+    SELECT CAST(COUNT(forecast) AS BIGINT) AS n_hours,
+           ROUND(SUM(ABS(actual - forecast)) * 1.0 / SUM(actual), 6)
+             AS wape,
+           ROUND(AVG(2.0 * ABS(actual - forecast)
+                     / (actual + forecast)), 6) AS smape,
+           ROUND(SQRT(AVG(POW(CAST(actual - forecast AS DOUBLE), 2))), 6)
+             AS rmse
+    FROM joined WHERE forecast IS NOT NULL
+    """,
+)
+def smape_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict each hour with
+    the same hour yesterday) on the hourly event-count series: WAPE,
+    sMAPE, and RMSE — the baseline every demand-forecast model must
+    beat, measured the way a forecast pipeline actually scores.
+
+    Scale shape: the fact scan reduces to the bounded hourly series in
+    one partial-agg shuffle; the lag-24 join is one window pass over
+    that series and the error aggregates are scalars. Counts are
+    integers, so WAPE's ratio is exact-integer-derived; sMAPE and RMSE
+    apply identical double arithmetic in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("c"))
+    )
+    joined = hourly.select(
+        F.col("c").alias("actual"),
+        F.lag("c", 24).over(W.orderBy("hour")).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    err = F.col("actual") - F.col("forecast")
+    return joined.agg(
+        F.count("forecast").cast("bigint").alias("n_hours"),
+        F.round(
+            F.sum(F.abs(err)) * 1.0 / F.sum("actual"), 6
+        ).alias("wape"),
+        F.round(
+            F.avg(2.0 * F.abs(err) / (F.col("actual") + F.col("forecast"))), 6
+        ).alias("smape"),
+        F.round(F.sqrt(F.avg(F.pow(err.cast("double"), F.lit(2.0)))), 6).alias(
+            "rmse"
+        ),
+    )
+
+
+@_register(
+    "survival_user_retention_km",
+    """
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR((epoch_us(MAX(CAST(ts AS TIMESTAMP)))
+                         - epoch_us(MIN(CAST(ts AS TIMESTAMP))))
+                        / 3600000000.0) AS BIGINT) AS dur,
+             CASE WHEN (epoch_us((SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events))
+                        - epoch_us(MAX(CAST(ts AS TIMESTAMP))))
+                       <= 12 * 3600000000
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ), times AS (
+      SELECT dur AS t,
+             SUM(churned) AS d,
+             COUNT(*) AS leaving
+      FROM span GROUP BY dur
+    ), risk AS (
+      SELECT t, d,
+             SUM(leaving) OVER (ORDER BY t DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS n_at_risk
+      FROM times
+    )
+    SELECT CAST(t AS INT) AS t_hours,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM risk WHERE d > 0
+    ORDER BY t_hours
+    """,
+)
+def survival_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve: per user, the observed activity
+    span in HOURS; users whose last event falls within 12 hours of the
+    corpus end are right-CENSORED (they count in the at-risk set but
+    not as churn events) — the survival-analysis estimator done
+    properly, not a naive churn histogram. The hour scale matches the
+    fixture's activity density (day-level gaps barely exist).
+
+    Scale shape: events reduce to one (duration, censored) row per user
+    in a single aggregation (the corpus-max timestamp is a broadcast
+    scalar); durations group to the bounded distinct-time relation
+    where the descending-cumulative at-risk counts and the cumulative
+    KM product (exp of an ORDERED log sum — deterministic order, same
+    doubles both engines) run. Every window is over the time grid,
+    never the data."""
+    e = load_table(spark, sf_dir, "events")
+    maxd = e.agg(F.max("ts").alias("mx"))
+    span = (
+        e.crossJoin(F.broadcast(maxd))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(3_600_000_000.0)
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(
+                F.unix_micros(F.max("mx")) - F.unix_micros(F.max("ts"))
+                <= 12 * 3_600_000_000,
+                0,
+            )
+            .otherwise(1)
+            .alias("churned"),
+        )
+    )
+    times = span.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count("*").alias("leaving")
+    )
+    wdesc = W.orderBy(F.desc("t")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    risk = times.select(
+        "t", "d", F.sum("leaving").over(wdesc).alias("n_at_risk")
+    )
+    wasc = W.orderBy("t")
+    return (
+        risk.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("int").alias("t_hours"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").cast("bigint").alias("n_churned"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0 - F.col("d").cast("double") / F.col("n_at_risk")
+                        )
+                    ).over(wasc)
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t_hours")
+    )
+
+
+@_register(
+    "gini_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(r) AS DOUBLE), 2) AS total_revenue,
+           ROUND(2.0 * CAST(SUM(i * r) AS DOUBLE)
+                 / (MAX(n) * CAST(SUM(r) AS DOUBLE))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+           ROUND(CAST(SUM(CASE WHEN i > n - CAST(CEIL(n / 10.0) AS BIGINT)
+                               THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(r) AS DOUBLE), 6) AS top_decile_share
+    FROM ranked
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue across ordering customers plus the
+    top-decile revenue share — the concentration audit run on corpus
+    source weights and customer value alike (a Gini near 1 means a few
+    heads dominate; near 0, uniform).
+
+    Scale shape: orders reduce to one exact-decimal revenue row per
+    customer; the rank is a window over that customer-sized relation
+    with a fully tied-off total order (revenue, custkey), and the Gini
+    reduces to exact decimal sums (sum of i*r stays decimal — the rank
+    weight is an integer), so both engines divide identical operands.
+    The formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n assumes ascending
+    rank, which the total order pins. The rank comes from the
+    DISTRIBUTED global-enumeration kernel (range partitions + driver
+    prefix-summed offsets, llmops.pipeline.global_enumerate), not a
+    SinglePartition ROW_NUMBER — the customer relation will not fit
+    one task at 100 TB."""
+    from ..llmops.pipeline import global_enumerate
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("r"))
+    n_row = rev.agg(F.count("*").alias("n"))
+    ranked = (
+        global_enumerate(rev, ["r", "o_custkey"])
+        .select("r", (F.col("global_idx") + 1).alias("i"))
+        .crossJoin(F.broadcast(n_row))
+    )
+    top = F.col("i") > F.col("n") - F.ceil(F.col("n") / 10.0).cast("bigint")
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("r").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("r")).cast("double")
+            / (F.max("n") * F.sum("r").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(top, F.col("r")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double")
+            / F.sum("r").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )

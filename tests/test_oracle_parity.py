@@ -157,10 +157,13 @@ def test_entry_smoke(spark):
 
 def test_driver_window_is_full_and_oracle_backed():
     """The driver's correctness gate checks the FIRST 50 registered
-    queries; a rotation mistake (typo'd name, rows-only query windowed,
-    short window) silently wastes driver evidence slots. Pin the
-    contract: exactly 50 priority slots, every one resolves to a
-    registered query, every one oracle-backed, no duplicates."""
+    queries; a rotation mistake (typo'd name, short window, duplicate
+    slot) silently wastes driver evidence slots. Pin the contract:
+    exactly 50 priority slots, every one resolves to a registered
+    query, no duplicates. Round 7's drain rotation deliberately windows
+    7 rows-only queries — but only AFTER every never-driver-checked
+    oracle query has a slot (split pinned in
+    test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
@@ -169,6 +172,25 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert not rows_only, f"rows-only queries wasting window slots: {rows_only}"
+    assert rows_only == list(E._PRIORITY[43:]), (
+        f"rows-only slots must be exactly the trailing drain tier: {rows_only}"
+    )
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
+
+
+def test_relational_split_preserves_registration_order():
+    """Round-7 split of relational.py into a package (VERDICT r6 item 3):
+    the shared-registry + ordered-tier-import scheme must keep
+    list(relational.QUERIES) byte-identical to the pre-split module.
+    Snapshot taken immediately before the split; regenerate it ONLY when
+    deliberately appending queries (never to paper over a reorder)."""
+    import json
+    import pathlib
+
+    from console_etl_spark import relational
+
+    snap = json.load(
+        (pathlib.Path(__file__).parent / "data" / "relational_order_r7.json").open()
+    )
+    assert list(relational.QUERIES)[: len(snap)] == snap
