@@ -407,8 +407,14 @@ def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts stay integer; one division per output row.
 
     Scale: output is one row per DISTINCT score (bounded by score
-    cardinality), the only per-row work is the map-side group."""
-    by_score = (
+    cardinality), the only per-row work is the map-side group.
+
+    The grouped-by-score relation is pinned (VERDICT r6 item 5): it
+    feeds BOTH the prefix-scan chain and the totals row — unpinned,
+    each consumer re-scanned documents."""
+    from ..session import pin
+
+    by_score = pin(
         _scored(spark, sf_dir)
         .groupBy("score")
         .agg(

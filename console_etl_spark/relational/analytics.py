@@ -1106,13 +1106,20 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles before ROUND(_, 6).
 
     Kernel citation: llmops.pipeline.global_prefix_sum — same
-    two-phase shape as the AUC query; no SinglePartition window."""
+    two-phase shape as the AUC query; no SinglePartition window.
+
+    One shared scan (VERDICT r6 item 5): both rank-relation builds and
+    the final join-back consume the SAME pinned 2-column projection —
+    previously each re-read the parquet, 3 scans of lineitem per run."""
     from ..llmops.pipeline import global_prefix_sum
+    from ..session import pin
 
     li = load_table(spark, sf_dir, "lineitem")
+    base = pin(li.select(F.col("l_quantity").alias("xv"),
+                         F.col("l_extendedprice").alias("yv")))
 
     def rank_rel(col: str) -> DataFrame:
-        cnts = li.groupBy(F.col(col).alias("v")).agg(
+        cnts = base.groupBy(F.col(col).alias("v")).agg(
             F.count("*").cast("bigint").alias("c")
         )
         cum = global_prefix_sum(cnts, ["v"], "c", out_col="below",
@@ -1122,12 +1129,11 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ranked = (
-        li.select(F.col("l_quantity").alias("xv"),
-                  F.col("l_extendedprice").alias("yv"))
-        .join(rank_rel("l_quantity").withColumnRenamed("r2", "rx"),
+        base
+        .join(rank_rel("xv").withColumnRenamed("r2", "rx"),
               F.col("xv") == F.col("v"))
         .drop("v")
-        .join(rank_rel("l_extendedprice").withColumnRenamed("r2", "ry"),
+        .join(rank_rel("yv").withColumnRenamed("r2", "ry"),
               F.col("yv") == F.col("v"))
         .drop("v")
     )
