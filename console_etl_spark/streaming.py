@@ -447,6 +447,108 @@ def stream_ingest_metas(
     return writer.start()
 
 
+BUS_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_bus_stream(
+    spark: SparkSession, source: str = "socket", options: dict | None = None
+) -> DataFrame:
+    """Message-bus (Kafka-shaped) source: one MESSAGE per record,
+    normalized to ``(value string, ingest_ts timestamp)`` — the unit of
+    arrival is a record, not a file, unlike every file source above.
+
+    On a real cluster this is ``source="kafka"`` (external broker +
+    connector jar): Spark's kafka rows map 1:1 through the same select
+    (``CAST(value AS STRING)``, broker timestamp). This container has
+    no broker, so the wire-compatible stand-ins are the built-in
+    ``socket`` source (TCP lines ≙ consumed topic records — drives the
+    stream==batch law in tests) and ``rate`` (synthetic monotonic
+    messages for soak/backpressure checks). Downstream operators are
+    source-agnostic: everything taking the events stream works
+    unchanged on ``parse_bus_events`` of ANY of the three, which is the
+    point — the streaming tier is not file-source-bound.
+
+    Scale note: socket is single-connection (dev harness); kafka and
+    file sources are the partitioned production paths — one Spark
+    partition per topic partition, offsets in the checkpoint.
+    """
+    opts = dict(options or {})
+    if source == "kafka":
+        raw = spark.readStream.format("kafka").options(**opts).load()
+        return raw.select(
+            F.col("value").cast("string").alias("value"),
+            F.col("timestamp").alias("ingest_ts"),
+        )
+    if source == "socket":
+        raw = spark.readStream.format("socket").options(**opts).load()
+        return raw.select(
+            F.col("value").alias("value"),
+            F.current_timestamp().alias("ingest_ts"),
+        )
+    if source == "rate":
+        raw = spark.readStream.format("rate").options(**opts).load()
+        return raw.select(
+            F.col("value").cast("string").alias("value"),
+            F.col("timestamp").alias("ingest_ts"),
+        )
+    raise ValueError(f"unknown bus source {source!r} (kafka|socket|rate)")
+
+
+def parse_bus_events(bus: DataFrame) -> DataFrame:
+    """JSON event-per-message decode for a bus stream: event TIME comes
+    from the payload (``ts``), never from ``ingest_ts`` — watermarks
+    must track the domain clock or a broker replay re-dates history.
+    Malformed messages surface as all-null rows (from_json PERMISSIVE)
+    and are dropped by the event_id guard rather than killing the query
+    — the poison-pill policy a bus consumer needs (a file source can
+    quarantine a bad file; a bus offset must be consumed regardless)."""
+    j = F.from_json("value", BUS_EVENT_SCHEMA)
+    return (
+        bus.select(j.alias("j"))
+        .select("j.*")
+        .filter(F.col("event_id").isNotNull())
+    )
+
+
+def run_until(
+    stream_df: DataFrame,
+    query_name: str,
+    done,
+    timeout_s: float = 120.0,
+    poll_s: float = 0.5,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive an UNBOUNDED-source stream (socket/rate — no availableNow
+    support) into a memory sink until ``done(materialized_df)`` returns
+    True, then stop and return the materialized result. The bus-source
+    sibling of run_to_completion's bounded-file drive."""
+    import time as _time
+
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            if done(spark.table(query_name)):
+                break
+            _time.sleep(poll_s)
+        else:
+            raise TimeoutError(
+                f"{query_name}: done() not satisfied within {timeout_s}s"
+            )
+        return spark.table(query_name)
+    finally:
+        q.stop()
+
+
 def write_stream_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ):

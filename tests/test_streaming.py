@@ -964,3 +964,99 @@ def test_stream_markov_equals_batch(spark, events_stream_dir):
         for r in markov_event_transitions(spark, SF_TEST).collect()
     }
     assert got == want
+
+
+def test_bus_socket_stream_equals_batch(spark):
+    """VERDICT r6 item 8: the streaming tier is not file-source-bound.
+    Serve the events fixture as JSON messages over a TCP socket (the
+    built-in source whose record-per-arrival unit matches a consumed
+    Kafka topic), run the SAME hourly aggregation used by the file
+    tests, and require bit-identical results to the batch twin computed
+    from the same messages."""
+    import socket
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.session import load_table
+
+    events = load_table(spark, SF_TEST, "events").orderBy("event_id").limit(500)
+    msgs = [
+        r.value
+        for r in events.select(
+            F.to_json(
+                F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+            ).alias("value")
+        ).collect()
+    ]
+    n_msgs = len(msgs)
+    assert n_msgs == 500
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            # one poison-pill message: must be dropped, not kill the query
+            payload = "\n".join(["{not json"] + msgs) + "\n"
+            conn.sendall(payload.encode())
+            stop.wait(timeout=120)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        bus = streaming.read_bus_stream(
+            spark, "socket", {"host": "127.0.0.1", "port": port}
+        )
+        agg = streaming.hourly_counts(streaming.parse_bus_events(bus))
+        got = streaming.run_until(
+            agg,
+            "t_bus_hourly",
+            done=lambda df: (df.agg(F.sum("n")).collect()[0][0] or 0) >= n_msgs,
+        ).toPandas()
+    finally:
+        stop.set()
+        srv.close()
+
+    want = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(8,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_bus_rate_source_smoke(spark):
+    """The rate stand-in: synthetic monotonic messages through the same
+    normalized (value, ingest_ts) surface — counts accumulate."""
+    from pyspark.sql import functions as F
+
+    bus = streaming.read_bus_stream(spark, "rate", {"rowsPerSecond": "200"})
+    agg = bus.agg(
+        F.count("*").alias("n"),
+        F.min(F.col("value").cast("long")).alias("lo"),
+        F.max(F.col("value").cast("long")).alias("hi"),
+    )
+    got = streaming.run_until(
+        agg, "t_bus_rate", done=lambda df: (df.collect() or [[0]])[0][0] >= 100
+    ).collect()[0]
+    # monotonic contiguous sequence: no dups, no gaps
+    assert got["n"] >= 100 and got["hi"] - got["lo"] + 1 == got["n"]
+
+
+def test_bus_unknown_source_rejected(spark):
+    with pytest.raises(ValueError):
+        streaming.read_bus_stream(spark, "pulsar")
