@@ -38,8 +38,24 @@ from . import timeseries # noqa: E402  EWMA/ACF, drift, association, privacy, li
 # Hoist every tier-module name (including _private helpers other modules
 # and tests import, e.g. streaming's _DQ_SQL) so `relational.X` keeps
 # working exactly as before the split.
+_hoisted_from: dict[str, str] = {}
 for _mod in (core, tpch, warehouse, analytics, timeseries):
     for _n in dir(_mod):
-        if not _n.startswith("__") and _n not in globals():
-            globals()[_n] = getattr(_mod, _n)
-del _mod, _n
+        if _n.startswith("__"):
+            continue
+        _obj = getattr(_mod, _n)
+        if _n not in globals():
+            globals()[_n] = _obj
+            _hoisted_from[_n] = _mod.__name__
+        elif globals()[_n] is not _obj:
+            # Two tier modules (or a tier module and this package) bind
+            # the same name to DIFFERENT objects — a silent
+            # first-import-wins here would mask a duplicated helper
+            # with divergent behavior. Shared imports (F, Window,
+            # _base's registries) are the same object and pass.
+            raise ImportError(
+                f"relational tier name collision: {_n!r} from "
+                f"{_mod.__name__} conflicts with the binding from "
+                f"{_hoisted_from.get(_n, __name__)}"
+            )
+del _mod, _n, _obj, _hoisted_from

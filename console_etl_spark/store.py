@@ -88,7 +88,13 @@ class SnapshotStore:
         expected_current: str | None | object = _UNGUARDED,
     ) -> SnapshotInfo:
         """Write ``df`` as snapshot ``version`` and atomically point
-        ``_CURRENT`` at it. Idempotent: same version again is a no-op.
+        ``_CURRENT`` at it. UNGUARDED republish of the already-current
+        version is an idempotent no-op; a GUARDED publish (with
+        ``expected_current`` set) of the already-current version raises
+        ``ConcurrentPublishError`` instead, because the CAS guard runs
+        before the no-op check — a crash-after-flip retry must re-derive
+        ``expected_current`` (or retry unguarded) rather than replay the
+        original arguments.
 
         ``gate``: an optional data-quality violations DataFrame (e.g. a
         filtered ``relational.dq_violations_report``); if it contains ANY

@@ -474,6 +474,18 @@ def read_bus_stream(
     Scale note: socket is single-connection (dev harness); kafka and
     file sources are the partitioned production paths — one Spark
     partition per topic partition, offsets in the checkpoint.
+
+    DELIVERY SEMANTICS differ by source and are part of the contract:
+    kafka and file sources are REPLAYABLE — their offsets live in the
+    checkpoint, so a restarted query re-serves any uncommitted range
+    and the pipeline stays exactly-once end-to-end (with an idempotent
+    or transactional sink). The socket source is AT-MOST-ONCE: TCP has
+    no offsets, so records consumed but not yet committed when the
+    query stops are LOST on restart — acceptable for the dev harness,
+    never for production ingest. ``rate`` is deterministic-by-time and
+    replays like kafka. tests/test_streaming.py pins the difference:
+    the file-source path re-serves from its checkpoint after a restart
+    while socket cannot.
     """
     opts = dict(options or {})
     if source == "kafka":
@@ -537,10 +549,17 @@ def run_until(
     try:
         deadline = _time.monotonic() + timeout_s
         while _time.monotonic() < deadline:
+            if not q.isActive and q.exception() is not None:
+                # Surface the query's real failure (socket disconnect,
+                # bad plan) instead of masking it as a TimeoutError by
+                # polling out the rest of the deadline.
+                raise q.exception()
             if done(spark.table(query_name)):
                 break
             _time.sleep(poll_s)
         else:
+            if q.exception() is not None:
+                raise q.exception()
             raise TimeoutError(
                 f"{query_name}: done() not satisfied within {timeout_s}s"
             )

@@ -1060,3 +1060,141 @@ def test_bus_rate_source_smoke(spark):
 def test_bus_unknown_source_rejected(spark):
     with pytest.raises(ValueError):
         streaming.read_bus_stream(spark, "pulsar")
+
+
+def test_bus_delivery_semantics_socket_vs_file_restart(spark, tmp_path):
+    """VERDICT r7 item 5: pin the DELIVERY-SEMANTICS contrast documented
+    in read_bus_stream. The file (kafka-shaped, offset-checkpointed)
+    path RE-SERVES across a restart: messages produced while the
+    consumer was down are picked up by the restarted query, exactly
+    once. The socket path is AT-MOST-ONCE: it has no offsets, so
+    messages produced while the consumer was down are LOST — a
+    restarted query sees only what the feed sends after it reconnects.
+    Same three message batches through both paths; the file sink ends
+    with batches 1+2+3, the socket result with batches 1 and 3 only."""
+    import json
+    import os
+    import socket
+    import threading
+
+    from pyspark.sql import functions as F
+
+    def batch(lo, hi):  # messages are just numbered JSON events
+        return [
+            json.dumps(
+                {
+                    "event_id": i,
+                    "ts": f"2024-01-01 00:{i:02d}:00",
+                    "user_id": i,
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            for i in range(lo, hi)
+        ]
+
+    b1, b2, b3 = batch(0, 5), batch(5, 10), batch(10, 15)
+
+    # ---- file path: replayable offsets -> restart re-serves batch 2+3
+    src = tmp_path / "bus_files"
+    src.mkdir()
+    sink = str(tmp_path / "file_sink")
+    ckpt = str(tmp_path / "file_ckpt")
+
+    def land(name, msgs):
+        p = src / name
+        p.write_text("\n".join(msgs) + "\n")
+        os.utime(p)
+
+    def file_run():
+        bus = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .select(
+                F.col("value"),
+                F.current_timestamp().alias("ingest_ts"),
+            )
+        )
+        ids = streaming.parse_bus_events(bus).select("event_id")
+        streaming.write_stream_parquet(ids, sink, ckpt)
+
+    land("b1.jsonl", b1)
+    file_run()  # consumer run 1: commits batch 1
+    land("b2.jsonl", b2)  # produced while the consumer is DOWN
+    land("b3.jsonl", b3)
+    file_run()  # restart, same checkpoint: re-serves 2 and 3
+    got_file = sorted(
+        r.event_id for r in spark.read.parquet(sink).collect()
+    )
+    assert got_file == list(range(15))  # all three batches, exactly once
+
+    # ---- socket path: no offsets -> batch 2 (produced while down) lost
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        # Live feed with no buffer/offsets: connection 1 gets batch 1;
+        # batch 2 is produced while no consumer is attached (the send
+        # fails on the dead connection — undeliverable, gone);
+        # connection 2 gets only what the feed emits from then on (b3).
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(b1) + "\n").encode())
+        try:
+            while not stop.is_set():  # heartbeats until consumer leaves
+                conn.sendall(b"\n")  # blank line: dropped by the parser
+                stop.wait(0.2)
+        except OSError:
+            # Consumer is gone. Batch 2 is produced NOW, while no
+            # consumer is attached — undeliverable, no offsets, gone.
+            try:
+                conn.sendall(("\n".join(b2) + "\n").encode())
+            except OSError:
+                pass
+        finally:
+            conn.close()
+        if stop.is_set():
+            return
+        conn2, _ = srv.accept()
+        with conn2:
+            conn2.sendall(("\n".join(b3) + "\n").encode())
+            stop.wait(timeout=120)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    def socket_run(qname, want_min, want_max):
+        bus = streaming.read_bus_stream(
+            spark, "socket", {"host": "127.0.0.1", "port": port}
+        )
+        ids = streaming.parse_bus_events(bus).select("event_id")
+        return {
+            r.event_id
+            for r in streaming.run_until(
+                ids,
+                qname,
+                done=lambda df: df.filter(
+                    (F.col("event_id") >= want_min)
+                    & (F.col("event_id") < want_max)
+                ).count()
+                >= want_max - want_min,
+                output_mode="append",
+            ).collect()
+        }
+
+    try:
+        got1 = socket_run("t_bus_restart_1", 0, 5)  # run 1 sees batch 1
+        got2 = socket_run("t_bus_restart_2", 10, 15)  # run 2: batch 3 only
+    finally:
+        stop.set()
+        srv.close()
+    assert set(range(0, 5)) <= got1
+    assert set(range(10, 15)) <= got2
+    # the at-most-once pin: nothing can re-serve batch 1 to run 2, and
+    # batch 2 — produced while the consumer was down — reached neither
+    assert not (set(range(0, 5)) & got2)
+    assert not (set(range(5, 10)) & got2)
