@@ -642,6 +642,7 @@ def global_prefix_sum(
     out_col: str = "prefix_sum",
     inclusive: bool = True,
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Running total of ``value_col`` in global ``sort_cols`` order
     WITHOUT a SinglePartition window — the sibling of
@@ -662,37 +663,57 @@ def global_prefix_sum(
     the form rank statistics want. Ties within ``sort_cols`` should be
     broken by a tiebreaker column unless the caller aggregates per key
     first (then keys are unique by construction).
+
+    ``group_cols``: optional GROUPED variant — the running total
+    restarts at zero for each distinct group, while every group still
+    scans distributed (range partitioning on group+sort keys; no
+    per-group SinglePartition). One kernel invocation then serves N
+    logically independent scans in a single shuffle — e.g. Spearman's
+    two rank builds ride one pass over a union-tagged value relation
+    (VERDICT r7 item 6). The bounded collect grows to one row per
+    (partition, group-touched) pair — still partition-count-bounded
+    when groups are few or group-clustered by the range partitioner.
     """
     from pyspark.sql import Window as W
 
     from ..session import pin
 
     spark = df.sparkSession
+    gcols = list(group_cols or [])
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
-        df.repartitionByRange(num_partitions, *sort_cols)
-        .sortWithinPartitions(*sort_cols)
+        df.repartitionByRange(num_partitions, *gcols, *sort_cols)
+        .sortWithinPartitions(*gcols, *sort_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     pin(ranged)
-    # Bounded collect: one row per shuffle partition (≤ num_partitions),
-    # independent of |df| — allowlisted in tests/test_plans.py.
-    parts = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
-    acc = 0
+    # Bounded collect: one row per shuffle partition (≤ num_partitions,
+    # × groups sharing a boundary partition when grouped), independent
+    # of |df| — allowlisted in tests/test_plans.py.
+    parts = ranged.groupBy("_pid", *gcols).agg(F.sum(value_col).alias("_s")).collect()
+    acc: dict[tuple, int] = {}
     offsets = []
     for row in sorted(parts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["_s"] or 0
-    off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+        key = tuple(row[c] for c in gcols)
+        offsets.append((row["_pid"], *key, acc.get(key, 0)))
+        acc[key] = acc.get(key, 0) + (row["_s"] or 0)
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    off_schema = StructType(
+        [StructField("_pid", IntegerType())]
+        + [df.schema[c] for c in gcols]
+        + [StructField("_off", LongType())]
+    )
+    off = spark.createDataFrame(offsets, off_schema)
     end = 0 if inclusive else -1
     w = (
-        W.partitionBy("_pid")
+        W.partitionBy("_pid", *gcols)
         .orderBy(*sort_cols)
         .rowsBetween(W.unboundedPreceding, end)
     )
     return (
-        ranged.join(F.broadcast(off), "_pid")
+        ranged.join(F.broadcast(off), ["_pid", *gcols])
         .withColumn(
             out_col,
             F.coalesce(F.sum(value_col).over(w).cast("bigint"), F.lit(0))

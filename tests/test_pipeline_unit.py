@@ -360,6 +360,35 @@ def test_global_prefix_sum_matches_naive_scan(spark):
         assert got == {e[0]: e[col] for e in expected}, f"inclusive={inclusive}"
 
 
+def test_global_prefix_sum_grouped_equals_per_group_scans(spark):
+    """Grouped-kernel law (VERDICT r7 item 6): one grouped invocation
+    == running the ungrouped kernel once per group, for both scan
+    directions, with groups far outnumbered by their keys and group
+    sizes unequal (so range partitions straddle group boundaries)."""
+    rows = [
+        (["a", "b", "c"][k % 3], k, (k * 37 + 11) % 13)
+        for k in range(997)
+        if not (k % 3 == 2 and k > 300)  # unequal group sizes
+    ]
+    df = spark.createDataFrame(rows, "g string, k bigint, v bigint")
+    for inclusive in (False, True):
+        got = {
+            (r["g"], r["k"]): r["ps"]
+            for r in pipeline.global_prefix_sum(
+                df, ["k"], "v", out_col="ps", inclusive=inclusive,
+                group_cols=["g"],
+            ).collect()
+        }
+        want = {}
+        for g in ("a", "b", "c"):
+            per = pipeline.global_prefix_sum(
+                df.filter(df.g == g), ["k"], "v", out_col="ps",
+                inclusive=inclusive,
+            )
+            want.update({(g, r["k"]): r["ps"] for r in per.collect()})
+        assert got == want, f"inclusive={inclusive}"
+
+
 def test_global_prefix_sum_deterministic_under_repartitioning(spark):
     """Bit-determinism: the scan is identical whatever the input
     partitioning (the kernel re-ranges internally)."""
