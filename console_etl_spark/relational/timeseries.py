@@ -1205,3 +1205,73 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded-lookback as-of (round 8) — the batch twin of the stream-stream
+# as-of enrichment in streaming.asof_enrich_join (VERDICT r7 item 8)
+# --------------------------------------------------------------------------
+
+@_register(
+    "asof_join_bounded_lookback",
+    """
+    WITH unioned AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, 0 AS side, event_id AS eid,
+             event_id AS q_eid, CAST(ts AS TIMESTAMP) AS q_ts, value AS q_val,
+             CAST(NULL AS DOUBLE) AS t_val
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id,
+             NULL, NULL, NULL, value
+      FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT user_id, ts_us, side, eid, t_val,
+             LAST_VALUE(q_eid IGNORE NULLS) OVER w AS view_event,
+             LAST_VALUE(q_ts IGNORE NULLS) OVER w AS view_ts,
+             LAST_VALUE(q_val IGNORE NULLS) OVER w AS view_value
+      FROM unioned
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT eid AS purchase_event, user_id, ts_us AS purchase_ts,
+           t_val AS purchase_value,
+           CASE WHEN view_ts >= ts_us - INTERVAL 24 HOUR
+                THEN view_event END AS view_event,
+           CASE WHEN view_ts >= ts_us - INTERVAL 24 HOUR
+                THEN view_ts END AS view_ts,
+           CASE WHEN view_ts >= ts_us - INTERVAL 24 HOUR
+                THEN view_value END AS view_value
+    FROM matched WHERE side = 1
+    """,
+)
+def asof_join_bounded_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a BOUNDED lookback: each purchase matched to the
+    same user's most recent view at-or-before it, but only within the
+    trailing 24 h — matches older than the horizon report NULL, exactly
+    like the unmatched case.
+
+    The bound is what makes the operator STREAMABLE: an unbounded as-of
+    needs the full view history in state forever, while a 24 h horizon
+    lets a stream-stream interval join evict view state once the
+    watermark passes (streaming.asof_enrich_join is the streaming twin;
+    tests/test_streaming.py pins stream == this batch form). The batch
+    plan is the same O(n+m) single-shuffle union+window as
+    asof_join_purchase_view (core.py) with a post-window horizon mask —
+    nulling AFTER the carry-forward is correct because the carried view
+    is the latest one, so if IT is outside the horizon, no in-horizon
+    view exists. Same tie rules: a view at exactly the purchase ts
+    matches; equal-ts views resolve to the highest event_id.
+    """
+    from .core import asof_join_purchase_view
+
+    base = asof_join_purchase_view(spark, sf_dir)
+    cut = F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")
+    return base.select(
+        "purchase_event",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        F.when(cut, F.col("view_event")).alias("view_event"),
+        F.when(cut, F.col("view_ts")).alias("view_ts"),
+        F.when(cut, F.col("view_value")).alias("view_value"),
+    )

@@ -959,3 +959,108 @@ def stream_psi_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Stream-stream AS-OF enrichment (round 8, VERDICT r7 item 8): the
+# streaming twin of relational.asof_join_bounded_lookback
+# --------------------------------------------------------------------------
+
+def asof_enrich_join(
+    events: DataFrame,
+    lookback: str = "24 hours",
+    watermark: str = "2 hours",
+    finalize_window: str = "1 hour",
+) -> DataFrame:
+    """Each purchase enriched with the same user's LATEST view within
+    the trailing ``lookback`` — the stream-stream as-of join Spark has
+    no built-in for, composed from two chained stateful operators:
+
+    1. a watermarked INNER interval join (view_ts in
+       [purchase_ts - lookback, purchase_ts]) producing every candidate
+       (purchase, view) pair — the bounded lookback is what lets Spark
+       evict view state once the watermark passes (an UNBOUNDED as-of
+       would need the full view history in state forever, which is why
+       the batch twin only becomes streamable with the horizon);
+    2. an append-mode windowed aggregation reducing candidates to the
+       single latest view per purchase via ``max_by`` over the
+       (view_ts, view_event) struct — the same tie rule as the batch
+       twin (latest ts, then highest event_id). Grouping includes a
+       ``finalize_window`` tumbling window on purchase_ts because
+       append-mode aggregation finalizes groups by watermark passing
+       the window end; each purchase belongs to exactly one window, so
+       the window column is bookkeeping, not semantics.
+
+    Late views within the watermark still join to an already-seen
+    purchase and land in the SAME purchase group before it finalizes —
+    per-micro-batch reduction (foreachBatch max_by) would get this
+    wrong, which is why the reduction is a stateful operator downstream
+    of the join, not sink-side. Emits only matched, finalized
+    purchases; tests/test_streaming.py pins emitted == the batch twin's
+    matched rows plus a watermark-derived completeness bound.
+
+    Scale: both states are evictable (join state bounded by
+    watermark + lookback per side, agg state by watermark +
+    finalize_window); the shuffles key on user_id and purchase_event —
+    no global state, no SinglePartition.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    pairs = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+        "inner",
+    )
+    # purchase_ts is watermark-tagged after the join; grouping on it
+    # directly would put TWO event-time columns under the aggregation
+    # (the window + the raw column), which Spark rejects. Carry it
+    # through the keys as detagged integer micros and rebuild the
+    # timestamp on the way out — the window column alone drives
+    # finalization.
+    best = (
+        pairs.groupBy(
+            F.window("purchase_ts", finalize_window).alias("_w"),
+            "purchase_event",
+            "user_id",
+            F.unix_micros("purchase_ts").alias("_p_us"),
+            "purchase_value",
+        )
+        .agg(
+            F.max_by(
+                F.struct("view_event", "view_ts", "view_value"),
+                F.struct("view_ts", "view_event"),
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "purchase_event",
+        "user_id",
+        F.timestamp_micros(F.col("_p_us")).alias("purchase_ts"),
+        "purchase_value",
+        F.col("best.view_event").alias("view_event"),
+        F.col("best.view_ts").alias("view_ts"),
+        F.col("best.view_value").alias("view_value"),
+    )
