@@ -84,6 +84,9 @@ HEADLINE = [
     "contrastive_hard_negatives",
     "dsir_importance_weights",
     "mix_temperature_weights",
+    # round-8 addition (bounded-lookback as-of — the streamable horizon
+    # variant; the unbounded as-of is already in the core suite):
+    "asof_join_bounded_lookback",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

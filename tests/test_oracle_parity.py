@@ -60,15 +60,16 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 7 is the backlog drain (VERDICT r6 item 1):
-    the first 43 slots are ALL the never-driver-checked oracle-backed
-    queries; the last 7 are the oldest never-checked rows-only queries
-    (the driver's weaker rows>0 check is still their first driver
-    evidence) — so rows-only entries are allowed, but only AFTER every
-    never-checked oracle query has a slot."""
+    priority list. Round 8 zeroes the never-checked backlog (VERDICT r7
+    item 1): 3 new oracle-backed registrations, then ALL 34 remaining
+    never-driver-checked rows-only queries, then the r8-changed
+    Spearman implementation, then the 12 oldest (r1) oracle rows —
+    16 oracle value-hash slots + 34 rows-only slots."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
-    oracle_slots, rows_only_slots = first50[:43], first50[43:]
+    oracle_slots = first50[:3] + first50[37:]
+    rows_only_slots = first50[3:37]
+    assert len(oracle_slots) == 16 and len(rows_only_slots) == 34
     assert all(n in ORACLE for n in oracle_slots), [
         n for n in oracle_slots if n not in ORACLE
     ]
@@ -160,9 +161,9 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 7's drain rotation deliberately windows
-    7 rows-only queries — but only AFTER every never-driver-checked
-    oracle query has a slot (split pinned in
+    query, no duplicates. Round 8's rotation zeroes the never-checked
+    backlog: the rows-only slots are exactly the 34 drained entries at
+    positions 3..36 (split pinned in
     test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
@@ -172,8 +173,8 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == list(E._PRIORITY[43:]), (
-        f"rows-only slots must be exactly the trailing drain tier: {rows_only}"
+    assert rows_only == list(E._PRIORITY[3:37]), (
+        f"rows-only slots must be exactly the drained backlog tier: {rows_only}"
     )
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
