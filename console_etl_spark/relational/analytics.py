@@ -1112,12 +1112,16 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final join-back consume the SAME pinned 2-column projection —
     previously each re-read the parquet, 3 scans of lineitem per run.
 
-    One fused kernel pass (VERDICT r7 item 6): the two per-variable
-    rank builds ride a SINGLE prefix-scan over a union-tagged value
-    relation — explode each row into (tag, v) pairs, ONE groupBy(tag,
-    v) shuffle for both distinct-count relations, ONE grouped
-    global_prefix_sum (scan restarts per tag) — instead of two kernel
-    invocations, halving the rank-build exchanges and collects."""
+    Fusion considered and REJECTED by measurement (VERDICT r7 item 6,
+    BENCH_AB_r8.md): riding both rank builds through one grouped
+    global_prefix_sum over an explode-union-tagged value relation was
+    order-balanced-A/B'd ~8% SLOWER at sf0.1 — the second kernel
+    invocation it eliminates runs over the ~50-distinct-value quantity
+    relation (milliseconds), while the explode doubles the rows
+    through the expensive price-side shuffle and widens the range-
+    partition key. The grouped kernel itself ships (group_cols in
+    llmops.pipeline.global_prefix_sum, law-tested) for callers whose
+    per-group scans are EACH large enough to amortize."""
     from ..llmops.pipeline import global_prefix_sum
     from ..session import pin
 
@@ -1125,37 +1129,23 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = pin(li.select(F.col("l_quantity").alias("xv"),
                          F.col("l_extendedprice").alias("yv")))
 
-    tagged = base.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("x").alias("tag"), F.col("xv").alias("v")),
-                F.struct(F.lit("y").alias("tag"), F.col("yv").alias("v")),
-            )
-        ).alias("tv")
-    ).select("tv.tag", "tv.v")
-    cnts = tagged.groupBy("tag", "v").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    cum = global_prefix_sum(
-        cnts, ["v"], "c", out_col="below", inclusive=False,
-        group_cols=["tag"],
-    )
-    ranks = pin(
-        cum.select(
-            "tag", "v", (2 * F.col("below") + F.col("c") + 1).alias("r2")
+    def rank_rel(col: str) -> DataFrame:
+        cnts = base.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
         )
-    )
-
-    def rank_rel(tag: str, out: str) -> DataFrame:
-        return ranks.filter(F.col("tag") == tag).select(
-            "v", F.col("r2").alias(out)
+        cum = global_prefix_sum(cnts, ["v"], "c", out_col="below",
+                                inclusive=False)
+        return cum.select(
+            "v", (2 * F.col("below") + F.col("c") + 1).alias("r2")
         )
 
     ranked = (
         base
-        .join(rank_rel("x", "rx"), F.col("xv") == F.col("v"))
+        .join(rank_rel("xv").withColumnRenamed("r2", "rx"),
+              F.col("xv") == F.col("v"))
         .drop("v")
-        .join(rank_rel("y", "ry"), F.col("yv") == F.col("v"))
+        .join(rank_rel("yv").withColumnRenamed("r2", "ry"),
+              F.col("yv") == F.col("v"))
         .drop("v")
     )
     d38 = "decimal(38,0)"
