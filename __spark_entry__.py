@@ -61,13 +61,14 @@ _MODULES = (
 # remained with no driver row ever. This window = the 3 NEW r8
 # registrations (never-checked, oracle-backed: the bounded-lookback
 # as-of and the GROUP/ORDER BY ALL surfaces), then ALL 34 never-checked
-# rows-only queries, then stats_spearman_qty_price (implementation
-# changed r8: fused grouped prefix-scan — re-verify the value hash),
-# then the 12 OLDEST oracle rows (driver-checked r1, stale for seven
-# rounds, in registration order). After this round the never-checked
-# backlog is 0 for the first time; 4 r1-stale rows remain for r9
-# (q14_promo_revenue, q15_top_supplier, q22_idle_rich_customers,
-# q11_important_parts), then r2 rows age in behind them.
+# rows-only queries, then the 13 OLDEST oracle rows (driver-checked r1,
+# stale for seven rounds, in registration order). A Spearman fusion was
+# built, A/B-measured 8% slower, and reverted this round
+# (BENCH_AB_r8.md) — its implementation is byte-equal to the r7-checked
+# form (docstring-only diff), so it takes no changed-impl slot. After
+# this round the never-checked backlog is 0 for the first time; 3
+# r1-stale rows remain for r9 (q15_top_supplier,
+# q22_idle_rich_customers, q11_important_parts), then r2 rows age in.
 _PRIORITY = (
     # new r8 registrations, oracle-backed, never driver-checked (3)
     "asof_join_bounded_lookback",
@@ -108,9 +109,7 @@ _PRIORITY = (
     "cluster_kmeans_embeddings",
     "cluster_kmeans_topic_mix",
     "semdedup_cluster_prune",
-    # implementation changed since its last driver row (r8 fuse)
-    "stats_spearman_qty_price",
-    # oldest driver rows (r1, 12 of 16): registration order
+    # oldest driver rows (r1, 13 of 16): registration order
     "q6_revenue_forecast",
     "top_customers_by_revenue",
     "window_running_quantity",
@@ -123,6 +122,7 @@ _PRIORITY = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
+    "q14_promo_revenue",
     # WINDOW FULL at 50.
 )
 

@@ -62,9 +62,10 @@ def test_driver_window_covers_all_families():
     (VERDICT r1 item 2) — pin that the window is exactly the curated
     priority list. Round 8 zeroes the never-checked backlog (VERDICT r7
     item 1): 3 new oracle-backed registrations, then ALL 34 remaining
-    never-driver-checked rows-only queries, then the r8-changed
-    Spearman implementation, then the 12 oldest (r1) oracle rows —
-    16 oracle value-hash slots + 34 rows-only slots."""
+    never-driver-checked rows-only queries, then the 13 oldest (r1)
+    oracle rows — 16 oracle value-hash slots + 34 rows-only slots.
+    (A Spearman changed-impl slot was planned, then freed when the
+    fusion was A/B-rejected and reverted — BENCH_AB_r8.md.)"""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     oracle_slots = first50[:3] + first50[37:]
