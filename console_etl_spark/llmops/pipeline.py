@@ -712,9 +712,25 @@ def global_prefix_sum(
         .orderBy(*sort_cols)
         .rowsBetween(W.unboundedPreceding, end)
     )
+    if gcols:
+        # NULL is a legal group value (SQL GROUP BY keeps a null
+        # group); a name-equi join on the group cols would silently
+        # drop those rows, so the offsets join must be null-safe.
+        offa = off.select(
+            F.col("_pid").alias("_opid"),
+            *[F.col(c).alias(f"_og_{c}") for c in gcols],
+            "_off",
+        )
+        cond = F.col("_pid") == F.col("_opid")
+        for c in gcols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_og_{c}"))
+        joined = ranged.join(F.broadcast(offa), cond).drop(
+            "_opid", *[f"_og_{c}" for c in gcols]
+        )
+    else:
+        joined = ranged.join(F.broadcast(off), ["_pid"])
     return (
-        ranged.join(F.broadcast(off), ["_pid", *gcols])
-        .withColumn(
+        joined.withColumn(
             out_col,
             F.coalesce(F.sum(value_col).over(w).cast("bigint"), F.lit(0))
             + F.col("_off"),

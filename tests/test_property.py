@@ -722,3 +722,142 @@ class TestBM25Laws:
                 for r in t.text_bm25_topk(spark, td).collect()
             ]
         assert got == want
+
+
+class TestGroupedPrefixScanLaw:
+    """Hypothesis law for the r8 grouped kernel (global_prefix_sum
+    group_cols): any group mix INCLUDING NULL groups (SQL keeps a null
+    group; the offsets join must be null-safe or those rows vanish),
+    any partition count, both directions — always equal to the
+    per-group single-threaded scan."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", None]),
+                st.integers(-100, 100),
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        nparts=st.integers(1, 20),
+        inclusive=st.booleans(),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_grouped_equals_per_group_naive(
+        self, spark, rows, nparts, inclusive
+    ):
+        from console_etl_spark.llmops import pipeline
+
+        data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g string, k bigint, v bigint")
+        got = {
+            (r["g"], r["k"]): r["ps"]
+            for r in pipeline.global_prefix_sum(
+                df, ["k"], "v", out_col="ps", inclusive=inclusive,
+                num_partitions=nparts, group_cols=["g"],
+            ).collect()
+        }
+        assert len(got) == len(data)  # null groups must not vanish
+        want = {}
+        acc: dict = {}
+        for g, k, v in sorted(data, key=lambda t: t[1]):  # k is unique
+            if inclusive:
+                acc[g] = acc.get(g, 0) + v
+                want[(g, k)] = acc[g]
+            else:
+                want[(g, k)] = acc.get(g, 0)
+                acc[g] = acc.get(g, 0) + v
+        assert got == want
+
+
+class TestAsOfJoinLaws:
+    """The as-of family against a direct Python reference on arbitrary
+    event streams (duplicate timestamps included, to exercise the tie
+    rules: a view at exactly the purchase ts matches; equal-ts views
+    resolve to the highest event_id), plus the horizon identity:
+    bounded == unbounded with the latest match masked when older than
+    24 h — equivalent to 'latest within horizon' because the carried
+    view has the maximum ts."""
+
+    @given(
+        evs=st.lists(
+            st.tuples(
+                st.integers(0, 2),            # user
+                st.integers(0, 3000),         # minutes offset (dups ok)
+                st.sampled_from(["view", "purchase"]),
+                st.integers(0, 99),           # value
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_asof_and_horizon_match_reference(self, spark, evs):
+        import datetime
+        import os
+        import tempfile
+
+        from console_etl_spark import relational
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (
+                eid,
+                base + datetime.timedelta(minutes=m),
+                u,
+                t,
+                float(v),
+                "{}",
+            )
+            for eid, (u, m, t, v) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+            got_un = {
+                r.purchase_event: r
+                for r in relational.asof_join_purchase_view(spark, tmp).collect()
+            }
+            got_bd = {
+                r.purchase_event: r
+                for r in relational.asof_join_bounded_lookback(
+                    spark, tmp
+                ).collect()
+            }
+
+        views: dict = {}
+        for eid, ts, u, t, v, _ in rows:
+            if t == "view":
+                views.setdefault(u, []).append((ts, eid, v))
+        horizon = datetime.timedelta(hours=24)
+        n_purchases = 0
+        for eid, ts, u, t, v, _ in rows:
+            if t != "purchase":
+                continue
+            n_purchases += 1
+            cands = [c for c in views.get(u, []) if c[0] <= ts]
+            best = max(cands, key=lambda c: (c[0], c[1])) if cands else None
+            gu, gb = got_un[eid], got_bd[eid]
+            if best is None:
+                assert gu.view_event is None
+                assert gb.view_event is None
+            else:
+                assert (gu.view_event, gu.view_ts, gu.view_value) == (
+                    best[1], best[0], best[2],
+                ), (eid, gu)
+                if best[0] >= ts - horizon:
+                    assert (gb.view_event, gb.view_ts, gb.view_value) == (
+                        best[1], best[0], best[2],
+                    ), (eid, gb)
+                else:
+                    assert gb.view_event is None and gb.view_ts is None
+        assert len(got_un) == n_purchases == len(got_bd)
