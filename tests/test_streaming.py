@@ -1248,3 +1248,71 @@ def test_stream_asof_enrich_equals_batch_bounded_lookback(
     )
     assert must_emit, "fixture should contain closed-window matches"
     assert must_emit <= set(got.purchase_event)
+
+
+def test_stream_asof_enrich_exactly_once_across_restart(
+    spark, events_stream_dir, tmp_path
+):
+    """The chained-stateful as-of enrichment survives a restart with
+    exactly-once output: run the first half of the time-ordered files
+    to a checkpointed parquet sink, stop, land the rest, restart with
+    the SAME checkpoint — every emitted purchase appears ONCE, every
+    row matches the batch twin, and restarting did not re-emit or
+    re-window already-finalized groups (join + aggregation state both
+    recovered from the checkpoint, not recomputed)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    files = sorted(glob.glob(os.path.join(events_stream_dir, "part-*")))
+    assert len(files) == 4
+
+    def land(fs):
+        now = time.time()
+        for i, f in enumerate(fs):
+            dst = os.path.join(src, os.path.basename(f))
+            shutil.copy(f, dst)
+            os.utime(dst, (now + i, now + i))
+
+    def run_once():
+        stream = streaming.read_events_stream(spark, src, max_files_per_trigger=1)
+        enriched = streaming.asof_enrich_join(stream)
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(files[:2])
+    run_once()
+    mid = spark.read.parquet(out).toPandas()
+    land(files[2:])
+    run_once()
+    got = spark.read.parquet(out).toPandas()
+
+    # exactly-once: no purchase appears twice, run 1's rows unchanged
+    assert got.purchase_event.is_unique
+    assert set(mid.purchase_event) <= set(got.purchase_event)
+
+    # every emitted row equals the batch twin's matched output
+    want = (
+        relational.asof_join_bounded_lookback(spark, SF_TEST)
+        .filter(F.col("view_event").isNotNull())
+        .toPandas()
+    )
+    assert set(got.purchase_event) <= set(want.purchase_event)
+    sub = want[want.purchase_event.isin(set(got.purchase_event))]
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(sub), check_dtype=False)
+    # and the restart made real progress beyond run 1
+    assert len(got) > len(mid) > 0
