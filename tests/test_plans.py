@@ -52,6 +52,15 @@ def test_asof_join_single_shuffle_per_side(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_asof_bounded_lookback_same_shape_as_unbounded(spark):
+    """The 24 h horizon is a row-local projection on top of the carried
+    columns — the bounded variant must keep the unbounded plan's shape
+    exactly: no join operator, no extra exchange (r8)."""
+    plan = plan_of(relational.asof_join_bounded_lookback(spark, SF_TEST))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_semi_join_is_semi(spark):
     plan = plan_of(relational.q18_large_volume_customers(spark, SF_TEST))
     assert "LeftSemi" in plan, plan

@@ -1316,3 +1316,35 @@ def test_stream_asof_enrich_exactly_once_across_restart(
     pd.testing.assert_frame_equal(_sorted(got), _sorted(sub), check_dtype=False)
     # and the restart made real progress beyond run 1
     assert len(got) > len(mid) > 0
+
+
+def test_run_until_surfaces_query_failure_not_timeout(spark):
+    """ADVICE r7: a stream that FAILS (here: socket source pointed at a
+    port that refuses/closes immediately) must surface the query's own
+    exception from run_until promptly — not burn the whole deadline and
+    mask it as TimeoutError."""
+    import socket
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # grab a port and close the listener: connection will be refused
+    s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    bus = streaming.read_bus_stream(
+        spark, "socket", {"host": "127.0.0.1", "port": port}
+    )
+    t0 = time.monotonic()
+    with pytest.raises(StreamingQueryException):
+        streaming.run_until(
+            bus.select("value"),
+            "t_run_until_fail",
+            done=lambda df: False,
+            timeout_s=60.0,
+            output_mode="append",
+        )
+    # surfaced promptly, not after the 60 s deadline
+    assert time.monotonic() - t0 < 30.0
