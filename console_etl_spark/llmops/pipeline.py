@@ -668,11 +668,15 @@ def global_prefix_sum(
     restarts at zero for each distinct group, while every group still
     scans distributed (range partitioning on group+sort keys; no
     per-group SinglePartition). One kernel invocation then serves N
-    logically independent scans in a single shuffle — e.g. Spearman's
-    two rank builds ride one pass over a union-tagged value relation
-    (VERDICT r7 item 6). The bounded collect grows to one row per
-    (partition, group-touched) pair — still partition-count-bounded
-    when groups are few or group-clustered by the range partitioner.
+    logically independent scans in a single shuffle. Use it ONLY when
+    every fused group is individually large: fusing Spearman's two
+    rank builds this way was A/B-measured ~8% SLOWER and reverted
+    (BENCH_AB_r8.md) because one of its groups was trivially small —
+    the union-tagging explode taxed the big group to save nothing on
+    the small one. NULL group values are kept (the offsets join is
+    null-safe). The bounded collect grows to one row per (partition,
+    group-touched) pair — still partition-count-bounded when groups
+    are few or group-clustered by the range partitioner.
     """
     from pyspark.sql import Window as W
 
