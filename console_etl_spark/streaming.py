@@ -490,10 +490,7 @@ def read_bus_stream(
     opts = dict(options or {})
     if source == "kafka":
         raw = spark.readStream.format("kafka").options(**opts).load()
-        return raw.select(
-            F.col("value").cast("string").alias("value"),
-            F.col("timestamp").alias("ingest_ts"),
-        )
+        return normalize_kafka_records(raw)
     if source == "socket":
         raw = spark.readStream.format("socket").options(**opts).load()
         return raw.select(
@@ -507,6 +504,25 @@ def read_bus_stream(
             F.col("timestamp").alias("ingest_ts"),
         )
     raise ValueError(f"unknown bus source {source!r} (kafka|socket|rate)")
+
+
+def normalize_kafka_records(raw: DataFrame) -> DataFrame:
+    """Map Spark's fixed kafka-source schema — (key binary, value
+    binary, topic, partition, offset, timestamp, timestampType) — onto
+    the normalized bus surface (value string, ingest_ts timestamp):
+    payload bytes decode as UTF-8 (CAST binary→string), the broker
+    timestamp carries through as ingest_ts.
+
+    Factored out of read_bus_stream so the mapping is TESTABLE without
+    a broker: the container has no kafka connector jar, but the select
+    is schema-driven, so applying it to a batch DataFrame with the
+    connector's exact schema exercises the same expressions the stream
+    would run (test_streaming.py). Only the wire/offset semantics
+    still need a real broker (documented in read_bus_stream)."""
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ingest_ts"),
+    )
 
 
 def parse_bus_events(bus: DataFrame) -> DataFrame:

@@ -1348,3 +1348,77 @@ def test_run_until_surfaces_query_failure_not_timeout(spark):
         )
     # surfaced promptly, not after the 60 s deadline
     assert time.monotonic() - t0 < 30.0
+
+
+def test_kafka_record_normalization_on_connector_schema(spark):
+    """VERDICT r7 missing-item 2 (partial): the kafka branch cannot run
+    without a broker + connector jar, but its column mapping is
+    schema-driven — apply normalize_kafka_records to a batch DataFrame
+    with the connector's EXACT schema and require: UTF-8 payload bytes
+    decode to the same strings the socket/file paths carry, the broker
+    timestamp passes through as ingest_ts, and the downstream JSON
+    parse (parse_bus_events) yields the same typed events it does for
+    every other source."""
+    import datetime
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    kafka_schema = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    payloads = [
+        json.dumps(
+            {
+                "event_id": i,
+                "ts": "2024-03-01 11:5%d:00" % i,
+                "user_id": 10 + i,
+                "event_type": "view",
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+        for i in range(3)
+    ] + ["{not json"]  # poison pill: must normalize, then drop in parse
+    rows = [
+        (
+            None,
+            p.encode("utf-8"),
+            "events",
+            i % 2,
+            100 + i,
+            t0 + datetime.timedelta(seconds=i),
+            0,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    raw = spark.createDataFrame(rows, kafka_schema)
+
+    bus = streaming.normalize_kafka_records(raw)
+    assert [f.name for f in bus.schema.fields] == ["value", "ingest_ts"]
+    got = bus.orderBy("ingest_ts").collect()
+    assert [r.value for r in got] == payloads  # exact UTF-8 round-trip
+    assert got[0].ingest_ts == t0  # broker timestamp passes through
+
+    events = streaming.parse_bus_events(bus).orderBy("event_id").collect()
+    assert [r.event_id for r in events] == [0, 1, 2]  # pill dropped
+    assert events[1].user_id == 11 and events[1].value == 1.0
+    assert events[2].ts == datetime.datetime(2024, 3, 1, 11, 52, 0)
