@@ -1080,3 +1080,95 @@ def asof_enrich_join(
         F.col("best.view_ts").alias("view_ts"),
         F.col("best.view_value").alias("view_value"),
     )
+
+
+def asof_nearest_enrich_join(
+    events: DataFrame,
+    horizon: str = "24 hours",
+    watermark: str = "2 hours",
+    finalize_window: str = "1 hour",
+) -> DataFrame:
+    """NEAREST-direction stream-stream as-of: each purchase enriched
+    with the same user's closest view in EITHER time direction within
+    ±``horizon`` — the streaming twin of the batch
+    relational.asof_join_nearest_view restricted to the horizon (the
+    restriction is what bounds join state; the batch form's unbounded
+    forward search would mean never-finalizable state).
+
+    Same chained-stateful shape as asof_enrich_join, with a symmetric
+    interval (|view_ts − purchase_ts| ≤ horizon) and a ``min_by`` over
+    the ordering struct (gap_us, direction-flag, side-tie): backward
+    wins equal gaps, equal-timestamp views count as backward, and ties
+    within a side resolve exactly as the batch carry passes do —
+    backward to the HIGHEST view event id (negated in the tie key),
+    forward to the LOWEST. Because the batch nearest is the global
+    minimum gap, the law is clean: streaming output == batch output
+    filtered to gap_us ≤ horizon (pinned in tests/test_streaming.py).
+
+    Forward matches mean a purchase cannot finalize until the
+    watermark clears purchase_ts + horizon; Spark's cross-operator
+    watermark propagation delays the downstream window finalization by
+    the join's state retention, so no forward candidate is missed —
+    the stream==batch test would catch a premature finalize.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    h = F.expr(f"INTERVAL {horizon}")
+    pairs = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - h)
+        & (F.col("view_ts") <= F.col("purchase_ts") + h),
+        "inner",
+    )
+    gap = F.abs(
+        F.unix_micros("view_ts") - F.unix_micros("purchase_ts")
+    ).alias("gap_us")
+    backward = F.col("view_ts") <= F.col("purchase_ts")
+    dirflag = F.when(backward, F.lit(0)).otherwise(F.lit(1))
+    tie = F.when(backward, -F.col("view_event")).otherwise(F.col("view_event"))
+    best = (
+        pairs.select(
+            "*",
+            gap,
+            dirflag.alias("dirflag"),
+            tie.alias("tie"),
+        )
+        .groupBy(
+            F.window("purchase_ts", finalize_window).alias("_w"),
+            "purchase_event",
+            "user_id",
+            F.unix_micros("purchase_ts").alias("_p_us"),
+        )
+        .agg(
+            F.min_by(
+                F.struct("view_event", "gap_us", "dirflag"),
+                F.struct("gap_us", "dirflag", "tie"),
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "purchase_event",
+        "user_id",
+        F.col("best.view_event").alias("nearest_view_event"),
+        F.when(F.col("best.dirflag") == 0, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.col("best.gap_us").alias("gap_us"),
+    )

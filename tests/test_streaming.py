@@ -1422,3 +1422,67 @@ def test_kafka_record_normalization_on_connector_schema(spark):
     assert [r.event_id for r in events] == [0, 1, 2]  # pill dropped
     assert events[1].user_id == 11 and events[1].value == 1.0
     assert events[2].ts == datetime.datetime(2024, 3, 1, 11, 52, 0)
+
+
+def test_stream_asof_nearest_equals_batch_within_horizon(
+    spark, events_stream_dir
+):
+    """The NEAREST-direction streaming as-of must reproduce the batch
+    twin exactly on everything it emits: because the batch nearest is
+    the global minimum gap, batch rows with gap_us <= horizon are
+    precisely the purchases the horizon-bounded stream can match, with
+    identical picks under identical tie rules (backward wins equal
+    gaps; backward ties -> highest event id, forward ties -> lowest).
+    Also bounds completeness by the final watermark — which for the
+    forward direction must be delayed by the join state (a premature
+    window finalize would drop forward candidates and fail the exact
+    compare)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    HORIZON_US = 24 * 3600 * 1_000_000
+
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.asof_nearest_enrich_join(stream), "t_asof_nearest",
+        output_mode="append",
+    ).toPandas()
+
+    want = (
+        relational.asof_join_nearest_view(spark, SF_TEST)
+        .filter(F.col("gap_us") <= HORIZON_US)
+        .toPandas()
+    )
+
+    assert len(got) > 0
+    assert set(got.purchase_event) <= set(want.purchase_event)
+    sub = want[want.purchase_event.isin(set(got.purchase_event))]
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(sub), check_dtype=False)
+    # both directions must actually occur in the emitted set
+    assert {"backward", "forward"} <= set(got.direction)
+
+    # completeness: a matched purchase whose forward horizon closed
+    # before the final watermark must have been emitted (batch output
+    # carries no purchase_ts, so fetch it from the raw events)
+    files = sorted(glob.glob(os.path.join(events_stream_dir, "part-*")))
+    head = spark.read.parquet(*files[:-1])
+    if isinstance(head.schema["ts"].dataType, LongType):
+        max_ts = F.timestamp_micros(F.expr("max(ts) div 1000"))
+    else:
+        max_ts = F.max("ts").cast("timestamp")
+    wm = head.select(max_ts.alias("m")).collect()[0].m
+    threshold = wm - pd.Timedelta(hours=24 + 2 + 1)  # horizon+wm+window
+    p_ts = {
+        r.event_id: r.ts
+        for r in load_table(spark, SF_TEST, "events")
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    must_emit = {
+        e for e in want.purchase_event if p_ts[e] < threshold
+    }
+    assert must_emit, "fixture should contain horizon-closed matches"
+    assert must_emit <= set(got.purchase_event)
