@@ -1172,3 +1172,28 @@ def asof_nearest_enrich_join(
         .alias("direction"),
         F.col("best.gap_us").alias("gap_us"),
     )
+
+
+def scd2_enrich_stream(
+    facts: DataFrame, scd2_dim: DataFrame, as_of_col: str = "as_of"
+) -> DataFrame:
+    """Stream-static SCD2 point-in-time enrichment: each streaming fact
+    resolves against the customer version valid AT its as-of date —
+    the streaming twin of relational.scd2_point_in_time_join's join
+    stage (tests pin stream == batch on the same aggregation).
+
+    The dimension side is a STATIC SCD2 history (scd2_merge output):
+    Spark re-plans the join per micro-batch, so the equality key drives
+    an ordinary hash join with the validity-interval bounds as residual
+    filters — stateless, no watermark, the same plan shape as batch.
+    At scale the static side is the snapshot-store read of the
+    dimension's current SCD2 table; swapping in a fresher snapshot
+    between restarts is the standard slowly-changing-enrichment
+    deployment (exactly the reference's refresh-then-serve loop, done
+    relationally)."""
+    return facts.join(
+        scd2_dim,
+        (facts["o_custkey"] == scd2_dim["c_custkey"])
+        & (facts[as_of_col] >= scd2_dim["valid_from"])
+        & (facts[as_of_col] < scd2_dim["valid_to"]),
+    )

@@ -1486,3 +1486,75 @@ def test_stream_asof_nearest_equals_batch_within_horizon(
     }
     assert must_emit, "fixture should contain horizon-closed matches"
     assert must_emit <= set(got.purchase_event)
+
+
+def test_stream_scd2_point_in_time_equals_batch(spark, tmp_path):
+    """Stream-static SCD2 enrichment: orders streamed file-by-file
+    through scd2_enrich_stream against the SAME static SCD2 dimension
+    the batch query builds, then the same (segment, version)
+    aggregation — must equal relational.scd2_point_in_time_join
+    exactly. Stateless per-batch join: incremental execution cannot
+    change a point-in-time resolution."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.relational import (
+        SCD2_BASE_FROM,
+        SCD2_EFFECTIVE,
+        scd2_merge,
+    )
+
+    # the same SCD2 history the batch query derives
+    c = load_table(spark, SF_TEST, "customer")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("AUTOMOBILE").alias("c_mktsegment"),
+    )
+    scd2 = scd2_merge(c, upd, "c_custkey", SCD2_EFFECTIVE, SCD2_BASE_FROM).select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
+    )
+
+    # stream the orders facts as 3 files -> 3 micro-batches
+    src = str(tmp_path / "orders_stream")
+    orders = load_table(spark, SF_TEST, "orders")
+    orders.repartition(3).write.mode("overwrite").parquet(src)
+    facts_schema = orders.schema
+    facts_stream = (
+        spark.readStream.schema(facts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.date_format(
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"),
+                    (F.col("o_orderkey") % 365).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("as_of"),
+        )
+    )
+    enriched = streaming.scd2_enrich_stream(facts_stream, scd2)
+    agg = (
+        enriched.groupBy(
+            "c_mktsegment",
+            F.col("is_current").cast("bigint").alias("matched_current_version"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+    )
+    got = streaming.run_to_completion(
+        agg, "t_scd2_stream", output_mode="complete"
+    ).toPandas()
+    want = relational.scd2_point_in_time_join(spark, SF_TEST).toPandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
