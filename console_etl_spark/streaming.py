@@ -1175,7 +1175,11 @@ def asof_nearest_enrich_join(
 
 
 def scd2_enrich_stream(
-    facts: DataFrame, scd2_dim: DataFrame, as_of_col: str = "as_of"
+    facts: DataFrame,
+    scd2_dim: DataFrame,
+    fact_key: str = "o_custkey",
+    dim_key: str = "c_custkey",
+    as_of_col: str = "as_of",
 ) -> DataFrame:
     """Stream-static SCD2 point-in-time enrichment: each streaming fact
     resolves against the customer version valid AT its as-of date —
@@ -1193,7 +1197,7 @@ def scd2_enrich_stream(
     relationally)."""
     return facts.join(
         scd2_dim,
-        (facts["o_custkey"] == scd2_dim["c_custkey"])
+        (facts[fact_key] == scd2_dim[dim_key])
         & (facts[as_of_col] >= scd2_dim["valid_from"])
         & (facts[as_of_col] < scd2_dim["valid_to"]),
     )
