@@ -861,3 +861,59 @@ class TestAsOfJoinLaws:
                 else:
                     assert gb.view_event is None and gb.view_ts is None
         assert len(got_un) == n_purchases == len(got_bd)
+
+
+class TestScd2MergeLaws:
+    """SCD2 merge invariants on arbitrary dimensions and change
+    batches (beyond the fixture-shaped oracle check): for every key,
+    exactly one current row; changed keys carry a closed [base_from,
+    effective) version plus an open [effective, open-end) one with the
+    NEW attributes; unchanged keys keep one open row with the OLD
+    attributes; brand-new keys (insert case) get one open row; nothing
+    else exists."""
+
+    @given(
+        base_keys=st.sets(st.integers(0, 20), max_size=12),
+        upd_keys=st.sets(st.integers(0, 25), max_size=12),
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_merge_partitions_keys_correctly(self, spark, base_keys, upd_keys):
+        from console_etl_spark.relational import SCD2_OPEN_END, scd2_merge
+
+        base = spark.createDataFrame(
+            [(k, f"old{k}") for k in sorted(base_keys)], "k long, attr string"
+        )
+        upd = spark.createDataFrame(
+            [(k, f"new{k}") for k in sorted(upd_keys)], "k long, attr string"
+        )
+        out = scd2_merge(base, upd, "k", "2024-06-01", "2024-01-01").collect()
+
+        by_key: dict = {}
+        for r in out:
+            by_key.setdefault(r.k, []).append(r)
+        assert set(by_key) == base_keys | upd_keys
+        for k, rows in by_key.items():
+            current = [r for r in rows if r.is_current == 1]
+            assert len(current) == 1, (k, rows)
+            assert current[0].valid_to == SCD2_OPEN_END
+            if k in base_keys and k in upd_keys:  # changed: close + open
+                assert len(rows) == 2
+                closed = next(r for r in rows if r.is_current == 0)
+                assert (closed.valid_from, closed.valid_to) == (
+                    "2024-01-01", "2024-06-01",
+                )
+                assert closed.attr == f"old{k}"
+                assert current[0].valid_from == "2024-06-01"
+                assert current[0].attr == f"new{k}"
+            elif k in base_keys:  # unchanged: one open old row
+                assert len(rows) == 1
+                assert rows[0].valid_from == "2024-01-01"
+                assert rows[0].attr == f"old{k}"
+            else:  # insert: one open new row
+                assert len(rows) == 1
+                assert rows[0].valid_from == "2024-06-01"
+                assert rows[0].attr == f"new{k}"
