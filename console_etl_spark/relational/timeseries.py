@@ -1275,3 +1275,277 @@ def asof_join_bounded_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(cut, F.col("view_ts")).alias("view_ts"),
         F.when(cut, F.col("view_value")).alias("view_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8, second wave: rank-sum hypothesis test on the prefix-scan
+# kernel; U-shaped multi-touch attribution (appended here — registration
+# order is append-only, see tests/test_oracle_parity.py order snapshot)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "stats_mannwhitney_u",
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+      SELECT x, CAST(SUM(g1) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY x
+    ), cum AS (
+      SELECT c1, ct,
+             CAST(COALESCE(SUM(ct) OVER (
+                    ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS below
+      FROM v
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(ct) - SUM(c1) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c1 AS HUGEINT)
+                      * (2 * CAST(below AS HUGEINT) + ct + 1)) AS DOUBLE)
+               AS two_r1,
+             CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE) AS tie_t
+      FROM cum
+    )
+    SELECT n1, n2,
+           ROUND((two_r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+                 / 2.0, 1) AS u1,
+           ROUND((two_r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+                 / 2.0 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS auc,
+           ROUND(((two_r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1))
+                  / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           - tie_t
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE)
+                                   + CAST(n2 AS DOUBLE) - 1.0)))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the URGENT and LOW
+    priority order-value populations: U statistic, its AUC form
+    U/(n1*n2), and the tie-corrected normal approximation z — the
+    EXACT nonparametric counterpart of stats_ks_two_sample (which
+    bins the same pairing) and the rank-based sibling of
+    stats_welch_ttest (which assumes moments).
+
+    Rank identity: with per-distinct-value counts (c1, ct) and the
+    exclusive cumulative count `below`, the doubled rank-sum of group
+    1 is 2*R1 = sum c1 * (2*below + ct + 1) — tied values share the
+    midrank automatically, and every term is an exact integer, so the
+    distributed sums are order-independent and bit-identical across
+    engines; floats appear only in the final scalar expression (same
+    operation sequence both sides before ROUND).
+
+    Scale shape (kernel citation: llmops.pipeline.global_prefix_sum,
+    the same two-phase range-partition scan as eval_auc_doc_length and
+    stats_spearman_qty_price): one partial-agg shuffle collapses the
+    fact scan to distinct-value counts, the prefix kernel scans them
+    with NO SinglePartition window, and the statistic folds in one
+    bounded aggregate. Tie correction sums ct^3 - ct per distinct
+    value; products accumulate as DECIMAL(38,0) Spark-side (HUGEINT in
+    the oracle), exact far past any realistic row count."""
+    from ..llmops.pipeline import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    v = s.groupBy("x").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    cum = global_prefix_sum(v, ["x"], "ct", out_col="below", inclusive=False)
+    d38 = "decimal(38,0)"
+    c1d = F.col("c1").cast(d38)
+    ctd = F.col("ct").cast(d38)
+    bd = F.col("below").cast(d38)
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.sum("ct") - F.sum("c1")).cast("bigint").alias("n2"),
+        F.sum(c1d * (2 * bd + ctd + 1)).cast("double").alias("two_r1"),
+        F.sum(ctd * ctd * ctd - ctd).cast("double").alias("tie_t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u1 = (F.col("two_r1") - n1d * (n1d + 1)) / 2.0
+    sigma = F.sqrt(
+        n1d * n2d / 12.0 * ((nd + 1.0) - F.col("tie_t") / (nd * (nd - 1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(u1 / (n1d * n2d), 6).alias("auc"),
+        F.round((u1 - n1d * n2d / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+@_register(
+    "attribution_position_based",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_p
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click', 'signup')
+    ), touches AS (
+      SELECT user_id, cum_p + 1 AS journey, ts AS t_ts, event_id,
+             event_type AS channel
+      FROM base WHERE event_type <> 'purchase'
+    ), purchases AS (
+      SELECT user_id, cum_p AS journey, ts AS p_ts
+      FROM base WHERE event_type = 'purchase'
+    ), elig AS (
+      SELECT t.user_id, t.journey, t.channel, t.t_ts, t.event_id
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.journey = p.journey
+      WHERE epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 604800000000
+    ), sized AS (
+      SELECT channel, user_id, journey,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY t_ts, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY user_id, journey) AS k
+      FROM elig
+    ), credited AS (
+      SELECT channel,
+             CAST(ROUND(CASE WHEN k = 1 THEN 1.0
+                             WHEN k = 2 THEN 0.5
+                             WHEN r = 1 OR r = k THEN 0.4
+                             ELSE 0.2 / (k - 2) END, 9)
+                  AS DECIMAL(38,9)) AS cr
+      FROM sized
+    ), per_channel AS (
+      SELECT channel, CAST(SUM(cr) AS DECIMAL(38,9)) AS crs,
+             CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM credited GROUP BY channel
+    ), unattr AS (
+      SELECT 'unattributed' AS channel,
+             CAST(COUNT(*) AS DECIMAL(38,9)) AS crs,
+             CAST(0 AS BIGINT) AS n_touches
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM elig e
+                        WHERE e.user_id = p.user_id
+                          AND e.journey = p.journey)
+    )
+    SELECT channel, ROUND(CAST(crs AS DOUBLE), 6) AS credited_conversions,
+           n_touches
+    FROM (SELECT * FROM per_channel UNION ALL SELECT * FROM unattr)
+    ORDER BY channel
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes ONE conversion across the marketing touches (view /
+    click / signup) in its journey — 40% to the first touch, 40% to the
+    last, 20% split evenly among the middles (k=1 keeps 100%, k=2
+    splits 50/50). A journey is the touch run since the user's previous
+    purchase, clipped to a 7-day lookback; purchases whose journey has
+    no eligible touch report as 'unattributed' with full credit, so
+    credited_conversions sums (within rounding) to the purchase count —
+    the conservation law attribution_last_touch (single-credit) cannot
+    express, and the reason marketing teams run both reports.
+
+    Scale shape: ONE user-partition window numbers journeys (running
+    purchase count over a scan pre-filtered to the 4 relevant types —
+    pushed to parquet); the touch-to-purchase match is an equi-join on
+    (user_id, journey), never a time-range explosion; positions come
+    from a window over (user_id, journey). All shuffles key on user_id
+    (+journey) — co-partitioned, skew-bounded by per-user activity. The
+    per-touch credit is rounded to 9 decimals and summed as DECIMAL
+    (order-independent), so both engines aggregate identical exact
+    values; conversion to double happens once, on the final bounded
+    per-channel relation."""
+    e = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = (
+        e.filter(F.col("event_type").isin("purchase", "view", "click", "signup"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.sum(is_p.cast("long")).over(w).alias("cum_p"),
+        )
+    )
+    touches = base.filter(~is_p).select(
+        "user_id",
+        (F.col("cum_p") + 1).alias("journey"),
+        F.col("ts").alias("t_ts"),
+        "event_id",
+        F.col("event_type").alias("channel"),
+    )
+    purchases = base.filter(is_p).select(
+        "user_id", F.col("cum_p").alias("journey"), F.col("ts").alias("p_ts")
+    )
+    elig = touches.join(purchases, ["user_id", "journey"]).filter(
+        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
+        <= 604_800_000_000
+    )
+    wj = W.partitionBy("user_id", "journey").orderBy("t_ts", "event_id")
+    sized = elig.select(
+        "user_id",
+        "journey",
+        "channel",
+        F.row_number().over(wj).alias("r"),
+        F.count("*").over(W.partitionBy("user_id", "journey")).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when((F.col("r") == 1) | (F.col("r") == F.col("k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    per_channel = (
+        sized.select(
+            "channel", F.round(credit, 9).cast("decimal(38,9)").alias("cr")
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("cr").cast("decimal(38,9)").alias("crs"),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+    )
+    unattr = (
+        purchases.join(
+            elig.select("user_id", "journey").distinct(),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.col("n").cast("decimal(38,9)").alias("crs"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+        )
+    )
+    return (
+        per_channel.unionByName(unattr)
+        .select(
+            "channel",
+            F.round(F.col("crs").cast("double"), 6).alias(
+                "credited_conversions"
+            ),
+            "n_touches",
+        )
+        .orderBy("channel")
+    )
