@@ -70,10 +70,12 @@ _MODULES = (
 # r1-stale rows remain for r9 (q15_top_supplier,
 # q22_idle_rich_customers, q11_important_parts), then r2 rows age in.
 _PRIORITY = (
-    # new r8 registrations, oracle-backed, never driver-checked (3)
+    # new r8 registrations, oracle-backed, never driver-checked (5)
     "asof_join_bounded_lookback",
     "sql_group_by_all_revenue",
     "sql_order_by_all_nation_summary",
+    "stats_mannwhitney_u",
+    "attribution_position_based",
     # never driver-checked, rows-only (all 34): registration order
     "dedup_embedding_cosine_ann",
     "text_langid_heuristic",
@@ -109,7 +111,11 @@ _PRIORITY = (
     "cluster_kmeans_embeddings",
     "cluster_kmeans_topic_mix",
     "semdedup_cluster_prune",
-    # oldest driver rows (r1, 13 of 16): registration order
+    # oldest driver rows (r1, 11 of 16): registration order
+    # (q9/q14 displaced by the second-wave registrations — VERDICT r7
+    # item 8 requires same-round windowing for new queries; both keep
+    # their existing r1 driver rows, so the never-checked backlog
+    # stays 0)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
     "window_running_quantity",
@@ -121,8 +127,6 @@ _PRIORITY = (
     "range_join_price_bands",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q14_promo_revenue",
     # WINDOW FULL at 50.
 )
 
