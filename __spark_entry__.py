@@ -70,12 +70,15 @@ _MODULES = (
 # r1-stale rows remain for r9 (q15_top_supplier,
 # q22_idle_rich_customers, q11_important_parts), then r2 rows age in.
 _PRIORITY = (
-    # new r8 registrations, oracle-backed, never driver-checked (5)
+    # new r8 registrations, oracle-backed, never driver-checked (8)
     "asof_join_bounded_lookback",
     "sql_group_by_all_revenue",
     "sql_order_by_all_nation_summary",
     "stats_mannwhitney_u",
     "attribution_position_based",
+    "stats_kruskal_wallis",
+    "changepoint_cusum_daily_revenue",
+    "attribution_time_decay",
     # never driver-checked, rows-only (all 34): registration order
     "dedup_embedding_cosine_ann",
     "text_langid_heuristic",
@@ -111,11 +114,11 @@ _PRIORITY = (
     "cluster_kmeans_embeddings",
     "cluster_kmeans_topic_mix",
     "semdedup_cluster_prune",
-    # oldest driver rows (r1, 11 of 16): registration order
-    # (q9/q14 displaced by the second-wave registrations — VERDICT r7
-    # item 8 requires same-round windowing for new queries; both keep
-    # their existing r1 driver rows, so the never-checked backlog
-    # stays 0)
+    # oldest driver rows (r1, 8 of 16): registration order
+    # (q9/q14, then range_join/q7/q8, displaced by the second- and
+    # third-wave registrations — VERDICT r7 item 8 requires same-round
+    # windowing for new queries; all five keep their existing r1
+    # driver rows, so the never-checked backlog stays 0)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
     "window_running_quantity",
@@ -124,9 +127,6 @@ _PRIORITY = (
     "setop_intersect_nations",
     "setop_except_nations",
     "events_sliding_windows",
-    "range_join_price_bands",
-    "q7_volume_shipping",
-    "q8_market_share",
     # WINDOW FULL at 50.
 )
 

@@ -1549,3 +1549,399 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@_register(
+    "stats_kruskal_wallis",
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x, o_orderpriority AS g
+      FROM orders
+    ), v AS (
+      SELECT x, g, CAST(COUNT(*) AS BIGINT) AS cg FROM s GROUP BY x, g
+    ), tot AS (
+      SELECT x, CAST(SUM(cg) AS BIGINT) AS ct FROM v GROUP BY x
+    ), cum AS (
+      SELECT x, ct,
+             CAST(COALESCE(SUM(ct) OVER (
+                    ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS below
+      FROM tot
+    ), per_g AS (
+      SELECT v.g,
+             CAST(SUM(v.cg) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(v.cg AS HUGEINT)
+                      * (2 * CAST(c.below AS HUGEINT) + c.ct + 1))
+                  AS DOUBLE) AS two_r
+      FROM v JOIN cum c ON v.x = c.x
+      GROUP BY v.g
+    ), ties AS (
+      SELECT CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE) AS tie_t
+      FROM cum
+    ), agg AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(two_r * two_r / (4.0 * CAST(n_g AS DOUBLE))) AS sum_r2n,
+             MAX(t.tie_t) AS tie_t
+      FROM per_g, ties t
+    )
+    SELECT n, k,
+           ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 * sum_r2n - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+           ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * sum_r2n - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - tie_t / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                   * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+                 6) AS h_tie_corrected
+    FROM agg
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (rank-based one-way ANOVA) of order value across
+    ALL FIVE o_orderpriority groups — the k-group generalization of
+    stats_mannwhitney_u, answering 'does order value differ by priority
+    at all' before pairwise tests.
+
+    Rank identity (same midrank trick as Mann-Whitney): with per-
+    (value, group) counts cg, per-value totals ct and the exclusive
+    cumulative count `below`, each group's doubled rank-sum is
+    2*R_g = sum_x cg * (2*below + ct + 1) — an exact integer
+    (DECIMAL(38,0) Spark-side, HUGEINT in the oracle), so the
+    distributed accumulation is order-independent and bit-identical
+    across engines. H and its tie-corrected form convert to double only
+    in the final 5-row fold, with the same operation sequence both
+    sides before ROUND.
+
+    Scale shape (kernel citation: llmops.pipeline.global_prefix_sum):
+    one partial-agg shuffle collapses the order scan to (value, group)
+    counts, a second map-side-combinable groupBy derives per-value
+    totals, the prefix kernel scans them with NO SinglePartition
+    window, the join-back is value-domain-sized, and everything after
+    is a 5-row bounded relation. At 100 TB the cost is the distinct
+    price domain, not the row count — the sf1 rehearsal of the sibling
+    Mann-Whitney measured FLAT wall time at 10x input."""
+    from ..llmops.pipeline import global_prefix_sum
+
+    s = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    v = s.groupBy("x", "g").agg(F.count("*").cast("bigint").alias("cg"))
+    tot = v.groupBy("x").agg(F.sum("cg").cast("bigint").alias("ct"))
+    cum = global_prefix_sum(tot, ["x"], "ct", out_col="below", inclusive=False)
+    d38 = "decimal(38,0)"
+    joined = v.join(cum, "x")
+    per_g = joined.groupBy("g").agg(
+        F.sum("cg").cast("bigint").alias("n_g"),
+        F.sum(
+            F.col("cg").cast(d38)
+            * (2 * F.col("below").cast(d38) + F.col("ct").cast(d38) + 1)
+        )
+        .cast("double")
+        .alias("two_r"),
+    )
+    ties = cum.agg(
+        F.sum(
+            F.col("ct").cast(d38) * F.col("ct").cast(d38) * F.col("ct").cast(d38)
+            - F.col("ct").cast(d38)
+        )
+        .cast("double")
+        .alias("tie_t")
+    )
+    agg = per_g.crossJoin(F.broadcast(ties)).agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            F.col("two_r") * F.col("two_r") / (4.0 * F.col("n_g").cast("double"))
+        ).alias("sum_r2n"),
+        F.max("tie_t").alias("tie_t"),
+    )
+    nd = F.col("n").cast("double")
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("sum_r2n") - 3.0 * (nd + 1.0)
+    return agg.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h"),
+        F.round(h / (1.0 - F.col("tie_t") / (nd * nd * nd - nd)), 6).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+@_register(
+    "changepoint_cusum_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY o_orderdate
+    ), pre AS (
+      SELECT d, rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k,
+             CAST(SUM(rev) OVER (
+                    ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS DECIMAL(38,2)) AS p
+      FROM daily
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS DECIMAL(38,2)) AS t
+      FROM daily
+    ), scored AS (
+      SELECT pre.d, pre.k, tot.n,
+             CAST(tot.n AS HUGEINT) * CAST(pre.p * 100 AS HUGEINT)
+               - CAST(pre.k AS HUGEINT) * CAST(tot.t * 100 AS HUGEINT)
+               AS ns_cents,
+             pre.p, tot.t
+      FROM pre, tot
+      WHERE pre.k < tot.n
+    )
+    SELECT d AS cp_date, k AS cp_k, n AS n_days,
+           ROUND(CAST(ns_cents AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 100.0), 2) AS cusum,
+           ROUND(CAST(p AS DOUBLE) / CAST(k AS DOUBLE), 2) AS mean_before,
+           ROUND((CAST(t AS DOUBLE) - CAST(p AS DOUBLE))
+                 / CAST(n - k AS DOUBLE), 2) AS mean_after
+    FROM scored
+    ORDER BY ABS(ns_cents) DESC, d ASC
+    LIMIT 1
+    """,
+)
+def changepoint_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint over the daily revenue series: the
+    day k maximizing |S_k|, S_k = sum_{i<=k}(rev_i - mean), with the
+    level before/after the split — the offline monitor behind 'when did
+    this metric's level change', sibling of spc_xmr_user_chart (which
+    watches points) and psi_totalprice_drift (which compares cohorts).
+
+    Exactness: the argmax never touches floats — N*S_k = N*P_k - k*T
+    over integer CENTS (prefix sums P_k and total T are exact
+    DECIMAL(38,2); scaling by 100 makes every score an exact integer),
+    so the winning day is decided by integer comparison with a
+    deterministic earliest-day tie-break, identically in both engines.
+    Doubles appear only in the reported cusum/mean columns, computed
+    from the already-chosen row with the same operation sequence both
+    sides before ROUND. k = N is excluded (S_N = 0 by construction).
+
+    Scale shape: ONE date-keyed map-side-combinable groupBy collapses
+    the fact scan to the bounded daily grid (~2,400 rows for 7 years —
+    bounded by the CALENDAR, not the data, at any SF); the prefix
+    window and argsort run on that bounded relation, the same
+    bounded-final-sort class PLAN_AUDIT.json documents for the gapfill
+    grid. At 100 TB the only full-data pass is the first groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("rev")
+    )
+    wk = W.orderBy("d")
+    pre = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(wk).cast("bigint").alias("k"),
+        F.sum("rev")
+        .over(wk.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("decimal(38,2)")
+        .alias("p"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev").cast("decimal(38,2)").alias("t"),
+    )
+    d38 = "decimal(38,0)"
+    cents = lambda c: (c * 100).cast(d38)  # noqa: E731
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "d",
+            "k",
+            "n",
+            (
+                F.col("n").cast(d38) * cents(F.col("p"))
+                - F.col("k").cast(d38) * cents(F.col("t"))
+            ).alias("ns_cents"),
+            "p",
+            "t",
+        )
+    )
+    return (
+        scored.orderBy(F.abs(F.col("ns_cents")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("cp_date"),
+            F.col("k").alias("cp_k"),
+            F.col("n").alias("n_days"),
+            F.round(
+                F.col("ns_cents").cast("double")
+                / (F.col("n").cast("double") * 100.0),
+                2,
+            ).alias("cusum"),
+            F.round(F.col("p").cast("double") / F.col("k").cast("double"), 2).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("t").cast("double") - F.col("p").cast("double"))
+                / (F.col("n") - F.col("k")).cast("double"),
+                2,
+            ).alias("mean_after"),
+        )
+    )
+
+
+@_register(
+    "attribution_time_decay",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_p
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click', 'signup')
+    ), touches AS (
+      SELECT user_id, cum_p + 1 AS journey, ts AS t_ts, event_id,
+             event_type AS channel
+      FROM base WHERE event_type <> 'purchase'
+    ), purchases AS (
+      SELECT user_id, cum_p AS journey, ts AS p_ts
+      FROM base WHERE event_type = 'purchase'
+    ), elig AS (
+      SELECT t.user_id, t.journey, t.channel,
+             CAST(128 AS BIGINT) // CAST(POWER(2,
+               (epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 86400000000
+             ) AS BIGINT) AS w
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.journey = p.journey
+      WHERE epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 604800000000
+    ), sized AS (
+      SELECT channel, w,
+             SUM(w) OVER (PARTITION BY user_id, journey) AS sw
+      FROM elig
+    ), per_channel AS (
+      SELECT channel,
+             CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 9)
+                           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS crs,
+             CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM sized GROUP BY channel
+    ), unattr AS (
+      SELECT 'unattributed' AS channel,
+             CAST(COUNT(*) AS DECIMAL(38,9)) AS crs,
+             CAST(0 AS BIGINT) AS n_touches
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM elig e
+                        WHERE e.user_id = p.user_id
+                          AND e.journey = p.journey)
+    )
+    SELECT channel, ROUND(CAST(crs AS DOUBLE), 6) AS credited_conversions,
+           n_touches
+    FROM (SELECT * FROM per_channel UNION ALL SELECT * FROM unattr)
+    ORDER BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a ONE-DAY half-life:
+    each purchase's single conversion splits across its journey's
+    touches proportionally to 2^(-age_in_whole_days), so a touch the
+    day before the purchase earns twice the credit of one two days
+    before — completing the attribution trio (last-touch = most recent
+    wins, position-based = endpoints win, time-decay = recency-weighted).
+    Same journey construction and 7-day lookback as
+    attribution_position_based; unattributed purchases conserved.
+
+    Exactness: the decay weight is the INTEGER 128 >> d (d = whole days
+    before purchase, 0..7 inside the lookback, via integer floor-div of
+    the microsecond gap — no float timestamps), so the per-journey
+    share w/sum(w) is one IEEE double division of two exactly-
+    representable integers — correctly rounded, hence bit-identical in
+    both engines — rounded to 9 decimals and summed as DECIMAL
+    (order-independent). The conversion count is conserved within
+    rounding, as in the position-based twin.
+
+    Scale shape: identical to attribution_position_based (one
+    user-partition window, (user_id, journey) equi-joins, bounded
+    channel output) plus one more (user_id, journey) window for the
+    weight normalizer — all shuffles co-keyed on user_id, never a
+    time-range explosion."""
+    e = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = e.filter(
+        F.col("event_type").isin("purchase", "view", "click", "signup")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_p.cast("long")).over(w).alias("cum_p"),
+    )
+    touches = base.filter(~is_p).select(
+        "user_id",
+        (F.col("cum_p") + 1).alias("journey"),
+        F.col("ts").alias("t_ts"),
+        "event_id",
+        F.col("event_type").alias("channel"),
+    )
+    purchases = base.filter(is_p).select(
+        "user_id", F.col("cum_p").alias("journey"), F.col("ts").alias("p_ts")
+    )
+    gap = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
+    elig = (
+        touches.join(purchases, ["user_id", "journey"])
+        .filter(gap <= 604_800_000_000)
+        .select(
+            "user_id",
+            "journey",
+            "channel",
+            F.expr(
+                "shiftright(128L, cast((unix_micros(p_ts) - unix_micros(t_ts))"
+                " div 86400000000 as int))"
+            ).alias("w"),
+        )
+    )
+    sized = elig.select(
+        "channel",
+        "w",
+        F.sum("w").over(W.partitionBy("user_id", "journey")).alias("sw"),
+    )
+    per_channel = sized.groupBy("channel").agg(
+        F.sum(
+            F.round(F.col("w").cast("double") / F.col("sw").cast("double"), 9)
+            .cast("decimal(38,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("crs"),
+        F.count("*").cast("bigint").alias("n_touches"),
+    )
+    unattr = (
+        purchases.join(
+            elig.select("user_id", "journey").distinct(),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.col("n").cast("decimal(38,9)").alias("crs"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+        )
+    )
+    return (
+        per_channel.unionByName(unattr)
+        .select(
+            "channel",
+            F.round(F.col("crs").cast("double"), 6).alias(
+                "credited_conversions"
+            ),
+            "n_touches",
+        )
+        .orderBy("channel")
+    )
