@@ -917,3 +917,95 @@ class TestScd2MergeLaws:
                 assert len(rows) == 1
                 assert rows[0].valid_from == "2024-06-01"
                 assert rows[0].attr == f"new{k}"
+
+
+class TestRound8StatAndAttributionLaws:
+    """Cross-QUERY consistency laws for the round-8 statistical and
+    attribution tiers — engine parity is covered per-query by
+    test_oracle_parity; these pin relationships BETWEEN queries that
+    no single oracle can express.
+    """
+
+    def test_kruskal_on_two_groups_equals_mannwhitney_z_squared(
+        self, spark, tmp_path
+    ):
+        """For exactly two groups, tie-corrected Kruskal-Wallis H is
+        IDENTICALLY the square of the tie-corrected Mann-Whitney z
+        (rank-based one-way ANOVA degenerates to the rank-sum test).
+        Run the two REAL registered queries on an orders table filtered
+        to the URGENT/LOW pair and pin the identity — this catches a
+        formula drift in either query that its own oracle would happily
+        mirror (both sides of a parity check can be wrong together)."""
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+
+        from console_etl_spark.relational import (
+            stats_kruskal_wallis,
+            stats_mannwhitney_u,
+        )
+        from tests.conftest import SF_TEST
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet")
+        t = t.filter(
+            pc.is_in(
+                t["o_orderpriority"],
+                value_set=__import__("pyarrow").array(["1-URGENT", "5-LOW"]),
+            )
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+        kw = stats_kruskal_wallis(spark, str(tmp_path)).collect()[0]
+        mw = stats_mannwhitney_u(spark, str(tmp_path)).collect()[0]
+        assert kw["k"] == 2
+        assert kw["n"] == mw["n1"] + mw["n2"]
+        # both outputs are ROUND(…, 6); squaring the rounded z costs up
+        # to ~2*|z|*5e-7, so compare at 1e-5 absolute+relative
+        z2 = mw["z"] * mw["z"]
+        assert abs(kw["h_tie_corrected"] - z2) <= 1e-5 * max(1.0, z2), (
+            kw["h_tie_corrected"],
+            z2,
+        )
+
+    def test_attribution_trio_conserves_conversions(self, spark):
+        """Every attribution method distributes EXACTLY one conversion
+        per purchase: last-touch's integer counts sum to the purchase
+        count exactly; position-based and time-decay (per-touch credits
+        rounded to 9 decimals before the decimal sum) match within the
+        rounding budget. The two journey-based methods also agree
+        exactly on the unattributed count (identical journey + lookback
+        construction), while last-touch's may differ (its carried touch
+        survives an intervening purchase)."""
+        from pyspark.sql import functions as F
+
+        from console_etl_spark.relational import (
+            attribution_last_touch,
+            attribution_position_based,
+            attribution_time_decay,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        purchases = (
+            load_table(spark, SF_TEST, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        lt = attribution_last_touch(spark, SF_TEST).collect()
+        assert sum(r["n_purchases"] for r in lt) == purchases
+
+        pb = {r["channel"]: r for r in
+              attribution_position_based(spark, SF_TEST).collect()}
+        td = {r["channel"]: r for r in
+              attribution_time_decay(spark, SF_TEST).collect()}
+        for method, rows in (("position_based", pb), ("time_decay", td)):
+            total = sum(r["credited_conversions"] for r in rows.values())
+            # ≤ 9-decimal rounding per touch, 6-decimal per channel row
+            assert abs(total - purchases) < 1e-3, (method, total, purchases)
+        assert (
+            pb["unattributed"]["credited_conversions"]
+            == td["unattributed"]["credited_conversions"]
+        )
+        # journey-based methods see the same eligible touch multiset
+        assert {c: r["n_touches"] for c, r in pb.items()} == {
+            c: r["n_touches"] for c, r in td.items()
+        }
