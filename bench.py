@@ -87,6 +87,13 @@ HEADLINE = [
     # round-8 addition (bounded-lookback as-of — the streamable horizon
     # variant; the unbounded as-of is already in the core suite):
     "asof_join_bounded_lookback",
+    # round-8 second/third waves (rank-test prefix scans, journey
+    # attribution user-window kernels, calendar-bounded CUSUM argmax):
+    "stats_mannwhitney_u",
+    "stats_kruskal_wallis",
+    "attribution_position_based",
+    "attribution_time_decay",
+    "changepoint_cusum_daily_revenue",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary
