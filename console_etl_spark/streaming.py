@@ -343,6 +343,77 @@ def stream_markov_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+ATTR_OUTPUT = "user_id long, channel string, n long"
+ATTR_STATE = "mkt_ts long, mkt_type string"
+ATTR_LOOKBACK_US = 604_800_000_000  # 7 days, integer microseconds
+
+
+def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
+    """Per-user last-touch attribution maintained incrementally across
+    micro-batches — the streaming twin of the batch
+    attribution_last_touch query (relational.timeseries), for
+    arrival-ordered streams (same contract as
+    stream_markov_transitions; the out-of-order audit measures how safe
+    that assumption is). Marketing teams run this as the live
+    conversion dashboard the batch report reconciles nightly.
+
+    State per user is ONE (timestamp, type) pair: the most recent
+    marketing touch (view / click / signup) seen so far — purchases do
+    NOT reset it, matching the batch twin's carried IGNORE-NULLS
+    window. Each batch sorts its rows for the user by (ts, event_id)
+    (deterministic within the batch), bridges the carried touch to the
+    batch's first purchase, credits each purchase to the carried touch
+    if it is within the exact 7-day microsecond lookback (else
+    'unattributed'), and emits per-channel purchase counts in append
+    mode; the live report is a plain aggregation over the sink, and
+    stream==batch is pinned by test. At scale the state store shards by
+    user_id and holds one long + one short string per user."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _micros(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return s.astype("datetime64[ns]").astype("int64") // 1000
+        return s.astype("int64") // 1000  # NANOS-as-long fixture generation
+
+    def update(key: tuple, pdfs, state: GroupState):
+        mkt_ts, mkt_type = state.get if state.exists else (None, None)
+        counts: dict = {}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = _micros(pdf["ts"])
+            for t, ts_us in zip(pdf["event_type"], us):
+                if t == "purchase":
+                    within = (
+                        mkt_ts is not None
+                        and ts_us - mkt_ts <= ATTR_LOOKBACK_US
+                    )
+                    ch = mkt_type if within else "unattributed"
+                    counts[ch] = counts.get(ch, 0) + 1
+                elif t in ("view", "click", "signup"):
+                    mkt_ts, mkt_type = int(ts_us), t
+        if mkt_ts is not None:
+            state.update((mkt_ts, mkt_type))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "channel": list(counts),
+                    "n": list(counts.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        ATTR_OUTPUT,
+        ATTR_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """``running_user_totals`` on Spark 4's transformWithState API — the
     supported successor of applyInPandasWithState for arbitrary per-key

@@ -1558,3 +1558,99 @@ def test_stream_scd2_point_in_time_equals_batch(spark, tmp_path):
     ).toPandas()
     want = relational.scd2_point_in_time_join(spark, SF_TEST).toPandas()
     pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_stream_attribution_last_touch_equals_batch(spark, events_stream_dir):
+    """Per-user carried-touch attribution folded over arrival-ordered
+    micro-batches equals the batch attribution_last_touch report over
+    the same (ts, event_id) order — the carried (mkt_ts, mkt_type)
+    state bridges purchases in later batches to touches in earlier
+    ones, and the 7-day cutoff is the same integer-microsecond
+    comparison in both engines."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.relational import attribution_last_touch
+
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    sink = streaming.run_to_completion(
+        streaming.stream_attribution_last_touch(stream),
+        "attr_lt_sink",
+        "append",
+    )
+
+    got = {
+        r.channel: r.n
+        for r in sink.groupBy("channel").agg(F.sum("n").alias("n")).collect()
+    }
+    want = {
+        r.channel: r.n_purchases
+        for r in attribution_last_touch(spark, SF_TEST).collect()
+    }
+    assert got == want
+
+
+def test_stream_attribution_state_survives_restart(
+    spark, events_stream_dir, tmp_path
+):
+    """The carried last-touch state survives a checkpointed restart:
+    run the first half of the time-ordered files to a parquet sink,
+    stop, land the rest, restart with the SAME checkpoint — the final
+    per-channel totals equal the batch twin EXACTLY. A lost state store
+    would mis-attribute run-2 purchases whose touch arrived in run 1
+    (inflating 'unattributed'); replayed offsets would inflate every
+    count — equality rules out both."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.relational import attribution_last_touch
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    files = sorted(glob.glob(os.path.join(events_stream_dir, "part-*")))
+    assert len(files) == 4
+
+    def land(fs):
+        now = time.time()
+        for i, f in enumerate(fs):
+            dst = os.path.join(src, os.path.basename(f))
+            shutil.copy(f, dst)
+            os.utime(dst, (now + i, now + i))
+
+    def run_once():
+        stream = streaming.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            streaming.stream_attribution_last_touch(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(files[:2])
+    run_once()
+    mid = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
+    land(files[2:])
+    run_once()
+
+    got = {
+        r.channel: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("channel")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    want = {
+        r.channel: r.n_purchases
+        for r in attribution_last_touch(spark, SF_TEST).collect()
+    }
+    assert got == want
+    assert 0 < mid < sum(want.values())  # both runs made real progress
