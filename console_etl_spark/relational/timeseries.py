@@ -1945,3 +1945,218 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@_register(
+    "anomaly_mad_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY o_orderdate
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+    ), med AS (
+      SELECT rev AS med FROM (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn FROM daily
+      ), n WHERE rn = (n_days + 1) // 2
+    ), dev AS (
+      SELECT d, rev, ABS(rev - med.med) AS dev FROM daily, med
+    ), mad AS (
+      SELECT dev AS mad FROM (
+        SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn FROM dev
+      ), n WHERE rn = (n_days + 1) // 2
+    ), flagged AS (
+      SELECT d, dev,
+             CASE WHEN CAST(dev * 100 AS HUGEINT) * 10
+                       > 35 * CAST(mad.mad * 100 AS HUGEINT)
+                  THEN 1 ELSE 0 END AS is_anom
+      FROM dev, mad
+    )
+    SELECT n.n_days,
+           ROUND(CAST(med.med AS DOUBLE), 2) AS med,
+           ROUND(CAST(mad.mad AS DOUBLE), 2) AS mad,
+           CAST((SELECT SUM(is_anom) FROM flagged) AS BIGINT) AS n_anomalies,
+           (SELECT d FROM flagged ORDER BY dev DESC, d ASC LIMIT 1)
+             AS max_dev_date,
+           ROUND(CAST((SELECT MAX(dev) FROM flagged) AS DOUBLE), 2) AS max_dev
+    FROM n, med, mad
+    """,
+)
+def anomaly_mad_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust point-anomaly audit of the daily revenue series: days
+    whose deviation from the median exceeds 3.5 MADs — the
+    outlier-DAY companion of changepoint_cusum_daily_revenue (which
+    finds the level SHIFT) and the series-level sibling of
+    spc_xmr_user_chart (which watches per-user points). Reports the
+    median, the MAD, the anomaly count, and the most deviant day.
+
+    Exactness: ZERO floats anywhere in the decision path. The median
+    and the MAD are LOWER medians (the (n+1)//2-th order statistic —
+    documented choice, identical both engines, no midpoint
+    interpolation), deviations are exact DECIMAL(38,2) differences,
+    and the 3.5-MAD threshold is the integer-cent cross-multiplication
+    dev_cents*10 > 35*mad_cents. Doubles appear only in the reported
+    columns, after every comparison is settled.
+
+    Scale shape: identical to the CUSUM twin — ONE map-side-combinable
+    date groupBy collapses the fact scan to the calendar-bounded daily
+    grid (~2,400 rows at any SF); the grid is PINNED (session.pin) so
+    the median / MAD / flag branches reuse one materialization instead
+    of re-running the fact scan per branch, and the order-statistic
+    selections run on that bounded relation (the documented
+    bounded-final-sort class in PLAN_AUDIT.json)."""
+    from ..session import pin
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = pin(
+        o.groupBy(F.col("o_orderdate").alias("d")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        ranked = df.select(
+            F.col(col), F.row_number().over(W.orderBy(col)).alias("rn")
+        )
+        return (
+            ranked.crossJoin(F.broadcast(n))
+            .filter(F.col("rn") == F.expr("(n_days + 1) div 2"))
+            .select(F.col(col).alias("m"))
+        )
+
+    med = lower_median(daily, "rev").withColumnRenamed("m", "med")
+    dev = pin(
+        daily.crossJoin(F.broadcast(med)).select(
+            "d", F.abs(F.col("rev") - F.col("med")).alias("dev")
+        )
+    )
+    mad = lower_median(dev, "dev").withColumnRenamed("m", "mad")
+    d38 = "decimal(38,0)"
+    flagged = dev.crossJoin(F.broadcast(mad)).select(
+        "d",
+        "dev",
+        F.when(
+            (F.col("dev") * 100).cast(d38) * 10
+            > F.lit(35) * (F.col("mad") * 100).cast(d38),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anom"),
+    )
+    top = (
+        flagged.orderBy(F.col("dev").desc(), F.col("d").asc())
+        .limit(1)
+        .select(F.col("d").alias("max_dev_date"))
+    )
+    summary = flagged.agg(
+        F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+        F.round(F.max("dev").cast("double"), 2).alias("max_dev"),
+    )
+    return (
+        n.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_days",
+            F.round(F.col("med").cast("double"), 2).alias("med"),
+            F.round(F.col("mad").cast("double"), 2).alias("mad"),
+            "n_anomalies",
+            "max_dev_date",
+            "max_dev",
+        )
+    )
+
+
+@_register(
+    "path_top_trigrams_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS BIGINT) AS session_id
+      FROM flagged
+    ), steps AS (
+      SELECT event_type AS a,
+             LEAD(event_type, 1) OVER w AS b,
+             LEAD(event_type, 2) OVER w AS c,
+             session_id,
+             LEAD(session_id, 2) OVER w AS session_id_2
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM steps
+    WHERE session_id_2 = session_id
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 20
+    """,
+)
+def path_top_trigrams_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavior paths WITHIN sessions (event-type
+    trigrams over the 30-minute-gap sessionization of
+    sessionize_events) — the depth-2 extension of the first-order
+    markov_event_transitions matrix, and the product-analytics 'what
+    do users do next-next' report. A trigram counts only when all
+    three steps fall in the SAME session: since session ids are
+    non-decreasing within a user, session(t) == session(t+2) is the
+    exact containment predicate (one comparison, no per-step
+    conjunction).
+
+    Scale shape: the session build and both LEADs share ONE user_id
+    exchange and ONE (ts, event_id) sort (plan-verified: 2 exchanges
+    total — the user hash and the path groupBy — and 1 sort; the lag /
+    cumulative-sum / lead window functions stack as Window operators
+    over the already-sorted partition without re-exchanging); the
+    trigram count is a map-side-combinable groupBy on the bounded
+    event-type-alphabet^3 domain, and top-20 is a TakeOrdered, never a
+    global sort. All counts exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_new).over(wsum).cast("bigint").alias("session_id"),
+    )
+    steps = sessions.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+        "session_id",
+        F.lead("session_id", 2).over(w).alias("session_id_2"),
+    )
+    return (
+        steps.filter(F.col("session_id_2") == F.col("session_id"))
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(20)
+    )
