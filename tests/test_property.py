@@ -1009,3 +1009,43 @@ class TestRound8StatAndAttributionLaws:
         assert {c: r["n_touches"] for c, r in pb.items()} == {
             c: r["n_touches"] for c, r in td.items()
         }
+
+    def test_mad_anomaly_flags_invariant_to_scaling(self, spark, tmp_path):
+        """Robust-statistics contract of anomaly_mad_daily_revenue:
+        scaling every order's price by a=3 (exact at DECIMAL(12,2)
+        scale) scales the median, MAD, and max deviation by exactly 3
+        and flags the SAME anomaly days — median and MAD are
+        equivariant and the 3.5-MAD integer-cent cross-multiplication
+        is scale-invariant. A float anywhere in the decision path (or
+        interpolation in the median) breaks this exactness. (A per-
+        order SHIFT is deliberately not tested: daily revenue is a sum
+        over a varying order count, so an order-level shift is not a
+        uniform day-level shift.)"""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import anomaly_mad_daily_revenue
+        from tests.conftest import SF_TEST
+
+        base = anomaly_mad_daily_revenue(spark, SF_TEST).collect()[0]
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet")
+        price = t["o_totalprice"]
+        orig_type = price.type
+        asf = pc.cast(price, pa.float64())  # ≤ 1e10 cents: exact in f64
+        newp = pc.cast(pc.multiply(asf, pa.scalar(3.0)), orig_type)
+        idx = t.schema.get_field_index("o_totalprice")
+        pq.write_table(
+            t.set_column(idx, "o_totalprice", newp),
+            str(tmp_path / "orders.parquet"),
+        )
+
+        scaled = anomaly_mad_daily_revenue(spark, str(tmp_path)).collect()[0]
+        assert scaled["n_days"] == base["n_days"]
+        assert scaled["n_anomalies"] == base["n_anomalies"]
+        assert scaled["max_dev_date"] == base["max_dev_date"]
+        for col in ("med", "mad", "max_dev"):
+            assert scaled[col] == round(3 * base[col], 2), (
+                col, scaled[col], base[col],
+            )
