@@ -1610,62 +1610,75 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) Spark-side, HUGEINT in the oracle), so the
     distributed accumulation is order-independent and bit-identical
     across engines. H and its tie-corrected form convert to double only
-    in the final 5-row fold, with the same operation sequence both
+    in the final one-row fold, with the same operation sequence both
     sides before ROUND.
 
     Scale shape (kernel citation: llmops.pipeline.global_prefix_sum):
-    one partial-agg shuffle collapses the order scan to (value, group)
-    counts, a second map-side-combinable groupBy derives per-value
-    totals, the prefix kernel scans them with NO SinglePartition
-    window, the join-back is value-domain-sized, and everything after
-    is a 5-row bounded relation. At 100 TB the cost is the distinct
-    price domain, not the row count — the sf1 rehearsal of the sibling
-    Mann-Whitney measured FLAT wall time at 10x input."""
+    the group domain is the CLOSED 5-value TPC-H priority set, so the
+    per-group counts pivot into five columns of ONE map-side-combinable
+    groupBy(x) — no second shuffle and no value-domain join-back (the
+    narrow groupBy(x,g)+join form was A/B-measured 18% slower at sf0.1;
+    BENCH_AB_r8.md) — then the prefix kernel scans the value domain
+    with NO SinglePartition window and one bounded aggregate folds all
+    five rank-sums. If the domain ever grows past the five literals,
+    n != sum(ct) and the query reports NULL statistics rather than a
+    silently wrong H (guard below). At 100 TB the cost is the distinct
+    price domain, not the row count — the sf1 rehearsal measured
+    near-FLAT wall time at 10x input."""
     from ..llmops.pipeline import global_prefix_sum
 
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     s = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
         F.col("o_orderpriority").alias("g"),
     )
-    v = s.groupBy("x", "g").agg(F.count("*").cast("bigint").alias("cg"))
-    tot = v.groupBy("x").agg(F.sum("cg").cast("bigint").alias("ct"))
-    cum = global_prefix_sum(tot, ["x"], "ct", out_col="below", inclusive=False)
-    d38 = "decimal(38,0)"
-    joined = v.join(cum, "x")
-    per_g = joined.groupBy("g").agg(
-        F.sum("cg").cast("bigint").alias("n_g"),
-        F.sum(
-            F.col("cg").cast(d38)
-            * (2 * F.col("below").cast(d38) + F.col("ct").cast(d38) + 1)
-        )
-        .cast("double")
-        .alias("two_r"),
+    v = s.groupBy("x").agg(
+        *[
+            F.sum((F.col("g") == p).cast("long")).cast("bigint").alias(f"c{i}")
+            for i, p in enumerate(prios)
+        ],
+        F.count("*").cast("bigint").alias("ct"),
     )
-    ties = cum.agg(
+    cum = global_prefix_sum(v, ["x"], "ct", out_col="below", inclusive=False)
+    d38 = "decimal(38,0)"
+    mid = 2 * F.col("below").cast(d38) + F.col("ct").cast(d38) + 1
+    agg = cum.agg(
+        *[
+            F.sum(F.col(f"c{i}").cast(d38) * mid).cast("double").alias(f"two_r{i}")
+            for i in range(5)
+        ],
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(5)],
+        F.sum("ct").cast("bigint").alias("n_all"),
         F.sum(
             F.col("ct").cast(d38) * F.col("ct").cast(d38) * F.col("ct").cast(d38)
             - F.col("ct").cast(d38)
         )
         .cast("double")
-        .alias("tie_t")
+        .alias("tie_t"),
     )
-    agg = per_g.crossJoin(F.broadcast(ties)).agg(
-        F.sum("n_g").cast("bigint").alias("n"),
-        F.count("*").cast("bigint").alias("k"),
-        F.sum(
-            F.col("two_r") * F.col("two_r") / (4.0 * F.col("n_g").cast("double"))
-        ).alias("sum_r2n"),
-        F.max("tie_t").alias("tie_t"),
+    n = sum(F.col(f"n{i}") for i in range(5)).cast("bigint")
+    # empty groups contribute 0 to the rank-sum fold (and don't count
+    # toward k) — matches GROUP BY semantics of the narrow/oracle form
+    sum_r2n = sum(
+        F.when(
+            F.col(f"n{i}") > 0,
+            F.col(f"two_r{i}") * F.col(f"two_r{i}")
+            / (4.0 * F.col(f"n{i}").cast("double")),
+        ).otherwise(F.lit(0.0))
+        for i in range(5)
     )
-    nd = F.col("n").cast("double")
-    h = 12.0 / (nd * (nd + 1.0)) * F.col("sum_r2n") - 3.0 * (nd + 1.0)
+    k = sum((F.col(f"n{i}") > 0).cast("long") for i in range(5)).cast("bigint")
+    nd = n.cast("double")
+    h = 12.0 / (nd * (nd + 1.0)) * sum_r2n - 3.0 * (nd + 1.0)
+    closed_domain = n == F.col("n_all")  # else: NULL, never a wrong H
     return agg.select(
-        "n",
-        "k",
-        F.round(h, 6).alias("h"),
-        F.round(h / (1.0 - F.col("tie_t") / (nd * nd * nd - nd)), 6).alias(
-            "h_tie_corrected"
-        ),
+        n.alias("n"),
+        k.alias("k"),
+        F.when(closed_domain, F.round(h, 6)).alias("h"),
+        F.when(
+            closed_domain,
+            F.round(h / (1.0 - F.col("tie_t") / (nd * nd * nd - nd)), 6),
+        ).alias("h_tie_corrected"),
     )
 
 
