@@ -70,7 +70,7 @@ _MODULES = (
 # r1-stale rows remain for r9 (q15_top_supplier,
 # q22_idle_rich_customers, q11_important_parts), then r2 rows age in.
 _PRIORITY = (
-    # new r8 registrations, oracle-backed, never driver-checked (10)
+    # new r8 registrations, oracle-backed, never driver-checked (11)
     "asof_join_bounded_lookback",
     "sql_group_by_all_revenue",
     "sql_order_by_all_nation_summary",
@@ -81,6 +81,7 @@ _PRIORITY = (
     "attribution_time_decay",
     "anomaly_mad_daily_revenue",
     "path_top_trigrams_sessions",
+    "repeat_purchase_intervals",
     # never driver-checked, rows-only (all 34): registration order
     "dedup_embedding_cosine_ann",
     "text_langid_heuristic",
@@ -116,18 +117,17 @@ _PRIORITY = (
     "cluster_kmeans_embeddings",
     "cluster_kmeans_topic_mix",
     "semdedup_cluster_prune",
-    # oldest driver rows (r1, 6 of 16): registration order
-    # (q9/q14, range_join/q7/q8, then setop_except/events_sliding,
-    # displaced by the second/third/fourth-wave registrations —
-    # VERDICT r7 item 8 requires same-round windowing for new queries;
-    # all seven keep their existing r1 driver rows, so the
-    # never-checked backlog stays 0)
+    # oldest driver rows (r1, 5 of 16): registration order
+    # (q9/q14, range_join/q7/q8, setop_except/events_sliding, then
+    # setop_intersect, displaced by the second- through fifth-wave
+    # registrations — VERDICT r7 item 8 requires same-round windowing
+    # for new queries; all eight keep their existing r1 driver rows,
+    # so the never-checked backlog stays 0)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
     "window_running_quantity",
     "window_order_gap_days",
     "window_rank_parts_by_price",
-    "setop_intersect_nations",
     # WINDOW FULL at 50.
 )
 

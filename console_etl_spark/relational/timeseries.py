@@ -2173,3 +2173,110 @@ def path_top_trigrams_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@_register(
+    "repeat_purchase_intervals",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT (us - prev_us) // 86400000000 AS gap_days
+      FROM p WHERE prev_us IS NOT NULL
+    ), buckets AS (
+      SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n FROM gaps GROUP BY gap_days
+    ), cum AS (
+      SELECT gap_days, n,
+             CAST(SUM(n) OVER (ORDER BY gap_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c,
+             CAST(SUM(n) OVER () AS BIGINT) AS t
+      FROM buckets
+    ), users AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS buyers,
+             CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeaters
+      FROM (SELECT user_id, COUNT(*) AS np FROM p GROUP BY user_id)
+    )
+    SELECT (SELECT t FROM cum LIMIT 1) AS n_gaps,
+           (SELECT MIN(gap_days) FROM cum WHERE c * 2 >= t) AS p50_days,
+           (SELECT MIN(gap_days) FROM cum WHERE c * 10 >= t * 9) AS p90_days,
+           buyers, repeaters,
+           ROUND(CAST(repeaters AS DOUBLE) / CAST(buyers AS DOUBLE), 6)
+             AS repeat_rate
+    FROM users
+    """,
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase behavior: the day-granular distribution of gaps
+    between a user's consecutive purchases (p50/p90) and the repeat
+    rate (buyers with a second purchase / all buyers) — the retention
+    metric the attribution family feeds, and the empirical basis for
+    choosing lookback horizons like the 7-day attribution window.
+
+    Exactness: gaps floor-divide integer microseconds into whole days
+    (no float timestamps); p50/p90 are EXACT order statistics over the
+    day buckets — the smallest day d whose cumulative count reaches
+    ceil(q*t), selected by the integer cross-multiplications c*2 >= t
+    and c*10 >= 9*t (no interpolation, no percentile_approx) — and the
+    repeat rate is one IEEE division of two exact counts.
+
+    Scale shape: one user-partition lag window over the purchase-only
+    scan (filter pushed to parquet), then a map-side-combinable groupBy
+    onto the BOUNDED whole-day bucket domain; the cumulative scan and
+    quantile selection run on that bounded relation. The repeat-rate
+    arm is one more map-side groupBy(user) to per-user counts. No
+    full-gap global sort anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    gaps = p.filter(F.col("prev_us").isNotNull()).select(
+        F.expr("(us - prev_us) div 86400000000").alias("gap_days")
+    )
+    buckets = gaps.groupBy("gap_days").agg(F.count("*").cast("bigint").alias("n"))
+    wc = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = buckets.select(
+        "gap_days",
+        F.sum("n").over(wc).cast("bigint").alias("c"),
+        F.sum("n").over(W.orderBy("gap_days").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).cast("bigint").alias("t"),
+    )
+    q = cum.agg(
+        F.max("t").alias("n_gaps"),
+        F.min(F.when(F.col("c") * 2 >= F.col("t"), F.col("gap_days"))).alias(
+            "p50_days"
+        ),
+        F.min(
+            F.when(F.col("c") * 10 >= F.col("t") * 9, F.col("gap_days"))
+        ).alias("p90_days"),
+    )
+    users = (
+        p.groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .agg(
+            F.count("*").cast("bigint").alias("buyers"),
+            F.sum((F.col("np") >= 2).cast("long")).cast("bigint").alias(
+                "repeaters"
+            ),
+        )
+    )
+    return q.crossJoin(F.broadcast(users)).select(
+        "n_gaps",
+        "p50_days",
+        "p90_days",
+        "buyers",
+        "repeaters",
+        F.round(
+            F.col("repeaters").cast("double") / F.col("buyers").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    )

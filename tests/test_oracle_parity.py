@@ -61,19 +61,20 @@ def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
     priority list. Round 8 zeroes the never-checked backlog (VERDICT r7
-    item 1): 10 new oracle-backed registrations (3 first-wave, the
+    item 1): 11 new oracle-backed registrations (3 first-wave, the
     second-wave Mann-Whitney/attribution pair, the third-wave
-    Kruskal-Wallis/CUSUM/time-decay trio, and the fourth-wave MAD
-    anomaly / session-path pair — all windowed same-round per VERDICT
-    r7 item 8), then ALL 34 remaining never-driver-checked rows-only
-    queries, then the 6 oldest (r1) oracle rows — 16 oracle value-hash
-    slots + 34 rows-only slots. (A Spearman changed-impl
+    Kruskal-Wallis/CUSUM/time-decay trio, the fourth-wave MAD anomaly /
+    session-path pair, and the fifth-wave repeat-purchase intervals —
+    all windowed same-round per VERDICT r7 item 8), then ALL 34
+    remaining never-driver-checked rows-only queries, then the 5 oldest
+    (r1) oracle rows — 16 oracle value-hash slots + 34 rows-only
+    slots. (A Spearman changed-impl
     slot was planned, then freed when the fusion was A/B-rejected and
     reverted — BENCH_AB_r8.md.)"""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
-    oracle_slots = first50[:10] + first50[44:]
-    rows_only_slots = first50[10:44]
+    oracle_slots = first50[:11] + first50[45:]
+    rows_only_slots = first50[11:45]
     assert len(oracle_slots) == 16 and len(rows_only_slots) == 34
     assert all(n in ORACLE for n in oracle_slots), [
         n for n in oracle_slots if n not in ORACLE
@@ -178,7 +179,7 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == list(E._PRIORITY[10:44]), (
+    assert rows_only == list(E._PRIORITY[11:45]), (
         f"rows-only slots must be exactly the drained backlog tier: {rows_only}"
     )
     # and the window really is the first 50 registrations
