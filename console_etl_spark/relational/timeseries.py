@@ -1465,7 +1465,11 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to parquet); the touch-to-purchase match is an equi-join on
     (user_id, journey), never a time-range explosion; positions come
     from a window over (user_id, journey). All shuffles key on user_id
-    (+journey) — co-partitioned, skew-bounded by per-user activity. The
+    (+journey) — co-partitioned, skew-bounded by per-user activity.
+    The shared subtree is deliberately NOT pinned: re-expansion
+    measured faster than persisting the data-sized window output
+    (BENCH_AB_r8.md §5), and lineage recompute is the crash-resilient
+    choice at cluster scale. The
     per-touch credit is rounded to 9 decimals and summed as DECIMAL
     (order-independent), so both engines aggregate identical exact
     values; conversion to double happens once, on the final bounded

@@ -578,6 +578,62 @@ def test_dsir_join_shape_matches_perplexity(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_rank_tests_one_kernel_window_one_scalar_exchange(spark):
+    """Mann-Whitney and Kruskal-Wallis (r8): ONE Window operator total
+    (the prefix kernel's range-partition scan — the naive global-rank
+    form would add an unpartitioned Window), one SinglePartition
+    exchange (the final scalar fold), no join operator in Kruskal's
+    wide-pivot form, and Mann-Whitney's priority filter pushed to the
+    orders scan."""
+    mw = plan_of(relational.stats_mannwhitney_u(spark, SF_TEST))
+    assert mw.count("Window") == 1, mw
+    assert mw.count("Exchange SinglePartition") == 1, mw
+    assert "In(o_orderpriority" in mw, mw
+    kw = plan_of(relational.stats_kruskal_wallis(spark, SF_TEST))
+    assert kw.count("Window") == 1, kw
+    assert kw.count("Exchange SinglePartition") == 1, kw
+    assert "SortMergeJoin" not in kw, kw  # join-back eliminated (AB §4)
+
+
+def test_attribution_journey_equijoin_no_range_explosion(spark):
+    """The journey-attribution pair (r8): the touch-to-purchase match
+    must stay an equi-join on (user_id, journey) — exactly one
+    sort-merge join, never a nested-loop/cartesian time-range pairing —
+    and the 4-type event filter reaches the parquet scan."""
+    for fn in (
+        relational.attribution_position_based,
+        relational.attribution_time_decay,
+    ):
+        plan = plan_of(fn(spark, SF_TEST))
+        assert plan.count("SortMergeJoin") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "In(event_type" in plan, plan
+
+
+def test_repeat_intervals_purchase_filter_pushed_buckets_bounded(spark):
+    """repeat_purchase_intervals (r8): the purchase-only predicate is
+    pushed to the scan, and both SinglePartition exchanges carry
+    bounded relations (the whole-day bucket grid and the final fold) —
+    each one's child aggregates or windows bucket rows, never raw
+    events."""
+    plan = plan_of(relational.repeat_purchase_intervals(spark, SF_TEST))
+    assert "EqualTo(event_type,purchase)" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_path_trigrams_one_exchange_one_sort_takeordered(spark):
+    """path_top_trigrams_sessions (r8): the session build and both
+    LEADs share ONE user exchange and ONE sort; top-20 plans as
+    TakeOrderedAndProject, never a global sort; no SinglePartition
+    exchange anywhere."""
+    plan = plan_of(relational.path_top_trigrams_sessions(spark, SF_TEST))
+    assert plan.count("Exchange") == 2, plan  # user hash + path groupBy
+    assert plan.count("Exchange SinglePartition") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_plan_audit_artifact_in_sync_with_registry():
     """PLAN_AUDIT.json is the judge's plan-quality evidence; it went
     stale in round 7 (regenerated only at round start). Pin the
