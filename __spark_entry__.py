@@ -58,17 +58,24 @@ _MODULES = (
 # their last driver row, then oldest rows first. ROUND 8 (seventh
 # rotation) ZEROES the never-checked backlog (VERDICT r7 item 1): after
 # r7 drained all 43 never-checked oracle queries, 34 rows-only entries
-# remained with no driver row ever. This window = the 3 NEW r8
-# registrations (never-checked, oracle-backed: the bounded-lookback
-# as-of and the GROUP/ORDER BY ALL surfaces), then ALL 34 never-checked
-# rows-only queries, then the 13 OLDEST oracle rows (driver-checked r1,
-# stale for seven rounds, in registration order). A Spearman fusion was
-# built, A/B-measured 8% slower, and reverted this round
-# (BENCH_AB_r8.md) — its implementation is byte-equal to the r7-checked
-# form (docstring-only diff), so it takes no changed-impl slot. After
-# this round the never-checked backlog is 0 for the first time; 3
-# r1-stale rows remain for r9 (q15_top_supplier,
-# q22_idle_rich_customers, q11_important_parts), then r2 rows age in.
+# remained with no driver row ever. This window = the 11 NEW r8
+# registrations (never-checked, oracle-backed, registered across five
+# waves this round — each windowed same-round per VERDICT r7 item 8),
+# then ALL 34 never-checked rows-only queries, then the 5 OLDEST
+# oracle rows (driver-checked r1, stale for seven rounds, in
+# registration order). A Spearman fusion was built, A/B-measured 8%
+# slower, and reverted this round (BENCH_AB_r8.md) — its
+# implementation is byte-equal to the r7-checked form (docstring-only
+# diff), so it takes no changed-impl slot; the r8 Kruskal-Wallis
+# wide-pivot rewrite (BENCH_AB_r8.md §4) landed while the query was
+# already in this window, so its driver row checks the shipped form.
+# After this round the never-checked backlog is 0 for the first time;
+# 11 r1-stale rows remain for r9 (q15_top_supplier,
+# q22_idle_rich_customers, q11_important_parts, plus the 8 displaced
+# by same-round windowing: q9_profit_by_nation_year, q14_promo_revenue,
+# range_join_price_bands, q7_volume_shipping, q8_market_share,
+# setop_except_nations, events_sliding_windows,
+# setop_intersect_nations), then r2 rows age in.
 _PRIORITY = (
     # new r8 registrations, oracle-backed, never driver-checked (11)
     "asof_join_bounded_lookback",

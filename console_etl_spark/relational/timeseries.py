@@ -1475,36 +1475,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; conversion to double happens once, on the final bounded
     per-channel relation."""
     e = load_table(spark, sf_dir, "events")
-    is_p = F.col("event_type") == "purchase"
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    base = (
-        e.filter(F.col("event_type").isin("purchase", "view", "click", "signup"))
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            "event_type",
-            F.sum(is_p.cast("long")).over(w).alias("cum_p"),
-        )
-    )
-    touches = base.filter(~is_p).select(
-        "user_id",
-        (F.col("cum_p") + 1).alias("journey"),
-        F.col("ts").alias("t_ts"),
-        "event_id",
-        F.col("event_type").alias("channel"),
-    )
-    purchases = base.filter(is_p).select(
-        "user_id", F.col("cum_p").alias("journey"), F.col("ts").alias("p_ts")
-    )
-    elig = touches.join(purchases, ["user_id", "journey"]).filter(
-        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
-        <= 604_800_000_000
-    )
+    touches, purchases, elig = _journey_relations(e)
     wj = W.partitionBy("user_id", "journey").orderBy("t_ts", "event_id")
     sized = elig.select(
         "user_id",
@@ -1529,30 +1500,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_touches"),
         )
     )
-    unattr = (
-        purchases.join(
-            elig.select("user_id", "journey").distinct(),
-            ["user_id", "journey"],
-            "left_anti",
-        )
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.lit("unattributed").alias("channel"),
-            F.col("n").cast("decimal(38,9)").alias("crs"),
-            F.lit(0).cast("bigint").alias("n_touches"),
-        )
-    )
-    return (
-        per_channel.unionByName(unattr)
-        .select(
-            "channel",
-            F.round(F.col("crs").cast("double"), 6).alias(
-                "credited_conversions"
-            ),
-            "n_touches",
-        )
-        .orderBy("channel")
-    )
+    return _attribution_report(per_channel, purchases, elig)
 
 
 @_register(
@@ -1885,44 +1833,15 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight normalizer — all shuffles co-keyed on user_id, never a
     time-range explosion."""
     e = load_table(spark, sf_dir, "events")
-    is_p = F.col("event_type") == "purchase"
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    base = e.filter(
-        F.col("event_type").isin("purchase", "view", "click", "signup")
-    ).select(
+    _, purchases, elig_full = _journey_relations(e)
+    elig = elig_full.select(
         "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(is_p.cast("long")).over(w).alias("cum_p"),
-    )
-    touches = base.filter(~is_p).select(
-        "user_id",
-        (F.col("cum_p") + 1).alias("journey"),
-        F.col("ts").alias("t_ts"),
-        "event_id",
-        F.col("event_type").alias("channel"),
-    )
-    purchases = base.filter(is_p).select(
-        "user_id", F.col("cum_p").alias("journey"), F.col("ts").alias("p_ts")
-    )
-    gap = F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
-    elig = (
-        touches.join(purchases, ["user_id", "journey"])
-        .filter(gap <= 604_800_000_000)
-        .select(
-            "user_id",
-            "journey",
-            "channel",
-            F.expr(
-                "shiftright(128L, cast((unix_micros(p_ts) - unix_micros(t_ts))"
-                " div 86400000000 as int))"
-            ).alias("w"),
-        )
+        "journey",
+        "channel",
+        F.expr(
+            "shiftright(128L, cast((unix_micros(p_ts) - unix_micros(t_ts))"
+            " div 86400000000 as int))"
+        ).alias("w"),
     )
     sized = elig.select(
         "channel",
@@ -1938,30 +1857,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("crs"),
         F.count("*").cast("bigint").alias("n_touches"),
     )
-    unattr = (
-        purchases.join(
-            elig.select("user_id", "journey").distinct(),
-            ["user_id", "journey"],
-            "left_anti",
-        )
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.lit("unattributed").alias("channel"),
-            F.col("n").cast("decimal(38,9)").alias("crs"),
-            F.lit(0).cast("bigint").alias("n_touches"),
-        )
-    )
-    return (
-        per_channel.unionByName(unattr)
-        .select(
-            "channel",
-            F.round(F.col("crs").cast("double"), 6).alias(
-                "credited_conversions"
-            ),
-            "n_touches",
-        )
-        .orderBy("channel")
-    )
+    return _attribution_report(per_channel, purchases, elig)
 
 
 @_register(
@@ -2283,4 +2179,82 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("repeaters").cast("double") / F.col("buyers").cast("double"),
             6,
         ).alias("repeat_rate"),
+    )
+
+
+# --- shared journey-attribution plumbing (r8 review item 3) ----------------
+# The multi-touch attribution queries MUST agree on journey numbering,
+# the 7-day lookback, and the unattributed-conservation row — the
+# cross-query law test pins exactly that agreement — so the
+# construction lives once here. Helpers are module-level (not
+# registered); position in the file does not affect registration order.
+
+ATTR_LOOKBACK_US = 604_800_000_000  # 7 days, integer microseconds
+
+
+def _journey_relations(e: DataFrame):
+    """(touches, purchases, elig) for journey-based attribution: one
+    user-partition running purchase count numbers journeys, touches
+    match purchases by (user_id, journey) equi-join, and eligibility is
+    the exact integer-microsecond 7-day lookback. elig carries
+    (user_id, journey, channel, t_ts, event_id, p_ts)."""
+    is_p = F.col("event_type") == "purchase"
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = e.filter(
+        F.col("event_type").isin("purchase", "view", "click", "signup")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_p.cast("long")).over(w).alias("cum_p"),
+    )
+    touches = base.filter(~is_p).select(
+        "user_id",
+        (F.col("cum_p") + 1).alias("journey"),
+        F.col("ts").alias("t_ts"),
+        "event_id",
+        F.col("event_type").alias("channel"),
+    )
+    purchases = base.filter(is_p).select(
+        "user_id", F.col("cum_p").alias("journey"), F.col("ts").alias("p_ts")
+    )
+    elig = touches.join(purchases, ["user_id", "journey"]).filter(
+        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
+        <= ATTR_LOOKBACK_US
+    )
+    return touches, purchases, elig
+
+
+def _attribution_report(per_channel: DataFrame, purchases, elig) -> DataFrame:
+    """Append the conservation row (purchases whose journey has no
+    eligible touch, full credit as 'unattributed') and render the final
+    (channel, credited_conversions, n_touches) report."""
+    unattr = (
+        purchases.join(
+            elig.select("user_id", "journey").distinct(),
+            ["user_id", "journey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.col("n").cast("decimal(38,9)").alias("crs"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+        )
+    )
+    return (
+        per_channel.unionByName(unattr)
+        .select(
+            "channel",
+            F.round(F.col("crs").cast("double"), 6).alias(
+                "credited_conversions"
+            ),
+            "n_touches",
+        )
+        .orderBy("channel")
     )

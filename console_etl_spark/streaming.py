@@ -313,10 +313,12 @@ def stream_markov_transitions(events: DataFrame) -> DataFrame:
     def update(key: tuple, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         pairs: dict = {}
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A group larger than the Arrow batch size arrives as MULTIPLE
+        # chunks in arbitrary order — concatenate before the one sort,
+        # or a purchase chunk could precede its earlier-ts touch chunk.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for t in pdf["event_type"]:
                 if last is not None:
                     k = (last, t)
@@ -379,10 +381,12 @@ def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
     def update(key: tuple, pdfs, state: GroupState):
         mkt_ts, mkt_type = state.get if state.exists else (None, None)
         counts: dict = {}
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concatenate the group's Arrow chunks before the one sort (a
+        # group larger than the Arrow batch size arrives as multiple
+        # chunks in arbitrary order; see stream_markov_transitions).
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             us = _micros(pdf["ts"])
             for t, ts_us in zip(pdf["event_type"], us):
                 if t == "purchase":
@@ -1053,6 +1057,39 @@ def stream_psi_monitor(
 # streaming twin of relational.asof_join_bounded_lookback
 # --------------------------------------------------------------------------
 
+
+def _asof_sides(events: DataFrame, watermark: str, with_values: bool):
+    """(views, purchases) watermarked sides shared by both as-of
+    enrichment variants — one place owns the column contract
+    (view_event/purchase_event names, v_user_id disambiguation) and
+    the watermark tagging, so the backward and nearest twins cannot
+    drift apart (r8 review item 4)."""
+    vcols = [
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event"),
+    ]
+    pcols = [
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event"),
+    ]
+    if with_values:
+        vcols.append(F.col("value").alias("view_value"))
+        pcols.append(F.col("value").alias("purchase_value"))
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(*vcols)
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(*pcols)
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views, purchases
+
+
 def asof_enrich_join(
     events: DataFrame,
     lookback: str = "24 hours",
@@ -1091,26 +1128,7 @@ def asof_enrich_join(
     finalize_window); the shuffles key on user_id and purchase_event —
     no global state, no SinglePartition.
     """
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
-            F.col("event_id").alias("view_event"),
-            F.col("value").alias("view_value"),
-        )
-        .withWatermark("view_ts", watermark)
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_event"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
+    views, purchases = _asof_sides(events, watermark, with_values=True)
     pairs = purchases.join(
         views,
         (F.col("user_id") == F.col("v_user_id"))
@@ -1182,24 +1200,7 @@ def asof_nearest_enrich_join(
     the join's state retention, so no forward candidate is missed —
     the stream==batch test would catch a premature finalize.
     """
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user_id"),
-            F.col("ts").alias("view_ts"),
-            F.col("event_id").alias("view_event"),
-        )
-        .withWatermark("view_ts", watermark)
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_event"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
+    views, purchases = _asof_sides(events, watermark, with_values=False)
     h = F.expr(f"INTERVAL {horizon}")
     pairs = purchases.join(
         views,

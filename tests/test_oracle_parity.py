@@ -169,7 +169,7 @@ def test_driver_window_is_full_and_oracle_backed():
     exactly 50 priority slots, every one resolves to a registered
     query, no duplicates. Round 8's rotation zeroes the never-checked
     backlog: the rows-only slots are exactly the 34 drained entries at
-    positions 3..36 (split pinned in
+    positions 11..44 (split pinned in
     test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 

@@ -1654,3 +1654,86 @@ def test_stream_attribution_state_survives_restart(
     }
     assert got == want
     assert 0 < mid < sum(want.values())  # both runs made real progress
+
+
+def test_stream_attribution_multi_chunk_group_sorted_globally(spark, tmp_path):
+    """Regression (r8 review): a user's micro-batch rows can arrive as
+    MULTIPLE Arrow chunks in arbitrary order when the group exceeds
+    spark.sql.execution.arrow.maxRecordsPerBatch; sorting each chunk
+    independently processes later rows first and can leave the carried
+    touch on an OLDER event. Construct exactly that: one user's batch
+    written in reversed ts order so chunk 1 holds the later rows, with
+    maxRecordsPerBatch=2, then a second batch whose purchase is decided
+    purely by the carried state — its credit must match the batch twin
+    (click, the true latest touch), not the stale view a chunk-local
+    sort would carry."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    day = 86_400_000_000
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, days, utype):
+        return {
+            "event_id": eid,
+            "ts": t0 + dt.timedelta(microseconds=days * day),
+            "user_id": 1,
+            "event_type": utype,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    batch1 = [ev(4, 3, "purchase"), ev(3, 2, "click"),
+              ev(2, 1, "purchase"), ev(1, 0, "view")]  # reversed ts order
+    batch2 = [ev(5, 4, "purchase")]  # credit decided by carried state
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(batch1, schema=schema),
+                   str(src / "part-000.parquet"))
+    import os, time as _t
+    now = _t.time()
+    os.utime(src / "part-000.parquet", (now, now))
+    pq.write_table(pa.Table.from_pylist(batch2, schema=schema),
+                   str(src / "part-001.parquet"))
+    os.utime(src / "part-001.parquet", (now + 1, now + 1))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = streaming.read_events_stream(spark, str(src))
+        sink = streaming.run_to_completion(
+            streaming.stream_attribution_last_touch(stream),
+            "attr_chunk_sink",
+            "append",
+        )
+        got = {
+            r.channel: r.n
+            for r in sink.groupBy("channel").agg(F.sum("n").alias("n")).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # Hand-derived batch semantics over the 5 rows: p@d1<-view (the
+    # only prior touch), p@d3<-click, p@d4<-click (carried latest).
+    # The chunk-local-sort bug yields {"view": 2, "click": 1} instead:
+    # batch 1 processes [click@d2, p@d3] before [view@d0, p@d1], so the
+    # carried state ends on the OLDER view and batch 2's purchase
+    # mis-credits it.
+    assert got == {"view": 1, "click": 2}, got
