@@ -756,7 +756,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mkt_ts").isNotNull()
         & (
             F.unix_micros(F.col("ts")) - F.unix_micros(F.col("mkt_ts"))
-            <= 604_800_000_000
+            <= ATTR_LOOKBACK_US  # one lookback across the attribution trio
         )
     )
     return (
