@@ -1737,3 +1737,74 @@ def test_stream_attribution_multi_chunk_group_sorted_globally(spark, tmp_path):
     # carried state ends on the OLDER view and batch 2's purchase
     # mis-credits it.
     assert got == {"view": 1, "click": 2}, got
+
+
+def test_stream_markov_multi_chunk_group_sorted_globally(spark, tmp_path):
+    """Regression twin of the attribution chunk test for
+    stream_markov_transitions: with maxRecordsPerBatch=2 and a user's
+    batch written in reversed ts order, chunk-local sorting walks the
+    sequence out of order and produces transition pairs that never
+    happened. Sequence view->click->purchase->view (reversed on disk)
+    must yield exactly its three true transitions."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, hours, utype):
+        return {
+            "event_id": eid,
+            "ts": t0 + dt.timedelta(hours=hours),
+            "user_id": 1,
+            "event_type": utype,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    rows = [ev(4, 3, "view"), ev(3, 2, "purchase"),
+            ev(2, 1, "click"), ev(1, 0, "view")]  # reversed ts order
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   str(src / "part-000.parquet"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = streaming.read_events_stream(spark, str(src))
+        sink = streaming.run_to_completion(
+            streaming.stream_markov_transitions(stream),
+            "markov_chunk_sink",
+            "append",
+        )
+        got = {
+            (r.from_type, r.to_type): r.n
+            for r in sink.groupBy("from_type", "to_type")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # true ts-ordered sequence: view -> click -> purchase -> view
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+        ("purchase", "view"): 1,
+    }, got
