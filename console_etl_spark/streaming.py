@@ -964,6 +964,78 @@ def stream_refresh_mv(
     return writer.start()
 
 
+def stream_cusum_monitor(
+    spark: SparkSession,
+    path: str,
+    reference: DataFrame,
+    metrics_dir: str,
+    checkpoint: str,
+    value_col: str = "value",
+    trigger_available_now: bool = True,
+):
+    """Streaming level-shift monitor: the live twin of the batch CUSUM
+    changepoint (relational.changepoint_cusum_daily_revenue). Each
+    micro-batch appends ONE row (epoch_id, batch_rows, batch_sum_cents,
+    dev_cents) where dev_cents = batch_sum_cents - batch_rows *
+    ref_mean_cents — the batch's exact integer-cent deviation from the
+    frozen reference level. The monitor itself is STATELESS per batch
+    (restart-safe with no state store): the running CUSUM is an
+    associative SUM(dev_cents) over the metrics sink, so an alert query
+    is `SUM(dev_cents) OVER (ORDER BY epoch_id)` against a threshold —
+    the cumulative deviation is exact no matter how batches were cut
+    or replayed-then-deduplicated by epoch_id.
+
+    Exactness: the reference level reduces ONCE to integer
+    (sum_cents, rows) — ref_mean never materializes as a float;
+    dev_cents multiplies through by the reference ROW COUNT the same
+    way the batch changepoint multiplies by N, so every stored number
+    is an exact integer: dev_cents = ref_rows * batch_sum_cents -
+    batch_rows * ref_sum_cents, i.e. the deviation scaled by
+    ref_rows. Dividing by ref_rows*100 recovers currency units.
+
+    Scale: one map-side global aggregate per micro-batch (two columns),
+    one appended row per epoch — monitor output is O(batches)
+    regardless of stream volume."""
+    ref = reference.agg(
+        F.sum((F.col(value_col).cast("decimal(12,2)") * 100).cast("decimal(38,0)"))
+        .alias("sum_cents"),
+        F.count("*").alias("rows"),
+    ).collect()[0]  # bounded: ONE row, two scalars
+    ref_sum_cents, ref_rows = int(ref.sum_cents), int(ref.rows)
+
+    stream = read_events_stream(spark, path)
+
+    def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        row = batch_df.agg(
+            F.sum(
+                (F.col(value_col).cast("decimal(12,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]  # bounded: one aggregated row per micro-batch
+        n = int(row.n)
+        if n == 0:
+            return
+        from decimal import Decimal
+
+        s = int(row.s)
+        dev = ref_rows * s - n * ref_sum_cents
+        batch_df.sparkSession.createDataFrame(
+            [(int(epoch_id), n, Decimal(s), Decimal(dev))],
+            "epoch_id long, batch_rows long, batch_sum_cents decimal(38,0), "
+            "dev_cents decimal(38,0)",
+        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_psi_monitor(
     spark: SparkSession,
     path: str,

@@ -1808,3 +1808,45 @@ def test_stream_markov_multi_chunk_group_sorted_globally(spark, tmp_path):
         ("click", "purchase"): 1,
         ("purchase", "view"): 1,
     }, got
+
+
+def test_stream_cusum_monitor_exact_composition(spark, events_stream_dir, tmp_path):
+    """CUSUM monitor laws: (1) per-batch rows/sums compose — totals over
+    the metrics sink equal one batch aggregation of the whole fixture
+    in exact integer cents; (2) each stored dev_cents recomputes
+    exactly from its own stored ingredients and the frozen reference
+    scalars; (3) the final running CUSUM (sum of dev_cents) is ZERO
+    because the reference here IS the full fixture — the monitor's
+    self-consistency identity sum(ref_rows*s_i - n_i*ref_sum) = 0 when
+    sum(s_i)=ref_sum and sum(n_i)=ref_rows."""
+    from pyspark.sql import functions as F
+
+    ref = load_table(spark, SF_TEST, "events")
+    metrics = str(tmp_path / "cusum_metrics")
+    q = streaming.stream_cusum_monitor(
+        spark, events_stream_dir, ref, metrics, str(tmp_path / "cusum_ckpt")
+    )
+    q.awaitTermination(120)
+
+    m = spark.read.parquet(metrics)
+    rows = sorted(m.collect(), key=lambda r: r.epoch_id)
+    assert len(rows) >= 2  # one per non-empty micro-batch
+
+    want = ref.agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(38,0)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    ref_sum, ref_rows = int(want.s), int(want.n)
+
+    # law 1: exact composition of rows and cent-sums
+    assert sum(r.batch_rows for r in rows) == ref_rows
+    assert sum(int(r.batch_sum_cents) for r in rows) == ref_sum
+    # law 2: stored deviation recomputes from stored ingredients
+    for r in rows:
+        assert int(r.dev_cents) == ref_rows * int(r.batch_sum_cents) - int(
+            r.batch_rows
+        ) * ref_sum, r
+    # law 3: self-reference CUSUM telescopes to exactly zero
+    assert sum(int(r.dev_cents) for r in rows) == 0
