@@ -89,12 +89,14 @@ class SnapshotStore:
     ) -> SnapshotInfo:
         """Write ``df`` as snapshot ``version`` and atomically point
         ``_CURRENT`` at it. UNGUARDED republish of the already-current
-        version is an idempotent no-op; a GUARDED publish (with
-        ``expected_current`` set) of the already-current version raises
-        ``ConcurrentPublishError`` instead, because the CAS guard runs
-        before the no-op check — a crash-after-flip retry must re-derive
-        ``expected_current`` (or retry unguarded) rather than replay the
-        original arguments.
+        version is an idempotent no-op. A GUARDED publish (with
+        ``expected_current`` set) raises ``ConcurrentPublishError``
+        exactly when ``expected_current`` no longer matches the current
+        version — so a crash-after-flip retry that replays the ORIGINAL
+        arguments (expected_current = the pre-flip version) raises,
+        because the CAS guard runs before the no-op check; a retry that
+        re-derives ``expected_current`` as the now-current version (or
+        retries unguarded) lands on the idempotent no-op and succeeds.
 
         ``gate``: an optional data-quality violations DataFrame (e.g. a
         filtered ``relational.dq_violations_report``); if it contains ANY

@@ -345,9 +345,12 @@ def stream_markov_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+from .relational.timeseries import ATTR_LOOKBACK_US  # noqa: E402 — one
+# lookback constant owns the whole attribution family, batch AND stream;
+# a desynced copy here would silently break the stream==batch contract
+
 ATTR_OUTPUT = "user_id long, channel string, n long"
 ATTR_STATE = "mkt_ts long, mkt_type string"
-ATTR_LOOKBACK_US = 604_800_000_000  # 7 days, integer microseconds
 
 
 def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
@@ -999,8 +1002,13 @@ def stream_cusum_monitor(
     ref = reference.agg(
         F.sum((F.col(value_col).cast("decimal(12,2)") * 100).cast("decimal(38,0)"))
         .alias("sum_cents"),
-        F.count("*").alias("rows"),
+        F.count(value_col).alias("rows"),  # non-null rows: the level's basis
     ).collect()[0]  # bounded: ONE row, two scalars
+    if ref.sum_cents is None:
+        raise ValueError(
+            f"stream_cusum_monitor: reference has no non-null {value_col!r} "
+            "rows — a level monitor needs a reference level"
+        )
     ref_sum_cents, ref_rows = int(ref.sum_cents), int(ref.rows)
 
     stream = read_events_stream(spark, path)
@@ -1012,10 +1020,11 @@ def stream_cusum_monitor(
                     "decimal(38,0)"
                 )
             ).alias("s"),
-            F.count("*").alias("n"),
+            F.count(value_col).alias("n"),  # non-null rows only — an
+            # all-NULL batch has no level evidence (sum would be NULL)
         ).collect()[0]  # bounded: one aggregated row per micro-batch
         n = int(row.n)
-        if n == 0:
+        if n == 0 or row.s is None:
             return
         from decimal import Decimal
 

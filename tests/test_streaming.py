@@ -1836,7 +1836,7 @@ def test_stream_cusum_monitor_exact_composition(spark, events_stream_dir, tmp_pa
         F.sum(
             (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(38,0)")
         ).alias("s"),
-        F.count("*").alias("n"),
+        F.count("value").alias("n"),  # non-null rows, the monitor's basis
     ).collect()[0]
     ref_sum, ref_rows = int(want.s), int(want.n)
 
