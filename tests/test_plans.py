@@ -227,6 +227,9 @@ def test_no_unbounded_driver_materialization():
         # streaming PSI monitor: n_bins reference rows once at start +
         # n_bins aggregated rows per micro-batch
         ("streaming.py", "stream_psi_monitor"),
+        # streaming CUSUM monitor: ONE two-scalar reference row once at
+        # start + ONE aggregated row per micro-batch
+        ("streaming.py", "stream_cusum_monitor"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
