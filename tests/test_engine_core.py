@@ -1378,3 +1378,28 @@ class TestDeleteWhere:
         # destination partition holds its old rows plus the moved one
         assert back.filter("package = 'pkgB'").count() == 11
         assert back.filter("package = 'pkgB' AND v = 0").count() == 1
+
+
+def test_publish_guarded_rederived_retry_is_noop(spark, store, catalog_metas):
+    """The docstring's exact CAS contract (r8 review): a guarded
+    publish raises ONLY when expected_current mismatches — a
+    crash-after-flip retry that RE-DERIVES expected_current as the
+    now-current version (expected_current == version == current) lands
+    on the idempotent no-op and succeeds without touching the
+    manifest, while a replay of the ORIGINAL arguments (pre-flip
+    expectation) still raises."""
+    import pytest
+
+    from console_etl_spark.store import ConcurrentPublishError
+
+    df = shred_metas(catalog_metas.drop("catalog"))
+    store.publish(df, "cat_retry", "v1")
+    store.publish(df.limit(10), "cat_retry", "v2", expected_current="v1")
+    # replaying the original (pre-flip) arguments: raises
+    with pytest.raises(ConcurrentPublishError):
+        store.publish(df.limit(10), "cat_retry", "v2", expected_current="v1")
+    # re-derived retry: guarded, same version as current -> no-op success
+    info = store.publish(df.limit(10), "cat_retry", "v2", expected_current="v2")
+    assert info.version == "v2"
+    assert store.current("cat_retry").version == "v2"
+    assert store.read(spark, "cat_retry").count() == 10
