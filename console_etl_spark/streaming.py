@@ -643,11 +643,20 @@ def run_until(
     try:
         deadline = _time.monotonic() + timeout_s
         while _time.monotonic() < deadline:
-            if not q.isActive and q.exception() is not None:
-                # Surface the query's real failure (socket disconnect,
-                # bad plan) instead of masking it as a TimeoutError by
-                # polling out the rest of the deadline.
-                raise q.exception()
+            if not q.isActive:
+                # The query stopped — failed OR terminated cleanly. Either
+                # way no more data is coming, so polling out the rest of
+                # the deadline can only waste it: re-check done() once
+                # (the final micro-batch may have satisfied it), then
+                # surface the real failure if there is one, else time out
+                # immediately.
+                if done(spark.table(query_name)):
+                    break
+                if q.exception() is not None:
+                    raise q.exception()
+                raise TimeoutError(
+                    f"{query_name}: query terminated before done() was satisfied"
+                )
             if done(spark.table(query_name)):
                 break
             _time.sleep(poll_s)
@@ -986,7 +995,11 @@ def stream_cusum_monitor(
     associative SUM(dev_cents) over the metrics sink, so an alert query
     is `SUM(dev_cents) OVER (ORDER BY epoch_id)` against a threshold —
     the cumulative deviation is exact no matter how batches were cut
-    or replayed-then-deduplicated by epoch_id.
+    or replayed. Replay is IDEMPOTENT at the sink, not at the reader:
+    each epoch's row lands via dynamic partition overwrite of its own
+    epoch_id=N partition, so a failure-retried micro-batch replaces its
+    row instead of appending a duplicate — SUM(dev_cents) needs no
+    epoch dedup.
 
     Exactness: the reference level reduces ONCE to integer
     (sum_cents, rows) — ref_mean never materializes as a float;
@@ -1030,11 +1043,16 @@ def stream_cusum_monitor(
 
         s = int(row.s)
         dev = ref_rows * s - n * ref_sum_cents
+        # Idempotent replay (foreachBatch is at-least-once): overwrite
+        # ONLY this epoch's partition, so a retried epoch replaces its
+        # row — consumers summing dev_cents never double-count.
         batch_df.sparkSession.createDataFrame(
             [(int(epoch_id), n, Decimal(s), Decimal(dev))],
             "epoch_id long, batch_rows long, batch_sum_cents decimal(38,0), "
             "dev_cents decimal(38,0)",
-        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+        ).coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch_id").parquet(metrics_dir)
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)

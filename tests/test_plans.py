@@ -659,3 +659,38 @@ def test_plan_audit_artifact_in_sync_with_registry():
         sorted(registered - set(audit["queries"])),
         sorted(set(audit["queries"]) - registered),
     )
+
+
+def test_bench_stdout_line_fits_driver_capture_budget():
+    """The driver's bench capture is ONE stdout line with a bounded
+    buffer; round 3 AND round 8 both blew it by growing the inline
+    per-query dict with the suite (BENCH_r08.json: parsed null). The
+    stdout dict now carries only the frozen 30-query CORE, so its size
+    is constant under suite growth — pin that: a worst-case-rendered
+    line (every field at maximum plausible width) must stay under the
+    4096-byte budget bench.py itself asserts."""
+    import json
+
+    import bench
+
+    assert len(bench.CORE) == 30  # frozen r5 continuity suite
+    assert set(bench.CORE) <= set(bench.HEADLINE)
+    worst = json.dumps(
+        {
+            "metric": "headline_suite_wall_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {k: 99999.999 for k in bench.CORE},
+            "value_cold": 99999.999,
+            "value_median": 99999.999,
+            "value_extended": 99999.999,
+            "core_size": len(bench.CORE),
+            "suite_size": 999,
+            "calib_sec": 99.9999,
+            "value_calib_ratio": 99999.99,
+            "loadavg_before": [99.99, 99.99, 99.99],
+            "loadavg_after": [99.99, 99.99, 99.99],
+            "sf": 0.1,
+        }
+    )
+    assert len(worst) < 4096, len(worst)

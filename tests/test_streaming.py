@@ -1137,24 +1137,34 @@ def test_bus_delivery_semantics_socket_vs_file_restart(spark, tmp_path):
     port = srv.getsockname()[1]
     stop = threading.Event()
 
+    run1_done = threading.Event()
+
     def serve():
         # Live feed with no buffer/offsets: connection 1 gets batch 1;
         # batch 2 is produced while no consumer is attached (the send
-        # fails on the dead connection — undeliverable, gone);
+        # fails on the dead connection, or lands unread in a socket the
+        # reader already abandoned — undeliverable either way, gone);
         # connection 2 gets only what the feed emits from then on (b3).
         conn, _ = srv.accept()
         conn.sendall(("\n".join(b1) + "\n").encode())
         try:
-            while not stop.is_set():  # heartbeats until consumer leaves
+            # Heartbeats until the consumer leaves. Disconnect is
+            # detected EITHER by a send error OR by the run-1-finished
+            # signal — the OS can keep a lingering half-closed socket
+            # writable indefinitely, and waiting only on OSError would
+            # leave connection 2 never served (run 2 then burns its
+            # whole run_until deadline — the flake ADVICE r8 flagged).
+            while not stop.is_set() and not run1_done.is_set():
                 conn.sendall(b"\n")  # blank line: dropped by the parser
                 stop.wait(0.2)
         except OSError:
-            # Consumer is gone. Batch 2 is produced NOW, while no
-            # consumer is attached — undeliverable, no offsets, gone.
-            try:
-                conn.sendall(("\n".join(b2) + "\n").encode())
-            except OSError:
-                pass
+            pass
+        # Consumer is gone. Batch 2 is produced NOW, while no consumer
+        # is attached — undeliverable, no offsets, gone.
+        try:
+            conn.sendall(("\n".join(b2) + "\n").encode())
+        except OSError:
+            pass
         finally:
             conn.close()
         if stop.is_set():
@@ -1188,6 +1198,7 @@ def test_bus_delivery_semantics_socket_vs_file_restart(spark, tmp_path):
 
     try:
         got1 = socket_run("t_bus_restart_1", 0, 5)  # run 1 sees batch 1
+        run1_done.set()  # deterministic disconnect signal for serve()
         got2 = socket_run("t_bus_restart_2", 10, 15)  # run 2: batch 3 only
     finally:
         stop.set()
@@ -1850,3 +1861,46 @@ def test_stream_cusum_monitor_exact_composition(spark, events_stream_dir, tmp_pa
         ) * ref_sum, r
     # law 3: self-reference CUSUM telescopes to exactly zero
     assert sum(int(r.dev_cents) for r in rows) == 0
+
+
+def test_stream_cusum_monitor_replayed_epochs_idempotent(
+    spark, events_stream_dir, tmp_path
+):
+    """foreachBatch is at-least-once: a failure-retried epoch re-runs
+    audit_batch with the same epoch_id. The metrics sink must absorb
+    that idempotently (dynamic overwrite of the epoch_id partition),
+    not append a duplicate row that double-counts in SUM(dev_cents).
+    Simulate total replay — re-run the whole monitor over the same
+    input with a FRESH checkpoint (every epoch re-fires) onto the SAME
+    metrics dir — and assert the exact composition laws still hold."""
+    from pyspark.sql import functions as F
+
+    ref = load_table(spark, SF_TEST, "events")
+    metrics = str(tmp_path / "cusum_metrics")
+    q = streaming.stream_cusum_monitor(
+        spark, events_stream_dir, ref, metrics, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    n_epochs = spark.read.parquet(metrics).count()
+    assert n_epochs >= 2
+
+    # full replay: fresh checkpoint reprocesses every file into the
+    # same epoch ids (0..N-1), each overwriting its own partition
+    q2 = streaming.stream_cusum_monitor(
+        spark, events_stream_dir, ref, metrics, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+
+    m = spark.read.parquet(metrics)
+    assert m.count() == n_epochs  # no duplicate epoch rows
+    assert m.select("epoch_id").distinct().count() == n_epochs
+    want = ref.agg(
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("decimal(38,0)")
+        ).alias("s"),
+        F.count("value").alias("n"),
+    ).collect()[0]
+    rows = m.collect()
+    assert sum(r.batch_rows for r in rows) == int(want.n)
+    assert sum(int(r.batch_sum_cents) for r in rows) == int(want.s)
+    assert sum(int(r.dev_cents) for r in rows) == 0  # telescoping law
