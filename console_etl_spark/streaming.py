@@ -435,12 +435,14 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     incremental checkpoints, spill-to-disk instead of executor-memory
     state).
 
-    Environment gate: executing this operator needs the ``protobuf``
-    Python package (Spark's TWS state-server protocol,
-    pyspark/sql/streaming/proto) — absent in this container, so the
-    stream-equals-batch test skips here and the applyInPandasWithState
-    twin above carries the tested contract. Plan construction (this
-    function) works regardless."""
+    Environment gate: executing this operator needs a ``protobuf``
+    Python runtime (Spark's TWS state-server protocol,
+    pyspark/sql/streaming/proto). The pip package is absent in this
+    container, but compat.ensure_protobuf() wires up the pure-Python
+    runtime the host's google-cloud-sdk vendors, so since r9 the
+    stream-equals-batch test EXECUTES here; on hosts with no runtime at
+    all it still skips and the applyInPandasWithState twin above
+    carries the tested contract. Plan construction works regardless."""
     import pandas as pd  # local: executors import lazily
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

@@ -11,7 +11,14 @@ import random
 import duckdb
 import pytest
 
+from console_etl_spark.compat import ensure_protobuf
 from console_etl_spark.session import get_spark
+
+# Must run at import time — BEFORE the session fixture launches the JVM —
+# so Python workers inherit the protobuf shim's PYTHONPATH and the
+# version-check env var (compat.ensure_protobuf docstring). The result is
+# what the transformWithState test keys its skip on.
+HAVE_PROTOBUF = ensure_protobuf()
 
 SF_TEST = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (

@@ -636,17 +636,18 @@ def test_running_user_totals_transform_with_state(spark, events_stream_dir):
     totals accumulate across micro-batches on the RocksDB state store
     (required by the API), final state equals the batch groupBy.
 
-    Skips when the `protobuf` package (TWS state-server protocol) is
-    absent — the container gate documented on running_user_totals_tws;
-    the plan still constructs, which IS asserted before skipping."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
+    Runs whenever compat.ensure_protobuf() found a runtime (pip package
+    OR the vendored pure-Python runtime the shim wires up — this
+    container's case since r9). Skips only on hosts with neither, after
+    asserting the plan still constructs."""
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
         stream = streaming.read_events_stream(spark, events_stream_dir)
         plan = streaming.running_user_totals_tws(stream)
         assert plan.isStreaming  # API wired; execution needs protobuf
         assert dict(plan.dtypes)["total_cents"] == "bigint"
-        pytest.skip("protobuf not installed: transformWithState execution gated")
+        pytest.skip("no protobuf runtime found: transformWithState execution gated")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
