@@ -55,86 +55,74 @@ _MODULES = (
 # parity suite (tests/test_oracle_parity.py).
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 8 (seventh
-# rotation) ZEROES the never-checked backlog (VERDICT r7 item 1): after
-# r7 drained all 43 never-checked oracle queries, 34 rows-only entries
-# remained with no driver row ever. This window = the 11 NEW r8
-# registrations (never-checked, oracle-backed, registered across five
-# waves this round — each windowed same-round per VERDICT r7 item 8),
-# then ALL 34 never-checked rows-only queries, then the 5 OLDEST
-# oracle rows (driver-checked r1, stale for seven rounds, in
-# registration order). A Spearman fusion was built, A/B-measured 8%
-# slower, and reverted this round (BENCH_AB_r8.md) — its
-# implementation is byte-equal to the r7-checked form (docstring-only
-# diff), so it takes no changed-impl slot; the r8 Kruskal-Wallis
-# wide-pivot rewrite (BENCH_AB_r8.md §4) landed while the query was
-# already in this window, so its driver row checks the shipped form.
-# After this round the never-checked backlog is 0 for the first time;
-# 11 r1-stale rows remain for r9 (q15_top_supplier,
-# q22_idle_rich_customers, q11_important_parts, plus the 8 displaced
-# by same-round windowing: q9_profit_by_nation_year, q14_promo_revenue,
-# range_join_price_bands, q7_volume_shipping, q8_market_share,
-# setop_except_nations, events_sliding_windows,
-# setop_intersect_nations), then r2 rows age in.
+# their last driver row, then oldest rows first. ROUND 9 (eighth
+# rotation): the never-checked backlog enters the round at ZERO (r8
+# drained it), so this window = the 6 NEW r9 registrations
+# (attribution first-touch + linear completing the four-method set,
+# ANOVA F / Kendall tau-b / Levene-Brown-Forsythe completing the stats
+# tier, and the KLL quantile-sketch MV partial — each windowed
+# same-round per VERDICT r7 item 8; sketch_kll_price_quantiles is
+# rows-only by design, KLL compaction is randomized), then ALL 12
+# r1-stale rows (VERDICT r8 item 3 names 11; approx_distinct_events is
+# the twelfth r1 row in the ledger), then ALL 14 r2 rows and ALL 12 r3
+# rows aging in, then the 6 OLDEST r4 rows (registration order).
+# After this round the oldest remaining driver row is r4.
 _PRIORITY = (
-    # new r8 registrations, oracle-backed, never driver-checked (11)
-    "asof_join_bounded_lookback",
-    "sql_group_by_all_revenue",
-    "sql_order_by_all_nation_summary",
-    "stats_mannwhitney_u",
-    "attribution_position_based",
-    "stats_kruskal_wallis",
-    "changepoint_cusum_daily_revenue",
-    "attribution_time_decay",
-    "anomaly_mad_daily_revenue",
-    "path_top_trigrams_sessions",
-    "repeat_purchase_intervals",
-    # never driver-checked, rows-only (all 34): registration order
-    "dedup_embedding_cosine_ann",
-    "text_langid_heuristic",
-    "bpe_train_merges",
-    "bpe_segment_token_counts",
-    "unigram_lm_vocab",
-    "unigram_lm_token_counts",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
-    "ann_pq_topk",
-    "embedding_pca_scree",
-    "ann_opq_topk",
-    "mm_feature_extract",
-    "mm_image_features",
-    "mm_png_features",
-    "mm_svg_features",
-    "mm_jpeg_features",
-    "mm_jpeg_pixels",
-    "mm_gif_features",
-    "mm_wav_features",
-    "mm_adpcm_features",
-    "mm_mjpeg_video_features",
-    "mm_mp4_features",
-    "mm_image_phash",
-    "dedup_image_phash_near",
-    "sketch_cms_user_counts",
-    "sketch_bloom_prejoin_orders",
-    "sketch_mg_heavy_tokens",
-    "sketch_kmv_user_overlap",
-    "pack_sequences_ffd",
-    "cluster_kmeans_embeddings",
-    "cluster_kmeans_topic_mix",
-    "semdedup_cluster_prune",
-    # oldest driver rows (r1, 5 of 16): registration order
-    # (q9/q14, range_join/q7/q8, setop_except/events_sliding, then
-    # setop_intersect, displaced by the second- through fifth-wave
-    # registrations — VERDICT r7 item 8 requires same-round windowing
-    # for new queries; all eight keep their existing r1 driver rows,
-    # so the never-checked backlog stays 0)
-    "q6_revenue_forecast",
-    "top_customers_by_revenue",
-    "window_running_quantity",
-    "window_order_gap_days",
-    "window_rank_parts_by_price",
+    # new r9 registrations, never driver-checked (6; kll is rows-only)
+    "attribution_first_touch",
+    "attribution_linear",
+    "stats_anova_f",
+    "stats_kendall_tau",
+    "stats_levene_bf",
+    "sketch_kll_price_quantiles",
+    # r1-stale driver rows (all 12): registration order
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "events_sliding_windows",
+    "range_join_price_bands",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "q11_important_parts",
+    "approx_distinct_events",
+    # r2 driver rows (all 14): registration order
+    "distinct_counts_lineitem",
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "semi_join_finished_customers",
+    "anti_join_orderless_customers",
+    "topk_expensive_orders",
+    "events_hourly_stats",
+    "window_rank_functions_customers",
+    "date_functions_orders",
+    "array_functions_embeddings",
+    "window_revenue_share_by_region",
+    "setop_intersect_all_priorities",
+    "setop_union_all_priorities",
+    "setop_except_all_priorities",
+    # r3 driver rows (all 12): registration order
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "scalar_functions_showcase",
+    "stats_aggregates_lineitem",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "unpivot_part_metrics",
+    "fuzzy_part_name_pairs",
+    "sql_correlated_scalar_subquery",
+    "dedup_content_hash_index",
+    "stratified_sample_docs",
+    "mix_corpus_weighted",
+    # oldest r4 driver rows (6 of 25): registration order
+    "nav_list_packages",
+    "nav_list_schemas",
+    "nav_list_objects",
+    "nav_derived_partition_key",
+    "agg_rollup_returns",
+    "pivot_priority_by_status",
     # WINDOW FULL at 50.
 )
 

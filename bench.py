@@ -94,6 +94,14 @@ HEADLINE = [
     "attribution_position_based",
     "attribution_time_decay",
     "changepoint_cusum_daily_revenue",
+    # round-9 additions (attribution quartet completion, parametric
+    # stats tier, bounded-grid Kendall, KLL quantile partials):
+    "attribution_first_touch",
+    "attribution_linear",
+    "stats_anova_f",
+    "stats_kendall_tau",
+    "stats_levene_bf",
+    "sketch_kll_price_quantiles",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -499,3 +499,54 @@ def sketch_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac * union_est, 2).alias("ndv_intersect_est"),
         )
     )
+
+
+@_register("sketch_kll_price_quantiles", None)  # rows-only: KLL compaction is randomized; laws pin rank error + exact n
+def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over lineitem extended price: per-
+    returnflag Datasketches KLL partials (Spark 4 kll_sketch_agg_double)
+    merged into one global sketch (kll_merge_agg_double), finalized to
+    p50/p90/p99 — the MV-tier quantile partial (store.mv_partials
+    quantiles=) exercised as a standalone query. Percentiles are
+    HOLISTIC (exact partials would carry every value), so at 100 TB an
+    incrementally-maintained or partition-parallel percentile MUST come
+    from a mergeable sketch; KLL's guarantee is ~1.65% normalized rank
+    error at the default k=200 while kll_sketch_get_n stays EXACT
+    through any merge tree.
+
+    Output: one row per returnflag (partial-level estimates) plus a
+    '_ALL_' row from the merged sketch — demonstrating both the
+    partial and the merge answer the same surface. Rows-only driver
+    check (KLL compaction is randomized); tests pin the rank-error
+    contract against exact percentile_cont, exact n composition, and
+    the MV refresh law (build+refresh quantiles ≈ full rebuild).
+
+    Scale shape: one map-side-combinable groupBy(returnflag) builds the
+    partials (3 sketch rows); the merge folds 3 rows. No shuffle
+    carries raw values — sketch bytes only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    parts = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("x").alias("kll")
+    )
+    merged = parts.agg(F.kll_merge_agg_double("kll").alias("kll")).select(
+        F.lit("_ALL_").alias("l_returnflag"), "kll"
+    )
+    return (
+        parts.unionByName(merged)
+        .select(
+            "l_returnflag",
+            F.kll_sketch_get_n_double("kll").alias("n"),
+            F.round(
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.5)), 2
+            ).alias("p50_est"),
+            F.round(
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.9)), 2
+            ).alias("p90_est"),
+            F.round(
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.99)), 2
+            ).alias("p99_est"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2258,3 +2258,569 @@ def _attribution_report(per_channel: DataFrame, purchases, elig) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9: the attribution quartet's remaining two methods, parametric
+# two-sample test, ordered funnel, weekly cohort retention
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "attribution_first_touch",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_p
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click', 'signup')
+    ), touches AS (
+      SELECT user_id, cum_p + 1 AS journey, ts AS t_ts, event_id,
+             event_type AS channel
+      FROM base WHERE event_type <> 'purchase'
+    ), purchases AS (
+      SELECT user_id, cum_p AS journey, ts AS p_ts
+      FROM base WHERE event_type = 'purchase'
+    ), elig AS (
+      SELECT t.user_id, t.journey, t.channel, t.t_ts, t.event_id
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.journey = p.journey
+      WHERE epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 604800000000
+    ), sized AS (
+      SELECT channel,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY t_ts, event_id) AS r
+      FROM elig
+    ), per_channel AS (
+      SELECT channel,
+             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,9)) AS crs,
+             CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM sized GROUP BY channel
+    ), unattr AS (
+      SELECT 'unattributed' AS channel,
+             CAST(COUNT(*) AS DECIMAL(38,9)) AS crs,
+             CAST(0 AS BIGINT) AS n_touches
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM elig e
+                        WHERE e.user_id = p.user_id
+                          AND e.journey = p.journey)
+    )
+    SELECT channel, ROUND(CAST(crs AS DOUBLE), 6) AS credited_conversions,
+           n_touches
+    FROM (SELECT * FROM per_channel UNION ALL SELECT * FROM unattr)
+    ORDER BY channel
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST
+    marketing touch (view / click / signup) in its journey within the
+    7-day lookback — the acquisition-oriented counterpart of
+    attribution_last_touch, completing the standard four-method set
+    (first / last / U-shaped / time-decay) a marketing team runs
+    side-by-side. Same journey construction and lookback as the trio;
+    purchases with no eligible touch stay 'unattributed', so
+    credited_conversions conserves the purchase count EXACTLY (integer
+    credit — no rounding budget at all for this method). n_touches
+    counts every eligible touch of the channel (the denominator shared
+    with the U-shaped report), not just the credited firsts.
+
+    Scale shape: identical to attribution_position_based — one
+    user-partition window numbers journeys, the touch-to-purchase match
+    is a (user_id, journey) equi-join, positions come from a window
+    over (user_id, journey), and the output is channel-bounded. Cites
+    BENCH_AB_r8.md §5: the shared journey subtree is recomputed, not
+    pinned."""
+    e = load_table(spark, sf_dir, "events")
+    _, purchases, elig = _journey_relations(e)
+    wj = W.partitionBy("user_id", "journey").orderBy("t_ts", "event_id")
+    sized = elig.select(
+        "channel", F.row_number().over(wj).alias("r")
+    )
+    per_channel = sized.groupBy("channel").agg(
+        F.sum((F.col("r") == 1).cast("long"))
+        .cast("decimal(38,9)")
+        .alias("crs"),
+        F.count("*").cast("bigint").alias("n_touches"),
+    )
+    return _attribution_report(per_channel, purchases, elig)
+
+
+@_register(
+    "attribution_linear",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_p
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click', 'signup')
+    ), touches AS (
+      SELECT user_id, cum_p + 1 AS journey, ts AS t_ts, event_id,
+             event_type AS channel
+      FROM base WHERE event_type <> 'purchase'
+    ), purchases AS (
+      SELECT user_id, cum_p AS journey, ts AS p_ts
+      FROM base WHERE event_type = 'purchase'
+    ), elig AS (
+      SELECT t.user_id, t.journey, t.channel
+      FROM touches t JOIN purchases p
+        ON t.user_id = p.user_id AND t.journey = p.journey
+      WHERE epoch_us(p.p_ts) - epoch_us(t.t_ts) <= 604800000000
+    ), sized AS (
+      SELECT channel,
+             COUNT(*) OVER (PARTITION BY user_id, journey) AS k
+      FROM elig
+    ), per_channel AS (
+      SELECT channel,
+             CAST(SUM(CAST(ROUND(1.0 / CAST(k AS DOUBLE), 9)
+                           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS crs,
+             CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM sized GROUP BY channel
+    ), unattr AS (
+      SELECT 'unattributed' AS channel,
+             CAST(COUNT(*) AS DECIMAL(38,9)) AS crs,
+             CAST(0 AS BIGINT) AS n_touches
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM elig e
+                        WHERE e.user_id = p.user_id
+                          AND e.journey = p.journey)
+    )
+    SELECT channel, ROUND(CAST(crs AS DOUBLE), 6) AS credited_conversions,
+           n_touches
+    FROM (SELECT * FROM per_channel UNION ALL SELECT * FROM unattr)
+    ORDER BY channel
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's single conversion
+    splits EVENLY across its journey's eligible touches (credit 1/k) —
+    the uniform-prior method closing the standard four-method set.
+    Same journey construction and 7-day lookback as the rest of the
+    quartet; unattributed purchases conserved.
+
+    Exactness: 1/k is ONE IEEE double division of two exactly-
+    representable integers — correctly rounded, hence bit-identical in
+    both engines — rounded to 9 decimals and summed as DECIMAL
+    (order-independent), the same budget discipline as position-based
+    and time-decay. Conservation holds within the rounding budget;
+    tests extend the quartet conservation law.
+
+    Scale shape: identical to attribution_time_decay minus the decay
+    expression — one user-partition window, (user_id, journey)
+    equi-join, one (user_id, journey) window for k, channel-bounded
+    output."""
+    e = load_table(spark, sf_dir, "events")
+    _, purchases, elig_full = _journey_relations(e)
+    sized = elig_full.select(
+        "channel",
+        F.count("*").over(W.partitionBy("user_id", "journey")).alias("k"),
+    )
+    per_channel = sized.groupBy("channel").agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.col("k").cast("double"), 9)
+            .cast("decimal(38,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("crs"),
+        F.count("*").cast("bigint").alias("n_touches"),
+    )
+    return _attribution_report(per_channel, purchases, elig_full)
+
+
+
+@_register(
+    "stats_anova_f",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS x
+      FROM orders
+    ), agg AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_all,
+        CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n4,
+        CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+        CAST(COALESCE(SUM(CASE WHEN g = '1-URGENT' THEN x END), 0)
+             AS DECIMAL(38,2)) AS s1,
+        CAST(COALESCE(SUM(CASE WHEN g = '2-HIGH' THEN x END), 0)
+             AS DECIMAL(38,2)) AS s2,
+        CAST(COALESCE(SUM(CASE WHEN g = '3-MEDIUM' THEN x END), 0)
+             AS DECIMAL(38,2)) AS s3,
+        CAST(COALESCE(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN x END), 0)
+             AS DECIMAL(38,2)) AS s4,
+        CAST(COALESCE(SUM(CASE WHEN g = '5-LOW' THEN x END), 0)
+             AS DECIMAL(38,2)) AS s5,
+        CAST(COALESCE(SUM(x), 0) AS DECIMAL(38,2)) AS s_all,
+        CAST(COALESCE(SUM(x * x), 0) AS DECIMAL(38,4)) AS q_all
+      FROM s
+    ), f AS (
+      SELECT n_all, n1, n2, n3, n4, n5,
+             n1 + n2 + n3 + n4 + n5 AS n,
+             CAST(CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN n2 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN n3 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN n4 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN n5 > 0 THEN 1 ELSE 0 END AS BIGINT) AS k,
+             (CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                    / CAST(n1 AS DOUBLE) ELSE 0 END
+              + CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                      / CAST(n2 AS DOUBLE) ELSE 0 END
+              + CASE WHEN n3 > 0 THEN CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                                      / CAST(n3 AS DOUBLE) ELSE 0 END
+              + CASE WHEN n4 > 0 THEN CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE)
+                                      / CAST(n4 AS DOUBLE) ELSE 0 END
+              + CASE WHEN n5 > 0 THEN CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE)
+                                      / CAST(n5 AS DOUBLE) ELSE 0 END)
+               AS sum_t,
+             CAST(s_all AS DOUBLE) AS sd, CAST(q_all AS DOUBLE) AS qd
+      FROM agg
+    ), g2 AS (
+      SELECT n_all, n, k,
+             sum_t - sd * sd / CAST(n AS DOUBLE) AS ssb,
+             qd - sum_t AS ssw,
+             qd - sd * sd / CAST(n AS DOUBLE) AS sst
+      FROM f
+    )
+    SELECT n, k,
+           CASE WHEN n = n_all THEN
+             ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+                   / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS f_stat,
+           CASE WHEN n = n_all THEN ROUND(ssb / sst, 6) END AS eta_sq
+    FROM g2
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of order value across the five o_orderpriority
+    groups — the PARAMETRIC sibling of stats_kruskal_wallis (means
+    instead of ranks), plus eta-squared effect size, so an analyst gets
+    both answers from the same engine and a divergence flags skew.
+
+    Exactness: the distributed partials are DECIMAL sums of x and x*x
+    per group (exact, order-independent); the sums-of-squares identity
+    folds them on ONE bounded row in double with the operation sequence
+    — including the explicit left-to-right group-term addition order —
+    written identically in Spark and the oracle, so ROUND(…,6) matches
+    exactly.
+
+    Scale shape: the wide conditional pivot the Kruskal A/B adopted
+    (BENCH_AB_r8.md §4) without even the value grid — ONE map-side-
+    combinable aggregation over the full scan, no shuffle beyond the
+    1-row fold. Same closed-domain guard: a sixth priority value makes
+    n != n_all and the statistics report NULL, never a subset-F
+    (pinned by the same drift test pattern as Kruskal)."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    d2, d4 = "decimal(38,2)", "decimal(38,4)"
+    x = F.col("o_totalprice").cast("decimal(12,2)")
+    g = F.col("o_orderpriority")
+    agg = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        *[
+            F.sum((g == p).cast("long")).cast("bigint").alias(f"n{i + 1}")
+            for i, p in enumerate(prios)
+        ],
+        *[
+            F.coalesce(F.sum(F.when(g == p, x)), F.lit(0))
+            .cast(d2)
+            .alias(f"s{i + 1}")
+            for i, p in enumerate(prios)
+        ],
+        F.coalesce(F.sum(x), F.lit(0)).cast(d2).alias("s_all"),
+        F.coalesce(F.sum(x * x), F.lit(0)).cast(d4).alias("q_all"),
+    )
+    terms = []
+    for i in range(1, 6):
+        nd = F.col(f"n{i}").cast("double")
+        sd_i = F.col(f"s{i}").cast("double")
+        terms.append(F.when(F.col(f"n{i}") > 0, sd_i * sd_i / nd).otherwise(0.0))
+    # explicit left-to-right fold — must match the oracle's + chain
+    sum_t = terms[0] + terms[1] + terms[2] + terms[3] + terms[4]
+    n = (
+        F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    ).cast("bigint")
+    k = (
+        sum((F.col(f"n{i}") > 0).cast("long") for i in range(1, 6))
+    ).cast("bigint")
+    nd = n.cast("double")
+    sd = F.col("s_all").cast("double")
+    qd = F.col("q_all").cast("double")
+    ssb = sum_t - sd * sd / nd
+    ssw = qd - sum_t
+    sst = qd - sd * sd / nd
+    closed = n == F.col("n_all")  # domain drift => NULL, never subset-F
+    kd = k.cast("double")
+    return agg.select(
+        n.alias("n"),
+        k.alias("k"),
+        F.when(closed, F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6)).alias(
+            "f_stat"
+        ),
+        F.when(closed, F.round(ssb / sst, 6)).alias("eta_sq"),
+    )
+
+
+@_register(
+    "stats_kendall_tau",
+    """
+    WITH cells AS (
+      SELECT l_quantity AS x, CAST(l_discount AS DECIMAL(12,2)) AS y,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells
+    ), pairs AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN a.c * b.c END), 0)
+             AS HUGEINT) AS conc,
+        CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN a.c * b.c END), 0)
+             AS HUGEINT) AS disc
+      FROM cells a JOIN cells b ON b.x > a.x
+    ), tx AS (
+      SELECT CAST(SUM(cx * (cx - 1) / 2) AS HUGEINT) AS n1
+      FROM (SELECT CAST(SUM(c) AS HUGEINT) AS cx FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT CAST(SUM(cy * (cy - 1) / 2) AS HUGEINT) AS n2
+      FROM (SELECT CAST(SUM(c) AS HUGEINT) AS cy FROM cells GROUP BY y)
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST(pairs.conc AS BIGINT) AS concordant,
+           CAST(pairs.disc AS BIGINT) AS discordant,
+           ROUND(
+             (CAST(pairs.conc AS DOUBLE) - CAST(pairs.disc AS DOUBLE))
+             / SQRT(
+                 (CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE)
+                  - CAST(tx.n1 AS DOUBLE))
+                 * (CAST(tot.n * (tot.n - 1) / 2 AS DOUBLE)
+                    - CAST(ty.n2 AS DOUBLE))
+               ), 6) AS tau_b
+    FROM tot, pairs, tx, ty
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between lineitem quantity and
+    discount — the concordance-based alternative to Spearman
+    (stats_spearman_qty_price) that is robust to ties and has a direct
+    probabilistic reading (P[concordant] - P[discordant]). Completes
+    the correlation tier: Pearson (corr matrix), Spearman (rank),
+    Kendall (concordance).
+
+    Exactness: tau-b is a PAIR statistic — naively O(n²) — but both
+    variables live on closed small domains (quantity 1..50, discount
+    0.00..0.10), so the exact joint distribution is a <=550-cell
+    contingency grid and concordant/discordant pair counts are integer
+    sums of c_a*c_b over strictly-greater cell pairs. Every count stays
+    integer (DECIMAL(38,0) / HUGEINT) until the final one-row tau
+    division, so both engines emit identical ROUND(…,6) values.
+
+    Scale shape (the Kendall trick at 100 TB): ONE map-side-combinable
+    groupBy(x, y) reduces any row count to the bounded grid; the
+    strictly-greater pair fold is a broadcast non-equi self-join of
+    that grid against itself (<=550x550 candidate pairs — constant,
+    data-independent). Nothing pairwise ever touches base rows; the
+    tie corrections are two bounded re-aggregations of the same grid."""
+    d0 = "decimal(38,0)"
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").alias("x"),
+            F.col("l_discount").cast("decimal(12,2)").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast(d0).alias("c"))
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("xb") > F.col("xa"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("yb") > F.col("ya"), F.col("ca") * F.col("cb"))
+                ),
+                F.lit(0),
+            )
+            .cast(d0)
+            .alias("conc"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("yb") < F.col("ya"), F.col("ca") * F.col("cb"))
+                ),
+                F.lit(0),
+            )
+            .cast(d0)
+            .alias("disc"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c").cast(d0).alias("nn"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(
+            F.sum(F.col("cx") * (F.col("cx") - 1) / 2).cast(d0).alias("n1t")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(
+            F.sum(F.col("cy") * (F.col("cy") - 1) / 2).cast(d0).alias("n2t")
+        )
+    )
+    n0 = (F.col("nn") * (F.col("nn") - 1) / 2).cast(d0).cast("double")
+    tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / F.sqrt(
+        (n0 - F.col("n1t").cast("double")) * (n0 - F.col("n2t").cast("double"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("nn").cast("bigint").alias("n"),
+            "n_cells",
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )
+
+
+@_register(
+    "stats_levene_bf",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS g,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS x
+      FROM orders
+    ), ng AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM s GROUP BY g
+    ), med AS (
+      SELECT g, x AS med FROM (
+        SELECT s.g, s.x,
+               ROW_NUMBER() OVER (PARTITION BY s.g ORDER BY s.x) AS rn,
+               ng.n_g
+        FROM s JOIN ng ON s.g = ng.g
+      ) WHERE rn = (n_g + 1) // 2
+    ), z AS (
+      SELECT s.g, ABS(s.x - med.med) AS z
+      FROM s JOIN med ON s.g = med.g
+    ), agg AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(z) AS DECIMAL(38,2)) AS s_g,
+             CAST(SUM(z * z) AS DECIMAL(38,4)) AS q_g
+      FROM z GROUP BY g
+    ), fold AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                 / CAST(n_g AS DOUBLE) ORDER BY g) AS sum_t,
+             CAST(SUM(s_g) AS DOUBLE) AS sd,
+             CAST(SUM(q_g) AS DOUBLE) AS qd
+      FROM agg
+    )
+    SELECT n, k,
+           ROUND(((sum_t - sd * sd / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((qd - sum_t)
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS w_stat
+    FROM fold
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test, Brown-Forsythe variant: homogeneity of variance of
+    order value across the five o_orderpriority groups — the gate an
+    analyst checks BEFORE trusting classic ANOVA (stats_anova_f assumes
+    it; Welch does not). W is the one-way ANOVA F computed on
+    z = |x - median_g|, with the group median (robust center) per
+    Brown-Forsythe.
+
+    Exactness: the per-group median is the LOWER median — an actual
+    data value, exact in decimal (same convention as the MAD queries);
+    z and z² partials are exact decimal sums. The one-row double fold
+    needs a deterministic per-group addition order, which the GROUPED
+    relation can't get from an unordered SUM — the oracle pins it with
+    SUM(... ORDER BY g) and Spark folds a 5-row sorted collect_list,
+    so both engines add group terms in identical g order.
+
+    Scale shape: per-group medians come from the grouped prefix kernel
+    (llmops.pipeline.global_prefix_sum group_cols — no per-group
+    SinglePartition sort) over the (g, x) value grid; z is a broadcast
+    join of the 5-row median relation back onto the scan; the W fold is
+    one map-side-combinable aggregation. Cost at 100 TB is the distinct
+    (g, price) domain plus two scans — the same envelope as the MAD
+    anomaly queries."""
+    from ..llmops.pipeline import global_prefix_sum
+
+    d2, d4 = "decimal(38,2)", "decimal(38,4)"
+    s = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+    )
+    grid = s.groupBy("g", "x").agg(F.count("*").cast("bigint").alias("ct"))
+    cum = global_prefix_sum(
+        grid, ["x"], "ct", out_col="below", inclusive=False, group_cols=["g"]
+    )
+    ng = grid.groupBy("g").agg(F.sum("ct").cast("bigint").alias("n_g"))
+    med = (
+        cum.join(F.broadcast(ng), "g")
+        .filter(
+            (F.col("below") < F.floor((F.col("n_g") + 1) / 2))
+            & (F.floor((F.col("n_g") + 1) / 2) <= F.col("below") + F.col("ct"))
+        )
+        .select("g", F.col("x").alias("med"))
+    )
+    z = s.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    )
+    agg = z.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").cast(d2).alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast(d4).alias("q_g"),
+    )
+    # deterministic fold order: sort the 5-row relation by g, then add
+    # group terms left-to-right via aggregate() over the sorted array —
+    # matching the oracle's SUM(... ORDER BY g)
+    t_g = (
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    fold = agg.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("g"), t_g.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("sum_t"),
+        F.sum("s_g").cast("double").alias("sd"),
+        F.sum("q_g").cast("double").alias("qd"),
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("sum_t") - F.col("sd") * F.col("sd") / nd
+    ssw = F.col("qd") - F.col("sum_t")
+    return fold.select(
+        "n",
+        "k",
+        F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).alias("w_stat"),
+    )

@@ -651,6 +651,7 @@ def mv_partials(
     keys: tuple[str, ...],
     measures: tuple[str, ...],
     distinct: tuple[str, ...] = (),
+    quantiles: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-group ALGEBRAIC partial state for an aggregate view: count +
     per-measure (sum, sum-of-squares, min, max). Every field is
@@ -662,7 +663,17 @@ def mv_partials(
     ``hll_sketch_agg``) as their partial state: COUNT(DISTINCT) is not
     algebraic (exact partials would need the full value set per group),
     but the sketch IS losslessly mergeable — the standard way an
-    incrementally-maintained view supports distinct counts at 100 TB."""
+    incrementally-maintained view supports distinct counts at 100 TB.
+
+    ``quantiles`` columns get a Datasketches KLL sketch
+    (``kll_sketch_agg_double``) as their partial state: percentiles are
+    HOLISTIC — exact partials would need every value — but the KLL
+    sketch is mergeable with a proven normalized-rank-error bound
+    (~1.65% at the default k=200), so the view maintains p50/p90/p99
+    the same way it maintains HLL NDV: O(sketch) state per group,
+    refresh never revisits base rows. Its row count (kll_sketch_get_n)
+    stays EXACT through any merge tree — tests pin that alongside the
+    rank-error contract."""
     from pyspark.sql import functions as F
 
     aggs = [F.count("*").alias("_cnt")]
@@ -676,6 +687,10 @@ def mv_partials(
         ]
     for d in distinct:
         aggs.append(F.hll_sketch_agg(d).alias(f"_hll_{d}"))
+    for q in quantiles:
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(q).cast("double")).alias(f"_kll_{q}")
+        )
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -685,13 +700,15 @@ def mv_merge(
     keys: tuple[str, ...],
     measures: tuple[str, ...],
     distinct: tuple[str, ...] = (),
+    quantiles: tuple[str, ...] = (),
 ) -> DataFrame:
     """Merge delta partials into view state: one union + one group-by on
     the view key. Refresh cost is O(|delta| + |groups|) — never O(base),
     the whole point of incremental view maintenance at 100 TB (the
     reference re-materializes everything per refresh, cache.go:71-81).
     HLL sketch columns merge with ``hll_union_agg`` (lossless for
-    same-configured sketches)."""
+    same-configured sketches); KLL quantile sketches merge with
+    ``kll_merge_agg_double`` (error bound preserved, n exact)."""
     from pyspark.sql import functions as F
 
     aggs = [F.sum("_cnt").alias("_cnt")]
@@ -704,6 +721,8 @@ def mv_merge(
         ]
     for d in distinct:
         aggs.append(F.hll_union_agg(f"_hll_{d}").alias(f"_hll_{d}"))
+    for q in quantiles:
+        aggs.append(F.kll_merge_agg_double(f"_kll_{q}").alias(f"_kll_{q}"))
     return state.unionByName(delta).groupBy(*keys).agg(*aggs)
 
 
@@ -712,10 +731,13 @@ def mv_finalize(
     keys: tuple[str, ...],
     measures: tuple[str, ...],
     distinct: tuple[str, ...] = (),
+    quantiles: tuple[str, ...] = (),
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
     """Finalize partial state into the user-facing view: count, per
-    measure sum/avg/min/max/population variance, and per distinct
-    column the HLL estimate — all computed from the algebraic fields,
+    measure sum/avg/min/max/population variance, per distinct column
+    the HLL estimate, and per quantile column the KLL percentile
+    estimates at ``probs`` — all computed from the algebraic fields,
     no base-table access."""
     from pyspark.sql import functions as F
 
@@ -732,6 +754,13 @@ def mv_finalize(
         ]
     for d in distinct:
         cols.append(F.hll_sketch_estimate(f"_hll_{d}").alias(f"approx_ndv_{d}"))
+    for qc in quantiles:
+        for p in probs:
+            cols.append(
+                F.kll_sketch_get_quantile_double(f"_kll_{qc}", F.lit(p)).alias(
+                    f"p{int(round(p * 100)):02d}_{qc}"
+                )
+            )
     return partials.select(*cols)
 
 
@@ -748,17 +777,21 @@ class MaterializedView:
         keys: tuple[str, ...],
         measures: tuple[str, ...],
         distinct: tuple[str, ...] = (),
+        quantiles: tuple[str, ...] = (),
     ) -> None:
         self.store = store
         self.catalog = catalog
         self.keys = tuple(keys)
         self.measures = tuple(measures)
         self.distinct = tuple(distinct)
+        self.quantiles = tuple(quantiles)
 
     def build(self, base: DataFrame, version: str = "v000001") -> SnapshotInfo:
         """Initial full computation — the only base-sized pass."""
         return self.store.publish(
-            mv_partials(base, self.keys, self.measures, self.distinct),
+            mv_partials(
+                base, self.keys, self.measures, self.distinct, self.quantiles
+            ),
             self.catalog,
             version,
             partition_by=(),
@@ -774,10 +807,13 @@ class MaterializedView:
         state = self.store.read_version(spark, self.catalog, cur.version)
         merged = mv_merge(
             state,
-            mv_partials(delta, self.keys, self.measures, self.distinct),
+            mv_partials(
+                delta, self.keys, self.measures, self.distinct, self.quantiles
+            ),
             self.keys,
             self.measures,
             self.distinct,
+            self.quantiles,
         )
         nxt = f"v{int(cur.version[1:]) + 1:06d}"
         return self.store.publish(merged, self.catalog, nxt, partition_by=())
@@ -789,6 +825,7 @@ class MaterializedView:
             self.keys,
             self.measures,
             self.distinct,
+            self.quantiles,
         )
 
 

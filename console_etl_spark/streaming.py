@@ -1065,6 +1065,61 @@ def stream_cusum_monitor(
     return writer.start()
 
 
+def stream_quantile_monitor(
+    spark: SparkSession,
+    path: str,
+    metrics_dir: str,
+    checkpoint: str,
+    value_col: str = "value",
+    trigger_available_now: bool = True,
+):
+    """Streaming quantile monitor: the live twin of the MV tier's KLL
+    quantile partials (store.mv_partials quantiles=, r9) and the third
+    monitor beside CUSUM (level) and PSI (distribution vs reference).
+    Each micro-batch appends ONE row (epoch_id, batch_rows, kll) where
+    ``kll`` is the Datasketches KLL sketch of the batch's ``value_col``
+    — so ANY downstream window of the metrics sink reconstructs
+    percentiles over exactly that span with one kll_merge_agg_double:
+    whole-stream p99, last-24-epochs p50, epoch-over-epoch drift, all
+    without re-reading stream data.
+
+    Semantics: the monitor is STATELESS per batch (restart-safe with no
+    state store); the sketch's row count (kll_sketch_get_n) composes
+    EXACTLY through merges while quantiles carry KLL's ~1.65%
+    normalized-rank-error contract (k=200). Replay is idempotent at the
+    sink — dynamic partition overwrite of the epoch_id partition, the
+    same contract as stream_cusum_monitor.
+
+    Scale: one map-side-combinable aggregation per micro-batch, one
+    sketch row per epoch — monitor output is O(batches * sketch_bytes)
+    regardless of stream volume."""
+    stream = read_events_stream(spark, path)
+
+    def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        row = batch_df.agg(
+            F.kll_sketch_agg_double(
+                F.col(value_col).cast("double")
+            ).alias("kll"),
+            F.count(value_col).alias("n"),  # non-null rows only
+        ).collect()[0]  # bounded: one aggregated row per micro-batch
+        if int(row.n) == 0:
+            return
+        batch_df.sparkSession.createDataFrame(
+            [(int(epoch_id), int(row.n), bytes(row.kll))],
+            "epoch_id long, batch_rows long, kll binary",
+        ).coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch_id").parquet(metrics_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_psi_monitor(
     spark: SparkSession,
     path: str,

@@ -1089,6 +1089,71 @@ def test_materialized_view_hll_distinct_is_mergeable_and_accurate(spark, store):
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
 
 
+def test_materialized_view_kll_quantiles_mergeable_within_rank_error(
+    spark, store
+):
+    """The r9 quantile tier of the MV partials: a view maintained over
+    three append refreshes answers p50/p90/p99 from merged KLL sketches.
+    Laws: (1) the sketch's own n (kll_sketch_get_n) composes EXACTLY
+    through the merge tree and equals the algebraic _cnt; (2) every
+    finalized percentile lands within KLL's normalized rank-error
+    contract of the exact distribution (k=200 → ~1.65% with high
+    probability; asserted at ±4% rank to absorb compaction randomness);
+    (3) incremental refresh answers match a from-scratch rebuild within
+    the same band (KLL compaction is randomized, so bit-equality is NOT
+    the contract — unlike HLL union above)."""
+    from console_etl_spark.session import load_table
+    from console_etl_spark.store import (
+        MaterializedView, mv_finalize, mv_partials,
+    )
+    from tests.conftest import SF_TEST
+
+    o = load_table(spark, SF_TEST, "orders")
+    keys, quantiles = ("o_orderstatus",), ("o_totalprice",)
+    mv = MaterializedView(store, "mv_kll", keys, (), quantiles=quantiles)
+    for i in range(3):
+        mv.refresh(o.filter(F.col("o_orderkey") % 3 == i))
+
+    # law 1: sketch n is exact through merges
+    partials = store.read(spark, "mv_kll")
+    for r in partials.select(
+        "_cnt",
+        F.kll_sketch_get_n_double("_kll_o_totalprice").alias("kn"),
+    ).collect():
+        assert r.kn == r._cnt, (r.kn, r._cnt)
+
+    # exact per-group quantile bands at p +/- 4% rank
+    vals = {
+        r.o_orderstatus: r.band
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(
+                F.col("o_totalprice").cast("double"),
+                F.array(*[F.lit(p) for p in
+                          (0.46, 0.54, 0.86, 0.94, 0.95, 1.0)]),
+            ).alias("band")
+        )
+        .collect()
+    }
+    bands = {"p50": (0, 1), "p90": (2, 3), "p99": (4, 5)}
+    for row in mv.read(spark).collect():
+        b = vals[row.o_orderstatus]
+        for name, (lo, hi) in bands.items():
+            est = row[f"{name}_o_totalprice"]
+            assert b[lo] <= est <= b[hi], (row.o_orderstatus, name, est, b)
+
+    # law 3: rebuild from scratch stays in the same bands
+    rebuilt = mv_finalize(
+        mv_partials(o, keys, (), quantiles=quantiles), keys, (),
+        quantiles=quantiles,
+    )
+    for row in rebuilt.collect():
+        b = vals[row.o_orderstatus]
+        for name, (lo, hi) in bands.items():
+            est = row[f"{name}_o_totalprice"]
+            assert b[lo] <= est <= b[hi], (row.o_orderstatus, name, est, b)
+
+
 def test_snapshot_diff_classifies_and_inverts(spark):
     """diff(v1, v2) classifies insert/delete/update correctly AND
     applying it back to v1 via apply_changes reproduces v2 exactly

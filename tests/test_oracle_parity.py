@@ -60,22 +60,23 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 8 zeroes the never-checked backlog (VERDICT r7
-    item 1): 11 new oracle-backed registrations (3 first-wave, the
-    second-wave Mann-Whitney/attribution pair, the third-wave
-    Kruskal-Wallis/CUSUM/time-decay trio, the fourth-wave MAD anomaly /
-    session-path pair, and the fifth-wave repeat-purchase intervals —
-    all windowed same-round per VERDICT r7 item 8), then ALL 34
-    remaining never-driver-checked rows-only queries, then the 5 oldest
-    (r1) oracle rows — 16 oracle value-hash slots + 34 rows-only
-    slots. (A Spearman changed-impl
-    slot was planned, then freed when the fusion was A/B-rejected and
-    reverted — BENCH_AB_r8.md.)"""
+    priority list. Round 9 (never-checked backlog entered at 0): the 6
+    NEW r9 registrations first (attribution first-touch + linear, ANOVA
+    F, Kendall tau-b, Levene-Brown-Forsythe — all oracle-backed — plus
+    the rows-only KLL quantile sketch at slot 5), then pure staleness
+    draining: all 12 r1 rows (approx_distinct_events among them is the
+    window's other rows-only slot — HLL estimates have no SQL oracle),
+    all 14 r2 rows, all 12 r3 rows, and the 6 oldest r4 rows — 48
+    oracle value-hash slots + 2 rows-only slots."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
-    oracle_slots = first50[:11] + first50[45:]
-    rows_only_slots = first50[11:45]
-    assert len(oracle_slots) == 16 and len(rows_only_slots) == 34
+    rows_only_slots = [n for n in first50 if n not in ORACLE]
+    oracle_slots = [n for n in first50 if n in ORACLE]
+    assert rows_only_slots == [
+        "sketch_kll_price_quantiles",
+        "approx_distinct_events",
+    ]
+    assert len(oracle_slots) == 48
     assert all(n in ORACLE for n in oracle_slots), [
         n for n in oracle_slots if n not in ORACLE
     ]
@@ -167,9 +168,9 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 8's rotation zeroes the never-checked
-    backlog: the rows-only slots are exactly the 34 drained entries at
-    positions 11..44 (split pinned in
+    query, no duplicates. Round 9's window is staleness-keyed with two
+    rows-only slots — the new KLL quantile sketch and the r1-stale HLL
+    estimate (split pinned in
     test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
@@ -179,9 +180,10 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == list(E._PRIORITY[11:45]), (
-        f"rows-only slots must be exactly the drained backlog tier: {rows_only}"
-    )
+    assert rows_only == [
+        "sketch_kll_price_quantiles",
+        "approx_distinct_events",
+    ], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
 

@@ -230,6 +230,9 @@ def test_no_unbounded_driver_materialization():
         # streaming CUSUM monitor: ONE two-scalar reference row once at
         # start + ONE aggregated row per micro-batch
         ("streaming.py", "stream_cusum_monitor"),
+        # streaming quantile monitor: ONE (sketch, count) row per
+        # micro-batch — sketch bytes bounded by k, never stream rows
+        ("streaming.py", "stream_quantile_monitor"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
@@ -694,3 +697,44 @@ def test_bench_stdout_line_fits_driver_capture_budget():
         }
     )
     assert len(worst) < 4096, len(worst)
+
+
+def test_anova_f_single_pass_no_value_grid(spark):
+    """stats_anova_f (r9): the wide conditional pivot means ONE parquet
+    scan feeding one map-side-combinable aggregate — no value-domain
+    grid, no join, and only the 1-row partial fold's SinglePartition
+    exchange."""
+    plan = plan_of(relational.stats_anova_f(spark, SF_TEST))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_kendall_tau_pairs_stay_on_bounded_grid(spark):
+    """stats_kendall_tau (r9): the O(n²) pair statistic must reduce to
+    the bounded (quantity x discount) contingency grid — the strictly-
+    greater pair fold is a BROADCAST join of grid against grid (never a
+    shuffled or cartesian product over base rows), and base rows are
+    touched only by groupBy scans."""
+    plan = plan_of(relational.stats_kendall_tau(spark, SF_TEST))
+    assert "CartesianProduct" not in plan, plan
+    # the non-equi grid self-join broadcasts the <=550-row side
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+
+
+def test_levene_bf_grouped_prefix_no_singlepartition_window(spark):
+    """stats_levene_bf (r9): per-group medians ride the grouped prefix
+    kernel — no Window over SinglePartition anywhere (the kernel's
+    whole point); the 5-row median relation broadcasts back onto the
+    scan."""
+    plan = plan_of(relational.stats_levene_bf(spark, SF_TEST))
+    import re as _re
+
+    # no window frame evaluated on a single partition: every Window's
+    # nearest upstream Exchange must be a hash partitioning, never
+    # SinglePartition (the grouped kernel windows by partition id)
+    for m in _re.finditer(r"Window ", plan):
+        upstream = plan[m.end():]
+        nxt = _re.search(r"Exchange (\S+)", upstream)
+        assert nxt and nxt.group(1).startswith("hashpartitioning"), plan
+    assert "BroadcastHashJoin" in plan, plan

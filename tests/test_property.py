@@ -992,6 +992,70 @@ class TestRound8StatAndAttributionLaws:
         assert row["h"] is None
         assert row["h_tie_corrected"] is None
 
+    def test_anova_domain_drift_reports_null_not_wrong_f(
+        self, spark, tmp_path
+    ):
+        """stats_anova_f (r9) shares the Kruskal wide-pivot's closed
+        5-value priority domain and must share its safety contract: a
+        sixth priority value yields NULL f_stat / eta_sq, never an F
+        computed over a subset of rows."""
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import stats_anova_f
+        from tests.conftest import SF_TEST
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet").to_pandas()
+        t.loc[t.index[: len(t) // 10], "o_orderpriority"] = "6-EXTRA"
+        t.to_parquet(str(tmp_path / "orders.parquet"))
+
+        row = stats_anova_f(spark, str(tmp_path)).collect()[0]
+        assert row["n"] < len(t)
+        assert row["f_stat"] is None
+        assert row["eta_sq"] is None
+
+    def test_anova_f_on_two_groups_equals_welch_like_t_squared(
+        self, spark, tmp_path
+    ):
+        """Cross-query law for the r9 parametric tier: on exactly two
+        groups, classic one-way ANOVA F is IDENTICALLY the square of
+        the POOLED-variance t statistic. stats_welch_ttest reports the
+        unpooled t, so equality is approximate unless the two groups
+        have near-equal sizes and variances — instead pin the exact
+        algebraic identity directly: recompute pooled t² from the
+        ANOVA's own ingredients on an orders table filtered to the
+        URGENT/LOW pair and check F against it via an independent
+        numpy computation of the group moments."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import stats_anova_f
+        from tests.conftest import SF_TEST
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet")
+        t = t.filter(
+            pc.is_in(
+                t["o_orderpriority"],
+                value_set=__import__("pyarrow").array(["1-URGENT", "5-LOW"]),
+            )
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        row = stats_anova_f(spark, str(tmp_path)).collect()[0]
+        assert row["k"] == 2
+
+        df = t.to_pandas()
+        x = df["o_totalprice"].astype(float)
+        g = df["o_orderpriority"]
+        a, b = x[g == "1-URGENT"], x[g == "5-LOW"]
+        na, nb = len(a), len(b)
+        sp2 = (
+            (na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1)
+        ) / (na + nb - 2)
+        t_pooled = (a.mean() - b.mean()) / np.sqrt(sp2 * (1 / na + 1 / nb))
+        assert abs(row["f_stat"] - t_pooled**2) <= 1e-4 * max(
+            1.0, t_pooled**2
+        ), (row["f_stat"], t_pooled**2)
+
     def test_attribution_trio_conserves_conversions(self, spark):
         """Every attribution method distributes EXACTLY one conversion
         per purchase: last-touch's integer counts sum to the purchase
@@ -1004,7 +1068,9 @@ class TestRound8StatAndAttributionLaws:
         from pyspark.sql import functions as F
 
         from console_etl_spark.relational import (
+            attribution_first_touch,
             attribution_last_touch,
+            attribution_linear,
             attribution_position_based,
             attribution_time_decay,
         )
@@ -1019,22 +1085,34 @@ class TestRound8StatAndAttributionLaws:
         lt = attribution_last_touch(spark, SF_TEST).collect()
         assert sum(r["n_purchases"] for r in lt) == purchases
 
+        ft = {r["channel"]: r for r in
+              attribution_first_touch(spark, SF_TEST).collect()}
         pb = {r["channel"]: r for r in
               attribution_position_based(spark, SF_TEST).collect()}
         td = {r["channel"]: r for r in
               attribution_time_decay(spark, SF_TEST).collect()}
-        for method, rows in (("position_based", pb), ("time_decay", td)):
+        ln = {r["channel"]: r for r in
+              attribution_linear(spark, SF_TEST).collect()}
+        # first-touch credit is INTEGER: conservation is exact
+        assert sum(r["credited_conversions"] for r in ft.values()) == purchases
+        for method, rows in (
+            ("position_based", pb),
+            ("time_decay", td),
+            ("linear", ln),
+        ):
             total = sum(r["credited_conversions"] for r in rows.values())
             # ≤ 9-decimal rounding per touch, 6-decimal per channel row
             assert abs(total - purchases) < 1e-3, (method, total, purchases)
         assert (
             pb["unattributed"]["credited_conversions"]
             == td["unattributed"]["credited_conversions"]
+            == ft["unattributed"]["credited_conversions"]
+            == ln["unattributed"]["credited_conversions"]
         )
         # journey-based methods see the same eligible touch multiset
-        assert {c: r["n_touches"] for c, r in pb.items()} == {
-            c: r["n_touches"] for c, r in td.items()
-        }
+        touch_counts = {c: r["n_touches"] for c, r in pb.items()}
+        for rows in (td, ft, ln):
+            assert {c: r["n_touches"] for c, r in rows.items()} == touch_counts
 
     def test_mad_anomaly_flags_invariant_to_scaling(self, spark, tmp_path):
         """Robust-statistics contract of anomaly_mad_daily_revenue:

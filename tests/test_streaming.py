@@ -1905,3 +1905,61 @@ def test_stream_cusum_monitor_replayed_epochs_idempotent(
     assert sum(r.batch_rows for r in rows) == int(want.n)
     assert sum(int(r.batch_sum_cents) for r in rows) == int(want.s)
     assert sum(int(r.dev_cents) for r in rows) == 0  # telescoping law
+
+
+def test_stream_quantile_monitor_merges_within_rank_error(
+    spark, events_stream_dir, tmp_path
+):
+    """Quantile monitor laws (r9): (1) kll_sketch_get_n over the merged
+    per-epoch sketches equals the fixture's exact non-null count — n
+    composes EXACTLY through the merge tree; (2) the merged p50/p90
+    land within KLL's rank-error contract (±4% rank absorbs compaction
+    randomness) of the exact batch distribution; (3) replay (fresh
+    checkpoint, same metrics dir) is idempotent — same epoch count,
+    laws still hold."""
+    from pyspark.sql import functions as F
+
+    metrics = str(tmp_path / "kll_metrics")
+    q = streaming.stream_quantile_monitor(
+        spark, events_stream_dir, metrics, str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+    m = spark.read.parquet(metrics)
+    n_epochs = m.count()
+    assert n_epochs >= 2
+
+    e = load_table(spark, SF_TEST, "events")
+    want = e.agg(
+        F.count("value").alias("n"),
+        F.percentile(
+            F.col("value").cast("double"),
+            F.array(*[F.lit(p) for p in (0.46, 0.54, 0.86, 0.94)]),
+        ).alias("band"),
+    ).collect()[0]
+
+    def check():
+        got = (
+            spark.read.parquet(metrics)
+            .agg(F.kll_merge_agg_double("kll").alias("kll"))
+            .select(
+                F.kll_sketch_get_n_double("kll").alias("n"),
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.5)).alias("p50"),
+                F.kll_sketch_get_quantile_double("kll", F.lit(0.9)).alias("p90"),
+            )
+            .collect()[0]
+        )
+        assert got.n == want.n  # law 1: exact n through merges
+        b = want.band
+        assert b[0] <= got.p50 <= b[1], (got.p50, b)  # law 2
+        assert b[2] <= got.p90 <= b[3], (got.p90, b)
+
+    check()
+    # law 3: full replay onto the same sink is idempotent
+    q2 = streaming.stream_quantile_monitor(
+        spark, events_stream_dir, metrics, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    m2 = spark.read.parquet(metrics)
+    assert m2.count() == n_epochs
+    assert m2.select("epoch_id").distinct().count() == n_epochs
+    check()
