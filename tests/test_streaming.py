@@ -1963,3 +1963,44 @@ def test_stream_quantile_monitor_merges_within_rank_error(
     assert m2.count() == n_epochs
     assert m2.select("epoch_id").distinct().count() == n_epochs
     check()
+
+
+def test_run_until_fails_fast_when_query_terminates_cleanly(spark):
+    """ADVICE r8: a query that stops CLEANLY (isActive False, no
+    exception) without satisfying done() must make run_until re-check
+    done() once and raise immediately — not poll out the rest of the
+    deadline. Stop a rate-source query from outside mid-poll and assert
+    the TimeoutError arrives in a fraction of the 120 s budget."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    bus = streaming.read_bus_stream(spark, "rate", {"rowsPerSecond": "10"})
+    agg = bus.agg(F.count("*").alias("n"))
+
+    def stop_soon():
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            qs = [
+                q for q in spark.streams.active
+                if q.name == "t_run_until_clean_stop"
+            ]
+            if qs and qs[0].recentProgress:
+                qs[0].stop()  # clean external stop, no exception
+                return
+            _time.sleep(0.2)
+
+    t = threading.Thread(target=stop_soon, daemon=True)
+    t.start()
+    t0 = _time.monotonic()
+    with pytest.raises(TimeoutError, match="terminated before done"):
+        streaming.run_until(
+            agg,
+            "t_run_until_clean_stop",
+            done=lambda df: False,  # never satisfied
+            timeout_s=120.0,
+        )
+    elapsed = _time.monotonic() - t0
+    t.join(5)
+    assert elapsed < 60, f"run_until polled {elapsed:.0f}s after clean stop"
