@@ -57,24 +57,28 @@ _MODULES = (
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 9 (eighth
 # rotation): the never-checked backlog enters the round at ZERO (r8
-# drained it), so this window = the 6 NEW r9 registrations
-# (attribution first-touch + linear completing the four-method set,
-# ANOVA F / Kendall tau-b / Levene-Brown-Forsythe completing the stats
-# tier, and the KLL quantile-sketch MV partial — each windowed
+# drained it), so this window = the 9 NEW r9 registrations
+# (attribution first-touch + linear completing the four-method set;
+# ANOVA F / Kendall tau-b / Levene-Brown-Forsythe / two-proportion
+# z-test completing the stats tier; the KLL quantile-sketch MV
+# partial; weekly growth accounting; top-10 MoM movers — each windowed
 # same-round per VERDICT r7 item 8; sketch_kll_price_quantiles is
 # rows-only by design, KLL compaction is randomized), then ALL 12
 # r1-stale rows (VERDICT r8 item 3 names 11; approx_distinct_events is
 # the twelfth r1 row in the ledger), then ALL 14 r2 rows and ALL 12 r3
-# rows aging in, then the 6 OLDEST r4 rows (registration order).
+# rows aging in, then the 3 OLDEST r4 rows (registration order).
 # After this round the oldest remaining driver row is r4.
 _PRIORITY = (
-    # new r9 registrations, never driver-checked (6; kll is rows-only)
+    # new r9 registrations, never driver-checked (9; kll is rows-only)
     "attribution_first_touch",
     "attribution_linear",
     "stats_anova_f",
     "stats_kendall_tau",
     "stats_levene_bf",
     "sketch_kll_price_quantiles",
+    "growth_accounting_weekly",
+    "stats_two_proportion_ztest",
+    "topk_movers_mom",
     # r1-stale driver rows (all 12): registration order
     "setop_intersect_nations",
     "setop_except_nations",
@@ -116,13 +120,10 @@ _PRIORITY = (
     "dedup_content_hash_index",
     "stratified_sample_docs",
     "mix_corpus_weighted",
-    # oldest r4 driver rows (6 of 25): registration order
+    # oldest r4 driver rows (3 of 25): registration order
     "nav_list_packages",
     "nav_list_schemas",
     "nav_list_objects",
-    "nav_derived_partition_key",
-    "agg_rollup_returns",
-    "pivot_priority_by_status",
     # WINDOW FULL at 50.
 )
 

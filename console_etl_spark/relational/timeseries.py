@@ -2824,3 +2824,263 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).alias("w_stat"),
     )
+
+
+@_register(
+    "growth_accounting_weekly",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+      FROM events
+    ), seq AS (
+      SELECT user_id, w,
+             MIN(w) OVER (PARTITION BY user_id) AS first_w,
+             LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+             LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w,
+             MAX(w) OVER () AS max_w
+      FROM uw
+    ), active AS (
+      SELECT w,
+             CASE WHEN w = first_w THEN 'new'
+                  WHEN prev_w = w - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM seq
+    ), churned AS (
+      SELECT CAST(w + INTERVAL 7 DAY AS DATE) AS w, 'churned' AS status
+      FROM seq
+      WHERE (next_w IS NULL OR next_w > w + INTERVAL 7 DAY)
+        AND CAST(w + INTERVAL 7 DAY AS DATE) <= max_w
+    )
+    SELECT CAST(CAST(w AS DATE) AS VARCHAR) AS week, status,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (SELECT CAST(w AS DATE) AS w, status FROM active
+          UNION ALL SELECT w, status FROM churned)
+    GROUP BY 1, 2 ORDER BY week, status
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the standard four-way user-lifecycle
+    decomposition a growth team reads every Monday: per week, actives
+    split into NEW (first-ever week), RETAINED (also active the
+    immediately previous week), RESURRECTED (active before, but not
+    last week); CHURNED counts users active in week w-1 and absent in
+    w (attributed to w, truncated at the observed horizon so the
+    final week doesn't mass-churn). The identity actives(w) = new +
+    retained + resurrected and churned(w) = actives(w-1) -
+    retained(w) both follow from the definition — pinned as a law
+    test.
+
+    Exactness: everything is dates and integer counts — the week grain
+    is date_trunc('week') (ISO Monday in both engines), adjacency is
+    exact +7-day date arithmetic, no floats anywhere.
+
+    Scale shape: one distinct (user, week) reduction (map-side
+    combinable), ONE user-partition window pass computing
+    first/prev/next together, then a week×4 bounded aggregation. The
+    global MAX(w) is a broadcast 1-row fold. All shuffles key on
+    user_id; output is weeks × 4 rows."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+    ).distinct()
+    wu = W.partitionBy("user_id").orderBy("w")
+    # the horizon is a broadcast 1-row fold, never MAX() OVER () — an
+    # empty-partition window would funnel the whole user-week relation
+    # through one partition
+    mx = uw.agg(F.max("w").alias("max_w"))
+    seq = uw.select(
+        "user_id",
+        "w",
+        F.min("w").over(W.partitionBy("user_id")).alias("first_w"),
+        F.lag("w").over(wu).alias("prev_w"),
+        F.lead("w").over(wu).alias("next_w"),
+    ).crossJoin(F.broadcast(mx))
+    active = seq.select(
+        F.col("w"),
+        F.when(F.col("w") == F.col("first_w"), F.lit("new"))
+        .when(F.col("prev_w") == F.date_add(F.col("w"), -7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    churned = (
+        seq.filter(
+            (
+                F.col("next_w").isNull()
+                | (F.col("next_w") > F.date_add(F.col("w"), 7))
+            )
+            & (F.date_add(F.col("w"), 7) <= F.col("max_w"))
+        )
+        .select(
+            F.date_add(F.col("w"), 7).alias("w"),
+            F.lit("churned").alias("status"),
+        )
+    )
+    return (
+        active.unionByName(churned)
+        .groupBy(F.col("w").cast("string").alias("week"), "status")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("week", "status")
+    )
+
+
+@_register(
+    "stats_two_proportion_ztest",
+    """
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x1,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                       AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS x2
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), f AS (
+      SELECT n1, n2, x1, x2,
+             CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+             CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+      FROM agg
+    )
+    SELECT n1, n2, x1, x2,
+           ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+           ROUND((p1 - p2)
+                 / SQRT(pp * (1.0 - pp)
+                        * (1.0 / CAST(n1 AS DOUBLE)
+                           + 1.0 / CAST(n2 AS DOUBLE))), 6) AS z
+    FROM f
+    """,
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled): does the share of fulfilled
+    ('F') orders differ between URGENT and LOW priorities — the
+    categorical-outcome sibling of Welch (means) and Mann-Whitney
+    (ranks) on the same group pair, i.e. the conversion-rate A/B test
+    every growth analyst runs.
+
+    Exactness: the partials are four INTEGER counts from one
+    conditional aggregation; every double after that (p1, p2, pooled
+    p, z) is one short IEEE sequence written identically in both
+    engines, so ROUND(…,6) matches exactly.
+
+    Scale shape: one map-side-combinable aggregation over a scan
+    pre-filtered to the two priorities (pushed to parquet), no shuffle
+    beyond the 1-row fold — the cheapest stats-tier shape, same as
+    stats_anova_f without even the decimal sums."""
+    g = F.col("o_orderpriority")
+    isf = F.col("o_orderstatus") == "F"
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .filter(g.isin("1-URGENT", "5-LOW"))
+        .agg(
+            F.sum((g == "1-URGENT").cast("long")).cast("bigint").alias("n1"),
+            F.sum((g == "5-LOW").cast("long")).cast("bigint").alias("n2"),
+            F.sum(((g == "1-URGENT") & isf).cast("long"))
+            .cast("bigint")
+            .alias("x1"),
+            F.sum(((g == "5-LOW") & isf).cast("long"))
+            .cast("bigint")
+            .alias("x2"),
+        )
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    p1 = F.col("x1").cast("double") / n1d
+    p2 = F.col("x2").cast("double") / n2d
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        "x1",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(
+            (p1 - p2) / F.sqrt(pp * (1.0 - pp) * (1.0 / n1d + 1.0 / n2d)), 6
+        ).alias("z"),
+    )
+
+
+@_register(
+    "topk_movers_mom",
+    """
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(38,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    ), seq AS (
+      SELECT o_custkey, m, rev,
+             LAG(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m,
+             LAG(rev) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_rev
+      FROM cm
+    )
+    SELECT o_custkey AS custkey,
+           CAST(CAST(m AS DATE) AS VARCHAR) AS month,
+           CAST(rev AS DECIMAL(38,2)) AS revenue,
+           CAST(prev_rev AS DECIMAL(38,2)) AS prev_revenue,
+           CAST(rev - prev_rev AS DECIMAL(38,2)) AS delta
+    FROM seq
+    WHERE prev_m = m - INTERVAL 1 MONTH
+    ORDER BY delta DESC, custkey, month LIMIT 10
+    """,
+)
+def topk_movers_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 month-over-month revenue movers by customer — the 'who
+    jumped the most since last month' BI staple. A mover is a customer
+    with revenue in two CONSECUTIVE calendar months (prev month must
+    be exactly month - 1; a gap is a reactivation, not a move); delta
+    is exact DECIMAL subtraction, and the top-10 ordering
+    (delta DESC, custkey, month) is total, so both engines return the
+    identical rows.
+
+    Scale shape: one (customer, month) aggregation — map-side
+    combinable — then ONE customer-partition window for the lag, then
+    a TakeOrderedAndProject top-10 (never a global sort). Shuffles key
+    on o_custkey; the consecutive-month filter is row-local."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = (
+        o.groupBy(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    wc = W.partitionBy("o_custkey").orderBy("m")
+    seq = cm.select(
+        "o_custkey",
+        "m",
+        "rev",
+        F.lag("m").over(wc).alias("prev_m"),
+        F.lag("rev").over(wc).alias("prev_rev"),
+    )
+    return (
+        seq.filter(F.col("prev_m") == F.add_months(F.col("m"), -1))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("m").cast("string").alias("month"),
+            F.col("rev").cast("decimal(38,2)").alias("revenue"),
+            F.col("prev_rev").cast("decimal(38,2)").alias("prev_revenue"),
+            (F.col("rev") - F.col("prev_rev"))
+            .cast("decimal(38,2)")
+            .alias("delta"),
+        )
+        .orderBy(F.col("delta").desc(), "custkey", "month")
+        .limit(10)
+    )

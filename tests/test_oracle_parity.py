@@ -60,14 +60,15 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 9 (never-checked backlog entered at 0): the 6
+    priority list. Round 9 (never-checked backlog entered at 0): the 9
     NEW r9 registrations first (attribution first-touch + linear, ANOVA
-    F, Kendall tau-b, Levene-Brown-Forsythe — all oracle-backed — plus
-    the rows-only KLL quantile sketch at slot 5), then pure staleness
-    draining: all 12 r1 rows (approx_distinct_events among them is the
-    window's other rows-only slot — HLL estimates have no SQL oracle),
-    all 14 r2 rows, all 12 r3 rows, and the 6 oldest r4 rows — 48
-    oracle value-hash slots + 2 rows-only slots."""
+    F, Kendall tau-b, Levene-Brown-Forsythe, two-proportion z-test,
+    weekly growth accounting, top-10 MoM movers — all oracle-backed —
+    plus the rows-only KLL quantile sketch at slot 5), then pure
+    staleness draining: all 12 r1 rows (approx_distinct_events among
+    them is the window's other rows-only slot — HLL estimates have no
+    SQL oracle), all 14 r2 rows, all 12 r3 rows, and the 3 oldest r4
+    rows — 48 oracle value-hash slots + 2 rows-only slots."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]

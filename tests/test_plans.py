@@ -738,3 +738,25 @@ def test_levene_bf_grouped_prefix_no_singlepartition_window(spark):
         nxt = _re.search(r"Exchange (\S+)", upstream)
         assert nxt and nxt.group(1).startswith("hashpartitioning"), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_growth_accounting_one_user_window_no_singlepartition_window(spark):
+    """growth_accounting_weekly (r9): first/prev/next all share ONE
+    user-partition window pass; the horizon is a broadcast 1-row fold,
+    so no Window may sit on a SinglePartition exchange."""
+    import re as _re
+
+    plan = plan_of(relational.growth_accounting_weekly(spark, SF_TEST))
+    for m in _re.finditer(r"Window ", plan):
+        nxt = _re.search(r"Exchange (\S+)", plan[m.end():])
+        assert nxt and nxt.group(1).startswith("hashpartitioning"), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_movers_takeordered_single_customer_exchange(spark):
+    """topk_movers_mom (r9): the month aggregation and the lag window
+    share the o_custkey hash exchange; top-10 plans as
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(relational.topk_movers_mom(spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 0, plan

@@ -1056,6 +1056,62 @@ class TestRound8StatAndAttributionLaws:
             1.0, t_pooled**2
         ), (row["f_stat"], t_pooled**2)
 
+    def test_growth_accounting_identities(self, spark):
+        """growth_accounting_weekly (r9) must satisfy the two defining
+        identities of the lifecycle decomposition, per week w:
+        (1) actives(w) = new + retained + resurrected equals the exact
+        distinct-user count of that week; (2) churned(w) =
+        actives(w-1) - retained(w) — every previous-week active either
+        returns (retained) or churns. Both exact integers."""
+        from pyspark.sql import functions as F
+
+        from console_etl_spark.relational import growth_accounting_weekly
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        rows = growth_accounting_weekly(spark, SF_TEST).collect()
+        per_week: dict[str, dict[str, int]] = {}
+        for r in rows:
+            per_week.setdefault(r["week"], {})[r["status"]] = r["n_users"]
+
+        exact = {
+            r["week"]: r["n"]
+            for r in load_table(spark, SF_TEST, "events")
+            .select(
+                F.date_trunc("week", "ts").cast("date").cast("string")
+                .alias("week"),
+                "user_id",
+            )
+            .distinct()
+            .groupBy("week")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        weeks = sorted(exact)
+        for w in weeks:
+            d = per_week.get(w, {})
+            actives = (
+                d.get("new", 0) + d.get("retained", 0) + d.get("resurrected", 0)
+            )
+            assert actives == exact[w], (w, d, exact[w])
+        for prev, cur in zip(weeks, weeks[1:]):
+            dp, dc = per_week.get(prev, {}), per_week.get(cur, {})
+            actives_prev = (
+                dp.get("new", 0)
+                + dp.get("retained", 0)
+                + dp.get("resurrected", 0)
+            )
+            # identity holds only for ADJACENT calendar weeks
+            import datetime
+
+            if (
+                datetime.date.fromisoformat(cur)
+                - datetime.date.fromisoformat(prev)
+            ).days == 7:
+                assert dc.get("churned", 0) == actives_prev - dc.get(
+                    "retained", 0
+                ), (prev, cur, dp, dc)
+
     def test_attribution_trio_conserves_conversions(self, spark):
         """Every attribution method distributes EXACTLY one conversion
         per purchase: last-touch's integer counts sum to the purchase
