@@ -480,6 +480,119 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+SESSIONS_TWS_OUTPUT = (
+    "user_id long, start_us long, end_us long, n_events long"
+)
+SESSION_GAP_US = 1_800_000_000  # 30 min, matching relational.sessionize_events
+
+
+def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization on transformWithState EVENT-TIME TIMERS
+    — the capability tier running_user_totals_tws doesn't touch: a
+    session closes not when another event arrives but when the
+    WATERMARK passes its last event + 30 min, so output latency is
+    bounded by real time, not by the key's next activity (the
+    difference that matters for an idle-user alerting pipeline).
+
+    State per user is a ListState of (start_us, last_us, n) session
+    triples — bounded by OPEN sessions, never raw events. Each input
+    batch merges its event times into the triples (a new event can
+    extend a session or BRIDGE two adjacent ones — the merge is a
+    sorted interval coalesce, so out-of-order arrivals within the
+    watermark land exactly); one timer per user tracks the earliest
+    close candidate. handleExpiredTimer emits every session whose
+    last + gap <= current watermark and re-arms for the rest.
+
+    Law (tests): every emitted session is EXACTLY a batch session of
+    relational.sessionize_events' integer-microsecond definition, and
+    every batch session whose close point precedes the final watermark
+    must have been emitted — the same emitted-subset + completeness
+    pinning as the streaming as-of twin. Trailing sessions (close
+    point after the last watermark) correctly stay open.
+
+    Scale: state is O(open sessions per user), timers are one per
+    user, and the only shuffle keys on user_id. RocksDB state store
+    required (TWS API); timers and state evolve with the engine's
+    state-schema support."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming import StatefulProcessor
+
+    gap_us = SESSION_GAP_US
+    gap_ms = gap_us // 1000
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._sessions = handle.getListState(
+                "sessions", "start_us long, last_us long, n long"
+            )
+            self._handle = handle
+
+        @staticmethod
+        def _coalesce(sessions: list) -> list:
+            sessions.sort()
+            out: list = []
+            for s in sessions:
+                if out and s[0] - out[-1][1] <= gap_us:
+                    out[-1] = [
+                        out[-1][0], max(out[-1][1], s[1]), out[-1][2] + s[2]
+                    ]
+                else:
+                    out.append(list(s))
+            return out
+
+        def _rearm(self, sessions: list) -> None:
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            if sessions:
+                self._handle.registerTimer(
+                    min(s[1] for s in sessions) // 1000 + gap_ms
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = [list(r) for r in self._sessions.get()]
+            for pdf in rows:
+                for t in (pdf["ts"].astype("int64") // 1000).tolist():
+                    cur.append([t, t, 1])
+            cur = self._coalesce(cur)
+            self._sessions.clear()
+            self._sessions.appendList([tuple(c) for c in cur])
+            self._rearm(cur)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            cur = [list(r) for r in self._sessions.get()]
+            done = [c for c in cur if c[1] // 1000 + gap_ms <= wm]
+            keep = [c for c in cur if c[1] // 1000 + gap_ms > wm]
+            self._sessions.clear()
+            if keep:
+                self._sessions.appendList([tuple(c) for c in keep])
+            self._rearm(keep)
+            if done:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(done),
+                        "start_us": [c[0] for c in done],
+                        "end_us": [c[1] for c in done],
+                        "n_events": [c[2] for c in done],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Sessionizer(),
+            outputStructType=SESSIONS_TWS_OUTPUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Continuous catalog ingest: meta stream -> snapshot store
 # --------------------------------------------------------------------------

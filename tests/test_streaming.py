@@ -2004,3 +2004,88 @@ def test_run_until_fails_fast_when_query_terminates_cleanly(spark):
     elapsed = _time.monotonic() - t0
     t.join(5)
     assert elapsed < 60, f"run_until polled {elapsed:.0f}s after clean stop"
+
+
+def test_user_sessions_tws_timers_equal_batch(spark, events_stream_dir):
+    """Event-time-TIMER sessionization law (r9): every session the TWS
+    operator emits is EXACTLY a session of the batch 30-min gap
+    definition (same integer-microsecond arithmetic as
+    relational.sessionize_events), and every batch session whose close
+    point (last + gap) precedes the final watermark was emitted —
+    trailing sessions correctly stay open. Exercises the TWS tier the
+    running-totals twin doesn't: ListState, registerTimer/deleteTimer/
+    listTimers, and handleExpiredTimer under EventTime mode.
+
+    Skips on hosts with no protobuf runtime (same gate as the
+    running-totals TWS test)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_events_stream(spark, events_stream_dir)
+        got = streaming.run_to_completion(
+            streaming.user_sessions_tws(stream),
+            "t_sessions_tws",
+            output_mode="append",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    gap_us = streaming.SESSION_GAP_US
+    e = load_table(spark, SF_TEST, "events").toPandas()
+    e["us"] = e["ts"].astype("int64") // 1000
+    sess = []
+    for uid, grp in e.sort_values(["user_id", "us"]).groupby("user_id"):
+        cur = None
+        for t in grp["us"]:
+            if cur is None or t - cur[1] > gap_us:
+                if cur is not None:
+                    sess.append((uid, cur[0], cur[1], cur[2]))
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        sess.append((uid, cur[0], cur[1], cur[2]))
+    batch = pd.DataFrame(
+        sess, columns=["user_id", "start_us", "end_us", "n_events"]
+    )
+
+    # emitted-subset law: every emitted session is a batch session
+    assert len(got) > 0
+    merged = got.merge(
+        batch, on=list(got.columns), how="left", indicator=True
+    )
+    assert (merged["_merge"] == "both").all()
+
+    # completeness: final watermark = max event time seen BEFORE the
+    # last micro-batch, minus the 2 h delay; every batch session whose
+    # close point precedes it must have been emitted
+    files = sorted(glob.glob(os.path.join(events_stream_dir, "part-*")))
+    head_max_us = (
+        spark.read.parquet(*files[:-1])
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
+    wm_us = head_max_us - 2 * 3600 * 1_000_000
+    must_emit = batch[(batch["end_us"] + gap_us) <= wm_us]
+    emitted_keys = set(map(tuple, got.values.tolist()))
+    missing = [
+        t for t in map(tuple, must_emit.values.tolist())
+        if t not in emitted_keys
+    ]
+    assert not missing, f"{len(missing)} closed sessions never emitted"
