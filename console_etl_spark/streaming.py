@@ -421,11 +421,36 @@ def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
     )
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
+def user_totals_snapshot(events_batch: DataFrame) -> DataFrame:
+    """Per-user (n_events, total_cents, max_event_id) from a BATCH
+    relation — the warm-start state for running_user_totals_tws's
+    ``initial_totals``: backfill history once with a batch job, then
+    let the stream continue from exactly that state (the standard
+    lambda-collapse pattern for stateful streaming at scale — no
+    replaying months of history through the stream path)."""
+    return events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value").cast("decimal(8,2)") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def running_user_totals_tws(
+    events: DataFrame, initial_totals: DataFrame | None = None
+) -> DataFrame:
     """``running_user_totals`` on Spark 4's transformWithState API — the
     supported successor of applyInPandasWithState for arbitrary per-key
     state machines. Same semantics, same output schema, stream==batch
     pinned by the same test.
+
+    ``initial_totals`` (optional): a batch relation shaped like
+    user_totals_snapshot's output, delivered through TWS's
+    initial-state channel — handleInitialState seeds each user's
+    ValueState in the FIRST micro-batch, so totals continue from the
+    batch backfill instead of zero. Law test: warm start + streamed
+    deltas equals one batch aggregation over history ∪ stream.
 
     Differences that matter at scale: typed state handles (here one
     ValueState of 3 longs per user) instead of a single opaque tuple,
@@ -449,6 +474,16 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("totals", RUNNING_TOTALS_STATE)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            r = initialState.iloc[0]
+            self._state.update(
+                (
+                    int(r["n_events"]),
+                    int(r["total_cents"]),
+                    int(r["max_event_id"]),
+                )
+            )
 
         def handleInputRows(self, key, rows, timerValues):
             n, cents, max_id = (
@@ -477,6 +512,10 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_OUTPUT,
         outputMode="Update",
         timeMode="None",
+        initialState=(
+            None if initial_totals is None
+            else initial_totals.groupBy("user_id")
+        ),
     )
 
 

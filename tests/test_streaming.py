@@ -2089,3 +2089,70 @@ def test_user_sessions_tws_timers_equal_batch(spark, events_stream_dir):
         if t not in emitted_keys
     ]
     assert not missing, f"{len(missing)} closed sessions never emitted"
+
+
+def test_running_totals_tws_bootstrapped_from_batch_history(spark, tmp_path):
+    """TWS initial-state law (r9): warm-starting the running-totals
+    state from a BATCH backfill (user_totals_snapshot of the
+    even-event_id half) and streaming only the odd half must end at
+    exactly the one-shot batch aggregation over ALL events, per user —
+    the lambda-collapse pattern (backfill once, stream deltas) with no
+    history replay through the stream path. Exercises
+    handleInitialState + the initialState GroupedData channel."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    e = load_table(spark, SF_TEST, "events")
+    hist = e.filter(F.col("event_id") % 2 == 0)
+    live = e.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "boot_stream")
+    write_ordered_stream(live, 3, src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_events_stream(spark, src)
+        got = streaming.run_to_completion(
+            streaming.running_user_totals_tws(
+                stream, initial_totals=streaming.user_totals_snapshot(hist)
+            ),
+            "t_totals_tws_boot",
+            output_mode="update",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    final = (
+        got.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id", ignore_index=True)
+    )
+    full = e.toPandas()
+    full["cents"] = full["value"].mul(100).round().astype("int64")
+    want = (
+        full.groupby("user_id", as_index=False)
+        .agg(
+            n_events=("event_id", "size"),
+            total_cents=("cents", "sum"),
+            max_event_id=("event_id", "max"),
+        )
+        .sort_values("user_id", ignore_index=True)
+    )
+    # every user has stream events in this fixture, so the emitted set
+    # covers every user and the warm start must be exactly absorbed
+    pd.testing.assert_frame_equal(
+        final[["user_id", "n_events", "total_cents", "max_event_id"]],
+        want,
+        check_dtype=False,
+    )
