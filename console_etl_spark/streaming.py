@@ -519,6 +519,66 @@ def running_user_totals_tws(
     )
 
 
+TYPE_COUNTS_TWS_OUTPUT = "user_id long, event_type string, n long"
+
+
+def user_event_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts on a TWS MapState —
+    completing the state-type triad (ValueState: running totals;
+    ListState: open sessions; MapState: a keyed sub-aggregate whose
+    KEY SET is data-driven). A MapState reads/writes only the touched
+    sub-keys, so per-batch state I/O is O(types seen in the batch),
+    not O(all types ever seen) — the property that matters when the
+    sub-key domain is wide (page paths, SKUs) and RocksDB holds the
+    long tail.
+
+    Emits the updated (user, type, n) rows each micro-batch (update
+    mode); the final row per (user, type) equals the batch
+    groupBy(user_id, event_type).count() — the law test."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for t, c in pdf["event_type"].value_counts().items():
+                    batch[t] = batch.get(t, 0) + int(c)
+            out_t, out_n = [], []
+            for t, c in batch.items():
+                cur = (
+                    self._counts.getValue((t,))
+                    if self._counts.containsKey((t,))
+                    else None
+                )
+                n = (cur[0] if cur is not None else 0) + c
+                self._counts.updateValue((t,), (n,))
+                out_t.append(t)
+                out_n.append(n)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_t),
+                    "event_type": out_t,
+                    "n": out_n,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=TYPE_COUNTS_TWS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 SESSIONS_TWS_OUTPUT = (
     "user_id long, start_us long, end_us long, n_events long"
 )

@@ -2156,3 +2156,55 @@ def test_running_totals_tws_bootstrapped_from_batch_history(spark, tmp_path):
         want,
         check_dtype=False,
     )
+
+
+def test_user_event_type_counts_tws_mapstate_equals_batch(
+    spark, events_stream_dir
+):
+    """MapState law (r9, completing the TWS state-type triad): the final
+    (user, event_type) running count equals the batch groupBy count for
+    EVERY pair — sub-key state accumulates across micro-batches and no
+    pair is lost or double-counted. Also asserts counts really crossed
+    batches (more update rows than final pairs)."""
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_events_stream(spark, events_stream_dir)
+        got = streaming.run_to_completion(
+            streaming.user_event_type_counts_tws(stream),
+            "t_type_counts_tws",
+            output_mode="update",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    final = (
+        got.sort_values("n")
+        .groupby(["user_id", "event_type"], as_index=False)
+        .last()
+    )
+    want = (
+        load_table(spark, SF_TEST, "events")
+        .toPandas()
+        .groupby(["user_id", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    m = final.merge(
+        want, on=["user_id", "event_type"], suffixes=("_got", "_want"),
+        how="outer", indicator=True,
+    )
+    assert (m["_merge"] == "both").all()
+    assert (m["n_got"] == m["n_want"]).all()
+    assert len(got) > len(final)  # state crossed micro-batches
