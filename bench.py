@@ -102,10 +102,12 @@ HEADLINE = [
     "stats_kendall_tau",
     "stats_levene_bf",
     "sketch_kll_price_quantiles",
-    # round-9 second wave (growth analytics + proportions test):
+    # round-9 second wave (growth analytics + proportions test + MP3
+    # frame-stream metadata):
     "growth_accounting_weekly",
     "stats_two_proportion_ztest",
     "topk_movers_mom",
+    "mm_mp3_features",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -2836,3 +2836,167 @@ def dedup_image_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_pairs(mm_image_phash(spark, sf_dir)).orderBy(
         "id_a", "id_b"
     )
+
+
+# --------------------------------------------------------------------------
+# MPEG-1 Layer III (MP3) frame-stream slot: REAL framing, gated decode
+# --------------------------------------------------------------------------
+# Perceptual DECODE (hybrid filterbank + huffman + psychoacoustics) stays
+# honestly library-gated, but MP3 FRAMING is a pure bit-level container
+# spec (ISO/IEC 11172-3): an 11-bit sync word, version/layer/bitrate/
+# samplerate/padding fields, and a closed-form frame length. Parsing it
+# is the same tier the engine already ships for JPEG (SOF metadata) and
+# MP4 (box walk) — real structural metadata, not pixels/samples — and is
+# what a 100 TB ingest needs first anyway: validate, measure, and
+# deduplicate audio BEFORE paying for perceptual decode.
+
+MP3_MEDIA_TYPE = "audio/mpeg"
+_MP3_BITRATES_KBPS = (  # MPEG-1 Layer III, index 1..14
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_SAMPLE_RATES = (44100, 48000, 32000)  # index 0..2
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _mp3_frame_len(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """Closed-form MPEG-1 Layer III frame length in bytes."""
+    return 144_000 * bitrate_kbps // sample_rate + padding
+
+
+def encode_mp3_stream(
+    bitrate_idx: int, rate_idx: int, paddings: list, seed: int
+) -> bytes:
+    """A VALID CBR MPEG-1 Layer III frame stream: every frame carries a
+    spec-correct 4-byte header (sync/version/layer/bitrate/samplerate/
+    padding) and deterministic seed-derived main_data filler bytes —
+    the frame STRUCTURE is real and any MP3 header scanner agrees on
+    frame count, bitrate, and duration; the payload carries no encoded
+    audio (perceptual encode is the gated half)."""
+    out = bytearray()
+    kbps = _MP3_BITRATES_KBPS[bitrate_idx]
+    rate = _MP3_SAMPLE_RATES[rate_idx]
+    for i, pad in enumerate(paddings):
+        h0 = 0xFF
+        h1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 0b1  # MPEG-1, Layer III, no CRC
+        h2 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
+        h3 = 0b11000100  # single channel, no emphasis bits set meaningfully
+        frame = bytearray((h0, h1, h2, h3))
+        body = _mp3_frame_len(kbps, rate, pad) - 4
+        frame.extend(((seed * 2654435761 + i * 40503 + j) & 0xFF) for j in range(body))
+        out.extend(frame)
+    return bytes(out)
+
+
+def _mp3_skip_id3v2(payload: bytes) -> int:
+    """Real MP3 files usually lead with an ID3v2 tag; return the offset
+    of the first audio frame (synchsafe 28-bit size per the ID3 spec)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    return 10 + size
+
+
+def mp3_frame_features(payload: bytes) -> list[float]:
+    """REAL frame-stream parse: walk every frame header, validate sync/
+    version/layer, check CBR consistency, and return
+    [version, layer, sample_rate, bitrate_kbps, n_frames, duration_ms,
+    n_padded, n_bytes]. Raises ValueError on broken sync or a
+    truncated trailing frame — a malformed payload must surface, not
+    count as shorter audio."""
+    p = bytes(payload)
+    pos = _mp3_skip_id3v2(p)
+    n_frames = n_padded = 0
+    kbps = rate = None
+    while pos < len(p):
+        if pos + 4 > len(p):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2 = p[pos], p[pos + 1], p[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"bad MP3 sync at byte {pos}")
+        if (b1 >> 3) & 0b11 != 0b11 or (b1 >> 1) & 0b11 != 0b01:
+            raise ValueError("only MPEG-1 Layer III streams supported")
+        bidx, ridx, pad = b2 >> 4, (b2 >> 2) & 0b11, (b2 >> 1) & 1
+        if not 1 <= bidx <= 14 or ridx > 2:
+            raise ValueError("reserved bitrate/samplerate index")
+        f_kbps, f_rate = _MP3_BITRATES_KBPS[bidx], _MP3_SAMPLE_RATES[ridx]
+        if kbps is None:
+            kbps, rate = f_kbps, f_rate
+        elif (f_kbps, f_rate) != (kbps, rate):
+            raise ValueError("VBR stream: frame parameters changed mid-stream")
+        flen = _mp3_frame_len(f_kbps, f_rate, pad)
+        if pos + flen > len(p):
+            raise ValueError("truncated MP3 frame body")
+        n_frames += 1
+        n_padded += pad
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    duration_ms = n_frames * _MP3_SAMPLES_PER_FRAME * 1000.0 / rate
+    return [
+        1.0,  # MPEG version
+        3.0,  # layer
+        float(rate),
+        float(kbps),
+        float(n_frames),
+        duration_ms,
+        float(n_padded),
+        float(len(p)),
+    ]
+
+
+_DECODERS["mp3"] = mp3_frame_features  # framing metadata; perceptual decode stays gated
+
+
+def mp3_audio_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL MP3 frame stream, media_type,
+    n_bytes). Distributed builder, same shape as the other media
+    tables: id-seeded bitrate/samplerate/frame-count/padding pattern,
+    closed-form per doc so the round-trip law recomputes every parsed
+    field independently."""
+
+    def mp3_doc(d: int) -> bytes:
+        bidx = 1 + (d % 14)
+        ridx = d % 3
+        n_frames = 3 + (d % 5)
+        paddings = [1 if (d + i) % 3 == 0 else 0 for i in range(n_frames)]
+        return encode_mp3_stream(bidx, ridx, paddings, seed=d)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [mp3_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": MP3_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+@_register("mm_mp3_features", None)  # rows-only: bit-level framing not SQL-expressible
+def mm_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-stream pipeline: per-doc CBR MPEG-1 Layer III payloads
+    (distributed spec-correct framing encode) → full header-walk parse
+    (sync validation, CBR consistency, ID3v2 skip) → stream metadata
+    (rate, bitrate, frames, duration). The same metadata tier as
+    mm_jpeg_features / mm_mp4_features; perceptual sample decode stays
+    honestly gated (multimodal.extract_features docstring)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(mp3_audio_table(d), decoder="mp3")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 3).alias("sample_rate"),
+        F.element_at("features", 4).alias("bitrate_kbps"),
+        F.element_at("features", 5).alias("n_frames"),
+        F.round(F.element_at("features", 6), 6).alias("duration_ms"),
+        F.element_at("features", 7).alias("n_padded_frames"),
+    )

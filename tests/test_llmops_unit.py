@@ -2586,3 +2586,50 @@ def test_hard_negative_mask_excludes_null_labels(spark):
     assert 3 not in anchors and 4 not in anchors
     # label-2 candidate survives for the label-1 anchors and vice versa
     assert negatives == {0, 1, 2} and anchors <= {0, 1, 2}
+
+
+class TestMp3Framing:
+    """MP3 frame-stream laws (r9): spec-correct framing round-trips
+    exactly; malformed streams raise instead of parsing short."""
+
+    def test_round_trip_all_param_combinations(self):
+        from console_etl_spark.llmops import multimodal as mm
+
+        for d in range(60):  # covers all 14 bitrates x 3 rates x pads
+            bidx, ridx, nf = 1 + (d % 14), d % 3, 3 + (d % 5)
+            pads = [1 if (d + i) % 3 == 0 else 0 for i in range(nf)]
+            p = mm.encode_mp3_stream(bidx, ridx, pads, seed=d)
+            v, layer, rate, kbps, n, dur, npad, nbytes = (
+                mm.mp3_frame_features(p)
+            )
+            assert (v, layer) == (1.0, 3.0)
+            assert rate == mm._MP3_SAMPLE_RATES[ridx]
+            assert kbps == mm._MP3_BITRATES_KBPS[bidx]
+            assert n == nf and npad == sum(pads) and nbytes == len(p)
+            assert dur == nf * 1152 * 1000.0 / rate
+
+    def test_id3v2_prefix_skipped(self):
+        from console_etl_spark.llmops import multimodal as mm
+
+        p = mm.encode_mp3_stream(5, 1, [0, 1, 0], seed=9)
+        tag = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 1, 4]) + bytes(132)
+        assert mm.mp3_frame_features(tag + p)[4] == 3.0
+
+    def test_malformed_streams_raise(self):
+        import pytest
+
+        from console_etl_spark.llmops import multimodal as mm
+
+        p = mm.encode_mp3_stream(3, 0, [0, 0, 1], seed=4)
+        with pytest.raises(ValueError, match="truncated"):
+            mm.mp3_frame_features(p[:-5])  # torn final frame
+        with pytest.raises(ValueError, match="bad MP3 sync"):
+            mm.mp3_frame_features(p[:len(p) // 2] + b"\x00" + p[len(p) // 2:])
+        with pytest.raises(ValueError, match="no MP3 frames"):
+            mm.mp3_frame_features(b"")
+        # VBR guard: second stream with different bitrate appended
+        q = mm.encode_mp3_stream(9, 0, [0], seed=4)
+        with pytest.raises(ValueError, match="VBR"):
+            mm.mp3_frame_features(p + q)
+        with pytest.raises(ValueError, match="reserved"):
+            mm.mp3_frame_features(b"\xff\xfb\xf0\xc4")  # bitrate idx 15
