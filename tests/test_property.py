@@ -1209,3 +1209,112 @@ class TestRound8StatAndAttributionLaws:
             assert scaled[col] == round(3 * base[col], 2), (
                 col, scaled[col], base[col],
             )
+
+
+class TestRound9StatInvarianceLaws:
+    """Invariance laws for the r9 classical-stats tier — properties the
+    per-query oracles cannot catch (both engines could drift together):
+    each law perturbs the input relation and pins the statistic's
+    defining symmetry."""
+
+    def test_kendall_tau_negates_under_y_negation(self, spark, tmp_path):
+        """tau-b is a concordance statistic: negating y swaps every
+        concordant pair with a discordant one, so tau_b flips sign
+        EXACTLY and (concordant, discordant) swap as integer counts."""
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import stats_kendall_tau
+        from tests.conftest import SF_TEST
+
+        base = stats_kendall_tau(spark, SF_TEST).collect()[0]
+
+        t = pq.read_table(f"{SF_TEST}/lineitem.parquet").to_pandas()
+        t["l_discount"] = -t["l_discount"]
+        t.to_parquet(str(tmp_path / "lineitem.parquet"))
+        neg = stats_kendall_tau(spark, str(tmp_path)).collect()[0]
+
+        assert neg["concordant"] == base["discordant"]
+        assert neg["discordant"] == base["concordant"]
+        assert neg["n"] == base["n"] and neg["n_cells"] == base["n_cells"]
+        assert abs(neg["tau_b"] + base["tau_b"]) <= 2e-6  # ROUND(.,6) each
+
+    def test_anova_f_invariant_under_group_relabeling_and_scaling(
+        self, spark, tmp_path
+    ):
+        """F depends on the group PARTITION, not the labels, and is
+        scale-free: bijectively relabeling priorities and scaling x by
+        3 (exact at DECIMAL(12,2)) must reproduce F and eta_sq to
+        float-roundoff."""
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import stats_anova_f
+        from tests.conftest import SF_TEST
+
+        base = stats_anova_f(spark, SF_TEST).collect()[0]
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet").to_pandas()
+        cyc = {
+            "1-URGENT": "2-HIGH",
+            "2-HIGH": "3-MEDIUM",
+            "3-MEDIUM": "4-NOT SPECIFIED",
+            "4-NOT SPECIFIED": "5-LOW",
+            "5-LOW": "1-URGENT",
+        }
+        t["o_orderpriority"] = t["o_orderpriority"].map(cyc)
+        t["o_totalprice"] = t["o_totalprice"] * 3
+        t.to_parquet(str(tmp_path / "orders.parquet"))
+        got = stats_anova_f(spark, str(tmp_path)).collect()[0]
+
+        assert got["n"] == base["n"] and got["k"] == base["k"]
+        assert abs(got["f_stat"] - base["f_stat"]) <= 1e-5 * max(
+            1.0, abs(base["f_stat"])
+        )
+        assert abs(got["eta_sq"] - base["eta_sq"]) <= 1e-6
+
+    def test_levene_w_exactly_invariant_under_location_shift(
+        self, spark, tmp_path
+    ):
+        """Brown-Forsythe W is location-free BY CONSTRUCTION: shifting
+        every price by a constant shifts each group median by exactly
+        that constant (the lower median is a data value, exact in
+        decimal), so the |x - med_g| relation — and therefore W — is
+        BIT-IDENTICAL, not merely close."""
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import stats_levene_bf
+        from tests.conftest import SF_TEST
+
+        base = stats_levene_bf(spark, SF_TEST).collect()[0]
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet").to_pandas()
+        t["o_totalprice"] = t["o_totalprice"] + 1000
+        t.to_parquet(str(tmp_path / "orders.parquet"))
+        got = stats_levene_bf(spark, str(tmp_path)).collect()[0]
+
+        assert (got["n"], got["k"]) == (base["n"], base["k"])
+        assert got["w_stat"] == base["w_stat"]  # exact, not approx
+
+    def test_two_proportion_z_antisymmetric_under_group_swap(
+        self, spark, tmp_path
+    ):
+        """Swapping the two groups negates z exactly (pooled p is
+        symmetric; the numerator flips sign, IEEE negation is exact)
+        and swaps (n, x) pairs as integers."""
+        import pyarrow.parquet as pq
+
+        from console_etl_spark.relational import stats_two_proportion_ztest
+        from tests.conftest import SF_TEST
+
+        base = stats_two_proportion_ztest(spark, SF_TEST).collect()[0]
+
+        t = pq.read_table(f"{SF_TEST}/orders.parquet").to_pandas()
+        swap = {"1-URGENT": "5-LOW", "5-LOW": "1-URGENT"}
+        t["o_orderpriority"] = t["o_orderpriority"].map(
+            lambda v: swap.get(v, v)
+        )
+        t.to_parquet(str(tmp_path / "orders.parquet"))
+        got = stats_two_proportion_ztest(spark, str(tmp_path)).collect()[0]
+
+        assert (got["n1"], got["x1"]) == (base["n2"], base["x2"])
+        assert (got["n2"], got["x2"]) == (base["n1"], base["x1"])
+        assert got["z"] == -base["z"] or (got["z"] == 0 and base["z"] == 0)
