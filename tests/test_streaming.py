@@ -2208,3 +2208,64 @@ def test_user_event_type_counts_tws_mapstate_equals_batch(
     assert (m["_merge"] == "both").all()
     assert (m["n_got"] == m["n_want"]).all()
     assert len(got) > len(final)  # state crossed micro-batches
+
+
+def test_stream_refresh_mv_with_kll_quantile_state(spark, tmp_path):
+    """Composition law (r9 tiers tied together): streaming MV
+    maintenance × KLL quantile state — the per-micro-batch sketch
+    folds must (1) keep the sketch's n EXACTLY equal to the algebraic
+    row count after any number of streamed refreshes, and (2) land
+    every finalized percentile inside the ±4% rank band of the exact
+    per-group distribution (same contract as the batch MV law)."""
+    from pyspark.sql import functions as F
+
+    from console_etl_spark.session import load_table
+    from console_etl_spark.store import MaterializedView, SnapshotStore
+    from tests.conftest import SF_TEST
+
+    e = load_table(spark, SF_TEST, "events").limit(3000).localCheckpoint()
+    facts = tmp_path / "ev"
+    for i in range(3):
+        (e.filter(F.col("event_id") % 3 == i)
+         .coalesce(1).write.mode("append").parquet(str(facts)))
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    keys, quantiles = ("event_type",), ("value",)
+    mv = MaterializedView(
+        store, "mv_kll_stream", keys, (), quantiles=quantiles
+    )
+    q = streaming.stream_refresh_mv(spark, str(facts), mv, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    # law 1: sketch n == algebraic count, exactly, after streamed merges
+    partials = store.read(spark, "mv_kll_stream")
+    for r in partials.select(
+        "_cnt", F.kll_sketch_get_n_double("_kll_value").alias("kn")
+    ).collect():
+        assert r.kn == r._cnt
+
+    bands = {"p50": (0.46, 0.54), "p90": (0.86, 0.94), "p99": (0.95, 1.0)}
+    exact = {
+        r.event_type: dict(zip(sorted(bands), r.b))
+        for r in e.groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.col("value").cast("double"),
+                F.array(*[
+                    F.lit(p) for name in sorted(bands) for p in bands[name]
+                ]),
+            ).alias("b")
+        )
+        .select(
+            "event_type",
+            F.array(*[
+                F.slice("b", 2 * i + 1, 2) for i in range(len(bands))
+            ]).alias("b"),
+        )
+        .collect()
+    }
+    for row in mv.read(spark).collect():
+        for name in bands:
+            lo, hi = exact[row.event_type][name]
+            est = row[f"{name}_value"]
+            assert lo <= est <= hi, (row.event_type, name, est, lo, hi)
