@@ -68,24 +68,52 @@ def ensure_protobuf() -> bool:
             if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(pkg):
                 os.unlink(link)  # stale shim from another host layout
             if not os.path.exists(link):
-                os.symlink(pkg, link)
+                try:
+                    os.symlink(pkg, link)
+                except FileExistsError:
+                    # check-then-create race with a concurrent worker on
+                    # the shared /tmp path: the other side won; accept
+                    # its link iff it points at the same runtime
+                    pass
+            if os.path.realpath(link) != os.path.realpath(pkg):
+                continue
         except OSError:
             continue
+        # Engage the shim, but UNDO every mutation if validation fails —
+        # a half-working shim must not leave the version check disabled
+        # or a stale path on PYTHONPATH for this process's children.
+        prev_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+        prev_pypath = os.environ.get("PYTHONPATH")
+        added_sys_path = shim not in sys.path
         # one-minor-version gencode/runtime skew: use the loader's own
         # escape hatch, scoped to this process tree (workers inherit)
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-        if shim not in sys.path:
+        if added_sys_path:
             sys.path.append(shim)
         os.environ["PYTHONPATH"] = (
-            shim + os.pathsep + os.environ.get("PYTHONPATH", "")
+            shim + os.pathsep + (prev_pypath or "")
         ).rstrip(os.pathsep)
         importlib.invalidate_caches()
+        ok = False
         try:
             import google.protobuf  # noqa: F401
+
+            ok = _pyspark_proto_loads()
         except ImportError:
-            continue
-        if _pyspark_proto_loads():
+            ok = False
+        if ok:
             return True
+        # roll back the failed engagement
+        if added_sys_path and shim in sys.path:
+            sys.path.remove(shim)
+        if prev_pypath is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prev_pypath
+        if prev_check is None:
+            os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+        else:
+            os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = prev_check
     return False
 
 

@@ -2889,28 +2889,37 @@ def encode_mp3_stream(
 
 def _mp3_skip_id3v2(payload: bytes) -> int:
     """Real MP3 files usually lead with an ID3v2 tag; return the offset
-    of the first audio frame (synchsafe 28-bit size per the ID3 spec)."""
+    of the first audio frame (synchsafe 28-bit size per the ID3 spec).
+    The footer flag (bit 4 of the flags byte) adds 10 more bytes — an
+    ID3v2.4 tag with a footer occupies 10 + size + 10."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         return 0
     size = 0
     for b in payload[6:10]:
         size = (size << 7) | (b & 0x7F)
-    return 10 + size
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + size + footer
 
 
 def mp3_frame_features(payload: bytes) -> list[float]:
     """REAL frame-stream parse: walk every frame header, validate sync/
     version/layer, check CBR consistency, and return
     [version, layer, sample_rate, bitrate_kbps, n_frames, duration_ms,
-    n_padded, n_bytes]. Raises ValueError on broken sync or a
-    truncated trailing frame — a malformed payload must surface, not
+    n_padded, n_bytes]. Tolerates the standard real-world envelopes —
+    a leading ID3v2 tag (incl. the v2.4 footer flag) and a trailing
+    128-byte ID3v1 block — and raises ValueError on broken sync or a
+    truncated trailing frame: a malformed payload must surface, not
     count as shorter audio."""
     p = bytes(payload)
     pos = _mp3_skip_id3v2(p)
+    end = len(p)
+    # standard trailing ID3v1 block: exactly 128 bytes starting "TAG"
+    if end - pos >= 128 and p[end - 128:end - 125] == b"TAG":
+        end -= 128
     n_frames = n_padded = 0
     kbps = rate = None
-    while pos < len(p):
-        if pos + 4 > len(p):
+    while pos < end:
+        if pos + 4 > end:
             raise ValueError("truncated MP3 frame header")
         b0, b1, b2 = p[pos], p[pos + 1], p[pos + 2]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -2926,7 +2935,7 @@ def mp3_frame_features(payload: bytes) -> list[float]:
         elif (f_kbps, f_rate) != (kbps, rate):
             raise ValueError("VBR stream: frame parameters changed mid-stream")
         flen = _mp3_frame_len(f_kbps, f_rate, pad)
-        if pos + flen > len(p):
+        if pos + flen > end:
             raise ValueError("truncated MP3 frame body")
         n_frames += 1
         n_padded += pad

@@ -527,9 +527,13 @@ def sketch_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
     )
+    # localCheckpoint the 3-row partial relation: both output branches
+    # (per-flag rows and the _ALL_ merge) read the materialized sketches
+    # — without it, Catalyst re-derives `parts` from the base table and
+    # the full scan + sketch build runs TWICE (caught by plan review r9)
     parts = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("x").alias("kll")
-    )
+    ).localCheckpoint()
     merged = parts.agg(F.kll_merge_agg_double("kll").alias("kll")).select(
         F.lit("_ALL_").alias("l_returnflag"), "kll"
     )

@@ -427,10 +427,15 @@ def user_totals_snapshot(events_batch: DataFrame) -> DataFrame:
     ``initial_totals``: backfill history once with a batch job, then
     let the stream continue from exactly that state (the standard
     lambda-collapse pattern for stateful streaming at scale — no
-    replaying months of history through the stream path)."""
+    replaying months of history through the stream path).
+
+    Rounding: ``bround`` (half-to-even), NOT a decimal cast (HALF_UP) —
+    the stream path's pandas ``.round()`` is banker's rounding, and a
+    3-decimal midpoint value (1.125) would otherwise make warm start +
+    deltas diverge from the one-shot batch by one cent."""
     return events_batch.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.sum((F.col("value").cast("decimal(8,2)") * 100).cast("long")).alias(
+        F.sum(F.bround(F.col("value") * 100).cast("long")).alias(
             "total_cents"
         ),
         F.max("event_id").alias("max_event_id"),
@@ -643,8 +648,13 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
             if sessions:
+                # +1 ms past the close point: the emit gate below is
+                # STRICT (close < watermark), so the timer must fire at
+                # a watermark that already satisfies it — an expiry at
+                # the floor-divided boundary could fire while the gate
+                # still holds the session open and churn every batch
                 self._handle.registerTimer(
-                    min(s[1] for s in sessions) // 1000 + gap_ms
+                    (min(s[1] for s in sessions) + gap_us) // 1000 + 1
                 )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -659,10 +669,19 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
             return iter([])
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            wm = timerValues.getCurrentWatermarkInMs()
+            # STRICT close gate in microseconds: an event with
+            # ts == last + gap still MERGES in the batch definition
+            # (sessionize_events starts a new session only when
+            # gap > SESSION_GAP_US) and is not yet late when the
+            # watermark equals that point (Spark drops only ts <
+            # watermark) — emitting at <= would close one admissible
+            # event too early and break the emitted==batch law. The
+            # ms->us comparison also avoids the //1000 floor widening
+            # the premature-close window by up to 999 us.
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
             cur = [list(r) for r in self._sessions.get()]
-            done = [c for c in cur if c[1] // 1000 + gap_ms <= wm]
-            keep = [c for c in cur if c[1] // 1000 + gap_ms > wm]
+            done = [c for c in cur if c[1] + gap_us < wm_us]
+            keep = [c for c in cur if c[1] + gap_us >= wm_us]
             self._sessions.clear()
             if keep:
                 self._sessions.appendList([tuple(c) for c in keep])
@@ -1259,14 +1278,19 @@ def stream_cusum_monitor(
         dev = ref_rows * s - n * ref_sum_cents
         # Idempotent replay (foreachBatch is at-least-once): overwrite
         # ONLY this epoch's partition, so a retried epoch replaces its
-        # row — consumers summing dev_cents never double-count.
+        # row — consumers summing dev_cents never double-count. The
+        # partition column is a SEPARATE _epoch dir key so epoch_id
+        # stays a plain LONG data column for consumers (a partition
+        # column would read back as an inferred INT). Layout note:
+        # this sink is hive-partitioned — point the monitor at a fresh
+        # metrics_dir, never a dir holding flat pre-r9 appends.
         batch_df.sparkSession.createDataFrame(
-            [(int(epoch_id), n, Decimal(s), Decimal(dev))],
+            [(int(epoch_id), n, Decimal(s), Decimal(dev), int(epoch_id))],
             "epoch_id long, batch_rows long, batch_sum_cents decimal(38,0), "
-            "dev_cents decimal(38,0)",
+            "dev_cents decimal(38,0), _epoch long",
         ).coalesce(1).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy("epoch_id").parquet(metrics_dir)
+        ).partitionBy("_epoch").parquet(metrics_dir)
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)
@@ -1316,12 +1340,14 @@ def stream_quantile_monitor(
         ).collect()[0]  # bounded: one aggregated row per micro-batch
         if int(row.n) == 0:
             return
+        # same idempotent-sink contract (and _epoch dir-key rationale)
+        # as stream_cusum_monitor's audit_batch
         batch_df.sparkSession.createDataFrame(
-            [(int(epoch_id), int(row.n), bytes(row.kll))],
-            "epoch_id long, batch_rows long, kll binary",
+            [(int(epoch_id), int(row.n), bytes(row.kll), int(epoch_id))],
+            "epoch_id long, batch_rows long, kll binary, _epoch long",
         ).coalesce(1).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy("epoch_id").parquet(metrics_dir)
+        ).partitionBy("_epoch").parquet(metrics_dir)
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)

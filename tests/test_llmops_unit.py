@@ -2615,6 +2615,21 @@ class TestMp3Framing:
         tag = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 1, 4]) + bytes(132)
         assert mm.mp3_frame_features(tag + p)[4] == 3.0
 
+    def test_id3v2_footer_flag_and_id3v1_trailer(self):
+        """Real-world envelopes (review r9): an ID3v2.4 tag with the
+        footer flag occupies 10 + size + 10 bytes, and a trailing
+        128-byte ID3v1 'TAG' block must not read as broken sync —
+        both are spec-valid around the same frame stream."""
+        from console_etl_spark.llmops import multimodal as mm
+
+        p = mm.encode_mp3_stream(7, 2, [1, 0], seed=3)
+        # flags byte 0x10 = footer present; body 64 bytes + 10 footer
+        tag = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 64]) + bytes(74)
+        assert mm.mp3_frame_features(tag + p)[4] == 2.0
+        id3v1 = b"TAG" + bytes(125)
+        assert mm.mp3_frame_features(p + id3v1)[4] == 2.0
+        assert mm.mp3_frame_features(tag + p + id3v1)[4] == 2.0
+
     def test_malformed_streams_raise(self):
         import pytest
 

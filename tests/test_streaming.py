@@ -2082,7 +2082,10 @@ def test_user_sessions_tws_timers_equal_batch(spark, events_stream_dir):
         .collect()[0][0]
     )
     wm_us = head_max_us - 2 * 3600 * 1_000_000
-    must_emit = batch[(batch["end_us"] + gap_us) <= wm_us]
+    # strict-close gate + the 1 ms timer offset: a session is
+    # guaranteed emitted once its close point is at least 1 ms inside
+    # the final watermark
+    must_emit = batch[(batch["end_us"] + gap_us + 1000) <= wm_us]
     emitted_keys = set(map(tuple, got.values.tolist()))
     missing = [
         t for t in map(tuple, must_emit.values.tolist())
