@@ -57,21 +57,21 @@ _MODULES = (
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 9 (eighth
 # rotation): the never-checked backlog enters the round at ZERO (r8
-# drained it), so this window = the 10 NEW r9 registrations
+# drained it), so this window = the 11 NEW r9 registrations
 # (attribution first-touch + linear completing the four-method set;
 # ANOVA F / Kendall tau-b / Levene-Brown-Forsythe / two-proportion
 # z-test completing the stats tier; the KLL quantile-sketch MV
-# partial; weekly growth accounting; top-10 MoM movers; the MP3
-# frame-stream metadata tier — each windowed same-round per VERDICT r7
-# item 8; sketch_kll_price_quantiles and mm_mp3_features are rows-only
-# by design: KLL compaction is randomized, bit-level framing has no SQL
-# oracle), then ALL 12
+# partial; weekly growth accounting; top-10 MoM movers; the MP3 and
+# AAC/ADTS frame-stream metadata tiers — each windowed same-round per
+# VERDICT r7 item 8; sketch_kll_price_quantiles, mm_mp3_features and
+# mm_aac_features are rows-only by design: KLL compaction is
+# randomized, bit-level framing has no SQL oracle), then ALL 12
 # r1-stale rows (VERDICT r8 item 3 names 11; approx_distinct_events is
 # the twelfth r1 row in the ledger), then ALL 14 r2 rows and ALL 12 r3
-# rows aging in, then the 2 OLDEST r4 rows (registration order).
+# rows aging in, then the OLDEST r4 row (registration order).
 # After this round the oldest remaining driver row is r4.
 _PRIORITY = (
-    # new r9 registrations, never driver-checked (10; kll + mp3 rows-only)
+    # new r9 registrations, never driver-checked (11; 3 rows-only)
     "attribution_first_touch",
     "attribution_linear",
     "stats_anova_f",
@@ -82,6 +82,7 @@ _PRIORITY = (
     "stats_two_proportion_ztest",
     "topk_movers_mom",
     "mm_mp3_features",
+    "mm_aac_features",
     # r1-stale driver rows (all 12): registration order
     "setop_intersect_nations",
     "setop_except_nations",
@@ -123,9 +124,8 @@ _PRIORITY = (
     "dedup_content_hash_index",
     "stratified_sample_docs",
     "mix_corpus_weighted",
-    # oldest r4 driver rows (2 of 25): registration order
+    # oldest r4 driver row (1 of 25): registration order
     "nav_list_packages",
-    "nav_list_schemas",
     # WINDOW FULL at 50.
 )
 

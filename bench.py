@@ -108,6 +108,7 @@ HEADLINE = [
     "stats_two_proportion_ztest",
     "topk_movers_mom",
     "mm_mp3_features",
+    "mm_aac_features",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -3009,3 +3009,149 @@ def mm_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 6), 6).alias("duration_ms"),
         F.element_at("features", 7).alias("n_padded_frames"),
     )
+
+
+# --------------------------------------------------------------------------
+# AAC/ADTS frame-stream slot: REAL framing, gated decode (MP3's sibling)
+# --------------------------------------------------------------------------
+
+AAC_MEDIA_TYPE = "audio/aac"
+_ADTS_SAMPLE_RATES = (  # sampling_frequency_index 0..12 (13.7818-7)
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+_AAC_SAMPLES_PER_FRAME = 1024  # per raw data block (AAC-LC)
+
+
+def encode_adts_stream(
+    rate_idx: int, channels: int, frame_bodies: list, seed: int
+) -> bytes:
+    """A VALID ADTS (AAC transport) frame stream: each frame carries a
+    spec-correct 7-byte header — 12-bit syncword, MPEG-4 AAC-LC
+    profile, sampling_frequency_index, channel_configuration, and the
+    13-bit aac_frame_length that INCLUDES the header — followed by
+    ``frame_bodies[i]`` deterministic filler bytes (the raw_data_block
+    slot; perceptual encode is the gated half)."""
+    out = bytearray()
+    for i, body in enumerate(frame_bodies):
+        flen = 7 + body
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # sync 0xFFF | MPEG-4 | layer 00 | no CRC
+        h[2] = (0b01 << 6) | (rate_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0b11) << 6) | ((flen >> 11) & 0b11)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0b111) << 5) | 0x1F  # buffer fullness high bits
+        h[6] = 0xFC  # fullness low | number_of_raw_data_blocks-1 = 0
+        out.extend(h)
+        out.extend(((seed * 69069 + i * 97 + j) & 0xFF) for j in range(body))
+    return bytes(out)
+
+
+def adts_frame_features(payload: bytes) -> list[float]:
+    """REAL ADTS frame-stream parse: walk every header, validate sync /
+    layer / frame-length sanity, check CBR-style parameter consistency,
+    and return [mpeg_version(4/2), profile+1, sample_rate, channels,
+    n_frames, duration_ms, total_raw_bytes, n_bytes]. Raises
+    ValueError on broken sync, reserved indices, or truncation."""
+    p = bytes(payload)
+    pos, end = 0, len(p)
+    n_frames = 0
+    raw_bytes = 0
+    rate = ch = prof = ver = None
+    while pos < end:
+        if pos + 7 > end:
+            raise ValueError("truncated ADTS header")
+        if p[pos] != 0xFF or (p[pos + 1] & 0xF0) != 0xF0:
+            raise ValueError(f"bad ADTS sync at byte {pos}")
+        if (p[pos + 1] >> 1) & 0b11 != 0:
+            raise ValueError("ADTS layer must be 00")
+        f_ver = 2 if (p[pos + 1] >> 3) & 1 else 4  # MPEG-2 vs MPEG-4
+        f_prof = (p[pos + 2] >> 6) & 0b11
+        ridx = (p[pos + 2] >> 2) & 0b1111
+        if ridx >= len(_ADTS_SAMPLE_RATES):
+            raise ValueError("reserved sampling_frequency_index")
+        f_rate = _ADTS_SAMPLE_RATES[ridx]
+        f_ch = ((p[pos + 2] & 1) << 2) | ((p[pos + 3] >> 6) & 0b11)
+        flen = ((p[pos + 3] & 0b11) << 11) | (p[pos + 4] << 3) | (p[pos + 5] >> 5)
+        crc_absent = p[pos + 1] & 1
+        hdr = 7 if crc_absent else 9
+        if flen < hdr:
+            raise ValueError("ADTS frame length smaller than its header")
+        if pos + flen > end:
+            raise ValueError("truncated ADTS frame body")
+        if rate is None:
+            ver, prof, rate, ch = f_ver, f_prof, f_rate, f_ch
+        elif (f_ver, f_prof, f_rate, f_ch) != (ver, prof, rate, ch):
+            raise ValueError("ADTS stream parameters changed mid-stream")
+        n_frames += 1
+        raw_bytes += flen - hdr
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no ADTS frames")
+    duration_ms = n_frames * _AAC_SAMPLES_PER_FRAME * 1000.0 / rate
+    return [
+        float(ver),
+        float(prof + 1),  # profile is object-type-1 (AAC-LC header = 1 -> 2)
+        float(rate),
+        float(ch),
+        float(n_frames),
+        duration_ms,
+        float(raw_bytes),
+        float(len(p)),
+    ]
+
+
+_DECODERS["aac"] = adts_frame_features  # framing metadata; perceptual decode stays gated
+
+
+def aac_audio_table(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload=REAL ADTS frame stream, media_type,
+    n_bytes). Id-seeded rate/channels/frame-count/body-size pattern,
+    closed-form per doc for the round-trip law."""
+
+    def aac_doc(d: int) -> bytes:
+        ridx = d % 13
+        channels = 1 + (d % 2)
+        n_frames = 2 + (d % 6)
+        bodies = [32 + ((d + i) % 5) * 17 for i in range(n_frames)]
+        return encode_adts_stream(ridx, channels, bodies, seed=d)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [aac_doc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": AAC_MEDIA_TYPE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, payload binary, media_type string, n_bytes int"
+    )
+
+
+@_register("mm_aac_features", None)  # rows-only: bit-level framing not SQL-expressible
+def mm_aac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC/ADTS frame-stream pipeline — mm_mp3_features' sibling for
+    the other dominant perceptual-audio transport: per-doc spec-correct
+    ADTS streams (distributed framing encode) → full header-walk parse
+    (sync/layer validation, 13-bit frame-length bounds, parameter-
+    consistency guard) → stream metadata. Perceptual AAC sample decode
+    stays honestly gated; together with MP3 this completes FRAMING
+    coverage of both mainstream compressed-audio envelopes."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(aac_audio_table(d), decoder="aac")
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.element_at("features", 3).alias("sample_rate"),
+        F.element_at("features", 4).alias("channels"),
+        F.element_at("features", 5).alias("n_frames"),
+        F.round(F.element_at("features", 6), 6).alias("duration_ms"),
+        F.element_at("features", 7).alias("raw_data_bytes"),
+    )

@@ -2648,3 +2648,50 @@ class TestMp3Framing:
             mm.mp3_frame_features(p + q)
         with pytest.raises(ValueError, match="reserved"):
             mm.mp3_frame_features(b"\xff\xfb\xf0\xc4")  # bitrate idx 15
+
+
+class TestAdtsFraming:
+    """ADTS/AAC frame-stream laws (r9): spec-correct framing
+    round-trips exactly; malformed streams raise."""
+
+    def test_round_trip_all_param_combinations(self):
+        from console_etl_spark.llmops import multimodal as mm
+
+        for d in range(78):  # covers all 13 rates x 2 channels x sizes
+            ridx, ch, nf = d % 13, 1 + (d % 2), 2 + (d % 6)
+            bodies = [32 + ((d + i) % 5) * 17 for i in range(nf)]
+            p = mm.encode_adts_stream(ridx, ch, bodies, seed=d)
+            v, prof, rate, c, n, dur, raw, nb = mm.adts_frame_features(p)
+            assert (v, prof) == (4.0, 2.0)  # MPEG-4 AAC-LC
+            assert rate == mm._ADTS_SAMPLE_RATES[ridx]
+            assert (c, n) == (ch, nf)
+            assert raw == sum(bodies) and nb == len(p)
+            assert dur == nf * 1024 * 1000.0 / rate
+
+    def test_malformed_streams_raise(self):
+        import pytest
+
+        from console_etl_spark.llmops import multimodal as mm
+
+        p = mm.encode_adts_stream(4, 2, [40, 40], seed=5)
+        with pytest.raises(ValueError, match="truncated"):
+            mm.adts_frame_features(p[:-3])
+        with pytest.raises(ValueError, match="bad ADTS sync"):
+            mm.adts_frame_features(p[:20] + b"\x00" + p[20:])
+        with pytest.raises(ValueError, match="no ADTS frames"):
+            mm.adts_frame_features(b"")
+        q = mm.encode_adts_stream(7, 1, [40], seed=5)  # different params
+        with pytest.raises(ValueError, match="changed mid-stream"):
+            mm.adts_frame_features(p + q)
+        # reserved sampling_frequency_index 14
+        bad = bytearray(mm.encode_adts_stream(4, 2, [40], seed=5))
+        bad[2] = (bad[2] & 0b11000011) | (14 << 2)
+        with pytest.raises(ValueError, match="reserved"):
+            mm.adts_frame_features(bytes(bad))
+        # frame length smaller than its own header
+        tiny = bytearray(mm.encode_adts_stream(4, 2, [40], seed=5))
+        tiny[3] = (tiny[3] & 0b11111100)  # flen high bits -> 0
+        tiny[4] = 0
+        tiny[5] = (3 << 5) | 0x1F  # flen = 3 < 7
+        with pytest.raises(ValueError, match="smaller than its header"):
+            mm.adts_frame_features(bytes(tiny))

@@ -60,16 +60,16 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 9 (never-checked backlog entered at 0): the 10
+    priority list. Round 9 (never-checked backlog entered at 0): the 11
     NEW r9 registrations first (attribution first-touch + linear, ANOVA
     F, Kendall tau-b, Levene-Brown-Forsythe, two-proportion z-test,
     weekly growth accounting, top-10 MoM movers — all oracle-backed —
-    plus two rows-only: the KLL quantile sketch at slot 5 and the MP3
-    frame-stream tier at slot 9), then pure staleness draining: all 12
-    r1 rows (approx_distinct_events among them is the window's third
-    rows-only slot — HLL estimates have no SQL oracle), all 14 r2 rows,
-    all 12 r3 rows, and the 2 oldest r4 rows — 47 oracle value-hash
-    slots + 3 rows-only slots."""
+    plus three rows-only: the KLL quantile sketch at slot 5 and the MP3
+    + AAC frame-stream tiers at slots 9-10), then pure staleness
+    draining: all 12 r1 rows (approx_distinct_events among them is the
+    window's fourth rows-only slot — HLL estimates have no SQL oracle),
+    all 14 r2 rows, all 12 r3 rows, and the oldest r4 row — 46 oracle
+    value-hash slots + 4 rows-only slots."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
@@ -77,9 +77,10 @@ def test_driver_window_covers_all_families():
     assert rows_only_slots == [
         "sketch_kll_price_quantiles",
         "mm_mp3_features",
+        "mm_aac_features",
         "approx_distinct_events",
     ]
-    assert len(oracle_slots) == 47
+    assert len(oracle_slots) == 46
     assert all(n in ORACLE for n in oracle_slots), [
         n for n in oracle_slots if n not in ORACLE
     ]
@@ -172,8 +173,8 @@ def test_driver_window_is_full_and_oracle_backed():
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
     query, no duplicates. Round 9's window is staleness-keyed with
-    three rows-only slots — the new KLL quantile sketch, the new MP3
-    framing tier, and the r1-stale HLL estimate (split pinned in
+    four rows-only slots — the new KLL quantile sketch, the new MP3 and
+    AAC framing tiers, and the r1-stale HLL estimate (split pinned in
     test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
@@ -186,6 +187,7 @@ def test_driver_window_is_full_and_oracle_backed():
     assert rows_only == [
         "sketch_kll_price_quantiles",
         "mm_mp3_features",
+        "mm_aac_features",
         "approx_distinct_events",
     ], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
