@@ -8,8 +8,10 @@ that operator's execution forever, :func:`ensure_protobuf` probes for a
 pure-Python protobuf runtime that IS already on the host — the Google
 Cloud SDK vendors one under its App Engine platform tree — and exposes
 ONLY ``google/protobuf`` through a private namespace-package shim (a
-symlink in a temp dir), so none of the SDK's other vendored packages
-can shadow anything.
+symlink in a per-user 0700 directory — ownership- and mode-verified
+before it ever reaches PYTHONPATH, so no other local user can plant
+importable modules that Spark workers would inherit), so none of the
+SDK's other vendored packages can shadow anything.
 
 Version-skew note: pyspark 4.1.2's gencode is built by protobuf 6.33;
 the vendored runtime is 6.32 — one MINOR version older within the same
@@ -40,6 +42,60 @@ _VENDORED_RUNTIME_ROOTS = (
 )
 
 
+def _dir_is_private(path: str) -> bool:
+    """True iff ``path`` is a directory owned by the current uid and not
+    group/other-writable — the precondition for trusting it on
+    PYTHONPATH (a foreign-owned or world-writable dir lets another
+    local user plant importable modules that shadow site-packages in
+    every Spark worker)."""
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    import stat as _stat
+
+    return (
+        _stat.S_ISDIR(st.st_mode)
+        and st.st_uid == os.getuid()
+        and not (st.st_mode & 0o022)
+    )
+
+
+def _shim_pypath() -> str | None:
+    """Create (or reuse) a PRIVATE shim dir and return its pypath root.
+
+    Preference order: a stable per-user cache path (so every process of
+    this user shares one shim and workers inherit a constant PYTHONPATH),
+    falling back to a fresh ``mkdtemp`` (random name, 0700 by
+    construction) when the cache path can't be made trustworthy. Never
+    returns a dir that fails :func:`_dir_is_private` — pre-creation by
+    another user (the /tmp fixed-path attack: ``makedirs exist_ok=True``
+    happily accepts a foreign-owned dir) yields the mkdtemp fallback
+    instead of a poisoned import path."""
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    stable = os.path.join(cache, "console_etl_spark", "protobuf_shim", "pypath")
+    try:
+        os.makedirs(os.path.join(stable, "google"), mode=0o700, exist_ok=True)
+        # makedirs honors umask and accepts pre-existing dirs — re-assert
+        # the mode, then verify ownership before trusting the path.
+        for p in (stable, os.path.join(stable, "google")):
+            os.chmod(p, 0o700)
+        if _dir_is_private(stable) and _dir_is_private(
+            os.path.join(stable, "google")
+        ):
+            return stable
+    except OSError:
+        pass
+    try:
+        fresh = tempfile.mkdtemp(prefix="console_etl_spark_pb_")
+        os.makedirs(os.path.join(fresh, "google"), mode=0o700)
+        return fresh
+    except OSError:
+        return None
+
+
 def ensure_protobuf() -> bool:
     """Make ``import google.protobuf`` work, if at all possible.
 
@@ -59,21 +115,21 @@ def ensure_protobuf() -> bool:
         pkg = os.path.join(root, "google", "protobuf")
         if not os.path.isdir(pkg):
             continue
-        shim = os.path.join(
-            tempfile.gettempdir(), "console_etl_spark_protobuf_shim", "pypath"
-        )
+        shim = _shim_pypath()
+        if shim is None:
+            continue
         link = os.path.join(shim, "google", "protobuf")
         try:
-            os.makedirs(os.path.join(shim, "google"), exist_ok=True)
             if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(pkg):
                 os.unlink(link)  # stale shim from another host layout
             if not os.path.exists(link):
                 try:
                     os.symlink(pkg, link)
                 except FileExistsError:
-                    # check-then-create race with a concurrent worker on
-                    # the shared /tmp path: the other side won; accept
-                    # its link iff it points at the same runtime
+                    # check-then-create race with a concurrent process of
+                    # THIS user (the dir is 0700-private) on the stable
+                    # cache path: the other side won; accept its link iff
+                    # it points at the same runtime
                     pass
             if os.path.realpath(link) != os.path.realpath(pkg):
                 continue

@@ -671,9 +671,13 @@ def mv_partials(
     sketch is mergeable with a proven normalized-rank-error bound
     (~1.65% at the default k=200), so the view maintains p50/p90/p99
     the same way it maintains HLL NDV: O(sketch) state per group,
-    refresh never revisits base rows. Its row count (kll_sketch_get_n)
-    stays EXACT through any merge tree — tests pin that alongside the
-    rank-error contract."""
+    refresh never revisits base rows. NULL semantics (ADVICE r9):
+    ``kll_sketch_agg_double`` skips NULLs, so the sketch's exact row
+    count (kll_sketch_get_n) equals the column's NON-NULL count, not
+    the group's ``_cnt`` — each quantiles column therefore also carries
+    a mergeable ``_n_{col}`` non-null-count partial, and the pinned
+    n-exactness law is ``kll_sketch_get_n == _n_{col}`` through any
+    merge tree."""
     from pyspark.sql import functions as F
 
     aggs = [F.count("*").alias("_cnt")]
@@ -691,6 +695,7 @@ def mv_partials(
         aggs.append(
             F.kll_sketch_agg_double(F.col(q).cast("double")).alias(f"_kll_{q}")
         )
+        aggs.append(F.count(q).alias(f"_n_{q}"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -723,6 +728,7 @@ def mv_merge(
         aggs.append(F.hll_union_agg(f"_hll_{d}").alias(f"_hll_{d}"))
     for q in quantiles:
         aggs.append(F.kll_merge_agg_double(f"_kll_{q}").alias(f"_kll_{q}"))
+        aggs.append(F.sum(f"_n_{q}").alias(f"_n_{q}"))
     return state.unionByName(delta).groupBy(*keys).agg(*aggs)
 
 

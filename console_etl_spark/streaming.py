@@ -622,7 +622,6 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
     from pyspark.sql.streaming import StatefulProcessor
 
     gap_us = SESSION_GAP_US
-    gap_ms = gap_us // 1000
 
     class Sessionizer(StatefulProcessor):
         def init(self, handle) -> None:
@@ -645,7 +644,10 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
             return out
 
         def _rearm(self, sessions: list) -> None:
-            for t in self._handle.listTimers():
+            # materialize before mutating: listTimers() is a paginated
+            # state-server iterator; deleting while iterating risks
+            # skipped (never-deleted) timers and duplicate firings
+            for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
             if sessions:
                 # +1 ms past the close point: the emit gate below is
@@ -1209,6 +1211,33 @@ def stream_refresh_mv(
     return writer.start()
 
 
+def _require_partitioned_metrics_dir(metrics_dir: str, who: str) -> None:
+    """Fail fast when ``metrics_dir`` holds a FLAT (pre-r9 append-mode)
+    metrics sink: the monitors now write hive-partitioned ``_epoch=N``
+    dirs via dynamic partition overwrite, and pointing the new layout at
+    a dir of flat parquet files silently mixes two incompatible layouts
+    a reader would double-count (ADVICE r9). A dir qualifies as legacy
+    iff it has top-level ``*.parquet`` data files and no ``_epoch=``
+    subdirectory."""
+    import os
+
+    try:
+        names = os.listdir(metrics_dir)
+    except (FileNotFoundError, NotADirectoryError):
+        return  # fresh sink — the writer creates it
+    has_epoch_dirs = any(n.startswith("_epoch=") for n in names)
+    flat_parquet = [
+        n for n in names if n.endswith(".parquet") and not n.startswith("_")
+    ]
+    if flat_parquet and not has_epoch_dirs:
+        raise ValueError(
+            f"{who}: metrics_dir {metrics_dir!r} contains a flat parquet "
+            f"layout ({flat_parquet[:3]}...); this monitor writes "
+            "hive-partitioned _epoch=N dirs — point it at a fresh "
+            "metrics_dir instead of mixing layouts"
+        )
+
+
 def stream_cusum_monitor(
     spark: SparkSession,
     path: str,
@@ -1257,6 +1286,7 @@ def stream_cusum_monitor(
         )
     ref_sum_cents, ref_rows = int(ref.sum_cents), int(ref.rows)
 
+    _require_partitioned_metrics_dir(metrics_dir, "stream_cusum_monitor")
     stream = read_events_stream(spark, path)
 
     def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1329,6 +1359,7 @@ def stream_quantile_monitor(
     Scale: one map-side-combinable aggregation per micro-batch, one
     sketch row per epoch — monitor output is O(batches * sketch_bytes)
     regardless of stream volume."""
+    _require_partitioned_metrics_dir(metrics_dir, "stream_quantile_monitor")
     stream = read_events_stream(spark, path)
 
     def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -1095,7 +1095,11 @@ def test_materialized_view_kll_quantiles_mergeable_within_rank_error(
     """The r9 quantile tier of the MV partials: a view maintained over
     three append refreshes answers p50/p90/p99 from merged KLL sketches.
     Laws: (1) the sketch's own n (kll_sketch_get_n) composes EXACTLY
-    through the merge tree and equals the algebraic _cnt; (2) every
+    through the merge tree and equals the _n_{col} NON-NULL count
+    partial (kll_sketch_agg_double skips NULLs, so _cnt is the wrong
+    basis when the column is nullable — ADVICE r9; here the column has
+    no NULLs, so it also equals _cnt, and a NULL-bearing fixture below
+    pins the distinction); (2) every
     finalized percentile lands within KLL's normalized rank-error
     contract of the exact distribution (k=200 → ~1.65% with high
     probability; asserted at ±4% rank to absorb compaction randomness);
@@ -1114,13 +1118,17 @@ def test_materialized_view_kll_quantiles_mergeable_within_rank_error(
     for i in range(3):
         mv.refresh(o.filter(F.col("o_orderkey") % 3 == i))
 
-    # law 1: sketch n is exact through merges
+    # law 1: sketch n is exact through merges — basis is the non-null
+    # count partial (== _cnt here: o_totalprice has no NULLs)
     partials = store.read(spark, "mv_kll")
     for r in partials.select(
         "_cnt",
+        "_n_o_totalprice",
         F.kll_sketch_get_n_double("_kll_o_totalprice").alias("kn"),
     ).collect():
-        assert r.kn == r._cnt, (r.kn, r._cnt)
+        assert r.kn == r._n_o_totalprice == r._cnt, (
+            r.kn, r._n_o_totalprice, r._cnt,
+        )
 
     # exact per-group quantile bands at p +/- 4% rank
     vals = {
@@ -1152,6 +1160,32 @@ def test_materialized_view_kll_quantiles_mergeable_within_rank_error(
         for name, (lo, hi) in bands.items():
             est = row[f"{name}_o_totalprice"]
             assert b[lo] <= est <= b[hi], (row.o_orderstatus, name, est, b)
+
+
+def test_mv_kll_n_exactness_basis_is_non_null_count(spark):
+    """ADVICE r9: kll_sketch_agg_double SKIPS NULLs while _cnt counts
+    all rows, so on a nullable quantiles column kn == _n_{col} < _cnt.
+    Pin the distinction with an explicit NULL-bearing fixture, and pin
+    that _n_{col} merges exactly (sum-of-counts) across refreshes."""
+    from console_etl_spark.store import mv_merge, mv_partials
+
+    rows = [("a", float(i)) for i in range(8)] + [("a", None)] * 3
+    rows += [("b", 1.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    p1 = mv_partials(df.filter(F.col("v").isNull() | (F.col("v") < 4)),
+                     ("g",), (), quantiles=("v",))
+    p2 = mv_partials(df.filter(F.col("v") >= 4), ("g",), (),
+                     quantiles=("v",))
+    merged = mv_merge(p1, p2, ("g",), (), quantiles=("v",))
+    got = {
+        r.g: (int(r.kn), int(r._n_v), int(r._cnt))
+        for r in merged.select(
+            "g", "_cnt", "_n_v",
+            F.kll_sketch_get_n_double("_kll_v").alias("kn"),
+        ).collect()
+    }
+    assert got["a"] == (8, 8, 11)
+    assert got["b"] == (1, 1, 2)
 
 
 def test_snapshot_diff_classifies_and_inverts(spark):

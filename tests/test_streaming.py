@@ -1907,6 +1907,35 @@ def test_stream_cusum_monitor_replayed_epochs_idempotent(
     assert sum(int(r.dev_cents) for r in rows) == 0  # telescoping law
 
 
+def test_monitor_rejects_legacy_flat_metrics_dir(spark, tmp_path):
+    """ADVICE r9: the monitors' sink switched from flat appended parquet
+    (pre-r9) to hive-partitioned _epoch=N dynamic overwrite. Pointing
+    the new code at a dir of flat files silently mixes incompatible
+    layouts a reader would double-count — both monitors must FAIL FAST
+    instead of relying on a docstring note. A partitioned (or fresh)
+    dir passes the guard."""
+    from console_etl_spark.streaming import _require_partitioned_metrics_dir
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "part-00000-abc.parquet").write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="flat parquet"):
+        _require_partitioned_metrics_dir(str(legacy), "stream_cusum_monitor")
+
+    ok = tmp_path / "partitioned"
+    (ok / "_epoch=0").mkdir(parents=True)
+    (ok / "_epoch=0" / "part-00000.parquet").write_bytes(b"PAR1")
+    _require_partitioned_metrics_dir(str(ok), "stream_cusum_monitor")
+    _require_partitioned_metrics_dir(str(tmp_path / "fresh"), "x")
+
+    ref = load_table(spark, SF_TEST, "events").limit(10)
+    with pytest.raises(ValueError, match="flat parquet"):
+        streaming.stream_cusum_monitor(
+            spark, str(tmp_path / "in"), ref, str(legacy),
+            str(tmp_path / "ck"),
+        )
+
+
 def test_stream_quantile_monitor_merges_within_rank_error(
     spark, events_stream_dir, tmp_path
 ):
@@ -2240,12 +2269,14 @@ def test_stream_refresh_mv_with_kll_quantile_state(spark, tmp_path):
     q = streaming.stream_refresh_mv(spark, str(facts), mv, str(tmp_path / "ck"))
     q.awaitTermination(120)
 
-    # law 1: sketch n == algebraic count, exactly, after streamed merges
+    # law 1: sketch n == the non-null count partial, exactly, after
+    # streamed merges (== _cnt here: events.value has no NULLs)
     partials = store.read(spark, "mv_kll_stream")
     for r in partials.select(
-        "_cnt", F.kll_sketch_get_n_double("_kll_value").alias("kn")
+        "_cnt", "_n_value",
+        F.kll_sketch_get_n_double("_kll_value").alias("kn"),
     ).collect():
-        assert r.kn == r._cnt
+        assert r.kn == r._n_value == r._cnt
 
     bands = {"p50": (0.46, 0.54), "p90": (0.86, 0.94), "p99": (0.95, 1.0)}
     exact = {
