@@ -55,77 +55,73 @@ _MODULES = (
 # parity suite (tests/test_oracle_parity.py).
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 9 (eighth
-# rotation): the never-checked backlog enters the round at ZERO (r8
-# drained it), so this window = the 11 NEW r9 registrations
-# (attribution first-touch + linear completing the four-method set;
-# ANOVA F / Kendall tau-b / Levene-Brown-Forsythe / two-proportion
-# z-test completing the stats tier; the KLL quantile-sketch MV
-# partial; weekly growth accounting; top-10 MoM movers; the MP3 and
-# AAC/ADTS frame-stream metadata tiers — each windowed same-round per
-# VERDICT r7 item 8; sketch_kll_price_quantiles, mm_mp3_features and
-# mm_aac_features are rows-only by design: KLL compaction is
-# randomized, bit-level framing has no SQL oracle), then ALL 12
-# r1-stale rows (VERDICT r8 item 3 names 11; approx_distinct_events is
-# the twelfth r1 row in the ledger), then ALL 14 r2 rows and ALL 12 r3
-# rows aging in, then the OLDEST r4 row (registration order).
-# After this round the oldest remaining driver row is r4.
+# their last driver row, then oldest rows first. ROUND 10 (ninth
+# rotation): the 2 NEW r10 registrations first (Markov removal-effect
+# attribution — the quartet's data-driven capstone — and the hourly
+# seasonal decomposition companion to the seasonal-naive backtest,
+# both oracle-backed and windowed same-round per VERDICT r7 item 8),
+# then topk_movers_mom (implementation CHANGED this round to fix its
+# r9 hash_match:false row — integer month arithmetic + DOUBLE money
+# outputs; changed-since-last-driver-row outranks staleness), then
+# pure staleness draining: ALL 24 remaining r4 rows and the 23 OLDEST
+# r5 rows (registration order). No rows-only slots this round — all
+# 50 are oracle value-hash checks. After this round the oldest
+# remaining driver row is r5.
 _PRIORITY = (
-    # new r9 registrations, never driver-checked (11; 3 rows-only)
-    "attribution_first_touch",
-    "attribution_linear",
-    "stats_anova_f",
-    "stats_kendall_tau",
-    "stats_levene_bf",
-    "sketch_kll_price_quantiles",
-    "growth_accounting_weekly",
-    "stats_two_proportion_ztest",
+    # new r10 registrations, never driver-checked (2)
+    "attribution_markov_removal",
+    "seasonal_decompose_hourly",
+    # implementation changed since its (failing) r9 driver row
     "topk_movers_mom",
-    "mm_mp3_features",
-    "mm_aac_features",
-    # r1-stale driver rows (all 12): registration order
-    "setop_intersect_nations",
-    "setop_except_nations",
-    "events_sliding_windows",
-    "range_join_price_bands",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q22_idle_rich_customers",
-    "q11_important_parts",
-    "approx_distinct_events",
-    # r2 driver rows (all 14): registration order
-    "distinct_counts_lineitem",
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "semi_join_finished_customers",
-    "anti_join_orderless_customers",
-    "topk_expensive_orders",
-    "events_hourly_stats",
-    "window_rank_functions_customers",
-    "date_functions_orders",
-    "array_functions_embeddings",
-    "window_revenue_share_by_region",
-    "setop_intersect_all_priorities",
-    "setop_union_all_priorities",
-    "setop_except_all_priorities",
-    # r3 driver rows (all 12): registration order
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "scalar_functions_showcase",
-    "stats_aggregates_lineitem",
-    "q13_customer_distribution",
-    "q16_supplier_variety",
-    "unpivot_part_metrics",
-    "fuzzy_part_name_pairs",
-    "sql_correlated_scalar_subquery",
-    "dedup_content_hash_index",
-    "stratified_sample_docs",
-    "mix_corpus_weighted",
-    # oldest r4 driver row (1 of 25): registration order
-    "nav_list_packages",
+    # r4 driver rows (all 24 remaining): registration order
+    "nav_list_schemas",
+    "nav_list_objects",
+    "nav_derived_partition_key",
+    "agg_rollup_returns",
+    "pivot_priority_by_status",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "map_functions_orders",
+    "hypertable_rollup_events",
+    "gapfill_hourly_events",
+    "q4_late_order_priority",
+    "q12_returnflag_priority_counts",
+    "q2_min_cost_supplier",
+    "q20_dominant_part_suppliers",
+    "listagg_suppliers_by_nation",
+    "dedup_normalized_groups",
+    "dedup_shingle_jaccard",
+    "dedup_connected_groups",
+    "dedup_embedding_cosine",
+    "text_source_token_counts",
+    "text_repetition_stats",
+    "text_partial_overlap_pairs",
+    "embedding_near_pairs",
+    # oldest r5 driver rows (23 of 50): registration order
+    "nav_point_lookup",
+    "nav_icon_extraction",
+    "q1_pricing_summary",
+    "window_topk_orders_per_customer",
+    "setop_union_nations",
+    "events_json_extract",
+    "asof_join_purchase_view",
+    "range_join_purchase_after_signup",
+    "events_user_enriched_stats",
+    "sessionize_events",
+    "q19_disjunctive_join",
+    "q21_sole_supplier_orders",
+    "histogram_order_totalprice",
+    "window_trailing_hour_value",
+    "agg_filtered_counts_orders",
+    "fullouter_nation_counts",
+    "percentile_price_by_flag",
+    "window_value_functions_orders",
+    "scd2_customer_updates",
+    "events_value_anomalies",
+    "dq_violations_report",
+    "cohort_weekly_retention",
+    "funnel_signup_view_purchase",
     # WINDOW FULL at 50.
 )
 

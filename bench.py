@@ -109,6 +109,10 @@ HEADLINE = [
     "topk_movers_mom",
     "mm_mp3_features",
     "mm_aac_features",
+    # round-10 additions (Markov removal-effect attribution capstone,
+    # additive seasonal decomposition):
+    "attribution_markov_removal",
+    "seasonal_decompose_hourly",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

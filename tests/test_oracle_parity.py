@@ -60,32 +60,24 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 9 (never-checked backlog entered at 0): the 11
-    NEW r9 registrations first (attribution first-touch + linear, ANOVA
-    F, Kendall tau-b, Levene-Brown-Forsythe, two-proportion z-test,
-    weekly growth accounting, top-10 MoM movers — all oracle-backed —
-    plus three rows-only: the KLL quantile sketch at slot 5 and the MP3
-    + AAC frame-stream tiers at slots 9-10), then pure staleness
-    draining: all 12 r1 rows (approx_distinct_events among them is the
-    window's fourth rows-only slot — HLL estimates have no SQL oracle),
-    all 14 r2 rows, all 12 r3 rows, and the oldest r4 row — 46 oracle
-    value-hash slots + 4 rows-only slots."""
+    priority list. Round 10 (never-checked backlog at 0): the 2 NEW
+    r10 registrations first (Markov removal-effect attribution,
+    hourly seasonal decomposition — both oracle-backed), then
+    topk_movers_mom whose implementation changed this round (the r9
+    hash-mismatch fix; changed-since-last-driver-row outranks
+    staleness), then pure staleness draining: all 24 remaining r4 rows
+    and the 23 oldest r5 rows. 50 oracle value-hash slots, ZERO
+    rows-only slots this round."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
-    assert rows_only_slots == [
-        "sketch_kll_price_quantiles",
-        "mm_mp3_features",
-        "mm_aac_features",
-        "approx_distinct_events",
-    ]
-    assert len(oracle_slots) == 46
-    assert all(n in ORACLE for n in oracle_slots), [
-        n for n in oracle_slots if n not in ORACLE
-    ]
-    assert all(n not in ORACLE for n in rows_only_slots), [
-        n for n in rows_only_slots if n in ORACLE
+    assert rows_only_slots == []
+    assert len(oracle_slots) == 50
+    assert first50[:3] == [
+        "attribution_markov_removal",
+        "seasonal_decompose_hourly",
+        "topk_movers_mom",
     ]
 
 
@@ -172,10 +164,9 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 9's window is staleness-keyed with
-    four rows-only slots — the new KLL quantile sketch, the new MP3 and
-    AAC framing tiers, and the r1-stale HLL estimate (split pinned in
-    test_driver_window_covers_all_families)."""
+    query, no duplicates. Round 10's window is staleness-keyed with
+    ZERO rows-only slots — every slot is an oracle value-hash check
+    (split pinned in test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
@@ -184,12 +175,7 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == [
-        "sketch_kll_price_quantiles",
-        "mm_mp3_features",
-        "mm_aac_features",
-        "approx_distinct_events",
-    ], f"unexpected rows-only slots: {rows_only}"
+    assert rows_only == [], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
 

@@ -233,6 +233,10 @@ def test_no_unbounded_driver_materialization():
         # streaming quantile monitor: ONE (sketch, count) row per
         # micro-batch — sketch bytes bounded by k, never stream rows
         ("streaming.py", "stream_quantile_monitor"),
+        # Markov removal-effect: the ONE-row exact-integer transition
+        # matrix (<=20 count cells pivoted to scalars) feeding the
+        # driver-side 60-step fixed-point fold — O(channels^2) state
+        ("relational/timeseries.py", "attribution_markov_removal"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):
