@@ -110,9 +110,10 @@ HEADLINE = [
     "mm_mp3_features",
     "mm_aac_features",
     # round-10 additions (Markov removal-effect attribution capstone,
-    # additive seasonal decomposition):
+    # additive seasonal decomposition, Wilcoxon signed-rank):
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
+    "stats_wilcoxon_signed_rank",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

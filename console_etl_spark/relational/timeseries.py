@@ -3509,3 +3509,127 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component", "k")
     )
+
+
+@_register(
+    "stats_wilcoxon_signed_rank",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+                           THEN CAST(o_totalprice AS DECIMAL(12,2))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DECIMAL(18,2)) AS s1,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+                           THEN CAST(o_totalprice AS DECIMAL(12,2))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DECIMAL(18,2)) AS s2,
+             SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+                      THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+                      THEN 1 ELSE 0 END) AS k2
+      FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT CAST(s2 - s1 AS DECIMAL(18,2)) AS diff
+      FROM per WHERE k1 > 0 AND k2 > 0 AND s1 <> s2
+    ), v AS (
+      SELECT ABS(diff) AS ad,
+             CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cpos,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM d GROUP BY ABS(diff)
+    ), cum AS (
+      SELECT cpos, ct,
+             CAST(COALESCE(SUM(ct) OVER (
+                    ORDER BY ad
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS below
+      FROM v
+    ), agg AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n,
+             CAST(SUM(CAST(cpos AS HUGEINT)
+                      * (2 * CAST(below AS HUGEINT) + ct + 1)) AS DOUBLE)
+               AS two_w,
+             CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE)
+               AS tie_t
+      FROM cum
+    )
+    SELECT n,
+           ROUND(two_w / 2.0, 1) AS w_plus,
+           ROUND((two_w / 2.0
+                  - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                 / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                        - tie_t / 48.0), 6) AS z
+    FROM agg
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED nonparametric test the
+    stats tier lacked (Mann-Whitney covers independent samples; Welch
+    covers paired-by-moments): did per-customer order revenue shift
+    between the fixture's first era (orderdate year <= 1997) and the
+    second (>= 1998)? Pairs are customers active in BOTH eras; the
+    per-customer difference d = s2 - s1 is exact DECIMAL, zero
+    differences drop per the standard definition, |d| ranks use
+    midranks for ties, and W+ is the positive-rank sum with the
+    tie-corrected normal approximation z.
+
+    Rank identity (same kernel family as stats_mannwhitney_u): with
+    per-distinct-|d| counts (cpos, ct) and the exclusive cumulative
+    count `below`, the doubled positive-rank sum is
+    2*W+ = sum cpos * (2*below + ct + 1) — midranks fall out of the
+    arithmetic, every term is an exact integer (DECIMAL(38,0)
+    Spark-side, HUGEINT in the oracle), so the distributed sums are
+    order-independent and bit-identical across engines; floats appear
+    only in the final scalar expression (same operation sequence both
+    sides before ROUND).
+
+    Scale shape: one o_custkey partial-agg shuffle folds facts to one
+    row per ACTIVE-PAIR customer, a second partial-agg collapses those
+    to distinct-|d| counts, the global_prefix_sum kernel scans them
+    with NO SinglePartition window, and the statistic folds in one
+    bounded aggregate."""
+    from ..llmops.pipeline import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(yr <= 1997, price).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("s1"),
+        F.sum(F.when(yr >= 1998, price).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("s2"),
+        F.sum(F.when(yr <= 1997, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(yr >= 1998, 1).otherwise(0)).alias("k2"),
+    )
+    d = per.filter(
+        (F.col("k1") > 0) & (F.col("k2") > 0) & (F.col("s1") != F.col("s2"))
+    ).select((F.col("s2") - F.col("s1")).cast("decimal(18,2)").alias("diff"))
+    v = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.sum((F.col("diff") > 0).cast("int")).cast("bigint").alias("cpos"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    cum = global_prefix_sum(v, ["ad"], "ct", out_col="below", inclusive=False)
+    d38 = "decimal(38,0)"
+    cpd = F.col("cpos").cast(d38)
+    ctd = F.col("ct").cast(d38)
+    bd = F.col("below").cast(d38)
+    agg = cum.agg(
+        F.sum("ct").cast("bigint").alias("n"),
+        F.sum(cpd * (2 * bd + ctd + 1)).cast("double").alias("two_w"),
+        F.sum(ctd * ctd * ctd - ctd).cast("double").alias("tie_t"),
+    )
+    nd = F.col("n").cast("double")
+    w_plus = F.col("two_w") / 2.0
+    sigma = F.sqrt(
+        nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0 - F.col("tie_t") / 48.0
+    )
+    return agg.select(
+        "n",
+        F.round(w_plus, 1).alias("w_plus"),
+        F.round((w_plus - nd * (nd + 1.0) / 4.0) / sigma, 6).alias("z"),
+    )

@@ -527,7 +527,9 @@ def running_user_totals_tws(
 TYPE_COUNTS_TWS_OUTPUT = "user_id long, event_type string, n long"
 
 
-def user_event_type_counts_tws(events: DataFrame) -> DataFrame:
+def user_event_type_counts_tws(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Per-user per-event-type running counts on a TWS MapState —
     completing the state-type triad (ValueState: running totals;
     ListState: open sessions; MapState: a keyed sub-aggregate whose
@@ -536,6 +538,19 @@ def user_event_type_counts_tws(events: DataFrame) -> DataFrame:
     not O(all types ever seen) — the property that matters when the
     sub-key domain is wide (page paths, SKUs) and RocksDB holds the
     long tail.
+
+    ``ttl_ms`` engages the state-lifecycle feature the triad's other
+    operators don't cover: per-state-variable PROCESSING-TIME TTL
+    (Spark evicts a sub-key's value ttl_ms after its last write —
+    expired reads return nothing, as if the key were never seen). TTL
+    requires timeMode=ProcessingTime; with it the operator becomes a
+    sliding "recent activity" counter whose state size is bounded by
+    the eviction clock even when the user/type domain grows without
+    bound — the knob that keeps RocksDB state from accumulating
+    forever at 100 TB. Law (tests): with a TTL shorter than the
+    inter-batch gap, every batch re-counts from zero, so the emitted
+    n's per (user, type) SUM to the all-data batch count; without TTL
+    the LAST emitted n equals it.
 
     Emits the updated (user, type, n) rows each micro-batch (update
     mode); the final row per (user, type) equals the batch
@@ -546,7 +561,7 @@ def user_event_type_counts_tws(events: DataFrame) -> DataFrame:
     class TypeCounts(StatefulProcessor):
         def init(self, handle) -> None:
             self._counts = handle.getMapState(
-                "type_counts", "event_type string", "n long"
+                "type_counts", "event_type string", "n long", ttl_ms
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -580,7 +595,9 @@ def user_event_type_counts_tws(events: DataFrame) -> DataFrame:
         statefulProcessor=TypeCounts(),
         outputStructType=TYPE_COUNTS_TWS_OUTPUT,
         outputMode="Update",
-        timeMode="None",
+        # TTL state is clocked by processing time; without a TTL the
+        # operator needs no clock at all
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
 
 

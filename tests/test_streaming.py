@@ -2242,6 +2242,140 @@ def test_user_event_type_counts_tws_mapstate_equals_batch(
     assert len(got) > len(final)  # state crossed micro-batches
 
 
+def test_user_event_type_counts_tws_ttl_evicts_state(
+    spark, events_stream_dir
+):
+    """State-TTL eviction law (r10, VERDICT r9 item 8 — the one
+    state-lifecycle feature the TWS triad didn't cover): with a
+    processing-time TTL far shorter than the inter-micro-batch gap
+    (1 ms vs the seconds a micro-batch takes), every sub-key written in
+    batch k has EXPIRED by batch k+1, so each batch counts from zero —
+    the emitted n's per (user, type) SUM to the all-data batch count
+    (whereas without TTL the LAST emitted n equals it; that law is the
+    sibling test above). Also pins that expiry actually happened: at
+    least one (user, type) pair spans multiple batches, so its
+    TTL-mode emissions must be strictly smaller than its global count."""
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_events_stream(spark, events_stream_dir)
+        got = streaming.run_to_completion(
+            streaming.user_event_type_counts_tws(stream, ttl_ms=1),
+            "t_type_counts_tws_ttl",
+            output_mode="update",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    summed = got.groupby(["user_id", "event_type"], as_index=False)["n"].agg(
+        ["sum", "max"]
+    )
+    want = (
+        load_table(spark, SF_TEST, "events")
+        .toPandas()
+        .groupby(["user_id", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    m = summed.merge(want, on=["user_id", "event_type"], how="outer",
+                     indicator=True)
+    assert (m["_merge"] == "both").all()
+    # full-expiry law: per-batch re-counts telescope to the batch total
+    assert (m["sum"] == m["n"]).all()
+    # and expiry genuinely fired: some pair spans batches, so its
+    # largest single-batch count is below its global count
+    assert (m["max"] < m["n"]).any()
+
+
+def test_user_sessions_tws_out_of_order_bridge(spark, tmp_path):
+    """Timer-sessionization under OUT-OF-ORDER arrival (r10, VERDICT r9
+    item 8): a later micro-batch delivers an event whose timestamp
+    falls BETWEEN two already-buffered events of the same user —
+    within the watermark, so it must not be dropped, and it BRIDGES
+    what would otherwise be two separate 30-min-gap sessions into one.
+    Fixture (minutes): batch0 = {0, 50} (gap 50 > 30: two sessions if
+    nothing else arrives), batch1 = {25} arriving late (gaps 25 and 25:
+    one merged session), batch2 = a t=+10 h event that advances the
+    watermark past the close point. Law: exactly ONE session
+    (start=0, end=50 min, n=3) is emitted for the bridged user — never
+    the two unbridged halves — plus the control user's in-order
+    session. The interval-coalesce merge and the timer re-arm are the
+    code paths only an out-of-order fixture exercises."""
+    import os
+    import shutil
+    import time as _time
+
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    MIN = 60 * 1_000_000  # one minute in integer microseconds
+    batches = [
+        [(1, 0 * MIN), (1, 50 * MIN), (2, 0 * MIN), (2, 10 * MIN)],
+        [(1, 25 * MIN)],  # out-of-order bridge event
+        [(1, 600 * MIN), (2, 600 * MIN)],  # watermark advance
+    ]
+    src = tmp_path / "ooo_events"
+    src.mkdir()
+    base = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(uid, us, i * 100 + j, "view", 1.0)
+             for j, (uid, us) in enumerate(rows)],
+            "user_id long, us long, event_id long, event_type string, "
+            "value double",
+        ).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_id",
+            "event_type", "value",
+        )
+        part = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        pf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = src / f"batch-{i:05d}.parquet"
+        shutil.copy(str(part / pf), str(dst))
+        os.utime(str(dst), (base + i, base + i))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_events_stream(spark, str(src))
+        got = streaming.run_to_completion(
+            streaming.user_sessions_tws(stream),
+            "t_sessions_tws_ooo",
+            output_mode="append",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    by_user = {
+        uid: sorted(map(tuple, g[["start_us", "end_us", "n_events"]].values))
+        for uid, g in got.groupby("user_id")
+    }
+    # bridged user: ONE session spanning all three events — the late
+    # 25-min event merged the 0-min and 50-min halves
+    assert by_user.get(1) == [(0, 50 * MIN, 3)], by_user
+    # control user: one in-order session (0 + 10 min, gap 10 <= 30)
+    assert by_user.get(2) == [(0, 10 * MIN, 2)], by_user
+
+
 def test_stream_refresh_mv_with_kll_quantile_state(spark, tmp_path):
     """Composition law (r9 tiers tied together): streaming MV
     maintenance × KLL quantile state — the per-micro-batch sketch
