@@ -2242,23 +2242,65 @@ def test_user_event_type_counts_tws_mapstate_equals_batch(
     assert len(got) > len(final)  # state crossed micro-batches
 
 
-def test_user_event_type_counts_tws_ttl_evicts_state(
-    spark, events_stream_dir
-):
+def test_user_event_type_counts_tws_ttl_evicts_state(spark, tmp_path):
     """State-TTL eviction law (r10, VERDICT r9 item 8 — the one
     state-lifecycle feature the TWS triad didn't cover): with a
     processing-time TTL far shorter than the inter-micro-batch gap
     (1 ms vs the seconds a micro-batch takes), every sub-key written in
     batch k has EXPIRED by batch k+1, so each batch counts from zero —
-    the emitted n's per (user, type) SUM to the all-data batch count
+    the emitted n's per (user, type) SUM to the all-data total
     (whereas without TTL the LAST emitted n equals it; that law is the
-    sibling test above). Also pins that expiry actually happened: at
-    least one (user, type) pair spans multiple batches, so its
-    TTL-mode emissions must be strictly smaller than its global count."""
+    sibling test above). Every pair appears in all 3 batches, so
+    TTL-mode emissions must also each be strictly smaller than the
+    global count.
+
+    Run mechanics: availableNow + a short TTL makes Spark append
+    no-data "cleaning up state" micro-batches indefinitely after the
+    data batches (each cleanup commit re-arms the next batch's expiry
+    work), so the query never self-terminates — poll recentProgress
+    until all data rows are committed, then stop() and swallow the
+    interrupted-checkpoint artifact. The LAW's subject (data-batch
+    emissions) is fully committed to the sink before cleanup begins."""
+    import os
+    import shutil
+    import time as _time
+
     from tests.conftest import HAVE_PROTOBUF
 
     if not HAVE_PROTOBUF:
         pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    # 3 files; every (user, type) pair appears in each with known counts
+    batches = [
+        {(1, "view"): 2, (1, "click"): 1, (2, "view"): 3},
+        {(1, "view"): 1, (1, "click"): 4, (2, "view"): 1},
+        {(1, "view"): 5, (1, "click"): 2, (2, "view"): 2},
+    ]
+    src = tmp_path / "ttl_events"
+    src.mkdir()
+    base = _time.time()
+    eid = 0
+    for i, counts in enumerate(batches):
+        rows = []
+        for (uid, et), c in counts.items():
+            for _ in range(c):
+                rows.append((uid, (i * 1000 + eid) * 1_000_000, eid, et, 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, us long, event_id long, event_type string, "
+            "value double",
+        ).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_id",
+            "event_type", "value",
+        )
+        part = tmp_path / f"ttl_stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        pf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = src / f"batch-{i:05d}.parquet"
+        shutil.copy(str(part / pf), str(dst))
+        os.utime(str(dst), (base + i, base + i))
+    n_rows = eid
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -2266,36 +2308,50 @@ def test_user_event_type_counts_tws_ttl_evicts_state(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        stream = streaming.read_events_stream(spark, events_stream_dir)
-        got = streaming.run_to_completion(
-            streaming.user_event_type_counts_tws(stream, ttl_ms=1),
-            "t_type_counts_tws_ttl",
-            output_mode="update",
-        ).toPandas()
+        stream = streaming.read_events_stream(spark, str(src))
+        q = (
+            streaming.user_event_type_counts_tws(stream, ttl_ms=1)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_type_counts_tws_ttl")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 180
+            while _time.time() < deadline:
+                done = sum(
+                    p["numInputRows"] for p in (q.recentProgress or [])
+                )
+                if done >= n_rows:
+                    break
+                _time.sleep(1)
+            else:
+                raise AssertionError("data batches never finished")
+        finally:
+            try:
+                q.stop()  # interrupts the endless TTL-cleanup batches
+            except Exception:
+                pass  # mid-checkpoint interrupt artifact, not the law
+        got = spark.table("t_type_counts_tws_ttl").toPandas()
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
-    summed = got.groupby(["user_id", "event_type"], as_index=False)["n"].agg(
-        ["sum", "max"]
-    )
-    want = (
-        load_table(spark, SF_TEST, "events")
-        .toPandas()
-        .groupby(["user_id", "event_type"], as_index=False)
-        .size()
-        .rename(columns={"size": "n"})
-    )
-    m = summed.merge(want, on=["user_id", "event_type"], how="outer",
-                     indicator=True)
-    assert (m["_merge"] == "both").all()
-    # full-expiry law: per-batch re-counts telescope to the batch total
-    assert (m["sum"] == m["n"]).all()
-    # and expiry genuinely fired: some pair spans batches, so its
-    # largest single-batch count is below its global count
-    assert (m["max"] < m["n"]).any()
+    want = {}
+    for counts in batches:
+        for k, c in counts.items():
+            want[k] = want.get(k, 0) + c
+    summed = got.groupby(["user_id", "event_type"])["n"].agg(["sum", "max"])
+    assert set(summed.index) == set(want)
+    for k, total in want.items():
+        # full-expiry law: per-batch re-counts telescope to the total
+        assert summed.loc[k, "sum"] == total, (k, summed.loc[k])
+        # and expiry genuinely fired: every pair spans 3 batches, so no
+        # single emission carries the global count
+        assert summed.loc[k, "max"] < total, (k, summed.loc[k])
 
 
 def test_user_sessions_tws_out_of_order_bridge(spark, tmp_path):
@@ -2322,10 +2378,13 @@ def test_user_sessions_tws_out_of_order_bridge(spark, tmp_path):
         pytest.skip("no protobuf runtime found: transformWithState gated")
 
     MIN = 60 * 1_000_000  # one minute in integer microseconds
+    DAY = 1440 * MIN  # base offset: an event AT epoch 0 is not strictly
+    # above the INITIAL watermark (also 0) and would be dropped as late
     batches = [
-        [(1, 0 * MIN), (1, 50 * MIN), (2, 0 * MIN), (2, 10 * MIN)],
-        [(1, 25 * MIN)],  # out-of-order bridge event
-        [(1, 600 * MIN), (2, 600 * MIN)],  # watermark advance
+        [(1, DAY + 0 * MIN), (1, DAY + 50 * MIN),
+         (2, DAY + 0 * MIN), (2, DAY + 10 * MIN)],
+        [(1, DAY + 25 * MIN)],  # out-of-order bridge event
+        [(1, DAY + 600 * MIN), (2, DAY + 600 * MIN)],  # watermark advance
     ]
     src = tmp_path / "ooo_events"
     src.mkdir()
@@ -2371,9 +2430,9 @@ def test_user_sessions_tws_out_of_order_bridge(spark, tmp_path):
     }
     # bridged user: ONE session spanning all three events — the late
     # 25-min event merged the 0-min and 50-min halves
-    assert by_user.get(1) == [(0, 50 * MIN, 3)], by_user
+    assert by_user.get(1) == [(DAY, DAY + 50 * MIN, 3)], by_user
     # control user: one in-order session (0 + 10 min, gap 10 <= 30)
-    assert by_user.get(2) == [(0, 10 * MIN, 2)], by_user
+    assert by_user.get(2) == [(DAY, DAY + 10 * MIN, 2)], by_user
 
 
 def test_stream_refresh_mv_with_kll_quantile_state(spark, tmp_path):
