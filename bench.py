@@ -110,10 +110,12 @@ HEADLINE = [
     "mm_mp3_features",
     "mm_aac_features",
     # round-10 additions (Markov removal-effect attribution capstone,
-    # additive seasonal decomposition, Wilcoxon signed-rank):
+    # additive seasonal decomposition, Wilcoxon signed-rank,
+    # Mann-Kendall + Theil-Sen trend pair):
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
     "stats_wilcoxon_signed_rank",
+    "trend_mann_kendall_theil_sen",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

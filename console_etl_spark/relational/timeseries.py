@@ -3633,3 +3633,148 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_plus, 1).alias("w_plus"),
         F.round((w_plus - nd * (nd + 1.0) / 4.0) / sigma, 6).alias("z"),
     )
+
+
+@_register(
+    "trend_mann_kendall_theil_sen",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+    ), pairs AS (
+      SELECT CASE WHEN b.rev > a.rev THEN 1
+                  WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg,
+             CAST(b.rev - a.rev AS DOUBLE)
+               / CAST(date_diff('day', a.d, b.d) AS DOUBLE) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), s AS (
+      SELECT CAST(SUM(sg) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ), ties AS (
+      SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                           0) AS DOUBLE) AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev) WHERE t > 1
+    ), sen AS (
+      SELECT slope AS sen_slope FROM (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM pairs
+      ), s WHERE rn = (n_pairs + 1) // 2
+    )
+    SELECT n.n_days, s.s_stat AS s,
+           ROUND((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat AS DOUBLE) - 1.0
+                       WHEN s.s_stat < 0 THEN CAST(s.s_stat AS DOUBLE) + 1.0
+                       ELSE CAST(0 AS DOUBLE) END)
+                 / SQRT((CAST(n.n_days AS DOUBLE)
+                         * (CAST(n.n_days AS DOUBLE) - 1.0)
+                         * (2.0 * CAST(n.n_days AS DOUBLE) + 5.0)
+                         - ties.tie_term) / 18.0), 6) AS z,
+           ROUND(sen.sen_slope, 6) AS sen_slope
+    FROM n, s, ties, sen
+    """,
+)
+def trend_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope on the daily revenue
+    series — the classic robust-trend PAIR (MK answers "is there a
+    monotone trend?", Theil-Sen answers "how steep?"), completing the
+    series-diagnostics tier beside changepoint_cusum (level shift),
+    anomaly_mad (outlier days), and seasonal_decompose (cycles).
+    S = sum of sign(rev_j - rev_i) over all day pairs i<j — an exact
+    integer; z applies the tie-corrected variance with continuity
+    correction; the Sen slope is the LOWER median of the pairwise
+    slopes (b.rev-a.rev)/(days apart), the estimator that shrugs off
+    the same outliers MAD flags.
+
+    Exactness: S and the tie term are pure integers (DECIMAL(38,0)
+    Spark-side, HUGEINT in the oracle); each pairwise slope is one
+    exact-DECIMAL difference divided by an integer day count — the
+    identical double both engines compute — and the median picks the
+    (n_pairs+1)//2-th order statistic, whose VALUE is tie-insensitive.
+
+    Scale shape: ONE map-side date groupBy collapses facts to the
+    calendar-bounded daily grid (pinned — every branch reuses one
+    materialization); the pair build is a broadcast non-equi self-join
+    of that grid, bounded by calendar_days^2 (~2.9M rows for 6.5
+    years) REGARDLESS of corpus size; one aggregation groups pairs by
+    distinct slope, and the Sen median runs on the grouped relation
+    through the range-partitioned prefix kernel — no SinglePartition
+    window over the pairs (the oracle's ROW_NUMBER form picks the same
+    order statistic)."""
+    from ..llmops.pipeline import global_prefix_sum
+    from ..session import pin
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = pin(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(F.col("b.rev") > F.col("a.rev"), 1)
+        .when(F.col("b.rev") < F.col("a.rev"), -1)
+        .otherwise(0)
+        .alias("sg"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    # ONE pass over the pairs: per-distinct-slope sign totals and counts
+    grouped = pairs.groupBy("slope").agg(
+        F.sum("sg").alias("sgs"), F.count("*").alias("ct")
+    )
+    s_row = grouped.agg(
+        F.sum("sgs").cast("bigint").alias("s_stat"),
+        F.sum("ct").cast("bigint").alias("n_pairs"),
+    )
+    d38 = "decimal(38,0)"
+    td = F.col("t").cast(d38)
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(td * (td - 1) * (2 * td + 5)), F.lit(0)
+            )
+            .cast("double")
+            .alias("tie_term")
+        )
+    )
+    cum = global_prefix_sum(
+        grouped.select("slope", "ct"), ["slope"], "ct",
+        out_col="below", inclusive=False,
+    )
+    k = F.expr("(n_pairs + 1) div 2")
+    sen = (
+        cum.crossJoin(F.broadcast(s_row))
+        .filter((F.col("below") < k) & (k <= F.col("below") + F.col("ct")))
+        .select(F.col("slope").alias("sen_slope"))
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, sd - 1.0)
+        .when(F.col("s_stat") < 0, sd + 1.0)
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(
+        (nd * (nd - 1.0) * (2.0 * nd + 5.0) - F.col("tie_term")) / 18.0
+    )
+    return (
+        n.crossJoin(F.broadcast(s_row))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(sen))
+        .select(
+            "n_days",
+            F.col("s_stat").alias("s"),
+            F.round(z, 6).alias("z"),
+            F.round("sen_slope", 6).alias("sen_slope"),
+        )
+    )
