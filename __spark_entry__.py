@@ -56,25 +56,27 @@ _MODULES = (
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 10 (ninth
-# rotation): the 4 NEW r10 registrations first (Markov removal-effect
+# rotation): the 5 NEW r10 registrations first (Markov removal-effect
 # attribution — the quartet's data-driven capstone; the hourly
 # seasonal decomposition companion to the seasonal-naive backtest;
 # the Wilcoxon signed-rank PAIRED test completing the nonparametric
 # stats tier; Mann-Kendall + Theil-Sen completing the robust
-# series-trend tier — all oracle-backed and windowed same-round per
-# VERDICT r7 item 8), then topk_movers_mom (implementation CHANGED
-# this round to fix its r9 hash_match:false row — integer month
-# arithmetic + DOUBLE money outputs; changed-since-last-driver-row
-# outranks staleness), then pure staleness draining: ALL 24 remaining
-# r4 rows and the 21 OLDEST r5 rows (registration order). No
-# rows-only slots this round — all 50 are oracle value-hash checks.
-# After this round the oldest remaining driver row is r5.
+# series-trend tier; the price-volume-mix revenue bridge — all
+# oracle-backed and windowed same-round per VERDICT r7 item 8), then
+# topk_movers_mom (implementation CHANGED this round to fix its r9
+# hash_match:false row — integer month arithmetic + DOUBLE money
+# outputs; changed-since-last-driver-row outranks staleness), then
+# pure staleness draining: ALL 24 remaining r4 rows and the 20 OLDEST
+# r5 rows (registration order). No rows-only slots this round — all
+# 50 are oracle value-hash checks. After this round the oldest
+# remaining driver row is r5.
 _PRIORITY = (
-    # new r10 registrations, never driver-checked (4)
+    # new r10 registrations, never driver-checked (5)
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
     "stats_wilcoxon_signed_rank",
     "trend_mann_kendall_theil_sen",
+    "pvm_revenue_bridge_by_brand",
     # implementation changed since its (failing) r9 driver row
     "topk_movers_mom",
     # r4 driver rows (all 24 remaining): registration order
@@ -102,7 +104,7 @@ _PRIORITY = (
     "text_repetition_stats",
     "text_partial_overlap_pairs",
     "embedding_near_pairs",
-    # oldest r5 driver rows (21 of 50): registration order
+    # oldest r5 driver rows (20 of 50): registration order
     "nav_point_lookup",
     "nav_icon_extraction",
     "q1_pricing_summary",
@@ -123,7 +125,6 @@ _PRIORITY = (
     "window_value_functions_orders",
     "scd2_customer_updates",
     "events_value_anomalies",
-    "dq_violations_report",
     # WINDOW FULL at 50.
 )
 

@@ -111,11 +111,12 @@ HEADLINE = [
     "mm_aac_features",
     # round-10 additions (Markov removal-effect attribution capstone,
     # additive seasonal decomposition, Wilcoxon signed-rank,
-    # Mann-Kendall + Theil-Sen trend pair):
+    # Mann-Kendall + Theil-Sen trend pair, price-volume-mix bridge):
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
     "stats_wilcoxon_signed_rank",
     "trend_mann_kendall_theil_sen",
+    "pvm_revenue_bridge_by_brand",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

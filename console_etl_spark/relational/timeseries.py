@@ -3778,3 +3778,104 @@ def trend_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sen_slope", 6).alias("sen_slope"),
         )
     )
+
+
+@_register(
+    "pvm_revenue_bridge_by_brand",
+    """
+    WITH base AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN year(CAST(l.l_shipdate AS DATE)) <= 1997
+                  THEN 1 ELSE 2 END AS era,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), agg AS (
+      SELECT brand,
+             CAST(SUM(CASE WHEN era = 1 THEN price
+                           ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DECIMAL(18,2)) AS rev1,
+             CAST(SUM(CASE WHEN era = 2 THEN price
+                           ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DECIMAL(18,2)) AS rev2,
+             CAST(SUM(CASE WHEN era = 1 THEN qty ELSE 0 END) AS BIGINT)
+               AS qty1,
+             CAST(SUM(CASE WHEN era = 2 THEN qty ELSE 0 END) AS BIGINT)
+               AS qty2
+      FROM base GROUP BY brand
+    )
+    SELECT brand,
+           CAST(rev1 AS DOUBLE) AS rev1, CAST(rev2 AS DOUBLE) AS rev2,
+           qty1, qty2,
+           ROUND(CAST(rev2 - rev1 AS DOUBLE), 2) AS delta,
+           ROUND(CAST(qty2 AS DOUBLE)
+                 * (CAST(rev2 AS DOUBLE) / CAST(qty2 AS DOUBLE)
+                    - CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)), 2)
+             AS price_effect,
+           ROUND((CAST(qty2 AS DOUBLE) - CAST(qty1 AS DOUBLE))
+                 * (CAST(rev1 AS DOUBLE) / CAST(qty1 AS DOUBLE)), 2)
+             AS volume_effect
+    FROM agg WHERE qty1 > 0 AND qty2 > 0
+    ORDER BY brand
+    """,
+)
+def pvm_revenue_bridge_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge by brand — the classic "why did
+    revenue move?" decomposition every finance/BI team builds: between
+    the fixture's two shipping eras (year <= 1997 vs >= 1998), each
+    brand's revenue delta splits into a PRICE effect (qty2 x unit-price
+    change, Laspeyres-on-quantity form) and a VOLUME effect (quantity
+    change x era-1 unit price); price_effect + volume_effect == delta
+    identically (q2*(p2-p1) + (q2-q1)*p1 telescopes to q2p2 - q1p1), so
+    the bridge CONSERVES the total — the property that makes the
+    waterfall chart honest. The cross-brand mix story reads off the
+    per-brand rows (mix shifts appear as opposite-signed volume
+    effects).
+
+    Exactness: era revenues and quantities are exact DECIMAL/BIGINT
+    sums in ONE conditional-aggregation pass; unit prices and effects
+    are the identical double expressions in both engines (floats only
+    after every sum is settled), rounded at output.
+
+    Scale shape: one broadcast join (part is the dimension), one
+    map-side-combinable brand aggregation — the fact scan reduces to a
+    brand-bounded relation (25 rows) and never shuffles raw rows;
+    defined only for brands active in both eras (qty > 0 each)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    era1 = F.year(F.col("l_shipdate").cast("date")) <= 1997
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("bigint")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("brand")
+        .agg(
+            F.sum(F.when(era1, price).otherwise(zero))
+            .cast("decimal(18,2)")
+            .alias("rev1"),
+            F.sum(F.when(~era1, price).otherwise(zero))
+            .cast("decimal(18,2)")
+            .alias("rev2"),
+            F.sum(F.when(era1, qty).otherwise(F.lit(0))).cast("bigint")
+            .alias("qty1"),
+            F.sum(F.when(~era1, qty).otherwise(F.lit(0))).cast("bigint")
+            .alias("qty2"),
+        )
+        .filter((F.col("qty1") > 0) & (F.col("qty2") > 0))
+    )
+    r1d, r2d = F.col("rev1").cast("double"), F.col("rev2").cast("double")
+    q1d, q2d = F.col("qty1").cast("double"), F.col("qty2").cast("double")
+    return agg.select(
+        "brand",
+        r1d.alias("rev1"),
+        r2d.alias("rev2"),
+        "qty1",
+        "qty2",
+        F.round((F.col("rev2") - F.col("rev1")).cast("double"), 2)
+        .alias("delta"),
+        F.round(q2d * (r2d / q2d - r1d / q1d), 2).alias("price_effect"),
+        F.round((q2d - q1d) * (r1d / q1d), 2).alias("volume_effect"),
+    ).orderBy("brand")
