@@ -1318,3 +1318,200 @@ class TestRound9StatInvarianceLaws:
         assert (got["n1"], got["x1"]) == (base["n2"], base["x2"])
         assert (got["n2"], got["x2"]) == (base["n1"], base["x1"])
         assert got["z"] == -base["z"] or (got["z"] == 0 and base["z"] == 0)
+
+
+class TestRound10Laws:
+    """Invariance and independent-replica laws for the five r10
+    registrations — the oracle gate proves Spark==DuckDB; these pin
+    that the MATH is right (same discipline as the r8/r9 law classes).
+    """
+
+    def test_markov_removal_bounds_and_share_normalization(self, spark):
+        """Absorbing-chain laws on the fixture: conversion probability
+        lies in (0, 1]; every removal effect lies in [0, 1] (redirecting
+        a channel's inbound edges to DROP can only LOSE conversion
+        paths, so p_removed <= p_full — provable by induction on the
+        fixed-point iterates); and the normalized shares sum to 1
+        within the 6-dp output rounding."""
+        from console_etl_spark.relational import attribution_markov_removal
+        from tests.conftest import SF_TEST
+
+        rows = attribution_markov_removal(spark, SF_TEST).collect()
+        assert [r["channel"] for r in rows] == ["click", "signup", "view"]
+        p = rows[0]["p_conv"]
+        assert 0.0 < p <= 1.0
+        for r in rows:
+            assert r["p_conv"] == p  # one chain, one conversion prob
+            assert 0.0 <= r["removal_effect"] <= 1.0, r
+        share_sum = sum(r["share"] for r in rows)
+        assert abs(share_sum - 1.0) <= 3e-6, share_sum
+
+    def test_markov_removal_single_channel_chain_attributes_fully(
+        self, spark, tmp_path
+    ):
+        """Degenerate chain: every journey is exactly [view, purchase].
+        Removing 'view' severs every conversion path (effect 1, share
+        1); removing 'click' or 'signup' changes nothing (effect 0).
+        p_conv is exactly 1 — every journey converts."""
+        from console_etl_spark.relational import attribution_markov_removal
+
+        rows = []
+        for uid in range(1, 6):
+            base = 86_400_000_000 * uid
+            rows.append((uid, base, uid * 10, "view", 1.0))
+            rows.append((uid, base + 60_000_000, uid * 10 + 1, "purchase", 1.0))
+        spark.createDataFrame(
+            rows,
+            "user_id long, us long, event_id long, event_type string, "
+            "value double",
+        ).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_id",
+            "event_type", "value",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+        got = {
+            r["channel"]: r
+            for r in attribution_markov_removal(spark, str(tmp_path)).collect()
+        }
+        assert got["view"]["p_conv"] == 1.0
+        assert got["view"]["removal_effect"] == 1.0
+        assert got["view"]["share"] == 1.0
+        for ch in ("click", "signup"):
+            assert got[ch]["removal_effect"] == 0.0
+            assert got[ch]["share"] == 0.0
+
+    def test_seasonal_effects_weighted_sum_to_zero(self, spark):
+        """Additive-decomposition identity: within each component, the
+        n_obs-weighted sum of seasonal effects is zero (sum over groups
+        of n_k * (mean_k - g) = total - g * N = 0 in real arithmetic;
+        the 6-dp output rounding bounds the float residue). Also pins
+        the component domains: 24 hour-of-day rows, 7 day-of-week."""
+        from console_etl_spark.relational import seasonal_decompose_hourly
+        from tests.conftest import SF_TEST
+
+        rows = seasonal_decompose_hourly(spark, SF_TEST).collect()
+        by_comp: dict = {}
+        for r in rows:
+            by_comp.setdefault(r["component"], []).append(r)
+        assert sorted(by_comp) == ["day_of_week", "hour_of_day"]
+        assert len(by_comp["hour_of_day"]) == 24
+        assert sorted(r["k"] for r in by_comp["hour_of_day"]) == list(range(24))
+        assert len(by_comp["day_of_week"]) == 7
+        assert sorted(r["k"] for r in by_comp["day_of_week"]) == list(range(7))
+        for comp, grp in by_comp.items():
+            total_n = sum(r["n_obs"] for r in grp)
+            wsum = sum(r["n_obs"] * r["seasonal_effect"] for r in grp)
+            assert abs(wsum) <= total_n * 1e-6 + 1e-6, (comp, wsum)
+
+    def test_wilcoxon_matches_independent_numpy_ranking(self, spark):
+        """Replica law: the distributed midrank identity
+        2*W+ = sum cpos*(2*below+ct+1) must reproduce a literal
+        numpy average-ranking implementation of the signed-rank test
+        (rank |d|, midranks for ties, sum positive ranks, tie-corrected
+        z) on the same pairs."""
+        import numpy as np
+
+        from console_etl_spark.relational import stats_wilcoxon_signed_rank
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_wilcoxon_signed_rank(spark, SF_TEST).collect()[0]
+
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        o["yr"] = o["o_orderdate"].dt.year
+        o["price"] = o["o_totalprice"].round(2)
+        per = o.groupby("o_custkey").apply(
+            lambda g: (
+                g.loc[g.yr <= 1997, "price"].sum().round(2),
+                g.loc[g.yr >= 1998, "price"].sum().round(2),
+                (g.yr <= 1997).sum(),
+                (g.yr >= 1998).sum(),
+            ),
+            include_groups=False,
+        )
+        d = np.array(
+            [round(s2 - s1, 2) for s1, s2, k1, k2 in per
+             if k1 > 0 and k2 > 0 and s1 != s2]
+        )
+        ad = np.abs(d)
+        order = np.argsort(ad, kind="stable")
+        sorted_ad = ad[order]
+        r = np.empty(len(d))
+        pos = 0
+        while pos < len(d):
+            j = pos
+            while j + 1 < len(d) and sorted_ad[j + 1] == sorted_ad[pos]:
+                j += 1
+            r[pos:j + 1] = (pos + 1 + j + 1) / 2.0
+            pos = j + 1
+        ranks = np.empty(len(d))
+        ranks[order] = r
+        w_plus = float(ranks[d > 0].sum())
+        n = len(d)
+        _, t = np.unique(ad, return_counts=True)
+        tie = float(((t.astype(np.float64) ** 3) - t).sum())
+        var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie / 48.0
+        z = (w_plus - n * (n + 1.0) / 4.0) / np.sqrt(var)
+
+        assert got["n"] == n
+        assert got["w_plus"] == round(w_plus, 1)
+        assert abs(got["z"] - z) <= 2e-6, (got["z"], z)
+
+    def test_mann_kendall_matches_independent_numpy(self, spark):
+        """Replica law: S, the tie-corrected continuity-corrected z,
+        and the Theil-Sen lower median must reproduce a literal numpy
+        all-pairs implementation on the same daily series."""
+        import numpy as np
+
+        from console_etl_spark.relational import trend_mann_kendall_theil_sen
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = trend_mann_kendall_theil_sen(spark, SF_TEST).collect()[0]
+
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        daily = (
+            o.assign(d=o["o_orderdate"].dt.floor("D"),
+                     price=o["o_totalprice"].round(2))
+            .groupby("d", as_index=False)["price"].sum()
+        )
+        rev = daily["price"].round(2).values
+        days = daily["d"].values.astype("datetime64[D]").astype(np.int64)
+        n = len(rev)
+        i, j = np.triu_indices(n, 1)
+        diff = rev[j] - rev[i]
+        s = int(np.sign(diff).sum())
+        slopes = diff / (days[j] - days[i]).astype(np.float64)
+        k = (len(slopes) + 1) // 2
+        sen = float(np.partition(slopes, k - 1)[k - 1])
+        _, t = np.unique(rev, return_counts=True)
+        t = t[t > 1].astype(np.float64)
+        var = (
+            n * (n - 1.0) * (2.0 * n + 5.0)
+            - (t * (t - 1) * (2 * t + 5)).sum()
+        ) / 18.0
+        z = (
+            (s - 1.0) / np.sqrt(var)
+            if s > 0
+            else ((s + 1.0) / np.sqrt(var) if s < 0 else 0.0)
+        )
+
+        assert got["n_days"] == n
+        assert got["s"] == s
+        assert abs(got["z"] - z) <= 2e-6, (got["z"], z)
+        assert abs(got["sen_slope"] - sen) <= 2e-6, (got["sen_slope"], sen)
+
+    def test_pvm_bridge_conserves_delta(self, spark):
+        """Waterfall honesty: per brand, price_effect + volume_effect
+        reconstructs delta within the 2-dp output rounding (the
+        telescoping identity is exact in real arithmetic), and the
+        bridge covers only brands active in both eras."""
+        from console_etl_spark.relational import pvm_revenue_bridge_by_brand
+        from tests.conftest import SF_TEST
+
+        rows = pvm_revenue_bridge_by_brand(spark, SF_TEST).collect()
+        assert rows, "no both-era brands in fixture"
+        for r in rows:
+            assert r["qty1"] > 0 and r["qty2"] > 0
+            resid = r["delta"] - (r["price_effect"] + r["volume_effect"])
+            assert abs(resid) <= 0.03, (r["brand"], resid)
