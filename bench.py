@@ -111,12 +111,14 @@ HEADLINE = [
     "mm_aac_features",
     # round-10 additions (Markov removal-effect attribution capstone,
     # additive seasonal decomposition, Wilcoxon signed-rank,
-    # Mann-Kendall + Theil-Sen trend pair, price-volume-mix bridge):
+    # Mann-Kendall + Theil-Sen trend pair, price-volume-mix bridge,
+    # Wald-Wolfowitz runs test):
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
     "stats_wilcoxon_signed_rank",
     "trend_mann_kendall_theil_sen",
     "pvm_revenue_bridge_by_brand",
+    "stats_runs_test_daily_revenue",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

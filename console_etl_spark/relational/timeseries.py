@@ -3879,3 +3879,127 @@ def pvm_revenue_bridge_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q2d * (r2d / q2d - r1d / q1d), 2).alias("price_effect"),
         F.round((q2d - q1d) * (r1d / q1d), 2).alias("volume_effect"),
     ).orderBy("brand")
+
+
+@_register(
+    "stats_runs_test_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+    ), med AS (
+      SELECT rev AS med FROM (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn FROM daily
+      ), n WHERE rn = (n_days + 1) // 2
+    ), signs AS (
+      SELECT d, CASE WHEN rev > med THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE rev <> med
+    ), seq AS (
+      SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signs
+    ), agg AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq
+    )
+    SELECT n1, n2, runs,
+           ROUND((CAST(runs AS DOUBLE)
+                  - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+                 / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE)
+                              + CAST(n2 AS DOUBLE) - 1.0))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def stats_runs_test_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series around its median — the randomness sibling of
+    trend_mann_kendall_theil_sen on the same series (MK asks "is there
+    a monotone trend?"; the runs test asks "is the above/below-median
+    sequence random, or does it cluster/alternate?"). Days exactly at
+    the median drop per the standard definition; R counts maximal
+    same-sign runs in date order; z compares R against its exact
+    null mean 2*n1*n2/n + 1 and variance.
+
+    Exactness: the median is the LOWER median (the (n+1)//2-th order
+    statistic — the MAD/Sen house choice, no interpolation), signs and
+    the run count are exact integers from one LAG pass, and z is one
+    identically-parenthesized double expression over three exact
+    integers — floats appear only after every count is settled.
+
+    Scale shape: ONE map-side date groupBy collapses facts to the
+    calendar-bounded daily grid (pinned — the median, sign, and run
+    branches reuse one materialization); the order-statistic and the
+    date-ordered LAG run on that bounded relation (the documented
+    bounded-final-sort single-partition class, ~2,400 rows at any
+    corpus size)."""
+    from ..session import pin
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = pin(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    med = (
+        daily.select(
+            "rev", F.row_number().over(W.orderBy("rev")).alias("rn")
+        )
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.expr("(n_days + 1) div 2"))
+        .select(F.col("rev").alias("med"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select(
+            "d", (F.col("rev") > F.col("med")).cast("int").alias("s")
+        )
+    )
+    seq = signs.select("s", F.lag("s").over(W.orderBy("d")).alias("prev"))
+    agg = seq.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    mean = 2.0 * n1d * n2d / nd + 1.0
+    var = (
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - 1.0))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        F.round((F.col("runs").cast("double") - mean) / F.sqrt(var), 6)
+        .alias("z"),
+    )

@@ -1501,6 +1501,40 @@ class TestRound10Laws:
         assert abs(got["z"] - z) <= 2e-6, (got["z"], z)
         assert abs(got["sen_slope"] - sen) <= 2e-6, (got["sen_slope"], sen)
 
+    def test_runs_test_matches_independent_numpy(self, spark):
+        """Replica law: the LAG-pass run count, the sign counts, and
+        the continuity-free z must reproduce a literal numpy
+        implementation (lower median, drop-at-median, run boundaries
+        where consecutive signs differ) on the same daily series."""
+        import numpy as np
+
+        from console_etl_spark.relational import stats_runs_test_daily_revenue
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_runs_test_daily_revenue(spark, SF_TEST).collect()[0]
+
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        daily = (
+            o.assign(d=o["o_orderdate"].dt.floor("D"),
+                     price=o["o_totalprice"].round(2))
+            .groupby("d")["price"].sum().round(2).sort_index()
+        )
+        rev = daily.values
+        med = np.sort(rev)[(len(rev) + 1) // 2 - 1]
+        s = (rev[rev != med] > med).astype(int)
+        runs = 1 + int((s[1:] != s[:-1]).sum())
+        n1, n2 = int(s.sum()), int(len(s) - s.sum())
+        mean = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+        )
+        z = (runs - mean) / np.sqrt(var)
+
+        assert (got["n1"], got["n2"], got["runs"]) == (n1, n2, runs)
+        assert abs(got["z"] - z) <= 2e-6, (got["z"], z)
+
     def test_pvm_bridge_conserves_delta(self, spark):
         """Waterfall honesty: per brand, price_effect + volume_effect
         reconstructs delta within the 2-dp output rounding (the
