@@ -56,29 +56,31 @@ _MODULES = (
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 10 (ninth
-# rotation): the 6 NEW r10 registrations first (Markov removal-effect
+# rotation): the 7 NEW r10 registrations first (Markov removal-effect
 # attribution — the quartet's data-driven capstone; the hourly
 # seasonal decomposition companion to the seasonal-naive backtest;
 # the Wilcoxon signed-rank PAIRED test completing the nonparametric
 # stats tier; Mann-Kendall + Theil-Sen completing the robust
 # series-trend tier; the price-volume-mix revenue bridge; the
-# Wald-Wolfowitz runs test, MK's randomness sibling — all
+# Wald-Wolfowitz runs test, MK's randomness sibling; the Ljung-Box
+# portmanteau completing the autocorrelation toolset — all
 # oracle-backed and windowed same-round per VERDICT r7 item 8), then
 # topk_movers_mom (implementation CHANGED this round to fix its r9
 # hash_match:false row — integer month arithmetic + DOUBLE money
 # outputs; changed-since-last-driver-row outranks staleness), then
-# pure staleness draining: ALL 24 remaining r4 rows and the 19 OLDEST
+# pure staleness draining: ALL 24 remaining r4 rows and the 18 OLDEST
 # r5 rows (registration order). No rows-only slots this round — all
 # 50 are oracle value-hash checks. After this round the oldest
 # remaining driver row is r5.
 _PRIORITY = (
-    # new r10 registrations, never driver-checked (6)
+    # new r10 registrations, never driver-checked (7)
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
     "stats_wilcoxon_signed_rank",
     "trend_mann_kendall_theil_sen",
     "pvm_revenue_bridge_by_brand",
     "stats_runs_test_daily_revenue",
+    "stats_ljung_box_hourly",
     # implementation changed since its (failing) r9 driver row
     "topk_movers_mom",
     # r4 driver rows (all 24 remaining): registration order
@@ -106,7 +108,7 @@ _PRIORITY = (
     "text_repetition_stats",
     "text_partial_overlap_pairs",
     "embedding_near_pairs",
-    # oldest r5 driver rows (19 of 50): registration order
+    # oldest r5 driver rows (18 of 50): registration order
     "nav_point_lookup",
     "nav_icon_extraction",
     "q1_pricing_summary",
@@ -125,7 +127,6 @@ _PRIORITY = (
     "fullouter_nation_counts",
     "percentile_price_by_flag",
     "window_value_functions_orders",
-    "scd2_customer_updates",
     # WINDOW FULL at 50.
 )
 

@@ -112,13 +112,14 @@ HEADLINE = [
     # round-10 additions (Markov removal-effect attribution capstone,
     # additive seasonal decomposition, Wilcoxon signed-rank,
     # Mann-Kendall + Theil-Sen trend pair, price-volume-mix bridge,
-    # Wald-Wolfowitz runs test):
+    # Wald-Wolfowitz runs test, Ljung-Box portmanteau):
     "attribution_markov_removal",
     "seasonal_decompose_hourly",
     "stats_wilcoxon_signed_rank",
     "trend_mann_kendall_theil_sen",
     "pvm_revenue_bridge_by_brand",
     "stats_runs_test_daily_revenue",
+    "stats_ljung_box_hourly",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -4003,3 +4003,150 @@ def stats_runs_test_daily_revenue(
         F.round((F.col("runs").cast("double") - mean) / F.sqrt(var), 6)
         .alias("z"),
     )
+
+
+@_register(
+    "stats_ljung_box_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(c * c) AS HUGEINT) AS ss
+      FROM hourly
+    ), lagged AS (
+      SELECT c,
+             LAG(c, 1) OVER (ORDER BY hour) AS l1,
+             LAG(c, 2) OVER (ORDER BY hour) AS l2,
+             LAG(c, 3) OVER (ORDER BY hour) AS l3,
+             LAG(c, 4) OVER (ORDER BY hour) AS l4,
+             LAG(c, 5) OVER (ORDER BY hour) AS l5,
+             LAG(c, 6) OVER (ORDER BY hour) AS l6
+      FROM hourly
+    ), pairs AS (
+      SELECT 1 AS lag, c AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL SELECT 2, c, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL SELECT 3, c, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL SELECT 4, c, l4 FROM lagged WHERE l4 IS NOT NULL
+      UNION ALL SELECT 5, c, l5 FROM lagged WHERE l5 IS NOT NULL
+      UNION ALL SELECT 6, c, l6 FROM lagged WHERE l6 IS NOT NULL
+    ), per_lag AS (
+      SELECT lag,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy
+      FROM pairs GROUP BY lag
+    ), r AS (
+      SELECT lag,
+             CAST(g.n * g.n * sxy - g.n * g.s * (sx + sy)
+                  + (g.n - lag) * g.s * g.s AS DOUBLE)
+             / CAST(g.n * (g.n * g.ss - g.s * g.s) AS DOUBLE) AS rk
+      FROM per_lag CROSS JOIN g
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN lag = 1 THEN rk END) AS r1,
+        MAX(CASE WHEN lag = 2 THEN rk END) AS r2,
+        MAX(CASE WHEN lag = 3 THEN rk END) AS r3,
+        MAX(CASE WHEN lag = 4 THEN rk END) AS r4,
+        MAX(CASE WHEN lag = 5 THEN rk END) AS r5,
+        MAX(CASE WHEN lag = 6 THEN rk END) AS r6
+      FROM r
+    )
+    SELECT CAST(g.n AS BIGINT) AS n,
+           ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2, ROUND(r3, 6) AS r3,
+           ROUND(r4, 6) AS r4, ROUND(r5, 6) AS r5, ROUND(r6, 6) AS r6,
+           ROUND(CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) + 2.0)
+                 * (((((r1 * r1 / (CAST(g.n AS DOUBLE) - 1.0)
+                        + r2 * r2 / (CAST(g.n AS DOUBLE) - 2.0))
+                       + r3 * r3 / (CAST(g.n AS DOUBLE) - 3.0))
+                      + r4 * r4 / (CAST(g.n AS DOUBLE) - 4.0))
+                     + r5 * r5 / (CAST(g.n AS DOUBLE) - 5.0))
+                    + r6 * r6 / (CAST(g.n AS DOUBLE) - 6.0)), 6) AS q_lb
+    FROM w CROSS JOIN g
+    """,
+)
+def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-6) on the hourly event-count
+    series — the standard "is this white noise?" test a forecaster
+    runs on residuals, completing the autocorrelation toolset beside
+    acf_hourly_event_counts (which reports per-lag Pearson lag
+    correlations; this query computes the CLASSICAL r_k — global-mean
+    autocovariance over the full-series variance — and folds them into
+    Q = n(n+2) * sum r_k^2/(n-k)).
+
+    Exactness: each classical r_k is ONE division of two exact
+    integers — multiplying the autocovariance through by n^2 clears
+    the sample mean: n^2*num_k = n^2*Sxy_k - n*S*(Sx_k+Sy_k) +
+    (n-k)*S^2 and n*den = n*(n*SS - S^2), all accumulated as
+    DECIMAL(38,0) Spark-side / HUGEINT in the oracle — so both engines
+    divide the same two integers, and Q is one identically-
+    parenthesized double fold over the six r_k.
+
+    Scale shape: the fact scan reduces to the time-span-bounded hourly
+    series in one partial-agg shuffle; the six lags are one window
+    pass over that bounded relation and every remaining aggregate is
+    lag-bounded (6 rows) or one-row."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    g = hourly.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("c").cast(d38).alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast(d38).alias("ss"),
+    )
+    wo = W.orderBy("hour")
+    lagged = hourly.select(
+        "c", *[F.lag("c", d).over(wo).alias(f"l{d}") for d in range(1, 7)]
+    )
+    pairs = None
+    for d in range(1, 7):
+        p = (
+            lagged.filter(F.col(f"l{d}").isNotNull())
+            .select(
+                F.lit(d).alias("lag"),
+                F.col("c").alias("x"),
+                F.col(f"l{d}").alias("y"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    per_lag = pairs.groupBy("lag").agg(
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+    )
+    nI, sI, ssI = F.col("n"), F.col("s"), F.col("ss")
+    lagI = F.col("lag").cast(d38)
+    r = per_lag.crossJoin(F.broadcast(g)).select(
+        "lag",
+        (
+            (
+                nI * nI * F.col("sxy")
+                - nI * sI * (F.col("sx") + F.col("sy"))
+                + (nI - lagI) * sI * sI
+            ).cast("double")
+            / (nI * (nI * ssI - sI * sI)).cast("double")
+        ).alias("rk"),
+    )
+    w = r.agg(
+        *[
+            F.max(F.when(F.col("lag") == d, F.col("rk"))).alias(f"r{d}")
+            for d in range(1, 7)
+        ]
+    )
+    out = w.crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    rks = [F.col(f"r{d}") for d in range(1, 7)]
+    q = rks[0] * rks[0] / (nd - 1.0)
+    for d in range(2, 7):
+        q = q + rks[d - 1] * rks[d - 1] / (nd - float(d))
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        *[F.round(f"r{d}", 6).alias(f"r{d}") for d in range(1, 7)],
+        F.round(nd * (nd + 2.0) * q, 6).alias("q_lb"),
+    )

@@ -60,28 +60,30 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 10 (never-checked backlog at 0): the 6 NEW
+    priority list. Round 10 (never-checked backlog at 0): the 7 NEW
     r10 registrations first (Markov removal-effect attribution, hourly
     seasonal decomposition, Wilcoxon signed-rank, Mann-Kendall +
-    Theil-Sen, price-volume-mix bridge, Wald-Wolfowitz runs test — all
-    oracle-backed), then topk_movers_mom whose implementation changed
-    this round (the r9 hash-mismatch fix; changed-since-last-driver-row
-    outranks staleness), then pure staleness draining: all 24 remaining
-    r4 rows and the 19 oldest r5 rows. 50 oracle value-hash slots, ZERO
-    rows-only slots this round."""
+    Theil-Sen, price-volume-mix bridge, Wald-Wolfowitz runs test,
+    Ljung-Box portmanteau — all oracle-backed), then topk_movers_mom
+    whose implementation changed this round (the r9 hash-mismatch fix;
+    changed-since-last-driver-row outranks staleness), then pure
+    staleness draining: all 24 remaining r4 rows and the 18 oldest r5
+    rows. 50 oracle value-hash slots, ZERO rows-only slots this
+    round."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == []
     assert len(oracle_slots) == 50
-    assert first50[:7] == [
+    assert first50[:8] == [
         "attribution_markov_removal",
         "seasonal_decompose_hourly",
         "stats_wilcoxon_signed_rank",
         "trend_mann_kendall_theil_sen",
         "pvm_revenue_bridge_by_brand",
         "stats_runs_test_daily_revenue",
+        "stats_ljung_box_hourly",
         "topk_movers_mom",
     ]
 

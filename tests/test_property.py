@@ -1535,6 +1535,40 @@ class TestRound10Laws:
         assert (got["n1"], got["n2"], got["runs"]) == (n1, n2, runs)
         assert abs(got["z"] - z) <= 2e-6, (got["z"], z)
 
+    def test_ljung_box_matches_independent_numpy(self, spark):
+        """Replica law: the exact-integer classical r_k (n^2-cleared
+        autocovariance over full-series variance) and the Q fold must
+        reproduce a literal numpy implementation (global-mean
+        autocovariances, Q = n(n+2) sum r_k^2/(n-k)) on the same hourly
+        series."""
+        import numpy as np
+
+        from console_etl_spark.relational import stats_ljung_box_hourly
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_ljung_box_hourly(spark, SF_TEST).collect()[0]
+
+        e = load_table(spark, SF_TEST, "events").toPandas()
+        hourly = (
+            e.assign(h=e["ts"].dt.floor("h"))
+            .groupby("h").size().sort_index()
+        )
+        x = hourly.values.astype(np.float64)
+        n = len(x)
+        xb = x.mean()
+        den = ((x - xb) ** 2).sum()
+        rk = [
+            float((((x[:-k] - xb) * (x[k:] - xb)).sum()) / den)
+            for k in range(1, 7)
+        ]
+        q = n * (n + 2.0) * sum(r * r / (n - k) for k, r in enumerate(rk, 1))
+
+        assert got["n"] == n
+        for k in range(1, 7):
+            assert abs(got[f"r{k}"] - rk[k - 1]) <= 2e-6, (k, got[f"r{k}"])
+        assert abs(got["q_lb"] - q) <= 1e-4 * max(1.0, q), (got["q_lb"], q)
+
     def test_pvm_bridge_conserves_delta(self, spark):
         """Waterfall honesty: per brand, price_effect + volume_effect
         reconstructs delta within the 2-dp output rounding (the
