@@ -76,15 +76,25 @@ def _shim_pypath() -> str | None:
         os.path.expanduser("~"), ".cache"
     )
     stable = os.path.join(cache, "console_etl_spark", "protobuf_shim", "pypath")
+    # EVERY path component between the cache root and the shim must be
+    # private: a foreign-owned or group-writable ancestor lets another
+    # local user swap the verified leaf dir between this check and the
+    # moment a Spark worker resolves PYTHONPATH (TOCTOU). The cache root
+    # itself is only verified (it may legitimately be 0755); the
+    # components this function creates are chmod'd to 0700 first.
+    created = [
+        os.path.join(cache, "console_etl_spark"),
+        os.path.join(cache, "console_etl_spark", "protobuf_shim"),
+        stable,
+        os.path.join(stable, "google"),
+    ]
     try:
-        os.makedirs(os.path.join(stable, "google"), mode=0o700, exist_ok=True)
+        os.makedirs(created[-1], mode=0o700, exist_ok=True)
         # makedirs honors umask and accepts pre-existing dirs — re-assert
         # the mode, then verify ownership before trusting the path.
-        for p in (stable, os.path.join(stable, "google")):
+        for p in created:
             os.chmod(p, 0o700)
-        if _dir_is_private(stable) and _dir_is_private(
-            os.path.join(stable, "google")
-        ):
+        if _dir_is_private(cache) and all(_dir_is_private(p) for p in created):
             return stable
     except OSError:
         pass

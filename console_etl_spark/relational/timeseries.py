@@ -3128,7 +3128,7 @@ MARKOV_ITERS = 60  # fixed-point steps; conversion mass is absorbed
 
 @_register(
     "attribution_markov_removal",
-    """
+    f"""
     WITH RECURSIVE base AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -3234,14 +3234,14 @@ MARKOV_ITERS = 60  # fixed-point steps; conversion mass is absorbed
              q_gk + (q_gv * rcv + q_gg * rcg),
              q_vk + (q_vv * rgv + q_vc * rgc),
              q_ck + (q_cv * rgv + q_cc * rgc)
-      FROM it CROSS JOIN q WHERE i < 60
+      FROM it CROSS JOIN q WHERE i < {MARKOV_ITERS}
     ), res AS (
       SELECT
         (q_sv * pv + q_sc * pc) + q_sg * pg AS p_full,
         q_sc * rvc + q_sg * rvg AS p_rm_v,
         q_sv * rcv + q_sg * rcg AS p_rm_c,
         q_sv * rgv + q_sc * rgc AS p_rm_g
-      FROM it CROSS JOIN q WHERE i = 60
+      FROM it CROSS JOIN q WHERE i = {MARKOV_ITERS}
     ), re AS (
       SELECT
         CASE WHEN p_full = 0 THEN CAST(0 AS DOUBLE)
@@ -4086,14 +4086,19 @@ def stats_ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesized double fold over the six r_k.
 
     Scale shape: the fact scan reduces to the time-span-bounded hourly
-    series in one partial-agg shuffle; the six lags are one window
-    pass over that bounded relation and every remaining aggregate is
-    lag-bounded (6 rows) or one-row."""
+    series in one partial-agg shuffle; the series is
+    localCheckpoint-pinned (KB-sized at any corpus scale, same repair
+    class as seasonal_decompose_hourly / BENCH_AB_r10 §2) so the global
+    moments row, the lag window, and the six union branches built on it
+    all read the materialized relation instead of re-deriving it from
+    facts up to seven times; the six lags are one window pass over that
+    bounded relation and every remaining aggregate is lag-bounded (6
+    rows) or one-row."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint()
     d38 = "decimal(38,0)"
     g = hourly.agg(
         F.count("*").cast(d38).alias("n"),

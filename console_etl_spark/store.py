@@ -713,8 +713,29 @@ def mv_merge(
     reference re-materializes everything per refresh, cache.go:71-81).
     HLL sketch columns merge with ``hll_union_agg`` (lossless for
     same-configured sketches); KLL quantile sketches merge with
-    ``kll_merge_agg_double`` (error bound preserved, n exact)."""
+    ``kll_merge_agg_double`` (error bound preserved, n exact).
+
+    Legacy-state migration (ADVICE r10): state persisted by the
+    pre-r10 schema carries ``_kll_{col}`` but not the ``_n_{col}``
+    non-null-count partial that r9's NULL-semantics fix added. Rather
+    than failing the union with an opaque missing-column
+    AnalysisException, either side lacking ``_n_{col}`` is backfilled
+    EXACTLY from its own sketch: ``kll_sketch_get_n_double`` returns
+    the sketch's exact (not estimated) update count, and the sketch
+    skips NULLs, so get_n IS the non-null count the partial would have
+    recorded — a lossless schema upgrade, no base-row access."""
     from pyspark.sql import functions as F
+
+    def _backfill_n(df: DataFrame) -> DataFrame:
+        for q in quantiles:
+            if f"_n_{q}" not in df.columns:
+                df = df.withColumn(
+                    f"_n_{q}", F.kll_sketch_get_n_double(f"_kll_{q}")
+                )
+        return df
+
+    state = _backfill_n(state)
+    delta = _backfill_n(delta)
 
     aggs = [F.sum("_cnt").alias("_cnt")]
     for m in measures:

@@ -1188,6 +1188,45 @@ def test_mv_kll_n_exactness_basis_is_non_null_count(spark):
     assert got["b"] == (1, 1, 2)
 
 
+def test_mv_merge_backfills_legacy_state_without_n_partial(spark):
+    """ADVICE r10: MV state persisted by the pre-r10 schema has
+    _kll_{col} but no _n_{col}; mv_merge must not fail unionByName with
+    an opaque missing-column error. It backfills _n_{col} EXACTLY from
+    the stored sketch (kll_sketch_get_n_double is the sketch's exact
+    update count, and the sketch skips NULLs — so get_n IS the non-null
+    count the partial would have recorded). Pin: legacy-state merge ==
+    new-schema merge, including through a NULL-bearing group."""
+    from console_etl_spark.store import mv_merge, mv_partials
+
+    rows = [("a", float(i)) for i in range(8)] + [("a", None)] * 3
+    rows += [("b", 1.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    old = df.filter(F.col("v").isNull() | (F.col("v") < 4))
+    new = df.filter(F.col("v") >= 4)
+    p_old = mv_partials(old, ("g",), (), quantiles=("v",))
+    p_new = mv_partials(new, ("g",), (), quantiles=("v",))
+    legacy = p_old.drop("_n_v")  # the pre-r10 persisted schema
+    assert "_n_v" not in legacy.columns
+
+    def _canon(merged):
+        return {
+            r.g: (int(r._cnt), int(r._n_v), int(r.kn))
+            for r in merged.select(
+                "g", "_cnt", "_n_v",
+                F.kll_sketch_get_n_double("_kll_v").alias("kn"),
+            ).collect()
+        }
+
+    got_legacy = _canon(mv_merge(legacy, p_new, ("g",), (), quantiles=("v",)))
+    got_new = _canon(mv_merge(p_old, p_new, ("g",), (), quantiles=("v",)))
+    assert got_legacy == got_new == {"a": (11, 8, 8), "b": (2, 1, 1)}
+    # and a legacy DELTA (both directions of the skew) backfills too
+    got_rev = _canon(
+        mv_merge(p_new, legacy, ("g",), (), quantiles=("v",))
+    )
+    assert got_rev == got_new
+
+
 def test_snapshot_diff_classifies_and_inverts(spark):
     """diff(v1, v2) classifies insert/delete/update correctly AND
     applying it back to v1 via apply_changes reproduces v2 exactly

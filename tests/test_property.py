@@ -1380,6 +1380,18 @@ class TestRound10Laws:
             assert got[ch]["removal_effect"] == 0.0
             assert got[ch]["share"] == 0.0
 
+    def test_markov_iteration_count_shared_by_both_engines(self):
+        """ADVICE r10: the oracle SQL must interpolate MARKOV_ITERS
+        (not hardcode 60) so changing the constant can never silently
+        de-synchronize the two engines' fixed-point step counts —
+        bit-identical outputs REQUIRE identical iteration counts."""
+        from console_etl_spark.relational import ORACLE
+        from console_etl_spark.relational.timeseries import MARKOV_ITERS
+
+        sql = ORACLE["attribution_markov_removal"]
+        assert f"WHERE i < {MARKOV_ITERS}" in sql
+        assert f"WHERE i = {MARKOV_ITERS}" in sql
+
     def test_seasonal_effects_weighted_sum_to_zero(self, spark):
         """Additive-decomposition identity: within each component, the
         n_obs-weighted sum of seasonal effects is zero (sum over groups
