@@ -55,78 +55,77 @@ _MODULES = (
 # parity suite (tests/test_oracle_parity.py).
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 10 (ninth
-# rotation): the 7 NEW r10 registrations first (Markov removal-effect
-# attribution — the quartet's data-driven capstone; the hourly
-# seasonal decomposition companion to the seasonal-naive backtest;
-# the Wilcoxon signed-rank PAIRED test completing the nonparametric
-# stats tier; Mann-Kendall + Theil-Sen completing the robust
-# series-trend tier; the price-volume-mix revenue bridge; the
-# Wald-Wolfowitz runs test, MK's randomness sibling; the Ljung-Box
-# portmanteau completing the autocorrelation toolset — all
-# oracle-backed and windowed same-round per VERDICT r7 item 8), then
-# topk_movers_mom (implementation CHANGED this round to fix its r9
-# hash_match:false row — integer month arithmetic + DOUBLE money
-# outputs; changed-since-last-driver-row outranks staleness), then
-# pure staleness draining: ALL 24 remaining r4 rows and the 18 OLDEST
-# r5 rows (registration order). No rows-only slots this round — all
-# 50 are oracle value-hash checks. After this round the oldest
-# remaining driver row is r5.
+# their last driver row, then oldest rows first. ROUND 11 (tenth
+# rotation): the 5 NEW r11 registrations first (Benjamini-Hochberg FDR
+# over the per-brand chi-square family — the multiple-comparisons
+# capstone, VERDICT r10 item 3; the monthly purchase-cohort retention
+# triangle with normalized rates; the Holt-Winters additive one-step
+# backtest challenging the seasonal-naive champion; the Friedman rank
+# test completing the nonparametric tier's repeated-measures slot; the
+# Cochran-Armitage trend-in-proportions test — all oracle-backed and
+# windowed same-round per VERDICT r7 item 8), then the 2 queries whose
+# implementations CHANGED this round (attribution_markov_removal: the
+# oracle SQL now interpolates MARKOV_ITERS; stats_ljung_box_hourly:
+# localCheckpoint pin — changed-since-last-driver-row outranks
+# staleness), then pure staleness draining: ALL 32 remaining r5 rows
+# and the 11 OLDEST r6 rows (registration order). No rows-only slots
+# this round — all 50 are oracle value-hash checks. After this round
+# the oldest remaining driver row is r6.
 _PRIORITY = (
-    # new r10 registrations, never driver-checked (7)
+    # new r11 registrations, never driver-checked (5)
+    "stats_bh_fdr_brand_chi2",
+    "cohort_monthly_order_retention",
+    "forecast_holt_winters_daily",
+    "stats_friedman_qty_by_flag",
+    "stats_cochran_armitage_trend",
+    # implementations changed since their r10 driver rows (2)
     "attribution_markov_removal",
-    "seasonal_decompose_hourly",
-    "stats_wilcoxon_signed_rank",
-    "trend_mann_kendall_theil_sen",
-    "pvm_revenue_bridge_by_brand",
-    "stats_runs_test_daily_revenue",
     "stats_ljung_box_hourly",
-    # implementation changed since its (failing) r9 driver row
-    "topk_movers_mom",
-    # r4 driver rows (all 24 remaining): registration order
-    "nav_list_schemas",
-    "nav_list_objects",
-    "nav_derived_partition_key",
-    "agg_rollup_returns",
-    "pivot_priority_by_status",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "map_functions_orders",
-    "hypertable_rollup_events",
-    "gapfill_hourly_events",
-    "q4_late_order_priority",
-    "q12_returnflag_priority_counts",
-    "q2_min_cost_supplier",
-    "q20_dominant_part_suppliers",
-    "listagg_suppliers_by_nation",
-    "dedup_normalized_groups",
-    "dedup_shingle_jaccard",
-    "dedup_connected_groups",
-    "dedup_embedding_cosine",
-    "text_source_token_counts",
-    "text_repetition_stats",
-    "text_partial_overlap_pairs",
-    "embedding_near_pairs",
-    # oldest r5 driver rows (18 of 50): registration order
-    "nav_point_lookup",
-    "nav_icon_extraction",
-    "q1_pricing_summary",
-    "window_topk_orders_per_customer",
-    "setop_union_nations",
-    "events_json_extract",
-    "asof_join_purchase_view",
-    "range_join_purchase_after_signup",
-    "events_user_enriched_stats",
-    "sessionize_events",
-    "q19_disjunctive_join",
-    "q21_sole_supplier_orders",
-    "histogram_order_totalprice",
-    "window_trailing_hour_value",
-    "agg_filtered_counts_orders",
-    "fullouter_nation_counts",
-    "percentile_price_by_flag",
-    "window_value_functions_orders",
+    # r5 driver rows (all 32 remaining): registration order
+    "scd2_customer_updates",
+    "events_value_anomalies",
+    "dq_violations_report",
+    "cohort_weekly_retention",
+    "funnel_signup_view_purchase",
+    "pattern_rising_purchase_runs",
+    "sql_correlated_exists",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topk_per_nation",
+    "dedup_exact_docs",
+    "dedup_shingle_jaccard_ppjoin",
+    "decontaminate_overlap_docs",
+    "text_quality_scores",
+    "text_lang_stats",
+    "text_top_tokens",
+    "text_top_bigrams",
+    "text_winnowed_fingerprints",
+    "text_fingerprints",
+    "text_subword_token_counts",
+    "text_unigram_perplexity",
+    "text_tfidf_top_terms",
+    "text_pii_scrub",
+    "text_boilerplate_ngram_ratio",
+    "text_bigram_perplexity",
+    "ann_topk_cosine",
+    "embedding_label_stats",
+    "embedding_int8_quantize",
+    "mm_binary_stats",
+    "split_train_test_docs",
+    "pack_sequences_by_lang",
+    "curate_corpus_end_to_end",
+    "chunk_documents_sliding",
+    # oldest r6 driver rows (11 of 50): registration order
+    "nav_icon_variant",
+    "events_props_variant",
+    "mv_incremental_orders_stats",
+    "sessionize_events_native",
+    "sample_k_per_group_docs",
+    "histogram_equidepth_prices",
+    "er_part_name_clusters",
+    "weighted_sample_docs",
+    "gapfill_interpolate_hourly",
+    "window_rolling_corr_qty_price",
+    "profile_column_stats_orders",
     # WINDOW FULL at 50.
 )
 

@@ -120,6 +120,14 @@ HEADLINE = [
     "pvm_revenue_bridge_by_brand",
     "stats_runs_test_daily_revenue",
     "stats_ljung_box_hourly",
+    # round-11 additions (BH-FDR multiple-comparisons capstone, monthly
+    # purchase-cohort triangle, Holt-Winters backtest, Friedman rank
+    # test, Cochran-Armitage trend):
+    "stats_bh_fdr_brand_chi2",
+    "cohort_monthly_order_retention",
+    "forecast_holt_winters_daily",
+    "stats_friedman_qty_by_flag",
+    "stats_cochran_armitage_trend",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

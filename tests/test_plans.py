@@ -237,6 +237,12 @@ def test_no_unbounded_driver_materialization():
         # matrix (<=20 count cells pivoted to scalars) feeding the
         # driver-side 60-step fixed-point fold — O(channels^2) state
         ("relational/timeseries.py", "attribution_markov_removal"),
+        # Holt-Winters backtest: the time-span-bounded daily series
+        # (one exact-decimal row per observed day, ~2.4k at the fixture
+        # span and CONSTANT in corpus size) feeding the driver-side
+        # sequential triple-smoothing recursion — a recursion over t
+        # has no distributed form; facts reduce in one partial agg
+        ("relational/timeseries.py", "forecast_holt_winters_daily"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):

@@ -1595,3 +1595,234 @@ class TestRound10Laws:
             assert r["qty1"] > 0 and r["qty2"] > 0
             resid = r["delta"] - (r["price_effect"] + r["volume_effect"])
             assert abs(resid) <= 0.03, (r["brand"], resid)
+
+
+class TestRound11Laws:
+    """Invariance and independent-replica laws for the five r11
+    registrations (house discipline since r8: oracle parity proves
+    Spark==DuckDB; these prove the MATH is right, with a literal
+    numpy/pandas implementation written independently of the engine
+    code)."""
+
+    def test_bh_fdr_matches_independent_numpy_stepup(self, spark):
+        """Replica: per-brand chi-square from a pandas crosstab and the
+        BH step-up via reversed np.minimum.accumulate must reproduce
+        the engine's p_bh column; plus the three BH structure laws —
+        p_bh >= p_raw, p_bh nondecreasing in rank, and the rejection
+        set is a PREFIX of the rank order (the step-up guarantees all
+        three)."""
+        import numpy as np
+        import pandas as pd
+
+        from console_etl_spark.relational import stats_bh_fdr_brand_chi2
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_bh_fdr_brand_chi2(spark, SF_TEST).toPandas()
+        assert len(got) == 25  # every fixture brand has full marginals
+
+        li = load_table(spark, SF_TEST, "lineitem").select(
+            "l_partkey", "l_returnflag", "l_linestatus"
+        ).toPandas()
+        pt = load_table(spark, SF_TEST, "part").select(
+            "p_partkey", "p_brand"
+        ).toPandas()
+        df = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+        ps = {}
+        for brand, grp in df.groupby("p_brand"):
+            ct = pd.crosstab(grp["l_returnflag"], grp["l_linestatus"])
+            ct = ct.reindex(index=["A", "N", "R"], columns=["F", "O"],
+                            fill_value=0)
+            obs = ct.to_numpy(dtype=float)
+            n = obs.sum()
+            exp = np.outer(obs.sum(1), obs.sum(0)) / n
+            chi2 = float(((obs - exp) ** 2 / exp).sum())
+            ps[brand] = np.exp(-chi2 / 2.0)
+        m = len(ps)
+        order = sorted(ps, key=lambda b: (ps[b], b))
+        raw = np.array([ps[b] for b in order])
+        stepup = np.minimum.accumulate(
+            (raw * m / np.arange(1, m + 1))[::-1]
+        )[::-1]
+        p_bh = np.minimum(1.0, stepup)
+
+        got = got.sort_values("p_rank").reset_index(drop=True)
+        assert list(got["brand"]) == order
+        for i in range(m):
+            assert abs(got["p_bh"][i] - p_bh[i]) <= 2e-6, (i, order[i])
+            assert got["p_bh"][i] >= got["p_raw"][i] - 1e-9
+            if i:
+                assert got["p_bh"][i] >= got["p_bh"][i - 1] - 1e-9
+        rejects = list(got["reject_fdr_05"])
+        assert rejects == sorted(rejects, reverse=True)  # prefix law
+
+    def test_cohort_triangle_structure_and_pandas_replica(self, spark):
+        """Laws: age-0 cell of every cohort equals the cohort size
+        (retention exactly 1.0 — a customer is active in their own
+        first month by construction); cohort sizes sum to the distinct
+        customer count; and every (cohort, age, n_active) cell matches
+        a literal pandas groupby replica EXACTLY (integer counts)."""
+        from console_etl_spark.relational import (
+            cohort_monthly_order_retention,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = cohort_monthly_order_retention(spark, SF_TEST).toPandas()
+        o = load_table(spark, SF_TEST, "orders").select(
+            "o_custkey", "o_orderdate"
+        ).toPandas()
+        o["mo"] = (o["o_orderdate"].dt.year - 1970) * 12 + (
+            o["o_orderdate"].dt.month - 1
+        )
+        um = o[["o_custkey", "mo"]].drop_duplicates()
+        firsts = um.groupby("o_custkey")["mo"].min().rename("cm")
+        tri = (
+            um.join(firsts, on="o_custkey")
+            .assign(age=lambda d: d["mo"] - d["cm"])
+            .groupby(["cm", "age"])
+            .size()
+        )
+        sizes = firsts.value_counts()
+
+        assert int(got["n_cohort"].sum() and len(firsts)) == len(firsts)
+        for _, r in got.iterrows():
+            cm = (r["cohort_month"] // 100 - 1970) * 12 + (
+                r["cohort_month"] % 100 - 1
+            )
+            assert r["n_active"] == tri[(cm, r["age_months"])]
+            assert r["n_cohort"] == sizes[cm]
+            if r["age_months"] == 0:
+                assert r["n_active"] == r["n_cohort"]
+                assert r["retention"] == 1.0
+        assert len(got) == len(tri)
+        assert sizes.sum() == um["o_custkey"].nunique()
+
+    def test_holt_winters_matches_independent_numpy_recursion(self, spark):
+        """Replica: an independently-written numpy Holt-Winters
+        (array-indexed state, no rotating buffer) must reproduce the
+        engine's MAE/sMAPE to float tolerance; plus non-degeneracy
+        (the fixture spans years, so n_days >> 14 and both MAEs are
+        strictly positive) and the skill identity
+        mae_skill == 1 - mae_hw-sum/mae_naive-sum."""
+        import numpy as np
+
+        from console_etl_spark.relational import (
+            HW_ALPHA,
+            HW_BETA,
+            HW_GAMMA,
+            forecast_holt_winters_daily,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = forecast_holt_winters_daily(spark, SF_TEST).collect()[0]
+
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        rev = (
+            o.assign(d=o["o_orderdate"].dt.floor("D"),
+                     p=o["o_totalprice"].round(2))
+            .groupby("d")["p"].sum().sort_index().to_numpy()
+        )
+        y = np.round(rev, 2)  # per-day decimal sums, as doubles
+        T = len(y)
+        assert got["n_days"] == T - 7 and T > 100
+        l = y[:7].mean()
+        b = (y[7:14].mean() - y[:7].mean()) / 7.0
+        s = dict(enumerate(y[:7] - l, start=1))  # s[t] for t=1..7
+        e_hw, e_sn, sp_hw, sp_sn = [], [], [], []
+        for t in range(8, T + 1):
+            yt = y[t - 1]
+            yhat = l + b + s[t - 7]
+            e_hw.append(abs(yt - yhat))
+            e_sn.append(abs(yt - y[t - 8]))
+            sp_hw.append(2 * abs(yt - yhat) / (yt + yhat))
+            sp_sn.append(2 * abs(yt - y[t - 8]) / (yt + y[t - 8]))
+            l_new = HW_ALPHA * (yt - s[t - 7]) + (1 - HW_ALPHA) * (l + b)
+            b_new = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+            s[t] = HW_GAMMA * (yt - l - b) + (1 - HW_GAMMA) * s[t - 7]
+            l, b = l_new, b_new
+        n = float(len(e_hw))
+        assert got["mae_hw"] > 0 and got["mae_snaive"] > 0
+        assert abs(got["mae_hw"] - sum(e_hw) / n) <= 1e-4 * got["mae_hw"]
+        assert abs(got["mae_snaive"] - sum(e_sn) / n) <= (
+            1e-4 * got["mae_snaive"]
+        )
+        assert abs(got["smape_hw"] - sum(sp_hw) / n) <= 1e-5
+        assert abs(got["smape_snaive"] - sum(sp_sn) / n) <= 1e-5
+        skill = 1.0 - sum(e_hw) / sum(e_sn)
+        assert abs(got["mae_skill"] - skill) <= 1e-4 * abs(skill) + 1e-6
+
+    def test_friedman_matches_independent_pandas_ranks(self, spark):
+        """Replica: pandas average-rank within each complete month
+        block reproduces Q and the mean ranks; plus the rank-sum
+        identity mean_rank_a + mean_rank_n + mean_rank_r == k(k+1)/2
+        == 6 (each block hands out ranks summing to 6)."""
+        import pandas as pd
+
+        from console_etl_spark.relational import stats_friedman_qty_by_flag
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_friedman_qty_by_flag(spark, SF_TEST).collect()[0]
+        assert got["k"] == 3
+        mr_sum = got["mean_rank_a"] + got["mean_rank_n"] + got["mean_rank_r"]
+        assert abs(mr_sum - 6.0) <= 1e-5
+
+        li = load_table(spark, SF_TEST, "lineitem").select(
+            "l_shipdate", "l_returnflag", "l_quantity"
+        ).toPandas()
+        li["mo"] = (li["l_shipdate"].dt.year - 1970) * 12 + (
+            li["l_shipdate"].dt.month - 1
+        )
+        bm = (
+            li.assign(q=li["l_quantity"].astype("int64"))
+            .groupby(["mo", "l_returnflag"])["q"].sum().reset_index()
+        )
+        complete = bm.groupby("mo").size()
+        bm = bm[bm["mo"].isin(complete[complete == 3].index)]
+        bm["rank"] = bm.groupby("mo")["q"].rank(method="average")
+        n = bm["mo"].nunique()
+        assert got["n_blocks"] == n
+        rsum = bm.groupby("l_returnflag")["rank"].sum()
+        q_stat = 12.0 / (n * 3 * 4) * float((rsum**2).sum()) - 3 * n * 4
+        assert abs(got["q_friedman"] - q_stat) <= 1e-4 * max(1.0, q_stat)
+        for fl in ("a", "n", "r"):
+            assert abs(
+                got[f"mean_rank_{fl}"] - rsum[fl.upper()] / n
+            ) <= 1e-5
+
+    def test_cochran_armitage_matches_independent_numpy(self, spark):
+        """Replica: the textbook per-level form (scores s_i, successes
+        r_i, totals n_i; T = sum r_i(s_i - s_bar), Var = p(1-p) *
+        sum n_i(s_i - s_bar)^2, Z = T/sqrt(Var)) computed in numpy
+        from the raw columns must match z_ca; plus chi2_trend == z^2
+        within output rounding and a non-degenerate family (both
+        outcome classes present)."""
+        import numpy as np
+
+        from console_etl_spark.relational import stats_cochran_armitage_trend
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_cochran_armitage_trend(spark, SF_TEST).collect()[0]
+        li = load_table(spark, SF_TEST, "lineitem").select(
+            "l_quantity", "l_returnflag"
+        ).toPandas()
+        s = li["l_quantity"].astype("int64").to_numpy()
+        r = (li["l_returnflag"] == "R").to_numpy()
+        N = len(s)
+        R = int(r.sum())
+        assert got["n"] == N and got["n_success"] == R
+        assert 0 < R < N
+        levels, counts = np.unique(s, return_counts=True)
+        succ = np.array([int(r[s == lv].sum()) for lv in levels])
+        sbar = (counts * levels).sum() / N
+        t_stat = (succ * (levels - sbar)).sum()
+        p = R / N
+        var = p * (1 - p) * (counts * (levels - sbar) ** 2).sum()
+        z = t_stat / np.sqrt(var)
+        assert abs(got["z_ca"] - z) <= 1e-4 * max(1.0, abs(z))
+        assert abs(got["chi2_trend"] - got["z_ca"] ** 2) <= 1e-4 * max(
+            1.0, got["chi2_trend"]
+        )
