@@ -2354,6 +2354,129 @@ def test_user_event_type_counts_tws_ttl_evicts_state(spark, tmp_path):
         assert summed.loc[k, "max"] < total, (k, summed.loc[k])
 
 
+def test_tws_ttl_state_size_bounded_across_batches(spark, tmp_path):
+    """State-SIZE law for TTL (r11, VERDICT r10 item 7 — the
+    operational assertion the r10 re-count-from-zero law implies):
+    drive 5 micro-batches that each write 3 brand-NEW (user, type)
+    keys with a 1 ms TTL, and read query progress stateOperators
+    metrics. If expiry only masked values logically, RocksDB rows
+    would accumulate 3, 6, 9, 12, 15; the law is that they DON'T —
+    every data batch's numRowsTotal stays <= the per-batch key count
+    (eviction physically removes the previous batch's expired rows:
+    numRowsRemoved == 3 from the second data batch on), the first
+    no-data cleanup batch empties the store to numRowsTotal == 0, and
+    the durable state bytes (rocksdbSstFileSize) never grow across
+    the trailing cleanup batches. A long-running stream's state is
+    bounded by the LIVE key set, not by history.
+
+    Run mechanics: same availableNow + poll-then-stop pattern as the
+    eviction law above (TTL cleanup batches never self-terminate);
+    here the poll ALSO waits for >= 3 no-data cleanup progresses so
+    the flat-bytes law has a window to observe."""
+    import os
+    import shutil
+    import time as _time
+
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    keys_per_batch, n_batches = 3, 5
+    src = tmp_path / "ttl_sized_events"
+    src.mkdir()
+    base = _time.time()
+    eid = 0
+    for i in range(n_batches):
+        rows = []
+        for u in range(keys_per_batch):  # disjoint key sets per batch
+            rows.append(
+                (i * 10 + u + 1, (i * 1000 + eid) * 1_000_000, eid, "view", 1.0)
+            )
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, us long, event_id long, event_type string, "
+            "value double",
+        ).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_id",
+            "event_type", "value",
+        )
+        part = tmp_path / f"ttl_sized_stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(part))
+        pf = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+        dst = src / f"batch-{i:05d}.parquet"
+        shutil.copy(str(part / pf), str(dst))
+        os.utime(str(dst), (base + i, base + i))
+    n_rows = eid
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    seen: dict = {}
+    try:
+        stream = streaming.read_events_stream(spark, str(src))
+        q = (
+            streaming.user_event_type_counts_tws(stream, ttl_ms=1)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws_ttl_state_size")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = _time.time() + 240
+            while _time.time() < deadline:
+                for p in (q.recentProgress or []):
+                    if p["batchId"] in seen or not p["stateOperators"]:
+                        continue
+                    so = p["stateOperators"][0]
+                    seen[p["batchId"]] = {
+                        "inp": p["numInputRows"],
+                        "total": so["numRowsTotal"],
+                        "removed": so["numRowsRemoved"],
+                        "sst": so.get("customMetrics", {}).get(
+                            "rocksdbSstFileSize"
+                        ),
+                    }
+                done = sum(v["inp"] for v in seen.values())
+                cleanups = sum(1 for v in seen.values() if v["inp"] == 0)
+                if done >= n_rows and cleanups >= 3:
+                    break
+                _time.sleep(1)
+            else:
+                raise AssertionError("data + cleanup batches never observed")
+        finally:
+            try:
+                q.stop()  # interrupts the endless TTL-cleanup batches
+            except Exception:
+                pass  # mid-checkpoint interrupt artifact, not the law
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    data = [seen[b] for b in sorted(seen) if seen[b]["inp"] > 0]
+    clean = [seen[b] for b in sorted(seen) if seen[b]["inp"] == 0]
+    assert len(data) == n_batches and len(clean) >= 3
+    # 15 distinct keys were written; live state never exceeds one batch
+    for i, m in enumerate(data):
+        assert m["total"] <= keys_per_batch, (i, m)
+        if i > 0:  # eviction PHYSICALLY removed the prior batch's keys
+            assert m["removed"] == keys_per_batch, (i, m)
+    # the first cleanup batch empties the store, and it stays empty
+    for m in clean:
+        assert m["total"] == 0, m
+    # durable state bytes are flat across the trailing cleanup batches
+    ssts = [m["sst"] for m in clean if m["sst"] is not None]
+    if len(ssts) >= 2:
+        for a, b in zip(ssts, ssts[1:]):
+            assert b <= a, ssts
+
+
 def test_user_sessions_tws_out_of_order_bridge(spark, tmp_path):
     """Timer-sessionization under OUT-OF-ORDER arrival (r10, VERDICT r9
     item 8): a later micro-batch delivers an event whose timestamp
