@@ -122,12 +122,15 @@ HEADLINE = [
     "stats_ljung_box_hourly",
     # round-11 additions (BH-FDR multiple-comparisons capstone, monthly
     # purchase-cohort triangle, Holt-Winters backtest, Friedman rank
-    # test, Cochran-Armitage trend):
+    # test, Cochran-Armitage trend, Jarque-Bera normality gate,
+    # cumulative-LTV curve):
     "stats_bh_fdr_brand_chi2",
     "cohort_monthly_order_retention",
     "forecast_holt_winters_daily",
     "stats_friedman_qty_by_flag",
     "stats_cochran_armitage_trend",
+    "stats_jarque_bera_price_by_flag",
+    "cohort_revenue_ltv_curve",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary
@@ -173,12 +176,20 @@ def main() -> None:
     # indistinguishable from a code regression without a same-host rerun).
     # A fixed single-thread CPU-bound loop timed here lets any reader
     # normalize suite seconds across rounds: compare value/calib ratios,
-    # not raw seconds.
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(2_000_000):
-        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-    calib_sec = round(time.perf_counter() - t0, 4)
+    # not raw seconds. VERDICT r10 item 4: the loop runs FIVE passes and
+    # reports its own spread — calib_sec (the cross-round normalizer) is
+    # now the median, and calib_min/calib_max expose whether a given
+    # round's "slow host" attribution rests on a stable measurement or a
+    # single noisy pass. A wide spread means the host was churning DURING
+    # calibration and the normalized ratio deserves suspicion.
+    calib_passes: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        calib_passes.append(round(time.perf_counter() - t0, 4))
+    calib_sec = sorted(calib_passes)[2]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     median: dict[str, float] = {}
@@ -225,6 +236,7 @@ def main() -> None:
         "queries_cold": cold,
         "queries_median": median,
         "passes": passes,
+        "calib_passes": calib_passes,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -254,7 +266,9 @@ def main() -> None:
             "value_extended": round(sum(timings.values()), 3),
             "core_size": len(CORE),
             "suite_size": len(HEADLINE),
-            "calib_sec": calib_sec,
+            "calib_sec": calib_sec,  # median of the 5 calib passes
+            "calib_min": min(calib_passes),
+            "calib_max": max(calib_passes),
             # host-speed-normalized headline (VERDICT r8 item 8): compare
             # THIS across rounds — raw seconds swing ~1.3x with co-tenant
             # load; value / calib_sec cancels the host-speed factor.

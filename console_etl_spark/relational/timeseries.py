@@ -4788,3 +4788,231 @@ def stats_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sign * F.sqrt(chi2), 6).alias("z_ca"),
         F.round(chi2, 6).alias("chi2_trend"),
     )
+
+
+@_register(
+    "stats_jarque_bera_price_by_flag",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS HUGEINT)) AS s1,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS HUGEINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)) AS s2,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS HUGEINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)) AS s3,
+             SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS HUGEINT)
+                  * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS HUGEINT))
+                 * (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS HUGEINT)
+                    * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS HUGEINT))) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT flag, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM m
+    ), c AS (
+      SELECT flag, n, nd,
+             r2 - mu * mu AS m2,
+             (r3 - 3.0 * mu * r2) + 2.0 * ((mu * mu) * mu) AS m3,
+             ((r4 - 4.0 * mu * r3) + 6.0 * ((mu * mu) * r2))
+               - 3.0 * ((mu * mu) * (mu * mu)) AS m4
+      FROM d
+    )
+    SELECT flag, n,
+           ROUND(m3 / (m2 * SQRT(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+           ROUND(nd / 6.0 * ((m3 / (m2 * SQRT(m2)))
+                             * (m3 / (m2 * SQRT(m2)))
+                             + ((m4 / (m2 * m2) - 3.0)
+                                * (m4 / (m2 * m2) - 3.0)) / 4.0), 6)
+             AS jarque_bera
+    FROM c ORDER BY flag
+    """,
+)
+def stats_jarque_bera_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return flag — the
+    moment-based "is this Gaussian?" gate the parametric tier needed
+    (Welch/ANOVA/regression all assume it; KS tests a FITTED
+    distribution — JB tests normality itself from skewness and excess
+    kurtosis: JB = n/6 (S^2 + K^2/4), chi-square with 2 dof under H0).
+
+    Exactness: prices become exact integer CENTS (every fixture money
+    value is two-decimal); the four raw power sums accumulate as
+    HUGEINT/DECIMAL(38,0) EXACT integers (cents^4 ~ 1e28 and the sums
+    stay inside 38 digits up to ~1e9 rows per group — documented
+    bound); central moments, skewness, kurtosis, and JB are then ONE
+    fixed-parenthesization double expression over the five exact
+    aggregates per group — the same combine-in-double-after-exact-
+    integer-reduction pattern as stats_cochran_armitage_trend, chosen
+    because the central-moment expansions (S1^3, S1^4 terms) would
+    overflow ANY fixed-width integer at scale.
+
+    Scale shape: ONE full-scan partial aggregate (map-side combine,
+    five sums keyed by the 3-value flag domain); everything after is
+    3-row arithmetic. No join, no window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    c = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(d38)
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c).alias("s3"),
+        F.sum((c * c) * (c * c)).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m2 = r2 - mu * mu
+    m3 = (r3 - 3.0 * mu * r2) + 2.0 * ((mu * mu) * mu)
+    m4 = ((r4 - 4.0 * mu * r3) + 6.0 * ((mu * mu) * r2)) - 3.0 * (
+        (mu * mu) * (mu * mu)
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (skew * skew + (exk * exk) / 4.0)
+    return m.select(
+        "flag",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jarque_bera"),
+    ).orderBy("flag")
+
+
+@_register(
+    "cohort_revenue_ltv_curve",
+    """
+    WITH om AS (
+      SELECT o_custkey,
+             (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1970) * 12
+             + (CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) - 1) AS mo,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), stamped AS (
+      SELECT mo, cents, o_custkey,
+             MIN(mo) OVER (PARTITION BY o_custkey) AS cm
+      FROM om
+    ), grid AS (
+      SELECT cm, mo - cm AS age,
+             SUM(cents) AS rev_cents,
+             COUNT(DISTINCT o_custkey) AS n_cust
+      FROM stamped GROUP BY cm, mo - cm
+    ), cum AS (
+      SELECT cm, age, rev_cents, n_cust,
+             SUM(rev_cents) OVER (PARTITION BY cm ORDER BY age
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_cents
+      FROM grid
+    ), sizes AS (
+      SELECT cm, n_cust AS n_cohort FROM grid WHERE age = 0
+    )
+    SELECT CAST(((c.cm // 12) + 1970) * 100 + ((c.cm % 12) + 1) AS INT)
+             AS cohort_month,
+           CAST(c.age AS INT) AS age_months,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           ROUND(CAST(c.rev_cents AS DOUBLE) / 100.0, 2) AS period_revenue,
+           ROUND((CAST(c.cum_cents AS DOUBLE) / 100.0)
+                 / CAST(s.n_cohort AS DOUBLE), 6) AS cum_ltv_per_member
+    FROM cum c JOIN sizes s ON c.cm = s.cm
+    ORDER BY cohort_month, age_months
+    """,
+)
+def cohort_revenue_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-LTV curve per purchase cohort — the revenue-side
+    companion to cohort_monthly_order_retention's activity triangle:
+    for every cohort (first-order month) and age, the period revenue
+    and the running cumulative revenue PER COHORT MEMBER — the curve a
+    growth team reads payback periods off. Cohort size is the age-0
+    cell's distinct-customer count (every member's first order is at
+    age 0 by construction — the same pinned identity as the retention
+    triangle).
+
+    Exactness: revenue accumulates as exact integer CENTS (BIGINT is
+    ample: 9.2e18 cents = 92 quadrillion dollars); the cumulative sum
+    runs ordered-by-age inside each cohort over the bounded grid;
+    the two output doubles are one fixed-form division each.
+
+    Scale shape: ONE fact pass — the min-over-user window stamps each
+    order row with its cohort (one user-keyed shuffle, the r8
+    attribution-kernel class), then one partial-agg shuffle reduces to
+    the (months x months)/2 grid with a per-cell distinct count; the
+    cumulative window and the age-0 size join-back run on that
+    bounded, localCheckpoint-pinned relation."""
+    o = load_table(spark, sf_dir, "orders")
+    mo = (
+        (F.year("o_orderdate").cast("bigint") - 1970) * 12
+        + (F.month("o_orderdate").cast("bigint") - 1)
+    )
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    om = o.select("o_custkey", mo.alias("mo"), cents.alias("cents"))
+    stamped = om.select(
+        "mo",
+        "cents",
+        "o_custkey",
+        F.min("mo").over(W.partitionBy("o_custkey")).alias("cm"),
+    )
+    grid = (
+        stamped.groupBy("cm", (F.col("mo") - F.col("cm")).alias("age"))
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+        )
+    ).localCheckpoint()
+    cum = grid.select(
+        "cm",
+        "age",
+        "rev_cents",
+        "n_cust",
+        F.sum("rev_cents")
+        .over(
+            W.partitionBy("cm")
+            .orderBy("age")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_cents"),
+    )
+    sizes = grid.filter(F.col("age") == 0).select(
+        "cm", F.col("n_cust").alias("n_cohort")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cm")
+        .select(
+            (
+                (F.expr("cm div 12") + 1970) * 100 + (F.col("cm") % 12 + 1)
+            )
+            .cast("int")
+            .alias("cohort_month"),
+            F.col("age").cast("int").alias("age_months"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.round(F.col("rev_cents").cast("double") / 100.0, 2).alias(
+                "period_revenue"
+            ),
+            F.round(
+                (F.col("cum_cents").cast("double") / 100.0)
+                / F.col("n_cohort").cast("double"),
+                6,
+            ).alias("cum_ltv_per_member"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -60,16 +60,17 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 11 (never-checked backlog at 0): the 5 NEW
+    priority list. Round 11 (never-checked backlog at 0): the 7 NEW
     r11 registrations first (Benjamini-Hochberg FDR over the per-brand
     chi-square family, monthly purchase-cohort retention triangle,
     Holt-Winters additive backtest, Friedman rank test,
-    Cochran-Armitage trend test — all oracle-backed), then the 2
-    queries whose implementations changed this round
+    Cochran-Armitage trend test, Jarque-Bera normality gate,
+    cumulative-LTV curve — all oracle-backed), then the 2 queries
+    whose implementations changed this round
     (attribution_markov_removal's interpolated iteration constant,
     stats_ljung_box_hourly's localCheckpoint pin;
     changed-since-last-driver-row outranks staleness), then pure
-    staleness draining: all 32 remaining r5 rows and the 11 oldest r6
+    staleness draining: all 32 remaining r5 rows and the 9 oldest r6
     rows. 50 oracle value-hash slots, ZERO rows-only slots this
     round."""
     first50 = list(QUERIES)[:50]
@@ -78,12 +79,14 @@ def test_driver_window_covers_all_families():
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == []
     assert len(oracle_slots) == 50
-    assert first50[:7] == [
+    assert first50[:9] == [
         "stats_bh_fdr_brand_chi2",
         "cohort_monthly_order_retention",
         "forecast_holt_winters_daily",
         "stats_friedman_qty_by_flag",
         "stats_cochran_armitage_trend",
+        "stats_jarque_bera_price_by_flag",
+        "cohort_revenue_ltv_curve",
         "attribution_markov_removal",
         "stats_ljung_box_hourly",
     ]

@@ -1826,3 +1826,86 @@ class TestRound11Laws:
         assert abs(got["chi2_trend"] - got["z_ca"] ** 2) <= 1e-4 * max(
             1.0, got["chi2_trend"]
         )
+
+    def test_jarque_bera_matches_independent_numpy_moments(self, spark):
+        """Replica: numpy central moments per flag (computed the naive
+        way — mean-subtracted powers, nothing shared with the engine's
+        raw-moment expansion) must reproduce skewness, excess kurtosis,
+        and JB; plus the JB identity jb == n/6 (S^2 + K^2/4) on the
+        engine's own outputs within rounding."""
+        import numpy as np
+
+        from console_etl_spark.relational import (
+            stats_jarque_bera_price_by_flag,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = {
+            r["flag"]: r
+            for r in stats_jarque_bera_price_by_flag(spark, SF_TEST).collect()
+        }
+        assert sorted(got) == ["A", "N", "R"]
+        li = load_table(spark, SF_TEST, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        ).toPandas()
+        for flag, grp in li.groupby("l_returnflag"):
+            x = np.round(grp["l_extendedprice"].to_numpy(), 2)
+            n = len(x)
+            d = x - x.mean()
+            m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+            skew = m3 / m2**1.5
+            exk = m4 / m2**2 - 3.0
+            jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+            g = got[flag]
+            assert g["n"] == n
+            assert abs(g["skewness"] - skew) <= 1e-5, flag
+            assert abs(g["excess_kurtosis"] - exk) <= 1e-5, flag
+            assert abs(g["jarque_bera"] - jb) <= 1e-3 * max(1.0, jb), flag
+            ident = g["n"] / 6.0 * (
+                g["skewness"] ** 2 + g["excess_kurtosis"] ** 2 / 4.0
+            )
+            assert abs(g["jarque_bera"] - ident) <= 1e-2 * max(1.0, ident)
+
+    def test_ltv_curve_structure_and_pandas_replica(self, spark):
+        """Laws: cum_ltv_per_member is nondecreasing in age within every
+        cohort (revenue is nonnegative); the last age's cumulative
+        equals the cohort's total revenue / members; age-0 n_cohort is
+        the cohort's distinct-customer count; and every period_revenue
+        cell matches a literal pandas replica exactly (integer
+        cents)."""
+        from console_etl_spark.relational import cohort_revenue_ltv_curve
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = cohort_revenue_ltv_curve(spark, SF_TEST).toPandas()
+        o = load_table(spark, SF_TEST, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        ).toPandas()
+        o["mo"] = (o["o_orderdate"].dt.year - 1970) * 12 + (
+            o["o_orderdate"].dt.month - 1
+        )
+        o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype(
+            "int64"
+        )
+        o["cm"] = o.groupby("o_custkey")["mo"].transform("min")
+        o["age"] = o["mo"] - o["cm"]
+        grid = o.groupby(["cm", "age"]).agg(
+            rev=("cents", "sum"), n=("o_custkey", "nunique")
+        )
+        assert len(got) == len(grid)
+        for cm_ym, sub in got.groupby("cohort_month"):
+            cm = (cm_ym // 100 - 1970) * 12 + (cm_ym % 100 - 1)
+            sub = sub.sort_values("age_months").reset_index(drop=True)
+            assert sub["n_cohort"].nunique() == 1
+            assert sub["n_cohort"][0] == grid.loc[(cm, 0), "n"]
+            cum = 0
+            prev_ltv = -1.0
+            for _, r in sub.iterrows():
+                cell = grid.loc[(cm, r["age_months"])]
+                assert round(r["period_revenue"] * 100) == cell["rev"]
+                cum += cell["rev"]
+                assert r["cum_ltv_per_member"] >= prev_ltv - 1e-9
+                prev_ltv = r["cum_ltv_per_member"]
+            want_last = (cum / 100.0) / sub["n_cohort"][0]
+            assert abs(prev_ltv - want_last) <= 1e-4
