@@ -56,7 +56,7 @@ _MODULES = (
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 11 (tenth
-# rotation): the 7 NEW r11 registrations first (Benjamini-Hochberg FDR
+# rotation): the 9 NEW r11 registrations first (Benjamini-Hochberg FDR
 # over the per-brand chi-square family — the multiple-comparisons
 # capstone, VERDICT r10 item 3; the monthly purchase-cohort retention
 # triangle with normalized rates; the Holt-Winters additive one-step
@@ -64,18 +64,21 @@ _MODULES = (
 # test completing the nonparametric tier's repeated-measures slot; the
 # Cochran-Armitage trend-in-proportions test; second wave: the
 # Jarque-Bera normality gate from exact cent-integer moments and the
-# cumulative-LTV-per-member curve on the purchase-cohort grid — all
+# cumulative-LTV-per-member curve on the purchase-cohort grid; third
+# wave: the Durbin-Watson residual-autocorrelation diagnostic on the
+# daily-revenue OLS and the empirical P10/P50/P90 prediction interval
+# for the seasonal-naive forecast — all
 # oracle-backed and windowed same-round per VERDICT r7 item 8), then
 # the 2 queries whose
 # implementations CHANGED this round (attribution_markov_removal: the
 # oracle SQL now interpolates MARKOV_ITERS; stats_ljung_box_hourly:
 # localCheckpoint pin — changed-since-last-driver-row outranks
 # staleness), then pure staleness draining: ALL 32 remaining r5 rows
-# and the 9 OLDEST r6 rows (registration order). No rows-only slots
+# and the 7 OLDEST r6 rows (registration order). No rows-only slots
 # this round — all 50 are oracle value-hash checks. After this round
 # the oldest remaining driver row is r6.
 _PRIORITY = (
-    # new r11 registrations, never driver-checked (7)
+    # new r11 registrations, never driver-checked (9)
     "stats_bh_fdr_brand_chi2",
     "cohort_monthly_order_retention",
     "forecast_holt_winters_daily",
@@ -83,6 +86,8 @@ _PRIORITY = (
     "stats_cochran_armitage_trend",
     "stats_jarque_bera_price_by_flag",
     "cohort_revenue_ltv_curve",
+    "stats_durbin_watson_daily",
+    "forecast_naive_interval_daily",
     # implementations changed since their r10 driver rows (2)
     "attribution_markov_removal",
     "stats_ljung_box_hourly",
@@ -119,7 +124,7 @@ _PRIORITY = (
     "pack_sequences_by_lang",
     "curate_corpus_end_to_end",
     "chunk_documents_sliding",
-    # oldest r6 driver rows (9 of 50): registration order
+    # oldest r6 driver rows (7 of 50): registration order
     "nav_icon_variant",
     "events_props_variant",
     "mv_incremental_orders_stats",
@@ -127,8 +132,6 @@ _PRIORITY = (
     "sample_k_per_group_docs",
     "histogram_equidepth_prices",
     "er_part_name_clusters",
-    "weighted_sample_docs",
-    "gapfill_interpolate_hourly",
     # WINDOW FULL at 50.
 )
 

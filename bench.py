@@ -123,7 +123,8 @@ HEADLINE = [
     # round-11 additions (BH-FDR multiple-comparisons capstone, monthly
     # purchase-cohort triangle, Holt-Winters backtest, Friedman rank
     # test, Cochran-Armitage trend, Jarque-Bera normality gate,
-    # cumulative-LTV curve):
+    # cumulative-LTV curve, Durbin-Watson diagnostic, seasonal-naive
+    # prediction interval):
     "stats_bh_fdr_brand_chi2",
     "cohort_monthly_order_retention",
     "forecast_holt_winters_daily",
@@ -131,6 +132,8 @@ HEADLINE = [
     "stats_cochran_armitage_trend",
     "stats_jarque_bera_price_by_flag",
     "cohort_revenue_ltv_curve",
+    "stats_durbin_watson_daily",
+    "forecast_naive_interval_daily",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -5016,3 +5016,244 @@ def cohort_revenue_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@_register(
+    "stats_durbin_watson_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(t AS HUGEINT)) AS st,
+             SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+             SUM(CAST(cents AS HUGEINT)) AS sy,
+             SUM(CAST(t AS HUGEINT) * CAST(cents AS HUGEINT)) AS sty
+      FROM series
+    ), fit AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE))
+                * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) AS a
+      FROM s
+    ), resid AS (
+      SELECT t,
+             CAST(cents AS DOUBLE)
+               - (a + b * CAST(t AS DOUBLE)) AS e,
+             n, a, b
+      FROM series CROSS JOIN fit
+    ), run AS (
+      SELECT t, n, a, b,
+             SUM(e * e) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sse,
+             SUM(CASE WHEN lag_e IS NULL THEN CAST(0 AS DOUBLE)
+                      ELSE (e - lag_e) * (e - lag_e) END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sdd
+      FROM (SELECT t, n, a, b, e,
+                   LAG(e) OVER (ORDER BY t) AS lag_e
+            FROM resid) x
+    )
+    SELECT n AS n_days,
+           ROUND(b / 100.0, 6) AS slope_per_day,
+           ROUND(sdd / sse, 6) AS durbin_watson,
+           ROUND(1.0 - (sdd / sse) / 2.0, 6) AS rho_lag1
+    FROM run WHERE t = n
+    """,
+)
+def stats_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test on the residuals of the daily-revenue-on-time
+    OLS line — the regression-diagnostics companion the tier needed:
+    Ljung-Box asks "is the RAW series white noise?"; Durbin-Watson asks
+    "after fitting the trend, are the RESIDUALS serially correlated?" —
+    the standard validity check before trusting any OLS standard error
+    on time-ordered data. DW = sum (e_t - e_{t-1})^2 / sum e_t^2, ~2
+    under independence; rho_lag1 = 1 - DW/2 is the implied lag-1
+    residual autocorrelation.
+
+    Exactness: daily revenue is exact integer cents; the OLS normal
+    equations use five exact HUGEINT/DECIMAL(38,0) sums (n*sty ~ 1e19
+    outgrows int64 — hence the 128-bit accumulators), so slope and
+    intercept are each ONE double expression; residuals are pinned
+    per-row doubles; and both DW sums are computed as ORDERED running
+    sums over the t-ordered bounded series (the survival_km trick) —
+    summation order is deterministic, so both engines fold identical
+    doubles in identical order and the ratio is bit-stable, no
+    round-6 gambling on parallel-sum order.
+
+    Scale shape: one partial-agg shuffle reduces facts to the
+    time-span-bounded daily series; the normal-equation sums, the
+    residual projection, and the ordered running sums all run on that
+    ~2.4k-row relation (single task for the ordered windows — bounded
+    by the calendar, never the data)."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast(d38)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    ).localCheckpoint()
+    tI = F.col("t").cast(d38)
+    cI = F.col("cents").cast(d38)
+    s = series.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(tI).alias("st"),
+        F.sum(tI * tI).alias("stt"),
+        F.sum(cI).alias("sy"),
+        F.sum(tI * cI).alias("sty"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    b = num / den
+    a = (
+        F.col("sy").cast("double") - b * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    fit = s.select(
+        F.col("n").cast("bigint").alias("n"), b.alias("b"), a.alias("a")
+    )
+    # residuals stay in CENTS (the fit's unit) — DW and rho are
+    # scale-invariant ratios; only the reported slope converts to
+    # dollars. Mixing units here once produced near-zero DW (the
+    # replica law caught it pre-commit).
+    resid = series.crossJoin(F.broadcast(fit)).select(
+        "t",
+        "n",
+        "a",
+        "b",
+        (
+            F.col("cents").cast("double")
+            - (F.col("a") + F.col("b") * F.col("t").cast("double"))
+        ).alias("e"),
+    )
+    wt = W.orderBy("t")
+    lag_e = F.lag("e").over(wt)
+    x = resid.select(
+        "t", "n", "a", "b", "e", lag_e.alias("lag_e")
+    )
+    cumw = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = x.select(
+        "t",
+        "n",
+        "b",
+        F.sum(F.col("e") * F.col("e")).over(cumw).alias("sse"),
+        F.sum(
+            F.when(F.col("lag_e").isNull(), F.lit(0.0)).otherwise(
+                (F.col("e") - F.col("lag_e")) * (F.col("e") - F.col("lag_e"))
+            )
+        )
+        .over(cumw)
+        .alias("sdd"),
+    )
+    dw = F.col("sdd") / F.col("sse")
+    return run.filter(F.col("t") == F.col("n")).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b") / 100.0, 6).alias("slope_per_day"),
+        F.round(dw, 6).alias("durbin_watson"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho_lag1"),
+    )
+
+
+@_register(
+    "forecast_naive_interval_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t,
+             CAST(cents AS DOUBLE) / 100.0 AS y
+      FROM daily
+    ), resid AS (
+      SELECT y - LAG(y, 7) OVER (ORDER BY t) AS e
+      FROM series
+      QUALIFY e IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_resid,
+           ROUND(quantile_cont(e, 0.10), 6) AS p10,
+           ROUND(quantile_cont(e, 0.50), 6) AS p50,
+           ROUND(quantile_cont(e, 0.90), 6) AS p90,
+           ROUND(quantile_cont(ABS(e), 0.50), 6) AS mad_abs
+    FROM resid
+    """,
+)
+def forecast_naive_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical prediction interval for the seasonal-naive daily
+    forecast (predict each day with the same weekday last week): the
+    P10/P50/P90 of the historical one-step residuals y_t - y_{t-7},
+    plus the median absolute residual — the uncertainty band a
+    forecaster ships WITH the point forecast
+    (smape_seasonal_backtest/forecast_holt_winters_daily score the
+    point; this query quantifies its spread). An unbiased forecast
+    shows p50 ~ 0 and a roughly symmetric band.
+
+    Exactness: daily revenue is exact cents -> one pinned double per
+    day; residuals are pinned double subtractions over the t-ordered
+    series; percentiles use the shared PERCENTILE_CONT linear
+    interpolation (Spark percentile == DuckDB quantile_cont, the
+    percentile_price_by_flag-established parity), round-6 absorbing
+    the interpolation ulp.
+
+    Scale shape: one partial-agg shuffle to the time-span-bounded
+    daily series; the lag and the exact percentiles run on that
+    ~2.4k-row relation (exact sort is fine on a calendar-bounded
+    input; the 100 TB row-level twin is approx_percentile)."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast(d38)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"),
+        (F.col("cents").cast("double") / 100.0).alias("y"),
+    )
+    resid = series.select(
+        (F.col("y") - F.lag("y", 7).over(W.orderBy("t"))).alias("e")
+    ).filter(F.col("e").isNotNull())
+    p = lambda c, q: F.round(F.percentile(c, F.lit(q)), 6)  # noqa: E731
+    return resid.agg(
+        F.count("*").cast("bigint").alias("n_resid"),
+        p(F.col("e"), 0.10).alias("p10"),
+        p(F.col("e"), 0.50).alias("p50"),
+        p(F.col("e"), 0.90).alias("p90"),
+        p(F.abs(F.col("e")), 0.50).alias("mad_abs"),
+    )

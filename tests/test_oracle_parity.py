@@ -60,17 +60,19 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 11 (never-checked backlog at 0): the 7 NEW
+    priority list. Round 11 (never-checked backlog at 0): the 9 NEW
     r11 registrations first (Benjamini-Hochberg FDR over the per-brand
     chi-square family, monthly purchase-cohort retention triangle,
     Holt-Winters additive backtest, Friedman rank test,
     Cochran-Armitage trend test, Jarque-Bera normality gate,
-    cumulative-LTV curve — all oracle-backed), then the 2 queries
+    cumulative-LTV curve, Durbin-Watson residual diagnostic,
+    seasonal-naive prediction interval — all oracle-backed), then the
+    2 queries
     whose implementations changed this round
     (attribution_markov_removal's interpolated iteration constant,
     stats_ljung_box_hourly's localCheckpoint pin;
     changed-since-last-driver-row outranks staleness), then pure
-    staleness draining: all 32 remaining r5 rows and the 9 oldest r6
+    staleness draining: all 32 remaining r5 rows and the 7 oldest r6
     rows. 50 oracle value-hash slots, ZERO rows-only slots this
     round."""
     first50 = list(QUERIES)[:50]
@@ -79,7 +81,7 @@ def test_driver_window_covers_all_families():
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == []
     assert len(oracle_slots) == 50
-    assert first50[:9] == [
+    assert first50[:11] == [
         "stats_bh_fdr_brand_chi2",
         "cohort_monthly_order_retention",
         "forecast_holt_winters_daily",
@@ -87,6 +89,8 @@ def test_driver_window_covers_all_families():
         "stats_cochran_armitage_trend",
         "stats_jarque_bera_price_by_flag",
         "cohort_revenue_ltv_curve",
+        "stats_durbin_watson_daily",
+        "forecast_naive_interval_daily",
         "attribution_markov_removal",
         "stats_ljung_box_hourly",
     ]
@@ -175,7 +179,7 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 10's window is staleness-keyed with
+    query, no duplicates. Round 11's window is staleness-keyed with
     ZERO rows-only slots — every slot is an oracle value-hash check
     (split pinned in test_driver_window_covers_all_families)."""
     import __spark_entry__ as E

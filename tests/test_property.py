@@ -1909,3 +1909,70 @@ class TestRound11Laws:
                 prev_ltv = r["cum_ltv_per_member"]
             want_last = (cum / 100.0) / sub["n_cohort"][0]
             assert abs(prev_ltv - want_last) <= 1e-4
+
+    def test_durbin_watson_matches_independent_numpy_ols(self, spark):
+        """Replica: numpy least-squares on the (t, daily revenue)
+        points (np.polyfit — nothing shared with the engine's
+        normal-equation integers) must reproduce slope, DW, and
+        rho_lag1; plus the range law 0 < DW < 4 and the identity
+        rho == 1 - DW/2."""
+        import numpy as np
+
+        from console_etl_spark.relational import stats_durbin_watson_daily
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_durbin_watson_daily(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        rev = (
+            o.assign(d=o["o_orderdate"].dt.floor("D"),
+                     p=o["o_totalprice"].round(2))
+            .groupby("d")["p"].sum().sort_index().to_numpy()
+        )
+        y = np.round(rev, 2)
+        t = np.arange(1, len(y) + 1, dtype=float)
+        b, a = np.polyfit(t, y, 1)
+        e = y - (a + b * t)
+        dw = float(((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum())
+        assert got["n_days"] == len(y)
+        assert 0.0 < got["durbin_watson"] < 4.0
+        assert abs(got["slope_per_day"] - b) <= 1e-4 * max(1.0, abs(b))
+        assert abs(got["durbin_watson"] - dw) <= 1e-5
+        assert abs(
+            got["rho_lag1"] - (1.0 - got["durbin_watson"] / 2.0)
+        ) <= 2e-6
+
+    def test_naive_interval_matches_numpy_percentiles(self, spark):
+        """Replica: np.percentile (linear interpolation — the
+        PERCENTILE_CONT definition) on the y_t - y_{t-7} residuals
+        must reproduce the band; plus the order law p10 <= p50 <= p90,
+        mad_abs >= |p50| sanity, and n_resid == n_days - 7."""
+        import numpy as np
+
+        from console_etl_spark.relational import (
+            forecast_naive_interval_daily,
+            stats_durbin_watson_daily,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = forecast_naive_interval_daily(spark, SF_TEST).collect()[0]
+        n_days = stats_durbin_watson_daily(spark, SF_TEST).collect()[0][
+            "n_days"
+        ]
+        assert got["n_resid"] == n_days - 7
+        assert got["p10"] <= got["p50"] <= got["p90"]
+        assert got["mad_abs"] >= 0.0
+
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        rev = (
+            o.assign(d=o["o_orderdate"].dt.floor("D"),
+                     p=o["o_totalprice"].round(2))
+            .groupby("d")["p"].sum().sort_index().to_numpy()
+        )
+        y = np.round(rev, 2)
+        e = y[7:] - y[:-7]
+        assert abs(got["p10"] - np.percentile(e, 10)) <= 1e-4
+        assert abs(got["p50"] - np.percentile(e, 50)) <= 1e-4
+        assert abs(got["p90"] - np.percentile(e, 90)) <= 1e-4
+        assert abs(got["mad_abs"] - np.percentile(np.abs(e), 50)) <= 1e-4
