@@ -700,6 +700,8 @@ def test_bench_stdout_line_fits_driver_capture_budget():
             "core_size": len(bench.CORE),
             "suite_size": 999,
             "calib_sec": 99.9999,
+            "calib_min": 99.9999,
+            "calib_max": 99.9999,
             "value_calib_ratio": 99999.99,
             "loadavg_before": [99.99, 99.99, 99.99],
             "loadavg_after": [99.99, 99.99, 99.99],
@@ -707,6 +709,12 @@ def test_bench_stdout_line_fits_driver_capture_budget():
         }
     )
     assert len(worst) < 4096, len(worst)
+    # and every HEADLINE key must resolve in the registry — a typo'd
+    # bench name otherwise dies 15 minutes into the driver's bench run
+    import __spark_entry__ as entrymod
+
+    missing = [n for n in bench.HEADLINE if n not in entrymod.queries()]
+    assert not missing, f"bench HEADLINE names not registered: {missing}"
 
 
 def test_anova_f_single_pass_no_value_grid(spark):
