@@ -56,7 +56,7 @@ _MODULES = (
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 11 (tenth
-# rotation): the 9 NEW r11 registrations first (Benjamini-Hochberg FDR
+# rotation): the 16 NEW r11 registrations first (Benjamini-Hochberg FDR
 # over the per-brand chi-square family — the multiple-comparisons
 # capstone, VERDICT r10 item 3; the monthly purchase-cohort retention
 # triangle with normalized rates; the Holt-Winters additive one-step
@@ -69,16 +69,24 @@ _MODULES = (
 # daily-revenue OLS and the empirical P10/P50/P90 prediction interval
 # for the seasonal-naive forecast — all
 # oracle-backed and windowed same-round per VERDICT r7 item 8), then
-# the 2 queries whose
+# fourth wave (completing the round's 16-registration pacing cap):
+# McNemar's paired-binary test on first-half/second-half buying
+# status; Pettitt's rank-based changepoint on the daily revenue
+# series; Breusch-Pagan heteroscedasticity on the daily OLS;
+# the view->purchase hourly cross-correlation function; the
+# seasonal-naive accuracy scorecard (MAE/RMSE/MASE/Theil's U2);
+# XYZ demand-variability classification completing the ABC-XYZ
+# inventory matrix; Cohen's kappa between two document raters —
+# then the 2 queries whose
 # implementations CHANGED this round (attribution_markov_removal: the
 # oracle SQL now interpolates MARKOV_ITERS; stats_ljung_box_hourly:
 # localCheckpoint pin — changed-since-last-driver-row outranks
 # staleness), then pure staleness draining: ALL 32 remaining r5 rows
-# and the 7 OLDEST r6 rows (registration order). No rows-only slots
-# this round — all 50 are oracle value-hash checks. After this round
-# the oldest remaining driver row is r6.
+# (registration order). No rows-only slots this round — all 50 are
+# oracle value-hash checks. After this round the oldest remaining
+# driver row is r6.
 _PRIORITY = (
-    # new r11 registrations, never driver-checked (9)
+    # new r11 registrations, never driver-checked (16)
     "stats_bh_fdr_brand_chi2",
     "cohort_monthly_order_retention",
     "forecast_holt_winters_daily",
@@ -88,6 +96,13 @@ _PRIORITY = (
     "cohort_revenue_ltv_curve",
     "stats_durbin_watson_daily",
     "forecast_naive_interval_daily",
+    "stats_mcnemar_repeat_buyers",
+    "changepoint_pettitt_daily",
+    "stats_breusch_pagan_daily",
+    "forecast_accuracy_scorecard_daily",
+    "ccf_view_purchase_hourly",
+    "xyz_demand_variability_parts",
+    "eval_cohens_kappa_raters",
     # implementations changed since their r10 driver rows (2)
     "attribution_markov_removal",
     "stats_ljung_box_hourly",
@@ -124,15 +139,7 @@ _PRIORITY = (
     "pack_sequences_by_lang",
     "curate_corpus_end_to_end",
     "chunk_documents_sliding",
-    # oldest r6 driver rows (7 of 50): registration order
-    "nav_icon_variant",
-    "events_props_variant",
-    "mv_incremental_orders_stats",
-    "sessionize_events_native",
-    "sample_k_per_group_docs",
-    "histogram_equidepth_prices",
-    "er_part_name_clusters",
-    # WINDOW FULL at 50.
+    # WINDOW FULL at 50 (16 new + 2 changed + 32 r5).
 )
 
 

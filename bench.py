@@ -134,6 +134,17 @@ HEADLINE = [
     "cohort_revenue_ltv_curve",
     "stats_durbin_watson_daily",
     "forecast_naive_interval_daily",
+    # round-11 fourth wave (McNemar paired-binary, Pettitt rank
+    # changepoint, Breusch-Pagan heteroscedasticity, seasonal-naive
+    # accuracy scorecard, view->purchase hourly CCF, XYZ demand
+    # variability, Cohen's kappa):
+    "stats_mcnemar_repeat_buyers",
+    "changepoint_pettitt_daily",
+    "stats_breusch_pagan_daily",
+    "forecast_accuracy_scorecard_daily",
+    "ccf_view_purchase_hourly",
+    "xyz_demand_variability_parts",
+    "eval_cohens_kappa_raters",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

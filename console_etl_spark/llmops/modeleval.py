@@ -45,6 +45,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..session import load_table
 from .pipeline import global_enumerate, global_prefix_sum
@@ -448,4 +449,153 @@ def eval_pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("threshold")
+    )
+
+
+@_register(
+    "eval_cohens_kappa_raters",
+    """
+    WITH feat AS (
+      SELECT CAST(n_chars AS BIGINT) AS nc,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS nt
+      FROM documents
+    ), medc AS (
+      SELECT MIN(nc) AS mc FROM (
+        SELECT nc,
+               SUM(cnt) OVER (ORDER BY nc
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS tot
+        FROM (SELECT nc, COUNT(*) AS cnt FROM feat GROUP BY nc)
+      ) WHERE cum * 2 >= tot
+    ), medt AS (
+      SELECT MIN(nt) AS mt FROM (
+        SELECT nt,
+               SUM(cnt) OVER (ORDER BY nt
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER () AS tot
+        FROM (SELECT nt, COUNT(*) AS cnt FROM feat GROUP BY nt)
+      ) WHERE cum * 2 >= tot
+    ), flags AS (
+      SELECT CASE WHEN nc >= mc THEN 1 ELSE 0 END AS ra,
+             CASE WHEN nt >= mt THEN 1 ELSE 0 END AS rb
+      FROM feat CROSS JOIN medc CROSS JOIN medt
+    ), c2 AS (
+      SELECT CAST(SUM(ra * rb) AS BIGINT) AS n11,
+             CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+             CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM flags
+    )
+    SELECT n AS n_docs, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                 / CAST(n * n AS DOUBLE), 6) AS pe,
+           ROUND(CAST(2 * (n11 * n00 - n10 * n01) AS DOUBLE)
+                 / CAST(NULLIF((n11 + n10) * (n10 + n00)
+                               + (n11 + n01) * (n01 + n00), 0)
+                        AS DOUBLE), 6) AS kappa
+    FROM c2
+    """,
+)
+def eval_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary document raters — the
+    chance-corrected agreement metric the eval tier lacked (AUC ranks
+    ONE scorer against labels; kappa asks whether TWO independent
+    raters agree beyond what their marginal rates force). Rater A
+    flags documents at or above the median character length; rater B
+    at or above the median whitespace-token count — two length
+    proxies whose agreement should be high but NOT perfect (token
+    width varies), which is exactly the regime kappa was built to
+    quantify. kappa = (po - pe)/(1 - pe), reported with the full 2x2
+    and both agreement rates.
+
+    Exactness: both rater thresholds are LOWER MEDIANS computed on
+    the value-domain-bounded distinct-length relations (min value
+    whose inclusive cumulative count reaches half the corpus —
+    integer-exact, no interpolated quantile parity to defend), flags
+    are integer comparisons, the four cells are exact counts, and
+    kappa uses the integer identity
+    2*(n11*n00 - n10*n01) / ((n11+n10)(n10+n00) + (n11+n01)(n01+n00))
+    — ONE division of two exact integers (NULLIF-guarded for the
+    degenerate constant-rater table).
+
+    Scale shape: one corpus scan computes both length features; the
+    median thresholds run on distinct-VALUE relations (bounded by max
+    document length, not corpus size — the same type-relation trick
+    as the BPE tier), broadcast back for the flag pass; the result of
+    the second scan is a 5-counter reduce. No corpus-sized window,
+    sort, or exact-percentile collect anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        F.col("n_chars").cast("bigint").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("nt"),
+    )
+
+    def lower_median(col: str, out: str):
+        counts = feat.groupBy(col).agg(F.count("*").alias("cnt"))
+        cumw = W.orderBy(col).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        cum = counts.select(
+            F.col(col),
+            F.sum("cnt").over(cumw).alias("cum"),
+            F.sum("cnt").over(W.partitionBy()).alias("tot"),
+        )
+        return cum.filter(F.col("cum") * 2 >= F.col("tot")).agg(
+            F.min(col).alias(out)
+        )
+
+    flags = (
+        feat.crossJoin(F.broadcast(lower_median("nc", "mc")))
+        .crossJoin(F.broadcast(lower_median("nt", "mt")))
+        .select(
+            F.when(F.col("nc") >= F.col("mc"), 1).otherwise(0).alias("ra"),
+            F.when(F.col("nt") >= F.col("mt"), 1).otherwise(0).alias("rb"),
+        )
+    )
+    c2 = flags.agg(
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("bigint")
+        .alias("n00"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a, b, c, dd, n = (
+        F.col("n11"),
+        F.col("n10"),
+        F.col("n01"),
+        F.col("n00"),
+        F.col("n"),
+    )
+    den = F.nullif(
+        ((a + b) * (b + dd) + (a + c) * (c + dd)), F.lit(0)
+    ).cast("double")
+    return c2.select(
+        n.alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((a + dd).cast("double") / n.cast("double"), 6).alias("po"),
+        F.round(
+            ((a + b) * (a + c) + (c + dd) * (b + dd)).cast("double")
+            / (n * n).cast("double"),
+            6,
+        ).alias("pe"),
+        F.round((2 * (a * dd - b * c)).cast("double") / den, 6).alias(
+            "kappa"
+        ),
     )

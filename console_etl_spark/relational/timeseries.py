@@ -5257,3 +5257,657 @@ def forecast_naive_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         p(F.col("e"), 0.90).alias("p90"),
         p(F.abs(F.col("e")), 0.50).alias("mad_abs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11, wave 4: paired-binary and changepoint tests on the lifecycle /
+# daily-revenue surfaces (McNemar, Pettitt)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "stats_mcnemar_repeat_buyers",
+    """
+    WITH span AS (
+      SELECT MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+               AS d0,
+             MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+               AS d1
+      FROM orders
+    ), flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                           // 86400000000 * 2 <= d0 + d1
+                      THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                           // 86400000000 * 2 > d0 + d1
+                      THEN 1 ELSE 0 END) AS h2
+      FROM orders CROSS JOIN span
+      GROUP BY o_custkey
+    ), c2 AS (
+      SELECT CAST(SUM(h1 * h2) AS BIGINT) AS n11,
+             CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS n10,
+             CAST(SUM((1 - h1) * h2) AS BIGINT) AS n01,
+             CAST(COUNT(*) AS BIGINT) AS buyers
+      FROM flags
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer
+    )
+    SELECT n11, n10, n01,
+           n_cust - buyers AS n00,
+           ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                 / CAST(NULLIF(n10 + n01, 0) AS DOUBLE), 6)
+             AS chi2_mcnemar,
+           ROUND(CAST(GREATEST(ABS(n10 - n01) - 1, 0)
+                      * GREATEST(ABS(n10 - n01) - 1, 0) AS DOUBLE)
+                 / CAST(NULLIF(n10 + n01, 0) AS DOUBLE), 6)
+             AS chi2_cc
+    FROM c2 CROSS JOIN tot
+    """,
+)
+def stats_mcnemar_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes — the within-subject
+    2x2 the tier lacked (chi2_independence compares two INDEPENDENT
+    categoricals; McNemar asks whether the SAME subjects switched
+    state): did customers' buying status change between the first and
+    second half of the order history? Each customer is their own
+    control; only the discordant cells n10 (bought early, lapsed) and
+    n01 (new in the late half) carry information, and
+    chi2 = (n10-n01)^2/(n10+n01) tests marginal homogeneity
+    (chi2_cc is the Edwards continuity-corrected variant with the
+    |n10-n01|-1 clamp at 0). n00 comes from the customer dimension:
+    registered customers with no orders in either half.
+
+    Exactness: the half boundary is pure integer day arithmetic
+    (d*2 <= d0+d1 — no float midpoint), the four cells are exact
+    integer counts, and each statistic is ONE division of two exact
+    integers (NULLIF-guarded so a degenerate zero-discordance table
+    yields NULL identically in both engines).
+
+    Scale shape: one fact scan with the 1-row span broadcast, one
+    map-side-combinable per-customer aggregate (two MAX flags), then a
+    4-counter global reduce — the ideal 100 TB shape; nothing
+    downstream of the customer agg exceeds one row."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    day = F.expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+    )
+    span = o.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    flags = (
+        o.select(day.alias("d"), "o_custkey")
+        .crossJoin(F.broadcast(span))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("d") * 2 <= F.col("d0") + F.col("d1"), 1)
+                .otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(F.col("d") * 2 > F.col("d0") + F.col("d1"), 1)
+                .otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    c2 = flags.agg(
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("n11"),
+        F.sum(F.col("h1") * (1 - F.col("h2"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("h1")) * F.col("h2")).cast("bigint").alias("n01"),
+        F.count("*").cast("bigint").alias("buyers"),
+    )
+    tot = c.agg(F.count("*").cast("bigint").alias("n_cust"))
+    disc = F.nullif((F.col("n10") + F.col("n01")), F.lit(0)).cast("double")
+    diff = F.col("n10") - F.col("n01")
+    cc = F.greatest(F.abs(diff) - 1, F.lit(0))
+    return c2.crossJoin(F.broadcast(tot)).select(
+        "n11",
+        "n10",
+        "n01",
+        (F.col("n_cust") - F.col("buyers")).alias("n00"),
+        F.round((diff * diff).cast("double") / disc, 6).alias(
+            "chi2_mcnemar"
+        ),
+        F.round((cc * cc).cast("double") / disc, 6).alias("chi2_cc"),
+    )
+
+
+@_register(
+    "changepoint_pettitt_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT d,
+             ROW_NUMBER() OVER (ORDER BY d) AS t,
+             CAST(2 * RANK() OVER (ORDER BY cents)
+                  + COUNT(*) OVER (PARTITION BY cents) - 1 AS BIGINT)
+               AS r2
+      FROM daily
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+    ), u AS (
+      SELECT t, d,
+             SUM(r2) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+               - CAST(t AS BIGINT) * (n + 1) AS u_t,
+             n
+      FROM ranked CROSS JOIN g
+    ), best AS (
+      SELECT t, d, ABS(u_t) AS k_stat, n
+      FROM u WHERE t < n
+      ORDER BY ABS(u_t) DESC, t
+      LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(t AS BIGINT) AS t_star,
+           CAST(d AS BIGINT) AS change_day,
+           CAST(k_stat AS BIGINT) AS k_stat,
+           ROUND(2.0 * EXP(-6.0 * CAST(k_stat * k_stat AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * n * n
+                                  + CAST(n AS HUGEINT) * n AS DOUBLE)),
+                 6) AS p_approx
+    FROM best
+    """,
+)
+def changepoint_pettitt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on the daily-revenue
+    series — the rank-based single-changepoint locator beside the
+    mean-shift CUSUM (changepoint_cusum_daily_revenue is
+    moment-based; Pettitt is the distribution-free twin, robust to
+    the revenue outliers a rank statistic ignores). U_t = 2*sum of
+    midranks through t minus t(n+1); the change candidate is the t
+    maximizing |U_t| (earliest on ties), with the standard approximate
+    significance p ~ 2*exp(-6K^2/(n^3+n^2)).
+
+    Exactness: daily revenue is exact integer cents, midranks enter
+    doubled (r2 = 2*RANK + tiecount - 1, an INTEGER even for .5
+    midranks), so every U_t is integer-exact and the argmax is an
+    integer comparison with a deterministic t tiebreak; the only
+    floating step is the final p expression over two exact integers
+    (HUGEINT/DECIMAL(38,0) guards n^3 against overflow; both engines
+    take EXP of the identical double).
+
+    Scale shape: one partial-agg shuffle reduces the facts to the
+    time-span-bounded daily series; the rank window, the prefix sum,
+    and the top-1 sort all run on that ~2.4k-row calendar-bounded
+    relation (single-task by construction — bounded by the span,
+    never the corpus)."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast(d38)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    ranked = daily.select(
+        "d",
+        F.row_number().over(W.orderBy("d")).alias("t"),
+        (
+            2 * F.rank().over(W.orderBy("cents"))
+            + F.count("*").over(W.partitionBy("cents"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    g = daily.agg(F.count("*").cast("bigint").alias("n"))
+    cumw = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    u = ranked.crossJoin(F.broadcast(g)).select(
+        "t",
+        "d",
+        "n",
+        (
+            F.sum("r2").over(cumw)
+            - F.col("t").cast("bigint") * (F.col("n") + 1)
+        ).alias("u_t"),
+    )
+    best = (
+        u.filter(F.col("t") < F.col("n"))
+        .select("t", "d", "n", F.abs(F.col("u_t")).alias("k_stat"))
+        .orderBy(F.col("k_stat").desc(), "t")
+        .limit(1)
+    )
+    kI = F.col("k_stat").cast(d38)
+    nI = F.col("n").cast(d38)
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("t").cast("bigint").alias("t_star"),
+        F.col("d").cast("bigint").alias("change_day"),
+        F.col("k_stat").cast("bigint").alias("k_stat"),
+        F.round(
+            2.0
+            * F.exp(
+                -6.0
+                * (kI * kI).cast("double")
+                / (nI * nI * nI + nI * nI).cast("double")
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 11, wave 5: OLS heteroscedasticity diagnostic (Breusch-Pagan) and
+# the forecast-accuracy scorecard (MAE/RMSE/MASE/Theil's U2)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "stats_breusch_pagan_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(t AS HUGEINT)) AS st,
+             SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+             SUM(CAST(cents AS HUGEINT)) AS sy,
+             SUM(CAST(t AS HUGEINT) * CAST(cents AS HUGEINT)) AS sty
+      FROM series
+    ), fit AS (
+      SELECT CAST(n AS BIGINT) AS n, st, stt,
+             CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE))
+                * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) AS a
+      FROM s
+    ), gser AS (
+      SELECT t, n, st, stt,
+             (CAST(cents AS DOUBLE) - (a + b * CAST(t AS DOUBLE)))
+             * (CAST(cents AS DOUBLE) - (a + b * CAST(t AS DOUBLE))) AS g
+      FROM series CROSS JOIN fit
+    ), run AS (
+      SELECT t, n, st, stt,
+             SUM(g) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sg,
+             SUM(g * g) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sgg,
+             SUM(CAST(t AS DOUBLE) * g)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS stg
+      FROM gser
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND((CAST(n AS DOUBLE) * stg - CAST(st AS DOUBLE) * sg)
+                 * (CAST(n AS DOUBLE) * stg - CAST(st AS DOUBLE) * sg)
+                 / (CAST(n * stt - st * st AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * sgg - sg * sg)), 6) AS aux_r2,
+           ROUND(CAST(n AS DOUBLE)
+                 * ((CAST(n AS DOUBLE) * stg - CAST(st AS DOUBLE) * sg)
+                    * (CAST(n AS DOUBLE) * stg - CAST(st AS DOUBLE) * sg)
+                    / (CAST(n * stt - st * st AS DOUBLE)
+                       * (CAST(n AS DOUBLE) * sgg - sg * sg))), 6)
+             AS bp_lm
+    FROM run WHERE t = n
+    """,
+)
+def stats_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the daily-revenue OLS —
+    the second regression diagnostic beside Durbin-Watson (DW asks
+    "are the residuals serially correlated?"; BP asks "does their
+    VARIANCE drift with the regressor?" — the violation that silently
+    invalidates OLS standard errors in the other direction). The
+    studentized (Koenker) form: regress the squared residuals g_t =
+    e_t^2 on t; LM = n * R^2_aux is asymptotically chi-square(1)
+    under homoscedasticity.
+
+    Exactness: the base OLS reuses stats_durbin_watson_daily's exact
+    128-bit normal equations (slope/intercept are each ONE double
+    expression over exact integer sums); g_t is a pinned per-row
+    double; and the three auxiliary sums (sum g, sum g^2, sum t*g)
+    are ORDERED running sums over the t-ordered bounded series, so
+    both engines fold identical doubles in identical order — R^2_aux
+    is then one fixed-parenthesization expression mixing those pinned
+    doubles with the exact integer t-moments (n*stt - st^2 stays in
+    128-bit until the final cast).
+
+    Scale shape: identical to Durbin-Watson — one partial-agg shuffle
+    to the calendar-bounded daily series; everything after (fit
+    broadcast, residual projection, ordered windows) is single-task
+    grid work bounded by the time span, never the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast(d38)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    ).localCheckpoint()
+    tI = F.col("t").cast(d38)
+    cI = F.col("cents").cast(d38)
+    s = series.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(tI).alias("st"),
+        F.sum(tI * tI).alias("stt"),
+        F.sum(cI).alias("sy"),
+        F.sum(tI * cI).alias("sty"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    b = num / den
+    a = (
+        F.col("sy").cast("double") - b * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    fit = s.select(
+        F.col("n").cast("bigint").alias("n"),
+        "st",
+        "stt",
+        b.alias("b"),
+        a.alias("a"),
+    )
+    e = F.col("cents").cast("double") - (
+        F.col("a") + F.col("b") * F.col("t").cast("double")
+    )
+    gser = series.crossJoin(F.broadcast(fit)).select(
+        "t", "n", "st", "stt", (e * e).alias("g")
+    )
+    cumw = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = gser.select(
+        "t",
+        "n",
+        "st",
+        "stt",
+        F.sum("g").over(cumw).alias("sg"),
+        F.sum(F.col("g") * F.col("g")).over(cumw).alias("sgg"),
+        F.sum(F.col("t").cast("double") * F.col("g"))
+        .over(cumw)
+        .alias("stg"),
+    )
+    nd = F.col("n").cast("double")
+    std = F.col("st").cast("double")
+    sxx = (
+        F.col("n").cast(d38) * F.col("stt")
+        - F.col("st") * F.col("st")
+    ).cast("double")
+    cov = nd * F.col("stg") - std * F.col("sg")
+    r2 = cov * cov / (sxx * (nd * F.col("sgg") - F.col("sg") * F.col("sg")))
+    return run.filter(F.col("t") == F.col("n")).select(
+        F.col("n").alias("n_days"),
+        F.round(r2, 6).alias("aux_r2"),
+        F.round(nd * r2, 6).alias("bp_lm"),
+    )
+
+
+@_register(
+    "forecast_accuracy_scorecard_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), lagged AS (
+      SELECT cents - LAG(cents, 7) OVER (ORDER BY t) AS e7,
+             cents - LAG(cents, 1) OVER (ORDER BY t) AS e1
+      FROM series
+      QUALIFY e7 IS NOT NULL
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(ABS(e7) AS HUGEINT)) AS sa7,
+             SUM(CAST(e7 AS HUGEINT) * CAST(e7 AS HUGEINT)) AS ss7,
+             SUM(CAST(ABS(e1) AS HUGEINT)) AS sa1,
+             SUM(CAST(e1 AS HUGEINT) * CAST(e1 AS HUGEINT)) AS ss1
+      FROM lagged
+    )
+    SELECT m AS n_eval,
+           ROUND(CAST(sa7 AS DOUBLE) / CAST(m AS DOUBLE) / 100.0, 6)
+             AS mae_snaive,
+           ROUND(SQRT(CAST(ss7 AS DOUBLE) / CAST(m AS DOUBLE)) / 100.0, 6)
+             AS rmse_snaive,
+           ROUND(CAST(sa7 AS DOUBLE) / CAST(sa1 AS DOUBLE), 6) AS mase,
+           ROUND(SQRT(CAST(ss7 AS DOUBLE) / CAST(ss1 AS DOUBLE)), 6)
+             AS theil_u2
+    FROM sums
+    """,
+)
+def forecast_accuracy_scorecard_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-aware accuracy scorecard for the seasonal-naive daily
+    forecast: MAE and RMSE in dollars, plus the two scale-FREE
+    benchmarks every forecasting text demands before trusting a
+    model — MASE (seasonal-naive absolute error over the one-step
+    naive's absolute error; < 1 means "beats the naive walk") and
+    Theil's U2 (same ratio in RMSE space). Completes the forecast
+    tier's evaluation story: smape_seasonal_backtest scores ONE
+    method in percentage space (undefined near zero actuals);
+    forecast_naive_interval_daily quantifies its spread; this query
+    benchmarks it AGAINST the canonical no-skill forecaster on a
+    common evaluation window (t >= 8, where both lag-7 and lag-1
+    errors exist — both numerator and denominator score identical
+    targets, the convention documented here because MASE's textbook
+    in-sample window differs by 6 leading rows).
+
+    Exactness: daily revenue is exact integer cents, so both error
+    series are exact integers; |e| sums and squared sums accumulate
+    as HUGEINT/DECIMAL(38,0) (cents^2 outgrows int64), making every
+    reported metric ONE fixed-parenthesization double expression over
+    exact integers — SQRT of the identical double on both engines.
+
+    Scale shape: one partial-agg shuffle to the calendar-bounded
+    daily series, one lag window and one 5-counter reduce on that
+    ~2.4k-row relation."""
+    o = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    daily = (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast(d38)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    )
+    wo = W.orderBy("t")
+    lagged = series.select(
+        (F.col("cents") - F.lag("cents", 7).over(wo)).alias("e7"),
+        (F.col("cents") - F.lag("cents", 1).over(wo)).alias("e1"),
+    ).filter(F.col("e7").isNotNull())
+    e7I = F.col("e7").cast(d38)
+    e1I = F.col("e1").cast(d38)
+    sums = lagged.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.abs(e7I)).alias("sa7"),
+        F.sum(e7I * e7I).alias("ss7"),
+        F.sum(F.abs(e1I)).alias("sa1"),
+        F.sum(e1I * e1I).alias("ss1"),
+    )
+    md = F.col("m").cast("double")
+    return sums.select(
+        F.col("m").alias("n_eval"),
+        F.round(F.col("sa7").cast("double") / md / 100.0, 6).alias(
+            "mae_snaive"
+        ),
+        F.round(
+            F.sqrt(F.col("ss7").cast("double") / md) / 100.0, 6
+        ).alias("rmse_snaive"),
+        F.round(
+            F.col("sa7").cast("double") / F.col("sa1").cast("double"), 6
+        ).alias("mase"),
+        F.round(
+            F.sqrt(
+                F.col("ss7").cast("double") / F.col("ss1").cast("double")
+            ),
+            6,
+        ).alias("theil_u2"),
+    )
+
+
+@_register(
+    "ccf_view_purchase_hourly",
+    """
+    WITH ev AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), span AS (
+      SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev
+    ), grid AS (
+      SELECT UNNEST(generate_series(h0, h1)) AS h FROM span
+    ), cnt AS (
+      SELECT g.h,
+             COALESCE(SUM(CASE WHEN e.event_type = 'view'
+                              THEN 1 END), 0) AS v,
+             COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                              THEN 1 END), 0) AS p
+      FROM grid g LEFT JOIN ev e ON e.h = g.h
+      GROUP BY g.h
+    ), lags(k) AS (
+      VALUES (0), (1), (2), (3), (4), (5), (6)
+    ), pairs AS (
+      SELECT l.k, a.v AS x, b.p AS y
+      FROM lags l
+      CROSS JOIN cnt a
+      JOIN cnt b ON b.h = a.h + l.k
+    ), s AS (
+      SELECT k,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_hours,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf
+    FROM s ORDER BY lag_hours
+    """,
+)
+def ccf_view_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly view-count and
+    purchase-count series at lags 0-6 hours: ccf(k) = Pearson
+    correlation of (views at hour h, purchases at hour h+k) — the
+    lead-lag diagnostic behind "how long after browsing do purchases
+    land?". Completes the serial-dependence toolset: ACF/Ljung-Box
+    correlate a series WITH ITSELF; CCF correlates two DIFFERENT
+    series across offsets (the peak lag is the conversion latency a
+    marketer acts on). Computed on the DENSE hour grid (missing hours
+    count 0 — skipping gaps would silently misalign the lag).
+
+    Exactness: both series are exact integer counts on the
+    span-bounded grid, each per-lag Pearson reduces to five exact
+    DECIMAL(38,0)/HUGEINT sums, and ccf(k) is ONE
+    fixed-parenthesization double expression (integer numerator /
+    sqrt of the product of two integer-exact variances) — both
+    engines divide and sqrt the identical doubles.
+
+    Scale shape: the only data-sized stage is one partial-agg shuffle
+    of the two filtered event types onto the hour grid (the IN filter
+    pushes to the scan); the dense grid (sequence + explode from a
+    1-row span), the localCheckpoint pin, the broadcast 7-row lag
+    relation, and the bounded self-join are all calendar-grid work —
+    constant at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    ev = e.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias(
+            "h"
+        ),
+        "event_type",
+    )
+    span = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    cnt = (
+        grid.join(ev, "h", "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0)
+            ).alias("v"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", 1)),
+                F.lit(0),
+            ).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    lags = spark.range(7).select(F.col("id").alias("k"))
+    a = cnt.select(F.col("h").alias("ah"), F.col("v").alias("x"))
+    bdf = cnt.select(F.col("h").alias("bh"), F.col("p").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(bdf),
+            F.col("bh") == F.col("ah") + F.col("k"),
+        )
+        .select("k", "x", "y")
+    )
+    xI = F.col("x").cast(d38)
+    yI = F.col("y").cast(d38)
+    s = pairs.groupBy("k").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(xI).alias("sx"),
+        F.sum(yI).alias("sy"),
+        F.sum(xI * yI).alias("sxy"),
+        F.sum(xI * xI).alias("sxx"),
+        F.sum(yI * yI).alias("syy"),
+    )
+    nI = F.col("n")
+    num = (nI * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nI * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nI * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("k").cast("bigint").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("ccf"),
+    ).orderBy("lag_hours")

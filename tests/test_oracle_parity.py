@@ -60,28 +60,30 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 11 (never-checked backlog at 0): the 9 NEW
+    priority list. Round 11 (never-checked backlog at 0): the 16 NEW
     r11 registrations first (Benjamini-Hochberg FDR over the per-brand
     chi-square family, monthly purchase-cohort retention triangle,
     Holt-Winters additive backtest, Friedman rank test,
     Cochran-Armitage trend test, Jarque-Bera normality gate,
     cumulative-LTV curve, Durbin-Watson residual diagnostic,
-    seasonal-naive prediction interval — all oracle-backed), then the
-    2 queries
+    seasonal-naive prediction interval, McNemar paired-binary test,
+    Pettitt rank changepoint, Breusch-Pagan heteroscedasticity,
+    seasonal-naive accuracy scorecard, view->purchase hourly CCF,
+    XYZ demand-variability classes, Cohen's kappa — all
+    oracle-backed), then the 2 queries
     whose implementations changed this round
     (attribution_markov_removal's interpolated iteration constant,
     stats_ljung_box_hourly's localCheckpoint pin;
     changed-since-last-driver-row outranks staleness), then pure
-    staleness draining: all 32 remaining r5 rows and the 7 oldest r6
-    rows. 50 oracle value-hash slots, ZERO rows-only slots this
-    round."""
+    staleness draining: all 32 remaining r5 rows. 50 oracle
+    value-hash slots, ZERO rows-only slots this round."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == []
     assert len(oracle_slots) == 50
-    assert first50[:11] == [
+    assert first50[:18] == [
         "stats_bh_fdr_brand_chi2",
         "cohort_monthly_order_retention",
         "forecast_holt_winters_daily",
@@ -91,6 +93,13 @@ def test_driver_window_covers_all_families():
         "cohort_revenue_ltv_curve",
         "stats_durbin_watson_daily",
         "forecast_naive_interval_daily",
+        "stats_mcnemar_repeat_buyers",
+        "changepoint_pettitt_daily",
+        "stats_breusch_pagan_daily",
+        "forecast_accuracy_scorecard_daily",
+        "ccf_view_purchase_hourly",
+        "xyz_demand_variability_parts",
+        "eval_cohens_kappa_raters",
         "attribution_markov_removal",
         "stats_ljung_box_hourly",
     ]

@@ -1976,3 +1976,266 @@ class TestRound11Laws:
         assert abs(got["p50"] - np.percentile(e, 50)) <= 1e-4
         assert abs(got["p90"] - np.percentile(e, 90)) <= 1e-4
         assert abs(got["mad_abs"] - np.percentile(np.abs(e), 50)) <= 1e-4
+
+    def test_mcnemar_cells_and_statistic_replica(self, spark):
+        """Replica: pandas recomputation of the half-split buying
+        flags must reproduce all four cells; the statistic identities
+        chi2 = (n10-n01)^2/(n10+n01) and the clamped continuity
+        variant; and the partition law n11+n10+n01+n00 == |customer|."""
+        from console_etl_spark.relational import stats_mcnemar_repeat_buyers
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_mcnemar_repeat_buyers(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        c_n = load_table(spark, SF_TEST, "customer").count()
+        d = (o["o_orderdate"].astype("int64") // 86_400_000_000_000).astype(
+            "int64"
+        )
+        d0, d1 = d.min(), d.max()
+        df = o.assign(d=d)
+        per = df.groupby("o_custkey")["d"].agg(
+            h1=lambda s: int((s * 2 <= d0 + d1).any()),
+            h2=lambda s: int((s * 2 > d0 + d1).any()),
+        )
+        n11 = int(((per.h1 == 1) & (per.h2 == 1)).sum())
+        n10 = int(((per.h1 == 1) & (per.h2 == 0)).sum())
+        n01 = int(((per.h1 == 0) & (per.h2 == 1)).sum())
+        assert (got["n11"], got["n10"], got["n01"]) == (n11, n10, n01)
+        assert got["n00"] == c_n - len(per)
+        assert got["n11"] + got["n10"] + got["n01"] + got["n00"] == c_n
+        disc = n10 + n01
+        if disc:
+            want = (n10 - n01) ** 2 / disc
+            assert abs(got["chi2_mcnemar"] - want) <= 1e-6
+            cc = max(abs(n10 - n01) - 1, 0) ** 2 / disc
+            assert abs(got["chi2_cc"] - cc) <= 1e-6
+            assert got["chi2_cc"] <= got["chi2_mcnemar"] + 1e-9
+        else:
+            assert got["chi2_mcnemar"] is None
+
+    def test_pettitt_matches_independent_pandas_ranks(self, spark):
+        """Replica: pandas midranks (rank method='average') drive
+        U_t = 2*cumsum(r) - t(n+1); the max-|U| argmax (earliest t on
+        ties) and the approximate p must match; plus the closure law
+        U_n == 0 by construction."""
+        import numpy as np
+        import pandas as pd
+
+        from console_etl_spark.relational import changepoint_pettitt_daily
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = changepoint_pettitt_daily(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        daily = (
+            o.assign(
+                d=(o["o_orderdate"].astype("int64") // 86_400_000_000_000),
+                cents=(o["o_totalprice"].round(2) * 100).round(),
+            )
+            .groupby("d")["cents"]
+            .sum()
+            .sort_index()
+        )
+        x = daily.to_numpy()
+        n = len(x)
+        r = pd.Series(x).rank(method="average").to_numpy()
+        u = 2 * np.cumsum(r) - (np.arange(1, n + 1) * (n + 1))
+        assert abs(u[-1]) < 1e-9  # U_n == 0
+        au = np.abs(u[: n - 1])
+        k = au.max()
+        t_star = int(np.argmax(au)) + 1  # earliest t attaining max
+        assert got["n_days"] == n
+        assert got["k_stat"] == int(round(k))
+        assert got["t_star"] == t_star
+        assert got["change_day"] == int(daily.index[t_star - 1])
+        p = 2.0 * np.exp(-6.0 * k * k / (n**3 + n**2))
+        assert abs(got["p_approx"] - p) <= 1e-6
+
+    def test_breusch_pagan_matches_independent_numpy(self, spark):
+        """Replica: np.polyfit residuals squared, regressed on t via
+        np.corrcoef — LM = n*R^2; plus the laws 0 <= R^2 <= 1 and
+        bp_lm == n_days * aux_r2 (identity of the reported pair)."""
+        import numpy as np
+
+        from console_etl_spark.relational import stats_breusch_pagan_daily
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_breusch_pagan_daily(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        y = (
+            o.assign(
+                d=o["o_orderdate"].dt.floor("D"),
+                c=(o["o_totalprice"].round(2) * 100).round(),
+            )
+            .groupby("d")["c"]
+            .sum()
+            .sort_index()
+            .to_numpy()
+        )
+        n = len(y)
+        t = np.arange(1, n + 1, dtype=float)
+        b, a = np.polyfit(t, y, 1)
+        g = (y - (a + b * t)) ** 2
+        r2 = float(np.corrcoef(t, g)[0, 1] ** 2)
+        assert got["n_days"] == n
+        assert 0.0 <= got["aux_r2"] <= 1.0
+        assert abs(got["aux_r2"] - r2) <= 1e-5
+        # bp_lm is ROUND(n * unrounded_r2, 6); comparing against the
+        # 6dp-rounded aux_r2 can drift by up to n * 5e-7
+        assert abs(got["bp_lm"] - n * r2) <= 1e-3
+
+    def test_forecast_scorecard_matches_independent_numpy(self, spark):
+        """Replica: numpy lag-7/lag-1 errors on the shared evaluation
+        window; plus the power-mean law RMSE >= MAE and the ratio
+        identities MASE = MAE7/MAE1, U2 = RMSE7/RMSE1."""
+        import numpy as np
+
+        from console_etl_spark.relational import (
+            forecast_accuracy_scorecard_daily,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = forecast_accuracy_scorecard_daily(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        y = (
+            o.assign(
+                d=o["o_orderdate"].dt.floor("D"),
+                c=(o["o_totalprice"].round(2) * 100).round(),
+            )
+            .groupby("d")["c"]
+            .sum()
+            .sort_index()
+            .to_numpy()
+        )
+        e7 = y[7:] - y[:-7]
+        e1 = (y[1:] - y[:-1])[6:]  # aligned to the t >= 8 window
+        assert got["n_eval"] == len(e7) == len(e1)
+        mae7 = np.abs(e7).mean() / 100.0
+        rmse7 = np.sqrt((e7.astype(float) ** 2).mean()) / 100.0
+        assert abs(got["mae_snaive"] - mae7) <= 1e-4
+        assert abs(got["rmse_snaive"] - rmse7) <= 1e-4
+        assert got["rmse_snaive"] >= got["mae_snaive"] - 1e-9
+        assert abs(
+            got["mase"] - np.abs(e7).sum() / np.abs(e1).sum()
+        ) <= 1e-6
+        assert abs(
+            got["theil_u2"]
+            - np.sqrt(
+                (e7.astype(float) ** 2).sum() / (e1.astype(float) ** 2).sum()
+            )
+        ) <= 1e-6
+
+    def test_ccf_matches_independent_numpy_dense_grid(self, spark):
+        """Replica: numpy dense hourly grid (missing hours = 0) and
+        np.corrcoef at each lag; plus |ccf| <= 1 and the pair-count
+        law n_pairs(k) = n_hours - k."""
+        import numpy as np
+
+        from console_etl_spark.relational import ccf_view_purchase_hourly
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        rows = ccf_view_purchase_hourly(spark, SF_TEST).collect()
+        assert [r["lag_hours"] for r in rows] == list(range(7))
+        e = load_table(spark, SF_TEST, "events").toPandas()
+        e = e[e["event_type"].isin(["view", "purchase"])]
+        h = (e["ts"].astype("int64") // 3_600_000_000_000).astype("int64")
+        h0, h1 = h.min(), h.max()
+        nh = int(h1 - h0 + 1)
+        v = np.zeros(nh)
+        p = np.zeros(nh)
+        for hh, typ in zip(h, e["event_type"]):
+            (v if typ == "view" else p)[hh - h0] += 1
+        for r in rows:
+            k = r["lag_hours"]
+            assert r["n_pairs"] == nh - k
+            want = float(
+                np.corrcoef(v[: nh - k] if k else v, p[k:])[0, 1]
+            )
+            assert abs(r["ccf"]) <= 1.0 + 1e-9
+            assert abs(r["ccf"] - want) <= 1e-5
+
+    def test_xyz_classes_match_independent_pandas_cv(self, spark):
+        """Replica: pandas weekly demand per part with the zero-week
+        identity (full-span denominator); every part's cv and class
+        must match, classes must partition the part set, and the
+        class boundaries must be consistent with the reported cv."""
+        import numpy as np
+
+        from console_etl_spark.relational import xyz_demand_variability_parts
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = xyz_demand_variability_parts(spark, SF_TEST).toPandas()
+        li = load_table(spark, SF_TEST, "lineitem").toPandas()
+        li = li.assign(
+            w=(li["l_shipdate"].astype("int64") // 86_400_000_000_000) // 7,
+            qc=(li["l_quantity"].round(2) * 100).round().astype("int64"),
+        )
+        nw = int(li["w"].max() - li["w"].min() + 1)
+        weekly = li.groupby(["l_partkey", "w"])["qc"].sum()
+        per = weekly.groupby("l_partkey").agg(["count", "sum"])
+        sxx = (weekly**2).groupby("l_partkey").sum()
+        assert len(got) == len(per)
+        assert set(got["xyz_class"]) <= {"X", "Y", "Z"}
+        g = got.set_index("partkey")
+        for pk in per.index:
+            sx = int(per.loc[pk, "sum"])
+            varn = nw * int(sxx.loc[pk]) - sx * sx
+            cv = np.sqrt(float(varn)) / sx
+            row = g.loc[pk]
+            assert row["weeks_active"] == per.loc[pk, "count"]
+            assert abs(row["cv"] - cv) <= 1e-5
+            want = "X" if 4 * varn <= sx * sx else (
+                "Y" if varn <= sx * sx else "Z"
+            )
+            assert row["xyz_class"] == want
+
+    def test_cohens_kappa_identity_and_pandas_replica(self, spark):
+        """Replica: pandas lower-median raters reproduce the 2x2;
+        plus the defining identity kappa == (po - pe)/(1 - pe), the
+        range law -1 <= kappa <= 1, and cell-partition n11+..+n00 ==
+        n_docs."""
+        from console_etl_spark.llmops.modeleval import (
+            eval_cohens_kappa_raters,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = eval_cohens_kappa_raters(spark, SF_TEST).collect()[0]
+        d = load_table(spark, SF_TEST, "documents").toPandas()
+        nc = d["n_chars"].astype("int64")
+        nt = (
+            d["text"].str.len() - d["text"].str.replace(" ", "").str.len()
+            + 1
+        ).astype("int64")
+
+        def lower_median(s):
+            v = s.sort_values().to_numpy()
+            # min value whose inclusive cumulative count reaches n/2
+            return v[(len(v) - 1) // 2] if len(v) % 2 else v[len(v) // 2 - 1]
+
+        mc, mt = lower_median(nc), lower_median(nt)
+        ra, rb = (nc >= mc).astype(int), (nt >= mt).astype(int)
+        n11 = int(((ra == 1) & (rb == 1)).sum())
+        n10 = int(((ra == 1) & (rb == 0)).sum())
+        n01 = int(((ra == 0) & (rb == 1)).sum())
+        n00 = int(((ra == 0) & (rb == 0)).sum())
+        assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (
+            n11,
+            n10,
+            n01,
+            n00,
+        )
+        n = got["n_docs"]
+        assert n11 + n10 + n01 + n00 == n == len(d)
+        assert -1.0 - 1e-9 <= got["kappa"] <= 1.0 + 1e-9
+        po = (n11 + n00) / n
+        pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+        assert abs(got["po"] - po) <= 1e-6
+        assert abs(got["pe"] - pe) <= 1e-6
+        if pe < 1.0:
+            assert abs(got["kappa"] - (po - pe) / (1 - pe)) <= 2e-6
