@@ -524,12 +524,18 @@ def eval_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — ONE division of two exact integers (NULLIF-guarded for the
     degenerate constant-rater table).
 
-    Scale shape: one corpus scan computes both length features; the
-    median thresholds run on distinct-VALUE relations (bounded by max
-    document length, not corpus size — the same type-relation trick
-    as the BPE tier), broadcast back for the flag pass; the result of
-    the second scan is a 5-counter reduce. No corpus-sized window,
-    sort, or exact-percentile collect anywhere."""
+    Scale shape: TWO corpus scans total — the information-theoretic
+    minimum for a global-threshold rater (thresholds must exist
+    before any row can be flagged). Scan 1 builds BOTH value
+    histograms in one pass (posexplode of the (nc, nt) pair, groupBy
+    (rater, value) — the plan-audit discipline caught the naive
+    three-scan shape, one histogram pass per rater plus the flag
+    pass, before registration); the lower medians then run on the
+    distinct-VALUE relation (bounded by max document length, not
+    corpus size — the same type-relation trick as the BPE tier),
+    pivot to one broadcast row, and scan 2 reduces to the 5-counter
+    2x2. No corpus-sized window, sort, or exact-percentile collect
+    anywhere."""
     d = load_table(spark, sf_dir, "documents")
     feat = d.select(
         F.col("n_chars").cast("bigint").alias("nc"),
@@ -541,24 +547,33 @@ def eval_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nt"),
     )
-
-    def lower_median(col: str, out: str):
-        counts = feat.groupBy(col).agg(F.count("*").alias("cnt"))
-        cumw = W.orderBy(col).rowsBetween(
-            W.unboundedPreceding, W.currentRow
+    hist = (
+        feat.select(
+            F.posexplode(F.array("nc", "nt")).alias("rater", "val")
         )
-        cum = counts.select(
-            F.col(col),
-            F.sum("cnt").over(cumw).alias("cum"),
-            F.sum("cnt").over(W.partitionBy()).alias("tot"),
-        )
-        return cum.filter(F.col("cum") * 2 >= F.col("tot")).agg(
-            F.min(col).alias(out)
-        )
-
+        .groupBy("rater", "val")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cumw = (
+        W.partitionBy("rater")
+        .orderBy("val")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "rater",
+        "val",
+        F.sum("cnt").over(cumw).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("rater")).alias("tot"),
+    )
+    meds = (
+        cum.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy()
+        .pivot("rater", [0, 1])
+        .agg(F.min("val"))
+        .select(F.col("0").alias("mc"), F.col("1").alias("mt"))
+    )
     flags = (
-        feat.crossJoin(F.broadcast(lower_median("nc", "mc")))
-        .crossJoin(F.broadcast(lower_median("nt", "mt")))
+        feat.crossJoin(F.broadcast(meds))
         .select(
             F.when(F.col("nc") >= F.col("mc"), 1).otherwise(0).alias("ra"),
             F.when(F.col("nt") >= F.col("mt"), 1).otherwise(0).alias("rb"),

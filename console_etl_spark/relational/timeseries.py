@@ -5911,3 +5911,124 @@ def ccf_view_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(num / F.sqrt(dx * dy), 6).alias("ccf"),
     ).orderBy("lag_hours")
+
+
+@_register(
+    "xyz_demand_variability_parts",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP))
+               // 86400000000 // 7 AS w,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc
+      FROM lineitem
+    ), span AS (
+      SELECT MAX(w) - MIN(w) + 1 AS nw FROM li
+    ), weekly AS (
+      SELECT l_partkey, w, CAST(SUM(qc) AS BIGINT) AS q
+      FROM li GROUP BY l_partkey, w
+    ), per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS weeks_active,
+             SUM(CAST(q AS HUGEINT)) AS sx,
+             SUM(CAST(q AS HUGEINT) * q) AS sxx
+      FROM weekly GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           weeks_active,
+           ROUND(CAST(sx AS DOUBLE) / 100.0, 2) AS total_qty,
+           ROUND(SQRT(CAST(nw * sxx - sx * sx AS DOUBLE))
+                 / CAST(sx AS DOUBLE), 6) AS cv,
+           CASE WHEN 4 * (nw * sxx - sx * sx) <= sx * sx THEN 'X'
+                WHEN nw * sxx - sx * sx <= sx * sx THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM per_part CROSS JOIN span
+    ORDER BY partkey
+    """,
+)
+def xyz_demand_variability_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """XYZ demand-variability classification of parts — the second
+    axis of the ABC-XYZ inventory matrix (abc_pareto_parts classifies
+    by revenue CONTRIBUTION; XYZ classifies by demand STABILITY):
+    per part, the coefficient of variation of WEEKLY shipped quantity
+    over the full calendar span (weeks with no shipments count as
+    zero demand — that is the whole point of the X/Y/Z split), with
+    X = cv <= 0.5 (steady, forecastable), Y = cv <= 1.0 (variable),
+    Z = cv > 1.0 (intermittent/lumpy).
+
+    Exactness: quantities become exact integer centi-units; the
+    key identity is that sums over the FULL week grid equal sums over
+    the observed weeks (missing weeks contribute zero to both sum and
+    sum-of-squares), so the zero weeks are never materialized:
+    cv^2 = (W*sxx - sx^2)/sx^2 over exact DECIMAL(38,0)/HUGEINT
+    integers, class boundaries are pure integer cross-multiplications
+    (4*(W*sxx - sx^2) <= sx^2 for X — never a float compare), and the
+    reported cv is one SQRT-of-identical-double per part.
+
+    Scale shape: ONE fact scan — the (part, week) partial aggregate
+    is the only data-sized stage (map-side combinable); the calendar
+    span is derived from that already-reduced relation, NOT from a
+    second fact scan (the plan-audit discipline caught the naive
+    two-scan shape before registration), and the
+    part-week-cardinality-bounded weekly relation is
+    localCheckpoint-pinned so the span row and the per-part rollup
+    both read the materialization. No window, no sort except the
+    part-ordered output.
+
+    Registered from this module (not analytics.py beside its ABC
+    companion) to keep the shared relational registry append-only —
+    the r7 split's registration-order snapshot pins the pre-split
+    prefix, and a mid-tier insertion would shift every later
+    entry."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp))"
+            " div 86400000000 div 7"
+        ).alias("w"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("qc"),
+    )
+    weekly = (
+        base.groupBy("l_partkey", "w")
+        .agg(F.sum("qc").cast("bigint").alias("q"))
+        .localCheckpoint()
+    )
+    # min/max week over (part, week) groups == min/max over the facts
+    span = weekly.agg(
+        (F.max("w") - F.min("w") + 1).cast(d38).alias("nw")
+    )
+    qI = F.col("q").cast(d38)
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("weeks_active"),
+        F.sum(qI).alias("sx"),
+        F.sum(qI * qI).alias("sxx"),
+    )
+    varn = F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sx2 = F.col("sx") * F.col("sx")
+    cls = (
+        F.when(4 * varn <= sx2, "X")
+        .when(varn <= sx2, "Y")
+        .otherwise("Z")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(span))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "weeks_active",
+            F.round(F.col("sx").cast("double") / 100.0, 2).alias(
+                "total_qty"
+            ),
+            F.round(
+                F.sqrt(varn.cast("double")) / F.col("sx").cast("double"),
+                6,
+            ).alias("cv"),
+            cls.alias("xyz_class"),
+        )
+        .orderBy("partkey")
+    )
