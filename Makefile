@@ -6,8 +6,15 @@
 
 .PHONY: snapshot test bench audit
 
+# one git-add per pattern: git add is atomic across pathspecs, so a
+# single no-match pattern would otherwise stage NOTHING and the || true
+# would hide it — the exact untracked-artifact failure this target exists
+# to prevent
 snapshot:
-	git add -f BENCH_r*.json CORRECTNESS_r*.json BENCH_DETAIL.json PLAN_AUDIT.json 2>/dev/null || true
+	git add -f BENCH_r*.json 2>/dev/null || true
+	git add -f CORRECTNESS_r*.json 2>/dev/null || true
+	git add -f BENCH_DETAIL.json 2>/dev/null || true
+	git add -f PLAN_AUDIT.json 2>/dev/null || true
 	git diff --cached --quiet || git commit -m "snapshot: driver bench/correctness artifacts"
 
 test:

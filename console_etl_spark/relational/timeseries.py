@@ -4513,7 +4513,8 @@ def forecast_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-week initialization, forecast ŷ_t = (l+b)+s_{t-7}, score
     |y_t - ŷ_t| beside the naive y_{t-7}, then update
     l' = α(y−s)+(1−α)(l+b), b' = β(l'−l)+(1−β)b, s' = γ((y−l)−b)+(1−γ)s
-    with fixed α={HW_ALPHA!r} β={HW_BETA!r} γ={HW_GAMMA!r}. mae_skill
+    with fixed α=0.2 β=0.1 γ=0.3 (HW_ALPHA/HW_BETA/HW_GAMMA — the
+    registered SQL interpolates the same constants). mae_skill
     is 1 − sae_hw/sae_naive: positive means the triple-smoother beats
     the naive on this corpus. t is the DENSE rank over observed days
     (gap days collapse), so the weekly cycle is over the observation
@@ -4548,6 +4549,15 @@ def forecast_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     revs = [r["rev"] for r in rows]
     ys = [float(r) for r in revs]
     T = len(ys)
+    schema = (
+        "n long, sae_hw double, sae_sn double, sape_hw double, "
+        "sape_sn double"
+    )
+    if T < 7:
+        # the oracle's recursion never seeds (no complete first week):
+        # zero rows, matching its empty recursive CTE
+        out = spark.createDataFrame([], schema)
+        return _hw_finalize(out)
     l = float(sum(revs[:7])) / 7.0
     b = (float(sum(revs[7:14])) / 7.0 - float(sum(revs[:7])) / 7.0) / 7.0
     s = [ys[i] - l for i in range(7)]  # rotating buffer, s[0] == s_{t-6}
@@ -4570,11 +4580,17 @@ def forecast_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         sape_sn = sape_sn + 2.0 * abs(y - y7) / (y + y7)
         l, b = l_new, b_new
         s = s[1:] + [s_new]
-    out = spark.createDataFrame(
-        [(n, sae_hw, sae_sn, sape_hw, sape_sn)],
-        "n long, sae_hw double, sae_sn double, sape_hw double, "
-        "sape_sn double",
-    )
+    if n == 0:
+        # exactly 7 observed days: the oracle seeds but scores nothing
+        # and its NULL state propagates — emit NULL metrics, not the
+        # NaN a 0.0/0 double division would produce
+        row = [(0, None, None, None, None)]
+    else:
+        row = [(n, sae_hw, sae_sn, sape_hw, sape_sn)]
+    return _hw_finalize(spark.createDataFrame(row, schema))
+
+
+def _hw_finalize(out: DataFrame) -> DataFrame:
     nd = F.col("n").cast("double")
     return out.select(
         F.col("n").cast("bigint").alias("n_days"),
@@ -5018,6 +5034,63 @@ def cohort_revenue_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_ols_sums_and_fit(series: DataFrame):
+    """The cents-on-t OLS normal equations shared by Durbin-Watson and
+    Breusch-Pagan: the five exact DECIMAL(38,0) sums (n*sty ~ 1e19
+    outgrows int64) and the slope/intercept as ONE fixed-
+    parenthesization double expression each — a single definition so
+    the two diagnostics cannot drift on the exactness-critical
+    algebra. Returns (sums_df, slope_col, intercept_col)."""
+    d38 = "decimal(38,0)"
+    tI = F.col("t").cast(d38)
+    cI = F.col("cents").cast(d38)
+    s = series.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(tI).alias("st"),
+        F.sum(tI * tI).alias("stt"),
+        F.sum(cI).alias("sy"),
+        F.sum(tI * cI).alias("sty"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    b = num / den
+    a = (
+        F.col("sy").cast("double") - b * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    return s, b, a
+
+
+def _daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared daily-revenue reduction for the series-diagnostics tier
+    (Durbin-Watson, Breusch-Pagan, Pettitt, the seasonal-naive
+    prediction interval and accuracy scorecard): the orders fact table
+    collapses to one exact-integer-cents row per observed day in ONE
+    map-side-combinable partial-agg shuffle. A single definition so
+    the exactness-critical cast chain (DECIMAL(18,2) money sum ->
+    cents -> DECIMAL(38,0) -> BIGINT) cannot silently drift between
+    its five consumers; each registered oracle keeps the identical SQL
+    inline so the driver's DuckDB side stays self-contained."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+
 @_register(
     "stats_durbin_watson_daily",
     """
@@ -5097,44 +5170,11 @@ def stats_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual projection, and the ordered running sums all run on that
     ~2.4k-row relation (single task for the ordered windows — bounded
     by the calendar, never the data)."""
-    o = load_table(spark, sf_dir, "orders")
-    d38 = "decimal(38,0)"
-    daily = (
-        o.groupBy(
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("d")
-        )
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast(d38)
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
+    daily = _daily_revenue_cents(spark, sf_dir)
     series = daily.select(
         F.row_number().over(W.orderBy("d")).alias("t"), "cents"
     ).localCheckpoint()
-    tI = F.col("t").cast(d38)
-    cI = F.col("cents").cast(d38)
-    s = series.agg(
-        F.count("*").cast(d38).alias("n"),
-        F.sum(tI).alias("st"),
-        F.sum(tI * tI).alias("stt"),
-        F.sum(cI).alias("sy"),
-        F.sum(tI * cI).alias("sty"),
-    )
-    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
-        "double"
-    )
-    b = num / den
-    a = (
-        F.col("sy").cast("double") - b * F.col("st").cast("double")
-    ) / F.col("n").cast("double")
+    s, b, a = _daily_ols_sums_and_fit(series)
     fit = s.select(
         F.col("n").cast("bigint").alias("n"), b.alias("b"), a.alias("a")
     )
@@ -5226,22 +5266,7 @@ def forecast_naive_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     daily series; the lag and the exact percentiles run on that
     ~2.4k-row relation (exact sort is fine on a calendar-bounded
     input; the 100 TB row-level twin is approx_percentile)."""
-    o = load_table(spark, sf_dir, "orders")
-    d38 = "decimal(38,0)"
-    daily = (
-        o.groupBy(
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("d")
-        )
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast(d38)
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
+    daily = _daily_revenue_cents(spark, sf_dir)
     series = daily.select(
         F.row_number().over(W.orderBy("d")).alias("t"),
         (F.col("cents").cast("double") / 100.0).alias("y"),
@@ -5438,23 +5463,8 @@ def changepoint_pettitt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-1 sort all run on that ~2.4k-row calendar-bounded
     relation (single-task by construction — bounded by the span,
     never the corpus)."""
-    o = load_table(spark, sf_dir, "orders")
     d38 = "decimal(38,0)"
-    daily = (
-        o.groupBy(
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("d")
-        )
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast(d38)
-            .cast("bigint")
-            .alias("cents")
-        )
-        .localCheckpoint()
-    )
+    daily = _daily_revenue_cents(spark, sf_dir).localCheckpoint()
     ranked = daily.select(
         "d",
         F.row_number().over(W.orderBy("d")).alias("t"),
@@ -5592,44 +5602,12 @@ def stats_breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the calendar-bounded daily series; everything after (fit
     broadcast, residual projection, ordered windows) is single-task
     grid work bounded by the time span, never the corpus."""
-    o = load_table(spark, sf_dir, "orders")
     d38 = "decimal(38,0)"
-    daily = (
-        o.groupBy(
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("d")
-        )
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast(d38)
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
+    daily = _daily_revenue_cents(spark, sf_dir)
     series = daily.select(
         F.row_number().over(W.orderBy("d")).alias("t"), "cents"
     ).localCheckpoint()
-    tI = F.col("t").cast(d38)
-    cI = F.col("cents").cast(d38)
-    s = series.agg(
-        F.count("*").cast(d38).alias("n"),
-        F.sum(tI).alias("st"),
-        F.sum(tI * tI).alias("stt"),
-        F.sum(cI).alias("sy"),
-        F.sum(tI * cI).alias("sty"),
-    )
-    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
-        "double"
-    )
-    b = num / den
-    a = (
-        F.col("sy").cast("double") - b * F.col("st").cast("double")
-    ) / F.col("n").cast("double")
+    s, b, a = _daily_ols_sums_and_fit(series)
     fit = s.select(
         F.col("n").cast("bigint").alias("n"),
         "st",
@@ -5731,22 +5709,8 @@ def forecast_accuracy_scorecard_daily(
     Scale shape: one partial-agg shuffle to the calendar-bounded
     daily series, one lag window and one 5-counter reduce on that
     ~2.4k-row relation."""
-    o = load_table(spark, sf_dir, "orders")
     d38 = "decimal(38,0)"
-    daily = (
-        o.groupBy(
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("d")
-        )
-        .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-            .cast(d38)
-            .cast("bigint")
-            .alias("cents")
-        )
-    )
+    daily = _daily_revenue_cents(spark, sf_dir)
     series = daily.select(
         F.row_number().over(W.orderBy("d")).alias("t"), "cents"
     )
@@ -5863,21 +5827,29 @@ def ccf_view_purchase_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     )
-    span = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    # pre-aggregate BEFORE touching the grid: the per-hour groupBy is
+    # the one map-side-combinable data-sized shuffle; left-joining raw
+    # events onto the grid would shuffle every event row un-aggregated
+    # (the tiny grid on the preserved side cannot broadcast for a left
+    # outer join)
+    hourly = ev.groupBy("h").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "hv"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("hp"),
+    )
+    span = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = span.select(
         F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
     )
     cnt = (
-        grid.join(ev, "h", "left")
-        .groupBy("h")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0)
-            ).alias("v"),
-            F.coalesce(
-                F.sum(F.when(F.col("event_type") == "purchase", 1)),
-                F.lit(0),
-            ).alias("p"),
+        grid.join(hourly, "h", "left")
+        .select(
+            "h",
+            F.coalesce(F.col("hv"), F.lit(0)).alias("v"),
+            F.coalesce(F.col("hp"), F.lit(0)).alias("p"),
         )
         .localCheckpoint()
     )

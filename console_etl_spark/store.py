@@ -729,8 +729,15 @@ def mv_merge(
     def _backfill_n(df: DataFrame) -> DataFrame:
         for q in quantiles:
             if f"_n_{q}" not in df.columns:
+                # an all-NULL group has a NULL sketch: get_n(NULL) is
+                # NULL, but the native F.count partial records 0 — and
+                # a NULL partial would survive the merge SUM and break
+                # the pinned get_n == _n exactness law
                 df = df.withColumn(
-                    f"_n_{q}", F.kll_sketch_get_n_double(f"_kll_{q}")
+                    f"_n_{q}",
+                    F.coalesce(
+                        F.kll_sketch_get_n_double(f"_kll_{q}"), F.lit(0)
+                    ),
                 )
         return df
 

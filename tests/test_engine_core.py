@@ -1200,9 +1200,14 @@ def test_mv_merge_backfills_legacy_state_without_n_partial(spark):
 
     rows = [("a", float(i)) for i in range(8)] + [("a", None)] * 3
     rows += [("b", 1.0), ("b", None)]
+    # group "c" is ALL-NULL and exists only on the legacy side: its
+    # stored sketch is NULL, so get_n(NULL) must backfill to 0 (the
+    # count the native F.count partial records), not propagate NULL
+    # through the merge SUM
+    rows += [("c", None)] * 2
     df = spark.createDataFrame(rows, "g string, v double")
     old = df.filter(F.col("v").isNull() | (F.col("v") < 4))
-    new = df.filter(F.col("v") >= 4)
+    new = df.filter((F.col("v") >= 4) & (F.col("g") != "c"))
     p_old = mv_partials(old, ("g",), (), quantiles=("v",))
     p_new = mv_partials(new, ("g",), (), quantiles=("v",))
     legacy = p_old.drop("_n_v")  # the pre-r10 persisted schema
@@ -1210,7 +1215,11 @@ def test_mv_merge_backfills_legacy_state_without_n_partial(spark):
 
     def _canon(merged):
         return {
-            r.g: (int(r._cnt), int(r._n_v), int(r.kn))
+            r.g: (
+                int(r._cnt),
+                int(r._n_v),
+                None if r.kn is None else int(r.kn),
+            )
             for r in merged.select(
                 "g", "_cnt", "_n_v",
                 F.kll_sketch_get_n_double("_kll_v").alias("kn"),
@@ -1219,7 +1228,13 @@ def test_mv_merge_backfills_legacy_state_without_n_partial(spark):
 
     got_legacy = _canon(mv_merge(legacy, p_new, ("g",), (), quantiles=("v",)))
     got_new = _canon(mv_merge(p_old, p_new, ("g",), (), quantiles=("v",)))
-    assert got_legacy == got_new == {"a": (11, 8, 8), "b": (2, 1, 1)}
+    # kll_merge_agg over a NULL input sketch yields an EMPTY sketch
+    # (n == 0), so the all-NULL group still satisfies get_n == _n
+    assert got_legacy == got_new == {
+        "a": (11, 8, 8),
+        "b": (2, 1, 1),
+        "c": (2, 0, 0),
+    }
     # and a legacy DELTA (both directions of the skew) backfills too
     got_rev = _canon(
         mv_merge(p_new, legacy, ("g",), (), quantiles=("v",))

@@ -2239,3 +2239,63 @@ class TestRound11Laws:
         assert abs(got["pe"] - pe) <= 1e-6
         if pe < 1.0:
             assert abs(got["kappa"] - (po - pe) / (1 - pe)) <= 2e-6
+
+    def test_holt_winters_degenerate_spans_match_oracle(self, spark, tmp_path):
+        """The recursion needs a complete first week to seed and a
+        scored day to report: <7 observed days must yield ZERO rows
+        (the oracle's recursive CTE never seeds), exactly 7 must yield
+        the n=0 all-NULL row (NULL state propagation, not NaN), and
+        8-13 days (partial second init week) must still value-match
+        the oracle. Driven on truncated copies of the orders fixture
+        through BOTH engines."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        import __spark_entry__ as entrymod
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+        from tests.test_oracle_parity import canonicalize
+
+        o = load_table(spark, SF_TEST, "orders")
+        days = (
+            o.select(
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp))"
+                    " div 86400000000"
+                ).alias("d")
+            )
+            .distinct()
+            .orderBy("d")
+            .collect()
+        )
+        sql = entrymod.oracle_sql()["forecast_holt_winters_daily"]
+        fn = entrymod.queries()["forecast_holt_winters_daily"]
+        for keep in (3, 5, 7, 11):
+            cut = days[keep - 1]["d"]
+            sub = o.filter(
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp))"
+                    " div 86400000000"
+                )
+                <= cut
+            )
+            d = str(tmp_path / f"hw{keep}")
+            sub.coalesce(1).write.mode("overwrite").parquet(
+                f"{d}/orders.parquet"
+            )
+            sp = canonicalize(fn(spark, d).toPandas())
+            con = duckdb.connect()
+            con.execute(
+                "create view orders as select * from "
+                f"read_parquet('{d}/orders.parquet/*.parquet')"
+            )
+            dk = canonicalize(con.execute(sql).fetchdf())
+            assert len(sp) == len(dk) == (0 if keep < 7 else 1), keep
+            if keep == 7:
+                assert sp["n_days"][0] == 0 == dk["n_days"][0]
+                assert sp["mae_hw"].isna().all()
+                assert dk["mae_hw"].isna().all()
+            if len(sp):
+                import pandas.testing as pt
+
+                pt.assert_frame_equal(sp, dk, check_dtype=False)
