@@ -609,11 +609,26 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would hand back wrong component labels
+        # — downstream split_leakage_safe's whole guarantee (near-dups
+        # share a split) rests on the labels being the exact closure,
+        # and the registered DuckDB oracles compute it with a recursive
+        # CTE. A >max_iter-diameter graph must fail loudly, not leak.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components: min-label propagation still changing "
+            f"after {max_iter} rounds (graph diameter exceeds max_iter); "
+            f"raise max_iter — returning partial labels would break the "
+            f"leakage-safe-split guarantee"
+        )
     sym.unpersist()
     return labels
 
 
-_SHINGLE_EDGES_SQL = """
+# f-string: interpolates JACCARD_THRESHOLD so every oracle built on this
+# fragment tracks the one constant the Spark side uses
+_SHINGLE_EDGES_SQL = f"""
     words AS (
       SELECT doc_id, w, ord FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -632,7 +647,7 @@ _SHINGLE_EDGES_SQL = """
     ), edges AS (
       SELECT a_id, b_id
       FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
     )
 """
 

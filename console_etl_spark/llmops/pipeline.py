@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
+from .dedup import _SHINGLE_EDGES_SQL
 from .dedup import SQL_NORM
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -371,6 +372,22 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curate → split → chunk/pack.
 # --------------------------------------------------------------------------
 
+def _shard_column(key: str | Column, n_shards: int) -> Column:
+    """The deterministic content-addressed shard id both exporters
+    share: first 8 md5 nibbles of the stringified key, mod n_shards —
+    one definition so the "same row, same shard" parity between the
+    JSONL and WebDataset exporters cannot drift."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(col.cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    )
+
+
 def export_jsonl_shards(
     df: DataFrame,
     path: str,
@@ -394,20 +411,48 @@ def export_jsonl_shards(
     driver involvement, no small-files problem (shard count is chosen,
     not inherited), and gzip per shard keeps parallelism at the file
     level (the granularity loaders parallelize over anyway)."""
-    key = F.col(shard_key) if isinstance(shard_key, str) else shard_key
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
-        F.lit(n_shards),
-    )
+    if "shard" in df.columns:
+        # withColumn would silently OVERWRITE caller data (e.g. rows
+        # read back from a previous shard= layout, where the partition
+        # column materializes on read) and re-shard on the derived value
+        raise ValueError(
+            "export_jsonl_shards: input already has a 'shard' column — "
+            "rename or drop it; the exporter derives its own"
+        )
+    from pyspark.sql import Observation
+
+    obs = Observation("export_jsonl_shards")
+    shard = _shard_column(shard_key, n_shards)
     (
         df.withColumn("shard", shard)
         .repartition(n_shards, F.col("shard"))
+        .observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("shard") == i, 1).otherwise(0)).alias(
+                    f"s{i}"
+                )
+                for i in range(n_shards)
+            ],
+        )
         .write.mode("overwrite")
         .partitionBy("shard")
         .option("compression", compression)
         .json(path)
     )
+    # per-shard sample counts ride the write job itself (observe() —
+    # zero extra scans) and land in a sidecar export_manifest prefers
+    # over re-reading and line-counting every gzipped shard
+    import json as _json
+    import os as _os
+
+    counts = obs.get
+    with open(_os.path.join(path, "_counts.json"), "w") as fh:
+        _json.dump(
+            {f"shard={i}": int(counts[f"s{i}"] or 0) for i in range(n_shards)},
+            fh,
+            indent=1,
+        )
     # Layout contract: shard=0..n-1 ALWAYS exist, even when a shard got
     # zero rows (tiny/skewed inputs) — partitionBy writes no directory
     # for an empty shard, and a loader iterating the documented range
@@ -447,41 +492,69 @@ def export_wds_shards(
     shard-sized is ever held in memory, no driver involvement). Tars
     land on whatever FS ``path`` points to (shared storage on a
     cluster)."""
+    import glob
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics (parity with export_jsonl_shards): stale tars
+    # from a previous export with more shards — and any abandoned
+    # in-progress temp files — must not survive into the new export, or
+    # export_manifest indexes deleted data as live
+    for stale in glob.glob(os.path.join(path, "shard-*.tar")) + glob.glob(
+        os.path.join(path, "shard-*.tar.inprogress-*")
+    ):
+        os.remove(stale)
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
     meta_cols = [c for c in df.columns if c not in (key_col, text_col)]
-    shard = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(n_shards),
-    )
     prepared = (
-        df.withColumn("_shard", shard)
+        df.withColumn("_shard", _shard_column(key_col, n_shards))
         .repartition(n_shards, F.col("_shard"))
         .sortWithinPartitions("_shard", key_col)
     )
 
     def write_partition(rows) -> None:
+        import io
         import tarfile
+        import uuid
 
         tar = None
         cur = None
+        tmp = final = None
+        prev_key = None
+
+        def commit():
+            # task-commit protocol: each attempt writes its own temp
+            # file and atomically renames on completion, so a retried
+            # or speculative duplicate attempt can never interleave
+            # with another writer — last complete rename wins
+            tar.close()
+            os.replace(tmp, final)
+
         try:
             for r in rows:
                 sid = r["_shard"]
                 if sid != cur:
                     if tar is not None:
-                        tar.close()
-                    tar = tarfile.open(
-                        os.path.join(path, f"shard-{sid:05d}.tar"), "w"
-                    )
+                        commit()
+                    final = os.path.join(path, f"shard-{sid:05d}.tar")
+                    tmp = f"{final}.inprogress-{uuid.uuid4().hex}"
+                    tar = tarfile.open(tmp, "w")
                     cur = sid
+                    prev_key = None
                 key = str(r[key_col])
+                if key == prev_key:
+                    # duplicate keys produce duplicate tar member names,
+                    # which loaders silently clobber; same key -> same
+                    # shard -> same (sorted) partition, so the adjacent
+                    # check is complete
+                    raise ValueError(
+                        f"export_wds_shards: duplicate key {key!r} — "
+                        f"pass a unique key_col (e.g. a composite id)"
+                    )
+                prev_key = key
                 payload = (r[text_col] or "").encode("utf-8")
                 meta = json.dumps(
                     {c: r[c] for c in meta_cols}, sort_keys=True, default=str
@@ -493,14 +566,21 @@ def export_wds_shards(
                     info.uid = info.gid = 0
                     info.uname = info.gname = ""
                     info.mode = 0o644
-                    import io
-
                     tar.addfile(info, io.BytesIO(body))
+            if tar is not None:
+                commit()
+                tar = None
         finally:
             if tar is not None:
+                # failed attempt: close and abandon the temp file (the
+                # next attempt writes its own; cleanup removes leftovers)
                 tar.close()
 
     prepared.foreachPartition(write_partition)
+    # job-completion marker: a partial export (died mid-job) is now
+    # distinguishable — export_manifest refuses to index without it
+    with open(success, "w"):
+        pass
 
 
 def curate_with_observed_metrics(spark: SparkSession, sf_dir: str):
@@ -535,8 +615,13 @@ def export_manifest(path: str) -> dict:
     name, sample count, byte size — the manifest an epoch-planning
     dataloader needs for deterministic sharding without scanning data.
     Handles both export layouts: WebDataset ``shard-*.tar`` (samples =
-    tar members / 2) and hive ``shard=N/*.json[.gz]`` JSONL (samples =
-    line count). Metadata-sized work: one pass over shard files."""
+    tar members / 2 — header seeks only on an uncompressed tar, no
+    payload read; refuses a tar export missing its ``_SUCCESS`` marker
+    or carrying in-progress temp files) and hive ``shard=N/*.json[.gz]``
+    JSONL, whose counts come from the ``_counts.json`` sidecar the
+    exporter captured from the write job itself (observe() — zero extra
+    scans); only a sidecar-less legacy export falls back to
+    driver-side line counting, which is data-sized work."""
     import glob
     import gzip
     import json
@@ -544,20 +629,40 @@ def export_manifest(path: str) -> dict:
     import tarfile
 
     shards = []
-    for f in sorted(glob.glob(os.path.join(path, "shard-*.tar"))):
+    tars = sorted(glob.glob(os.path.join(path, "shard-*.tar")))
+    if tars:
+        leftovers = glob.glob(os.path.join(path, "shard-*.tar.inprogress-*"))
+        if leftovers or not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(
+                f"export_manifest: {path} is an incomplete WebDataset "
+                f"export (missing _SUCCESS or in-progress temp files "
+                f"present) — re-run export_wds_shards"
+            )
+    for f in tars:
         with tarfile.open(f) as tar:
             n = len(tar.getnames()) // 2
         shards.append(
             {"file": os.path.basename(f), "n_samples": n,
              "bytes": os.path.getsize(f)}
         )
+    sidecar = os.path.join(path, "_counts.json")
+    counts = None
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            counts = json.load(fh)
     for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
-        n = b = 0
-        for f in sorted(glob.glob(os.path.join(d, "part-*"))):
-            opener = gzip.open if f.endswith(".gz") else open
-            with opener(f, "rt", encoding="utf-8") as fh:
-                n += sum(1 for _ in fh)
-            b += os.path.getsize(f)
+        b = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(d, "part-*"))
+        )
+        if counts is not None:
+            n = counts[os.path.basename(d)]
+        else:
+            n = 0
+            for f in sorted(glob.glob(os.path.join(d, "part-*"))):
+                opener = gzip.open if f.endswith(".gz") else open
+                with opener(f, "rt", encoding="utf-8") as fh:
+                    n += sum(1 for _ in fh)
         shards.append(
             {"file": os.path.basename(d), "n_samples": n, "bytes": b}
         )
@@ -780,7 +885,12 @@ def enumerate_docs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(text, ' ')) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / len(string_split(text, ' ')) AS ttr,
-             MIN(doc_id) OVER (PARTITION BY {SQL_NORM}) AS canonical_id
+             MIN(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                       AND CAST(len(list_distinct(string_split(text, ' ')))
+                                AS DOUBLE)
+                           / len(string_split(text, ' ')) > 0.25
+                      THEN doc_id END)
+               OVER (PARTITION BY {SQL_NORM}) AS canonical_id
       FROM documents
     ), flags AS (
       SELECT CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS f_len,
@@ -813,7 +923,17 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each stage ANDs the previous), summed by a single aggregate, then
     unpivoted with stack(). The only shuffle is the dedup window's
     exchange on the normalized-content key — the report adds no pass
-    over the corpus beyond what the curation itself does."""
+    over the corpus beyond what the curation itself does.
+
+    The canonical id is the min doc_id among QUALITY SURVIVORS of the
+    group (a conditional MIN window), matching the composed pipeline
+    curate_corpus_end_to_end, which dedups AFTER the quality gate — a
+    group whose overall-min doc fails quality still contributes its
+    surviving min to stage 3 (the round-11 self-review caught the
+    all-docs MIN under-counting the real pipeline; the cross-law test
+    pins stage 3 == the composed pipeline's survivor total).
+    Implementation + oracle changed post-window in r11 — re-window in
+    r12 per the changed-since-last-driver-row rule."""
     from .dedup import normalized_text, tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -823,12 +943,13 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    canonical = F.min("doc_id").over(W.partitionBy(normalized_text()))
+    quality_cond = n_tok.between(20, 80) & (ttr > 0.25)
+    canonical = F.min(
+        F.when(quality_cond, F.col("doc_id"))
+    ).over(W.partitionBy(normalized_text()))
     f_len = (n_tok.between(20, 80)).cast("int")
-    f_quality = (n_tok.between(20, 80) & (ttr > 0.25)).cast("int")
-    f_dedup = (
-        n_tok.between(20, 80) & (ttr > 0.25) & (F.col("doc_id") == canonical)
-    ).cast("int")
+    f_quality = quality_cond.cast("int")
+    f_dedup = (quality_cond & (F.col("doc_id") == canonical)).cast("int")
     agg = d.select(
         f_len.alias("f_len"), f_quality.alias("f_quality"), f_dedup.alias("f_dedup")
     ).agg(
@@ -1098,14 +1219,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-token log-ratio relation is vocab-sized, and scoring is a
     single token→ratio equi-join + per-doc sum — the same join shape
     as the perplexity queries, AQE-skew-split on the Zipfian head.
-    Nothing corpus-sized is broadcast or collected."""
+    Nothing corpus-sized is broadcast or collected. The vocab relation
+    feeds two branches (the tot scalar and the ratio projection) and
+    is pinned so the corpus-sized explode+aggregate runs ONCE for the
+    stats side — two corpus passes total (stats + scoring join), the
+    floor for global-distribution scoring (the same multi-branch
+    hazard dedup.py pins on exploded shingles)."""
+    from ..session import pin
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
-    vocab = tok.groupBy("w").agg(
-        F.count("*").cast("bigint").alias("c_s"),
-        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1))
-        .cast("bigint")
-        .alias("c_t"),
+    vocab = pin(
+        tok.groupBy("w").agg(
+            F.count("*").cast("bigint").alias("c_s"),
+            F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1))
+            .cast("bigint")
+            .alias("c_t"),
+        )
     )
     tot = vocab.agg(
         F.sum("c_s").cast("double").alias("t_s"),
@@ -1203,27 +1333,11 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "split_leakage_safe",
-    """
-    WITH RECURSIVE words AS (
-      SELECT doc_id, w, ord FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-               generate_subscripts(string_split(text, ' '), 1) AS ord
-        FROM documents) t
-    ), sh AS (
-      SELECT DISTINCT doc_id,
-             w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
-      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
-      QUALIFY LEAD(w, 2) OVER win IS NOT NULL
-    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), edges AS (
-      SELECT a_id, b_id
-      FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
-    ), sym AS (
+    # shares dedup's shingle-edges fragment (threshold interpolated from
+    # JACCARD_THRESHOLD) instead of a hand-maintained copy that could
+    # silently diverge from the Spark side's pair generator
+    f"""
+    WITH RECURSIVE {_SHINGLE_EDGES_SQL}, sym AS (
       SELECT a_id AS x, b_id AS y FROM edges
       UNION SELECT b_id, a_id FROM edges
     ), reach(node, lab) AS (

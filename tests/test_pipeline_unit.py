@@ -419,3 +419,131 @@ def test_global_prefix_max_matches_naive_scan(spark):
             ).collect()
         }
         assert got == {e[0]: e[col] for e in expected}, f"inclusive={inclusive}"
+
+
+def test_funnel_dedup_stage_matches_composed_pipeline(spark):
+    """The funnel's stage-3 count must equal the REAL survivor total of
+    curate_corpus_end_to_end (dedup AFTER the quality gate): canonical
+    = min doc_id among quality survivors of the norm group — the
+    all-docs MIN under-counted whenever a group's overall-min doc
+    failed quality (round-11 self-review)."""
+    from console_etl_spark.llmops.pipeline import (
+        curate_corpus_end_to_end,
+        curation_funnel_report,
+    )
+    from tests.conftest import SF_TEST
+
+    funnel = {
+        r["gate"]: r["n_surviving"]
+        for r in curation_funnel_report(spark, SF_TEST).collect()
+    }
+    survivors = sum(
+        r["n_docs"] for r in curate_corpus_end_to_end(spark, SF_TEST).collect()
+    )
+    assert funnel["dedup_canonical"] == survivors
+    # funnel monotonicity: each gate only removes
+    assert (
+        funnel["ingested"]
+        >= funnel["length_20_80"]
+        >= funnel["lexical_diversity"]
+        >= funnel["dedup_canonical"]
+    )
+
+
+def test_export_wds_overwrite_commit_and_guards(spark, tmp_path):
+    """Round-11 self-review hardening: (a) re-export with fewer shards
+    removes stale tars; (b) _SUCCESS lands and export_manifest refuses
+    an export without it; (c) duplicate keys fail fast instead of
+    writing clobbering tar member names; (d) no in-progress temp files
+    survive a completed export."""
+    import glob
+    import os
+
+    import pytest
+
+    from console_etl_spark.llmops import pipeline
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents").limit(40)
+    out = str(tmp_path / "wds")
+    pipeline.export_wds_shards(docs, out, n_shards=8)
+    first = set(glob.glob(f"{out}/shard-*.tar"))
+    pipeline.export_wds_shards(docs, out, n_shards=2)
+    second = set(glob.glob(f"{out}/shard-*.tar"))
+    assert len(first) > 2  # the 8-shard export actually spread out
+    assert second and len(second) <= 2  # every 8-shard-era tar removed
+    assert all(
+        os.path.basename(f) in ("shard-00000.tar", "shard-00001.tar")
+        for f in second
+    )
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert not glob.glob(f"{out}/shard-*.tar.inprogress-*")
+    m = pipeline.export_manifest(out)
+    assert m["n_samples"] == 40
+
+    os.remove(f"{out}/_SUCCESS")
+    with pytest.raises(RuntimeError, match="incomplete"):
+        pipeline.export_manifest(out)
+
+    dup = docs.limit(5).unionAll(docs.limit(5))
+    with pytest.raises(Exception, match="duplicate key"):
+        pipeline.export_wds_shards(dup, str(tmp_path / "wdsdup"), n_shards=2)
+
+
+def test_export_jsonl_counts_sidecar_and_shard_guard(spark, tmp_path):
+    """The _counts.json sidecar (captured by observe() on the write job)
+    must match the true per-shard line counts, export_manifest must use
+    it, and a pre-existing 'shard' column must be rejected instead of
+    silently overwritten."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    import pytest
+
+    from console_etl_spark.llmops import pipeline
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    docs = load_table(spark, SF_TEST, "documents").limit(50)
+    out = str(tmp_path / "jl")
+    pipeline.export_jsonl_shards(docs, out, n_shards=4)
+    with open(os.path.join(out, "_counts.json")) as fh:
+        counts = json.load(fh)
+    assert sum(counts.values()) == 50
+    for d in glob.glob(f"{out}/shard=*"):
+        n = 0
+        for f in glob.glob(f"{d}/part-*"):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                n += sum(1 for _ in fh)
+        assert counts[os.path.basename(d)] == n
+    m = pipeline.export_manifest(out)
+    assert m["n_samples"] == 50
+    assert {s["file"]: s["n_samples"] for s in m["shards"]} == counts
+
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="'shard' column"):
+        pipeline.export_jsonl_shards(
+            docs.withColumn("shard", F.lit(1)), str(tmp_path / "jl2")
+        )
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Silent non-convergence would return wrong component labels and
+    break split_leakage_safe's near-dups-share-a-split guarantee — a
+    graph whose diameter exceeds max_iter must fail loudly."""
+    import pytest
+
+    from console_etl_spark.llmops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a_id long, b_id long"
+    )
+    # diameter 8 converges comfortably at the default cap
+    ok = connected_components(chain)
+    assert ok.select("comp").distinct().count() == 1
+    with pytest.raises(RuntimeError, match="did not converge|still changing"):
+        connected_components(chain, max_iter=2)
