@@ -820,8 +820,17 @@ class MaterializedView:
         self.distinct = tuple(distinct)
         self.quantiles = tuple(quantiles)
 
-    def build(self, base: DataFrame, version: str = "v000001") -> SnapshotInfo:
-        """Initial full computation — the only base-sized pass."""
+    def build(
+        self,
+        base: DataFrame,
+        version: str = "v000001",
+        epoch_tag: str | None = None,
+    ) -> SnapshotInfo:
+        """Initial full computation — the only base-sized pass. The
+        optional ``epoch_tag`` suffixes the version (see refresh) so a
+        replayed FIRST micro-batch is recognized and skipped too."""
+        if epoch_tag is not None:
+            version = f"{version}-{epoch_tag}"
         return self.store.publish(
             mv_partials(
                 base, self.keys, self.measures, self.distinct, self.quantiles
@@ -831,12 +840,25 @@ class MaterializedView:
             partition_by=(),
         )
 
-    def refresh(self, delta: DataFrame) -> SnapshotInfo:
+    def refresh(
+        self, delta: DataFrame, epoch_tag: str | None = None
+    ) -> SnapshotInfo:
         """Fold an append-only delta into the view: aggregate the delta,
-        merge with current state, publish the next version atomically."""
+        merge with current state, publish the next version atomically.
+
+        ``epoch_tag`` (streaming replay idempotence): when set, the tag
+        rides in the published version string, and a refresh whose tag
+        matches the CURRENT version is a no-op returning the current
+        snapshot — so an at-least-once foreachBatch replay of an
+        already-folded micro-batch (crash after publish, before the
+        streaming checkpoint commit) cannot double-count the delta. The
+        tag is part of the same atomic _CURRENT flip as the data, so
+        there is no window where the fold landed but the tag did not."""
         cur = self.store.current(self.catalog)
         if cur is None:
-            return self.build(delta)
+            return self.build(delta, epoch_tag=epoch_tag)
+        if epoch_tag is not None and cur.version.endswith(f"-{epoch_tag}"):
+            return cur
         spark = delta.sparkSession
         state = self.store.read_version(spark, self.catalog, cur.version)
         merged = mv_merge(
@@ -849,7 +871,10 @@ class MaterializedView:
             self.distinct,
             self.quantiles,
         )
-        nxt = f"v{int(cur.version[1:]) + 1:06d}"
+        import re
+
+        n = int(re.match(r"v(\d+)", cur.version).group(1))
+        nxt = f"v{n + 1:06d}" + (f"-{epoch_tag}" if epoch_tag else "")
         return self.store.publish(merged, self.catalog, nxt, partition_by=())
 
     def read(self, spark: SparkSession) -> DataFrame:

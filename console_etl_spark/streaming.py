@@ -54,7 +54,13 @@ def read_events_stream(
     Dtype-dispatches ``ts`` the same way session.load_table does: a
     one-off batch footer read discovers the on-disk type, then the
     stream normalizes to TimestampType (wall-clock-identical under the
-    UTC session TZ). When the source directory is still EMPTY (the
+    UTC session TZ). DELIBERATE SESSION SIDE EFFECT: constructing the
+    reader sets spark.sql.session.timeZone=UTC for the whole session —
+    every monitor's hour/window truncation and the batch twins it must
+    match are defined in UTC (the engine's own get_spark sessions are
+    UTC already; a foreign session that needs another report TZ must
+    not interleave TZ-sensitive batch queries with these streams).
+    When the source directory is still EMPTY (the
     common start-the-stream-before-data-arrives deployment), schema
     inference has nothing to read — fall back to the declared default
     (long nanos, ``EVENTS_STREAM_SCHEMA``) or an explicit ``ts_type``.
@@ -149,6 +155,21 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def _interval_micros(spec: str) -> int:
+    """Microseconds in a Spark interval string like '10 minutes' — the
+    divisor debounce_stream derives win_id from must track the window
+    argument (a hardcoded default-window divisor would collapse two
+    adjacent non-default windows onto one win_id)."""
+    n, unit = spec.strip().split()
+    per = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }[unit.lower().rstrip("s")]
+    return int(n) * per
+
+
 def debounce_stream(
     events: DataFrame, window: str = "10 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -171,9 +192,11 @@ def debounce_stream(
             F.col("k.event_id").cast("bigint").alias("event_id"),
             "user_id",
             "event_type",
-            F.expr("unix_micros(w.start) DIV 600000000").cast("bigint").alias(
-                "win_id"
-            ),
+            F.expr(
+                f"unix_micros(w.start) DIV {_interval_micros(window)}"
+            )
+            .cast("bigint")
+            .alias("win_id"),
             F.col("k.value").alias("kept_value"),
             (F.col("n_in_win") - 1).cast("bigint").alias("n_suppressed"),
         )
@@ -267,7 +290,12 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         n, cents, max_id = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # a NULL value must not poison the query: NaN.astype(int64)
+            # raises — and the batch twin's SUM skips NULLs, so dropna
+            # keeps stream == batch on dirty data (count still counts
+            # every row, like COUNT(*))
+            vals = pdf["value"].dropna()
+            cents += int(vals.mul(100).round().astype("int64").sum())
             if len(pdf):
                 max_id = max(max_id, int(pdf["event_id"].max()))
         state.update((n, cents, max_id))
@@ -496,7 +524,10 @@ def running_user_totals_tws(
             )
             for pdf in rows:
                 n += len(pdf)
-                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                # NULL-safe like the applyInPandasWithState twin: a NaN
+                # would raise in astype(int64) and kill the query
+                vals = pdf["value"].dropna()
+                cents += int(vals.mul(100).round().astype("int64").sum())
                 if len(pdf):
                     max_id = max(max_id, int(pdf["event_id"].max()))
             self._state.update((n, cents, max_id))
@@ -1079,17 +1110,21 @@ def stream_dedup_ingest(
 
     At 100 TB the index is the big side: the anti-join shuffles only the
     incoming batch against it (sort-merge on the hash), never rewrites
-    it, and appends stay partition-local. The checkpoint makes each file
-    processed exactly once; a restart resumes with the index intact, so
-    the output never contains two copies of the same content.
+    it, and writes stay partition-local. Replay idempotence
+    (foreachBatch is at-least-once): BOTH sinks land via dynamic
+    partition overwrite of the batch's own ``_epoch=N`` partition, so a
+    crash-and-replay REPLACES that epoch's output instead of appending
+    a second copy — out_dir is written BEFORE the index on purpose (if
+    the order were flipped, a crash between the two would leave the
+    hashes indexed but the documents unwritten, and the replay's
+    anti-join would silently drop them). The index presence probe goes
+    through Spark, not the local filesystem, so an s3://... index_dir
+    dedups correctly instead of silently treating every batch as the
+    first.
 
     Streaming twin of ``llmops.dedup.dedup_exact_docs`` (same normalize +
     survivor semantics; cross-validated in tests/test_streaming.py).
     """
-    import os
-
-    from pyspark.sql import functions as F
-
     from .llmops.dedup import normalized_text
 
     stream = (
@@ -1110,19 +1145,36 @@ def stream_dedup_ingest(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            seen = batch_unique.sparkSession.read.parquet(index_dir)
+        from pyspark.errors import AnalysisException
+
+        sess = batch_unique.sparkSession
+        try:
+            # scheme-agnostic probe (local, HDFS, s3a): an absent or
+            # empty index reads as "no index yet"; os.path.isdir would
+            # be False forever on a remote store and silently disable
+            # cross-batch dedup
+            seen = sess.read.parquet(index_dir).select("content_hash")
             novel = batch_unique.join(seen, "content_hash", "left_anti")
-        else:
+        except AnalysisException:
             novel = batch_unique
         # Materialize once: novel feeds both sinks and reading the index
-        # we are about to append to must happen before the append.
-        novel = novel.persist()
+        # we are about to overwrite into must happen before the write.
+        novel = novel.withColumn("_epoch", F.lit(int(epoch_id))).persist()
         try:
-            novel.drop("content_hash").write.mode("append").parquet(out_dir)
-            novel.select("content_hash").write.mode("append").parquet(index_dir)
+            (
+                novel.drop("content_hash")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(out_dir)
+            )
+            (
+                novel.select("content_hash", "_epoch")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(index_dir)
+            )
         finally:
             novel.unpersist()
 
@@ -1144,10 +1196,14 @@ def stream_dq_monitor(
 ):
     """Streaming data-quality monitor over the events stream: per
     micro-batch, evaluate the ingest-gate rules (null keys, domain
-    violations, timestamp bounds) and APPEND one row per rule per batch
-    to a parquet metrics table — the observability half of the batch
+    violations, timestamp bounds) and land one row per rule per batch
+    in a parquet metrics table — the observability half of the batch
     ``dq_violations_report`` (relational.py), aggregated incrementally
-    instead of rescanned.
+    instead of rescanned. Replay-idempotent like the cusum/quantile
+    monitors: each epoch's rows overwrite their own ``_epoch=N``
+    partition, so an at-least-once foreachBatch retry replaces rather
+    than duplicates (a duplicated epoch would double-count in any
+    alerting SUM downstream).
 
     Each batch's rule evaluation is a handful of single-column counts
     (map-side partial aggregation over only that batch); the metrics
@@ -1174,9 +1230,14 @@ def stream_dq_monitor(
             for rule in ("null_pk", "null_ts", "negative_value", "unknown_event_type")
         ]
         batch_df.sparkSession.createDataFrame(
-            rows, "epoch_id long, rule string, n_violations long, batch_rows long"
-        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+            [r + (int(epoch_id),) for r in rows],
+            "epoch_id long, rule string, n_violations long, "
+            "batch_rows long, _epoch long",
+        ).coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_epoch").parquet(metrics_dir)
 
+    _require_partitioned_metrics_dir(metrics_dir, "stream_dq_monitor")
     writer = (
         stream.writeStream.foreachBatch(audit_batch)
         .option("checkpointLocation", checkpoint)
@@ -1198,8 +1259,12 @@ def stream_refresh_mv(
     micro-batch of fact rows into a ``store.MaterializedView`` —
     aggregate the delta, merge with current partial state, publish a new
     atomic snapshot version (readers of the view never see a half-merged
-    refresh; the checkpoint makes each delta fold exactly-once across
-    restarts).
+    refresh). Exactly-once across restarts is the checkpoint PLUS the
+    epoch tag: foreachBatch replays the last uncommitted epoch after a
+    crash, and a replayed fold whose tag already rides in the CURRENT
+    version is skipped (the tag flips atomically with the data in
+    _CURRENT), so a crash between publish and checkpoint-commit cannot
+    double-count the delta.
 
     This is the streaming twin of MaterializedView.refresh: per batch
     the work is O(|batch| + |groups|) — the base table is NEVER
@@ -1217,7 +1282,7 @@ def stream_refresh_mv(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        mv.refresh(batch_df)
+        mv.refresh(batch_df, epoch_tag=f"e{int(epoch_id):012d}")
 
     writer = (
         raw.writeStream.foreachBatch(fold)
@@ -1418,8 +1483,9 @@ def stream_psi_monitor(
 ):
     """Streaming distribution-drift monitor: per micro-batch, bin the
     batch's ``value_col`` on a grid anchored to the REFERENCE
-    distribution's min/max and append (epoch_id, bin, n_batch, p_ref,
-    psi_batch) rows — the population-stability-index gate
+    distribution's min/max and land (epoch_id, bin, n_batch, p_ref,
+    psi_batch) rows via per-epoch dynamic partition overwrite
+    (replay-idempotent) — the population-stability-index gate
     (relational.psi_totalprice_drift) run incrementally against a
     frozen training-time reference instead of rescanned.
 
@@ -1433,7 +1499,17 @@ def stream_psi_monitor(
     plain batch query over metrics_dir."""
     x = F.col(value_col).cast("double")
     mm = reference.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+    if mm.lo is None:
+        raise ValueError(
+            f"stream_psi_monitor: reference has no non-null {value_col!r} "
+            "rows — a drift monitor needs a reference distribution"
+        )
     lo, hi = float(mm.lo), float(mm.hi)
+    if hi == lo:
+        raise ValueError(
+            f"stream_psi_monitor: reference {value_col!r} is constant "
+            f"({lo!r}) — a zero-width bin grid cannot measure drift"
+        )
     width = (hi - lo) / float(n_bins)
 
     def bin_of(col):
@@ -1455,6 +1531,7 @@ def stream_psi_monitor(
         (ref_counts.get(b, 0) + 1.0) / (n_ref + n_bins) for b in range(n_bins)
     ]
 
+    _require_partitioned_metrics_dir(metrics_dir, "stream_psi_monitor")
     stream = read_events_stream(spark, path)
 
     def audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1476,14 +1553,19 @@ def stream_psi_monitor(
             for b in range(n_bins)
         )
         out = [
-            (int(epoch_id), b, counts.get(b, 0), p_ref[b], psi)
+            (int(epoch_id), b, counts.get(b, 0), p_ref[b], psi, int(epoch_id))
             for b in range(n_bins)
         ]
+        # replay-idempotent: overwrite this epoch's own partition (the
+        # cusum/quantile monitors' r9 pattern) — a retried epoch
+        # replaces its rows instead of double-counting downstream
         batch_df.sparkSession.createDataFrame(
             out,
             "epoch_id long, bin int, n_batch long, p_ref double, "
-            "psi_batch double",
-        ).coalesce(1).write.mode("append").parquet(metrics_dir)
+            "psi_batch double, _epoch long",
+        ).coalesce(1).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_epoch").parquet(metrics_dir)
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)

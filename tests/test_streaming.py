@@ -12,6 +12,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from console_etl_spark import relational, streaming
 from console_etl_spark.session import load_table
 from tests.conftest import SF_TEST
@@ -2619,3 +2621,195 @@ def test_stream_refresh_mv_with_kll_quantile_state(spark, tmp_path):
             lo, hi = exact[row.event_type][name]
             est = row[f"{name}_value"]
             assert lo <= est <= hi, (row.event_type, name, est, lo, hi)
+
+
+# --------------------------------------------------------------------------
+# Round-11 hardening (streaming review pass): replay idempotence for the
+# dq/psi monitors and the MV fold, window-derived debounce win_id, NULL
+# poison-pill safety, remote-safe dedup-ingest probe
+# --------------------------------------------------------------------------
+
+
+def test_stream_dq_monitor_replayed_epochs_idempotent(
+    spark, events_stream_dir, tmp_path
+):
+    """A failure-retried epoch re-runs audit_batch with the same
+    epoch_id; the metrics sink must REPLACE that epoch's rows (dynamic
+    overwrite of _epoch=N), not append duplicates an alerting SUM would
+    double-count. Simulate total replay with a fresh checkpoint onto
+    the same metrics dir (the cusum/quantile r9 pattern, now applied to
+    the dq monitor)."""
+    metrics = str(tmp_path / "dq_metrics")
+    q = streaming.stream_dq_monitor(
+        spark, events_stream_dir, metrics, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    m1 = spark.read.parquet(metrics)
+    n_rows = m1.count()
+    n_epochs = m1.select("epoch_id").distinct().count()
+    assert n_epochs >= 2 and n_rows == 4 * n_epochs  # 4 rules per epoch
+
+    q2 = streaming.stream_dq_monitor(
+        spark, events_stream_dir, metrics, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    m2 = spark.read.parquet(metrics)
+    assert m2.count() == n_rows
+    assert m2.select("epoch_id").distinct().count() == n_epochs
+    # composition law survives the replay: per-rule violation totals
+    # still equal the batch count over all events
+    e = load_table(spark, SF_TEST, "events")
+    want_null_pk = e.filter(e.event_id.isNull()).count()
+    got = {
+        r.rule: r.s
+        for r in m2.groupBy("rule").agg(F.sum("n_violations").alias("s")).collect()
+    }
+    assert got["null_pk"] == want_null_pk
+
+
+def test_stream_psi_monitor_replay_idempotent_and_guards(
+    spark, events_stream_dir, tmp_path
+):
+    """(a) PSI metrics replace their epoch partition on replay; (b) an
+    empty reference and a constant reference fail fast with named
+    errors instead of a bare float(None) TypeError / silent
+    divide-by-zero bins."""
+    ref = load_table(spark, SF_TEST, "events")
+    metrics = str(tmp_path / "psi_metrics")
+    q = streaming.stream_psi_monitor(
+        spark, events_stream_dir, ref, metrics, str(tmp_path / "pck1")
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(metrics).count()
+    q2 = streaming.stream_psi_monitor(
+        spark, events_stream_dir, ref, metrics, str(tmp_path / "pck2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(metrics).count() == n1
+
+    empty = ref.filter(F.lit(False))
+    with pytest.raises(ValueError, match="no non-null"):
+        streaming.stream_psi_monitor(
+            spark, events_stream_dir, empty, str(tmp_path / "m2"),
+            str(tmp_path / "pck3"),
+        )
+    const = ref.withColumn("value", F.lit(1.0))
+    with pytest.raises(ValueError, match="constant"):
+        streaming.stream_psi_monitor(
+            spark, events_stream_dir, const, str(tmp_path / "m3"),
+            str(tmp_path / "pck4"),
+        )
+
+
+def test_mv_refresh_epoch_tag_makes_replay_noop(spark, tmp_path):
+    """stream_refresh_mv's exactly-once story: a replayed fold (same
+    epoch_tag as the CURRENT version) must be a no-op returning the
+    current snapshot — the tag flips atomically with the data, so a
+    crash between publish and checkpoint commit cannot double-count."""
+    from console_etl_spark.store import MaterializedView, SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "mvstore"))
+    mv = MaterializedView(store, "mv_epoch", ("g",), ("v",))
+    d1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    d2 = spark.createDataFrame([("a", 3.0)], "g string, v double")
+
+    mv.refresh(d1, epoch_tag="e000000000000")   # build path, tagged
+    v1 = store.current("mv_epoch").version
+    assert v1.endswith("-e000000000000")
+
+    mv.refresh(d2, epoch_tag="e000000000001")
+    v2 = store.current("mv_epoch").version
+    snap = mv.read(spark).orderBy("g").collect()
+
+    # replay of epoch 1: same delta, same tag -> no-op, state unchanged
+    out = mv.refresh(d2, epoch_tag="e000000000001")
+    assert out.version == v2
+    assert store.current("mv_epoch").version == v2
+    assert mv.read(spark).orderBy("g").collect() == snap
+
+    # a NEW epoch still applies on top
+    mv.refresh(d2, epoch_tag="e000000000002")
+    after = {r.g: r for r in mv.read(spark).collect()}
+    assert after["a"].n_rows == 3  # build + replay-suppressed + new epoch
+    assert after["a"].sum_v == 7.0  # 1 + 3 (replay NOT double-counted) + 3
+
+
+def test_debounce_stream_nondefault_window_win_ids(spark, events_stream_dir):
+    """win_id must derive from the WINDOW ARGUMENT: with a 5-minute
+    window, two adjacent windows floor-divide to DIFFERENT win_ids (the
+    hardcoded 10-minute divisor collapsed them), and win_id must equal
+    the integer-microsecond floor of the window start."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    got = streaming.run_to_completion(
+        streaming.debounce_stream(stream, window="5 minutes"),
+        "t_debounce_5m",
+    ).toPandas()
+    e = load_table(spark, SF_TEST, "events").toPandas()
+    us = e["ts"].astype("int64") // 1000
+    want_ids = set(us // 300_000_000)
+    assert set(got["win_id"]) <= want_ids
+    # adjacent 5-minute windows stay distinct: the number of distinct
+    # win_ids matches the true 5-minute occupancy, not the 10-minute one
+    assert got["win_id"].nunique() == len(want_ids)
+    # keys are unique per (user, type, window)
+    assert not got.duplicated(["user_id", "event_type", "win_id"]).any()
+
+
+def test_running_user_totals_null_value_not_poison(spark, tmp_path):
+    """One NULL value must not kill the stateful query (NaN.astype
+    raises), and totals must match the batch semantics: COUNT(*) rows,
+    SUM skips NULLs."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.25, "{}"),
+        (2, "2024-01-01 00:01:00", 7, "view", None, "{}"),
+        (3, "2024-01-01 00:02:00", 7, "view", 2.50, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "nullval")
+    df.coalesce(1).write.parquet(src)
+    stream = streaming.read_events_stream(spark, src)
+    got = streaming.run_to_completion(
+        streaming.running_user_totals(stream), "t_nullval", output_mode="update"
+    ).toPandas()
+    last = got.sort_values("n_events").iloc[-1]
+    assert last["n_events"] == 3          # COUNT(*) semantics
+    assert last["total_cents"] == 375     # SUM skips the NULL
+    assert last["max_event_id"] == 3
+
+
+def test_stream_dedup_ingest_fresh_checkpoint_full_replay(spark, tmp_path):
+    """Losing the CHECKPOINT (but not the index) replays every file;
+    the persistent index + per-epoch dynamic overwrite must leave the
+    output byte-stable — zero new or duplicated documents."""
+    import glob
+    import os
+    import time
+
+    docs = load_table(spark, SF_TEST, "documents").limit(30)
+    src = tmp_path / "replay_src"
+    base = time.time() - 100
+    for i in range(3):
+        part = docs.filter((F.col("doc_id") % 3) == i).coalesce(1)
+        part.write.mode("overwrite").parquet(str(src / f"b{i}.parquet"))
+        for p in glob.glob(str(src / f"b{i}.parquet" / "part-*")):
+            os.utime(p, (base + i, base + i))
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    q = streaming.stream_dedup_ingest(
+        spark, str(src) + "/*", out, idx, str(tmp_path / "dck1")
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n = first.count()
+    assert n == first.select("doc_id").distinct().count()
+
+    q2 = streaming.stream_dedup_ingest(
+        spark, str(src) + "/*", out, idx, str(tmp_path / "dck2")
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out)
+    assert again.count() == n
+    assert again.select("doc_id").distinct().count() == n
