@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..session import load_table, pin, spread
+from ..session import bpin, load_table, pin, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -479,6 +479,18 @@ def srp_projections(
     multi-probe flips the lowest-margin bits. posexplode + broadcast
     matrix join + groupBy — linear in corpus size."""
     spark = vectors.sparkSession
+    # fail fast on a dim mismatch: the inner join below would silently
+    # DROP components with dim_idx >= dim (a 128-dim corpus against the
+    # default 64 would hash on half of every vector, degrading recall
+    # with no error). One representative-row probe — vectors in one
+    # relation are homogeneous-width by construction.
+    first = vectors.select(F.size(vec_col).alias("n")).first()
+    if first is not None and first["n"] > dim:
+        raise ValueError(
+            f"srp_projections: embeddings have {first['n']} dims but the "
+            f"projection matrix covers only dim={dim} — pass dim="
+            f"{first['n']} (components past dim would be silently ignored)"
+        )
     proj = F.broadcast(_projection_matrix(spark, dim, bits))
     return (
         vectors.select(id_col, F.posexplode(vec_col).alias("dim_idx", "v"))
@@ -536,6 +548,17 @@ def srp_probe_signatures(
     caller must clearCache."""
     comp = pin(srp_projections(vectors, id_col, vec_col, bits, dim))
     sigs = pin(comp.groupBy(id_col).agg(F.sum(_pack_bit()).alias("sig")))
+    return _probe_union(comp, sigs, id_col, n_probes)
+
+
+def _probe_union(
+    comp: DataFrame, sigs: DataFrame, id_col: str, n_probes: int
+) -> DataFrame:
+    """Base signatures plus the n_probes lowest-|margin| bit flips,
+    from ALREADY-PINNED (comp, sigs) — factored so ann_lsh_multiprobe
+    can share one projection pipeline between the corpus salting and
+    the probe set instead of running the posexplode x matrix join
+    twice."""
     w = W.partitionBy(id_col).orderBy(F.abs(F.col("proj")), "bit_idx")
     flips = (
         comp.withColumn("rk", F.row_number().over(w))
@@ -557,6 +580,7 @@ def srp_salted_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cap: int = LSH_BUCKET_CAP,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, vec, sig, salt): SRP signature + skew-bounding salt.
 
@@ -572,8 +596,11 @@ def srp_salted_vectors(
     registry; see srp_probe_signatures).
     """
     # sigs feeds both the vector join and the population count — persist
-    # so the projection pipeline runs once.
-    sigs = pin(srp_signatures(vectors, id_col, vec_col))
+    # so the projection pipeline runs once. Callers that already built
+    # signatures (ann_lsh_multiprobe shares one pipeline between corpus
+    # and probes) pass them in.
+    if sigs is None:
+        sigs = pin(srp_signatures(vectors, id_col, vec_col))
     vecs = vectors.select(id_col, vec_col).join(sigs, id_col)
     pops = sigs.groupBy("sig").agg(F.count("*").alias("pop"))
     n_sub = F.greatest(F.ceil(F.col("pop") / F.lit(cap)).cast("long"), F.lit(1))
@@ -629,11 +656,29 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash-chosen sub-bucket, so per-bucket work stays O(pop·cap).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    corpus = srp_salted_vectors(e)
-    # sub-bucket fanout per signature (bounded: ≤ 2^LSH_SIG_BITS rows)
-    nsub = corpus.groupBy("sig").agg((F.max("salt") + 1).alias("n_sub"))
+    # ONE projection pipeline feeds both the corpus salting and the
+    # probe set (the posexplode x matrix join is the dominant cost;
+    # running it twice doubled it).
+    comp = pin(srp_projections(e))
+    sigs = pin(comp.groupBy("vec_id").agg(F.sum(_pack_bit()).alias("sig")))
+    corpus = srp_salted_vectors(e, sigs=sigs)
+    # sub-bucket modulus per signature, derived from the SAME
+    # ceil(pop/cap) formula the corpus salting uses (bounded: <=
+    # 2^LSH_SIG_BITS rows). Deriving it as max(salt)+1 from the salted
+    # corpus could disagree when no member of a hot bucket happens to
+    # hash into the top sub-bucket — the probe would then compute its
+    # salt with a SMALLER modulus than the corpus did and miss
+    # neighbors plain ann_lsh_bucketed finds.
+    pops = sigs.groupBy("sig").agg(F.count("*").alias("pop"))
+    nsub = pops.select(
+        "sig",
+        F.greatest(
+            F.ceil(F.col("pop") / F.lit(LSH_BUCKET_CAP)).cast("long"),
+            F.lit(1),
+        ).alias("n_sub"),
+    )
     probes = (
-        srp_probe_signatures(e)
+        _probe_union(comp, sigs, "vec_id", LSH_N_PROBES)
         .withColumnRenamed("vec_id", "q_id")
         .join(F.broadcast(nsub), "sig")  # inner: empty buckets need no probe
         .withColumn("salt", F.pmod(F.xxhash64("q_id"), F.col("n_sub")))
@@ -643,12 +688,14 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn"), "sig", "salt"
     )
     qv = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
+    # no dedup needed: a query's probe (sig, salt) pairs are distinct
+    # (bit flips produce distinct sigs) and each corpus vector lives in
+    # exactly one (sig, salt), so a (q_id, n_id) pair matches at most
+    # once — the old dropDuplicates re-shuffled the whole candidate
+    # relation to enforce an invariant the join already guarantees
     cand = (
         probes.join(b, ["sig", "salt"])
         .filter(F.col("q_id") != F.col("n_id"))
-        # a neighbor can surface via several probed buckets — dedupe before
-        # the exact rank (vn is identical per n_id, so this is deterministic)
-        .dropDuplicates(["q_id", "n_id"])
         .join(qv, "q_id")
     )
     cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
@@ -782,7 +829,7 @@ def assign_cells(
     was one avoidable linear shuffle of the whole corpus (VERDICT r3
     item 5)."""
     spark = vectors.sparkSession
-    bc = spark.sparkContext.broadcast(centroids)
+    bc = bpin(spark.sparkContext.broadcast(centroids))
     vec_t = vectors.schema[vec_col].dataType.simpleString()
     schema = f"{id_col} long, cell long" + (
         f", {vec_col} {vec_t}" if keep_vec else ""
@@ -890,6 +937,32 @@ def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     return lists.groupBy("cell").agg(F.count("*").alias("n_vectors"))
 
 
+def _ivf_flat_rank(
+    probes: DataFrame, lists: DataFrame, qvecs: DataFrame, k: int
+) -> DataFrame:
+    """Shared IVF-Flat ranking tail (inline and persisted paths): probe
+    join on cell -> exact cosine -> per-query top-k. The query-vector
+    join is a PLAIN equi-join — queries are a fixed FRACTION of the
+    corpus (linear growth), so a forced broadcast would exceed the
+    broadcast limit at exactly the scale this tier exists for (AQE
+    still broadcasts small query sets on its own). No (q_id, n_id)
+    dedup: each corpus vector lives in exactly one cell and a query's
+    probe cells are distinct, so the join emits each pair at most
+    once."""
+    cand = (
+        probes.join(lists, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(qvecs, "q_id")
+    )
+    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
+    return (
+        cand.select("q_id", "n_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def ivf_search(
     spark: SparkSession,
     index_dir: str,
@@ -924,23 +997,13 @@ def ivf_search(
     qvecs = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("vq")
     )
-    cand = (
-        probes.join(
-            lists.select(
-                "cell", F.col(id_col).alias("n_id"), F.col(vec_col).alias("vn")
-            ),
-            "cell",
-        )
-        .filter(F.col("q_id") != F.col("n_id"))
-        .join(F.broadcast(qvecs), "q_id")
-    )
-    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
-    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
-    return (
-        cand.select("q_id", "n_id", cos.alias("cos_sim"))
-        .dropDuplicates(["q_id", "n_id"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+    return _ivf_flat_rank(
+        probes,
+        lists.select(
+            "cell", F.col(id_col).alias("n_id"), F.col(vec_col).alias("vn")
+        ),
+        qvecs,
+        k,
     )
 
 
@@ -963,23 +1026,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "cell"
     )
     qvecs = q.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("vq"))
-    cand = (
-        probes.join(
-            corpus.select(
-                "cell", F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")
-            ),
-            "cell",
-        )
-        .filter(F.col("q_id") != F.col("n_id"))
-        .join(F.broadcast(qvecs), "q_id")
-    )
-    cos = F.round(cosine("vq", "vn"), COS_DECIMALS)
-    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), "n_id")
-    return (
-        cand.select("q_id", "n_id", cos.alias("cos_sim"))
-        .dropDuplicates(["q_id", "n_id"])  # a neighbor can appear via 2 probed cells
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ANN_K)
+    return _ivf_flat_rank(
+        probes,
+        corpus.select(
+            "cell", F.col("vec_id").alias("n_id"), F.col("embedding").alias("vn")
+        ),
+        qvecs,
+        ANN_K,
     )
 
 
@@ -1021,7 +1074,7 @@ def pq_codebooks(
     books = seeds.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()  # (m,ksub,dsub)
 
     spark = vectors.sparkSession
-    bc = spark.sparkContext.broadcast(books)
+    bc = bpin(spark.sparkContext.broadcast(books))
     sum_cols = ", ".join(f"s{i} double" for i in range(dsub))
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1074,7 +1127,7 @@ def pq_encode(
     floats here = 32x smaller candidate relation). Arrow-batch GEMM
     argmin per subspace, map-side only."""
     m, ksub, dsub = books.shape
-    bc = vectors.sparkSession.sparkContext.broadcast(books)
+    bc = bpin(vectors.sparkSession.sparkContext.broadcast(books))
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bks = bc.value
@@ -1106,7 +1159,7 @@ def _adc_score_candidates(
     rerank join can stay partition-pruned."""
     m, ksub, dsub = books.shape
     code_norm2 = (books * books).sum(axis=2)  # (m, ksub)
-    bc = cand.sparkSession.sparkContext.broadcast((books, code_norm2))
+    bc = bpin(cand.sparkSession.sparkContext.broadcast((books, code_norm2)))
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bks, cn2 = bc.value
@@ -1157,7 +1210,11 @@ def _ivf_pq_rank(
     compressed representation, column-pruned away from the embeddings —
     for nprobe/n_cells of the corpus; only shortlist·|queries| full
     vectors are ever materialized, and the rerank join keeps the cell
-    key so partition pruning survives it."""
+    key so partition pruning survives it. Known second-order cost: the
+    q_id join replicates the query vector per candidate row through the
+    ADC Arrow crossing (~dim doubles beside the m codes); the
+    tile-local-LUT shape that avoids it lives in _pq_search's
+    adc_tile_topk — adopt it here if the ADC stage ever dominates."""
     cand = (
         probes.join(
             lists.select(
@@ -1170,11 +1227,12 @@ def _ivf_pq_rank(
     )
     scored = _adc_score_candidates(cand, books)
     ws = W.partitionBy("q_id").orderBy(F.desc("adc_sim"), "n_id")
+    # no (q_id, n_id) dedup: each corpus vector lives in exactly one
+    # cell and a query's probe cells are distinct, so the join emits
+    # each pair at most once — the old dropDuplicates re-shuffled the
+    # whole scored relation for an invariant the join guarantees
     short = (
-        # a neighbor reached via two probed cells appears twice with the
-        # same ADC score — dedupe before the shortlist rank
-        scored.dropDuplicates(["q_id", "n_id"])
-        .withColumn("rn", F.row_number().over(ws))
+        scored.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= shortlist)
         .select("q_id", "cell", "n_id")
     )
@@ -1350,7 +1408,7 @@ def _pq_search(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
     # per-code reconstruction norms: |recon|^2 = sum_s |books[s][code_s]|^2
     code_norm2 = (books * books).sum(axis=2)  # (m, ksub)
-    bc = spark.sparkContext.broadcast((books, code_norm2))
+    bc = bpin(spark.sparkContext.broadcast((books, code_norm2)))
 
     def adc_tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"q_id": [], "n_id": [], "adc_sim": []}).astype(
@@ -1500,7 +1558,6 @@ def pca_project(
     wk = eigvec[:, :k]
     if whiten:
         wk = wk / np.sqrt(np.maximum(eigval[:k], 1e-12))
-    other = [c for c in vectors.columns]
 
     def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1572,7 +1629,7 @@ def rotate_vectors(
 ) -> DataFrame:
     """Apply the orthogonal rotation (x → Rᵀx) as one Arrow-batch GEMM
     per partition — map-side, shuffle-free, schema-preserving."""
-    bc = vectors.sparkSession.sparkContext.broadcast(rotation)
+    bc = bpin(vectors.sparkSession.sparkContext.broadcast(rotation))
 
     def rot(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         r = bc.value

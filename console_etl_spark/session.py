@@ -166,6 +166,33 @@ def pin(*dfs):
     return dfs[0] if len(dfs) == 1 else dfs
 
 
+_BCAST_GROUPS: "_OrderedDict[int, object]" = _OrderedDict()
+_BCAST_CAP = int(os.environ.get("SPARK_GRAFT_BCAST_GROUPS", "16"))
+_bcast_seq = _itertools.count()
+
+
+def bpin(bc):
+    """Bounded lifetime for raw ``sparkContext.broadcast`` variables —
+    the broadcast twin of ``pin``. Spark never frees a broadcast until
+    the context stops, so the GEMM kernels' centroid/codebook/rotation
+    broadcasts would accumulate without bound across repeated index
+    builds and searches in a long-lived session. Registered broadcasts
+    evict FIFO past ``$SPARK_GRAFT_BCAST_GROUPS`` (default 16) via
+    ``unpersist()`` (non-blocking): executor blocks are dropped, the
+    driver keeps the value, and any LATER task use re-broadcasts on
+    demand — eviction is a re-send cost, never a correctness event
+    (which is why ``destroy()`` is NOT used: a lazily-executed plan may
+    still hold the handle)."""
+    _BCAST_GROUPS[next(_bcast_seq)] = bc
+    while len(_BCAST_GROUPS) > _BCAST_CAP:
+        _, old = _BCAST_GROUPS.popitem(last=False)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+    return bc
+
+
 def release_pins():
     """Unpersist every live pin group (idempotent). Optional hygiene for
     hosts that want cache empty NOW rather than bounded — bench.py calls

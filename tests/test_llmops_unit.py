@@ -2695,3 +2695,47 @@ class TestAdtsFraming:
         tiny[5] = (3 << 5) | 0x1F  # flen = 3 < 7
         with pytest.raises(ValueError, match="smaller than its header"):
             mm.adts_frame_features(bytes(tiny))
+
+
+def test_srp_projections_rejects_wider_embeddings(spark):
+    """A corpus wider than the projection matrix must fail fast — the
+    dim_idx inner join would silently hash on only the first `dim`
+    components and degrade recall with no signal."""
+    import pytest
+
+    from console_etl_spark.llmops.similarity import srp_projections
+
+    wide = spark.createDataFrame(
+        [(1, [0.1] * 96)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="96 dims"):
+        srp_projections(wide, dim=64)
+    # exact width passes
+    ok = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<double>"
+    )
+    assert srp_projections(ok, dim=64).count() > 0
+
+
+def test_bpin_bounds_broadcast_registry(spark):
+    """bpin evicts FIFO past the cap via unpersist (re-broadcast on
+    demand — never destroy, a lazy plan may still hold the handle), so
+    repeated index builds cannot accumulate broadcast storage without
+    bound."""
+    from console_etl_spark import session as S
+
+    before = dict(S._BCAST_GROUPS)
+    try:
+        S._BCAST_GROUPS.clear()
+        handles = [
+            S.bpin(spark.sparkContext.broadcast([i])) for i in range(S._BCAST_CAP + 5)
+        ]
+        assert len(S._BCAST_GROUPS) == S._BCAST_CAP
+        # evicted handles still usable: value intact on the driver and
+        # re-broadcast on task use
+        assert handles[0].value == [0]
+        live = list(S._BCAST_GROUPS.values())
+        assert handles[-1] in live and handles[0] not in live
+    finally:
+        S._BCAST_GROUPS.clear()
+        S._BCAST_GROUPS.update(before)
