@@ -442,25 +442,33 @@ def export_jsonl_shards(
     )
     # per-shard sample counts ride the write job itself (observe() —
     # zero extra scans) and land in a sidecar export_manifest prefers
-    # over re-reading and line-counting every gzipped shard
+    # over re-reading and line-counting every gzipped shard. The
+    # sidecar goes through the Hadoop FileSystem API like everything
+    # else this exporter touches: a local open() would succeed only on
+    # file:// paths, so an s3a/HDFS export would write all its data and
+    # then crash (or strand a local _counts.json) at the very last step.
     import json as _json
-    import os as _os
 
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
     counts = obs.get
-    with open(_os.path.join(path, "_counts.json"), "w") as fh:
-        _json.dump(
+    sidecar = jvm.org.apache.hadoop.fs.Path(f"{path}/_counts.json")
+    fs = sidecar.getFileSystem(hconf)
+    out = fs.create(sidecar, True)
+    try:
+        payload = _json.dumps(
             {f"shard={i}": int(counts[f"s{i}"] or 0) for i in range(n_shards)},
-            fh,
             indent=1,
         )
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
     # Layout contract: shard=0..n-1 ALWAYS exist, even when a shard got
     # zero rows (tiny/skewed inputs) — partitionBy writes no directory
     # for an empty shard, and a loader iterating the documented range
     # would hit missing paths. Hadoop FS mkdirs is scheme-agnostic
     # (local, HDFS, s3a) and idempotent.
-    sc = df.sparkSession.sparkContext
-    jvm = sc._jvm
-    hconf = sc._jsc.hadoopConfiguration()
     for i in range(n_shards):
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={i}")
         fs = p.getFileSystem(hconf)
@@ -632,11 +640,26 @@ def export_manifest(path: str) -> dict:
     tars = sorted(glob.glob(os.path.join(path, "shard-*.tar")))
     if tars:
         leftovers = glob.glob(os.path.join(path, "shard-*.tar.inprogress-*"))
-        if leftovers or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if leftovers:
             raise RuntimeError(
                 f"export_manifest: {path} is an incomplete WebDataset "
-                f"export (missing _SUCCESS or in-progress temp files "
-                f"present) — re-run export_wds_shards"
+                f"export (in-progress temp files present) — re-run "
+                f"export_wds_shards"
+            )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Exports written before the task-commit protocol carry no
+            # _SUCCESS marker but ARE complete (every tar was fully
+            # renamed into place and there are no .inprogress leftovers
+            # to prove otherwise). Refusing them would strand valid
+            # data; warn and proceed instead of raising.
+            import warnings
+
+            warnings.warn(
+                f"export_manifest: {path} has no _SUCCESS marker and no "
+                f"in-progress temp files — treating as a complete "
+                f"legacy export (pre-task-commit-protocol); re-run "
+                f"export_wds_shards to stamp it",
+                stacklevel=2,
             )
     for f in tars:
         with tarfile.open(f) as tar:

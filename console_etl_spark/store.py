@@ -840,6 +840,36 @@ class MaterializedView:
             partition_by=(),
         )
 
+    @staticmethod
+    def _epoch_of(version: str) -> str | None:
+        """The epoch tag riding in a version string (``v%06d[-<tag>]``),
+        or None for an untagged version."""
+        i = version.find("-")
+        return version[i + 1:] if i >= 0 else None
+
+    @staticmethod
+    def _already_applied(last_tag: str | None, epoch_tag: str) -> bool:
+        """True iff a replay carrying ``epoch_tag`` was already folded.
+
+        Exact match covers the common crash-replay case; for the
+        monotone ``e<digits>`` tags the streaming layer emits, any
+        NUMERICALLY OLDER epoch is also applied (foreachBatch replays
+        only the last uncommitted epoch, so every epoch <= the last
+        applied one committed) — this is what makes the guard survive
+        an untagged manual refresh landing between crash and replay.
+        Non-numeric custom tags fall back to equality only."""
+        if last_tag is None:
+            return False
+        if last_tag == epoch_tag:
+            return True
+        import re
+
+        m_last = re.fullmatch(r"e(\d+)", last_tag)
+        m_new = re.fullmatch(r"e(\d+)", epoch_tag)
+        return bool(
+            m_last and m_new and int(m_new.group(1)) <= int(m_last.group(1))
+        )
+
     def refresh(
         self, delta: DataFrame, epoch_tag: str | None = None
     ) -> SnapshotInfo:
@@ -848,16 +878,22 @@ class MaterializedView:
 
         ``epoch_tag`` (streaming replay idempotence): when set, the tag
         rides in the published version string, and a refresh whose tag
-        matches the CURRENT version is a no-op returning the current
-        snapshot — so an at-least-once foreachBatch replay of an
-        already-folded micro-batch (crash after publish, before the
-        streaming checkpoint commit) cannot double-count the delta. The
-        tag is part of the same atomic _CURRENT flip as the data, so
-        there is no window where the fold landed but the tag did not."""
+        is already applied (equal to the current tag, or numerically
+        older for the monotone ``e<digits>`` tags) is a no-op returning
+        the current snapshot — so an at-least-once foreachBatch replay
+        of an already-folded micro-batch (crash after publish, before
+        the streaming checkpoint commit) cannot double-count the delta.
+        The tag is part of the same atomic _CURRENT flip as the data,
+        so there is no window where the fold landed but the tag did
+        not. An UNTAGGED manual refresh carries the last applied tag
+        forward into its own version string for the same reason: if it
+        landed between the crash and the replay, the replayed epoch
+        must still be recognized as applied (ADVICE r11)."""
         cur = self.store.current(self.catalog)
         if cur is None:
             return self.build(delta, epoch_tag=epoch_tag)
-        if epoch_tag is not None and cur.version.endswith(f"-{epoch_tag}"):
+        last_tag = self._epoch_of(cur.version)
+        if epoch_tag is not None and self._already_applied(last_tag, epoch_tag):
             return cur
         spark = delta.sparkSession
         state = self.store.read_version(spark, self.catalog, cur.version)
@@ -874,7 +910,8 @@ class MaterializedView:
         import re
 
         n = int(re.match(r"v(\d+)", cur.version).group(1))
-        nxt = f"v{n + 1:06d}" + (f"-{epoch_tag}" if epoch_tag else "")
+        carried = epoch_tag if epoch_tag is not None else last_tag
+        nxt = f"v{n + 1:06d}" + (f"-{carried}" if carried else "")
         return self.store.publish(merged, self.catalog, nxt, partition_by=())
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -159,15 +159,40 @@ def _interval_micros(spec: str) -> int:
     """Microseconds in a Spark interval string like '10 minutes' — the
     divisor debounce_stream derives win_id from must track the window
     argument (a hardcoded default-window divisor would collapse two
-    adjacent non-default windows onto one win_id)."""
-    n, unit = spec.strip().split()
+    adjacent non-default windows onto one win_id).
+
+    Accepts the same grammar ``F.window()`` does for fixed-length
+    intervals: every unit from microsecond through week, and compound
+    specs like '1 hour 30 minutes' (pairwise <n> <unit> tokens summed).
+    Month/year are rejected by name — they are variable-length, so
+    ``F.window()`` itself refuses them and no integer divisor exists."""
     per = {
+        "microsecond": 1,
+        "millisecond": 1_000,
         "second": 1_000_000,
         "minute": 60_000_000,
         "hour": 3_600_000_000,
         "day": 86_400_000_000,
-    }[unit.lower().rstrip("s")]
-    return int(n) * per
+        "week": 604_800_000_000,
+    }
+    tokens = spec.strip().split()
+    if not tokens or len(tokens) % 2 != 0:
+        raise ValueError(
+            f"_interval_micros: cannot parse interval {spec!r} — expected "
+            f"pairs of '<n> <unit>' with units in "
+            f"{sorted(per)} (plural forms accepted)"
+        )
+    total = 0
+    for n, unit in zip(tokens[::2], tokens[1::2]):
+        key = unit.lower().rstrip("s")
+        if key not in per:
+            raise ValueError(
+                f"_interval_micros: unsupported unit {unit!r} in {spec!r} "
+                f"— supported units: {sorted(per)} (month/year are "
+                f"variable-length and have no fixed divisor)"
+            )
+        total += int(n) * per[key]
+    return total
 
 
 def debounce_stream(

@@ -482,9 +482,24 @@ def test_export_wds_overwrite_commit_and_guards(spark, tmp_path):
     m = pipeline.export_manifest(out)
     assert m["n_samples"] == 40
 
+    # missing _SUCCESS with NO in-progress leftovers = a complete
+    # legacy export (pre-task-commit-protocol data is still readable —
+    # ADVICE r11): warn-and-proceed, identical manifest
     os.remove(f"{out}/_SUCCESS")
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        m_legacy = pipeline.export_manifest(out)
+    assert m_legacy["n_samples"] == 40
+    assert any("legacy" in str(w.message) for w in caught)
+    # ...but an in-progress temp file is positive evidence of a torn
+    # export: still refuse
+    torn = f"{out}/shard-00000.tar.inprogress-deadbeef"
+    open(torn, "wb").close()
     with pytest.raises(RuntimeError, match="incomplete"):
         pipeline.export_manifest(out)
+    os.remove(torn)
 
     dup = docs.limit(5).unionAll(docs.limit(5))
     with pytest.raises(Exception, match="duplicate key"):

@@ -2734,6 +2734,76 @@ def test_mv_refresh_epoch_tag_makes_replay_noop(spark, tmp_path):
     assert after["a"].sum_v == 7.0  # 1 + 3 (replay NOT double-counted) + 3
 
 
+def test_mv_replay_guard_survives_manual_refresh_between(spark, tmp_path):
+    """ADVICE r11 (store.py replay guard): an UNTAGGED manual refresh
+    landing between a crash (post-publish, pre-checkpoint-commit) and
+    the stream's replay must not defeat the epoch guard. The manual
+    refresh carries the last applied tag forward in its version string,
+    and replays of numerically-older epochs are recognized as applied."""
+    from console_etl_spark.store import MaterializedView, SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "mvstore2"))
+    mv = MaterializedView(store, "mv_guard", ("g",), ("v",))
+    d1 = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    d2 = spark.createDataFrame([("a", 3.0)], "g string, v double")
+    manual = spark.createDataFrame([("a", 10.0)], "g string, v double")
+
+    mv.refresh(d1, epoch_tag="e000000000000")
+    mv.refresh(d2, epoch_tag="e000000000001")  # "crash" after this publish
+    # operator runs a manual (untagged) refresh before the stream restarts
+    mv.refresh(manual)
+    v_manual = store.current("mv_guard").version
+    assert v_manual.endswith("-e000000000001")  # tag carried forward
+    snap = mv.read(spark).collect()
+
+    # stream restarts and replays epoch 1: must be a no-op, NOT a
+    # second fold of d2 (the r11 guard matched only the current
+    # version's suffix, which the manual refresh had replaced)
+    out = mv.refresh(d2, epoch_tag="e000000000001")
+    assert out.version == v_manual
+    assert mv.read(spark).collect() == snap
+    row = mv.read(spark).collect()[0]
+    assert row.sum_v == 14.0  # 1 + 3 + 10, d2 folded exactly once
+    assert row.n_rows == 3
+
+    # an even OLDER epoch replay is also recognized as applied
+    assert mv.refresh(d1, epoch_tag="e000000000000").version == v_manual
+    # but the NEXT epoch still applies
+    mv.refresh(d2, epoch_tag="e000000000002")
+    assert mv.read(spark).collect()[0].sum_v == 17.0
+    # non-numeric custom tags keep equality-only semantics
+    assert not MaterializedView._already_applied("release-b", "release-a")
+    assert MaterializedView._already_applied("release-a", "release-a")
+
+
+def test_interval_micros_grammar(spark):
+    """ADVICE r11 (streaming.py): _interval_micros must accept the same
+    fixed-length grammar F.window() does — week/millisecond units and
+    compound '1 hour 30 minutes' specs — and reject garbage with a
+    message naming the supported grammar."""
+    import pytest
+
+    from console_etl_spark.streaming import _interval_micros
+
+    assert _interval_micros("10 minutes") == 600_000_000
+    assert _interval_micros("1 week") == 604_800_000_000
+    assert _interval_micros("250 milliseconds") == 250_000
+    assert _interval_micros("5 microseconds") == 5
+    assert (
+        _interval_micros("1 hour 30 minutes")
+        == 3_600_000_000 + 30 * 60_000_000
+    )
+    assert _interval_micros("2 days 4 hours 1 second") == (
+        2 * 86_400_000_000 + 4 * 3_600_000_000 + 1_000_000
+    )
+    with pytest.raises(ValueError, match="supported units"):
+        _interval_micros("3 months")  # variable-length: no fixed divisor
+    with pytest.raises(ValueError, match="pairs"):
+        _interval_micros("10")
+    with pytest.raises(ValueError, match="pairs"):
+        _interval_micros("")
+
+
 def test_debounce_stream_nondefault_window_win_ids(spark, events_stream_dir):
     """win_id must derive from the WINDOW ARGUMENT: with a 5-minute
     window, two adjacent windows floor-divide to DIFFERENT win_ids (the
