@@ -614,3 +614,284 @@ def eval_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+def _sum10(prefix: str) -> str:
+    """Fixed-order 10-term addition over the pivoted bin columns —
+    left-associative in both engines, so the double sum is
+    deterministic without an ordered window."""
+    return " + ".join(f"COALESCE({prefix}{k}, 0.0)" for k in range(10))
+
+
+@_register(
+    "eval_brier_decomposition",
+    f"""
+    WITH scored AS ({_SQL_SCORED}),
+    binned AS (
+      SELECT LEAST((LEAST(score, {CAL_SCALE}) * 10) // {CAL_SCALE}, 9)
+               AS bin,
+             LEAST(score, {CAL_SCALE}) AS s,
+             label AS y
+      FROM scored
+    ), per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS HUGEINT) AS nk,
+             CAST(SUM(s) AS HUGEINT) AS ssk,
+             CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS sssk,
+             CAST(SUM(y) AS HUGEINT) AS syk,
+             CAST(SUM(s * y) AS HUGEINT) AS ssyk
+      FROM binned GROUP BY bin
+    ), g AS (
+      SELECT CAST(SUM(nk) AS HUGEINT) AS n,
+             CAST(SUM(ssk) AS HUGEINT) AS s,
+             CAST(SUM(sssk) AS HUGEINT) AS ss,
+             CAST(SUM(syk) AS HUGEINT) AS y,
+             CAST(SUM(ssyk) AS HUGEINT) AS sy
+      FROM per_bin
+    ), terms AS (
+      SELECT
+        MAX(CASE WHEN bin = 0 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel0,
+        MAX(CASE WHEN bin = 1 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel1,
+        MAX(CASE WHEN bin = 2 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel2,
+        MAX(CASE WHEN bin = 3 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel3,
+        MAX(CASE WHEN bin = 4 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel4,
+        MAX(CASE WHEN bin = 5 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel5,
+        MAX(CASE WHEN bin = 6 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel6,
+        MAX(CASE WHEN bin = 7 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel7,
+        MAX(CASE WHEN bin = 8 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel8,
+        MAX(CASE WHEN bin = 9 THEN CAST((ssk - {CAL_SCALE} * syk)
+              * (ssk - {CAL_SCALE} * syk) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS rel9,
+        MAX(CASE WHEN bin = 0 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res0,
+        MAX(CASE WHEN bin = 1 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res1,
+        MAX(CASE WHEN bin = 2 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res2,
+        MAX(CASE WHEN bin = 3 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res3,
+        MAX(CASE WHEN bin = 4 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res4,
+        MAX(CASE WHEN bin = 5 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res5,
+        MAX(CASE WHEN bin = 6 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res6,
+        MAX(CASE WHEN bin = 7 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res7,
+        MAX(CASE WHEN bin = 8 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res8,
+        MAX(CASE WHEN bin = 9 THEN CAST((g.n * syk - nk * g.y)
+              * (g.n * syk - nk * g.y) AS DOUBLE) / CAST(nk AS DOUBLE)
+            END) AS res9,
+        MAX(CASE WHEN bin = 0 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv0,
+        MAX(CASE WHEN bin = 1 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv1,
+        MAX(CASE WHEN bin = 2 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv2,
+        MAX(CASE WHEN bin = 3 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv3,
+        MAX(CASE WHEN bin = 4 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv4,
+        MAX(CASE WHEN bin = 5 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv5,
+        MAX(CASE WHEN bin = 6 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv6,
+        MAX(CASE WHEN bin = 7 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv7,
+        MAX(CASE WHEN bin = 8 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv8,
+        MAX(CASE WHEN bin = 9 THEN CAST(nk * sssk - ssk * ssk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbv9,
+        MAX(CASE WHEN bin = 0 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc0,
+        MAX(CASE WHEN bin = 1 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc1,
+        MAX(CASE WHEN bin = 2 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc2,
+        MAX(CASE WHEN bin = 3 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc3,
+        MAX(CASE WHEN bin = 4 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc4,
+        MAX(CASE WHEN bin = 5 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc5,
+        MAX(CASE WHEN bin = 6 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc6,
+        MAX(CASE WHEN bin = 7 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc7,
+        MAX(CASE WHEN bin = 8 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc8,
+        MAX(CASE WHEN bin = 9 THEN CAST(nk * ssyk - ssk * syk AS DOUBLE)
+              / CAST(nk AS DOUBLE) END) AS wbc9
+      FROM per_bin CROSS JOIN g
+    )
+    SELECT CAST(g.n AS BIGINT) AS n_docs,
+           ROUND(CAST(g.ss - 2 * {CAL_SCALE} * g.sy
+                      + {CAL_SCALE} * {CAL_SCALE} * g.y AS DOUBLE)
+                 / CAST(g.n * {CAL_SCALE} * {CAL_SCALE} AS DOUBLE), 6)
+             AS brier,
+           ROUND(({_sum10("rel")})
+                 / CAST(g.n * {CAL_SCALE} * {CAL_SCALE} AS DOUBLE), 6)
+             AS reliability,
+           ROUND(({_sum10("res")})
+                 / CAST(g.n * g.n * g.n AS DOUBLE), 6) AS resolution,
+           ROUND(CAST(g.y * (g.n - g.y) AS DOUBLE)
+                 / CAST(g.n * g.n AS DOUBLE), 6) AS uncertainty,
+           ROUND(({_sum10("wbv")})
+                 / CAST(g.n * {CAL_SCALE} * {CAL_SCALE} AS DOUBLE), 6)
+             AS within_bin_var,
+           ROUND(({_sum10("wbc")})
+                 / CAST(g.n * {CAL_SCALE} AS DOUBLE), 6)
+             AS within_bin_cov
+    FROM terms CROSS JOIN g
+    """,
+)
+def eval_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over the ten reliability
+    bins eval_calibration_bins materializes (VERDICT r11 item 4):
+    BRIER = RELIABILITY - RESOLUTION + UNCERTAINTY
+            + WITHIN_BIN_VAR - 2 * WITHIN_BIN_COV,
+    where reliability penalizes bins whose mean prediction drifts from
+    their observed positive rate, resolution rewards bins that
+    separate from the base rate, uncertainty is the label's own
+    variance (the no-skill floor), and the two within-bin terms are
+    what the 10-bin quantization hides for NON-constant bins: the
+    prediction variance inside each bin and the prediction-label
+    covariance inside each bin (the cross term the constant-bin
+    three-term textbook identity silently drops). With all six terms
+    the identity is EXACT before rounding — pinned in
+    tests/test_modeleval_unit.py.
+
+    Exactness: predictions stay integer numerators (s = least(score,
+    CAL_SCALE), probability s/CAL_SCALE); every per-bin and global
+    moment (n, sum s, sum s^2, sum y, sum s*y) is an exact integer, so
+    brier and uncertainty are ONE division of two exact integers. The
+    three per-bin double terms cannot be SUM-aggregated (summation
+    order is nondeterministic); instead the <= 10 bins pivot to fixed
+    columns (the r_k-pivot house pattern) and add in one fixed
+    left-associative expression — identical order in both engines.
+
+    Scale shape: one documents scan -> a <= 10-row partial aggregate
+    (map-side combinable); everything after is scalar math on that
+    bounded relation."""
+    scored = _scored(spark, sf_dir)
+    C = CAL_SCALE
+    d38 = "decimal(38,0)"
+    binned = scored.select(
+        F.least(
+            F.expr(f"(least(score, {C}) * 10) DIV {C}"), F.lit(9)
+        ).alias("bin"),
+        F.least(F.col("score"), F.lit(C)).alias("s"),
+        F.col("label").alias("y"),
+    )
+    sI, yI = F.col("s").cast(d38), F.col("y").cast(d38)
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast(d38).alias("nk"),
+        F.sum(sI).alias("ssk"),
+        F.sum(sI * sI).alias("sssk"),
+        F.sum(yI).alias("syk"),
+        F.sum(sI * yI).alias("ssyk"),
+    )
+    g = per_bin.agg(
+        F.sum("nk").alias("n"),
+        F.sum("ssk").alias("s"),
+        F.sum("sssk").alias("ss"),
+        F.sum("syk").alias("y"),
+        F.sum("ssyk").alias("sy"),
+    )
+    nk = F.col("nk").cast("double")
+    rel_num = (F.col("ssk") - C * F.col("syk")) * (
+        F.col("ssk") - C * F.col("syk")
+    )
+    res_num = (F.col("n") * F.col("syk") - F.col("nk") * F.col("y")) * (
+        F.col("n") * F.col("syk") - F.col("nk") * F.col("y")
+    )
+    wbv_num = F.col("nk") * F.col("sssk") - F.col("ssk") * F.col("ssk")
+    wbc_num = F.col("nk") * F.col("ssyk") - F.col("ssk") * F.col("syk")
+    joined = per_bin.crossJoin(F.broadcast(g))
+    terms = joined.agg(
+        *[
+            F.max(
+                F.when(F.col("bin") == k, rel_num.cast("double") / nk)
+            ).alias(f"rel{k}")
+            for k in range(10)
+        ],
+        *[
+            F.max(
+                F.when(F.col("bin") == k, res_num.cast("double") / nk)
+            ).alias(f"res{k}")
+            for k in range(10)
+        ],
+        *[
+            F.max(
+                F.when(F.col("bin") == k, wbv_num.cast("double") / nk)
+            ).alias(f"wbv{k}")
+            for k in range(10)
+        ],
+        *[
+            F.max(
+                F.when(F.col("bin") == k, wbc_num.cast("double") / nk)
+            ).alias(f"wbc{k}")
+            for k in range(10)
+        ],
+    )
+
+    def sum10(prefix: str):
+        acc = F.coalesce(F.col(f"{prefix}0"), F.lit(0.0))
+        for k in range(1, 10):
+            acc = acc + F.coalesce(F.col(f"{prefix}{k}"), F.lit(0.0))
+        return acc
+
+    nG, yG = F.col("n"), F.col("y")
+    nc2 = (nG * C * C).cast("double")
+    return terms.crossJoin(F.broadcast(g)).select(
+        nG.cast("bigint").alias("n_docs"),
+        F.round(
+            (
+                F.col("ss") - 2 * C * F.col("sy") + C * C * yG
+            ).cast("double")
+            / nc2,
+            6,
+        ).alias("brier"),
+        F.round(sum10("rel") / nc2, 6).alias("reliability"),
+        F.round(
+            sum10("res") / (nG * nG * nG).cast("double"), 6
+        ).alias("resolution"),
+        F.round(
+            (yG * (nG - yG)).cast("double") / (nG * nG).cast("double"),
+            6,
+        ).alias("uncertainty"),
+        F.round(sum10("wbv") / nc2, 6).alias("within_bin_var"),
+        F.round(
+            sum10("wbc") / (nG * C).cast("double"), 6
+        ).alias("within_bin_cov"),
+    )

@@ -6004,3 +6004,344 @@ def xyz_demand_variability_parts(
         )
         .orderBy("partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12: intermittent-demand forecasting (Croston) over the Z-class
+# parts the r11 XYZ classification identifies, plus effect-size /
+# autoregressive / burstiness companions
+# --------------------------------------------------------------------------
+
+CROSTON_ALPHA = 0.2  # demand-size and interval smoothing constant
+_CR_OMA = 1.0 - CROSTON_ALPHA
+_CR_SBA = 1.0 - CROSTON_ALPHA / 2.0  # Syntetos-Boylan bias correction
+
+
+@_register(
+    "forecast_croston_intermittent",
+    f"""
+    WITH RECURSIVE li AS (
+      SELECT l_partkey,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP))
+               // 86400000000 // 7 AS w,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc
+      FROM lineitem
+    ), span AS (
+      SELECT MAX(w) - MIN(w) + 1 AS nw FROM li
+    ), weekly AS (
+      SELECT l_partkey, w, CAST(SUM(qc) AS BIGINT) AS q
+      FROM li GROUP BY l_partkey, w
+    ), per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(q AS HUGEINT)) AS sx,
+             SUM(CAST(q AS HUGEINT) * q) AS sxx
+      FROM weekly GROUP BY l_partkey
+    ), zparts AS (
+      SELECT l_partkey FROM per_part CROSS JOIN span
+      WHERE nw * sxx - sx * sx > sx * sx
+    ), occ AS (
+      SELECT w.l_partkey, w.w, w.q,
+             ROW_NUMBER() OVER (PARTITION BY w.l_partkey ORDER BY w.w)
+               AS i,
+             w.w - LAG(w.w) OVER (PARTITION BY w.l_partkey ORDER BY w.w)
+               AS iv
+      FROM weekly w JOIN zparts z ON z.l_partkey = w.l_partkey
+    ), counts AS (
+      SELECT l_partkey, CAST(MAX(i) AS BIGINT) AS n
+      FROM occ GROUP BY l_partkey HAVING MAX(i) >= 3
+    ), seed AS (
+      SELECT c.l_partkey,
+             CAST(o1.q AS DOUBLE) AS z, CAST(o2.iv AS DOUBLE) AS p
+      FROM counts c
+      JOIN occ o1 ON o1.l_partkey = c.l_partkey AND o1.i = 1
+      JOIN occ o2 ON o2.l_partkey = c.l_partkey AND o2.i = 2
+    ), it(pk, i, z, p) AS (
+      SELECT l_partkey, 2, z, p FROM seed
+      UNION ALL
+      SELECT it.pk, o.i,
+             {CROSTON_ALPHA!r} * CAST(o.q AS DOUBLE) + {_CR_OMA!r} * it.z,
+             {CROSTON_ALPHA!r} * CAST(o.iv AS DOUBLE) + {_CR_OMA!r} * it.p
+      FROM it JOIN occ o ON o.l_partkey = it.pk AND o.i = it.i + 1
+    )
+    SELECT it.pk AS partkey,
+           c.n AS n_demands,
+           ROUND(it.z / 100.0, 6) AS z_hat,
+           ROUND(it.p, 6) AS p_hat,
+           ROUND(it.z / 100.0 / it.p, 6) AS croston_fc,
+           ROUND({_CR_SBA!r} * it.z / 100.0 / it.p, 6) AS sba_fc
+    FROM it JOIN counts c ON c.l_partkey = it.pk AND it.i = c.n
+    ORDER BY partkey
+    """,
+)
+def forecast_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method (+ the Syntetos-Boylan approximation) for the
+    INTERMITTENT-demand parts — the standard forecaster for exactly
+    the Z class xyz_demand_variability_parts identifies (VERDICT r11
+    item 4: Z parts ARE the intermittent class; a level smoother like
+    Holt-Winters is biased on them because most periods are zero).
+    Per Z-class part with >= 3 demand occurrences, two coupled EWMAs
+    over the NON-ZERO demand points only: demand size
+    z' = alpha*d + (1-alpha)*z and inter-demand interval
+    p' = alpha*I + (1-alpha)*p (alpha = CROSTON_ALPHA, interpolated
+    into the oracle from the single definition site — the MARKOV_ITERS
+    lesson). Initialization convention (documented, both engines):
+    z seeds at the FIRST demand size, p at the FIRST interval
+    (w2 - w1), and the recursion folds occurrences 3..n. Per-period
+    forecast = z/p; SBA multiplies by (1 - alpha/2) to remove
+    Croston's inversion bias.
+
+    Exactness: weekly demand accumulates as exact integer centi-units
+    (the XYZ relation); the Z-class gate is the same pure integer
+    cross-multiplication (W*sxx - sx^2 > sx^2 — never a float
+    compare); intervals are exact integer week differences; every
+    recursive step is the SAME identically-parenthesized IEEE double
+    expression — DuckDB runs it as a recursive CTE stepping all parts
+    in lockstep, Spark as F.aggregate (a JVM-side sequential left
+    fold, whole-stage codegen, NO Python) over each part's
+    array_sort'ed occurrence list. Arrays are bounded by the calendar
+    week span (<= ~400 weeks at ANY corpus scale), so the fold state
+    is O(1) per part.
+
+    Scale shape: ONE fact scan -> the (part, week) partial aggregate
+    (map-side combinable, localCheckpoint-pinned and shared by the
+    class gate and the occurrence relation, the XYZ discipline);
+    everything downstream is part-keyed on the reduced relation — the
+    lag window, the collect_list, and the class-gate join reuse one
+    part-hash exchange class, and the fold itself is narrow."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp))"
+            " div 86400000000 div 7"
+        ).alias("w"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("qc"),
+    )
+    weekly = (
+        base.groupBy("l_partkey", "w")
+        .agg(F.sum("qc").cast("bigint").alias("q"))
+        .localCheckpoint()
+    )
+    span = weekly.agg(
+        (F.max("w") - F.min("w") + 1).cast(d38).alias("nw")
+    )
+    qI = F.col("q").cast(d38)
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.sum(qI).alias("sx"), F.sum(qI * qI).alias("sxx")
+    )
+    varn = F.col("nw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    zparts = (
+        per_part.crossJoin(F.broadcast(span))
+        .filter(varn > F.col("sx") * F.col("sx"))
+        .select("l_partkey")
+    )
+    wpk = W.partitionBy("l_partkey").orderBy("w")
+    occ = weekly.join(zparts, "l_partkey").select(
+        "l_partkey",
+        F.row_number().over(wpk).alias("i"),
+        F.col("q").cast("double").alias("q"),
+        (F.col("w") - F.lag("w").over(wpk)).cast("double").alias("iv"),
+    )
+    grouped = (
+        occ.groupBy("l_partkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "q", "iv"))
+            ).alias("a"),
+            F.max("i").cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    a_lit, oma = F.lit(CROSTON_ALPHA), F.lit(_CR_OMA)
+    state = F.aggregate(
+        F.slice(F.col("a"), 3, (F.col("n") - 2).cast("int")),
+        F.struct(
+            F.element_at(F.col("a"), 1)["q"].alias("z"),
+            F.element_at(F.col("a"), 2)["iv"].alias("p"),
+        ),
+        lambda acc, x: F.struct(
+            (a_lit * x["q"] + oma * acc["z"]).alias("z"),
+            (a_lit * x["iv"] + oma * acc["p"]).alias("p"),
+        ),
+    )
+    st = grouped.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("n").alias("n_demands"),
+        state.alias("st"),
+    )
+    z, p = F.col("st")["z"], F.col("st")["p"]
+    return st.select(
+        "partkey",
+        "n_demands",
+        F.round(z / F.lit(100.0), 6).alias("z_hat"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(z / F.lit(100.0) / p, 6).alias("croston_fc"),
+        F.round(
+            F.lit(_CR_SBA) * z / F.lit(100.0) / p, 6
+        ).alias("sba_fc"),
+    ).orderBy("partkey")
+
+
+@_register(
+    "stats_yule_walker_ar2_hourly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(c * c) AS HUGEINT) AS ss
+      FROM hourly
+    ), lagged AS (
+      SELECT c,
+             LAG(c, 1) OVER (ORDER BY hour) AS l1,
+             LAG(c, 2) OVER (ORDER BY hour) AS l2,
+             LAG(c, 3) OVER (ORDER BY hour) AS l3
+      FROM hourly
+    ), pairs AS (
+      SELECT 1 AS lag, c AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT 2, c, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT 3, c, l3 FROM lagged WHERE l3 IS NOT NULL
+    ), per_lag AS (
+      SELECT lag,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy
+      FROM pairs GROUP BY lag
+    ), rk AS (
+      SELECT lag,
+             CAST(n * n * sxy - n * s * (sx + sy)
+                  + (n - lag) * s * s AS DOUBLE)
+             / CAST(n * (n * ss - s * s) AS DOUBLE) AS r
+      FROM per_lag CROSS JOIN g
+    ), w AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM rk
+    ), fit AS (
+      SELECT r1, r2, r3,
+             r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(r1, 6) AS r1,
+           ROUND(r2, 6) AS r2,
+           ROUND(r3, 6) AS r3,
+           ROUND(phi1, 6) AS phi1_yw,
+           ROUND(phi2, 6) AS phi2_yw,
+           ROUND((r3 - phi1 * r2 - phi2 * r1)
+                 / (1.0 - phi1 * r1 - phi2 * r2), 6) AS pacf3,
+           ROUND(1.0 - phi1 * r1 - phi2 * r2, 6) AS innovation_ratio
+    FROM fit CROSS JOIN g
+    """,
+)
+def stats_yule_walker_ar2_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Yule-Walker AR(2) fit on the hourly event-count series plus the
+    lag-3 partial autocorrelation — the model-identification companion
+    to stats_ljung_box_hourly (VERDICT r11 item 4: the Durbin-Levinson
+    solve over the ACF the Ljung-Box machinery already builds). For
+    p = 2 the Toeplitz solve has the closed form
+    phi1 = r1(1 - r2)/(1 - r1^2), phi2 = (r2 - r1^2)/(1 - r1^2);
+    pacf3 is the next Durbin-Levinson reflection coefficient
+    (r3 - phi1*r2 - phi2*r1)/(1 - phi1*r1 - phi2*r2) — the "is AR(2)
+    enough?" diagnostic (near zero => yes) — and innovation_ratio
+    = 1 - phi1*r1 - phi2*r2 is the fitted innovation variance as a
+    fraction of the series variance.
+
+    Exactness: each classical r_k is ONE division of two exact
+    integers (the n^2-cleared autocovariance identity proven by
+    stats_ljung_box_hourly, DECIMAL(38,0) Spark-side / HUGEINT in the
+    oracle); phi/pacf are identically-parenthesized double
+    expressions over those three ratios, so both engines agree
+    bit-for-bit before ROUND(_, 6).
+
+    Scale shape: one fact scan reduces to the time-span-bounded hourly
+    series (map-side partial agg); the series is localCheckpoint-pinned
+    so the moments row and the lag window share one materialization;
+    the three lags are one window pass over the bounded relation and
+    everything after is a 3-row/1-row scalar reduction."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("c"))
+    ).localCheckpoint()
+    d38 = "decimal(38,0)"
+    g = hourly.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("c").cast(d38).alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast(d38).alias("ss"),
+    )
+    wo = W.orderBy("hour")
+    lagged = hourly.select(
+        "c", *[F.lag("c", d).over(wo).alias(f"l{d}") for d in range(1, 4)]
+    )
+    pairs = None
+    for d in range(1, 4):
+        p = lagged.filter(F.col(f"l{d}").isNotNull()).select(
+            F.lit(d).alias("lag"),
+            F.col("c").alias("x"),
+            F.col(f"l{d}").alias("y"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    per_lag = pairs.groupBy("lag").agg(
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+    )
+    nI, sI, ssI = F.col("n"), F.col("s"), F.col("ss")
+    lagI = F.col("lag").cast(d38)
+    rk = per_lag.crossJoin(F.broadcast(g)).select(
+        "lag",
+        (
+            (
+                nI * nI * F.col("sxy")
+                - nI * sI * (F.col("sx") + F.col("sy"))
+                + (nI - lagI) * sI * sI
+            ).cast("double")
+            / (nI * (nI * ssI - sI * sI)).cast("double")
+        ).alias("r"),
+    )
+    w = rk.agg(
+        *[
+            F.max(F.when(F.col("lag") == d, F.col("r"))).alias(f"r{d}")
+            for d in range(1, 4)
+        ]
+    )
+    one = F.lit(1.0)
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    fit = w.select(
+        "r1",
+        "r2",
+        "r3",
+        (r1 * (one - r2) / (one - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (one - r1 * r1)).alias("phi2"),
+    )
+    phi1, phi2 = F.col("phi1"), F.col("phi2")
+    return fit.crossJoin(F.broadcast(g)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(phi1, 6).alias("phi1_yw"),
+        F.round(phi2, 6).alias("phi2_yw"),
+        F.round(
+            (r3 - phi1 * r2 - phi2 * r1)
+            / (one - phi1 * r1 - phi2 * r2),
+            6,
+        ).alias("pacf3"),
+        F.round(one - phi1 * r1 - phi2 * r2, 6).alias(
+            "innovation_ratio"
+        ),
+    )

@@ -1111,6 +1111,40 @@ def enrich_events(
 
 
 # --------------------------------------------------------------------------
+# The replay-idempotent foreachBatch sink contract (shared by every
+# parquet-writing sink in this module)
+# --------------------------------------------------------------------------
+
+def write_epoch_partition(
+    df: DataFrame, epoch_id: int, path: str, single_file: bool = False
+) -> None:
+    """Land one micro-batch's output replay-idempotently: stamp the rows
+    with their own ``_epoch=<id>`` hive partition and write via DYNAMIC
+    partition overwrite, so an at-least-once foreachBatch retry REPLACES
+    that epoch's output instead of appending a second copy (a duplicated
+    epoch double-counts in any downstream SUM). This is the ONLY way a
+    sink in this module may write parquet from foreachBatch — new sinks
+    route through here so append-mode can't ship by default again
+    (three sinks did exactly that before r11's e839add).
+
+    ``_epoch`` is a SEPARATE dir-key column (always stamped here, never
+    caller-supplied — withColumn replaces any existing one) so a plain
+    ``epoch_id`` LONG data column survives as data for consumers: a
+    partition column would read back as an inferred INT. ``single_file``
+    coalesces bounded driver-built metrics rows into one file per epoch;
+    leave it False for data-sized output like the dedup survivors."""
+    out = df.withColumn("_epoch", F.lit(int(epoch_id)))
+    if single_file:
+        out = out.coalesce(1)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(path)
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming incremental dedup: online exact-dedup against a persistent
 # hash index (the ingestion-time dedup of a continuously-fed corpus)
 # --------------------------------------------------------------------------
@@ -1184,21 +1218,13 @@ def stream_dedup_ingest(
             novel = batch_unique
         # Materialize once: novel feeds both sinks and reading the index
         # we are about to overwrite into must happen before the write.
-        novel = novel.withColumn("_epoch", F.lit(int(epoch_id))).persist()
+        novel = novel.persist()
         try:
-            (
-                novel.drop("content_hash")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_epoch")
-                .parquet(out_dir)
+            write_epoch_partition(
+                novel.drop("content_hash"), epoch_id, out_dir
             )
-            (
-                novel.select("content_hash", "_epoch")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_epoch")
-                .parquet(index_dir)
+            write_epoch_partition(
+                novel.select("content_hash"), epoch_id, index_dir
             )
         finally:
             novel.unpersist()
@@ -1254,13 +1280,16 @@ def stream_dq_monitor(
             (int(epoch_id), rule, int(counts[rule]), int(counts["n_rows"]))
             for rule in ("null_pk", "null_ts", "negative_value", "unknown_event_type")
         ]
-        batch_df.sparkSession.createDataFrame(
-            [r + (int(epoch_id),) for r in rows],
-            "epoch_id long, rule string, n_violations long, "
-            "batch_rows long, _epoch long",
-        ).coalesce(1).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_epoch").parquet(metrics_dir)
+        write_epoch_partition(
+            batch_df.sparkSession.createDataFrame(
+                rows,
+                "epoch_id long, rule string, n_violations long, "
+                "batch_rows long",
+            ),
+            epoch_id,
+            metrics_dir,
+            single_file=True,
+        )
 
     _require_partitioned_metrics_dir(metrics_dir, "stream_dq_monitor")
     writer = (
@@ -1413,21 +1442,20 @@ def stream_cusum_monitor(
 
         s = int(row.s)
         dev = ref_rows * s - n * ref_sum_cents
-        # Idempotent replay (foreachBatch is at-least-once): overwrite
-        # ONLY this epoch's partition, so a retried epoch replaces its
-        # row — consumers summing dev_cents never double-count. The
-        # partition column is a SEPARATE _epoch dir key so epoch_id
-        # stays a plain LONG data column for consumers (a partition
-        # column would read back as an inferred INT). Layout note:
-        # this sink is hive-partitioned — point the monitor at a fresh
-        # metrics_dir, never a dir holding flat pre-r9 appends.
-        batch_df.sparkSession.createDataFrame(
-            [(int(epoch_id), n, Decimal(s), Decimal(dev), int(epoch_id))],
-            "epoch_id long, batch_rows long, batch_sum_cents decimal(38,0), "
-            "dev_cents decimal(38,0), _epoch long",
-        ).coalesce(1).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_epoch").parquet(metrics_dir)
+        # Layout note: this sink is hive-partitioned (see
+        # write_epoch_partition for the replay-idempotence contract) —
+        # point the monitor at a fresh metrics_dir, never a dir
+        # holding flat pre-r9 appends.
+        write_epoch_partition(
+            batch_df.sparkSession.createDataFrame(
+                [(int(epoch_id), n, Decimal(s), Decimal(dev))],
+                "epoch_id long, batch_rows long, "
+                "batch_sum_cents decimal(38,0), dev_cents decimal(38,0)",
+            ),
+            epoch_id,
+            metrics_dir,
+            single_file=True,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)
@@ -1478,14 +1506,15 @@ def stream_quantile_monitor(
         ).collect()[0]  # bounded: one aggregated row per micro-batch
         if int(row.n) == 0:
             return
-        # same idempotent-sink contract (and _epoch dir-key rationale)
-        # as stream_cusum_monitor's audit_batch
-        batch_df.sparkSession.createDataFrame(
-            [(int(epoch_id), int(row.n), bytes(row.kll), int(epoch_id))],
-            "epoch_id long, batch_rows long, kll binary, _epoch long",
-        ).coalesce(1).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_epoch").parquet(metrics_dir)
+        write_epoch_partition(
+            batch_df.sparkSession.createDataFrame(
+                [(int(epoch_id), int(row.n), bytes(row.kll))],
+                "epoch_id long, batch_rows long, kll binary",
+            ),
+            epoch_id,
+            metrics_dir,
+            single_file=True,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)
@@ -1578,19 +1607,19 @@ def stream_psi_monitor(
             for b in range(n_bins)
         )
         out = [
-            (int(epoch_id), b, counts.get(b, 0), p_ref[b], psi, int(epoch_id))
+            (int(epoch_id), b, counts.get(b, 0), p_ref[b], psi)
             for b in range(n_bins)
         ]
-        # replay-idempotent: overwrite this epoch's own partition (the
-        # cusum/quantile monitors' r9 pattern) — a retried epoch
-        # replaces its rows instead of double-counting downstream
-        batch_df.sparkSession.createDataFrame(
-            out,
-            "epoch_id long, bin int, n_batch long, p_ref double, "
-            "psi_batch double, _epoch long",
-        ).coalesce(1).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("_epoch").parquet(metrics_dir)
+        write_epoch_partition(
+            batch_df.sparkSession.createDataFrame(
+                out,
+                "epoch_id long, bin int, n_batch long, p_ref double, "
+                "psi_batch double",
+            ),
+            epoch_id,
+            metrics_dir,
+            single_file=True,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(audit_batch)

@@ -674,6 +674,33 @@ def test_plan_audit_artifact_in_sync_with_registry():
     )
 
 
+def test_plan_audit_single_partition_feeds_all_bounded():
+    """VERDICT r11 item 5: the generic bounded-feed rule replaces the
+    ~10 per-query SinglePartition regex pins. Every SinglePartition
+    exchange in every registered query's plan must be fed by a
+    row-bounding head (aggregate / limit / literal / broadcast) below
+    nothing but row-preserving operators; the only allowed exception
+    is the documented waiver list (currently exactly the deliberate
+    exact-tier global NTILE). An unclassified physical node fails too —
+    new operators get classified explicitly, never silently."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    audit = json.loads((root / "PLAN_AUDIT.json").read_text())
+    s = audit["summary"]
+    assert s["unbounded_single_partition_feeds"] == []
+    assert sorted(s["single_partition_waivers"]) == [
+        "histogram_equidepth_prices"
+    ]
+    assert s["unclassified_plan_nodes"] == []
+    # the per-query field exists for every audited query
+    assert all(
+        "single_partition_bounded" in v or "error" in v
+        for v in audit["queries"].values()
+    )
+
+
 def test_bench_stdout_line_fits_driver_capture_budget():
     """The driver's bench capture is ONE stdout line with a bounded
     buffer; round 3 AND round 8 both blew it by growing the inline

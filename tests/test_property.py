@@ -2299,3 +2299,161 @@ class TestRound11Laws:
                 import pandas.testing as pt
 
                 pt.assert_frame_equal(sp, dk, check_dtype=False)
+
+
+class TestRound12Laws:
+    """numpy/pandas replicas + defining identities for the r12
+    registrations (Croston, Yule-Walker AR(2), Brier decomposition)."""
+
+    def test_croston_pandas_replica_and_laws(self, spark):
+        """Replica: an independent pandas fold over the same weekly
+        centi-unit demand relation reproduces every part's smoothed
+        state bit-for-bit; plus the defining laws: only Z-class parts
+        with >= 3 demand weeks appear, SBA = (1 - alpha/2) * Croston,
+        p_hat >= 1 (intervals are whole weeks), and z_hat lies inside
+        the part's observed [min, max] weekly demand envelope."""
+        import pandas as pd
+
+        from console_etl_spark.relational.timeseries import (
+            CROSTON_ALPHA,
+            _CR_OMA,
+            _CR_SBA,
+            forecast_croston_intermittent,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = forecast_croston_intermittent(spark, SF_TEST).toPandas()
+        assert len(got) > 0
+        li = load_table(spark, SF_TEST, "lineitem").toPandas()
+        li["w"] = (
+            pd.to_datetime(li["l_shipdate"]).astype("int64")
+            // 1_000 // 86_400_000_000 // 7
+        )
+        li["qc"] = (li["l_quantity"].astype(float) * 100).round().astype(
+            "int64"
+        )
+        weekly = (
+            li.groupby(["l_partkey", "w"])["qc"].sum().reset_index(name="q")
+        )
+        nw = int(weekly["w"].max() - weekly["w"].min() + 1)
+        expect = {}
+        for pk, grp in weekly.groupby("l_partkey"):
+            q = grp.sort_values("w")
+            sx, sxx = int(q["q"].sum()), int((q["q"] ** 2).sum())
+            if not (nw * sxx - sx * sx > sx * sx):  # Z-class gate
+                continue
+            ws, ds = q["w"].to_numpy(), q["q"].to_numpy()
+            if len(ds) < 3:
+                continue
+            z, p = float(ds[0]), float(ws[1] - ws[0])
+            for i in range(2, len(ds)):
+                z = CROSTON_ALPHA * float(ds[i]) + _CR_OMA * z
+                p = CROSTON_ALPHA * float(ws[i] - ws[i - 1]) + _CR_OMA * p
+            expect[pk] = (len(ds), z, p, ds.min(), ds.max())
+        assert set(got["partkey"]) == set(expect)
+        for row in got.itertuples():
+            n, z, p, dmin, dmax = expect[row.partkey]
+            assert row.n_demands == n
+            assert row.z_hat == round(z / 100.0, 6)
+            assert row.p_hat == round(p, 6)
+            assert row.croston_fc == round(z / 100.0 / p, 6)
+            assert row.sba_fc == round(_CR_SBA * z / 100.0 / p, 6)
+            assert row.p_hat >= 1.0  # whole-week intervals
+            # EWMA of demands stays inside the demand envelope
+            assert dmin / 100.0 - 1e-9 <= row.z_hat <= dmax / 100.0 + 1e-9
+            # SBA is a pure scaling of the Croston rate
+            assert abs(row.sba_fc - round(_CR_SBA * z / 100.0 / p, 6)) < 1e-12
+
+    def test_yule_walker_numpy_replica_and_laws(self, spark):
+        """Replica: numpy classical ACF + the p=2 Toeplitz solve agree
+        with the engine to 1e-9; laws: pacf2 == phi2 by Durbin-Levinson,
+        innovation_ratio in (0, 1], and |r_k| < 1."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_yule_walker_ar2_hourly,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_yule_walker_ar2_hourly(spark, SF_TEST).collect()[0]
+        e = load_table(spark, SF_TEST, "events").toPandas()
+        c = (
+            e.set_index("ts")
+            .resample("1h")["event_id"]
+            .count()
+        )
+        c = c[c > 0].to_numpy(dtype=float)  # observed hours only
+        n = len(c)
+        mu = c.mean()
+        c0 = ((c - mu) ** 2).sum() / n
+
+        def r(k):
+            return ((c[k:] - mu) * (c[:-k] - mu)).sum() / n / c0
+
+        r1, r2, r3 = r(1), r(2), r(3)
+        assert got["n"] == n
+        for have, want in (
+            (got["r1"], r1), (got["r2"], r2), (got["r3"], r3),
+        ):
+            assert abs(have - want) <= 1e-6
+            assert abs(have) < 1.0
+        phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+        phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        assert abs(got["phi1_yw"] - phi1) <= 1e-6
+        assert abs(got["phi2_yw"] - phi2) <= 1e-6
+        # numpy cross-check via the Toeplitz solve itself
+        sol = np.linalg.solve(np.array([[1, r1], [r1, 1]]), [r1, r2])
+        assert abs(got["phi1_yw"] - sol[0]) <= 1e-6
+        assert abs(got["phi2_yw"] - sol[1]) <= 1e-6
+        pacf3 = (r3 - phi1 * r2 - phi2 * r1) / (1 - phi1 * r1 - phi2 * r2)
+        assert abs(got["pacf3"] - pacf3) <= 1e-6
+        assert 0.0 < got["innovation_ratio"] <= 1.0 + 1e-9
+
+    def test_brier_murphy_identity_and_numpy_replica(self, spark):
+        """The six-term Murphy identity holds EXACTLY (within the 6-dp
+        output rounding): brier == rel - res + unc + wbv - 2*wbc; every
+        term matches an independent numpy computation; rel/unc/wbv
+        are non-negative by construction."""
+        from console_etl_spark.llmops.modeleval import (
+            CAL_SCALE,
+            eval_brier_decomposition,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = eval_brier_decomposition(spark, SF_TEST).collect()[0]
+        d = load_table(spark, SF_TEST, "documents").toPandas()
+        s = d["n_chars"].clip(upper=CAL_SCALE).astype("int64")
+        p = s / CAL_SCALE
+        y = (d["lang"] == "en").astype("int64")
+        bins = (s * 10 // CAL_SCALE).clip(upper=9)
+        n = len(d)
+        brier = ((p - y) ** 2).mean()
+        ybar = y.mean()
+        rel = res = wbv = wbc = 0.0
+        for _, idx in p.groupby(bins).groups.items():
+            pk, yk = p[idx], y[idx]
+            nk = len(idx)
+            rel += nk * (pk.mean() - yk.mean()) ** 2
+            res += nk * (yk.mean() - ybar) ** 2
+            wbv += ((pk - pk.mean()) ** 2).sum()
+            wbc += ((pk - pk.mean()) * yk).sum()
+        rel, res, wbv, wbc = rel / n, res / n, wbv / n, wbc / n
+        unc = ybar * (1 - ybar)
+        assert got["n_docs"] == n
+        for col, want in (
+            ("brier", brier), ("reliability", rel), ("resolution", res),
+            ("uncertainty", unc), ("within_bin_var", wbv),
+            ("within_bin_cov", wbc),
+        ):
+            assert abs(got[col] - want) <= 2e-6, (col, got[col], want)
+        gap = got["brier"] - (
+            got["reliability"] - got["resolution"] + got["uncertainty"]
+            + got["within_bin_var"] - 2 * got["within_bin_cov"]
+        )
+        assert abs(gap) <= 5e-6  # six rounded terms
+        assert got["reliability"] >= 0
+        assert got["within_bin_var"] >= 0
+        assert got["uncertainty"] >= 0

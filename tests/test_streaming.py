@@ -2883,3 +2883,23 @@ def test_stream_dedup_ingest_fresh_checkpoint_full_replay(spark, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == n
     assert again.select("doc_id").distinct().count() == n
+
+
+def test_epoch_sink_contract_single_write_site():
+    """VERDICT r11 item 7: write_epoch_partition is the ONLY place a
+    foreachBatch sink may configure dynamic partition overwrite — a new
+    sink writing parquet any other way (e.g. append mode, the pre-r11
+    default that shipped three duplicating sinks) must show up here.
+    Pins: exactly one partitionOverwriteMode site in streaming.py, no
+    append-mode parquet writes anywhere in the module."""
+    import inspect
+
+    from console_etl_spark import streaming
+
+    src = inspect.getsource(streaming)
+    assert src.count("partitionOverwriteMode") == 1
+    assert 'mode("append")' not in src
+    # the helper itself stamps _epoch: a caller-supplied column is
+    # replaced, so the partition key can never disagree with epoch_id
+    helper = inspect.getsource(streaming.write_epoch_partition)
+    assert 'withColumn("_epoch"' in helper
