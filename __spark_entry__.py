@@ -55,91 +55,84 @@ _MODULES = (
 # parity suite (tests/test_oracle_parity.py).
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 11 (tenth
-# rotation): the 16 NEW r11 registrations first (Benjamini-Hochberg FDR
-# over the per-brand chi-square family — the multiple-comparisons
-# capstone, VERDICT r10 item 3; the monthly purchase-cohort retention
-# triangle with normalized rates; the Holt-Winters additive one-step
-# backtest challenging the seasonal-naive champion; the Friedman rank
-# test completing the nonparametric tier's repeated-measures slot; the
-# Cochran-Armitage trend-in-proportions test; second wave: the
-# Jarque-Bera normality gate from exact cent-integer moments and the
-# cumulative-LTV-per-member curve on the purchase-cohort grid; third
-# wave: the Durbin-Watson residual-autocorrelation diagnostic on the
-# daily-revenue OLS and the empirical P10/P50/P90 prediction interval
-# for the seasonal-naive forecast — all
-# oracle-backed and windowed same-round per VERDICT r7 item 8), then
-# fourth wave (completing the round's 16-registration pacing cap):
-# McNemar's paired-binary test on first-half/second-half buying
-# status; Pettitt's rank-based changepoint on the daily revenue
-# series; Breusch-Pagan heteroscedasticity on the daily OLS;
-# the view->purchase hourly cross-correlation function; the
-# seasonal-naive accuracy scorecard (MAE/RMSE/MASE/Theil's U2);
-# XYZ demand-variability classification completing the ABC-XYZ
-# inventory matrix; Cohen's kappa between two document raters —
-# then the 2 queries whose
-# implementations CHANGED this round (attribution_markov_removal: the
-# oracle SQL now interpolates MARKOV_ITERS; stats_ljung_box_hourly:
-# localCheckpoint pin — changed-since-last-driver-row outranks
-# staleness), then pure staleness draining: ALL 32 remaining r5 rows
-# (registration order). No rows-only slots this round — all 50 are
-# oracle value-hash checks. After this round the oldest remaining
-# driver row is r6.
+# their last driver row, then oldest rows first. ROUND 12 (eleventh
+# rotation): the 7 NEW r12 registrations first (Croston + SBA
+# intermittent-demand forecast over the Z-class parts — the capstone
+# VERDICT r11 item 4 asked for, per-part F.aggregate fold == lockstep
+# recursive CTE; Yule-Walker AR(2) + PACF(3) from the exact-integer
+# ACF; the six-term Brier/Murphy decomposition with the exact identity;
+# Cramér's V effect size; Cohen's d / Hedges' g / Glass's delta;
+# the per-event-type burstiness profile; the rescaled-range Hurst
+# exponent — all oracle-backed, numpy/pandas replica laws pinned,
+# windowed same-round), then the 2 rows-only ANN queries whose plans
+# were REBUILT in r11's hardening commit 8971acc (ann_ivf_topk,
+# ann_lsh_multiprobe — VERDICT r11 item 1: rows-evidence must postdate
+# the rebuilt plans; changed-since-last-driver-row outranks staleness),
+# then staleness draining from the r6 block (the oldest; 50 rows):
+# curation_funnel_report FIRST (VERDICT r11 item 1 — its r6 driver row
+# predates the d645424 value-changing survivor-selection fix; the MV
+# query mv_incremental_orders_stats also lands here, re-evidencing the
+# r12 replay-guard change), then 40 more r6 rows in registration
+# order. The window cannot hold all 50 r6 rows plus any new
+# registrations (50 slots total) — the 9 r6 rows left
+# (zorder/graph×2/dedup×2/text×3/enumerate) are the r13 rotation's
+# head. 48 oracle value-hash slots + 2 rows-only (by design) slots.
 _PRIORITY = (
-    # new r11 registrations, never driver-checked (16)
-    "stats_bh_fdr_brand_chi2",
-    "cohort_monthly_order_retention",
-    "forecast_holt_winters_daily",
-    "stats_friedman_qty_by_flag",
-    "stats_cochran_armitage_trend",
-    "stats_jarque_bera_price_by_flag",
-    "cohort_revenue_ltv_curve",
-    "stats_durbin_watson_daily",
-    "forecast_naive_interval_daily",
-    "stats_mcnemar_repeat_buyers",
-    "changepoint_pettitt_daily",
-    "stats_breusch_pagan_daily",
-    "forecast_accuracy_scorecard_daily",
-    "ccf_view_purchase_hourly",
-    "xyz_demand_variability_parts",
-    "eval_cohens_kappa_raters",
-    # implementations changed since their r10 driver rows (2)
-    "attribution_markov_removal",
-    "stats_ljung_box_hourly",
-    # r5 driver rows (all 32 remaining): registration order
-    "scd2_customer_updates",
-    "events_value_anomalies",
-    "dq_violations_report",
-    "cohort_weekly_retention",
-    "funnel_signup_view_purchase",
-    "pattern_rising_purchase_runs",
-    "sql_correlated_exists",
-    "sql_recursive_hierarchy",
-    "sql_lateral_topk_per_nation",
-    "dedup_exact_docs",
-    "dedup_shingle_jaccard_ppjoin",
-    "decontaminate_overlap_docs",
-    "text_quality_scores",
-    "text_lang_stats",
-    "text_top_tokens",
-    "text_top_bigrams",
-    "text_winnowed_fingerprints",
-    "text_fingerprints",
-    "text_subword_token_counts",
-    "text_unigram_perplexity",
-    "text_tfidf_top_terms",
-    "text_pii_scrub",
-    "text_boilerplate_ngram_ratio",
-    "text_bigram_perplexity",
-    "ann_topk_cosine",
-    "embedding_label_stats",
-    "embedding_int8_quantize",
-    "mm_binary_stats",
-    "split_train_test_docs",
-    "pack_sequences_by_lang",
-    "curate_corpus_end_to_end",
-    "chunk_documents_sliding",
-    # WINDOW FULL at 50 (16 new + 2 changed + 32 r5).
+    # new r12 registrations, never driver-checked (7)
+    "forecast_croston_intermittent",
+    "stats_yule_walker_ar2_hourly",
+    "eval_brier_decomposition",
+    "stats_cramers_v_brand_flag",
+    "stats_cohens_d_weekend_revenue",
+    "stats_burstiness_event_hourly",
+    "stats_hurst_rs_daily",
+    # rows-only ANN plans rebuilt in r11 hardening (8971acc)
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    # r6 driver rows (41 of 50): value-changed-in-d645424 first, then
+    # registration order
+    "curation_funnel_report",
+    "nav_icon_variant",
+    "events_props_variant",
+    "mv_incremental_orders_stats",
+    "sessionize_events_native",
+    "sample_k_per_group_docs",
+    "histogram_equidepth_prices",
+    "er_part_name_clusters",
+    "weighted_sample_docs",
+    "gapfill_interpolate_hourly",
+    "window_rolling_corr_qty_price",
+    "profile_column_stats_orders",
+    "profile_key_candidates",
+    "regression_price_on_qty_by_flag",
+    "mode_event_type_by_user",
+    "islands_user_active_hours",
+    "skew_report_lineitem_partkey",
+    "twap_value_by_user",
+    "ohlc_hourly_value",
+    "aqp_revenue_estimate",
+    "asof_join_nearest_view",
+    "winsorized_price_stats",
+    "benford_totalprice_audit",
+    "bootstrap_revenue_ci",
+    "stats_chi2_independence",
+    "stats_welch_ttest",
+    "stats_ks_two_sample",
+    "stats_corr_matrix_lineitem",
+    "overlap_sessions_per_hour",
+    "ewma_trailing_user_value",
+    "acf_hourly_event_counts",
+    "psi_totalprice_drift",
+    "jsd_event_type_weekend",
+    "assoc_part_pairs_lift",
+    "markov_event_transitions",
+    "kanonymity_customer_audit",
+    "text_source_token_entropy",
+    "attribution_last_touch",
+    "conversion_time_percentiles",
+    "rfm_customer_segments",
+    "sql_parameterized_topn",
+    # WINDOW FULL at 50 (7 new + 2 changed rows-only + 41 r6).
 )
 
 

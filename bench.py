@@ -145,6 +145,17 @@ HEADLINE = [
     "ccf_view_purchase_hourly",
     "xyz_demand_variability_parts",
     "eval_cohens_kappa_raters",
+    # round-12 additions (Croston intermittent-demand capstone,
+    # Yule-Walker AR(2)+PACF, six-term Brier/Murphy decomposition,
+    # Cramér's V effect size, Cohen's d family, burstiness profile,
+    # rescaled-range Hurst exponent):
+    "forecast_croston_intermittent",
+    "stats_yule_walker_ar2_hourly",
+    "eval_brier_decomposition",
+    "stats_cramers_v_brand_flag",
+    "stats_cohens_d_weekend_revenue",
+    "stats_burstiness_event_hourly",
+    "stats_hurst_rs_daily",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

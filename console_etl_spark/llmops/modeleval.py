@@ -814,13 +814,18 @@ def eval_brier_decomposition(
         F.col("label").alias("y"),
     )
     sI, yI = F.col("s").cast(d38), F.col("y").cast(d38)
+    # localCheckpoint pin: the <= 10-row bin relation feeds THREE
+    # consumers (the global moments row, the pivoted terms, and the
+    # final cross join) — unpinned, Catalyst re-derives it per consumer
+    # and the corpus is scanned three times (the duplicated-base-scan
+    # class the r11 plan discipline exists to catch)
     per_bin = binned.groupBy("bin").agg(
         F.count("*").cast(d38).alias("nk"),
         F.sum(sI).alias("ssk"),
         F.sum(sI * sI).alias("sssk"),
         F.sum(yI).alias("syk"),
         F.sum(sI * yI).alias("ssyk"),
-    )
+    ).localCheckpoint()
     g = per_bin.agg(
         F.sum("nk").alias("n"),
         F.sum("ssk").alias("s"),

@@ -60,48 +60,35 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 11 (never-checked backlog at 0): the 16 NEW
-    r11 registrations first (Benjamini-Hochberg FDR over the per-brand
-    chi-square family, monthly purchase-cohort retention triangle,
-    Holt-Winters additive backtest, Friedman rank test,
-    Cochran-Armitage trend test, Jarque-Bera normality gate,
-    cumulative-LTV curve, Durbin-Watson residual diagnostic,
-    seasonal-naive prediction interval, McNemar paired-binary test,
-    Pettitt rank changepoint, Breusch-Pagan heteroscedasticity,
-    seasonal-naive accuracy scorecard, view->purchase hourly CCF,
-    XYZ demand-variability classes, Cohen's kappa — all
-    oracle-backed), then the 2 queries
-    whose implementations changed this round
-    (attribution_markov_removal's interpolated iteration constant,
-    stats_ljung_box_hourly's localCheckpoint pin;
-    changed-since-last-driver-row outranks staleness), then pure
-    staleness draining: all 32 remaining r5 rows. 50 oracle
-    value-hash slots, ZERO rows-only slots this round."""
+    priority list. Round 12 (never-checked backlog at 0): the 7 NEW
+    r12 registrations first (Croston+SBA intermittent-demand forecast,
+    Yule-Walker AR(2)+PACF, six-term Brier/Murphy decomposition,
+    Cramér's V, Cohen's d family, burstiness profile, Hurst R/S — all
+    oracle-backed), then the 2 rows-only ANN queries whose plans were
+    rebuilt in r11's hardening commit 8971acc (VERDICT r11 item 1;
+    changed-since-last-driver-row outranks staleness), then staleness
+    draining from the r6 block: curation_funnel_report first (its r6
+    row predates the d645424 value-changing fix) and 40 more r6 rows
+    in registration order. 48 oracle value-hash slots + 2 rows-only
+    (by-design hash-family) slots; the 9 r6 rows that don't fit lead
+    the r13 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
-    assert rows_only_slots == []
-    assert len(oracle_slots) == 50
-    assert first50[:18] == [
-        "stats_bh_fdr_brand_chi2",
-        "cohort_monthly_order_retention",
-        "forecast_holt_winters_daily",
-        "stats_friedman_qty_by_flag",
-        "stats_cochran_armitage_trend",
-        "stats_jarque_bera_price_by_flag",
-        "cohort_revenue_ltv_curve",
-        "stats_durbin_watson_daily",
-        "forecast_naive_interval_daily",
-        "stats_mcnemar_repeat_buyers",
-        "changepoint_pettitt_daily",
-        "stats_breusch_pagan_daily",
-        "forecast_accuracy_scorecard_daily",
-        "ccf_view_purchase_hourly",
-        "xyz_demand_variability_parts",
-        "eval_cohens_kappa_raters",
-        "attribution_markov_removal",
-        "stats_ljung_box_hourly",
+    assert rows_only_slots == ["ann_ivf_topk", "ann_lsh_multiprobe"]
+    assert len(oracle_slots) == 48
+    assert first50[:10] == [
+        "forecast_croston_intermittent",
+        "stats_yule_walker_ar2_hourly",
+        "eval_brier_decomposition",
+        "stats_cramers_v_brand_flag",
+        "stats_cohens_d_weekend_revenue",
+        "stats_burstiness_event_hourly",
+        "stats_hurst_rs_daily",
+        "ann_ivf_topk",
+        "ann_lsh_multiprobe",
+        "curation_funnel_report",
     ]
 
 
@@ -188,9 +175,10 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 11's window is staleness-keyed with
-    ZERO rows-only slots — every slot is an oracle value-hash check
-    (split pinned in test_driver_window_covers_all_families)."""
+    query, no duplicates. Round 12's window is staleness-keyed with
+    exactly TWO rows-only slots — the r11-rebuilt ANN plans whose
+    rows-evidence must postdate the rebuild (split pinned in
+    test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
@@ -199,7 +187,9 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == [], f"unexpected rows-only slots: {rows_only}"
+    assert rows_only == ["ann_ivf_topk", "ann_lsh_multiprobe"], (
+        f"unexpected rows-only slots: {rows_only}"
+    )
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
 

@@ -2457,3 +2457,172 @@ class TestRound12Laws:
         assert got["reliability"] >= 0
         assert got["within_bin_var"] >= 0
         assert got["uncertainty"] >= 0
+
+    def test_cramers_v_pandas_replica_and_laws(self, spark):
+        """Replica: pandas crosstab chi-square reproduces chi2/V to
+        1e-6; laws: 0 <= V_corrected <= V <= 1, dof == (r-1)(c-1)."""
+        import pandas as pd
+
+        from console_etl_spark.relational.timeseries import (
+            stats_cramers_v_brand_flag,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_cramers_v_brand_flag(spark, SF_TEST).collect()[0]
+        li = load_table(spark, SF_TEST, "lineitem").toPandas()
+        pt = load_table(spark, SF_TEST, "part").toPandas()
+        j = li.merge(
+            pt[["p_partkey", "p_brand"]],
+            left_on="l_partkey",
+            right_on="p_partkey",
+        )
+        ct = pd.crosstab(j["p_brand"], j["l_returnflag"])
+        n = ct.values.sum()
+        row = ct.sum(axis=1).values[:, None]
+        col = ct.sum(axis=0).values[None, :]
+        e = row * col / n
+        chi2 = ((ct.values - e) ** 2 / e).sum()
+        r, c = ct.shape
+        assert got["n"] == n
+        assert (got["n_rows"], got["n_cols"]) == (r, c)
+        assert got["dof"] == (r - 1) * (c - 1)
+        assert abs(got["chi2"] - chi2) <= 1e-5
+        v = (chi2 / (n * (min(r, c) - 1))) ** 0.5
+        assert abs(got["cramers_v"] - v) <= 1e-6
+        assert 0.0 <= got["cramers_v_corrected"] <= got["cramers_v"] <= 1.0
+
+    def test_cohens_d_pandas_replica_and_laws(self, spark):
+        """Replica: pandas group moments reproduce d/g/delta; laws:
+        |g| < |d| (shrinkage), and the weekend classifier agrees with
+        the calendar (epoch-day % 7 in {2,3} == Saturday/Sunday)."""
+        import pandas as pd
+
+        from console_etl_spark.relational.timeseries import (
+            stats_cohens_d_weekend_revenue,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_cohens_d_weekend_revenue(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        o["d"] = (
+            pd.to_datetime(o["o_orderdate"]).astype("int64")
+            // 1_000 // 86_400_000_000
+        )
+        # calendar agreement of the pure-integer weekend rule
+        dow = pd.to_datetime(o["o_orderdate"]).dt.dayofweek  # Mon=0
+        assert ((o["d"] % 7).isin([2, 3]) == dow.isin([5, 6])).all()
+        daily = (
+            (o.groupby("d")["o_totalprice"].sum() * 100)
+            .round()
+            .astype("int64")
+        )
+        wk = daily[daily.index % 7 >= 4]  # weekdays: d%7 in {0,1,4,5,6}\{2,3}
+        wk = daily[~daily.index.to_series().mod(7).isin([2, 3])]
+        we = daily[daily.index.to_series().mod(7).isin([2, 3])]
+        n1, n2 = len(we), len(wk)
+        m1, m2 = we.mean(), wk.mean()
+        v1, v2 = we.var(ddof=1), wk.var(ddof=1)
+        sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+        d = (m1 - m2) / sp2**0.5
+        g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+        assert (got["n_weekend"], got["n_weekday"]) == (n1, n2)
+        assert abs(got["cohens_d"] - d) <= 1e-6
+        assert abs(got["hedges_g"] - g) <= 1e-6
+        assert abs(got["glass_delta"] - (m1 - m2) / v2**0.5) <= 1e-6
+        assert abs(got["hedges_g"]) < abs(got["cohens_d"]) or d == 0
+
+    def test_burstiness_pandas_replica_and_laws(self, spark):
+        """Replica per event type; laws: -1 < B < 1, fano > 0,
+        |lag1| < 1, and a Poisson-like series has B ~ (sigma-mu)/(sigma+mu)
+        by definition (identity re-check from raw moments)."""
+        from console_etl_spark.relational.timeseries import (
+            stats_burstiness_event_hourly,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = {
+            r["event_type"]: r
+            for r in stats_burstiness_event_hourly(spark, SF_TEST).collect()
+        }
+        e = load_table(spark, SF_TEST, "events").toPandas()
+        for et, grp in e.groupby("event_type"):
+            c = (
+                grp.set_index("ts")
+                .resample("1h")["event_id"]
+                .count()
+            )
+            c = c[c > 0].astype("int64")
+            n, s, ss = len(c), int(c.sum()), int((c**2).sum())
+            V = n * ss - s * s
+            r = got[et]
+            assert r["n_hours"] == n
+            assert abs(r["mean_hourly"] - s / n) <= 1e-6
+            assert abs(r["fano"] - V / (n * s)) <= 1e-6
+            assert abs(
+                r["burstiness"] - (V**0.5 - s) / (V**0.5 + s)
+            ) <= 1e-6
+            x = c.to_numpy(dtype=float)
+            mu = x.mean()
+            c0 = ((x - mu) ** 2).sum()
+            r1 = ((x[1:] - mu) * (x[:-1] - mu)).sum() / c0
+            assert abs(r["lag1_autocorr"] - r1) <= 1e-6
+            assert -1.0 < r["burstiness"] < 1.0
+            assert r["fano"] > 0
+            assert abs(r["lag1_autocorr"]) < 1.0
+
+    def test_hurst_numpy_replica_and_laws(self, spark):
+        """Replica: an independent numpy R/S implementation (floats
+        throughout, classic formulation) agrees to 1e-6; laws: block
+        counts match n_days // m, mean R/S grows with m, and
+        0 < hurst < 1."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_hurst_rs_daily,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_hurst_rs_daily(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        import pandas as pd
+
+        o["d"] = (
+            pd.to_datetime(o["o_orderdate"]).astype("int64")
+            // 1_000 // 86_400_000_000
+        )
+        y = (
+            (o.groupby("d")["o_totalprice"].sum() * 100)
+            .round()
+            .astype("int64")
+            .sort_index()
+            .to_numpy(dtype=float)
+        )
+        T = len(y)
+        assert got["n_days"] == T
+        logs = []
+        for m in (8, 16, 32, 64):
+            nb = T // m
+            assert got[f"nb{m}"] == nb
+            rss = []
+            for b in range(nb):
+                blk = y[b * m:(b + 1) * m]
+                dev = np.cumsum(blk - blk.mean())
+                R = dev.max() - dev.min()
+                S = blk.std()  # population
+                if S > 0:
+                    rss.append(R / S)
+            mean_rs = float(np.mean(rss))
+            assert abs(got[f"rs{m}"] - mean_rs) <= 1e-5 * max(1, mean_rs)
+            logs.append((np.log(m), np.log(mean_rs)))
+        assert got["rs8"] < got["rs16"] < got["rs32"] < got["rs64"]
+        x = np.array([p[0] for p in logs])
+        yy = np.array([p[1] for p in logs])
+        slope = ((x - x.mean()) * (yy - yy.mean())).sum() / (
+            (x - x.mean()) ** 2
+        ).sum()
+        assert abs(got["hurst"] - slope) <= 1e-5
+        assert 0.0 < got["hurst"] < 1.0
