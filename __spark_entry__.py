@@ -64,25 +64,33 @@ _MODULES = (
 # Cramér's V effect size; Cohen's d / Hedges' g / Glass's delta;
 # the per-event-type burstiness profile; the rescaled-range Hurst
 # exponent — all oracle-backed, numpy/pandas replica laws pinned,
-# windowed same-round), then the 4 queries whose implementations
+# windowed same-round), then the 8 queries whose implementations
 # CHANGED since their last driver row — found mechanically this round
 # by tools_staleness.py (STALENESS.json), which automates the judge's
 # changed-code rule at function granularity (AST-semantic diff of each
 # query's decorated def, oracle SQL included, against its row's round-
 # boundary commit): the 2 rows-only ANN plans rebuilt in r11's
 # hardening commit 8971acc (ann_ivf_topk, ann_lsh_multiprobe — VERDICT
-# r11 item 1), plus dsir_importance_weights (r7 row predates the r11
+# r11 item 1); dsir_importance_weights (r7 row predates the r11
 # vocab-pin plan change) and split_leakage_safe (r7 row predates its
 # oracle rewrite) — both surfaced by the new tool, neither called out
-# in any verdict. Changed-since-last-driver-row outranks staleness.
-# Then staleness draining from the r6 block (the oldest; 50 rows):
-# curation_funnel_report FIRST (VERDICT r11 item 1 — its r6 driver row
-# predates the d645424 value-changing survivor-selection fix; the MV
-# query mv_incremental_orders_stats also lands here, re-evidencing the
-# r12 replay-guard change), then 38 more r6 rows in registration
-# order. The window cannot hold all 50 r6 rows plus any new
-# registrations (50 slots total) — the 11 r6 rows left are the r13
-# rotation's head. 48 oracle value-hash slots + 2 rows-only (by
+# in any verdict; and the three r12 repeated-scan-sweep plan repairs
+# (graph_triangle_parts_basket: the basket pair build re-derived five
+# times, now pinned; funnel_signup_view_purchase: 5 fact scans -> 1
+# via chained running-min windows; gapfill_hourly_events: bounds/type
+# relations now derive from the pinned rollup; dq_violations_report:
+# 9 rules from 4 table scans instead of 11, the per-row rules riding
+# the key-grouped relations the FK checks need anyway).
+# gapfill_interpolate_hourly got the same repair but already sits in
+# the r6 tier below. Changed-since-last-driver-row outranks
+# staleness. Then staleness draining from the r6 block (the oldest;
+# 50 rows): curation_funnel_report FIRST (VERDICT r11 item 1 — its r6
+# driver row predates the d645424 value-changing survivor-selection
+# fix; the MV query mv_incremental_orders_stats also lands here,
+# re-evidencing the r12 replay-guard change), then 34 more r6 rows in
+# registration order. The window cannot hold all 50 r6 rows plus any
+# new registrations (50 slots total) — the 14 r6 rows left are the
+# r13 rotation's head. 48 oracle value-hash slots + 2 rows-only (by
 # design) slots.
 _PRIORITY = (
     # new r12 registrations, never driver-checked (7)
@@ -94,12 +102,17 @@ _PRIORITY = (
     "stats_burstiness_event_hourly",
     "stats_hurst_rs_daily",
     # changed since last driver row (tools_staleness.py; ANN pair
-    # rows-only, dsir/split oracle-backed)
+    # rows-only, the rest oracle-backed — triangle/funnel/gapfill
+    # repaired by the r12 repeated-scan sweep)
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
     "dsir_importance_weights",
     "split_leakage_safe",
-    # r6 driver rows (39 of 50): value-changed-in-d645424 first, then
+    "graph_triangle_parts_basket",
+    "funnel_signup_view_purchase",
+    "gapfill_hourly_events",
+    "dq_violations_report",
+    # r6 driver rows (35 of 50): value-changed-in-d645424 first, then
     # registration order
     "curation_funnel_report",
     "nav_icon_variant",
@@ -134,13 +147,9 @@ _PRIORITY = (
     "acf_hourly_event_counts",
     "psi_totalprice_drift",
     "jsd_event_type_weekend",
-    "assoc_part_pairs_lift",
-    "markov_event_transitions",
-    "kanonymity_customer_audit",
-    "text_source_token_entropy",
     "attribution_last_touch",
     "rfm_customer_segments",
-    # WINDOW FULL at 50 (7 new + 4 changed + 39 r6).
+    # WINDOW FULL at 50 (7 new + 8 changed + 35 r6).
 )
 
 

@@ -169,7 +169,12 @@ def graph_triangle_parts_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-build is bounded by sum over orders of C(items_per_order, 2),
     not |parts|^2; the part id space keeps the graph sparse so the
     wedge join (e1.p2 = e2.p1) stays linear in sum of deg^2, the same
-    bound any distributed triangle count pays."""
+    bound any distributed triangle count pays. The edge relation is
+    localCheckpoint-pinned: it feeds FIVE consumers (e1/e2/e3, the
+    node census, the edge count), and unpinned, Catalyst re-derived
+    the basket self-join for each — 12 fact scans and five pair
+    builds for one answer (r12 hardening; the duplicated-base-scan
+    class the plan discipline exists for)."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -183,6 +188,7 @@ def graph_triangle_parts_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
         )
         .distinct()
+        .localCheckpoint()
     )
     nodes = edges.select(F.col("p1").alias("p")).union(
         edges.select(F.col("p2").alias("p"))

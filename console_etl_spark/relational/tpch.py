@@ -1075,8 +1075,11 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every relation after the first aggregation is bounded by
     calendar-hours x event-types — independent of raw event count — so
     the fill skeleton and the join stay broadcast-sized even when the
-    events scan is 100 TB; only the initial rollup shuffles.
-    """
+    events scan is 100 TB; only the initial rollup shuffles. The
+    rollup is localCheckpoint-pinned and the bounds/type relations
+    derive FROM it (min/max of truncated hours == truncated min/max
+    ts; its type set == the raw type set) — unpinned, each was its own
+    fact scan, three for one answer (r12 repeated-scan sweep)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
@@ -1084,17 +1087,17 @@ def gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
+        .localCheckpoint()
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("hour")
     )
-    types = e.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     return (
         hours.crossJoin(types)
         .join(hourly, ["hour", "event_type"], "left")

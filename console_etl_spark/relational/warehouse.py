@@ -623,13 +623,21 @@ def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     its violation count — PK nullability/uniqueness, FK referential
     integrity (orphan facts, dangling dims), domain ranges.
 
-    Scale shape: each rule is one aggregate over one pruned scan —
-    single-column counts, map-side partial aggregation, and the FK
-    checks are anti-join-shaped (Catalyst turns NOT IN over a non-null
-    key into a left anti join; nation broadcasts, the orders key side
-    shuffles once at 100 TB). The rules union to a 9-row report, so the
-    final exchange is trivially small. A pipeline gates the snapshot
-    publish (store.publish) on every count being zero.
+    Scale shape (r12 repair): ONE scan per table — 4 scans for 9
+    rules, down from the 11 of the per-rule shape (each rule used to
+    re-scan its fact; found by the r12 repeated-scan sweep). Every
+    per-row rule rides as a conditional-aggregate flag on the
+    key-grouped relation the FK checks need anyway: orders reduces to
+    (o_orderkey -> row count, out-of-range count) in one
+    map-side-combinable pass that serves null-pk, duplicate-pk,
+    date-range AND the orphan check's right side; lineitem reduces to
+    (l_orderkey -> row count, bad-quantity count, bad-price count)
+    serving its four rules; customer reduces over the tiny c_nationkey
+    domain; nation broadcasts. The key-grouped shuffles are exactly
+    the ones the FK anti-joins already required — the per-row rules
+    now ride them for free. The rules union to a 9-row report; a
+    pipeline gates the snapshot publish (store.publish) on every count
+    being zero.
 
     NULL FK handling is explicit and engine-identical: NULL foreign
     keys are counted by their own *_null_fk rules, and the orphan rules
@@ -644,45 +652,80 @@ def dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return n.select(F.lit(rule).alias("rule"),
                         F.col("n").cast("long").alias("n_violations"))
 
-    dup = (
-        orders.groupBy("o_orderkey").count().filter("count > 1")
-        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n"))
+    bad_date = (
+        (F.col("o_orderdate") < F.lit(DQ_ORDERDATE_MIN).cast("date"))
+        | (F.col("o_orderdate") > F.lit(DQ_ORDERDATE_MAX).cast("date"))
+    ).cast("long")
+    from ..session import pin
+
+    # pin (lazy persist), not localCheckpoint: all nine rule branches
+    # execute in ONE job (the broadcast-crossJoin report below), so
+    # the lazy cache fills on first touch and the other branches reuse
+    # it — an eager checkpoint would serialize three materialization
+    # jobs before the report job (A/B'd at sf0.1: checkpoint 1.70 s,
+    # union-of-aggregates 1.88 s, this shape 1.41 s; the pre-repair
+    # 11-scan shape's 0.93 s is the local cost of the saved scans —
+    # the 100 TB trade documented above)
+    okeys, lkeys, ckeys = pin(
+        orders.groupBy("o_orderkey").agg(
+            F.count("*").alias("cnt"), F.sum(bad_date).alias("bad_date")
+        ),
+        lineitem.groupBy("l_orderkey").agg(
+            F.count("*").alias("cnt"),
+            F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+            F.sum((F.col("l_extendedprice") < 0).cast("long")).alias(
+                "bad_price"
+            ),
+        ),
+        customer.groupBy("c_nationkey").agg(F.count("*").alias("cnt")),
     )
-    checks = [
-        one("orders_null_pk",
-            orders.filter(F.col("o_orderkey").isNull()).agg(F.count("*").alias("n"))),
-        one("orders_duplicate_pk", dup),
-        one("orders_date_out_of_range",
-            orders.filter(
-                (F.col("o_orderdate") < F.lit(DQ_ORDERDATE_MIN).cast("date"))
-                | (F.col("o_orderdate") > F.lit(DQ_ORDERDATE_MAX).cast("date"))
-            ).agg(F.count("*").alias("n"))),
-        one("lineitem_null_fk",
-            lineitem.filter(F.col("l_orderkey").isNull())
-            .agg(F.count("*").alias("n"))),
-        one("lineitem_orphan_fk",
-            lineitem.filter(F.col("l_orderkey").isNotNull())
-            .join(orders.filter(F.col("o_orderkey").isNotNull())
+
+    def scalar(df: DataFrame, col, alias: str) -> DataFrame:
+        return df.agg(
+            F.coalesce(F.sum(col), F.lit(0)).cast("long").alias(alias)
+        )
+
+    parts = [
+        scalar(okeys.filter(F.col("o_orderkey").isNull()), F.col("cnt"),
+               "n_onull"),
+        scalar(okeys.filter(F.col("cnt") > 1), F.col("cnt") - 1, "n_odup"),
+        scalar(okeys, F.col("bad_date"), "n_odate"),
+        scalar(lkeys.filter(F.col("l_orderkey").isNull()), F.col("cnt"),
+               "n_lnull"),
+        scalar(
+            lkeys.filter(F.col("l_orderkey").isNotNull())
+            .join(okeys.filter(F.col("o_orderkey").isNotNull())
                   .select("o_orderkey"),
-                  lineitem.l_orderkey == orders.o_orderkey,
-                  "left_anti").agg(F.count("*").alias("n"))),
-        one("lineitem_nonpositive_quantity",
-            lineitem.filter(F.col("l_quantity") <= 0).agg(F.count("*").alias("n"))),
-        one("lineitem_negative_price",
-            lineitem.filter(F.col("l_extendedprice") < 0).agg(F.count("*").alias("n"))),
-        one("customer_null_nation_fk",
-            customer.filter(F.col("c_nationkey").isNull())
-            .agg(F.count("*").alias("n"))),
-        one("customer_invalid_nation_fk",
-            customer.filter(F.col("c_nationkey").isNotNull())
+                  lkeys.l_orderkey == okeys.o_orderkey,
+                  "left_anti"),
+            F.col("cnt"), "n_lorph"),
+        scalar(lkeys, F.col("bad_qty"), "n_lqty"),
+        scalar(lkeys, F.col("bad_price"), "n_lprice"),
+        scalar(ckeys.filter(F.col("c_nationkey").isNull()), F.col("cnt"),
+               "n_cnull"),
+        scalar(
+            ckeys.filter(F.col("c_nationkey").isNotNull())
             .join(F.broadcast(nation.select("n_nationkey")),
-                  customer.c_nationkey == nation.n_nationkey,
-                  "left_anti").agg(F.count("*").alias("n"))),
+                  ckeys.c_nationkey == nation.n_nationkey,
+                  "left_anti"),
+            F.col("cnt"), "n_cinv"),
     ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("rule")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(F.broadcast(p))
+    return out.selectExpr(
+        "stack(9, "
+        "'customer_invalid_nation_fk', n_cinv, "
+        "'customer_null_nation_fk', n_cnull, "
+        "'lineitem_negative_price', n_lprice, "
+        "'lineitem_nonpositive_quantity', n_lqty, "
+        "'lineitem_null_fk', n_lnull, "
+        "'lineitem_orphan_fk', n_lorph, "
+        "'orders_date_out_of_range', n_odate, "
+        "'orders_duplicate_pk', n_odup, "
+        "'orders_null_pk', n_onull"
+        ") as (rule, n_violations)"
+    ).orderBy("rule")
 
 
 # --------------------------------------------------------------------------
@@ -763,40 +806,52 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     user count. The ordered-sequence semantics (not mere co-occurrence)
     is what makes funnels funnel-shaped.
 
-    Scale shape: each stage is one filtered user-keyed aggregate joined
-    to the previous stage's (user, ts) relation — all hash-partitioned
-    on user_id, so the three stages reuse one exchange under AQE; the
-    final union is 3 rows."""
+    Scale shape (r12 repair): ONE events scan. The old per-stage
+    filter-aggregate-join chain re-scanned events once per stage plus
+    once per stage join — five fact scans for a 3-row answer (found by
+    the r12 repeated-scan sweep). Now two chained running-min windows
+    over a single user_id partitioning express the strict ordering
+    in-pass: cummin(signup ts) qualifies views (ts strictly greater),
+    cummin(qualified view ts) qualifies purchases; the per-user
+    flag rollup reuses the window's hash partitioning, so the whole
+    funnel is one exchange + one sort. Stage semantics are IDENTICAL:
+    a row ordered by (ts, event_id) sees a same-ts signup in its
+    running min, but the strict ts > comparison excludes it — matching
+    the old join's ts > ts_s — and deeper funnels are more chained
+    windows on the same frame, not more scans."""
     e = load_table(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts_s"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("ts_s"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts_v"))
+    ts_sig = F.when(F.col("event_type") == "signup", F.col("ts"))
+    staged = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rms", F.min(ts_sig).over(w)
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("ts_v"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts_p"))
+    qual_view = F.when(
+        (F.col("event_type") == "view") & (F.col("ts") > F.col("rms")),
+        F.col("ts"),
     )
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").cast("long").alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-
-    return (
-        stage("signup", s)
-        .unionByName(stage("view_after_signup", v))
-        .unionByName(stage("purchase_after_view", p))
+    staged = staged.withColumn("rmv", F.min(qual_view).over(w))
+    per_user = staged.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
+        F.max(qual_view.isNotNull().cast("int")).alias("v"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("rmv"))
+            ).cast("int")
+        ).alias("p"),
+    )
+    counts = per_user.agg(
+        F.sum("s").cast("long").alias("n_s"),
+        F.sum("v").cast("long").alias("n_v"),
+        F.sum("p").cast("long").alias("n_p"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'signup', n_s, 'view_after_signup', n_v, "
+        "'purchase_after_view', n_p) as (stage, n_users)"
     )
 
 
@@ -1207,7 +1262,9 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same bounded grid as gapfill_hourly_events (hours × types
     after one aggregation); the four IGNORE-NULLS windows share one
-    partitioning on event_type."""
+    partitioning on event_type. Like its zero-fill twin, the rollup is
+    localCheckpoint-pinned and the bounds/type relations derive from
+    it — one fact scan instead of three (r12 repeated-scan sweep)."""
     e = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
     agg = (
@@ -1219,17 +1276,15 @@ def gapfill_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*")
             ).alias("v"),
         )
+        .localCheckpoint()
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = agg.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
     hours = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr("interval 1 hour"))
         ).alias("hour")
     )
-    types = e.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     grid = (
         hours.crossJoin(types)
         .join(agg, ["hour", "event_type"], "left")

