@@ -2879,7 +2879,13 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), ONE user-partition window pass computing
     first/prev/next together, then a week×4 bounded aggregation. The
     global MAX(w) is a broadcast 1-row fold. All shuffles key on
-    user_id; output is weeks × 4 rows."""
+    user_id; output is weeks × 4 rows. r12 repair: the lifecycle
+    branch and the churn branch EMIT FROM THE SAME window pass (each
+    row explodes to its own (w, status) plus, when it qualifies, the
+    (w+7, churned) attribution) — the old unionByName of two selects
+    over seq re-derived the whole distinct + window chain for the
+    churn side (3 fact scans, two window sorts; the repeated-scan
+    rule's catch)."""
     e = load_table(spark, sf_dir, "events")
     uw = e.select(
         "user_id",
@@ -2897,29 +2903,36 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("w").over(wu).alias("prev_w"),
         F.lead("w").over(wu).alias("next_w"),
     ).crossJoin(F.broadcast(mx))
-    active = seq.select(
-        F.col("w"),
+    status = (
         F.when(F.col("w") == F.col("first_w"), F.lit("new"))
         .when(F.col("prev_w") == F.date_add(F.col("w"), -7), F.lit("retained"))
         .otherwise(F.lit("resurrected"))
-        .alias("status"),
     )
-    churned = (
-        seq.filter(
-            (
-                F.col("next_w").isNull()
-                | (F.col("next_w") > F.date_add(F.col("w"), 7))
+    churns = (
+        F.col("next_w").isNull()
+        | (F.col("next_w") > F.date_add(F.col("w"), 7))
+    ) & (F.date_add(F.col("w"), 7) <= F.col("max_w"))
+    emitted = seq.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(F.col("w"), status.alias("status")),
+                    F.when(
+                        churns,
+                        F.struct(
+                            F.date_add(F.col("w"), 7).alias("w"),
+                            F.lit("churned").alias("status"),
+                        ),
+                    ),
+                )
             )
-            & (F.date_add(F.col("w"), 7) <= F.col("max_w"))
-        )
-        .select(
-            F.date_add(F.col("w"), 7).alias("w"),
-            F.lit("churned").alias("status"),
-        )
+        ).alias("x")
     )
     return (
-        active.unionByName(churned)
-        .groupBy(F.col("w").cast("string").alias("week"), "status")
+        emitted.groupBy(
+            F.col("x.w").cast("string").alias("week"),
+            F.col("x.status").alias("status"),
+        )
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("week", "status")
     )

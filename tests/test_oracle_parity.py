@@ -64,26 +64,27 @@ def test_driver_window_covers_all_families():
     r12 registrations first (Croston+SBA intermittent-demand forecast,
     Yule-Walker AR(2)+PACF, six-term Brier/Murphy decomposition,
     Cramér's V, Cohen's d family, burstiness profile, Hurst R/S — all
-    oracle-backed), then the 8 changed-since-their-driver-row queries
+    oracle-backed), then the 9 changed-since-their-driver-row queries
     found mechanically by tools_staleness.py (the 2 rows-only ANN
     plans rebuilt in 8971acc per VERDICT r11 item 1;
     dsir_importance_weights and split_leakage_safe whose r7 rows
     predate later code/oracle edits — the new tool's own finds; and
-    the four r12 repeated-scan plan repairs: triangle census, funnel,
-    zero-fill gapfill, the DQ gate), then staleness draining from the
-    r6 block: curation_funnel_report first (its r6 row predates the
-    d645424 value-changing fix) and 34 more r6 rows in registration
-    order (gapfill_interpolate_hourly carries the same scan repair
-    inside this tier). 48 oracle value-hash slots + 2 rows-only
-    (by-design hash-family) slots; the 14 r6 rows that don't fit lead
-    the r13 rotation."""
+    the five r12 repeated-scan plan repairs: triangle census, funnel,
+    zero-fill gapfill, the DQ gate, growth accounting's fused churn
+    branch), then staleness draining from the r6 block:
+    curation_funnel_report first (its r6 row predates the d645424
+    value-changing fix) and 33 more r6 rows in registration order
+    (gapfill_interpolate_hourly carries the same scan repair inside
+    this tier). 48 oracle value-hash slots + 2 rows-only (by-design
+    hash-family) slots; the 15 r6 rows that don't fit lead the r13
+    rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == ["ann_ivf_topk", "ann_lsh_multiprobe"]
     assert len(oracle_slots) == 48
-    assert first50[:16] == [
+    assert first50[:17] == [
         "forecast_croston_intermittent",
         "stats_yule_walker_ar2_hourly",
         "eval_brier_decomposition",
@@ -99,6 +100,7 @@ def test_driver_window_covers_all_families():
         "funnel_signup_view_purchase",
         "gapfill_hourly_events",
         "dq_violations_report",
+        "growth_accounting_weekly",
         "curation_funnel_report",
     ]
 

@@ -718,6 +718,32 @@ def test_plan_audit_single_partition_feeds_all_bounded():
     )
 
 
+def test_plan_audit_no_unwaived_repeated_scans():
+    """r12 repeated-scan rule: no query may EXECUTE one table's scan
+    >= 3 times in its final plan (InMemoryTableScan references don't
+    count — a pinned relation runs its scan once) unless it sits in
+    the triaged waiver table with a documented reason (inherent
+    self-join semantics, or a data-sized intermediate measured cheaper
+    to rescan than to cache). The five r12 repairs (triangle census,
+    funnel, both gapfills, the DQ gate) must stay repaired."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    audit = json.loads((root / "PLAN_AUDIT.json").read_text())
+    s = audit["summary"]
+    assert s["repeated_scans_unwaived"] == []
+    for q in (
+        "graph_triangle_parts_basket",
+        "funnel_signup_view_purchase",
+        "gapfill_hourly_events",
+        "gapfill_interpolate_hourly",
+        "dq_violations_report",
+    ):
+        row = audit["queries"][q]
+        assert row["repeated_scan_tables"] == {}, (q, row)
+
+
 def test_bench_stdout_line_fits_driver_capture_budget():
     """The driver's bench capture is ONE stdout line with a bounded
     buffer; round 3 AND round 8 both blew it by growing the inline
