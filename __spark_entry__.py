@@ -64,7 +64,7 @@ _MODULES = (
 # Cramér's V effect size; Cohen's d / Hedges' g / Glass's delta;
 # the per-event-type burstiness profile; the rescaled-range Hurst
 # exponent — all oracle-backed, numpy/pandas replica laws pinned,
-# windowed same-round), then the 9 queries whose implementations
+# windowed same-round), then the 10 queries whose implementations
 # CHANGED since their last driver row — found mechanically this round
 # by tools_staleness.py (STALENESS.json), which automates the judge's
 # changed-code rule at function granularity (AST-semantic diff of each
@@ -82,17 +82,22 @@ _MODULES = (
 # 9 rules from 4 table scans instead of 11, the per-row rules riding
 # the key-grouped relations the FK checks need anyway;
 # growth_accounting_weekly: churn branch now emits from the same
-# window pass instead of re-deriving the distinct+window chain).
+# window pass instead of re-deriving the distinct+window chain;
+# zorder_interleaved_keys: rank-scale product widened to
+# DECIMAL(38,0)/HUGEINT with INTEGRAL div — the old LONG product
+# overflowed above ~2^55 and the double-division path diverged from
+# the oracle past 2^53).
 # gapfill_interpolate_hourly got the same repair but already sits in
 # the r6 tier below. Changed-since-last-driver-row outranks
 # staleness. Then staleness draining from the r6 block (the oldest;
 # 50 rows): curation_funnel_report FIRST (VERDICT r11 item 1 — its r6
 # driver row predates the d645424 value-changing survivor-selection
 # fix; the MV query mv_incremental_orders_stats also lands here,
-# re-evidencing the r12 replay-guard change), then 33 more r6 rows in
+# re-evidencing the r12 replay-guard change), then 32 more r6 rows in
 # registration order. The window cannot hold all 50 r6 rows plus any
-# new registrations (50 slots total) — the 15 r6 rows left are the
-# r13 rotation's head. 48 oracle value-hash slots + 2 rows-only (by
+# new registrations (50 slots total) — the 15 r6 rows left (zorder
+# moved into the changed tier, psi rotated out) are the r13
+# rotation's head. 48 oracle value-hash slots + 2 rows-only (by
 # design) slots.
 _PRIORITY = (
     # new r12 registrations, never driver-checked (7)
@@ -115,7 +120,8 @@ _PRIORITY = (
     "gapfill_hourly_events",
     "dq_violations_report",
     "growth_accounting_weekly",
-    # r6 driver rows (34 of 50): value-changed-in-d645424 first, then
+    "zorder_interleaved_keys",
+    # r6 driver rows (33 of 50): value-changed-in-d645424 first, then
     # registration order
     "curation_funnel_report",
     "nav_icon_variant",
@@ -148,10 +154,9 @@ _PRIORITY = (
     "overlap_sessions_per_hour",
     "ewma_trailing_user_value",
     "acf_hourly_event_counts",
-    "psi_totalprice_drift",
     "attribution_last_touch",
     "rfm_customer_segments",
-    # WINDOW FULL at 50 (7 new + 9 changed + 34 r6).
+    # WINDOW FULL at 50 (7 new + 10 changed + 33 r6).
 )
 
 

@@ -48,11 +48,25 @@ def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Rank-scale an integer column into [0, 2^bits) with pure integer
     arithmetic — `(x - lo) * (2^bits - 1) DIV (hi - lo)` — so the same
     formula is bit-exact in any engine (no float rounding at bucket
-    boundaries). Degenerate ranges (hi == lo) map to 0."""
+    boundaries). Degenerate ranges (hi == lo) map to 0.
+
+    r12 fix: the division is Spark's INTEGRAL `div`, not `/` — true
+    division goes through DOUBLE, and once (x - lo) * top exceeds 2^53
+    (billion-scale ids on a wide range) the truncated double diverges
+    from the oracle's integer `//` by one bucket at boundaries, which
+    flips interleaved Morton bits — and the product is computed in
+    DECIMAL(38,0), because the LONG product itself overflows (ANSI
+    ArithmeticException) once the column tops ~2^55. Same values at
+    every test SF; only the at-scale semantics change. The registered
+    oracle widens through HUGEINT identically."""
     span = hi - lo
-    top = F.lit((1 << bits) - 1).cast("long")
+    top = F.lit((1 << bits) - 1).cast("decimal(38,0)")
     return F.when(span <= 0, F.lit(0).cast("long")).otherwise(
-        ((col.cast("long") - lo) * top).cast("long") / span
+        F.call_function(
+            "div",
+            (col.cast("long") - lo).cast("decimal(38,0)") * top,
+            span.cast("decimal(38,0)"),
+        )
     ).cast("long")
 
 
@@ -137,11 +151,15 @@ def _zorder_sql_terms(x: str, y: str, bits: int) -> str:
     ), scaled AS (
       SELECT event_id,
              CASE WHEN uhi <= ulo THEN 0
-                  ELSE (user_id - ulo) * {(1 << ZORDER_BITS) - 1} // (uhi - ulo)
+                  ELSE CAST(CAST(user_id - ulo AS HUGEINT)
+                            * {(1 << ZORDER_BITS) - 1}
+                            // (uhi - ulo) AS BIGINT)
              END AS sx,
              CASE WHEN vhi <= vlo THEN 0
-                  ELSE (CAST(floor(value) AS BIGINT) - vlo) * {(1 << ZORDER_BITS) - 1}
-                       // (vhi - vlo)
+                  ELSE CAST(CAST(CAST(floor(value) AS BIGINT) - vlo
+                                 AS HUGEINT)
+                            * {(1 << ZORDER_BITS) - 1}
+                            // (vhi - vlo) AS BIGINT)
              END AS sy
       FROM events, b
     )

@@ -352,8 +352,21 @@ def stream_heavy_hitters(
     over the batch) combined with the stored summary (summary-sized
     merge+prune), published as a new atomic SnapshotStore version. The
     running summary's certified bounds stay valid across any number of
-    batches (mergeable-summaries theorem); the checkpoint makes each
-    fold exactly-once across restarts. Per-batch cost: O(|batch| + k)."""
+    batches (mergeable-summaries theorem).
+
+    Replay idempotence (r12 hardening — the same at-least-once defect
+    class e839add fixed in the monitors, missed here): each publish
+    carries the micro-batch's epoch tag in its version string, exactly
+    the MaterializedView.refresh contract — a replayed fold whose
+    epoch is already applied (equal, or numerically older than the
+    current tag) is a no-op, so a crash between publish and the
+    streaming checkpoint commit cannot double-merge a batch summary
+    into the counters. The tag flips atomically with the data.
+    Per-batch cost: O(|batch| + k)."""
+    import re as _re
+
+    from ..store import MaterializedView
+
     reader = (
         spark.readStream.format("parquet")
         .option("maxFilesPerTrigger", 1)
@@ -364,18 +377,23 @@ def stream_heavy_hitters(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_sum = mg_partition_summaries(batch_df.select(key), key, k)
+        tag = f"e{int(epoch_id):012d}"
         cur = store.current(catalog)
+        if cur is not None and MaterializedView._already_applied(
+            MaterializedView._epoch_of(cur.version), tag
+        ):
+            return
+        batch_sum = mg_partition_summaries(batch_df.select(key), key, k)
         if cur is None:
             merged = mg_combine(
                 batch_sum, batch_sum.limit(0), key, k
             )
-            store.publish(merged, catalog, "v000001", partition_by=())
+            store.publish(merged, catalog, f"v000001-{tag}", partition_by=())
             return
         state = store.read_version(spark, catalog, cur.version)
         merged = mg_combine(state, batch_sum, key, k)
-        nxt = f"v{int(cur.version[1:]) + 1:06d}"
-        store.publish(merged, catalog, nxt, partition_by=())
+        n = int(_re.match(r"v(\d+)", cur.version).group(1))
+        store.publish(merged, catalog, f"v{n + 1:06d}-{tag}", partition_by=())
 
     writer = raw.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

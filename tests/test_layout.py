@@ -41,6 +41,25 @@ def test_zorder_scaling_is_integer_exact_and_degenerate_safe(spark):
         assert got[x] == _morton2(x * 255 // 100, 0, 8)
 
 
+def test_zorder_scaling_exact_at_big_ids(spark):
+    """r12 fix: the rank-scale product runs in DECIMAL(38,0) with
+    INTEGRAL div. The old `(x-lo)*255` LONG product overflowed (ANSI
+    ArithmeticException) above ~2^55, and before that the `/`-then-cast
+    went through DOUBLE, diverging from the oracle's integer `//` by
+    one bucket at boundaries once the product passed 2^53 — flipping
+    interleaved Morton bits at exactly the id scales a 100 TB layout
+    rewrite sees."""
+    xs = [0, (1 << 60) + 7, (1 << 60) - 12345678901, (1 << 59) + 12345]
+    df = spark.createDataFrame([(x,) for x in xs], "x long").withColumn(
+        "y", F.lit(0).cast("long")
+    )
+    keyed = layout.with_zorder_key(df, ["x", "y"], bits=8)
+    got = {r.x: r["__z"] for r in keyed.collect()}
+    lo, hi = min(xs), max(xs)
+    for x in xs:
+        assert got[x] == _morton2((x - lo) * 255 // (hi - lo), 0, 8), x
+
+
 def _rowgroup_ranges(path_glob: str, col_a: str, col_b: str):
     out = []
     for f in sorted(glob.glob(path_glob)):

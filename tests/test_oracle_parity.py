@@ -64,14 +64,15 @@ def test_driver_window_covers_all_families():
     r12 registrations first (Croston+SBA intermittent-demand forecast,
     Yule-Walker AR(2)+PACF, six-term Brier/Murphy decomposition,
     Cramér's V, Cohen's d family, burstiness profile, Hurst R/S — all
-    oracle-backed), then the 9 changed-since-their-driver-row queries
+    oracle-backed), then the 10 changed-since-their-driver-row queries
     found mechanically by tools_staleness.py (the 2 rows-only ANN
     plans rebuilt in 8971acc per VERDICT r11 item 1;
     dsir_importance_weights and split_leakage_safe whose r7 rows
     predate later code/oracle edits — the new tool's own finds; and
-    the five r12 repeated-scan plan repairs: triangle census, funnel,
+    the five r12 repeated-scan plan repairs — triangle census, funnel,
     zero-fill gapfill, the DQ gate, growth accounting's fused churn
-    branch), then staleness draining from the r6 block:
+    branch — and the zorder big-id integral-div exactness fix), then
+    staleness draining from the r6 block:
     curation_funnel_report first (its r6 row predates the d645424
     value-changing fix) and 33 more r6 rows in registration order
     (gapfill_interpolate_hourly carries the same scan repair inside
@@ -84,7 +85,7 @@ def test_driver_window_covers_all_families():
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert rows_only_slots == ["ann_ivf_topk", "ann_lsh_multiprobe"]
     assert len(oracle_slots) == 48
-    assert first50[:17] == [
+    assert first50[:18] == [
         "forecast_croston_intermittent",
         "stats_yule_walker_ar2_hourly",
         "eval_brier_decomposition",
@@ -101,6 +102,7 @@ def test_driver_window_covers_all_families():
         "gapfill_hourly_events",
         "dq_violations_report",
         "growth_accounting_weekly",
+        "zorder_interleaved_keys",
         "curation_funnel_report",
     ]
 

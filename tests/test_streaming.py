@@ -832,6 +832,23 @@ def test_stream_heavy_hitters_bounds_hold_over_batches(spark, tmp_path):
     q2.awaitTermination(120)
     assert len(store.versions("hh")) == n_versions
 
+    # r12 hardening: every published version carries its epoch tag, so
+    # a replayed fold is recognizable
+    assert all("-e" in v for v in store.versions("hh"))
+
+    # foreachBatch is at-least-once: a FULL replay (fresh checkpoint,
+    # same files, same state) must be a no-op per epoch — the old
+    # untagged publish re-merged every batch summary, doubling counts
+    before = {r.tok: r.est
+              for r in sketches.mg_finalize(store.read(spark, "hh"), "tok").collect()}
+    q3 = sketches.stream_heavy_hitters(
+        spark, str(facts), store, "hh", str(tmp_path / "ckpt_replay"), "tok", k=8
+    )
+    q3.awaitTermination(120)
+    after = {r.tok: r.est
+             for r in sketches.mg_finalize(store.read(spark, "hh"), "tok").collect()}
+    assert after == before, "replayed epochs double-merged the summary"
+
 
 def test_stream_refresh_mv_with_hll_distinct_state(spark, tmp_path):
     """Composition law: streaming MV maintenance × HLL distinct state —
