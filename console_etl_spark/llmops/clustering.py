@@ -129,6 +129,11 @@ def kmeans_fit(
             )
             .collect()
         )
+        # sort the collected partials: the driver-side float += below
+        # must fold in a fixed order or the reported inertia's last
+        # bits drift with collect() row order across runs (assignments
+        # and centroids were already order-free via exact decimals)
+        stats = sorted(stats, key=lambda r: (r["cluster"], r["_pos"]))
         sums: dict[int, list] = {}
         counts: dict[int, int] = {}
         total_inertia = 0.0
