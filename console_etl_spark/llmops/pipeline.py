@@ -618,7 +618,7 @@ def curate_with_observed_metrics(spark: SparkSession, sf_dir: str):
     return rows, obs.get
 
 
-def export_manifest(path: str) -> dict:
+def export_manifest(path: str, allow_legacy: bool = False) -> dict:
     """Write ``index.json`` for a training export — per shard: file
     name, sample count, byte size — the manifest an epoch-planning
     dataloader needs for deterministic sharding without scanning data.
@@ -629,11 +629,23 @@ def export_manifest(path: str) -> dict:
     JSONL, whose counts come from the ``_counts.json`` sidecar the
     exporter captured from the write job itself (observe() — zero extra
     scans); only a sidecar-less legacy export falls back to
-    driver-side line counting, which is data-sized work."""
+    driver-side line counting, which is data-sized work.
+
+    ``allow_legacy`` (ADVICE r12): a ``_SUCCESS``-less tar export is
+    accepted only on explicit opt-in — absence of ``.inprogress``
+    leftovers does NOT prove completeness (a driver crash after some
+    tars were renamed into place but before later shards' tasks ever
+    started leaves no temp files behind), so the default is to refuse
+    and name the flag. Even opted in, the shard numbering must be
+    contiguous ``shard-00000..N``: a gap means at least one interior
+    shard's task never committed, which no legacy flag can bless.
+    (Contiguity alone is NOT the gate because the torn state above can
+    leave a contiguous PREFIX — hence flag AND check.)"""
     import glob
     import gzip
     import json
     import os
+    import re
     import tarfile
 
     shards = []
@@ -647,18 +659,37 @@ def export_manifest(path: str) -> dict:
                 f"export_wds_shards"
             )
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            # Exports written before the task-commit protocol carry no
-            # _SUCCESS marker but ARE complete (every tar was fully
-            # renamed into place and there are no .inprogress leftovers
-            # to prove otherwise). Refusing them would strand valid
-            # data; warn and proceed instead of raising.
+            if not allow_legacy:
+                raise RuntimeError(
+                    f"export_manifest: {path} has no _SUCCESS marker — "
+                    f"the export may be torn (a crash after some shards "
+                    f"were renamed into place leaves no .inprogress "
+                    f"leftovers to prove otherwise). Re-run "
+                    f"export_wds_shards to stamp it, or pass "
+                    f"allow_legacy=True for a known-complete "
+                    f"pre-task-commit-protocol export"
+                )
+            ids = sorted(
+                int(m.group(1))
+                for f in tars
+                if (m := re.fullmatch(r"shard-(\d+)\.tar", os.path.basename(f)))
+            )
+            if ids != list(range(len(ids))) or len(ids) != len(tars):
+                raise RuntimeError(
+                    f"export_manifest: {path} has no _SUCCESS marker and "
+                    f"non-contiguous shard numbering ({ids[:8]}...) — an "
+                    f"interior shard's task never committed; this export "
+                    f"is torn and allow_legacy cannot bless it. Re-run "
+                    f"export_wds_shards"
+                )
             import warnings
 
             warnings.warn(
-                f"export_manifest: {path} has no _SUCCESS marker and no "
-                f"in-progress temp files — treating as a complete "
-                f"legacy export (pre-task-commit-protocol); re-run "
-                f"export_wds_shards to stamp it",
+                f"export_manifest: {path} has no _SUCCESS marker; "
+                f"accepted as a complete legacy export on explicit "
+                f"allow_legacy=True (contiguous shard-00000..{len(ids) - 1}, "
+                f"no in-progress temp files) — re-run export_wds_shards "
+                f"to stamp it",
                 stacklevel=2,
             )
     for f in tars:

@@ -852,11 +852,26 @@ class MaterializedView:
         """True iff a replay carrying ``epoch_tag`` was already folded.
 
         Exact match covers the common crash-replay case; for the
-        monotone ``e<digits>`` tags the streaming layer emits, any
-        NUMERICALLY OLDER epoch is also applied (foreachBatch replays
-        only the last uncommitted epoch, so every epoch <= the last
-        applied one committed) — this is what makes the guard survive
-        an untagged manual refresh landing between crash and replay.
+        monotone ``[r<runid>-]e<digits>`` tags the streaming layer
+        emits, any NUMERICALLY OLDER epoch FROM THE SAME RUN is also
+        applied (foreachBatch replays only the last uncommitted epoch,
+        so every same-run epoch <= the last applied one committed) —
+        this is what makes the guard survive an untagged manual refresh
+        landing between crash and replay. The run-id scope (ADVICE r12):
+        the numeric-older rule assumed exactly one monotone epoch
+        source per catalog, so a stream legitimately restarted with a
+        FRESH checkpoint (epoch counter back at 0) or a second writer
+        stream had its early epochs silently no-op'd and their deltas
+        dropped. Tags now carry the emitting checkpoint's identity
+        (``r<runid>-e<epoch>``, see stream_refresh_mv) and the
+        numeric-older rule applies only when both run ids match;
+        across different runs — including one tagged, one legacy
+        untagged — only full-string equality skips. Residual
+        assumptions (documented, not enforced): wiping a checkpoint
+        dir IN PLACE reuses its run id, so its reset epochs still
+        no-op; and upgrading a CRASHED legacy-tagged stream re-folds
+        its one uncommitted epoch under the new tag scheme — shut a
+        stream down cleanly before changing its tag format.
         Non-numeric custom tags fall back to equality only."""
         if last_tag is None:
             return False
@@ -864,10 +879,14 @@ class MaterializedView:
             return True
         import re
 
-        m_last = re.fullmatch(r"e(\d+)", last_tag)
-        m_new = re.fullmatch(r"e(\d+)", epoch_tag)
+        pat = r"(?:r([0-9A-Za-z]+)-)?e(\d+)"
+        m_last = re.fullmatch(pat, last_tag)
+        m_new = re.fullmatch(pat, epoch_tag)
         return bool(
-            m_last and m_new and int(m_new.group(1)) <= int(m_last.group(1))
+            m_last
+            and m_new
+            and m_last.group(1) == m_new.group(1)
+            and int(m_new.group(2)) <= int(m_last.group(2))
         )
 
     def refresh(

@@ -1115,6 +1115,27 @@ def enrich_events(
 # parquet-writing sink in this module)
 # --------------------------------------------------------------------------
 
+def checkpoint_run_id(checkpoint: str) -> str:
+    """Stable 8-hex identity of a stream's checkpoint location, used to
+    RUN-SCOPE monotone epoch tags (``r<runid>-e<epoch>``). foreachBatch
+    epoch ids are monotone only within one checkpoint: a stream
+    restarted against a fresh checkpoint dir — or a second writer
+    stream — legitimately starts back at epoch 0, and an unscoped
+    numeric-older guard would silently drop those early folds (ADVICE
+    r12, MaterializedView._already_applied). Hashing the normalized
+    checkpoint path gives each checkpoint lineage its own monotone
+    namespace while staying stable across crash-restarts of the SAME
+    checkpoint (where epoch ids genuinely continue and the numeric
+    guard must keep working). Documented residual: wiping a checkpoint
+    dir's CONTENTS in place reuses the path, hence the run id — use a
+    fresh dir for a fresh run."""
+    import hashlib
+    import posixpath
+
+    norm = posixpath.normpath(str(checkpoint).rstrip("/"))
+    return hashlib.sha256(norm.encode("utf-8")).hexdigest()[:8]
+
+
 def write_epoch_partition(
     df: DataFrame, epoch_id: int, path: str, single_file: bool = False
 ) -> None:
@@ -1332,11 +1353,12 @@ def stream_refresh_mv(
     else:
         reader = reader.schema(spark.read.parquet(path).schema)
     raw = reader.load(path)
+    run_id = checkpoint_run_id(checkpoint)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        mv.refresh(batch_df, epoch_tag=f"e{int(epoch_id):012d}")
+        mv.refresh(batch_df, epoch_tag=f"r{run_id}-e{int(epoch_id):012d}")
 
     writer = (
         raw.writeStream.foreachBatch(fold)

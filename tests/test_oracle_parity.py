@@ -254,3 +254,72 @@ def test_staleness_artifact_stale_queries_all_windowed():
     # registrations, which lead the window
     for q in s["never_driver_checked"]:
         assert q in window, f"never-checked query outside window: {q}"
+    # rows-only queries carry the law fingerprint fields (VERDICT r12
+    # item 7): law churn now flags staleness the def-diff cannot see
+    oracle_backed = set(E.oracle_sql())
+    for q, row in doc["queries"].items():
+        if q not in oracle_backed and row["latest_driver_round"]:
+            assert "laws_changed" in row, f"rows-only {q} missing law scan"
+
+
+def test_staleness_law_fingerprint_fires_on_law_churn():
+    """Synthetic proof (VERDICT r12 item 7) that the rows-only law rule
+    fires: a law-test BODY edit changes the fingerprint, comment and
+    docstring churn does not, registry-plumbing tests (window pins,
+    high-fanout allowlists) are excluded, and adding a law flags too."""
+    import tools_staleness as ts
+
+    base = {
+        "tests/test_x.py": (
+            "def test_ann_lsh_recall_floor(spark):\n"
+            '    """Recall >= 0.9 vs brute force."""\n'
+            "    # law for the rows-only ANN query\n"
+            "    out = ann_lsh_bucketed(spark, SF)\n"
+            "    assert recall(out) >= 0.9\n"
+        )
+    }
+    names = ("ann_lsh_bucketed",)
+    fp = ts.law_fingerprint(base, names)
+    assert [(p, t) for p, t, _ in fp] == [
+        ("tests/test_x.py", "test_ann_lsh_recall_floor")
+    ]
+
+    # comment + docstring churn: same fingerprint
+    cosmetic = {
+        "tests/test_x.py": base["tests/test_x.py"]
+        .replace("Recall >= 0.9 vs brute force.", "reworded docstring")
+        .replace("# law for the rows-only ANN query", "# new comment")
+    }
+    assert ts.law_fingerprint(cosmetic, names) == fp
+
+    # assertion edit: fingerprint changes -> the query goes stale
+    edited = {
+        "tests/test_x.py": base["tests/test_x.py"].replace("0.9", "0.8")
+    }
+    assert ts.law_fingerprint(edited, names) != fp
+
+    # a NEW law test flags too (new law = new evidence obligation)
+    grown = {
+        "tests/test_x.py": base["tests/test_x.py"]
+        + "\n\ndef test_ann_lsh_bucket_sizes(spark):\n"
+        "    assert ann_lsh_bucketed(spark, SF).count() > 0\n"
+    }
+    assert len(ts.law_fingerprint(grown, names)) == 2
+
+    # registry plumbing is excluded two ways: by name pattern...
+    registry = dict(base)
+    registry["tests/test_reg.py"] = (
+        "def test_driver_window_covers_families():\n"
+        '    assert "ann_lsh_bucketed" in PRIORITY\n'
+    )
+    assert ts.law_fingerprint(registry, names) == fp
+    # ...and by registered-name fanout
+    all_names = tuple(f"q_{i}" for i in range(ts.LAW_NAME_FANOUT_CAP)) + names
+    fanout = dict(base)
+    fanout["tests/test_list.py"] = (
+        "def test_collect_sites():\n"
+        "    allowed = ["
+        + ", ".join(f'"{n}"' for n in all_names)
+        + "]\n    assert allowed\n"
+    )
+    assert ts.law_fingerprint(fanout, names, all_names) == fp

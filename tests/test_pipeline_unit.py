@@ -482,17 +482,29 @@ def test_export_wds_overwrite_commit_and_guards(spark, tmp_path):
     m = pipeline.export_manifest(out)
     assert m["n_samples"] == 40
 
-    # missing _SUCCESS with NO in-progress leftovers = a complete
-    # legacy export (pre-task-commit-protocol data is still readable —
-    # ADVICE r11): warn-and-proceed, identical manifest
+    # missing _SUCCESS with NO in-progress leftovers: refused by
+    # default (ADVICE r12 — no leftovers does not prove completeness),
+    # readable only on explicit allow_legacy=True with contiguous
+    # shard numbering (pre-task-commit-protocol data is still readable
+    # — ADVICE r11): warn-and-proceed, identical manifest
     os.remove(f"{out}/_SUCCESS")
+    with pytest.raises(RuntimeError, match="allow_legacy"):
+        pipeline.export_manifest(out)
     import warnings
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        m_legacy = pipeline.export_manifest(out)
+        m_legacy = pipeline.export_manifest(out, allow_legacy=True)
     assert m_legacy["n_samples"] == 40
     assert any("legacy" in str(w.message) for w in caught)
+    # ...and a numbering GAP is positive evidence of a torn export
+    # (an interior shard's task never committed) that no legacy flag
+    # can bless: displace the highest-numbered tar to shard-00005
+    gap_src = sorted(glob.glob(f"{out}/shard-*.tar"))[-1]
+    os.rename(gap_src, f"{out}/shard-00005.tar")
+    with pytest.raises(RuntimeError, match="non-contiguous"):
+        pipeline.export_manifest(out, allow_legacy=True)
+    os.rename(f"{out}/shard-00005.tar", gap_src)
     # ...but an in-progress temp file is positive evidence of a torn
     # export: still refuse
     torn = f"{out}/shard-00000.tar.inprogress-deadbeef"

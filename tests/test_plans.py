@@ -691,6 +691,76 @@ def test_plan_audit_artifact_in_sync_with_registry():
     )
 
 
+def test_bounded_feed_rule_rejects_data_sized_explode(spark):
+    """ADVICE r12 (tools_plan_audit.py): GenerateExec was a blanket
+    row-preserving passthrough, so an explode of a collect_list
+    produced by a GLOBAL aggregate — bounded input, data-sized
+    output — was green-lit as a bounded SinglePartition feed. The
+    classifier must now call that shape unbounded (no waiver), and a
+    waived query's explode still needs a bounded input subtree."""
+    import tools_plan_audit as tpa
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window as W
+
+        # global collect_list (1-row output) -> explode (data-sized
+        # again) -> unpartitioned window (SinglePartition exchange fed
+        # DIRECTLY by the explode, no partial-agg head between): the
+        # ADVICE shape, distilled
+        df = (
+            spark.range(1000)
+            .agg(F.collect_list("id").alias("xs"))
+            .select(F.explode("xs").alias("x"))
+            .repartition(8)
+            .select(F.row_number().over(W.orderBy("x")).alias("r"))
+        )
+        jplan = df._jdf.queryExecution().executedPlan()
+        unknown: set[str] = set()
+        n_sp, n_bad = tpa._audit_single_partitions(
+            jplan, unknown, "synthetic_explode_probe"
+        )
+        assert n_sp >= 1
+        assert n_bad >= 1, "data-sized explode feed classified bounded"
+        assert unknown == set()
+
+        # with a waiver the same GenerateExec is accepted ONLY because
+        # its input subtree is bounded (the global aggregate)
+        tpa._GENERATE_WAIVERS["synthetic_explode_probe"] = "test grid"
+        try:
+            _, n_bad_waived = tpa._audit_single_partitions(
+                jplan, unknown, "synthetic_explode_probe"
+            )
+            assert n_bad_waived == 0
+        finally:
+            del tpa._GENERATE_WAIVERS["synthetic_explode_probe"]
+
+        # an explode straight off a parquet scan (unbounded input)
+        # stays unbounded even when waived
+        from console_etl_spark.session import load_table
+
+        df3 = (
+            load_table(spark, SF_TEST, "orders")
+            .select(F.array("o_orderkey").alias("xs"))
+            .select(F.explode("xs").alias("x"))
+            .repartition(8)
+            .select(F.row_number().over(W.orderBy("x")).alias("r"))
+        )
+        jplan3 = df3._jdf.queryExecution().executedPlan()
+        tpa._GENERATE_WAIVERS["synthetic_explode_probe"] = "test grid"
+        try:
+            _, n_bad3 = tpa._audit_single_partitions(
+                jplan3, unknown, "synthetic_explode_probe"
+            )
+        finally:
+            del tpa._GENERATE_WAIVERS["synthetic_explode_probe"]
+        assert n_bad3 >= 1, "waiver must not bless an unbounded input"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
 def test_plan_audit_single_partition_feeds_all_bounded():
     """VERDICT r11 item 5: the generic bounded-feed rule replaces the
     ~10 per-query SinglePartition regex pins. Every SinglePartition

@@ -2793,6 +2793,104 @@ def test_mv_replay_guard_survives_manual_refresh_between(spark, tmp_path):
     assert MaterializedView._already_applied("release-a", "release-a")
 
 
+def test_mv_epoch_guard_is_run_scoped(spark, tmp_path):
+    """ADVICE r12 (store.py:850): the numeric-older rule assumed one
+    monotone epoch source per catalog, so a stream restarted with a
+    FRESH checkpoint (epoch counter back at 0) — or a second writer
+    stream — had its early epochs silently no-op'd and their deltas
+    dropped. Tags are now run-scoped (``r<runid>-e<epoch>``): the
+    numeric-older rule applies only within one run id; across runs
+    (including one tagged, one legacy untagged) only full equality
+    skips."""
+    from console_etl_spark.store import MaterializedView, SnapshotStore
+    from console_etl_spark.streaming import checkpoint_run_id
+
+    store = SnapshotStore(str(tmp_path / "mvstore3"))
+    mv = MaterializedView(store, "mv_runs", ("g",), ("v",))
+    d = spark.createDataFrame([("a", 1.0)], "g string, v double")
+
+    # run A folds epochs 0..1, then the stream is retired
+    mv.refresh(d, epoch_tag="rAAAA1111-e000000000000")
+    mv.refresh(d, epoch_tag="rAAAA1111-e000000000001")
+    assert mv.read(spark).collect()[0].sum_v == 2.0
+
+    # a FRESH-checkpoint restart (run B) legitimately restarts at
+    # epoch 0 over new-only input: its fold must APPLY, not no-op
+    mv.refresh(d, epoch_tag="rBBBB2222-e000000000000")
+    assert mv.read(spark).collect()[0].sum_v == 3.0
+    v_b0 = store.current("mv_runs").version
+
+    # ...while run B's own crash-replay of that epoch is still a no-op
+    out = mv.refresh(d, epoch_tag="rBBBB2222-e000000000000")
+    assert out.version == v_b0
+    assert mv.read(spark).collect()[0].sum_v == 3.0
+    # and run B's numeric-older rule works within run B
+    mv.refresh(d, epoch_tag="rBBBB2222-e000000000001")
+    assert not MaterializedView._already_applied(
+        "rBBBB2222-e000000000001", "rBBBB2222-e000000000002"
+    )
+    assert MaterializedView._already_applied(
+        "rBBBB2222-e000000000001", "rBBBB2222-e000000000000"
+    )
+
+    # mixed legacy/tagged: numeric-older must NOT cross the boundary
+    assert not MaterializedView._already_applied(
+        "e000000000057", "rCCCC3333-e000000000000"
+    )
+    assert not MaterializedView._already_applied(
+        "rCCCC3333-e000000000057", "e000000000000"
+    )
+
+    # the emitter's run id: stable for one checkpoint path (crash
+    # restarts keep the numeric guard), distinct across paths, and
+    # insensitive to trailing-slash spelling
+    a = checkpoint_run_id(str(tmp_path / "ck1"))
+    assert a == checkpoint_run_id(str(tmp_path / "ck1") + "/")
+    assert a != checkpoint_run_id(str(tmp_path / "ck2"))
+    assert len(a) == 8 and int(a, 16) >= 0
+
+
+def test_stream_refresh_mv_fresh_checkpoint_restart_not_dropped(
+    spark, tmp_path
+):
+    """End-to-end run-scope proof through stream_refresh_mv itself: a
+    second stream run over NEW input with a FRESH checkpoint starts
+    back at epoch 0, and its delta must land in the view (the pre-r13
+    unscoped guard dropped it as 'numerically older')."""
+    from console_etl_spark import streaming
+    from console_etl_spark.store import MaterializedView, SnapshotStore
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    d1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    d1.coalesce(1).write.mode("append").parquet(str(src))
+
+    store = SnapshotStore(str(tmp_path / "mvstore4"))
+    mv = MaterializedView(store, "mv_fresh", ("g",), ("v",))
+    q1 = streaming.stream_refresh_mv(
+        spark, str(src), mv, str(tmp_path / "ckA")
+    )
+    q1.awaitTermination(120)
+    assert store.current("mv_fresh").version.split("-e")[0].endswith(
+        "r" + streaming.checkpoint_run_id(str(tmp_path / "ckA"))
+    )
+    base = {r.g: r.sum_v for r in mv.read(spark).collect()}
+    assert base == {"a": 1.0, "b": 2.0}
+
+    # new input lands; the operator restarts the stream with a FRESH
+    # checkpoint dir (run 2, epoch ids reset to 0)
+    d2 = spark.createDataFrame([("a", 10.0)], "g string, v double")
+    d2.coalesce(1).write.mode("append").parquet(str(src))
+    q2 = streaming.stream_refresh_mv(
+        spark, str(src), mv, str(tmp_path / "ckB")
+    )
+    q2.awaitTermination(120)
+    after = {r.g: r.sum_v for r in mv.read(spark).collect()}
+    # run 2 re-reads BOTH files (fresh source checkpoint) — the point
+    # under test is that its epoch-0 folds were NOT silently dropped
+    assert after == {"a": 12.0, "b": 4.0}
+
+
 def test_interval_micros_grammar(spark):
     """ADVICE r11 (streaming.py): _interval_micros must accept the same
     fixed-length grammar F.window() does — week/millisecond units and

@@ -97,13 +97,22 @@ _RESCAN_WAIVERS = {
     "ann_ivf_pq_topk": "coarse quantizer + PQ encode + probe stages over the vector relation",
     "ann_ivf_topk": "coarse quantizer fit + assignment + probe over the vector relation",
 }
+# GenerateExec (explode) is NOT row-preserving: it multiplies rows by
+# per-row array length, and the array can itself be data-sized — an
+# explode of a collect_list produced by a GLOBAL aggregate has a
+# bounded (1-row) input but data-sized output, so a blanket
+# passthrough would green-light a genuinely unbounded SinglePartition
+# feed of that shape (ADVICE r12). The auditor therefore treats
+# GenerateExec as UNBOUNDED by default; a query whose explode is a
+# plan-time grid (calendar spans, fixed bin edges, k-constant pair
+# enumerations) declares it here with the boundedness argument. The
+# waiver still requires the explode's INPUT subtree to be bounded.
+_GENERATE_WAIVERS: dict[str, str] = {}
+
 # Row-preserving (or constant-factor) operators: bounded iff ALL
 # children are bounded. Joins belong here too — every join's output is
 # bounded when each input is (the broadcast side short-circuits via
-# BroadcastExchangeExec above). GenerateExec (explode) multiplies rows
-# by per-row array length: over a bounded input (calendar grids, pair
-# enumerations from 1-row aggregates) the output stays bounded; over a
-# scan it is already unbounded at the scan.
+# BroadcastExchangeExec above).
 _PASSTHROUGH = {
     "ProjectExec",
     "FilterExec",
@@ -111,7 +120,6 @@ _PASSTHROUGH = {
     "CoalesceExec",
     "UnionExec",
     "ExpandExec",
-    "GenerateExec",
     "WindowExec",
     "WindowGroupLimitExec",
     "WholeStageCodegenExec",
@@ -137,21 +145,31 @@ def _children(node):
     return [seq.apply(i) for i in range(seq.length())]
 
 
-def _bounded_feed(node, unknown: set) -> bool:
+def _bounded_feed(node, unknown: set, qname: str = "") -> bool:
     """True iff the relation this physical subtree produces is
-    row-bounded (not data-sized) under the head/passthrough rule."""
+    row-bounded (not data-sized) under the head/passthrough rule.
+    ``qname`` scopes the GenerateExec waiver: explode output is
+    data-sized unless the query declared its explode a plan-time grid
+    in _GENERATE_WAIVERS (and even then its input must be bounded)."""
     name = node.getClass().getSimpleName()
     if name in _BOUNDED_HEADS:
         return True
     if name == "ReusedExchangeExec":
         # leaf referencing another exchange — classify the referent
-        return _bounded_feed(node.child(), unknown)
+        return _bounded_feed(node.child(), unknown, qname)
     if name == "InMemoryTableScanExec":
         # cached relation — classify the plan that was cached
-        return _bounded_feed(node.relation().cachedPlan(), unknown)
+        return _bounded_feed(node.relation().cachedPlan(), unknown, qname)
+    if name == "GenerateExec":
+        kids = _children(node)
+        return (
+            qname in _GENERATE_WAIVERS
+            and bool(kids)
+            and all(_bounded_feed(k, unknown, qname) for k in kids)
+        )
     if name in _PASSTHROUGH:
         kids = _children(node)
-        return bool(kids) and all(_bounded_feed(k, unknown) for k in kids)
+        return bool(kids) and all(_bounded_feed(k, unknown, qname) for k in kids)
     # raw scans and anything unrecognized: unbounded (strict default —
     # record the node name so a legitimate new operator gets added to
     # the rule tables explicitly, not silently)
@@ -181,7 +199,9 @@ def _repeated_scans(plan_root) -> dict[str, int]:
     return {t: n for t, n in counts.items() if n >= 3}
 
 
-def _audit_single_partitions(plan_root, unknown: set) -> tuple[int, int]:
+def _audit_single_partitions(
+    plan_root, unknown: set, qname: str = ""
+) -> tuple[int, int]:
     """(n_single_partition_exchanges, n_with_unbounded_feed)."""
     n_sp = 0
     n_bad = 0
@@ -197,7 +217,7 @@ def _audit_single_partitions(plan_root, unknown: set) -> tuple[int, int]:
             and "SinglePartition" in node.outputPartitioning().toString()
         ):
             n_sp += 1
-            if not _bounded_feed(node.child(), unknown):
+            if not _bounded_feed(node.child(), unknown, qname):
                 n_bad += 1
         stack.extend(_children(node))
     return n_sp, n_bad
@@ -235,7 +255,7 @@ def main() -> None:
         _cdf.DataFrame.localCheckpoint = lambda self, *a, **k: self
         try:
             jplan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
-            return _audit_single_partitions(jplan, unknown_nodes)
+            return _audit_single_partitions(jplan, unknown_nodes, name)
         finally:
             _cdf.DataFrame.localCheckpoint = _orig_lc
 
@@ -298,6 +318,7 @@ def main() -> None:
             for k in sorted(_RESCAN_WAIVERS)
             if out.get(k, {}).get("repeated_scan_tables")
         },
+        "generate_explode_waivers": dict(sorted(_GENERATE_WAIVERS.items())),
         "unclassified_plan_nodes": sorted(unknown_nodes),
         "queries_with_codegen": sum(
             1 for v in out.values() if v.get("codegen_spans", 0) > 0

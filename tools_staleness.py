@@ -22,6 +22,18 @@ and stay a manual windowing obligation, as before. A query that did
 not exist at its boundary commit (file or def absent) is reported
 stale only if it has a driver row at all.
 
+ROWS-ONLY law coverage (VERDICT r12 item 7): a rows-only query (no
+oracle SQL — the driver checks rows>0 only) carries its semantic
+contract in its pinned LAW tests, so a law edit is a code change the
+decorated-def diff cannot see. For each rows-only query the tool
+therefore also fingerprints every ``tests/`` top-level ``test_*``
+function whose source mentions the query's registered name or its
+implementing function's name, and a law-fingerprint diff against the
+boundary commit marks the query stale exactly like a def diff (the
+per-query entry records ``laws_changed`` and the matched
+``law_tests``). Adding or removing a law test flags too — new law,
+new evidence obligation.
+
 Regenerate with ``python tools_staleness.py``.
 """
 from __future__ import annotations
@@ -90,6 +102,113 @@ def _def_source(py_text: str, name: str) -> str | None:
     return None
 
 
+def _strip_docstring(node: ast.AST) -> ast.AST:
+    body = node.body
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        node.body = body[1:] or [ast.Pass()]
+    return node
+
+
+# A law test pins ONE query's semantics (two for explicit twins); a
+# test mentioning this many registered query names is registry
+# plumbing — the window-order pins, the collect allowlist, artifact
+# sync — whose churn says nothing about any single query's contract.
+LAW_NAME_FANOUT_CAP = 5
+
+# Registry-plumbing tests matched by NAME: the window pins read
+# _PRIORITY dynamically and spot-check only a few literal names, so
+# the fanout cap alone cannot see that their churn is rotation churn,
+# not a semantic change to the handful of queries they happen to
+# name. Every test whose name matches is registry machinery by
+# convention in this suite.
+_REGISTRY_TEST_PAT = re.compile(
+    r"window|registration_order|artifact|staleness|allowlist"
+)
+
+
+def law_fingerprint(
+    test_texts: dict[str, str],
+    names: tuple[str, ...],
+    all_names: tuple[str, ...] = (),
+) -> tuple[tuple[str, str, str], ...]:
+    """Semantic fingerprint of every law test pinning a rows-only
+    query: over ``{relpath: source}`` of test files, collect each
+    top-level ``test_*`` function whose RAW source segment mentions any
+    of ``names`` (the query's registered name / implementing function
+    name, word-bounded), and return the sorted tuple of
+    (relpath, test name, docstring-stripped AST dump). Pure over its
+    inputs so the HEAD and boundary-commit sides — and the synthetic
+    proof test — share one definition. AST dump means comment and
+    formatting churn does not flag; assertion or setup changes do.
+    ``all_names`` (every registered query name) filters out REGISTRY
+    tests: a function matching >= LAW_NAME_FANOUT_CAP registered names
+    (window pins, allowlists) is not a law for any one query — without
+    this cap, every window rotation flagged whichever rows-only
+    queries rotated out as 'law-stale'."""
+    pats = [re.compile(rf"\b{re.escape(n)}\b") for n in names if n]
+    all_pats = [re.compile(rf"\b{re.escape(n)}\b") for n in all_names]
+    out: list[tuple[str, str, str]] = []
+    for relpath in sorted(test_texts):
+        text = test_texts[relpath]
+        try:
+            tree = ast.parse(text)
+        except SyntaxError:
+            continue
+        lines = text.splitlines()
+        for node in tree.body:
+            if not (
+                isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and node.name.startswith("test_")
+            ):
+                continue
+            if _REGISTRY_TEST_PAT.search(node.name):
+                continue
+            seg = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+            if not any(p.search(seg) for p in pats):
+                continue
+            fanout = sum(1 for p in all_pats if p.search(seg))
+            if all_pats and fanout >= LAW_NAME_FANOUT_CAP:
+                continue
+            out.append(
+                (
+                    relpath,
+                    node.name,
+                    ast.dump(
+                        _strip_docstring(node), include_attributes=False
+                    ),
+                )
+            )
+    return tuple(out)
+
+
+def _test_texts_head(root: str) -> dict[str, str]:
+    texts: dict[str, str] = {}
+    for f in sorted(glob.glob(os.path.join(root, "tests", "*.py"))):
+        texts[os.path.relpath(f, root)] = open(f).read()
+    return texts
+
+
+def _test_texts_at(commit: str) -> dict[str, str]:
+    ls = subprocess.run(
+        ["git", "ls-tree", "-r", "--name-only", commit, "tests/"],
+        capture_output=True,
+        text=True,
+    ).stdout
+    texts: dict[str, str] = {}
+    for path in ls.splitlines():
+        if not path.endswith(".py"):
+            continue
+        text = _file_at(commit, path)
+        if text is not None:
+            texts[path] = text
+    return texts
+
+
 def _file_at(commit: str, relpath: str) -> str | None:
     p = subprocess.run(
         ["git", "show", f"{commit}:{relpath}"],
@@ -133,6 +252,9 @@ def main() -> None:
     bounds = _boundary_commits()
     latest = _latest_rows()
     qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    head_tests = _test_texts_head(root)
+    tests_at: dict[str, dict[str, str]] = {}  # per-boundary-commit cache
 
     out: dict[str, dict] = {}
     stale: list[str] = []
@@ -166,10 +288,29 @@ def main() -> None:
         if head_src is None:
             entry["changed_since_row"] = None
             unresolvable.append(name)
-        else:
-            entry["changed_since_row"] = head_src != old_src
-            if entry["changed_since_row"]:
-                stale.append(name)
+            out[name] = entry
+            continue
+        changed = head_src != old_src
+        if name not in oracles:
+            # rows-only: the law tests carry the semantic contract the
+            # missing oracle would — fingerprint them on both sides
+            match_names = (name, entry["function"])
+            all_names = tuple(qs)
+            head_laws = law_fingerprint(head_tests, match_names, all_names)
+            commit = bounds[row]
+            if commit not in tests_at:
+                tests_at[commit] = _test_texts_at(commit)
+            old_laws = law_fingerprint(
+                tests_at[commit], match_names, all_names
+            )
+            entry["law_tests"] = sorted(
+                f"{p}::{t}" for p, t, _ in head_laws
+            )
+            entry["laws_changed"] = head_laws != old_laws
+            changed = changed or entry["laws_changed"]
+        entry["changed_since_row"] = changed
+        if changed:
+            stale.append(name)
         out[name] = entry
 
     doc = {
