@@ -55,108 +55,81 @@ _MODULES = (
 # parity suite (tests/test_oracle_parity.py).
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 12 (eleventh
-# rotation): the 7 NEW r12 registrations first (Croston + SBA
-# intermittent-demand forecast over the Z-class parts — the capstone
-# VERDICT r11 item 4 asked for, per-part F.aggregate fold == lockstep
-# recursive CTE; Yule-Walker AR(2) + PACF(3) from the exact-integer
-# ACF; the six-term Brier/Murphy decomposition with the exact identity;
-# Cramér's V effect size; Cohen's d / Hedges' g / Glass's delta;
-# the per-event-type burstiness profile; the rescaled-range Hurst
-# exponent — all oracle-backed, numpy/pandas replica laws pinned,
-# windowed same-round), then the 10 queries whose implementations
-# CHANGED since their last driver row — found mechanically this round
-# by tools_staleness.py (STALENESS.json), which automates the judge's
-# changed-code rule at function granularity (AST-semantic diff of each
-# query's decorated def, oracle SQL included, against its row's round-
-# boundary commit): the 2 rows-only ANN plans rebuilt in r11's
-# hardening commit 8971acc (ann_ivf_topk, ann_lsh_multiprobe — VERDICT
-# r11 item 1); dsir_importance_weights (r7 row predates the r11
-# vocab-pin plan change) and split_leakage_safe (r7 row predates its
-# oracle rewrite) — both surfaced by the new tool, neither called out
-# in any verdict; and the three r12 repeated-scan-sweep plan repairs
-# (graph_triangle_parts_basket: the basket pair build re-derived five
-# times, now pinned; funnel_signup_view_purchase: 5 fact scans -> 1
-# via chained running-min windows; gapfill_hourly_events: bounds/type
-# relations now derive from the pinned rollup; dq_violations_report:
-# 9 rules from 4 table scans instead of 11, the per-row rules riding
-# the key-grouped relations the FK checks need anyway;
-# growth_accounting_weekly: churn branch now emits from the same
-# window pass instead of re-deriving the distinct+window chain;
-# zorder_interleaved_keys: rank-scale product widened to
-# DECIMAL(38,0)/HUGEINT with INTEGRAL div — the old LONG product
-# overflowed above ~2^55 and the double-division path diverged from
-# the oracle past 2^53).
-# gapfill_interpolate_hourly got the same repair but already sits in
-# the r6 tier below. Changed-since-last-driver-row outranks
-# staleness. Then staleness draining from the r6 block (the oldest;
-# 50 rows): curation_funnel_report FIRST (VERDICT r11 item 1 — its r6
-# driver row predates the d645424 value-changing survivor-selection
-# fix; the MV query mv_incremental_orders_stats also lands here,
-# re-evidencing the r12 replay-guard change), then 32 more r6 rows in
-# registration order. The window cannot hold all 50 r6 rows plus any
-# new registrations (50 slots total) — the 15 r6 rows left (zorder
-# moved into the changed tier, psi rotated out) are the r13
-# rotation's head. 48 oracle value-hash slots + 2 rows-only (by
-# design) slots.
+# their last driver row, then oldest rows first. ROUND 13 (twelfth
+# rotation): the 5 NEW r13 registrations first (the SES alpha-grid
+# backtest and the theta-method backtest — the state-space forecast
+# siblings VERDICT r12 item 3 asked for, both scored against the
+# seasonal-naive champion on the shared t >= 8 window; seasonal/trend
+# strength via classical decomposition; the Cramer-von Mises two-sample
+# test completing the KS/Mann-Whitney nonparametric shelf; first-order
+# partial correlation controlling discount — all oracle-backed,
+# numpy/pandas replica laws pinned, windowed same-round). The r12
+# streaming item also landed (stream_croston_intermittent, streaming.py:
+# stream==batch bit-exact + replay/restart laws) but streaming twins are
+# pytest-tier, not window slots. tools_staleness.py (now law-aware for
+# rows-only queries — VERDICT r12 item 7) reports ZERO changed-code
+# queries at HEAD, so the remaining 45 slots drain pure staleness: all
+# 15 remaining r6-vintage rows (the oldest driver evidence left), then
+# the 30 oldest r7 rows in registration order. 43 oracle value-hash
+# slots + 7 rows-only-by-design slots (the schema census, the two
+# approx-sketch tiers, the sliding HLL, PageRank's iterative fixpoint,
+# and the two LSH tiers — each with an oracle-checked exact twin or a
+# pinned law suite).
 _PRIORITY = (
-    # new r12 registrations, never driver-checked (7)
-    "forecast_croston_intermittent",
-    "stats_yule_walker_ar2_hourly",
-    "eval_brier_decomposition",
-    "stats_cramers_v_brand_flag",
-    "stats_cohens_d_weekend_revenue",
-    "stats_burstiness_event_hourly",
-    "stats_hurst_rs_daily",
-    # changed since last driver row (tools_staleness.py; ANN pair
-    # rows-only, the rest oracle-backed — triangle/funnel/gapfill
-    # repaired by the r12 repeated-scan sweep)
-    "ann_ivf_topk",
-    "ann_lsh_multiprobe",
-    "dsir_importance_weights",
-    "split_leakage_safe",
-    "graph_triangle_parts_basket",
-    "funnel_signup_view_purchase",
-    "gapfill_hourly_events",
-    "dq_violations_report",
-    "growth_accounting_weekly",
-    "zorder_interleaved_keys",
-    # r6 driver rows (33 of 50): value-changed-in-d645424 first, then
-    # registration order
-    "curation_funnel_report",
-    "nav_icon_variant",
-    "events_props_variant",
-    "mv_incremental_orders_stats",
-    "sessionize_events_native",
-    "sample_k_per_group_docs",
-    "histogram_equidepth_prices",
-    "er_part_name_clusters",
-    "weighted_sample_docs",
-    "gapfill_interpolate_hourly",
-    "window_rolling_corr_qty_price",
-    "profile_column_stats_orders",
-    "profile_key_candidates",
-    "regression_price_on_qty_by_flag",
-    "mode_event_type_by_user",
-    "islands_user_active_hours",
-    "skew_report_lineitem_partkey",
-    "twap_value_by_user",
-    "ohlc_hourly_value",
-    "aqp_revenue_estimate",
-    "asof_join_nearest_view",
-    "winsorized_price_stats",
-    "benford_totalprice_audit",
-    "bootstrap_revenue_ci",
-    "stats_chi2_independence",
-    "stats_welch_ttest",
-    "stats_ks_two_sample",
-    "stats_corr_matrix_lineitem",
-    "overlap_sessions_per_hour",
-    "ewma_trailing_user_value",
-    "acf_hourly_event_counts",
-    "attribution_last_touch",
-    "rfm_customer_segments",
-    # WINDOW FULL at 50 (7 new + 10 changed + 33 r6).
+    # new r13 registrations, never driver-checked (5)
+    "forecast_ses_alpha_grid_daily",
+    "forecast_theta_daily",
+    "stats_seasonal_strength_daily",
+    "stats_cvm_two_sample",
+    "stats_partial_corr_lineitem",
+    # r6 driver rows (all 15 remaining; oldest evidence in the fleet)
+    "psi_totalprice_drift",
+    "jsd_event_type_weekend",
+    "assoc_part_pairs_lift",
+    "markov_event_transitions",
+    "kanonymity_customer_audit",
+    "text_source_token_entropy",
+    "conversion_time_percentiles",
+    "sql_parameterized_topn",
+    "graph_bfs_hop_histogram",
+    "dedup_cross_doc_segments",
+    "dedup_keep_best_quality",
+    "text_lang_source_mi",
+    "text_pmi_collocations",
+    "text_readability_scores",
+    "enumerate_docs_global",
+    # r7 driver rows (30 oldest, registration order)
+    "events_props_schema_census",
+    "dedup_events_debounce",
+    "fuzzy_blocked_name_pairs",
+    "approx_percentile_price",
+    "scd2_point_in_time_join",
+    "approx_ndv_users_incremental",
+    "profile_fd_violations",
+    "profile_value_shapes",
+    "sliding_distinct_users_hourly",
+    "weighted_median_price_by_flag",
+    "division_customers_all_priorities",
+    "mad_price_by_flag",
+    "stats_spearman_qty_price",
+    "retention_dau_wau_stickiness",
+    "abc_pareto_parts",
+    "control_chart_xmr_user_value",
+    "allocation_hamilton_quota",
+    "hhi_supplier_concentration",
+    "orders_skyline_price_date",
+    "ldiversity_customer_audit",
+    "events_out_of_order_audit",
+    "smape_seasonal_backtest",
+    "survival_user_retention_km",
+    "gini_revenue_concentration",
+    "graph_pagerank_trade",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_shingle_containment",
+    "dedup_cross_source_matrix",
+    "dedup_degree_histogram",
+    # WINDOW FULL at 50 (5 new + 15 r6 + 30 r7).
 )
 
 

@@ -156,6 +156,16 @@ HEADLINE = [
     "stats_cohens_d_weekend_revenue",
     "stats_burstiness_event_hourly",
     "stats_hurst_rs_daily",
+    # round-13 additions (SES alpha-grid and theta-method backtests —
+    # the state-space siblings of the forecast shelf, shared t >= 8
+    # evaluation window; seasonal/trend strength; Cramér-von Mises
+    # two-sample completing the KS/Mann-Whitney shelf; first-order
+    # partial correlation):
+    "forecast_ses_alpha_grid_daily",
+    "forecast_theta_daily",
+    "stats_seasonal_strength_daily",
+    "stats_cvm_two_sample",
+    "stats_partial_corr_lineitem",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

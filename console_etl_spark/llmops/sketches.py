@@ -362,7 +362,18 @@ def stream_heavy_hitters(
     current tag) is a no-op, so a crash between publish and the
     streaming checkpoint commit cannot double-merge a batch summary
     into the counters. The tag flips atomically with the data.
-    Per-batch cost: O(|batch| + k)."""
+
+    Single-writer / replay-covers-history assumption (ADVICE r12,
+    documented DELIBERATELY unscoped): tags here stay run-LESS
+    (``e<epoch>``), unlike stream_refresh_mv's run-scoped ones,
+    because for a sketch a fresh-checkpoint restart REPROCESSES THE
+    WHOLE SOURCE — the numeric-older no-ops are exactly what keeps a
+    full replay from double-merging (pinned by test). The flip side:
+    exactly one stream may feed a catalog, and a fresh checkpoint
+    must never be pointed at NEW-ONLY input (its reset epochs would
+    no-op against the stored high-water tag and the new batches would
+    be dropped) — feed new data through the same checkpointed stream,
+    or start a new catalog. Per-batch cost: O(|batch| + k)."""
     import re as _re
 
     from ..store import MaterializedView

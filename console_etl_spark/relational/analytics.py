@@ -1207,9 +1207,24 @@ def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     7x the DEDUPLICATED user-day relation, far smaller than events),
     restricted to observed days.
 
+    The (user, day) relation feeds three branches (day domain, the
+    coverage explode, DAU), so it is localCheckpoint-PINNED: r13's
+    sf1 A/B (BENCH_AB_r13.md) measured the pin 12% faster than the
+    three rescans at 10x data (1.93 s vs 2.20 s) and only ~7% slower
+    at sf0.1 (0.74 vs 0.69) where the page cache hides rescan cost —
+    the crossover sits between the two, and at 100 TB the pin removes
+    two full event scans plus two re-dedups for one disk-backed
+    materialization of the much smaller deduplicated relation. (This
+    retires the r12 repeated-scan waiver that had blessed the rescan
+    shape on the sf0.1 measurement alone.)
+
     Exactness: dates and counts are integers; one division per day."""
     e = load_table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint()
+    )
     days = ud.select("day").distinct()
     cover = (
         ud.select(

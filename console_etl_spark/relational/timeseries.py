@@ -6997,3 +6997,776 @@ def stats_hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst"),
     )
+
+
+SES_ALPHAS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+# Simple-exponential-smoothing grid: one backtest per candidate alpha,
+# interpolated (repr-roundtrip) into BOTH engines' arithmetic below —
+# the MARKOV_ITERS lesson: one definition site, or the engines
+# silently diverge.
+
+_SES_ALPHA_UNION = " UNION ALL ".join(
+    f"SELECT CAST({a!r} AS DOUBLE) AS alpha" for a in SES_ALPHAS
+)
+
+
+@_register(
+    "forecast_ses_alpha_grid_daily",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), init AS (
+      SELECT CAST(SUM(cents) FILTER (WHERE t <= 7) AS DOUBLE) / 7.0 AS l0
+      FROM series
+    ), alphas AS (
+      {_SES_ALPHA_UNION}
+    ), it(alpha, t, l, n, sae, sse) AS (
+      SELECT a.alpha, 7, i.l0, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM alphas a CROSS JOIN init i
+      UNION ALL
+      SELECT it.alpha, s.t,
+             it.alpha * CAST(s.cents AS DOUBLE)
+               + (1.0 - it.alpha) * it.l,
+             it.n + 1,
+             it.sae + ABS(CAST(s.cents AS DOUBLE) - it.l),
+             it.sse + (CAST(s.cents AS DOUBLE) - it.l)
+                      * (CAST(s.cents AS DOUBLE) - it.l)
+      FROM it JOIN series s ON s.t = it.t + 1
+    ), fin AS (
+      SELECT * FROM it
+      WHERE n > 0 AND t = (SELECT MAX(t) FROM series)
+    ), sn AS (
+      SELECT SUM(CAST(ABS(e7) AS HUGEINT)) AS sa7
+      FROM (
+        SELECT cents - LAG(cents, 7) OVER (ORDER BY t) AS e7 FROM series
+      ) lagged
+      WHERE e7 IS NOT NULL
+    )
+    SELECT f.alpha AS alpha,
+           CAST(f.n AS BIGINT) AS n_eval,
+           ROUND(f.sae / f.n / 100.0, 6) AS mae_ses,
+           ROUND(SQRT(f.sse / f.n) / 100.0, 6) AS rmse_ses,
+           ROUND(f.sae / CAST(sn.sa7 AS DOUBLE), 6) AS mae_vs_snaive,
+           CAST((ROW_NUMBER() OVER (ORDER BY f.sse, f.alpha)) = 1 AS INT)
+             AS is_best
+    FROM fin f CROSS JOIN sn
+    ORDER BY alpha
+    """,
+)
+def forecast_ses_alpha_grid_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simple-exponential-smoothing ONE-STEP backtest over a fixed
+    alpha grid (SES_ALPHAS) on the daily-revenue series — the
+    optimized-vs-fixed-alpha comparison VERDICT r12 item 3 asked for:
+    per alpha, forecast yhat_t = l_{{t-1}}, score |y_t - yhat_t| and its
+    square, update l' = alpha*y + (1-alpha)*l, and mark the SSE-argmin
+    row is_best (ties broken toward the smaller alpha — deterministic
+    because every per-alpha SSE is the same IEEE fold in both engines).
+    Shares the forecast shelf's evaluation conventions: l seeds at the
+    first observed week's mean (the Holt-Winters l0 convention,
+    forecast_holt_winters_daily above), scoring runs on the common
+    window t >= 8 where the seasonal-naive lag-7 error also exists, and
+    mae_vs_snaive is the same-window relative MAE against the
+    scorecard's no-skill champion (forecast_accuracy_scorecard_daily).
+
+    Exactness: daily revenue is exact integer cents
+    (_daily_revenue_cents — the oracle inlines the identical cast
+    chain); l0 is one double division of an exact integer sum; every
+    recursive step is the SAME identically-parenthesized IEEE double
+    expression — DuckDB steps all |SES_ALPHAS| states in lockstep
+    through one recursive CTE, Spark folds the collected series per
+    alpha on the driver (the documented time-span-bounded collect
+    class: one row per observed day, ~2.4k regardless of corpus
+    scale); the snaive denominator accumulates as exact integer cents.
+
+    Scale shape: the 100 TB work is the ONE map-side-combinable
+    partial-agg shuffle reducing orders to the daily series; the grid
+    fold is O(|alphas| * days) driver arithmetic on the bounded
+    series, and the 9-row finalize (window for is_best) runs on a
+    literal relation."""
+    daily = _daily_revenue_cents(spark, sf_dir).orderBy("d")
+    rows = daily.collect()  # bounded: one row per observed day of span
+    cents = [r["cents"] for r in rows]
+    T = len(cents)
+    schema = (
+        "alpha double, n long, sae double, sse double, sa7 long, "
+        "is_best int"
+    )
+    if T < 8:
+        # the oracle scores nothing (no t >= 8 row): empty result
+        return _ses_finalize(spark.createDataFrame([], schema))
+    l0 = float(sum(cents[:7])) / 7.0
+    sa7 = sum(abs(cents[t - 1] - cents[t - 8]) for t in range(8, T + 1))
+    folds = []
+    for a in SES_ALPHAS:
+        l, n, sae, sse = l0, 0, 0.0, 0.0
+        for t in range(8, T + 1):
+            y = float(cents[t - 1])
+            sae = sae + abs(y - l)
+            sse = sse + (y - l) * (y - l)
+            l = a * y + (1.0 - a) * l
+            n += 1
+        folds.append((a, n, sae, sse, sa7))
+    # argmin in the driver fold (sse doubles are bit-identical to the
+    # oracle's recursive CTE, so the (sse, alpha) order is too) — an
+    # unpartitioned row_number here would plan Exchange SinglePartition
+    # over the literal relation, which renders as an opaque RDD scan
+    # the plan audit's bounded-feed rule rightly refuses to bless
+    best = min(folds, key=lambda r: (r[3], r[0]))
+    out = [r + (1 if r is best else 0,) for r in folds]
+    return _ses_finalize(spark.createDataFrame(out, schema))
+
+
+def _ses_finalize(raw: DataFrame) -> DataFrame:
+    nd = F.col("n").cast("double")
+    return raw.select(
+        F.col("alpha"),
+        F.col("n").cast("bigint").alias("n_eval"),
+        F.round(F.col("sae") / nd / F.lit(100.0), 6).alias("mae_ses"),
+        F.round(
+            F.sqrt(F.col("sse") / nd) / F.lit(100.0), 6
+        ).alias("rmse_ses"),
+        F.round(
+            F.col("sae") / F.col("sa7").cast("double"), 6
+        ).alias("mae_vs_snaive"),
+        F.col("is_best"),
+    ).orderBy("alpha")
+
+
+THETA_ALPHA = 0.2  # level smoothing for the theta (SES + drift) model
+# Fixed smoothing constant, interpolated (repr-roundtrip) into BOTH
+# engines below — the MARKOV_ITERS single-definition-site lesson.
+_TH_OMA = 1.0 - THETA_ALPHA
+
+
+@_register(
+    "forecast_theta_daily",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), cums AS (
+      SELECT t, cents,
+             SUM(CAST(cents AS HUGEINT)) OVER w AS sy,
+             SUM(CAST(t AS HUGEINT) * cents) OVER w AS sty,
+             SUM(CAST(t AS HUGEINT)) OVER w AS st,
+             SUM(CAST(t AS HUGEINT) * t) OVER w AS stt
+      FROM series
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ), sl AS (
+      SELECT t, cents,
+             CAST(t * sty - st * sy AS DOUBLE)
+               / CAST(t * stt - st * st AS DOUBLE) / 2.0 AS hs
+      FROM cums
+    ), init AS (
+      SELECT CAST(SUM(cents) FILTER (WHERE t <= 7) AS DOUBLE) / 7.0 AS l0
+      FROM series
+    ), it(t, l, n, sae, sse) AS (
+      SELECT 7, i.l0, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM init i
+      UNION ALL
+      SELECT s.t,
+             {THETA_ALPHA!r} * CAST(s.cents AS DOUBLE)
+               + {_TH_OMA!r} * (it.l + sp.hs),
+             it.n + 1,
+             it.sae + ABS(CAST(s.cents AS DOUBLE) - (it.l + sp.hs)),
+             it.sse + (CAST(s.cents AS DOUBLE) - (it.l + sp.hs))
+                      * (CAST(s.cents AS DOUBLE) - (it.l + sp.hs))
+      FROM it JOIN sl s ON s.t = it.t + 1
+              JOIN sl sp ON sp.t = it.t
+    ), fin AS (
+      SELECT * FROM it
+      WHERE n > 0 AND t = (SELECT MAX(t) FROM series)
+    ), sn AS (
+      SELECT SUM(CAST(ABS(e7) AS HUGEINT)) AS sa7
+      FROM (
+        SELECT cents - LAG(cents, 7) OVER (ORDER BY t) AS e7 FROM series
+      ) lagged
+      WHERE e7 IS NOT NULL
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_eval,
+           ROUND(f.sae / f.n / 100.0, 6) AS mae_theta,
+           ROUND(SQRT(f.sse / f.n) / 100.0, 6) AS rmse_theta,
+           ROUND(CAST(sn.sa7 AS DOUBLE) / f.n / 100.0, 6) AS mae_snaive,
+           ROUND(1.0 - f.sae / CAST(sn.sa7 AS DOUBLE), 6) AS mae_skill
+    FROM fin f CROSS JOIN sn
+    """,
+)
+def forecast_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method ONE-STEP backtest on the daily-revenue series via
+    the Hyndman-Billah (2003) equivalence: the classical theta
+    forecaster (average of the theta=0 trend line and the SES of the
+    theta=2 line) IS simple exponential smoothing with an additive
+    drift of HALF the linear-trend slope. Here the drift expands with
+    the data — at step t the slope is the OLS fit over days 1..t-1
+    (no lookahead) — so the recursion is
+    yhat_t = l + b_{{t-1}}/2,  l' = alpha*y_t + (1-alpha)*(l + b_{{t-1}}/2)
+    with fixed alpha = THETA_ALPHA. Scored on the shared forecast-shelf
+    window (t >= 8, l seeded at the first week's mean — the
+    Holt-Winters / SES-grid convention) against the same seasonal-naive
+    champion: mae_skill > 0 means theta beats the no-skill forecaster
+    where Holt-Winters (forecast_holt_winters_daily) posts its own
+    skill on the identical window — the three-way bake-off VERDICT r12
+    item 3 asked for.
+
+    Exactness: the expanding OLS slope is pure integer algebra until
+    ONE double division — t, Sum(t), Sum(t^2) and the cents sums
+    accumulate as HUGEINT/python-int (order-free), and
+    (t*Sty - St*Sy) / (t*Stt - St*St) / 2.0 is the same
+    fixed-parenthesization expression in both engines; every recursive
+    step is the SAME IEEE double expression — DuckDB as a recursive
+    CTE reading the per-t half-slope from the windowed-cumsum
+    relation, Spark as a driver fold over the collected series (the
+    documented time-span-bounded collect class, ~2.4k rows at any
+    corpus scale) with python ints standing in for HUGEINT exactly.
+
+    Scale shape: ONE map-side-combinable partial-agg shuffle reduces
+    the fact table to the daily series; slopes, fold, and the 1-row
+    finalize are bounded-series arithmetic."""
+    daily = _daily_revenue_cents(spark, sf_dir).orderBy("d")
+    rows = daily.collect()  # bounded: one row per observed day of span
+    cents = [r["cents"] for r in rows]
+    T = len(cents)
+    schema = "n long, sae double, sse double, sa7 long"
+    if T < 8:
+        return _theta_finalize(spark.createDataFrame([], schema))
+    # expanding-prefix integer moments -> half-slope per prefix length
+    hs = [0.0] * (T + 1)  # hs[t] = b_t / 2 over days 1..t (t >= 2)
+    sy = sty = st = stt = 0
+    for t in range(1, T + 1):
+        c = cents[t - 1]
+        sy += c
+        sty += t * c
+        st += t
+        stt += t * t
+        if t >= 2:
+            hs[t] = float(t * sty - st * sy) / float(t * stt - st * st) / 2.0
+    l0 = float(sum(cents[:7])) / 7.0
+    sa7 = sum(abs(cents[t - 1] - cents[t - 8]) for t in range(8, T + 1))
+    l, n, sae, sse = l0, 0, 0.0, 0.0
+    for t in range(8, T + 1):
+        y = float(cents[t - 1])
+        yhat = l + hs[t - 1]
+        sae = sae + abs(y - yhat)
+        sse = sse + (y - yhat) * (y - yhat)
+        l = THETA_ALPHA * y + _TH_OMA * yhat
+        n += 1
+    raw = spark.createDataFrame([(n, sae, sse, sa7)], schema)
+    return _theta_finalize(raw)
+
+
+def _theta_finalize(raw: DataFrame) -> DataFrame:
+    nd = F.col("n").cast("double")
+    return raw.select(
+        F.col("n").cast("bigint").alias("n_eval"),
+        F.round(F.col("sae") / nd / F.lit(100.0), 6).alias("mae_theta"),
+        F.round(
+            F.sqrt(F.col("sse") / nd) / F.lit(100.0), 6
+        ).alias("rmse_theta"),
+        F.round(
+            F.col("sa7").cast("double") / nd / F.lit(100.0), 6
+        ).alias("mae_snaive"),
+        F.round(
+            F.lit(1.0) - F.col("sae") / F.col("sa7").cast("double"), 6
+        ).alias("mae_skill"),
+    )
+
+
+@_register(
+    "stats_seasonal_strength_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, d, cents FROM daily
+    ), ma AS (
+      SELECT t, d, cents,
+             SUM(cents) OVER w7 AS tr7,
+             COUNT(*) OVER w7 AS c7
+      FROM series
+      WINDOW w7 AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), valid AS (
+      SELECT t, (d + 4) % 7 AS dow, cents, 7 * cents - tr7 AS det7
+      FROM ma WHERE c7 = 7
+    ), seas AS (
+      SELECT dow, SUM(CAST(det7 AS HUGEINT)) AS snum, COUNT(*) AS scnt
+      FROM valid GROUP BY dow
+    ), comp AS (
+      SELECT v.t,
+             CAST(v.det7 AS DOUBLE) / 7.0 AS detr,
+             CAST(v.cents AS DOUBLE)
+               - CAST(s.snum AS DOUBLE) / s.scnt / 7.0 AS deseas,
+             CAST(v.det7 AS DOUBLE) / 7.0
+               - CAST(s.snum AS DOUBLE) / s.scnt / 7.0 AS rem
+      FROM valid v JOIN seas s USING (dow)
+    ), run AS (
+      SELECT t,
+             COUNT(*) OVER wr AS k,
+             COUNT(*) OVER wa AS n_all,
+             SUM(rem) OVER wr AS s1r,
+             SUM(rem * rem) OVER wr AS s2r,
+             SUM(detr) OVER wr AS s1d,
+             SUM(detr * detr) OVER wr AS s2d,
+             SUM(deseas) OVER wr AS s1e,
+             SUM(deseas * deseas) OVER wr AS s2e
+      FROM comp
+      WINDOW wr AS (ORDER BY t ROWS UNBOUNDED PRECEDING),
+             wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(k AS BIGINT) AS n_used,
+           ROUND(GREATEST(0.0,
+             1.0 - (s2r / k - (s1r / k) * (s1r / k))
+                   / (s2d / k - (s1d / k) * (s1d / k))), 6) AS f_seasonal,
+           ROUND(GREATEST(0.0,
+             1.0 - (s2r / k - (s1r / k) * (s1r / k))
+                   / (s2e / k - (s1e / k) * (s1e / k))), 6) AS f_trend,
+           ROUND(SQRT(s2r / k - (s1r / k) * (s1r / k)) / 100.0, 2)
+             AS rmse_remainder
+    FROM run WHERE k = n_all
+    """,
+)
+def stats_seasonal_strength_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal and trend STRENGTH of the daily-revenue series via the
+    classical additive decomposition (trend = centered 7-day moving
+    average, seasonal = per-day-of-week mean of the detrended values,
+    remainder = the rest) and Hyndman's feature definitions:
+    f_seasonal = max(0, 1 - Var(R)/Var(S+R)) where S+R is the
+    DETRENDED series, f_trend = max(0, 1 - Var(R)/Var(T+R)) where T+R
+    is the DESEASONALIZED series — the two numbers that tell a
+    forecasting team whether the weekly cycle and the trend are worth
+    modeling at all (they ground the shelf's model choices: a high
+    f_seasonal is why the seasonal-naive champion is hard to beat).
+    Day-of-week is calendar-true ((d+4)%7 on the epoch day — day 0 is
+    a Thursday), not observation-sequence position, so gaps do not
+    rotate the cycle; only days with a complete centered window
+    (t in [4, T-3]) enter.
+
+    Exactness: the trend sum and 7x-detrended values are exact
+    integers (7*cents - window_sum), the per-dow seasonal numerators
+    are exact integer sums (order-free), each component value is ONE
+    fixed-parenthesization double expression, and the variance moments
+    accumulate through an ORDERED running window (ROWS UNBOUNDED
+    PRECEDING, filtered to the last row) so both engines fold the
+    same doubles in the same sequence — the Breusch-Pagan discipline
+    for double sums on the bounded daily grid.
+
+    Scale shape: ONE map-side-combinable partial-agg shuffle reduces
+    facts to the ~2.4k-row daily grid; every window and the 7-row
+    seasonal aggregate (broadcast back) run on that calendar-bounded
+    relation — flat at any corpus scale."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "d", "cents"
+    )
+    w7 = W.orderBy("t").rowsBetween(-3, 3)
+    ma = series.select(
+        "t",
+        "d",
+        "cents",
+        F.sum("cents").over(w7).alias("tr7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    valid = ma.filter(F.col("c7") == 7).select(
+        "t",
+        ((F.col("d") + 4) % 7).alias("dow"),
+        "cents",
+        (F.lit(7) * F.col("cents") - F.col("tr7")).alias("det7"),
+    )
+    seas = valid.groupBy("dow").agg(
+        F.sum("det7").alias("snum"), F.count("*").alias("scnt")
+    )
+    seas_val = F.col("snum").cast("double") / F.col("scnt") / F.lit(7.0)
+    comp = valid.join(F.broadcast(seas), "dow").select(
+        "t",
+        (F.col("det7").cast("double") / F.lit(7.0)).alias("detr"),
+        (F.col("cents").cast("double") - seas_val).alias("deseas"),
+        (F.col("det7").cast("double") / F.lit(7.0) - seas_val).alias("rem"),
+    )
+    wr = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    run = comp.select(
+        F.count("*").over(wr).alias("k"),
+        F.count("*").over(wa).alias("n_all"),
+        F.sum("rem").over(wr).alias("s1r"),
+        F.sum(F.col("rem") * F.col("rem")).over(wr).alias("s2r"),
+        F.sum("detr").over(wr).alias("s1d"),
+        F.sum(F.col("detr") * F.col("detr")).over(wr).alias("s2d"),
+        F.sum("deseas").over(wr).alias("s1e"),
+        F.sum(F.col("deseas") * F.col("deseas")).over(wr).alias("s2e"),
+    )
+    fin = run.filter(F.col("k") == F.col("n_all"))
+    vr = F.col("s2r") / F.col("k") - (F.col("s1r") / F.col("k")) * (
+        F.col("s1r") / F.col("k")
+    )
+    vd = F.col("s2d") / F.col("k") - (F.col("s1d") / F.col("k")) * (
+        F.col("s1d") / F.col("k")
+    )
+    ve = F.col("s2e") / F.col("k") - (F.col("s1e") / F.col("k")) * (
+        F.col("s1e") / F.col("k")
+    )
+    return fin.select(
+        F.col("k").cast("bigint").alias("n_used"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - vr / vd), 6
+        ).alias("f_seasonal"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - vr / ve), 6
+        ).alias("f_trend"),
+        F.round(F.sqrt(vr) / F.lit(100.0), 2).alias("rmse_remainder"),
+    )
+
+
+@_register(
+    "stats_cvm_two_sample",
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+      SELECT x, CAST(SUM(g1) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY x
+    ), cum AS (
+      SELECT c1, ct - c1 AS c2, ct,
+             CAST(COALESCE(SUM(ct) OVER wb, 0) AS BIGINT) AS below,
+             CAST(COALESCE(SUM(c1) OVER wb, 0) AS BIGINT) AS below1
+      FROM v
+      WINDOW wb AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ), terms AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(3 * CAST(c1 AS HUGEINT)
+                   * (2 * below + ct + 1 - 2 * below1)
+                   * (2 * below + ct + 1 - 2 * below1)
+                 - 6 * CAST(2 * below + ct + 1 - 2 * below1 AS HUGEINT)
+                   * c1 * (c1 + 1)
+                 + 2 * CAST(c1 AS HUGEINT) * (c1 + 1) * (2 * c1 + 1))
+               AS u12x,
+             SUM(3 * CAST(c2 AS HUGEINT)
+                   * (2 * below1 + ct + 1)
+                   * (2 * below1 + ct + 1)
+                 - 6 * CAST(2 * below1 + ct + 1 AS HUGEINT)
+                   * c2 * (c2 + 1)
+                 + 2 * CAST(c2 AS HUGEINT) * (c2 + 1) * (2 * c2 + 1))
+               AS u12y
+      FROM cum
+    )
+    SELECT n1, n2,
+           ROUND((CAST(n1 AS DOUBLE) * CAST(u12x AS DOUBLE)
+                  + CAST(n2 AS DOUBLE) * CAST(u12y AS DOUBLE)) / 12.0
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0)
+                   / (6.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))),
+                 6) AS t_stat,
+           ROUND(1.0 / 6.0
+                 + 1.0 / (6.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))),
+                 6) AS t_mean,
+           ROUND((((CAST(n1 AS DOUBLE) * CAST(u12x AS DOUBLE)
+                    + CAST(n2 AS DOUBLE) * CAST(u12y AS DOUBLE)) / 12.0
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                   - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0)
+                     / (6.0
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                  - (1.0 / 6.0
+                     + 1.0 / (6.0 * (CAST(n1 AS DOUBLE)
+                                     + CAST(n2 AS DOUBLE)))))
+                 / SQRT(1.0 / 45.0
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                              * (CAST(n1 AS DOUBLE)
+                                 + CAST(n2 AS DOUBLE))))
+                        * (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           - 3.0 * (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                                    + CAST(n2 AS DOUBLE)
+                                      * CAST(n2 AS DOUBLE))
+                           - 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                        / (4.0 * CAST(n1 AS DOUBLE)
+                           * CAST(n2 AS DOUBLE))),
+                 6) AS z
+    FROM terms
+    """,
+)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer-von Mises two-sample test between the URGENT and LOW
+    priority order-value populations — the integrated-L2 member of the
+    nonparametric shelf: stats_ks_two_sample bins the same pairing for
+    the sup-norm distance, stats_mannwhitney_u ranks it for a LOCATION
+    shift, and CvM integrates the squared ECDF gap, catching
+    spread/shape differences a location test misses. Reports Anderson's
+    T statistic, its exact null mean (T under H0 concentrates near
+    1/6), and the moment-standardized z using Anderson & Darling's
+    exact null variance.
+
+    Rank identity (Anderson 1962, with midranks for ties): T =
+    U/(n1*n2*N) - (4*n1*n2 - 1)/(6N) with U = n1*SUM_i(r_i - i)^2 +
+    n2*SUM_j(s_j - j)^2 over each sample's sorted members. Per distinct
+    value with counts (c1, c2, ct) and exclusive prefix counts below /
+    below1, the c1 tied group-1 members share doubled midrank
+    A = 2*below + ct + 1 and occupy doubled in-sample slots
+    2*(below1 + k), so 12*SUM(r-i)^2 contributes
+    3*c1*A1^2 - 6*A1*c1*(c1+1) + 2*c1*(c1+1)*(2*c1+1) with
+    A1 = A - 2*below1 — EXACT integers throughout (HUGEINT /
+    DECIMAL(38,0)), summed order-independently; group 2 symmetric with
+    A2 = 2*below1 + ct + 1 (= A - 2*below2). Floats appear only in the
+    final scalar expression, identically parenthesized in both engines
+    (U crosses to DOUBLE before the n1/n2 products: n ~ 1e11 at 100 TB
+    would push the exact product past DECIMAL(38,0), and the
+    same-input double product is bit-equal across engines anyway).
+
+    Scale shape: one partial-agg shuffle collapses the fact scan to
+    distinct-value counts (pinned — the two prefix scans would
+    otherwise each re-run it), two global_prefix_sum kernel passes
+    (range-partitioned, NO SinglePartition window; kernel citation:
+    llmops.pipeline.global_prefix_sum, the Mann-Whitney shape), and a
+    1-row bounded reduce."""
+    from ..llmops.pipeline import global_prefix_sum
+    from ..session import pin
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    v = s.groupBy("x").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    pin(v)
+    cum = global_prefix_sum(v, ["x"], "ct", out_col="below", inclusive=False)
+    cum = global_prefix_sum(
+        cum, ["x"], "c1", out_col="below1", inclusive=False
+    )
+    d38 = "decimal(38,0)"
+    c1d = F.col("c1").cast(d38)
+    c2 = F.col("ct") - F.col("c1")
+    c2d = c2.cast(d38)
+    a1 = (
+        2 * F.col("below") + F.col("ct") + 1 - 2 * F.col("below1")
+    ).cast(d38)
+    a2 = (2 * F.col("below1") + F.col("ct") + 1).cast(d38)
+    terms = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(c2).cast("bigint").alias("n2"),
+        F.sum(
+            3 * c1d * a1 * a1
+            - 6 * a1 * c1d * (c1d + 1)
+            + 2 * c1d * (c1d + 1) * (2 * c1d + 1)
+        ).alias("u12x"),
+        F.sum(
+            3 * c2d * a2 * a2
+            - 6 * a2 * c2d * (c2d + 1)
+            + 2 * c2d * (c2d + 1) * (2 * c2d + 1)
+        ).alias("u12y"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u = (
+        n1d * F.col("u12x").cast("double")
+        + n2d * F.col("u12y").cast("double")
+    ) / F.lit(12.0)
+    t_stat = u / (n1d * n2d * nd) - (
+        F.lit(4.0) * n1d * n2d - F.lit(1.0)
+    ) / (F.lit(6.0) * nd)
+    t_mean = F.lit(1.0) / F.lit(6.0) + F.lit(1.0) / (F.lit(6.0) * nd)
+    t_var = (
+        F.lit(1.0)
+        / F.lit(45.0)
+        * ((nd + F.lit(1.0)) / (nd * nd))
+        * (
+            F.lit(4.0) * n1d * n2d * nd
+            - F.lit(3.0) * (n1d * n1d + n2d * n2d)
+            - F.lit(2.0) * n1d * n2d
+        )
+        / (F.lit(4.0) * n1d * n2d)
+    )
+    return terms.select(
+        "n1",
+        "n2",
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(t_mean, 6).alias("t_mean"),
+        F.round((t_stat - t_mean) / F.sqrt(t_var), 6).alias("z"),
+    )
+
+
+@_register(
+    "stats_partial_corr_lineitem",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS y,
+             CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS z
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(z AS HUGEINT)) AS sz,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(z AS HUGEINT) * z) AS szz,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             SUM(CAST(y AS HUGEINT) * z) AS syz
+      FROM s
+    ), r AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS rxy,
+             (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS rxz,
+             (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS ryz
+      FROM m
+    )
+    SELECT n,
+           ROUND(rxy, 6) AS r_xy,
+           ROUND(rxz, 6) AS r_xz,
+           ROUND(ryz, 6) AS r_yz,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+             AS r_xy_given_z,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                 * SQRT((CAST(n AS DOUBLE) - 3.0)
+                        / (1.0
+                           - ((rxy - rxz * ryz)
+                              / SQRT((1.0 - rxz * rxz)
+                                     * (1.0 - ryz * ryz)))
+                             * ((rxy - rxz * ryz)
+                                / SQRT((1.0 - rxz * rxz)
+                                       * (1.0 - ryz * ryz))))),
+                 6) AS t_stat
+    FROM r
+    """,
+)
+def stats_partial_corr_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-ORDER PARTIAL correlation of line-item quantity and
+    extended price CONTROLLING for discount —
+    r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) — plus
+    the three raw Pearson correlations it nets out and the
+    t = r*sqrt((n-3)/(1-r^2)) significance statistic. Completes the
+    correlation shelf: stats_corr_matrix_lineitem reports the raw
+    pairwise matrix; this query answers the follow-up every analyst
+    asks of it ("is the qty-price association real, or is discount
+    driving both?") without a second pass over the facts.
+
+    Exactness: all three measures scale to exact integer centi-units,
+    the ten moments accumulate as HUGEINT/DECIMAL(38,0) (order-free;
+    price-cents squared times 100 TB row counts stays ~1e26, far
+    inside 38 digits), and every correlation is the same
+    fixed-parenthesization double expression over those exact sums in
+    both engines — the sums cross to DOUBLE before the n* products
+    (n*sxy would pass 38 digits near 1e12 rows, and the same-input
+    double product is bit-equal across engines anyway).
+
+    Scale shape: ONE fact scan, ONE map-side-combinable 10-counter
+    aggregate to a single row; the partial-correlation algebra is
+    driver-free scalar arithmetic on that row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    s = li.select(
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+        (F.col("l_discount").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("z"),
+    )
+    xI, yI, zI = (F.col(c).cast(d38) for c in ("x", "y", "z"))
+    m = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(xI).alias("sx"),
+        F.sum(yI).alias("sy"),
+        F.sum(zI).alias("sz"),
+        F.sum(xI * F.col("x")).alias("sxx"),
+        F.sum(yI * F.col("y")).alias("syy"),
+        F.sum(zI * F.col("z")).alias("szz"),
+        F.sum(xI * F.col("y")).alias("sxy"),
+        F.sum(xI * F.col("z")).alias("sxz"),
+        F.sum(yI * F.col("z")).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _corr(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = nd * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return num / F.sqrt(da * db)
+
+    r = m.select(
+        "n",
+        _corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        _corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        _corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    part = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+        * (F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+    )
+    return r.select(
+        "n",
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xz"),
+        F.round("ryz", 6).alias("r_yz"),
+        F.round(part, 6).alias("r_xy_given_z"),
+        F.round(
+            part
+            * F.sqrt(
+                (F.col("n").cast("double") - F.lit(3.0))
+                / (F.lit(1.0) - part * part)
+            ),
+            6,
+        ).alias("t_stat"),
+    )

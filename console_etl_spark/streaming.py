@@ -1873,3 +1873,133 @@ def scd2_enrich_stream(
         & (facts[as_of_col] >= scd2_dim["valid_from"])
         & (facts[as_of_col] < scd2_dim["valid_to"]),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Croston: per-part intermittent-demand state maintained
+# across micro-batches — the streaming twin of the batch
+# forecast_croston_intermittent query (VERDICT r12 item 4).
+# --------------------------------------------------------------------------
+
+CROSTON_OUTPUT = (
+    "partkey long, n_demands long, z_hat double, p_hat double, "
+    "croston_fc double, sba_fc double"
+)
+CROSTON_STATE = "i long, z double, p double, w_last long"
+
+
+def stream_croston_updates(weekly: DataFrame) -> DataFrame:
+    """Per-part Croston (+SBA) state updated incrementally across
+    micro-batches of weekly demand occurrences ``(l_partkey, w, q)``
+    (q in exact centi-units, one row per part-week with demand) — the
+    streaming twin of forecast_croston_intermittent
+    (relational/timeseries.py), for arrival-ordered streams: weeks
+    must arrive non-decreasing per part ACROSS batches (time-range-
+    ordered file drops — the same contract every state machine in this
+    module documents); within a batch, rows are sorted before folding,
+    so any intra-batch order is safe.
+
+    State per part is (occurrence count, z, p, last demand week) —
+    four scalars, sharded by the groupBy key in the state store at
+    cluster scale. The fold is BIT-IDENTICAL to the batch query's JVM
+    ``F.aggregate``: z seeds at the FIRST demand size, p at the FIRST
+    interval, and occurrences >= 3 step
+    z' = alpha*q + (1-alpha)*z, p' = alpha*(w - w_last) + (1-alpha)*p
+    with the SAME CROSTON_ALPHA constants imported from the batch
+    module (the ATTR_LOOKBACK_US single-definition-site discipline) and
+    the same multiply-then-add parenthesization, so after feeding a
+    part's full history the emitted row equals the batch row exactly —
+    pinned by test. Emits in update mode (one refreshed row per part
+    per touched micro-batch) once a part has >= 3 occurrences, matching
+    the batch HAVING; the class gate (WHICH parts are intermittent)
+    stays a batch-side decision — a stream cannot know a part's
+    variance class before seeing its history, so the caller feeds the
+    Z-class parts' demand stream (the lambda-collapse split
+    running_user_totals_tws documents).
+
+    Unlike the monitors this operator does NOT own a sink: route the
+    returned update stream through foreachBatch + write_epoch_partition
+    (the module's replay-idempotence contract) so an at-least-once
+    retry REPLACES its epoch's rows."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .relational.timeseries import CROSTON_ALPHA, _CR_OMA, _CR_SBA
+
+    a, oma, sba = CROSTON_ALPHA, _CR_OMA, _CR_SBA
+
+    def update(key: tuple, pdfs, state: GroupState):
+        i, z, p, w_last = state.get if state.exists else (0, 0.0, 0.0, 0)
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("w")
+        for w, q in zip(pdf["w"], pdf["q"]):
+            w = int(w)
+            q = float(q)
+            if i == 0:
+                z = q  # first demand size seeds the size EWMA
+            elif i == 1:
+                p = float(w - w_last)  # first interval seeds the rate
+            else:
+                z = a * q + oma * z
+                p = a * float(w - w_last) + oma * p
+            w_last = w
+            i += 1
+        state.update((i, z, p, w_last))
+        if i >= 3:
+            yield pd.DataFrame(
+                {
+                    "partkey": [key[0]],
+                    "n_demands": [i],
+                    "z_hat": [round(z / 100.0, 6)],
+                    "p_hat": [round(p, 6)],
+                    "croston_fc": [round(z / 100.0 / p, 6)],
+                    "sba_fc": [round(sba * z / 100.0 / p, 6)],
+                }
+            )
+
+    return weekly.groupBy("l_partkey").applyInPandasWithState(
+        update,
+        CROSTON_OUTPUT,
+        CROSTON_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_croston_intermittent(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """File-fed driver for stream_croston_updates with the module's
+    replay-idempotent sink: reads time-range-ordered parquet drops of
+    weekly demand rows, maintains per-part Croston state, and lands
+    each micro-batch's refreshed forecasts via write_epoch_partition
+    (dynamic ``_epoch=N`` overwrite — an at-least-once retry REPLACES
+    the epoch instead of appending a duplicate). The freshest forecast
+    per part is the row with the highest n_demands (state is
+    monotone), independent of which epoch carried it."""
+    reader = (
+        spark.readStream.format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .schema(spark.read.parquet(path).schema)
+    )
+    updates = stream_croston_updates(reader.load(path))
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_epoch_partition(batch_df, epoch_id, out_dir, single_file=True)
+
+    writer = (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

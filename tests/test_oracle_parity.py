@@ -60,50 +60,34 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 12 (never-checked backlog at 0): the 7 NEW
-    r12 registrations first (Croston+SBA intermittent-demand forecast,
-    Yule-Walker AR(2)+PACF, six-term Brier/Murphy decomposition,
-    Cramér's V, Cohen's d family, burstiness profile, Hurst R/S — all
-    oracle-backed), then the 10 changed-since-their-driver-row queries
-    found mechanically by tools_staleness.py (the 2 rows-only ANN
-    plans rebuilt in 8971acc per VERDICT r11 item 1;
-    dsir_importance_weights and split_leakage_safe whose r7 rows
-    predate later code/oracle edits — the new tool's own finds; and
-    the five r12 repeated-scan plan repairs — triangle census, funnel,
-    zero-fill gapfill, the DQ gate, growth accounting's fused churn
-    branch — and the zorder big-id integral-div exactness fix), then
-    staleness draining from the r6 block:
-    curation_funnel_report first (its r6 row predates the d645424
-    value-changing fix) and 33 more r6 rows in registration order
-    (gapfill_interpolate_hourly carries the same scan repair inside
-    this tier). 48 oracle value-hash slots + 2 rows-only (by-design
-    hash-family) slots; the 15 r6 rows that don't fit lead the r13
-    rotation."""
+    priority list. Round 13 (never-checked backlog at 0, changed-code
+    backlog at 0 by tools_staleness.py — now law-aware for rows-only
+    queries): the 5 NEW r13 registrations first (SES alpha-grid and
+    theta-method backtests — the state-space siblings VERDICT r12
+    item 3 asked for, both scored against the seasonal-naive champion
+    on the shared t >= 8 window; seasonal/trend strength; the
+    Cramér-von Mises two-sample test completing the KS/Mann-Whitney
+    shelf; first-order partial correlation — all oracle-backed with
+    replica laws), then pure staleness draining: ALL 15 remaining
+    r6-vintage rows (the fleet's oldest evidence), then the 30 oldest
+    r7 rows in registration order. 43 oracle value-hash slots + 7
+    rows-only (by-design sketch/LSH/iterative) slots; the 18 r7 rows
+    that don't fit lead the r14 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
-    assert rows_only_slots == ["ann_ivf_topk", "ann_lsh_multiprobe"]
-    assert len(oracle_slots) == 48
-    assert first50[:18] == [
-        "forecast_croston_intermittent",
-        "stats_yule_walker_ar2_hourly",
-        "eval_brier_decomposition",
-        "stats_cramers_v_brand_flag",
-        "stats_cohens_d_weekend_revenue",
-        "stats_burstiness_event_hourly",
-        "stats_hurst_rs_daily",
-        "ann_ivf_topk",
-        "ann_lsh_multiprobe",
-        "dsir_importance_weights",
-        "split_leakage_safe",
-        "graph_triangle_parts_basket",
-        "funnel_signup_view_purchase",
-        "gapfill_hourly_events",
-        "dq_violations_report",
-        "growth_accounting_weekly",
-        "zorder_interleaved_keys",
-        "curation_funnel_report",
+    assert len(rows_only_slots) == 7
+    assert len(oracle_slots) == 43
+    assert first50[:8] == [
+        "forecast_ses_alpha_grid_daily",
+        "forecast_theta_daily",
+        "stats_seasonal_strength_daily",
+        "stats_cvm_two_sample",
+        "stats_partial_corr_lineitem",
+        "psi_totalprice_drift",
+        "jsd_event_type_weekend",
+        "assoc_part_pairs_lift",
     ]
 
 
@@ -190,9 +174,10 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 12's window is staleness-keyed with
-    exactly TWO rows-only slots — the r11-rebuilt ANN plans whose
-    rows-evidence must postdate the rebuild (split pinned in
+    query, no duplicates. Round 13's window is staleness-keyed with
+    exactly SEVEN rows-only slots — the r6/r7-vintage sketch/LSH/
+    iterative tiers rotating through (each has an oracle-checked exact
+    twin or pinned laws; split pinned in
     test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
@@ -202,9 +187,15 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == ["ann_ivf_topk", "ann_lsh_multiprobe"], (
-        f"unexpected rows-only slots: {rows_only}"
-    )
+    assert rows_only == [
+        "events_props_schema_census",
+        "approx_percentile_price",
+        "approx_ndv_users_incremental",
+        "sliding_distinct_users_hourly",
+        "graph_pagerank_trade",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
 

@@ -243,6 +243,12 @@ def test_no_unbounded_driver_materialization():
         # sequential triple-smoothing recursion — a recursion over t
         # has no distributed form; facts reduce in one partial agg
         ("relational/timeseries.py", "forecast_holt_winters_daily"),
+        # SES alpha grid + theta backtest: the SAME time-span-bounded
+        # daily series (one exact-cents row per observed day, constant
+        # in corpus size) feeding driver-side sequential smoothing
+        # folds — the Holt-Winters collect class, one per model
+        ("relational/timeseries.py", "forecast_ses_alpha_grid_daily"),
+        ("relational/timeseries.py", "forecast_theta_daily"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):

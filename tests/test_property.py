@@ -2626,3 +2626,255 @@ class TestRound12Laws:
         ).sum()
         assert abs(got["hurst"] - slope) <= 1e-5
         assert 0.0 < got["hurst"] < 1.0
+
+
+class TestRound13Laws:
+    """numpy/pandas replicas + defining identities for the r13
+    registrations (SES alpha grid, theta backtest, seasonal strength,
+    Cramer-von Mises, partial correlation)."""
+
+    @staticmethod
+    def _daily_cents(spark):
+        import pandas as pd
+
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        d = pd.to_datetime(o["o_orderdate"]).astype("int64") // 1_000
+        return (
+            o.assign(
+                d=d // 86_400_000_000,
+                cents=(o["o_totalprice"].astype(float) * 100)
+                .round()
+                .astype("int64"),
+            )
+            .groupby("d")["cents"]
+            .sum()
+            .sort_index()
+        )
+
+    def test_ses_grid_pandas_replica_and_laws(self, spark):
+        """Replica: an independent python fold over the pandas daily
+        series reproduces every alpha row bit-for-bit; laws: exactly
+        one is_best, it carries the grid's smallest SSE (via its
+        unrounded replica), and n_eval is the same for every alpha."""
+        from console_etl_spark.relational.timeseries import (
+            SES_ALPHAS,
+            forecast_ses_alpha_grid_daily,
+        )
+
+        got = forecast_ses_alpha_grid_daily(spark, "/root/testdata/sf0.001")
+        rows = {r["alpha"]: r for r in got.collect()}
+        assert set(rows) == set(SES_ALPHAS)
+        cents = self._daily_cents(spark).to_numpy()
+        T = len(cents)
+        assert T >= 8
+        l0 = float(int(cents[:7].sum())) / 7.0
+        sa7 = int(sum(abs(int(cents[t - 1]) - int(cents[t - 8]))
+                      for t in range(8, T + 1)))
+        sses = {}
+        for a in SES_ALPHAS:
+            l, n, sae, sse = l0, 0, 0.0, 0.0
+            for t in range(8, T + 1):
+                y = float(cents[t - 1])
+                sae += abs(y - l)
+                sse += (y - l) * (y - l)
+                l = a * y + (1.0 - a) * l
+                n += 1
+            sses[a] = sse
+            r = rows[a]
+            assert r["n_eval"] == n
+            assert r["mae_ses"] == round(sae / n / 100.0, 6)
+            assert r["rmse_ses"] == round((sse / n) ** 0.5 / 100.0, 6)
+            assert r["mae_vs_snaive"] == round(sae / float(sa7), 6)
+        best = [r for r in rows.values() if r["is_best"] == 1]
+        assert len(best) == 1
+        want_best = min(SES_ALPHAS, key=lambda a: (sses[a], a))
+        assert best[0]["alpha"] == want_best
+        assert len({r["n_eval"] for r in rows.values()}) == 1
+
+    def test_theta_pandas_replica_and_cross_query_law(self, spark):
+        """Replica: expanding-OLS half-slope + SES-with-drift fold in
+        pure python ints/floats reproduces the row; cross-query law:
+        theta's mae_snaive equals forecast_accuracy_scorecard_daily's
+        (identical evaluation window and denominator convention)."""
+        from console_etl_spark.relational.timeseries import (
+            THETA_ALPHA,
+            _TH_OMA,
+            forecast_accuracy_scorecard_daily,
+            forecast_theta_daily,
+        )
+
+        got = forecast_theta_daily(spark, "/root/testdata/sf0.001").collect()[0]
+        cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
+        T = len(cents)
+        hs = [0.0] * (T + 1)
+        sy = sty = st = stt = 0
+        for t in range(1, T + 1):
+            c = cents[t - 1]
+            sy += c
+            sty += t * c
+            st += t
+            stt += t * t
+            if t >= 2:
+                hs[t] = (
+                    float(t * sty - st * sy)
+                    / float(t * stt - st * st)
+                    / 2.0
+                )
+        l = float(sum(cents[:7])) / 7.0
+        n, sae, sse = 0, 0.0, 0.0
+        sa7 = sum(abs(cents[t - 1] - cents[t - 8]) for t in range(8, T + 1))
+        for t in range(8, T + 1):
+            y = float(cents[t - 1])
+            yhat = l + hs[t - 1]
+            sae += abs(y - yhat)
+            sse += (y - yhat) * (y - yhat)
+            l = THETA_ALPHA * y + _TH_OMA * yhat
+            n += 1
+        assert got["n_eval"] == n
+        assert got["mae_theta"] == round(sae / n / 100.0, 6)
+        assert got["rmse_theta"] == round((sse / n) ** 0.5 / 100.0, 6)
+        assert got["mae_snaive"] == round(float(sa7) / n / 100.0, 6)
+        assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
+        card = forecast_accuracy_scorecard_daily(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert card["n_eval"] == got["n_eval"]
+        assert card["mae_snaive"] == got["mae_snaive"]
+
+    def test_seasonal_strength_pandas_replica_and_laws(self, spark):
+        """Replica: pandas centered rolling-7 trend + per-dow seasonal
+        means + population variances reproduce both strengths to 1e-6;
+        laws: strengths in [0,1], n_used == n_days - 6, and the
+        remainder RMSE is nonnegative."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_seasonal_strength_daily,
+        )
+
+        got = stats_seasonal_strength_daily(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        daily = self._daily_cents(spark)
+        cents = daily.to_numpy().astype(object)  # exact ints
+        days = daily.index.to_numpy()
+        T = len(cents)
+        tr7 = [
+            sum(cents[i - 3 : i + 4]) if 3 <= i <= T - 4 else None
+            for i in range(T)
+        ]
+        rows = [
+            (int((days[i] + 4) % 7), int(cents[i]), int(7 * cents[i] - tr7[i]))
+            for i in range(T)
+            if tr7[i] is not None
+        ]
+        assert got["n_used"] == len(rows) == T - 6
+        snum: dict = {}
+        scnt: dict = {}
+        for dow, _, det7 in rows:
+            snum[dow] = snum.get(dow, 0) + det7
+            scnt[dow] = scnt.get(dow, 0) + 1
+        detr = np.array([d / 7.0 for _, _, d in rows])
+        seas = np.array(
+            [float(snum[dow]) / scnt[dow] / 7.0 for dow, _, _ in rows]
+        )
+        y = np.array([float(c) for _, c, _ in rows])
+        rem = detr - seas
+        deseas = y - seas
+
+        def pvar(x):
+            return float((x * x).mean() - x.mean() ** 2)
+
+        f_seas = max(0.0, 1.0 - pvar(rem) / pvar(detr))
+        f_trend = max(0.0, 1.0 - pvar(rem) / pvar(deseas))
+        assert abs(got["f_seasonal"] - round(f_seas, 6)) <= 2e-6
+        assert abs(got["f_trend"] - round(f_trend, 6)) <= 2e-6
+        assert abs(got["rmse_remainder"] - round(pvar(rem) ** 0.5 / 100.0, 2)) <= 0.02
+        assert 0.0 <= got["f_seasonal"] <= 1.0
+        assert 0.0 <= got["f_trend"] <= 1.0
+        assert got["rmse_remainder"] >= 0.0
+
+    def test_cvm_pandas_replica_and_laws(self, spark):
+        """Replica: Anderson's T from raw midranks (pandas
+        rank(method='average'), the textbook U = n1*sum(r_i - i)^2 +
+        n2*sum(s_j - j)^2 form — an independent path from the engine's
+        per-distinct-value closed form); laws: t_mean == 1/6 + 1/(6N)
+        and the z-standardization is consistent with the reported
+        pieces."""
+        import numpy as np
+        import pandas as pd
+
+        from console_etl_spark.relational.timeseries import (
+            stats_cvm_two_sample,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_cvm_two_sample(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        o = o[o["o_orderpriority"].isin(["1-URGENT", "5-LOW"])]
+        x = (o["o_totalprice"].astype(float) * 100).round().astype("int64")
+        g = (o["o_orderpriority"] == "1-URGENT").to_numpy()
+        r = pd.Series(x).rank(method="average").to_numpy()
+        r1 = np.sort(r[g])
+        r2 = np.sort(r[~g])
+        n1, n2 = len(r1), len(r2)
+        assert (got["n1"], got["n2"]) == (n1, n2)
+        u = n1 * ((r1 - np.arange(1, n1 + 1)) ** 2).sum() + n2 * (
+            (r2 - np.arange(1, n2 + 1)) ** 2
+        ).sum()
+        nt = n1 + n2
+        t = u / (n1 * n2 * nt) - (4.0 * n1 * n2 - 1.0) / (6.0 * nt)
+        assert abs(got["t_stat"] - t) <= 2e-6
+        assert got["t_mean"] == round(1.0 / 6.0 + 1.0 / (6.0 * nt), 6)
+        var = (
+            (nt + 1.0)
+            / 45.0
+            / (nt * nt)
+            * (4.0 * n1 * n2 * nt - 3.0 * (n1 * n1 + n2 * n2) - 2.0 * n1 * n2)
+            / (4.0 * n1 * n2)
+        )
+        assert abs(got["z"] - (t - (1.0 / 6.0 + 1.0 / (6.0 * nt))) / var**0.5) <= 2e-4
+
+    def test_partial_corr_numpy_replica_and_laws(self, spark):
+        """Replica: numpy corrcoef on the exact centi-unit columns +
+        the textbook first-order partial formula; laws: every |r| <= 1,
+        and the reported partial is consistent with the reported raw
+        correlations."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_partial_corr_lineitem,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_partial_corr_lineitem(spark, SF_TEST).collect()[0]
+        li = load_table(spark, SF_TEST, "lineitem").toPandas()
+        x = (li["l_quantity"].astype(float) * 100).round()
+        y = (li["l_extendedprice"].astype(float) * 100).round()
+        z = (li["l_discount"].astype(float) * 100).round()
+        c = np.corrcoef(np.vstack([x, y, z]))
+        rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+        part = (rxy - rxz * ryz) / (
+            (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+        ) ** 0.5
+        assert got["n"] == len(li)
+        assert abs(got["r_xy"] - rxy) <= 5e-6
+        assert abs(got["r_xz"] - rxz) <= 5e-6
+        assert abs(got["r_yz"] - ryz) <= 5e-6
+        assert abs(got["r_xy_given_z"] - part) <= 5e-6
+        for k in ("r_xy", "r_xz", "r_yz", "r_xy_given_z"):
+            assert abs(got[k]) <= 1.0
+        # consistency from the REPORTED (rounded) pieces
+        pr = (got["r_xy"] - got["r_xz"] * got["r_yz"]) / (
+            (1.0 - got["r_xz"] ** 2) * (1.0 - got["r_yz"] ** 2)
+        ) ** 0.5
+        assert abs(pr - got["r_xy_given_z"]) <= 5e-6
+        t = got["r_xy_given_z"] * (
+            (got["n"] - 3.0) / (1.0 - got["r_xy_given_z"] ** 2)
+        ) ** 0.5
+        assert abs(got["t_stat"] - t) <= 1e-3

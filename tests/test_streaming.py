@@ -12,6 +12,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from console_etl_spark import relational, streaming
@@ -3018,3 +3019,119 @@ def test_epoch_sink_contract_single_write_site():
     # replaced, so the partition key can never disagree with epoch_id
     helper = inspect.getsource(streaming.write_epoch_partition)
     assert 'withColumn("_epoch"' in helper
+
+
+def _croston_weekly_zclass(spark):
+    """Weekly centi-unit demand rows for the Z-class parts the batch
+    query forecasts — rebuilt with the same expressions (NOT by calling
+    into the batch fn's internals) so the stream fixture is an
+    independent derivation."""
+    from console_etl_spark.session import load_table
+    from tests.conftest import SF_TEST
+
+    li = load_table(spark, SF_TEST, "lineitem")
+    base = li.select(
+        "l_partkey",
+        F.expr(
+            "unix_micros(cast(l_shipdate as timestamp))"
+            " div 86400000000 div 7"
+        ).alias("w"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("qc"),
+    )
+    weekly = base.groupBy("l_partkey", "w").agg(
+        F.sum("qc").cast("bigint").alias("q")
+    )
+    from console_etl_spark.relational import forecast_croston_intermittent
+
+    batch = forecast_croston_intermittent(spark, SF_TEST)
+    parts = batch.select(F.col("partkey").alias("l_partkey"))
+    return weekly.join(parts, "l_partkey"), batch
+
+
+def test_stream_croston_equals_batch(spark, tmp_path):
+    """VERDICT r12 item 4: the streaming Croston twin, fed a part's
+    full weekly-demand history in arrival order, must land on EXACTLY
+    the batch query's state — same seeds, same alpha, same
+    multiply-then-add fold, bit-for-bit after the same rounding."""
+    weekly, batch = _croston_weekly_zclass(spark)
+    src = str(tmp_path / "croston_src")
+    # week-ordered drops: 3 contiguous week ranges -> 3 micro-batches
+    import glob
+    import os
+    import time
+
+    weekly.repartitionByRange(3, "w").write.mode("overwrite").parquet(src)
+    base_t = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (base_t + i, base_t + i))
+
+    out = str(tmp_path / "croston_out")
+    q = streaming.stream_croston_intermittent(
+        spark, src, out, str(tmp_path / "croston_ck")
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    # freshest row per part = the max-n_demands row (state is monotone)
+    wlast = W.partitionBy("partkey").orderBy(F.col("n_demands").desc())
+    final = (
+        got.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "_epoch")
+    )
+    want = {r["partkey"]: r for r in batch.collect()}
+    rows = {r["partkey"]: r for r in final.collect()}
+    assert set(rows) == set(want)
+    for pk, r in rows.items():
+        b = want[pk]
+        assert r["n_demands"] == b["n_demands"], pk
+        for c in ("z_hat", "p_hat", "croston_fc", "sba_fc"):
+            assert r[c] == b[c], (pk, c, r[c], b[c])
+
+
+def test_stream_croston_replay_and_restart(spark, tmp_path):
+    """The twin's delivery contract: (a) a restart with the SAME
+    checkpoint resumes without re-emitting or double-folding served
+    batches; (b) a full fresh-checkpoint replay over the same input
+    rewrites the same ``_epoch`` partitions in place (dynamic
+    overwrite), leaving the reader's freshest-row view unchanged —
+    the write_epoch_partition idempotence class."""
+    weekly, batch = _croston_weekly_zclass(spark)
+    src = str(tmp_path / "cr_src")
+    import glob
+    import os
+    import time
+
+    weekly.repartitionByRange(3, "w").write.mode("overwrite").parquet(src)
+    base_t = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (base_t + i, base_t + i))
+
+    out = str(tmp_path / "cr_out")
+    ck = str(tmp_path / "cr_ck")
+    q = streaming.stream_croston_intermittent(spark, src, out, ck)
+    q.awaitTermination(180)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("_epoch").collect()
+    )
+
+    # (a) same-checkpoint restart with no new input: a no-op
+    q2 = streaming.stream_croston_intermittent(spark, src, out, ck)
+    q2.awaitTermination(180)
+    after_restart = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("_epoch").collect()
+    )
+    assert after_restart == before
+
+    # (b) fresh-checkpoint full replay: same epochs regenerate, dynamic
+    # overwrite replaces them, the sink converges to the same contents
+    q3 = streaming.stream_croston_intermittent(
+        spark, src, out, str(tmp_path / "cr_ck2")
+    )
+    q3.awaitTermination(180)
+    after_replay = sorted(
+        tuple(r) for r in spark.read.parquet(out).drop("_epoch").collect()
+    )
+    assert after_replay == before

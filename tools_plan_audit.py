@@ -78,7 +78,9 @@ _RESCAN_WAIVERS = {
     "scd2_point_in_time_join": "same SCD2 chain build as scd2_customer_updates",
     "mv_incremental_orders_stats": "base-build vs delta-fold vs full-recompute comparison needs independent reads by definition",
     "approx_ndv_users_incremental": "per-segment HLL partials then merge — segments are independent scans by design",
-    "retention_dau_wau_stickiness": "the (user, day) distinct intermediate is data-sized; caching it costs more than the rescans",
+    # retention_dau_wau_stickiness's waiver retired r13: the sf1 A/B
+    # measured the localCheckpoint pin 12% FASTER than the rescans at
+    # 10x data (BENCH_AB_r13.md) — the query now pins, no rescans.
     "psi_totalprice_drift": "ref min/max must precede binning: a 2-pass floor; the 3rd scan is the cur cohort's own filter",
     "profile_key_candidates": "per-candidate uniqueness probes scan per key column by design (profiling sweep)",
     "dedup_shingle_jaccard": "exploded shingle relation is corpus-sized; rescan beats caching it",
