@@ -67,21 +67,31 @@ _MODULES = (
 # streaming item also landed (stream_croston_intermittent, streaming.py:
 # stream==batch bit-exact + replay/restart laws) but streaming twins are
 # pytest-tier, not window slots. tools_staleness.py (now law-aware for
-# rows-only queries — VERDICT r12 item 7) reports ZERO changed-code
-# queries at HEAD, so the remaining 45 slots drain pure staleness: all
-# 15 remaining r6-vintage rows (the oldest driver evidence left), then
-# the 30 oldest r7 rows in registration order. 43 oracle value-hash
+# rows-only queries — VERDICT r12 item 7) reports ONE changed-code
+# query at HEAD (retention_dau_wau_stickiness, whose (user,day)
+# intermediate is now pinned after the sf1 A/B — it sits in the r7
+# tier below), so the remaining 42 slots drain staleness: all 15
+# remaining r6-vintage rows (the oldest driver evidence left), then
+# the 27 oldest r7 rows in registration order. A second r13 wave
+# added the ordered-alternative Jonckheere-Terpstra test, the
+# Ansari-Bradley scale test, and the damped-Holt shelf member —
+# never-checked outranks staleness, so the three youngest r7 rows
+# (shingle containment / cross-source matrix / degree histogram)
+# rotate to the r14 head. 43 oracle value-hash
 # slots + 7 rows-only-by-design slots (the schema census, the two
 # approx-sketch tiers, the sliding HLL, PageRank's iterative fixpoint,
 # and the two LSH tiers — each with an oracle-checked exact twin or a
 # pinned law suite).
 _PRIORITY = (
-    # new r13 registrations, never driver-checked (5)
+    # new r13 registrations, never driver-checked (8; two waves)
     "forecast_ses_alpha_grid_daily",
     "forecast_theta_daily",
     "stats_seasonal_strength_daily",
     "stats_cvm_two_sample",
     "stats_partial_corr_lineitem",
+    "stats_jonckheere_terpstra",
+    "stats_ansari_bradley",
+    "forecast_holt_damped_daily",
     # r6 driver rows (all 15 remaining; oldest evidence in the fleet)
     "psi_totalprice_drift",
     "jsd_event_type_weekend",
@@ -126,10 +136,7 @@ _PRIORITY = (
     "graph_pagerank_trade",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_shingle_containment",
-    "dedup_cross_source_matrix",
-    "dedup_degree_histogram",
-    # WINDOW FULL at 50 (5 new + 15 r6 + 30 r7).
+    # WINDOW FULL at 50 (8 new + 15 r6 + 27 r7).
 )
 
 

@@ -166,6 +166,9 @@ HEADLINE = [
     "stats_seasonal_strength_daily",
     "stats_cvm_two_sample",
     "stats_partial_corr_lineitem",
+    "stats_jonckheere_terpstra",
+    "stats_ansari_bradley",
+    "forecast_holt_damped_daily",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -7770,3 +7770,474 @@ def stats_partial_corr_lineitem(
             6,
         ).alias("t_stat"),
     )
+
+
+@_register(
+    "stats_jonckheere_terpstra",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS g
+      FROM orders
+    ), v AS (
+      SELECT x,
+             CAST(COUNT(*) FILTER (WHERE g = 1) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE g = 2) AS BIGINT) AS c2,
+             CAST(COUNT(*) FILTER (WHERE g = 3) AS BIGINT) AS c3,
+             CAST(COUNT(*) FILTER (WHERE g = 4) AS BIGINT) AS c4,
+             CAST(COUNT(*) FILTER (WHERE g = 5) AS BIGINT) AS c5,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY x
+    ), cum AS (
+      SELECT c1, c2, c3, c4, c5, ct,
+             CAST(COALESCE(SUM(c1) OVER wb, 0) AS BIGINT) AS b1,
+             CAST(COALESCE(SUM(c2) OVER wb, 0) AS BIGINT) AS b2,
+             CAST(COALESCE(SUM(c3) OVER wb, 0) AS BIGINT) AS b3,
+             CAST(COALESCE(SUM(c4) OVER wb, 0) AS BIGINT) AS b4
+      FROM v
+      WINDOW wb AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ), agg AS (
+      SELECT
+        SUM(CAST(c1 AS HUGEINT)) AS n1, SUM(CAST(c2 AS HUGEINT)) AS n2,
+        SUM(CAST(c3 AS HUGEINT)) AS n3, SUM(CAST(c4 AS HUGEINT)) AS n4,
+        SUM(CAST(c5 AS HUGEINT)) AS n5,
+        SUM(2 * (CAST(c2 AS HUGEINT) * b1
+                 + CAST(c3 AS HUGEINT) * (b1 + b2)
+                 + CAST(c4 AS HUGEINT) * (b1 + b2 + b3)
+                 + CAST(c5 AS HUGEINT) * (b1 + b2 + b3 + b4))
+            + CAST(c2 AS HUGEINT) * c1
+            + CAST(c3 AS HUGEINT) * (c1 + c2)
+            + CAST(c4 AS HUGEINT) * (c1 + c2 + c3)
+            + CAST(c5 AS HUGEINT) * (c1 + c2 + c3 + c4)) AS jt2,
+        SUM(CAST(ct AS HUGEINT) * (ct - 1) * (2 * ct + 5)) AS tv25,
+        SUM(CAST(ct AS HUGEINT) * (ct - 1)) AS tv2,
+        SUM(CAST(ct AS HUGEINT) * (ct - 1) * (ct - 2)) AS tv3
+      FROM cum
+    ), sc AS (
+      SELECT n1 + n2 + n3 + n4 + n5 AS n,
+             n1 * n1 + n2 * n2 + n3 * n3 + n4 * n4 + n5 * n5 AS sn2,
+             n1 * (n1 - 1) * (2 * n1 + 5) + n2 * (n2 - 1) * (2 * n2 + 5)
+               + n3 * (n3 - 1) * (2 * n3 + 5)
+               + n4 * (n4 - 1) * (2 * n4 + 5)
+               + n5 * (n5 - 1) * (2 * n5 + 5) AS gn25,
+             n1 * (n1 - 1) + n2 * (n2 - 1) + n3 * (n3 - 1)
+               + n4 * (n4 - 1) + n5 * (n5 - 1) AS gn2,
+             n1 * (n1 - 1) * (n1 - 2) + n2 * (n2 - 1) * (n2 - 2)
+               + n3 * (n3 - 1) * (n3 - 2) + n4 * (n4 - 1) * (n4 - 2)
+               + n5 * (n5 - 1) * (n5 - 2) AS gn3,
+             jt2, tv25, tv2, tv3
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(jt2 AS DOUBLE) / 2.0, 1) AS jt,
+           ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sn2 AS DOUBLE)) / 4.0, 1) AS e_jt,
+           ROUND((CAST(jt2 AS DOUBLE) / 2.0
+                  - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(sn2 AS DOUBLE)) / 4.0)
+                 / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                           * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                         - CAST(gn25 AS DOUBLE) - CAST(tv25 AS DOUBLE))
+                        / 72.0
+                        + CAST(gn3 AS DOUBLE) * CAST(tv3 AS DOUBLE)
+                          / (36.0 * CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0)
+                             * (CAST(n AS DOUBLE) - 2.0))
+                        + CAST(gn2 AS DOUBLE) * CAST(tv2 AS DOUBLE)
+                          / (8.0 * CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0))),
+                 6) AS z
+    FROM sc
+    """,
+)
+def stats_jonckheere_terpstra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED trend in order value
+    across the five priority levels (URGENT -> LOW as ordered doses):
+    JT = sum over ordered group pairs i<j of the Mann-Whitney count
+    #(x_i < x_j) + #(ties)/2, against its exact null mean
+    (N^2 - sum n_g^2)/4 and the tie-corrected Hollander-Wolfe
+    variance. Completes the k-group shelf: ANOVA (moments) and
+    Kruskal-Wallis (ranks) test ANY difference; JT is strictly more
+    powerful when the alternative is monotone in a known group order —
+    exactly the 'does value decay with priority?' question.
+
+    Rank identity: per distinct value with group counts c_g and
+    per-group exclusive prefix counts b_g, the doubled statistic
+    accumulates 2*sum_j c_j*sum_(i<j) b_i + sum_j c_j*sum_(i<j) c_i —
+    EXACT integers (HUGEINT / DECIMAL(38,0)), order-independent sums,
+    tied values contributing their half automatically. Group sizes,
+    the tie polynomials t(t-1)(2t+5) / t(t-1)(t-2) / t(t-1), and the
+    group polynomials fold in the SAME aggregate; floats appear only
+    in the final scalar expression, identically parenthesized both
+    engines (the variance's two cubic-polynomial products cross to
+    DOUBLE first — their exact product would pass 38 digits near
+    1e11-row groups).
+
+    Scale shape: one partial-agg shuffle to distinct-value group
+    counts (pinned), FOUR global_prefix_sum kernel passes over that
+    bounded-by-distinct-values relation (groups 1-4; group 5 needs no
+    prefix — nothing orders above it), one 1-row reduce. No
+    SinglePartition window anywhere (kernel citation:
+    llmops.pipeline.global_prefix_sum, the Mann-Whitney/CvM shape)."""
+    from ..llmops.pipeline import global_prefix_sum
+    from ..session import pin
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    v = s.groupBy("x").agg(
+        *[
+            F.sum((F.col("g") == i).cast("bigint"))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(1, 6)
+        ],
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    pin(v)
+    cum = v
+    for i in range(1, 5):
+        cum = global_prefix_sum(
+            cum, ["x"], f"c{i}", out_col=f"b{i}", inclusive=False
+        )
+    d38 = "decimal(38,0)"
+    c = {i: F.col(f"c{i}").cast(d38) for i in range(1, 6)}
+    b = {i: F.col(f"b{i}").cast(d38) for i in range(1, 5)}
+    ctd = F.col("ct").cast(d38)
+    jt2_term = (
+        2
+        * (
+            c[2] * b[1]
+            + c[3] * (b[1] + b[2])
+            + c[4] * (b[1] + b[2] + b[3])
+            + c[5] * (b[1] + b[2] + b[3] + b[4])
+        )
+        + c[2] * c[1]
+        + c[3] * (c[1] + c[2])
+        + c[4] * (c[1] + c[2] + c[3])
+        + c[5] * (c[1] + c[2] + c[3] + c[4])
+    )
+    agg = cum.agg(
+        *[F.sum(c[i]).alias(f"n{i}") for i in range(1, 6)],
+        F.sum(jt2_term).alias("jt2"),
+        F.sum(ctd * (ctd - 1) * (2 * ctd + 5)).alias("tv25"),
+        F.sum(ctd * (ctd - 1)).alias("tv2"),
+        F.sum(ctd * (ctd - 1) * (ctd - 2)).alias("tv3"),
+    )
+    ns = [F.col(f"n{i}") for i in range(1, 6)]
+    sc = agg.select(
+        sum(ns[1:], ns[0]).alias("n"),
+        sum((x * x for x in ns[1:]), ns[0] * ns[0]).alias("sn2"),
+        sum(
+            (x * (x - 1) * (2 * x + 5) for x in ns[1:]),
+            ns[0] * (ns[0] - 1) * (2 * ns[0] + 5),
+        ).alias("gn25"),
+        sum((x * (x - 1) for x in ns[1:]), ns[0] * (ns[0] - 1)).alias(
+            "gn2"
+        ),
+        sum(
+            (x * (x - 1) * (x - 2) for x in ns[1:]),
+            ns[0] * (ns[0] - 1) * (ns[0] - 2),
+        ).alias("gn3"),
+        "jt2",
+        "tv25",
+        "tv2",
+        "tv3",
+    )
+    nd = F.col("n").cast("double")
+    jt = F.col("jt2").cast("double") / F.lit(2.0)
+    e_jt = (nd * nd - F.col("sn2").cast("double")) / F.lit(4.0)
+    var = (
+        (
+            nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+            - F.col("gn25").cast("double")
+            - F.col("tv25").cast("double")
+        )
+        / F.lit(72.0)
+        + F.col("gn3").cast("double")
+        * F.col("tv3").cast("double")
+        / (F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)))
+        + F.col("gn2").cast("double")
+        * F.col("tv2").cast("double")
+        / (F.lit(8.0) * nd * (nd - F.lit(1.0)))
+    )
+    return sc.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(jt, 1).alias("jt"),
+        F.round(e_jt, 1).alias("e_jt"),
+        F.round((jt - e_jt) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@_register(
+    "stats_ansari_bradley",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), v AS (
+      SELECT x, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY x
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n FROM v
+    ), cum AS (
+      SELECT c1, ct,
+             CAST(COALESCE(SUM(ct) OVER wb, 0) AS BIGINT) AS below
+      FROM v
+      WINDOW wb AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ), scored AS (
+      SELECT c1, ct,
+             LEAST(2 * below + ct + 1,
+                   2 * (t.n + 1) - (2 * below + ct + 1)) AS a2
+      FROM cum CROSS JOIN tot t
+    ), agg AS (
+      SELECT SUM(CAST(c1 AS HUGEINT)) AS n1,
+             SUM(CAST(ct - c1 AS HUGEINT)) AS n2,
+             SUM(CAST(c1 AS HUGEINT) * a2) AS ab2,
+             SUM(CAST(ct AS HUGEINT) * a2) AS sa2,
+             SUM(CAST(ct AS HUGEINT) * a2 * a2) AS sa2sq
+      FROM scored
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           ROUND(CAST(ab2 AS DOUBLE) / 2.0, 1) AS ab,
+           ROUND(CAST(n1 AS DOUBLE)
+                 * (CAST(sa2 AS DOUBLE) / 2.0)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)), 1) AS e_ab,
+           ROUND((CAST(ab2 AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * (CAST(sa2 AS DOUBLE) / 2.0)
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                             * (CAST(sa2sq AS DOUBLE) / 4.0)
+                           - (CAST(sa2 AS DOUBLE) / 2.0)
+                             * (CAST(sa2 AS DOUBLE) / 2.0))
+                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                              - 1.0))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test between returned ('R') and
+    never-returned ('N') line-item prices: scores each observation
+    a_i = min(rank, N+1-rank) — small at both extremes, large in the
+    middle — so a LOW group-1 score sum means group 1 is more spread
+    out. Completes the two-sample shelf along the third axis:
+    Mann-Whitney tests location, KS/CvM test the whole distribution;
+    AB isolates dispersion, the question the others conflate. Uses the
+    tie-conditional null (mean and variance computed from the OBSERVED
+    score multiset — exact under ties, no even/odd-N case split):
+    E[AB] = n1*sum(a)/N, Var = n1*n2*(N*sum(a^2) - sum(a)^2) /
+    (N^2*(N-1)).
+
+    Rank identity: per distinct value the ct tied members share
+    doubled midrank 2r = 2*below + ct + 1, so the doubled score
+    a2 = min(2r, 2(N+1) - 2r) is a per-row EXACT integer, and AB2,
+    sum(a2), sum(a2^2) accumulate as HUGEINT/DECIMAL(38,0) —
+    order-free; floats only in the final identically-parenthesized
+    scalar (halving to score units happens there: a = a2/2).
+
+    Scale shape: one partial-agg shuffle to distinct-value counts
+    (pinned — the 1-row total and the prefix pass both read it), ONE
+    global_prefix_sum kernel pass, broadcast 1-row total, one bounded
+    reduce. No SinglePartition window (kernel citation:
+    llmops.pipeline.global_prefix_sum)."""
+    from ..llmops.pipeline import global_prefix_sum
+    from ..session import pin
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    s = li.select(
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("g1"),
+    )
+    v = s.groupBy("x").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    pin(v)
+    tot = v.agg(F.sum("ct").cast("bigint").alias("n"))
+    cum = global_prefix_sum(v, ["x"], "ct", out_col="below", inclusive=False)
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c1",
+        "ct",
+        F.least(
+            2 * F.col("below") + F.col("ct") + 1,
+            2 * (F.col("n") + 1)
+            - (2 * F.col("below") + F.col("ct") + 1),
+        ).alias("a2"),
+    )
+    d38 = "decimal(38,0)"
+    c1d = F.col("c1").cast(d38)
+    ctd = F.col("ct").cast(d38)
+    a2d = F.col("a2").cast(d38)
+    agg = scored.agg(
+        F.sum(c1d).alias("n1"),
+        F.sum(ctd - c1d).alias("n2"),
+        F.sum(c1d * F.col("a2")).alias("ab2"),
+        F.sum(ctd * F.col("a2")).alias("sa2"),
+        F.sum(ctd * a2d * F.col("a2")).alias("sa2sq"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    ab = F.col("ab2").cast("double") / F.lit(2.0)
+    sa = F.col("sa2").cast("double") / F.lit(2.0)
+    saq = F.col("sa2sq").cast("double") / F.lit(4.0)
+    e_ab = n1d * sa / nd
+    var = n1d * n2d * (nd * saq - sa * sa) / (nd * nd * (nd - F.lit(1.0)))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(ab, 1).alias("ab"),
+        F.round(e_ab, 1).alias("e_ab"),
+        F.round((ab - e_ab) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+HD_ALPHA = 0.2  # level smoothing
+HD_BETA = 0.1  # trend smoothing
+HD_PHI = 0.9  # trend damping
+# Damped-Holt constants, interpolated (repr-roundtrip) into BOTH
+# engines below — the MARKOV_ITERS single-definition-site lesson.
+_HD_OMA = 1.0 - HD_ALPHA
+_HD_OMB = 1.0 - HD_BETA
+
+
+@_register(
+    "forecast_holt_damped_daily",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), init AS (
+      SELECT CAST(SUM(cents) FILTER (WHERE t <= 7) AS DOUBLE) / 7.0 AS l0,
+             (CAST(SUM(cents) FILTER (WHERE t BETWEEN 8 AND 14)
+                   AS DOUBLE) / 7.0
+              - CAST(SUM(cents) FILTER (WHERE t <= 7) AS DOUBLE) / 7.0)
+             / 7.0 AS b0
+      FROM series
+    ), it(t, l, b, n, sae, sse) AS (
+      SELECT 7, i.l0, i.b0, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+      FROM init i
+      UNION ALL
+      SELECT s.t,
+             {HD_ALPHA!r} * CAST(s.cents AS DOUBLE)
+               + {_HD_OMA!r} * (it.l + {HD_PHI!r} * it.b),
+             {HD_BETA!r} * (({HD_ALPHA!r} * CAST(s.cents AS DOUBLE)
+                             + {_HD_OMA!r}
+                               * (it.l + {HD_PHI!r} * it.b)) - it.l)
+               + {_HD_OMB!r} * ({HD_PHI!r} * it.b),
+             it.n + 1,
+             it.sae + ABS(CAST(s.cents AS DOUBLE)
+                          - (it.l + {HD_PHI!r} * it.b)),
+             it.sse + (CAST(s.cents AS DOUBLE)
+                       - (it.l + {HD_PHI!r} * it.b))
+                      * (CAST(s.cents AS DOUBLE)
+                         - (it.l + {HD_PHI!r} * it.b))
+      FROM it JOIN series s ON s.t = it.t + 1
+    ), fin AS (
+      SELECT * FROM it
+      WHERE n > 0 AND t = (SELECT MAX(t) FROM series)
+    ), sn AS (
+      SELECT SUM(CAST(ABS(e7) AS HUGEINT)) AS sa7
+      FROM (
+        SELECT cents - LAG(cents, 7) OVER (ORDER BY t) AS e7 FROM series
+      ) lagged
+      WHERE e7 IS NOT NULL
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_eval,
+           ROUND(f.sae / f.n / 100.0, 6) AS mae_damped,
+           ROUND(SQRT(f.sse / f.n) / 100.0, 6) AS rmse_damped,
+           ROUND(CAST(sn.sa7 AS DOUBLE) / f.n / 100.0, 6) AS mae_snaive,
+           ROUND(1.0 - f.sae / CAST(sn.sa7 AS DOUBLE), 6) AS mae_skill
+    FROM fin f CROSS JOIN sn
+    """,
+)
+def forecast_holt_damped_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAMPED-trend Holt (ETS(A,Ad,N)) ONE-STEP backtest on the daily
+    revenue series — the member of the exponential-smoothing family
+    practitioners reach for first (Gardner-McKenzie damping keeps the
+    trend from running away at long horizons, and at phi = HD_PHI the
+    one-step model regularizes Holt's trend too): forecast
+    yhat_t = l + phi*b, update l' = alpha*y + (1-alpha)*(l + phi*b),
+    b' = beta*(l'-l) + (1-beta)*(phi*b). Completes the shelf's
+    bake-off on the SHARED protocol — the same t >= 8 window, the same
+    first-week/second-week init as forecast_holt_winters_daily, the
+    same seasonal-naive denominator as the theta and SES entries — so
+    all four mae_skill numbers are directly comparable.
+
+    Exactness: the Holt-Winters discipline verbatim — exact-cents
+    daily sums, init as two divisions of exact sums, every recursive
+    step ONE identically-parenthesized IEEE double expression (DuckDB
+    recursive CTE; Spark driver fold over the collected time-span-
+    bounded series, the documented collect class).
+
+    Scale shape: ONE map-side-combinable partial-agg shuffle reduces
+    facts to the ~2.4k-row daily series; the fold is O(days) driver
+    arithmetic."""
+    daily = _daily_revenue_cents(spark, sf_dir).orderBy("d")
+    rows = daily.collect()  # bounded: one row per observed day of span
+    cents = [r["cents"] for r in rows]
+    T = len(cents)
+    schema = "n long, sae double, sse double, sa7 long"
+    if T < 8:
+        return _hd_finalize(spark.createDataFrame([], schema))
+    l = float(sum(cents[:7])) / 7.0
+    b = (
+        float(sum(cents[7:14])) / 7.0 - float(sum(cents[:7])) / 7.0
+    ) / 7.0
+    sa7 = sum(abs(cents[t - 1] - cents[t - 8]) for t in range(8, T + 1))
+    n, sae, sse = 0, 0.0, 0.0
+    for t in range(8, T + 1):
+        y = float(cents[t - 1])
+        yhat = l + HD_PHI * b
+        sae = sae + abs(y - yhat)
+        sse = sse + (y - yhat) * (y - yhat)
+        l_new = HD_ALPHA * y + _HD_OMA * yhat
+        b = HD_BETA * (l_new - l) + _HD_OMB * (HD_PHI * b)
+        l = l_new
+        n += 1
+    raw = spark.createDataFrame([(n, sae, sse, sa7)], schema)
+    return _hd_finalize(raw)
+
+
+def _hd_finalize(raw: DataFrame) -> DataFrame:
+    nd = F.col("n").cast("double")
+    return raw.select(
+        F.col("n").cast("bigint").alias("n_eval"),
+        F.round(F.col("sae") / nd / F.lit(100.0), 6).alias("mae_damped"),
+        F.round(
+            F.sqrt(F.col("sse") / nd) / F.lit(100.0), 6
+        ).alias("rmse_damped"),
+        F.round(
+            F.col("sa7").cast("double") / nd / F.lit(100.0), 6
+        ).alias("mae_snaive"),
+        F.round(
+            F.lit(1.0) - F.col("sae") / F.col("sa7").cast("double"), 6
+        ).alias("mae_skill"),
+    )

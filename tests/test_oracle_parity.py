@@ -68,23 +68,30 @@ def test_driver_window_covers_all_families():
     on the shared t >= 8 window; seasonal/trend strength; the
     Cramér-von Mises two-sample test completing the KS/Mann-Whitney
     shelf; first-order partial correlation — all oracle-backed with
-    replica laws), then pure staleness draining: ALL 15 remaining
-    r6-vintage rows (the fleet's oldest evidence), then the 30 oldest
-    r7 rows in registration order. 43 oracle value-hash slots + 7
-    rows-only (by-design sketch/LSH/iterative) slots; the 18 r7 rows
-    that don't fit lead the r14 rotation."""
+    replica laws; a second wave added Jonckheere-Terpstra ordered
+    trend, the Ansari-Bradley scale test, and damped Holt), then
+    staleness draining: ALL 15 remaining r6-vintage rows (the fleet's
+    oldest evidence), then the 27 oldest r7 rows in registration
+    order (retention_dau_wau_stickiness, the one changed-code query —
+    its (user,day) pin from the sf1 A/B — re-evidences inside that
+    tier). 43 oracle value-hash slots + 7 rows-only (by-design
+    sketch/LSH/iterative) slots; the 21 r7 rows that don't fit lead
+    the r14 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert len(rows_only_slots) == 7
     assert len(oracle_slots) == 43
-    assert first50[:8] == [
+    assert first50[:11] == [
         "forecast_ses_alpha_grid_daily",
         "forecast_theta_daily",
         "stats_seasonal_strength_daily",
         "stats_cvm_two_sample",
         "stats_partial_corr_lineitem",
+        "stats_jonckheere_terpstra",
+        "stats_ansari_bradley",
+        "forecast_holt_damped_daily",
         "psi_totalprice_drift",
         "jsd_event_type_weekend",
         "assoc_part_pairs_lift",

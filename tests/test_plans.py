@@ -249,6 +249,7 @@ def test_no_unbounded_driver_materialization():
         # folds — the Holt-Winters collect class, one per model
         ("relational/timeseries.py", "forecast_ses_alpha_grid_daily"),
         ("relational/timeseries.py", "forecast_theta_daily"),
+        ("relational/timeseries.py", "forecast_holt_damped_daily"),
     }
     hits = []
     for py in sorted(root.rglob("*.py")):

@@ -2878,3 +2878,132 @@ class TestRound13Laws:
             (got["n"] - 3.0) / (1.0 - got["r_xy_given_z"] ** 2)
         ) ** 0.5
         assert abs(got["t_stat"] - t) <= 1e-3
+
+
+class TestRound13WaveTwoLaws:
+    """Replicas + identities for the r13 second-wave registrations
+    (Jonckheere-Terpstra, Ansari-Bradley, damped Holt)."""
+
+    def test_jonckheere_terpstra_numpy_replica_and_laws(self, spark):
+        """Replica: brute-force pairwise Mann-Whitney counts over the
+        five ordered priority groups (numpy searchsorted on sorted
+        group arrays — an independent path from the engine's
+        per-distinct-value prefix form); laws: the null mean identity
+        and 0 <= JT <= sum_(i<j) n_i*n_j."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_jonckheere_terpstra,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_jonckheere_terpstra(spark, SF_TEST).collect()[0]
+        o = load_table(spark, SF_TEST, "orders").toPandas()
+        x = (o["o_totalprice"].astype(float) * 100).round().astype("int64")
+        g = o["o_orderpriority"].str[0].astype(int)
+        groups = [np.sort(x[g == i].to_numpy()) for i in range(1, 6)]
+        jt2 = 0
+        for i in range(5):
+            for j in range(i + 1, 5):
+                a, bb = groups[i], groups[j]
+                # #(a < b) doubled + #(a == b): via searchsorted
+                lo = np.searchsorted(a, bb, side="left")
+                hi = np.searchsorted(a, bb, side="right")
+                jt2 += int(2 * lo.sum() + (hi - lo).sum())
+        n = sum(len(gr) for gr in groups)
+        sn2 = sum(len(gr) ** 2 for gr in groups)
+        assert got["n"] == n
+        assert got["jt"] == round(jt2 / 2.0, 1)
+        assert got["e_jt"] == round((float(n) * n - sn2) / 4.0, 1)
+        max_jt = sum(
+            len(groups[i]) * len(groups[j])
+            for i in range(5)
+            for j in range(i + 1, 5)
+        )
+        assert 0.0 <= got["jt"] <= max_jt
+        # z should be a plain finite float
+        assert got["z"] == got["z"]
+
+    def test_ansari_bradley_pandas_replica_and_laws(self, spark):
+        """Replica: raw midrank scores a_i = min(r_i, N+1-r_i) via
+        pandas rank(method='average'); laws: the tie-conditional null
+        mean identity and the score-sum closure sum(a) over BOTH
+        groups equals the replica's."""
+        import pandas as pd
+
+        from console_etl_spark.relational.timeseries import (
+            stats_ansari_bradley,
+        )
+        from console_etl_spark.session import load_table
+        from tests.conftest import SF_TEST
+
+        got = stats_ansari_bradley(spark, SF_TEST).collect()[0]
+        li = load_table(spark, SF_TEST, "lineitem").toPandas()
+        li = li[li["l_returnflag"].isin(["R", "N"])]
+        x = (li["l_extendedprice"].astype(float) * 100).round().astype(
+            "int64"
+        )
+        g1 = (li["l_returnflag"] == "R").to_numpy()
+        r = pd.Series(x).rank(method="average").to_numpy()
+        n = len(r)
+        a = pd.Series(r).combine(pd.Series(n + 1 - r), min).to_numpy()
+        n1, n2 = int(g1.sum()), int((~g1).sum())
+        assert (got["n1"], got["n2"]) == (n1, n2)
+        ab = float(a[g1].sum())
+        assert got["ab"] == round(ab, 1)
+        e_ab = n1 * float(a.sum()) / n
+        assert abs(got["e_ab"] - round(e_ab, 1)) <= 0.2
+        var = (
+            n1
+            * n2
+            * (n * float((a * a).sum()) - float(a.sum()) ** 2)
+            / (float(n) ** 2 * (n - 1))
+        )
+        assert abs(got["z"] - (ab - e_ab) / var**0.5) <= 2e-5
+
+    def test_holt_damped_python_replica_and_shelf_laws(self, spark):
+        """Replica: the damped-Holt fold in pure python over the pandas
+        daily series; shelf laws: mae_snaive equals the theta query's
+        (shared window + denominator), and phi=1 would BE classic Holt
+        — at phi<1 the damped trend contribution shrinks step-over-step
+        (checked via the constants, not re-fold)."""
+        from console_etl_spark.relational.timeseries import (
+            HD_ALPHA,
+            HD_BETA,
+            HD_PHI,
+            _HD_OMA,
+            _HD_OMB,
+            forecast_holt_damped_daily,
+            forecast_theta_daily,
+        )
+
+        got = forecast_holt_damped_daily(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        cents = [
+            int(c)
+            for c in TestRound13Laws._daily_cents(spark).to_numpy()
+        ]
+        T = len(cents)
+        l = float(sum(cents[:7])) / 7.0
+        b = (float(sum(cents[7:14])) / 7.0 - float(sum(cents[:7])) / 7.0) / 7.0
+        n, sae, sse = 0, 0.0, 0.0
+        sa7 = sum(abs(cents[t - 1] - cents[t - 8]) for t in range(8, T + 1))
+        for t in range(8, T + 1):
+            y = float(cents[t - 1])
+            yhat = l + HD_PHI * b
+            sae += abs(y - yhat)
+            sse += (y - yhat) * (y - yhat)
+            l_new = HD_ALPHA * y + _HD_OMA * yhat
+            b = HD_BETA * (l_new - l) + _HD_OMB * (HD_PHI * b)
+            l = l_new
+            n += 1
+        assert got["n_eval"] == n
+        assert got["mae_damped"] == round(sae / n / 100.0, 6)
+        assert got["rmse_damped"] == round((sse / n) ** 0.5 / 100.0, 6)
+        assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
+        theta = forecast_theta_daily(spark, "/root/testdata/sf0.001").collect()[0]
+        assert theta["mae_snaive"] == got["mae_snaive"]
+        assert 0.0 < HD_PHI < 1.0 and _HD_OMA == 1.0 - HD_ALPHA
+        assert _HD_OMB == 1.0 - HD_BETA
