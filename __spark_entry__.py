@@ -67,21 +67,20 @@ _MODULES = (
 # streaming item also landed (stream_croston_intermittent, streaming.py:
 # stream==batch bit-exact + replay/restart laws) but streaming twins are
 # pytest-tier, not window slots. tools_staleness.py (now law-aware for
-# rows-only queries — VERDICT r12 item 7) reports ONE changed-code
-# query at HEAD (retention_dau_wau_stickiness, whose (user,day)
-# intermediate is now pinned after the sf1 A/B — it sits in the r7
-# tier below), so the remaining 42 slots drain staleness: all 15
-# remaining r6-vintage rows (the oldest driver evidence left), then
-# the 27 oldest r7 rows in registration order. A second r13 wave
-# added the ordered-alternative Jonckheere-Terpstra test, the
-# Ansari-Bradley scale test, and the damped-Holt shelf member —
-# never-checked outranks staleness, so the three youngest r7 rows
-# (shingle containment / cross-source matrix / degree histogram)
-# rotate to the r14 head. 43 oracle value-hash
-# slots + 7 rows-only-by-design slots (the schema census, the two
-# approx-sketch tiers, the sliding HLL, PageRank's iterative fixpoint,
-# and the two LSH tiers — each with an oracle-checked exact twin or a
-# pinned law suite).
+# rows-only queries — VERDICT r12 item 7, and since this round a
+# same-file CLOSURE fingerprint that also sees shared-helper and
+# module-constant edits) reports 19 changed-code queries at HEAD:
+# retention_dau_wau_stickiness (the (user,day) pin from the sf1 A/B)
+# plus 18 the closure rule surfaced whose helpers changed after their
+# rows (7 of them sit in the r6 tier below and were already windowed;
+# the other 11 form the changed tier). A second r13 wave added the
+# ordered-alternative Jonckheere-Terpstra test, the Ansari-Bradley
+# scale test, and the damped-Holt shelf member. Changed-code outranks
+# pure staleness, so the r7 drain takes the 15 oldest rows and the
+# rest lead r14. 39 oracle value-hash slots + 11 rows-only-by-design
+# slots (the ANN/PQ/OPQ tiers, both k-means queries, SemDeDup, the
+# schema census, the two approx-sketch tiers, the sliding HLL — each
+# with an oracle-checked exact twin or a pinned law suite).
 _PRIORITY = (
     # new r13 registrations, never driver-checked (8; two waves)
     "forecast_ses_alpha_grid_daily",
@@ -108,7 +107,27 @@ _PRIORITY = (
     "text_pmi_collocations",
     "text_readability_scores",
     "enumerate_docs_global",
-    # r7 driver rows (30 oldest, registration order)
+    # changed since last driver row (12 — tools_staleness.py's new
+    # same-file CLOSURE fingerprint: retention's (user,day) pin from
+    # the sf1 A/B, plus 11 queries whose shared helpers changed after
+    # their rows with no verdict ever flagging them — the r12 k-means
+    # partial-sort fix alone had silently staled the two cluster
+    # queries and two ANN tiers that ride the same seeding helpers;
+    # the dedup trio rides helpers reworked r10-r12)
+    "retention_dau_wau_stickiness",
+    "ann_ivf_pq_topk",
+    "ann_lsh_bucketed",
+    "ann_opq_topk",
+    "ann_pq_topk",
+    "cluster_kmeans_embeddings",
+    "cluster_kmeans_topic_mix",
+    "curate_token_budget",
+    "dedup_connected_groups",
+    "dedup_cross_source_matrix",
+    "dedup_degree_histogram",
+    "semdedup_cluster_prune",
+    # r7 driver rows (15 oldest pure-staleness, registration order;
+    # the rest lead r14)
     "events_props_schema_census",
     "dedup_events_debounce",
     "fuzzy_blocked_name_pairs",
@@ -122,21 +141,9 @@ _PRIORITY = (
     "division_customers_all_priorities",
     "mad_price_by_flag",
     "stats_spearman_qty_price",
-    "retention_dau_wau_stickiness",
     "abc_pareto_parts",
     "control_chart_xmr_user_value",
-    "allocation_hamilton_quota",
-    "hhi_supplier_concentration",
-    "orders_skyline_price_date",
-    "ldiversity_customer_audit",
-    "events_out_of_order_audit",
-    "smape_seasonal_backtest",
-    "survival_user_retention_km",
-    "gini_revenue_concentration",
-    "graph_pagerank_trade",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # WINDOW FULL at 50 (8 new + 15 r6 + 27 r7).
+    # WINDOW FULL at 50 (8 new + 12 changed + 15 r6 + 15 r7).
 )
 
 

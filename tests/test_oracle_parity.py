@@ -69,20 +69,21 @@ def test_driver_window_covers_all_families():
     Cramér-von Mises two-sample test completing the KS/Mann-Whitney
     shelf; first-order partial correlation — all oracle-backed with
     replica laws; a second wave added Jonckheere-Terpstra ordered
-    trend, the Ansari-Bradley scale test, and damped Holt), then
-    staleness draining: ALL 15 remaining r6-vintage rows (the fleet's
-    oldest evidence), then the 27 oldest r7 rows in registration
-    order (retention_dau_wau_stickiness, the one changed-code query —
-    its (user,day) pin from the sf1 A/B — re-evidences inside that
-    tier). 43 oracle value-hash slots + 7 rows-only (by-design
-    sketch/LSH/iterative) slots; the 21 r7 rows that don't fit lead
-    the r14 rotation."""
+    trend, the Ansari-Bradley scale test, and damped Holt), then ALL
+    15 remaining r6-vintage rows (the fleet's oldest evidence), then
+    the 12-query changed tier (retention's (user,day) pin from the
+    sf1 A/B plus the 11 queries the new same-file CLOSURE fingerprint
+    surfaced — helpers changed after their rows, e.g. the r12 k-means
+    partial-sort fix had silently staled both cluster queries), then
+    the 15 oldest r7 pure-staleness rows. 39 oracle value-hash slots
+    + 11 rows-only (by-design sketch/LSH/iterative/ANN) slots; the
+    remaining r7 rows lead the r14 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
-    assert len(rows_only_slots) == 7
-    assert len(oracle_slots) == 43
+    assert len(rows_only_slots) == 11
+    assert len(oracle_slots) == 39
     assert first50[:11] == [
         "forecast_ses_alpha_grid_daily",
         "forecast_theta_daily",
@@ -182,10 +183,10 @@ def test_driver_window_is_full_and_oracle_backed():
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
     query, no duplicates. Round 13's window is staleness-keyed with
-    exactly SEVEN rows-only slots — the r6/r7-vintage sketch/LSH/
-    iterative tiers rotating through (each has an oracle-checked exact
-    twin or pinned laws; split pinned in
-    test_driver_window_covers_all_families)."""
+    exactly ELEVEN rows-only slots — the closure-stale ANN/k-means/
+    SemDeDup tiers plus the r6/r7-vintage sketch tiers rotating
+    through (each has an oracle-checked exact twin or pinned laws;
+    split pinned in test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
@@ -195,13 +196,17 @@ def test_driver_window_is_full_and_oracle_backed():
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
     assert rows_only == [
+        "ann_ivf_pq_topk",
+        "ann_lsh_bucketed",
+        "ann_opq_topk",
+        "ann_pq_topk",
+        "cluster_kmeans_embeddings",
+        "cluster_kmeans_topic_mix",
+        "semdedup_cluster_prune",
         "events_props_schema_census",
         "approx_percentile_price",
         "approx_ndv_users_incremental",
         "sliding_distinct_users_hourly",
-        "graph_pagerank_trade",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
     ], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
@@ -258,6 +263,46 @@ def test_staleness_artifact_stale_queries_all_windowed():
     for q, row in doc["queries"].items():
         if q not in oracle_backed and row["latest_driver_round"]:
             assert "laws_changed" in row, f"rows-only {q} missing law scan"
+
+
+def test_staleness_closure_fingerprint_sees_helper_and_constant_edits():
+    """r13 closure upgrade: the def fingerprint must include same-file
+    helpers and constants the query references (transitively), so a
+    helper-body or constant edit flags the query stale — the class the
+    r12 k-means partial-sort fix silently escaped. Cross-module names
+    and comment churn must NOT flag."""
+    import tools_staleness as ts
+
+    base = (
+        "ALPHA = 0.2\n"
+        "def _finalize(df):\n"
+        "    return df.select(ALPHA)\n"
+        "def _unrelated():\n"
+        "    return 42\n"
+        "def my_query(spark, sf_dir):\n"
+        '    """doc"""\n'
+        "    # comment\n"
+        "    return _finalize(load_table(spark, sf_dir))\n"
+    )
+    fp = ts._def_source(base, "my_query")
+    assert fp is not None
+    # docstring/comment churn: same fingerprint
+    cosmetic = base.replace('"""doc"""', '"""reworded"""').replace(
+        "# comment", "# other"
+    )
+    assert ts._def_source(cosmetic, "my_query") == fp
+    # helper-body edit: flags
+    helper_edit = base.replace("df.select(ALPHA)", "df.where(ALPHA)")
+    assert ts._def_source(helper_edit, "my_query") != fp
+    # constant edit: flags (transitively via the helper)
+    const_edit = base.replace("ALPHA = 0.2", "ALPHA = 0.3")
+    assert ts._def_source(const_edit, "my_query") != fp
+    # an UNREFERENCED same-file def changing must not flag
+    unrelated = base.replace("return 42", "return 43")
+    assert ts._def_source(unrelated, "my_query") == fp
+    # cross-module names (load_table) resolve to nothing: documented
+    # non-coverage, and their absence doesn't break the fingerprint
+    assert "load_table" not in fp or True
 
 
 def test_staleness_law_fingerprint_fires_on_law_churn():

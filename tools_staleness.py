@@ -14,13 +14,20 @@ This tool finds the class mechanically and writes STALENESS.json:
   lead with — plus ``unresolvable`` (functions the source-diff cannot
   anchor: wrappers, re-exports; check those by hand).
 
-Granularity caveat (documented, deliberate): the diff anchors on the
-query's own top-level ``def`` INCLUDING decorators, so oracle-SQL
-edits count; changes to SHARED helpers (``_daily_revenue_cents``,
-module constants interpolated into oracles) do not — those are rare
-and stay a manual windowing obligation, as before. A query that did
-not exist at its boundary commit (file or def absent) is reported
-stale only if it has a driver row at all.
+Granularity (r13, closure-aware): the fingerprint is the query's own
+top-level ``def`` INCLUDING decorators (so oracle-SQL edits count)
+PLUS the same-file transitive closure of every top-level function,
+constant, and class it references by name — so editing a shared
+helper (``_daily_revenue_cents``, a ``_finalize``, a smoothing
+constant interpolated into oracles) flags every consumer in that
+file. The first closure run surfaced 19 queries whose helpers had
+changed since their rows with no verdict ever flagging them (the r12
+k-means partial-sort fix alone had silently staled four). Remaining
+caveat: CROSS-module helpers (session.load_table, the prefix kernels)
+are not closed over — windowing those consumers stays a manual
+obligation when such a helper changes. A query that did not exist at
+its boundary commit (file or def absent) is reported stale only if
+it has a driver row at all.
 
 ROWS-ONLY law coverage (VERDICT r12 item 7): a rows-only query (no
 oracle SQL — the driver checks rows>0 only) carries its semantic
@@ -75,31 +82,55 @@ def _latest_rows() -> dict[str, int]:
 
 
 def _def_source(py_text: str, name: str) -> str | None:
-    """A SEMANTIC fingerprint of top-level ``def name``: the AST dump
-    of the function with its docstring stripped, decorators included
-    (the inline @_register oracle SQL lives there, so oracle edits
-    count). AST comparison makes the rule ignore comment/docstring
-    churn and formatting — only code or oracle changes flag."""
+    """A SEMANTIC fingerprint of top-level ``def name`` AND its
+    same-file closure: the AST dumps (docstrings stripped, decorators
+    included — the inline @_register oracle SQL lives there, so oracle
+    edits count) of the def plus every top-level function, constant
+    assignment, or class it transitively references by Name within the
+    file. AST comparison makes the rule ignore comment/docstring churn
+    and formatting — only code, constant, helper, or oracle changes
+    flag. Imported names (F, W, load_table, the kernels) resolve to
+    nothing here and are deliberately NOT closed over (module doc)."""
     try:
         tree = ast.parse(py_text)
     except SyntaxError:
         return None
+    top: dict[str, ast.AST] = {}
     for node in tree.body:
-        if (
-            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
-            and node.name == name
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
         ):
-            body = node.body
+            top[node.name] = node
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    top[t.id] = node
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            top[node.target.id] = node
+    if name not in top:
+        return None
+    seen: set[str] = set()
+    queue = [name]
+    parts: list[tuple[str, str]] = []
+    while queue:
+        n = queue.pop()
+        if n in seen or n not in top:
+            continue
+        seen.add(n)
+        node = top[n]
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            node = _strip_docstring(node)
+        parts.append((n, ast.dump(node, include_attributes=False)))
+        for sub in ast.walk(node):
             if (
-                body
-                and isinstance(body[0], ast.Expr)
-                and isinstance(body[0].value, ast.Constant)
-                and isinstance(body[0].value.value, str)
+                isinstance(sub, ast.Name)
+                and sub.id in top
+                and sub.id not in seen
             ):
-                node = ast.copy_location(node, node)
-                node.body = body[1:] or [ast.Pass()]
-            return ast.dump(node, include_attributes=False)
-    return None
+                queue.append(sub.id)
+    return repr(tuple(sorted(parts)))
 
 
 def _strip_docstring(node: ast.AST) -> ast.AST:
