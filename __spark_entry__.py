@@ -69,18 +69,20 @@ _MODULES = (
 # pytest-tier, not window slots. tools_staleness.py (now law-aware for
 # rows-only queries — VERDICT r12 item 7, and since this round a
 # same-file CLOSURE fingerprint that also sees shared-helper and
-# module-constant edits) reports 19 changed-code queries at HEAD:
-# retention_dau_wau_stickiness (the (user,day) pin from the sf1 A/B)
-# plus 18 the closure rule surfaced whose helpers changed after their
-# rows (7 of them sit in the r6 tier below and were already windowed;
-# the other 11 form the changed tier). A second r13 wave added the
-# ordered-alternative Jonckheere-Terpstra test, the Ansari-Bradley
-# scale test, and the damped-Holt shelf member. Changed-code outranks
-# pure staleness, so the r7 drain takes the 15 oldest rows and the
-# rest lead r14. 39 oracle value-hash slots + 11 rows-only-by-design
-# slots (the ANN/PQ/OPQ tiers, both k-means queries, SemDeDup, the
-# schema census, the two approx-sketch tiers, the sliding HLL — each
-# with an oracle-checked exact twin or a pinned law suite).
+# module-constant edits, and across in-repo imports) reports 26
+# changed-code queries at HEAD: retention_dau_wau_stickiness (the
+# (user,day) pin from the sf1 A/B) plus 25 the closure rule surfaced
+# whose helpers changed after their rows (7 of them sit in the r6
+# tier below and were already windowed; the other 19 form the changed
+# tier). A second r13 wave added the ordered-alternative
+# Jonckheere-Terpstra test, the Ansari-Bradley scale test, and the
+# damped-Holt shelf member. Changed-code outranks pure staleness, so
+# the r7 drain takes the 8 oldest rows and the rest lead r14. 38
+# oracle value-hash slots + 12 rows-only-by-design slots (the
+# ANN/PQ/OPQ tiers, both k-means queries, the cosine-ANN dedup,
+# SemDeDup, the schema census, the two approx-sketch tiers, the
+# sliding HLL — each with an oracle-checked exact twin or a pinned
+# law suite).
 _PRIORITY = (
     # new r13 registrations, never driver-checked (8; two waves)
     "forecast_ses_alpha_grid_daily",
@@ -107,13 +109,15 @@ _PRIORITY = (
     "text_pmi_collocations",
     "text_readability_scores",
     "enumerate_docs_global",
-    # changed since last driver row (12 — tools_staleness.py's new
-    # same-file CLOSURE fingerprint: retention's (user,day) pin from
-    # the sf1 A/B, plus 11 queries whose shared helpers changed after
-    # their rows with no verdict ever flagging them — the r12 k-means
+    # changed since last driver row (19 — tools_staleness.py's new
+    # CLOSURE fingerprint, same-file helpers/constants AND in-repo
+    # cross-module imports: retention's (user,day) pin from the sf1
+    # A/B, plus 18 queries whose shared helpers changed after their
+    # rows with no verdict ever flagging them — the r12 k-means
     # partial-sort fix alone had silently staled the two cluster
-    # queries and two ANN tiers that ride the same seeding helpers;
-    # the dedup trio rides helpers reworked r10-r12)
+    # queries and the ANN tiers riding the same seeding helpers; the
+    # kernel/session-helper consumers (spearman, eval AUC/PR, heaps,
+    # abc, approx-NDV) surfaced only once imports were closed over)
     "retention_dau_wau_stickiness",
     "ann_ivf_pq_topk",
     "ann_lsh_bucketed",
@@ -125,25 +129,25 @@ _PRIORITY = (
     "dedup_connected_groups",
     "dedup_cross_source_matrix",
     "dedup_degree_histogram",
+    "dedup_embedding_cosine_ann",
     "semdedup_cluster_prune",
-    # r7 driver rows (15 oldest pure-staleness, registration order;
+    "abc_pareto_parts",
+    "approx_ndv_users_incremental",
+    "eval_auc_doc_length",
+    "eval_pr_curve_points",
+    "stats_spearman_qty_price",
+    "text_heaps_law_fit",
+    # r7 driver rows (8 oldest pure-staleness, registration order;
     # the rest lead r14)
     "events_props_schema_census",
     "dedup_events_debounce",
     "fuzzy_blocked_name_pairs",
     "approx_percentile_price",
     "scd2_point_in_time_join",
-    "approx_ndv_users_incremental",
     "profile_fd_violations",
     "profile_value_shapes",
     "sliding_distinct_users_hourly",
-    "weighted_median_price_by_flag",
-    "division_customers_all_priorities",
-    "mad_price_by_flag",
-    "stats_spearman_qty_price",
-    "abc_pareto_parts",
-    "control_chart_xmr_user_value",
-    # WINDOW FULL at 50 (8 new + 12 changed + 15 r6 + 15 r7).
+    # WINDOW FULL at 50 (8 new + 19 changed + 15 r6 + 8 r7).
 )
 
 

@@ -71,19 +71,21 @@ def test_driver_window_covers_all_families():
     replica laws; a second wave added Jonckheere-Terpstra ordered
     trend, the Ansari-Bradley scale test, and damped Holt), then ALL
     15 remaining r6-vintage rows (the fleet's oldest evidence), then
-    the 12-query changed tier (retention's (user,day) pin from the
-    sf1 A/B plus the 11 queries the new same-file CLOSURE fingerprint
-    surfaced — helpers changed after their rows, e.g. the r12 k-means
-    partial-sort fix had silently staled both cluster queries), then
-    the 15 oldest r7 pure-staleness rows. 39 oracle value-hash slots
-    + 11 rows-only (by-design sketch/LSH/iterative/ANN) slots; the
-    remaining r7 rows lead the r14 rotation."""
+    the 19-query changed tier (retention's (user,day) pin from the
+    sf1 A/B plus the 18 queries the new CLOSURE fingerprint —
+    same-file helpers/constants AND in-repo imports — surfaced:
+    helpers changed after their rows, e.g. the r12 k-means
+    partial-sort fix had silently staled both cluster queries, and
+    the prefix-kernel consumers only flagged once imports were closed
+    over), then the 8 oldest r7 pure-staleness rows. 38 oracle
+    value-hash slots + 12 rows-only (by-design sketch/LSH/iterative/
+    ANN) slots; the remaining r7 rows lead the r14 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
-    assert len(rows_only_slots) == 11
-    assert len(oracle_slots) == 39
+    assert len(rows_only_slots) == 12
+    assert len(oracle_slots) == 38
     assert first50[:11] == [
         "forecast_ses_alpha_grid_daily",
         "forecast_theta_daily",
@@ -183,7 +185,7 @@ def test_driver_window_is_full_and_oracle_backed():
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
     query, no duplicates. Round 13's window is staleness-keyed with
-    exactly ELEVEN rows-only slots — the closure-stale ANN/k-means/
+    exactly TWELVE rows-only slots — the closure-stale ANN/k-means/
     SemDeDup tiers plus the r6/r7-vintage sketch tiers rotating
     through (each has an oracle-checked exact twin or pinned laws;
     split pinned in test_driver_window_covers_all_families)."""
@@ -202,10 +204,11 @@ def test_driver_window_is_full_and_oracle_backed():
         "ann_pq_topk",
         "cluster_kmeans_embeddings",
         "cluster_kmeans_topic_mix",
+        "dedup_embedding_cosine_ann",
         "semdedup_cluster_prune",
+        "approx_ndv_users_incremental",
         "events_props_schema_census",
         "approx_percentile_price",
-        "approx_ndv_users_incremental",
         "sliding_distinct_users_hourly",
     ], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
@@ -300,9 +303,53 @@ def test_staleness_closure_fingerprint_sees_helper_and_constant_edits():
     # an UNREFERENCED same-file def changing must not flag
     unrelated = base.replace("return 42", "return 43")
     assert ts._def_source(unrelated, "my_query") == fp
-    # cross-module names (load_table) resolve to nothing: documented
-    # non-coverage, and their absence doesn't break the fingerprint
-    assert "load_table" not in fp or True
+
+    # cross-module arm: the full loader engine closes over in-repo
+    # imports (function-local form included), so a KERNEL edit in the
+    # imported module flags the consumer; an out-of-repo import never
+    # resolves
+    files = {
+        "console_etl_spark/relational/q.py": (
+            "from pyspark.sql import functions as F\n"
+            "def consumer(spark, sf_dir):\n"
+            "    from ..llmops.pipeline import global_prefix_sum\n"
+            "    return global_prefix_sum(F.lit(1))\n"
+        ),
+        "console_etl_spark/llmops/pipeline.py": (
+            "K = 7\n"
+            "def global_prefix_sum(df):\n"
+            "    return df + K\n"
+        ),
+    }
+    loader = files.get
+    fp2 = ts._fingerprint(
+        loader, "console_etl_spark/relational/q.py", "consumer", {}
+    )
+    assert fp2 is not None and "global_prefix_sum" in fp2
+    edited_files = dict(files)
+    edited_files["console_etl_spark/llmops/pipeline.py"] = files[
+        "console_etl_spark/llmops/pipeline.py"
+    ].replace("df + K", "df - K")
+    fp3 = ts._fingerprint(
+        edited_files.get, "console_etl_spark/relational/q.py", "consumer", {}
+    )
+    assert fp3 != fp2, "kernel edit must flag the consumer"
+    # the kernel's own constant K is in the closure too (transitive)
+    const_files = dict(files)
+    const_files["console_etl_spark/llmops/pipeline.py"] = files[
+        "console_etl_spark/llmops/pipeline.py"
+    ].replace("K = 7", "K = 8")
+    assert (
+        ts._fingerprint(
+            const_files.get,
+            "console_etl_spark/relational/q.py",
+            "consumer",
+            {},
+        )
+        != fp2
+    )
+    # pyspark (out-of-repo) import resolves to nothing and never flags
+    assert "pyspark" not in fp2
 
 
 def test_staleness_law_fingerprint_fires_on_law_churn():

@@ -16,17 +16,19 @@ This tool finds the class mechanically and writes STALENESS.json:
 
 Granularity (r13, closure-aware): the fingerprint is the query's own
 top-level ``def`` INCLUDING decorators (so oracle-SQL edits count)
-PLUS the same-file transitive closure of every top-level function,
-constant, and class it references by name — so editing a shared
-helper (``_daily_revenue_cents``, a ``_finalize``, a smoothing
-constant interpolated into oracles) flags every consumer in that
-file. The first closure run surfaced 19 queries whose helpers had
-changed since their rows with no verdict ever flagging them (the r12
-k-means partial-sort fix alone had silently staled four). Remaining
-caveat: CROSS-module helpers (session.load_table, the prefix kernels)
-are not closed over — windowing those consumers stays a manual
-obligation when such a helper changes. A query that did not exist at
-its boundary commit (file or def absent) is reported stale only if
+PLUS the transitive closure of every top-level function, constant,
+and class it references by name — same-file AND across in-repo
+imports (module-level or function-local ``from ..x import y``, the
+prefix kernels, ``session.load_table``, ``pin``) — so editing ANY
+engine helper flags every registered consumer. The first same-file
+closure run surfaced 19 queries whose helpers had changed since their
+rows with no verdict ever flagging them (the r12 k-means partial-sort
+fix alone had silently staled four); extending to cross-module
+imports added 7 more (kernel and session-helper consumers). The old
+side of each diff resolves imports against the BOUNDARY COMMIT's own
+tree, so package moves don't corrupt it. Out-of-repo imports
+(pyspark, stdlib) are never closed over. A query that did not exist
+at its boundary commit (file or def absent) is reported stale only if
 it has a driver row at all.
 
 ROWS-ONLY law coverage (VERDICT r12 item 7): a rows-only query (no
@@ -81,21 +83,18 @@ def _latest_rows() -> dict[str, int]:
     return latest
 
 
-def _def_source(py_text: str, name: str) -> str | None:
-    """A SEMANTIC fingerprint of top-level ``def name`` AND its
-    same-file closure: the AST dumps (docstrings stripped, decorators
-    included — the inline @_register oracle SQL lives there, so oracle
-    edits count) of the def plus every top-level function, constant
-    assignment, or class it transitively references by Name within the
-    file. AST comparison makes the rule ignore comment/docstring churn
-    and formatting — only code, constant, helper, or oracle changes
-    flag. Imported names (F, W, load_table, the kernels) resolve to
-    nothing here and are deliberately NOT closed over (module doc)."""
+_PKG = "console_etl_spark"
+
+
+def _parse_top(text: str):
+    """(top-level name -> node, imported name -> (level, module, orig))
+    for one module's source, or (None, None) on a syntax error."""
     try:
-        tree = ast.parse(py_text)
+        tree = ast.parse(text)
     except SyntaxError:
-        return None
+        return None, None
     top: dict[str, ast.AST] = {}
+    imports: dict[str, tuple[int, str, str]] = {}
     for node in tree.body:
         if isinstance(
             node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
@@ -109,28 +108,104 @@ def _def_source(py_text: str, name: str) -> str | None:
             node.target, ast.Name
         ):
             top[node.target.id] = node
-    if name not in top:
-        return None
-    seen: set[str] = set()
-    queue = [name]
-    parts: list[tuple[str, str]] = []
-    while queue:
-        n = queue.pop()
-        if n in seen or n not in top:
+        elif isinstance(node, ast.ImportFrom) and node.module is not None:
+            for al in node.names:
+                imports[al.asname or al.name] = (
+                    node.level,
+                    node.module,
+                    al.name,
+                )
+    return top, imports
+
+
+def _resolve_module(loader, relpath: str, level: int, module: str):
+    """Repo-relative path of an imported in-repo module, or None for
+    anything outside the engine package (pyspark, stdlib, ...)."""
+    if level == 0:
+        if module != _PKG and not module.startswith(_PKG + "."):
+            return None
+        mparts = module.split(".")
+    else:
+        base = relpath.split("/")[:-1]
+        if level > 1:
+            base = base[: len(base) - (level - 1)]
+        mparts = base + (module.split(".") if module else [])
+    for cand in ("/".join(mparts) + ".py", "/".join(mparts) + "/__init__.py"):
+        if loader(cand) is not None:
+            return cand
+    return None
+
+
+def _closure_parts(loader, relpath: str, name: str, seen, parts, cache):
+    """Accumulate (relpath, name, AST dump) for top-level ``name`` in
+    ``relpath`` and everything it transitively references — same-file
+    helpers/constants/classes by Name, AND in-repo cross-module imports
+    (module-level or function-local ``from .x import y``). ``loader``
+    maps repo-relative path -> source text (HEAD filesystem or a git
+    commit), so both diff sides share this one engine."""
+    key = (relpath, name)
+    if key in seen:
+        return
+    seen.add(key)
+    if relpath not in cache:
+        text = loader(relpath)
+        cache[relpath] = (None, None) if text is None else _parse_top(text)
+    top, imports = cache[relpath]
+    if top is None or name not in top:
+        return
+    node = top[name]
+    dumped = node
+    if isinstance(dumped, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        import copy
+
+        dumped = _strip_docstring(copy.deepcopy(dumped))
+    parts.append((relpath, name, ast.dump(dumped, include_attributes=False)))
+    local_imports = dict(imports)
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.ImportFrom) and sub.module is not None:
+            for al in sub.names:
+                local_imports[al.asname or al.name] = (
+                    sub.level,
+                    sub.module,
+                    al.name,
+                )
+    for sub in ast.walk(node):
+        if not isinstance(sub, ast.Name):
             continue
-        seen.add(n)
-        node = top[n]
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            node = _strip_docstring(node)
-        parts.append((n, ast.dump(node, include_attributes=False)))
-        for sub in ast.walk(node):
-            if (
-                isinstance(sub, ast.Name)
-                and sub.id in top
-                and sub.id not in seen
-            ):
-                queue.append(sub.id)
+        nid = sub.id
+        if nid in top:
+            _closure_parts(loader, relpath, nid, seen, parts, cache)
+        elif nid in local_imports:
+            lvl, mod, orig = local_imports[nid]
+            tgt = _resolve_module(loader, relpath, lvl, mod)
+            if tgt is not None:
+                _closure_parts(loader, tgt, orig, seen, parts, cache)
+
+
+def _fingerprint(loader, relpath: str, name: str, cache) -> str | None:
+    parts: list[tuple[str, str, str]] = []
+    _closure_parts(loader, relpath, name, set(), parts, cache)
+    if not parts:
+        return None
     return repr(tuple(sorted(parts)))
+
+
+def _def_source(py_text: str, name: str) -> str | None:
+    """A SEMANTIC fingerprint of top-level ``def name`` AND its
+    same-file closure over a single source text: the AST dumps
+    (docstrings stripped, decorators included — the inline @_register
+    oracle SQL lives there, so oracle edits count) of the def plus
+    every top-level function, constant assignment, or class it
+    transitively references by Name. Cross-module imports resolve to
+    nothing under this single-text loader — the full engine
+    (_fingerprint with a filesystem/commit loader, used by main())
+    closes over in-repo imports too. AST comparison means
+    comment/docstring churn never flags; code, constant, helper, or
+    oracle changes do."""
+    pseudo = "<text>.py"
+    return _fingerprint(
+        lambda p: py_text if p == pseudo else None, pseudo, name, {}
+    )
 
 
 def _strip_docstring(node: ast.AST) -> ast.AST:
@@ -249,16 +324,34 @@ def _file_at(commit: str, relpath: str) -> str | None:
     return p.stdout if p.returncode == 0 else None
 
 
-def _def_source_at(commit: str, relpath: str, name: str) -> str | None:
-    """The def's decorated source at ``commit`` — following moves: if
-    ``relpath`` doesn't hold the def there (e.g. the r7 relational.py
-    package split moved every query), grep the commit's tree for the
-    def and anchor on whichever file defines it."""
-    text = _file_at(commit, relpath)
-    if text is not None:
-        src = _def_source(text, name)
-        if src is not None:
-            return src
+def _commit_loader(commit: str, text_cache: dict):
+    def load(relpath: str) -> str | None:
+        k = (commit, relpath)
+        if k not in text_cache:
+            text_cache[k] = _file_at(commit, relpath)
+        return text_cache[k]
+
+    return load
+
+
+def _def_source_at(
+    commit: str,
+    relpath: str,
+    name: str,
+    text_cache: dict,
+    parse_cache: dict,
+) -> str | None:
+    """The def's closure fingerprint at ``commit`` — following moves:
+    if ``relpath`` doesn't hold the def there (e.g. the r7
+    relational.py package split moved every query), grep the commit's
+    tree for the def and anchor on whichever file defines it. The
+    cross-module closure resolves imports against the COMMIT's own
+    layout (the loader serves that tree), so a later package move
+    doesn't corrupt the old side of the diff."""
+    loader = _commit_loader(commit, text_cache)
+    src = _fingerprint(loader, relpath, name, parse_cache)
+    if src is not None:
+        return src
     hits = subprocess.run(
         ["git", "grep", "-l", f"def {name}(", commit, "--", "*.py"],
         capture_output=True,
@@ -267,10 +360,7 @@ def _def_source_at(commit: str, relpath: str, name: str) -> str | None:
     for hit in hits.splitlines():
         # format: <commit>:<path>
         path = hit.split(":", 1)[1]
-        text = _file_at(commit, path)
-        if text is None:
-            continue
-        src = _def_source(text, name)
+        src = _fingerprint(loader, path, name, parse_cache)
         if src is not None:
             return src
     return None
@@ -286,6 +376,14 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     head_tests = _test_texts_head(root)
     tests_at: dict[str, dict[str, str]] = {}  # per-boundary-commit cache
+
+    def head_loader(relpath: str) -> str | None:
+        f = os.path.join(root, relpath)
+        return open(f).read() if os.path.isfile(f) else None
+
+    head_parse: dict = {}
+    commit_texts: dict = {}
+    commit_parse: dict[str, dict] = {}  # per-commit parse caches
 
     out: dict[str, dict] = {}
     stale: list[str] = []
@@ -313,9 +411,17 @@ def main() -> None:
             unresolvable.append(name)
             out[name] = entry
             continue
-        head_text = open(os.path.join(root, relpath)).read()
-        head_src = _def_source(head_text, entry["function"])
-        old_src = _def_source_at(bounds[row], relpath, entry["function"])
+        head_src = _fingerprint(
+            head_loader, relpath, entry["function"], head_parse
+        )
+        commit = bounds[row]
+        old_src = _def_source_at(
+            commit,
+            relpath,
+            entry["function"],
+            commit_texts,
+            commit_parse.setdefault(commit, {}),
+        )
         if head_src is None:
             entry["changed_since_row"] = None
             unresolvable.append(name)
