@@ -2003,3 +2003,149 @@ def stream_croston_intermittent(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def croston_state_snapshot(weekly: DataFrame) -> DataFrame:
+    """Per-part Croston warm-start state from a BATCH weekly-demand
+    relation ``(l_partkey, w, q)`` — the lambda-collapse seed for
+    stream_croston_updates_tws: backfill demand history once with a
+    batch job, then stream only new weeks from exactly this state (no
+    history replay through the stream path, the user_totals_snapshot
+    pattern). Emits UNROUNDED (i, z, p, w_last) per part — the rounded
+    forecast columns of the registered batch query are for readers;
+    warm start must continue the fold bit-for-bit, so it gets the raw
+    EWMA state, computed by the SAME JVM F.aggregate fold and seed
+    conventions as forecast_croston_intermittent (z at the first
+    demand size, p at the first interval, occurrences >= 3 folded;
+    parts seen once carry p = 0.0, the 'interval not yet seeded'
+    convention the stream's i == 1 branch completes)."""
+    from .relational.timeseries import CROSTON_ALPHA, _CR_OMA
+
+    grouped = (
+        weekly.select("l_partkey", "w", F.col("q").cast("double").alias("q"))
+        .groupBy("l_partkey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("w", "q"))).alias("a"),
+            F.count("*").cast("bigint").alias("i"),
+        )
+    )
+    a_lit, oma = F.lit(CROSTON_ALPHA), F.lit(_CR_OMA)
+    arr = F.col("a")
+    n = F.col("i")
+    z1 = F.element_at(arr, 1)["q"]
+    p1 = (
+        F.element_at(arr, 2)["w"] - F.element_at(arr, 1)["w"]
+    ).cast("double")
+    folded = F.aggregate(
+        F.when(n >= 3, F.slice(arr, 3, (n - 2).cast("int"))).otherwise(
+            F.array()
+        ),
+        F.struct(
+            z1.alias("z"),
+            F.when(n >= 2, p1).otherwise(F.lit(0.0)).alias("p"),
+            F.element_at(arr, F.least(n, F.lit(2)).cast("int"))["w"].alias(
+                "w_prev"
+            ),
+        ),
+        lambda acc, x: F.struct(
+            (a_lit * x["q"] + oma * acc["z"]).alias("z"),
+            (
+                a_lit * (x["w"] - acc["w_prev"]).cast("double")
+                + oma * acc["p"]
+            ).alias("p"),
+            x["w"].alias("w_prev"),
+        ),
+    )
+    return grouped.select(
+        "l_partkey",
+        "i",
+        folded["z"].alias("z"),
+        folded["p"].alias("p"),
+        F.element_at(arr, -1)["w"].cast("bigint").alias("w_last"),
+    )
+
+
+def stream_croston_updates_tws(
+    weekly: DataFrame, initial_states: DataFrame | None = None
+) -> DataFrame:
+    """stream_croston_updates on Spark 4's transformWithState API, with
+    the WARM-START channel the applyInPandasWithState twin lacks:
+    ``initial_states`` (croston_state_snapshot output) seeds each
+    part's ValueState in the first micro-batch via handleInitialState,
+    so the stream continues the batch backfill's EWMAs bit-for-bit
+    instead of replaying demand history — the lambda-collapse pattern
+    running_user_totals_tws documents, applied to the forecast tier.
+    Same fold, same constants, same output schema and >= 3 emit gate
+    as the apply twin; law test pins warm start + streamed tail ==
+    the registered batch query over the full history. Runs on the
+    RocksDB state store (API requirement; the right store for
+    part-cardinality state anyway); execution needs a protobuf
+    runtime (compat.ensure_protobuf — the container's vendored
+    pure-Python one works)."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .relational.timeseries import CROSTON_ALPHA, _CR_OMA, _CR_SBA
+
+    a, oma, sba = CROSTON_ALPHA, _CR_OMA, _CR_SBA
+
+    class CrostonState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("croston", CROSTON_STATE)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            r = initialState.iloc[0]
+            self._state.update(
+                (int(r["i"]), float(r["z"]), float(r["p"]), int(r["w_last"]))
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            i, z, p, w_last = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0.0, 0)
+            )
+            chunks = [pdf for pdf in rows if not pdf.empty]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks).sort_values("w")
+            for w, q in zip(pdf["w"], pdf["q"]):
+                w = int(w)
+                q = float(q)
+                if i == 0:
+                    z = q
+                elif i == 1:
+                    p = float(w - w_last)
+                else:
+                    z = a * q + oma * z
+                    p = a * float(w - w_last) + oma * p
+                w_last = w
+                i += 1
+            self._state.update((i, z, p, w_last))
+            if i >= 3:
+                yield pd.DataFrame(
+                    {
+                        "partkey": [key[0]],
+                        "n_demands": [i],
+                        "z_hat": [round(z / 100.0, 6)],
+                        "p_hat": [round(p, 6)],
+                        "croston_fc": [round(z / 100.0 / p, 6)],
+                        "sba_fc": [round(sba * z / 100.0 / p, 6)],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return weekly.groupBy("l_partkey").transformWithStateInPandas(
+        statefulProcessor=CrostonState(),
+        outputStructType=CROSTON_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+        initialState=(
+            None
+            if initial_states is None
+            else initial_states.groupBy("l_partkey")
+        ),
+    )

@@ -3135,3 +3135,97 @@ def test_stream_croston_replay_and_restart(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(out).drop("_epoch").collect()
     )
     assert after_replay == before
+
+
+def test_croston_tws_warm_start_equals_batch(spark, tmp_path):
+    """TWS Croston warm-start law (the lambda-collapse pattern): seed
+    per-part state from croston_state_snapshot over the HISTORY weeks,
+    stream only the TAIL weeks, and every part that receives a tail
+    update must land on exactly the registered batch query's row over
+    the FULL history — bit-for-bit after the same rounding. Exercises
+    handleInitialState + the initialState GroupedData channel on the
+    forecast tier."""
+    from tests.conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        weekly, _ = _croston_weekly_zclass(spark)
+        plan = streaming.stream_croston_updates_tws(
+            weekly.limit(0), initial_states=None
+        )
+        assert dict(plan.dtypes)["croston_fc"] == "double"
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    weekly, batch = _croston_weekly_zclass(spark)
+    split_w = weekly.approxQuantile("w", [0.6], 0.0)[0]
+    hist = weekly.filter(F.col("w") <= split_w)
+    tail = weekly.filter(F.col("w") > split_w)
+    assert tail.count() > 0
+
+    src = str(tmp_path / "ctws_src")
+    import glob
+    import os
+    import time
+
+    tail.repartitionByRange(2, "w").write.mode("overwrite").parquet(src)
+    base_t = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (base_t + i, base_t + i))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        reader = (
+            spark.readStream.format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(src).schema)
+        )
+        got = streaming.run_to_completion(
+            streaming.stream_croston_updates_tws(
+                reader.load(src),
+                initial_states=streaming.croston_state_snapshot(hist),
+            ),
+            "t_croston_tws_boot",
+            output_mode="update",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    # freshest emitted row per part (state is monotone in n_demands)
+    final = (
+        got.sort_values("n_demands")
+        .groupby("partkey", as_index=False)
+        .last()
+    )
+    want = {r["partkey"]: r for r in batch.collect()}
+    assert len(final) > 0
+    n_checked = 0
+    for row in final.itertuples():
+        if row.partkey not in want:
+            # a part can cross the >= 3 gate on tail rows alone while
+            # the FULL-history batch query excluded it only if it
+            # failed the Z-gate there; those parts aren't in `weekly`
+            # by construction, so this must not happen
+            raise AssertionError(f"part {row.partkey} not in batch output")
+        b = want[row.partkey]
+        if row.n_demands != b["n_demands"]:
+            # a part whose tail rows were all consumed but whose final
+            # update was emitted in an earlier batch — n_demands must
+            # still match the full history for the LAST emitted row
+            raise AssertionError(
+                (row.partkey, row.n_demands, b["n_demands"])
+            )
+        for c in ("z_hat", "p_hat", "croston_fc", "sba_fc"):
+            assert getattr(row, c) == b[c], (row.partkey, c)
+        n_checked += 1
+    assert n_checked >= 50  # the tail split touches a real fleet of parts
