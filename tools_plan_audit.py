@@ -89,7 +89,7 @@ _RESCAN_WAIVERS = {
     "dedup_threshold_sweep": "sweeps thresholds over the shingle relation",
     "dedup_minhash_lsh": "signature build + band join read the corpus-sized signature relation",
     "dedup_embedding_cosine_ann": "ANN candidate generation + exact rerank read the vector relation per stage",
-    "text_tfidf_top_terms": "token-exploded relation is corpus-sized",
+    "text_tfidf_top_terms": "token-exploded relation is corpus-sized; r13 sf1 A/B: pinning it is 29% SLOWER at 10x data (3.48s vs 2.70s, BENCH_AB_r13 §4) and the gap widens with scale — rescan kept by measurement",
     "text_bigram_perplexity": "bigram-exploded relation is corpus-sized",
     "text_pmi_collocations": "bigram-exploded relation is corpus-sized",
     "mix_corpus_weighted": "epoch-upsample union reads the corpus per epoch weight by construction",
