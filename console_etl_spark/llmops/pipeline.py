@@ -902,6 +902,79 @@ def global_prefix_sum(
     )
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    sort_cols: list[str],
+    value_cols: list[str],
+    out_cols: list[str],
+    inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column sibling of ``global_prefix_sum``: N running totals
+    in ONE range shuffle, one bounded collect, and one partition-keyed
+    window pass — for rank statistics that need several exclusive
+    prefixes over the SAME sort order (Jonckheere-Terpstra's per-group
+    prefix counts, Cramer-von Mises' combined + group-1 prefixes).
+    Chaining the single-column kernel N times repartitions, pins, and
+    window-scans the same relation N times for no semantic gain — the
+    r13 review measured JT paying four identical shuffles this way.
+
+    Same exactness contract as the single-column kernel (integral
+    value columns, 64-bit exact partials, bit-deterministic under any
+    partitioning); ungrouped only — every current multi-prefix
+    consumer ranks one global order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..session import pin
+
+    assert len(value_cols) == len(out_cols) and value_cols
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    pin(ranged)
+    # Bounded collect: one row per shuffle partition (<= num_partitions),
+    # independent of |df| — allowlisted in tests/test_plans.py.
+    parts = (
+        ranged.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_s_{c}") for c in value_cols])
+        .collect()
+    )
+    acc = [0] * len(value_cols)
+    offsets = []
+    for row in sorted(parts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], *acc))
+        acc = [
+            a + (row[f"_s_{c}"] or 0) for a, c in zip(acc, value_cols)
+        ]
+    off_schema = StructType(
+        [StructField("_pid", IntegerType())]
+        + [StructField(f"_off_{c}", LongType()) for c in value_cols]
+    )
+    off = spark.createDataFrame(offsets, off_schema)
+    end = 0 if inclusive else -1
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(W.unboundedPreceding, end)
+    )
+    joined = ranged.join(F.broadcast(off), ["_pid"])
+    for c, out_col in zip(value_cols, out_cols):
+        joined = joined.withColumn(
+            out_col,
+            F.coalesce(F.sum(c).over(w).cast("bigint"), F.lit(0))
+            + F.col(f"_off_{c}"),
+        )
+    return joined.drop("_pid", *[f"_off_{c}" for c in value_cols])
+
+
 @_register(
     "enumerate_docs_global",
     """

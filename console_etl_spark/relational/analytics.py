@@ -1208,23 +1208,24 @@ def retention_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to observed days.
 
     The (user, day) relation feeds three branches (day domain, the
-    coverage explode, DAU), so it is localCheckpoint-PINNED: r13's
-    sf1 A/B (BENCH_AB_r13.md) measured the pin 12% faster than the
-    three rescans at 10x data (1.93 s vs 2.20 s) and only ~7% slower
-    at sf0.1 (0.74 vs 0.69) where the page cache hides rescan cost —
-    the crossover sits between the two, and at 100 TB the pin removes
-    two full event scans plus two re-dedups for one disk-backed
-    materialization of the much smaller deduplicated relation. (This
-    retires the r12 repeated-scan waiver that had blessed the rescan
-    shape on the sf0.1 measurement alone.)
+    coverage explode, DAU), so it is pin()-PERSISTED — a three-way r13
+    sf1 A/B (BENCH_AB_r13.md section 4): rescan 2.20 s, localCheckpoint
+    1.88 s, persist-pin 2.24 s at 10x data. localCheckpoint is the
+    local winner but is the one option the pin() doctrine rejects for
+    a DATA-SIZED relation (it truncates lineage, so losing one
+    executor of a thousand fails the job instead of recomputing — fine
+    for the engine's calendar-bounded grids, wrong for a user-sized
+    distinct); persist ties rescan locally while removing two full
+    event scans plus two re-dedups at 100 TB with recompute-on-loss
+    intact. (This retires the r12 repeated-scan waiver that had
+    blessed the rescan shape on the sf0.1 measurement alone.)
 
     Exactness: dates and counts are integers; one division per day."""
+    from ..session import pin
+
     e = load_table(spark, sf_dir, "events")
-    ud = (
-        e.select("user_id", F.to_date("ts").alias("day"))
-        .distinct()
-        .localCheckpoint()
-    )
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    pin(ud)
     days = ud.select("day").distinct()
     cover = (
         ud.select(

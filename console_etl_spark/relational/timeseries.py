@@ -7536,12 +7536,14 @@ def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-input double product is bit-equal across engines anyway).
 
     Scale shape: one partial-agg shuffle collapses the fact scan to
-    distinct-value counts (pinned — the two prefix scans would
-    otherwise each re-run it), two global_prefix_sum kernel passes
-    (range-partitioned, NO SinglePartition window; kernel citation:
-    llmops.pipeline.global_prefix_sum, the Mann-Whitney shape), and a
-    1-row bounded reduce."""
-    from ..llmops.pipeline import global_prefix_sum
+    distinct-value counts (pinned), ONE fused multi-column prefix pass
+    (both exclusive prefixes — combined and group-1 — in one range
+    shuffle + one partition-keyed window; kernel citation:
+    llmops.pipeline.global_prefix_sums, the r13 fused sibling of the
+    Mann-Whitney kernel — chaining the single-column kernel twice paid
+    two identical shuffles over the same sort order), and a 1-row
+    bounded reduce. No SinglePartition window anywhere."""
+    from ..llmops.pipeline import global_prefix_sums
     from ..session import pin
 
     o = load_table(spark, sf_dir, "orders").filter(
@@ -7556,9 +7558,8 @@ def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("ct"),
     )
     pin(v)
-    cum = global_prefix_sum(v, ["x"], "ct", out_col="below", inclusive=False)
-    cum = global_prefix_sum(
-        cum, ["x"], "c1", out_col="below1", inclusive=False
+    cum = global_prefix_sums(
+        v, ["x"], ["ct", "c1"], ["below", "below1"], inclusive=False
     )
     d38 = "decimal(38,0)"
     c1d = F.col("c1").cast(d38)
@@ -7878,12 +7879,15 @@ def stats_jonckheere_terpstra(
     1e11-row groups).
 
     Scale shape: one partial-agg shuffle to distinct-value group
-    counts (pinned), FOUR global_prefix_sum kernel passes over that
-    bounded-by-distinct-values relation (groups 1-4; group 5 needs no
-    prefix — nothing orders above it), one 1-row reduce. No
-    SinglePartition window anywhere (kernel citation:
-    llmops.pipeline.global_prefix_sum, the Mann-Whitney/CvM shape)."""
-    from ..llmops.pipeline import global_prefix_sum
+    counts (pinned), ONE fused multi-column prefix pass carrying the
+    four per-group exclusive prefixes (groups 1-4; group 5 needs no
+    prefix — nothing orders above it) in a single range shuffle + one
+    partition-keyed window (kernel citation:
+    llmops.pipeline.global_prefix_sums — the r13 review caught the
+    first cut paying FOUR identical shuffles by chaining the
+    single-column kernel), one 1-row reduce. No SinglePartition
+    window anywhere."""
+    from ..llmops.pipeline import global_prefix_sums
     from ..session import pin
 
     o = load_table(spark, sf_dir, "orders")
@@ -7903,11 +7907,13 @@ def stats_jonckheere_terpstra(
         F.count("*").cast("bigint").alias("ct"),
     )
     pin(v)
-    cum = v
-    for i in range(1, 5):
-        cum = global_prefix_sum(
-            cum, ["x"], f"c{i}", out_col=f"b{i}", inclusive=False
-        )
+    cum = global_prefix_sums(
+        v,
+        ["x"],
+        [f"c{i}" for i in range(1, 5)],
+        [f"b{i}" for i in range(1, 5)],
+        inclusive=False,
+    )
     d38 = "decimal(38,0)"
     c = {i: F.col(f"c{i}").cast(d38) for i in range(1, 6)}
     b = {i: F.col(f"b{i}").cast(d38) for i in range(1, 5)}

@@ -864,9 +864,13 @@ class MaterializedView:
         stream had its early epochs silently no-op'd and their deltas
         dropped. Tags now carry the emitting checkpoint's identity
         (``r<runid>-e<epoch>``, see stream_refresh_mv) and the
-        numeric-older rule applies only when both run ids match;
-        across different runs — including one tagged, one legacy
-        untagged — only full-string equality skips. Residual
+        numeric-older rule applies only when both run ids match —
+        and a run id is EXACTLY eight lowercase hex digits (what
+        checkpoint_run_id emits), so an arbitrary custom tag that
+        merely looks run-shaped ('reload-e7') still falls back to
+        equality-only instead of silently adopting monotone
+        semantics. Across different runs — including one tagged,
+        one legacy untagged — only full-string equality skips. Residual
         assumptions (documented, not enforced): wiping a checkpoint
         dir IN PLACE reuses its run id, so its reset epochs still
         no-op; and upgrading a CRASHED legacy-tagged stream re-folds
@@ -879,7 +883,7 @@ class MaterializedView:
             return True
         import re
 
-        pat = r"(?:r([0-9A-Za-z]+)-)?e(\d+)"
+        pat = r"(?:r([0-9a-f]{8})-)?e(\d+)"
         m_last = re.fullmatch(pat, last_tag)
         m_new = re.fullmatch(pat, epoch_tag)
         return bool(

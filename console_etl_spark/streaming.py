@@ -1122,17 +1122,35 @@ def checkpoint_run_id(checkpoint: str) -> str:
     restarted against a fresh checkpoint dir — or a second writer
     stream — legitimately starts back at epoch 0, and an unscoped
     numeric-older guard would silently drop those early folds (ADVICE
-    r12, MaterializedView._already_applied). Hashing the normalized
-    checkpoint path gives each checkpoint lineage its own monotone
+    r12, MaterializedView._already_applied). Hashing the CANONICALIZED
+    checkpoint location gives each checkpoint lineage its own monotone
     namespace while staying stable across crash-restarts of the SAME
     checkpoint (where epoch ids genuinely continue and the numeric
-    guard must keep working). Documented residual: wiping a checkpoint
-    dir's CONTENTS in place reuses the path, hence the run id — use a
-    fresh dir for a fresh run."""
+    guard must keep working) — canonicalized, not the literal
+    spelling: a local path ('/data/ck', 'file:///data/ck', a relative
+    form, a symlink) resolves through realpath before hashing, because
+    a restart that merely re-spells the same checkpoint dir must NOT
+    mint a new run id (that would defeat the crash-replay guard and
+    double-fold the replayed epoch). Remote URIs (s3a://, hdfs://)
+    hash their normalized string — object stores have no symlinks and
+    one logical location is one spelling in practice. Documented
+    residual: wiping a checkpoint dir's CONTENTS in place reuses the
+    path, hence the run id — use a fresh dir for a fresh run."""
     import hashlib
+    import os
     import posixpath
+    from urllib.parse import urlparse
 
-    norm = posixpath.normpath(str(checkpoint).rstrip("/"))
+    raw = str(checkpoint)
+    parsed = urlparse(raw)
+    if parsed.scheme in ("", "file"):
+        path = parsed.path if parsed.scheme == "file" else raw
+        norm = os.path.realpath(path)
+    else:
+        norm = (
+            f"{parsed.scheme}://{parsed.netloc}"
+            f"{posixpath.normpath(parsed.path).rstrip('/') or '/'}"
+        )
     return hashlib.sha256(norm.encode("utf-8")).hexdigest()[:8]
 
 

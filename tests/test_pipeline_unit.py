@@ -360,6 +360,38 @@ def test_global_prefix_sum_matches_naive_scan(spark):
         assert got == {e[0]: e[col] for e in expected}, f"inclusive={inclusive}"
 
 
+def test_global_prefix_sums_fused_equals_chained_single(spark):
+    """Fused-kernel law (r13): global_prefix_sums over N value columns
+    == N chained global_prefix_sum calls over the same sort order, for
+    both scan directions — the one-shuffle fusion JT/CvM ride must be
+    a pure plan optimization, never a semantic change."""
+    rows = [
+        (k, (k * 37 + 11) % 13, (k * 17 + 5) % 7, k % 3)
+        for k in range(997)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, a bigint, b bigint, c bigint")
+    for inclusive in (False, True):
+        fused = {
+            r["k"]: (r["pa"], r["pb"], r["pc"])
+            for r in pipeline.global_prefix_sums(
+                df,
+                ["k"],
+                ["a", "b", "c"],
+                ["pa", "pb", "pc"],
+                inclusive=inclusive,
+            ).collect()
+        }
+        chained = df
+        for c, o in (("a", "pa"), ("b", "pb"), ("c", "pc")):
+            chained = pipeline.global_prefix_sum(
+                chained, ["k"], c, out_col=o, inclusive=inclusive
+            )
+        want = {
+            r["k"]: (r["pa"], r["pb"], r["pc"]) for r in chained.collect()
+        }
+        assert fused == want, f"inclusive={inclusive}"
+
+
 def test_global_prefix_sum_grouped_equals_per_group_scans(spark):
     """Grouped-kernel law (VERDICT r7 item 6): one grouped invocation
     == running the ungrouped kernel once per group, for both scan

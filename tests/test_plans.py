@@ -214,6 +214,8 @@ def test_no_unbounded_driver_materialization():
         ("llmops/pipeline.py", "global_enumerate"),
         # global prefix-scan: one partial-sum row PER PARTITION
         ("llmops/pipeline.py", "global_prefix_sum"),
+        # fused multi-column prefix-scan: one N-sum row PER PARTITION
+        ("llmops/pipeline.py", "global_prefix_sums"),
         # global prefix-max: one partial-max row PER PARTITION
         ("llmops/pipeline.py", "global_prefix_max"),
         # k-means fit: k seed rows + k·dim partial-sum rows per round

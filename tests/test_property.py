@@ -2664,7 +2664,9 @@ class TestRound13Laws:
             forecast_ses_alpha_grid_daily,
         )
 
-        got = forecast_ses_alpha_grid_daily(spark, "/root/testdata/sf0.001")
+        from tests.conftest import SF_TEST
+
+        got = forecast_ses_alpha_grid_daily(spark, SF_TEST)
         rows = {r["alpha"]: r for r in got.collect()}
         assert set(rows) == set(SES_ALPHAS)
         cents = self._daily_cents(spark).to_numpy()
@@ -2706,7 +2708,9 @@ class TestRound13Laws:
             forecast_theta_daily,
         )
 
-        got = forecast_theta_daily(spark, "/root/testdata/sf0.001").collect()[0]
+        from tests.conftest import SF_TEST
+
+        got = forecast_theta_daily(spark, SF_TEST).collect()[0]
         cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
         T = len(cents)
         hs = [0.0] * (T + 1)
@@ -2738,9 +2742,7 @@ class TestRound13Laws:
         assert got["rmse_theta"] == round((sse / n) ** 0.5 / 100.0, 6)
         assert got["mae_snaive"] == round(float(sa7) / n / 100.0, 6)
         assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
-        card = forecast_accuracy_scorecard_daily(
-            spark, "/root/testdata/sf0.001"
-        ).collect()[0]
+        card = forecast_accuracy_scorecard_daily(spark, SF_TEST).collect()[0]
         assert card["n_eval"] == got["n_eval"]
         assert card["mae_snaive"] == got["mae_snaive"]
 
@@ -2755,9 +2757,9 @@ class TestRound13Laws:
             stats_seasonal_strength_daily,
         )
 
-        got = stats_seasonal_strength_daily(
-            spark, "/root/testdata/sf0.001"
-        ).collect()[0]
+        from tests.conftest import SF_TEST
+
+        got = stats_seasonal_strength_daily(spark, SF_TEST).collect()[0]
         daily = self._daily_cents(spark)
         cents = daily.to_numpy().astype(object)  # exact ints
         days = daily.index.to_numpy()
@@ -2978,9 +2980,9 @@ class TestRound13WaveTwoLaws:
             forecast_theta_daily,
         )
 
-        got = forecast_holt_damped_daily(
-            spark, "/root/testdata/sf0.001"
-        ).collect()[0]
+        from tests.conftest import SF_TEST
+
+        got = forecast_holt_damped_daily(spark, SF_TEST).collect()[0]
         cents = [
             int(c)
             for c in TestRound13Laws._daily_cents(spark).to_numpy()
@@ -3003,7 +3005,7 @@ class TestRound13WaveTwoLaws:
         assert got["mae_damped"] == round(sae / n / 100.0, 6)
         assert got["rmse_damped"] == round((sse / n) ** 0.5 / 100.0, 6)
         assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
-        theta = forecast_theta_daily(spark, "/root/testdata/sf0.001").collect()[0]
+        theta = forecast_theta_daily(spark, SF_TEST).collect()[0]
         assert theta["mae_snaive"] == got["mae_snaive"]
         assert 0.0 < HD_PHI < 1.0 and _HD_OMA == 1.0 - HD_ALPHA
         assert _HD_OMB == 1.0 - HD_BETA

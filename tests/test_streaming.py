@@ -2811,44 +2811,68 @@ def test_mv_epoch_guard_is_run_scoped(spark, tmp_path):
     d = spark.createDataFrame([("a", 1.0)], "g string, v double")
 
     # run A folds epochs 0..1, then the stream is retired
-    mv.refresh(d, epoch_tag="rAAAA1111-e000000000000")
-    mv.refresh(d, epoch_tag="rAAAA1111-e000000000001")
+    mv.refresh(d, epoch_tag="raaaa1111-e000000000000")
+    mv.refresh(d, epoch_tag="raaaa1111-e000000000001")
     assert mv.read(spark).collect()[0].sum_v == 2.0
 
     # a FRESH-checkpoint restart (run B) legitimately restarts at
     # epoch 0 over new-only input: its fold must APPLY, not no-op
-    mv.refresh(d, epoch_tag="rBBBB2222-e000000000000")
+    mv.refresh(d, epoch_tag="rbbbb2222-e000000000000")
     assert mv.read(spark).collect()[0].sum_v == 3.0
     v_b0 = store.current("mv_runs").version
 
     # ...while run B's own crash-replay of that epoch is still a no-op
-    out = mv.refresh(d, epoch_tag="rBBBB2222-e000000000000")
+    out = mv.refresh(d, epoch_tag="rbbbb2222-e000000000000")
     assert out.version == v_b0
     assert mv.read(spark).collect()[0].sum_v == 3.0
     # and run B's numeric-older rule works within run B
-    mv.refresh(d, epoch_tag="rBBBB2222-e000000000001")
+    mv.refresh(d, epoch_tag="rbbbb2222-e000000000001")
     assert not MaterializedView._already_applied(
-        "rBBBB2222-e000000000001", "rBBBB2222-e000000000002"
+        "rbbbb2222-e000000000001", "rbbbb2222-e000000000002"
     )
     assert MaterializedView._already_applied(
-        "rBBBB2222-e000000000001", "rBBBB2222-e000000000000"
+        "rbbbb2222-e000000000001", "rbbbb2222-e000000000000"
     )
 
     # mixed legacy/tagged: numeric-older must NOT cross the boundary
     assert not MaterializedView._already_applied(
-        "e000000000057", "rCCCC3333-e000000000000"
+        "e000000000057", "rcccc3333-e000000000000"
     )
     assert not MaterializedView._already_applied(
-        "rCCCC3333-e000000000057", "e000000000000"
+        "rcccc3333-e000000000057", "e000000000000"
     )
 
-    # the emitter's run id: stable for one checkpoint path (crash
-    # restarts keep the numeric guard), distinct across paths, and
-    # insensitive to trailing-slash spelling
-    a = checkpoint_run_id(str(tmp_path / "ck1"))
-    assert a == checkpoint_run_id(str(tmp_path / "ck1") + "/")
+    # a custom tag that merely LOOKS run-shaped must not adopt
+    # monotone semantics — run ids are exactly 8 lowercase hex chars
+    assert not MaterializedView._already_applied("reload-e7", "reload-e3")
+    assert MaterializedView._already_applied("reload-e3", "reload-e3")
+
+    # the emitter's run id: stable for one checkpoint dir across EVERY
+    # spelling a crash-restart might use (trailing slash, file:// URI,
+    # relative path, symlink — re-spelling the same dir must not mint
+    # a new run id or the replay guard double-folds), distinct across
+    # dirs, and scheme-aware for remote URIs
+    import os
+
+    ck1 = tmp_path / "ck1"
+    ck1.mkdir()
+    a = checkpoint_run_id(str(ck1))
+    assert a == checkpoint_run_id(str(ck1) + "/")
+    assert a == checkpoint_run_id("file://" + str(ck1))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert a == checkpoint_run_id("ck1")
+    finally:
+        os.chdir(cwd)
+    link = tmp_path / "ck1_link"
+    os.symlink(str(ck1), str(link))
+    assert a == checkpoint_run_id(str(link))
     assert a != checkpoint_run_id(str(tmp_path / "ck2"))
     assert len(a) == 8 and int(a, 16) >= 0
+    s3 = checkpoint_run_id("s3a://bucket/ck/")
+    assert s3 == checkpoint_run_id("s3a://bucket/ck")
+    assert s3 != checkpoint_run_id("s3a://bucket/other")
 
 
 def test_stream_refresh_mv_fresh_checkpoint_restart_not_dropped(

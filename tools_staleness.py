@@ -266,11 +266,22 @@ def law_fingerprint(
         except SyntaxError:
             continue
         lines = text.splitlines()
+        # top-level test functions AND test methods inside Test*
+        # classes — half this suite's law tests live in class bodies
+        # (TestRound12Laws etc.); scanning only tree.body made every
+        # class-scoped law invisible to the rule
+        candidates: list[tuple[str, ast.AST]] = []
         for node in tree.body:
-            if not (
-                isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
-                and node.name.startswith("test_")
-            ):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                candidates.append((node.name, node))
+            elif isinstance(node, ast.ClassDef):
+                for sub in node.body:
+                    if isinstance(
+                        sub, (ast.FunctionDef, ast.AsyncFunctionDef)
+                    ):
+                        candidates.append((f"{node.name}::{sub.name}", sub))
+        for label, node in candidates:
+            if not node.name.startswith("test_"):
                 continue
             if _REGISTRY_TEST_PAT.search(node.name):
                 continue
@@ -283,7 +294,7 @@ def law_fingerprint(
             out.append(
                 (
                     relpath,
-                    node.name,
+                    label,
                     ast.dump(
                         _strip_docstring(node), include_attributes=False
                     ),
