@@ -181,10 +181,167 @@ HEADLINE = [
 CORE = HEADLINE[: HEADLINE.index("dedup_cross_doc_segments")]
 
 
+def _calib_single(passes: int = 5) -> list[float]:
+    """Fixed single-thread CPU-bound loop, timed ``passes`` times.
+
+    The cross-round host-speed normalizer (see the long comment at its
+    call site in main()). Shared by the main process and the isolated
+    subprocess so their ratios are directly comparable.
+    """
+    out: list[float] = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        out.append(round(time.perf_counter() - t0, 4))
+    return out
+
+
+def _calib_worker(_: int) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _calib_multicore(workers: int, passes: int = 5) -> list[float]:
+    """Multicore calibration twin (VERDICT r13 item 1b).
+
+    The single-thread loop normalizes host CPU *speed* but is blind to
+    multicore contention and memory-bandwidth pressure — exactly what a
+    co-tenant box exerts on a 32-thread Spark suite. Here ``workers``
+    processes run the SAME loop simultaneously; the wall time of one
+    parallel batch is recorded per pass. On a quiet host mc ≈ single;
+    under contention mc inflates while single may not — so the ratio
+    calib_mc/calib tells a reader whether a slow round was contended
+    without re-running anything. Spawn (not fork): the caller holds a
+    live py4j gateway with helper threads, and forking a threaded
+    process can deadlock the child.
+    """
+    import concurrent.futures as cf
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    out: list[float] = []
+    with cf.ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
+        list(pool.map(_calib_worker, range(workers)))  # warm the pool (imports)
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            list(pool.map(_calib_worker, range(workers)))
+            out.append(round(time.perf_counter() - t0, 4))
+    return out
+
+
+def _jvm_gc_ms(spark) -> int | None:
+    """Cumulative GC time (ms) across all collectors of the local JVM.
+
+    local-mode driver and executors share one JVM, so this is the
+    executor GC telemetry VERDICT r13 item 1b asks for. Returns None on
+    any gateway hiccup — telemetry must never fail the bench contract.
+    """
+    try:
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception:
+        return None
+
+
+def run_isolated_core() -> None:
+    """Subprocess mode: measure the frozen 30-query core CONTAMINATION-FREE.
+
+    VERDICT r13 item 1a: the driver-run value/calib ratio drifted
+    70.3→103.1 over r10–r13 while quiet-host re-measures held flat; the
+    suspected contaminant is the growing extended suite itself (a
+    104-plan warmup and 74 extra queries' worth of JVM/codegen/GC
+    pressure share the session with the core measurement). This mode
+    runs in a FRESH process with a FRESH SparkSession, warms ONLY the
+    core plans, and times ONLY the core — same 3-pass-min protocol, same
+    single-thread calibration — so the core series has a twin that
+    suite growth cannot touch. If the drift reproduces here, it's code;
+    if it doesn't, it's host/suite pressure. Output: one JSON line.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("console_etl_spark_bench_isolated")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in CORE:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    release_pins()
+    spark.catalog.clearCache()
+    calib_passes = _calib_single()
+    calib_sec = sorted(calib_passes)[2]
+    gc0 = _jvm_gc_ms(spark)
+    timings: dict[str, float] = {}
+    for name in CORE:
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+            release_pins()
+            spark.catalog.clearCache()
+        timings[name] = min(runs)
+    gc1 = _jvm_gc_ms(spark)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "isolated_core_sec": total,
+                "calib_sec": calib_sec,
+                "calib_min": min(calib_passes),
+                "calib_max": max(calib_passes),
+                "ratio": round(total / calib_sec, 2) if calib_sec else None,
+                "gc_sec": round((gc1 - gc0) / 1000.0, 2)
+                if gc0 is not None and gc1 is not None
+                else None,
+                "queries_min": timings,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _spawn_isolated_core() -> dict | None:
+    """Run the isolated-core twin in a subprocess; None on any failure.
+
+    Runs BEFORE the parent creates its own SparkSession so the fresh JVM
+    has the whole box to itself — two concurrent JVMs would reintroduce
+    the contamination this measurement exists to exclude.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated-core"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            if ln.startswith("{"):
+                return json.loads(ln)
+        print(
+            f"# isolated-core subprocess produced no JSON (rc={proc.returncode}); "
+            f"stderr tail: {proc.stderr[-500:]}",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"# isolated-core subprocess failed: {exc}", file=sys.stderr)
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Isolated-core twin FIRST (fresh box, no parent JVM yet).
+    isolated = _spawn_isolated_core()
 
     spark = get_spark("console_etl_spark_bench")
     import __spark_entry__ as entrymod
@@ -220,14 +377,20 @@ def main() -> None:
     # round's "slow host" attribution rests on a stable measurement or a
     # single noisy pass. A wide spread means the host was churning DURING
     # calibration and the normalized ratio deserves suspicion.
-    calib_passes: list[float] = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(2_000_000):
-            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-        calib_passes.append(round(time.perf_counter() - t0, 4))
+    calib_passes = _calib_single()
     calib_sec = sorted(calib_passes)[2]
+    # Multicore twin (VERDICT r13 item 1b): same loop on N parallel
+    # workers — sensitive to the multicore/memory-bandwidth contention
+    # the single-thread loop can't see. Compare calib_mc/calib across
+    # rounds: a jump with flat single-thread calib = contended host.
+    mc_workers = min(8, os.cpu_count() or 8)
+    try:
+        calib_mc_passes = _calib_multicore(mc_workers)
+        calib_mc_sec = sorted(calib_mc_passes)[len(calib_mc_passes) // 2]
+    except Exception as exc:  # telemetry must not break the contract
+        print(f"# multicore calib failed: {exc}", file=sys.stderr)
+        calib_mc_passes, calib_mc_sec = [], None
+    gc_before_ms = _jvm_gc_ms(spark)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     median: dict[str, float] = {}
@@ -263,6 +426,12 @@ def main() -> None:
             file=sys.stderr,
         )
     load_after = os.getloadavg()
+    gc_after_ms = _jvm_gc_ms(spark)
+    gc_time_sec = (
+        round((gc_after_ms - gc_before_ms) / 1000.0, 2)
+        if gc_before_ms is not None and gc_after_ms is not None
+        else None
+    )
 
     # Driver contract is ONE parseable JSON line; round 3's artifact blew
     # the driver's line-capture budget by inlining 27x3 per-pass floats
@@ -275,6 +444,8 @@ def main() -> None:
         "queries_median": median,
         "passes": passes,
         "calib_passes": calib_passes,
+        "calib_mc_passes": calib_mc_passes,
+        "isolated_core": isolated,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -311,6 +482,25 @@ def main() -> None:
             # THIS across rounds — raw seconds swing ~1.3x with co-tenant
             # load; value / calib_sec cancels the host-speed factor.
             "value_calib_ratio": round(total / calib_sec, 2) if calib_sec else None,
+            # Contamination-free core twin (VERDICT r13 item 1a): same 30
+            # queries, fresh subprocess+session, core-only warmup, own
+            # calibration — suite growth cannot touch this series. If the
+            # r10-r13 ratio drift reproduces in isolated_ratio it's code;
+            # if isolated stays flat while value_calib_ratio climbs, the
+            # in-session number is contaminated (host or suite pressure).
+            "value_core_isolated": isolated.get("isolated_core_sec") if isolated else None,
+            "calib_isolated_sec": isolated.get("calib_sec") if isolated else None,
+            "isolated_ratio": isolated.get("ratio") if isolated else None,
+            "isolated_gc_sec": isolated.get("gc_sec") if isolated else None,
+            # Multicore contention twin (item 1b): calib_mc/calib ≈ 1 on a
+            # quiet host; it inflates under co-tenant load the
+            # single-thread loop can't see.
+            "calib_mc_sec": calib_mc_sec,
+            "calib_mc_workers": mc_workers,
+            # Executor-JVM GC seconds across the timed loop (local mode:
+            # driver==executor JVM). Distinguishes memory-pressure rounds
+            # from CPU-contention rounds in the artifact itself.
+            "gc_time_sec": gc_time_sec,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
             "sf": sf,
@@ -324,4 +514,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--isolated-core" in sys.argv[1:]:
+        run_isolated_core()
+    else:
+        main()
