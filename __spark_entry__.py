@@ -53,101 +53,81 @@ _MODULES = (
 # registration order is the coverage contract. Everything not listed here
 # registers afterwards in module order and stays covered by the local
 # parity suite (tests/test_oracle_parity.py).
-# ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed —
+# ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed --
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 13 (twelfth
-# rotation): the 5 NEW r13 registrations first (the SES alpha-grid
-# backtest and the theta-method backtest — the state-space forecast
-# siblings VERDICT r12 item 3 asked for, both scored against the
-# seasonal-naive champion on the shared t >= 8 window; seasonal/trend
-# strength via classical decomposition; the Cramer-von Mises two-sample
-# test completing the KS/Mann-Whitney nonparametric shelf; first-order
-# partial correlation controlling discount — all oracle-backed,
-# numpy/pandas replica laws pinned, windowed same-round). The r12
-# streaming item also landed (stream_croston_intermittent, streaming.py:
-# stream==batch bit-exact + replay/restart laws) but streaming twins are
-# pytest-tier, not window slots. tools_staleness.py (now law-aware for
-# rows-only queries — VERDICT r12 item 7, and since this round a
-# same-file CLOSURE fingerprint that also sees shared-helper and
-# module-constant edits, and across in-repo imports) reports 26
-# changed-code queries at HEAD: retention_dau_wau_stickiness (the
-# (user,day) pin from the sf1 A/B) plus 25 the closure rule surfaced
-# whose helpers changed after their rows (7 of them sit in the r6
-# tier below and were already windowed; the other 19 form the changed
-# tier). A second r13 wave added the ordered-alternative
-# Jonckheere-Terpstra test, the Ansari-Bradley scale test, and the
-# damped-Holt shelf member. Changed-code outranks pure staleness, so
-# the r7 drain takes the 8 oldest rows and the rest lead r14. 38
-# oracle value-hash slots + 12 rows-only-by-design slots (the
-# ANN/PQ/OPQ tiers, both k-means queries, the cosine-ANN dedup,
-# SemDeDup, the schema census, the two approx-sketch tiers, the
-# sliding HLL — each with an oracle-checked exact twin or a pinned
-# law suite).
+# their last driver row, then oldest rows first. ROUND 14 (thirteenth
+# rotation): the 8 NEW r14 registrations first (the AR(2) Yule-Walker
+# one-step backtest carrying the shelf's first significance number -- the
+# Diebold-Mariano statistic vs the seasonal-naive champion; pinball-loss
+# scoring of the P10/P90 interval forecast on an honest calibration/
+# holdout time split; the random-walk-with-drift bake-off floor; Mood's
+# median test, the Cox-Stuart sign trend, Grubbs' outlier statistic, and
+# the weekly-block pair Page's L / Kendall's W -- all oracle-backed,
+# python/numpy replica laws in TestRound14Laws, windowed same-round).
+# tools_staleness.py (closure-aware) reports ZERO stale-against-HEAD and
+# zero unresolvable at the rotation point -- the r13 window drained the
+# entire changed tier -- so the remaining 42 slots drain pure staleness:
+# every remaining r7-vintage driver row and the 8 oldest r8 rows, in
+# registration order within equal rounds. 47 oracle value-hash slots +
+# 3 rows-only-by-design slots (PageRank's iterative fixpoint and the
+# MinHash-LSH / SimHash banded tiers -- each law-pinned with an
+# oracle-checked exact twin).
 _PRIORITY = (
-    # new r13 registrations, never driver-checked (8; two waves)
-    "forecast_ses_alpha_grid_daily",
-    "forecast_theta_daily",
-    "stats_seasonal_strength_daily",
-    "stats_cvm_two_sample",
-    "stats_partial_corr_lineitem",
-    "stats_jonckheere_terpstra",
-    "stats_ansari_bradley",
-    "forecast_holt_damped_daily",
-    # r6 driver rows (all 15 remaining; oldest evidence in the fleet)
-    "psi_totalprice_drift",
-    "jsd_event_type_weekend",
-    "assoc_part_pairs_lift",
-    "markov_event_transitions",
-    "kanonymity_customer_audit",
-    "text_source_token_entropy",
-    "conversion_time_percentiles",
-    "sql_parameterized_topn",
-    "graph_bfs_hop_histogram",
-    "dedup_cross_doc_segments",
-    "dedup_keep_best_quality",
-    "text_lang_source_mi",
-    "text_pmi_collocations",
-    "text_readability_scores",
-    "enumerate_docs_global",
-    # changed since last driver row (19 — tools_staleness.py's new
-    # CLOSURE fingerprint, same-file helpers/constants AND in-repo
-    # cross-module imports: retention's (user,day) pin from the sf1
-    # A/B, plus 18 queries whose shared helpers changed after their
-    # rows with no verdict ever flagging them — the r12 k-means
-    # partial-sort fix alone had silently staled the two cluster
-    # queries and the ANN tiers riding the same seeding helpers; the
-    # kernel/session-helper consumers (spearman, eval AUC/PR, heaps,
-    # abc, approx-NDV) surfaced only once imports were closed over)
-    "retention_dau_wau_stickiness",
-    "ann_ivf_pq_topk",
-    "ann_lsh_bucketed",
-    "ann_opq_topk",
-    "ann_pq_topk",
-    "cluster_kmeans_embeddings",
-    "cluster_kmeans_topic_mix",
-    "curate_token_budget",
-    "dedup_connected_groups",
-    "dedup_cross_source_matrix",
-    "dedup_degree_histogram",
-    "dedup_embedding_cosine_ann",
-    "semdedup_cluster_prune",
-    "abc_pareto_parts",
-    "approx_ndv_users_incremental",
-    "eval_auc_doc_length",
-    "eval_pr_curve_points",
-    "stats_spearman_qty_price",
-    "text_heaps_law_fit",
-    # r7 driver rows (8 oldest pure-staleness, registration order;
-    # the rest lead r14)
-    "events_props_schema_census",
-    "dedup_events_debounce",
-    "fuzzy_blocked_name_pairs",
-    "approx_percentile_price",
-    "scd2_point_in_time_join",
-    "profile_fd_violations",
-    "profile_value_shapes",
-    "sliding_distinct_users_hourly",
-    # WINDOW FULL at 50 (8 new + 19 changed + 15 r6 + 8 r7).
+    # new r14 registrations, never driver-checked (8)
+    "forecast_ar2_daily",
+    "forecast_pinball_interval_daily",
+    "forecast_drift_daily",
+    "stats_mood_median_weekend",
+    "stats_cox_stuart_trend_daily",
+    "stats_grubbs_outlier_daily",
+    "stats_page_trend_dow",
+    "stats_kendalls_w_dow",
+    # r7 driver rows (the remaining 34 -- after this window the oldest
+    # driver evidence anywhere in the fleet is r8)
+    "weighted_median_price_by_flag",
+    "division_customers_all_priorities",
+    "mad_price_by_flag",
+    "control_chart_xmr_user_value",
+    "allocation_hamilton_quota",
+    "hhi_supplier_concentration",
+    "orders_skyline_price_date",
+    "ldiversity_customer_audit",
+    "events_out_of_order_audit",
+    "smape_seasonal_backtest",
+    "survival_user_retention_km",
+    "gini_revenue_concentration",
+    "graph_pagerank_trade",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_shingle_containment",
+    "dedup_threshold_sweep",
+    "calibration_diversity_vs_canonical",
+    "text_zipf_fit",
+    "text_keyword_rake",
+    "text_trigram_novelty",
+    "text_bm25_topk",
+    "text_next_token_table",
+    "word2vec_sampling_tables",
+    "embedding_matryoshka_topk",
+    "contrastive_hard_negatives",
+    "mix_temperature_weights",
+    "eval_gains_deciles",
+    "eval_calibration_bins",
+    "eval_woe_iv_doc_length",
+    "q6_revenue_forecast",
+    "top_customers_by_revenue",
+    "window_running_quantity",
+    "window_order_gap_days",
+    # r8 driver rows (the 8 oldest, registration order)
+    "window_rank_parts_by_price",
+    "asof_join_bounded_lookback",
+    "stats_mannwhitney_u",
+    "attribution_position_based",
+    "stats_kruskal_wallis",
+    "changepoint_cusum_daily_revenue",
+    "attribution_time_decay",
+    "anomaly_mad_daily_revenue",
+    # WINDOW FULL at 50 (8 new + 34 r7 + 8 r8).
 )
 
 

@@ -169,6 +169,19 @@ HEADLINE = [
     "stats_jonckheere_terpstra",
     "stats_ansari_bradley",
     "forecast_holt_damped_daily",
+    # round-14 additions (AR(2) Yule-Walker backtest with the
+    # Diebold-Mariano significance column, pinball-scored interval
+    # forecast, random-walk-with-drift floor, Mood median, Cox-Stuart
+    # sign trend, Grubbs outlier, Page ordered trend + Kendall's W on
+    # the weekly block design):
+    "forecast_ar2_daily",
+    "forecast_pinball_interval_daily",
+    "forecast_drift_daily",
+    "stats_mood_median_weekend",
+    "stats_cox_stuart_trend_daily",
+    "stats_grubbs_outlier_daily",
+    "stats_page_trend_dow",
+    "stats_kendalls_w_dow",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

@@ -8247,3 +8247,1119 @@ def _hd_finalize(raw: DataFrame) -> DataFrame:
             F.lit(1.0) - F.col("sae") / F.col("sa7").cast("double"), 6
         ).alias("mae_skill"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 14: the AR(2) bake-off member + interval scoring (VERDICT r13
+# item 4), then the classical-shelf quartet (Mood median, Cox-Stuart,
+# Grubbs, Page / Kendall's W on the weekly block design)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "forecast_ar2_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), lagd AS (
+      SELECT t, cents,
+             LAG(cents, 1) OVER (ORDER BY t) AS l1,
+             LAG(cents, 2) OVER (ORDER BY t) AS l2,
+             LAG(cents, 7) OVER (ORDER BY t) AS l7,
+             FIRST_VALUE(cents) OVER (ORDER BY t) AS y1,
+             NTH_VALUE(cents, 2) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS y2
+      FROM series
+    ), mom AS (
+      SELECT t, cents, l1, l2, l7, y1, y2,
+             CAST(t - 1 AS HUGEINT) AS m,
+             SUM(CAST(cents AS HUGEINT)) OVER wx AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) OVER wx AS ss,
+             SUM(CAST(cents AS HUGEINT) * l1) OVER wx AS p1,
+             SUM(CAST(cents AS HUGEINT) * l2) OVER wx AS p2
+      FROM lagd
+      WINDOW wx AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+    ), rfit AS (
+      SELECT t, cents, l1, l2, l7,
+             CAST(m * m * p1 - m * s * ((s - y1) + (s - l1))
+                  + (m - 1) * s * s AS DOUBLE)
+               / CAST(m * (m * ss - s * s) AS DOUBLE) AS r1,
+             CAST(m * m * p2 - m * s * ((s - y1 - y2) + (s - l1 - l2))
+                  + (m - 2) * s * s AS DOUBLE)
+               / CAST(m * (m * ss - s * s) AS DOUBLE) AS r2,
+             CAST(s AS DOUBLE) / CAST(m AS DOUBLE) AS mu
+      FROM mom WHERE t >= 8
+    ), pred AS (
+      SELECT t, cents, l7, phi1, phi2,
+             mu + phi1 * (CAST(l1 AS DOUBLE) - mu)
+                + phi2 * (CAST(l2 AS DOUBLE) - mu) AS yhat
+      FROM (
+        SELECT *,
+               r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+        FROM rfit
+      ) f
+    ), scored AS (
+      SELECT t, phi1, phi2,
+             ABS(CAST(cents AS DOUBLE) - yhat) AS ae,
+             (CAST(cents AS DOUBLE) - yhat)
+               * (CAST(cents AS DOUBLE) - yhat) AS se,
+             CAST(ABS(cents - l7) AS HUGEINT) AS ae7,
+             ABS(CAST(cents AS DOUBLE) - yhat)
+               - CAST(ABS(cents - l7) AS DOUBLE) AS dd
+      FROM pred
+    ), run AS (
+      SELECT t, phi1, phi2,
+             COUNT(*) OVER wr AS k,
+             COUNT(*) OVER wa AS n_all,
+             SUM(ae) OVER wr AS sae,
+             SUM(se) OVER wr AS sse,
+             SUM(ae7) OVER wr AS sa7,
+             SUM(dd) OVER wr AS sd,
+             SUM(dd * dd) OVER wr AS sdd
+      FROM scored
+      WINDOW wr AS (ORDER BY t ROWS UNBOUNDED PRECEDING),
+             wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(k AS BIGINT) AS n_eval,
+           ROUND(phi1, 6) AS phi1_last,
+           ROUND(phi2, 6) AS phi2_last,
+           ROUND(sae / k / 100.0, 6) AS mae_ar2,
+           ROUND(SQRT(sse / k) / 100.0, 6) AS rmse_ar2,
+           ROUND(CAST(sa7 AS DOUBLE) / k / 100.0, 6) AS mae_snaive,
+           ROUND(1.0 - sae / CAST(sa7 AS DOUBLE), 6) AS mae_skill,
+           ROUND((sd / k)
+                 / SQRT((sdd / k - (sd / k) * (sd / k)) / k), 6)
+             AS dm_stat
+    FROM run WHERE k = n_all
+    """,
+)
+def forecast_ar2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) ONE-STEP backtest on the daily-revenue series — the
+    genuinely autoregressive member that turns the forecast shelf's
+    four-model bake-off (Holt-Winters, SES grid, theta, damped Holt)
+    into five, on the SHARED protocol: the same t >= 8 evaluation
+    window and the same seasonal-naive champion denominator, so all
+    five mae_skill numbers are directly comparable. At each step t the
+    Yule-Walker coefficients are refit on days 1..t-1 only (expanding
+    window, no lookahead — the theta entry's expanding-slope
+    discipline) via the p = 2 closed form the hourly fit established
+    (stats_yule_walker_ar2_hourly): phi1 = r1(1-r2)/(1-r1^2),
+    phi2 = (r2-r1^2)/(1-r1^2), and the mean-form forecast is
+    yhat_t = mu + phi1*(y_{t-1}-mu) + phi2*(y_{t-2}-mu). Unlike the
+    smoothing members the fit carries NO recursive state — each yhat_t
+    is a pure function of prefix moments — so BOTH engines express the
+    backtest with window functions alone (no recursive CTE, no driver
+    fold, no collect). dm_stat is the Diebold-Mariano statistic on the
+    one-step absolute-loss differentials d_t = |e_ar2| - |e_snaive|
+    (h = 1, so the lag-0 population variance is the right denominator):
+    mean(d)/sqrt(var(d)/n) — negative and large means the AR(2)'s
+    skill over the champion is systematic, not luck; the shelf's first
+    significance number.
+
+    Exactness: every prefix moment (S, SS, and the lagged cross
+    products Sxy1, Sxy2) accumulates as HUGEINT / DECIMAL(38,0)
+    integers through an exclusive running window (ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING), the k-lag autocorrelations clear
+    denominators to ONE division of two exact integers each (the
+    n^2-cleared identity proven by stats_ljung_box_hourly, with the
+    prefix-edge sums Sx = S - y_1[- y_2], Sy = S - y_{t-1}[- y_{t-2}]
+    built from exact first/lag values), phi/yhat/loss terms are
+    identically-parenthesized IEEE doubles, and the double loss sums
+    accumulate through an ORDERED running window filtered to the last
+    row (the seasonal-strength discipline) so both engines fold the
+    same doubles in the same sequence.
+
+    Scale shape: ONE map-side-combinable partial-agg shuffle reduces
+    the fact table to the time-span-bounded daily grid (~2.4k rows at
+    ANY corpus scale); every window runs ORDER BY t on that bounded
+    relation and the finalize is a 1-row filter. No fact-table
+    rescans, no collect, no recursion."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    wo = W.orderBy("t")
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    )
+    lagd = series.select(
+        "t",
+        "cents",
+        F.lag("cents", 1).over(wo).alias("l1"),
+        F.lag("cents", 2).over(wo).alias("l2"),
+        F.lag("cents", 7).over(wo).alias("l7"),
+        F.first("cents").over(wo).alias("y1"),
+        F.nth_value("cents", 2)
+        .over(W.orderBy("t").rowsBetween(W.unboundedPreceding, 0))
+        .alias("y2"),
+    )
+    d38 = "decimal(38,0)"
+    wx = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    cI = F.col("cents").cast(d38)
+    mom = lagd.select(
+        "t",
+        "cents",
+        "l1",
+        "l2",
+        "l7",
+        "y1",
+        "y2",
+        (F.col("t") - 1).cast(d38).alias("m"),
+        F.sum(cI).over(wx).alias("s"),
+        F.sum(cI * F.col("cents")).over(wx).alias("ss"),
+        F.sum(cI * F.col("l1")).over(wx).alias("p1"),
+        F.sum(cI * F.col("l2")).over(wx).alias("p2"),
+    ).filter(F.col("t") >= 8)
+    mI, sI, ssI = F.col("m"), F.col("s"), F.col("ss")
+    den = (mI * (mI * ssI - sI * sI)).cast("double")
+    rfit = mom.select(
+        "t",
+        "cents",
+        "l1",
+        "l2",
+        "l7",
+        (
+            (
+                mI * mI * F.col("p1")
+                - mI * sI * ((sI - F.col("y1")) + (sI - F.col("l1")))
+                + (mI - 1) * sI * sI
+            ).cast("double")
+            / den
+        ).alias("r1"),
+        (
+            (
+                mI * mI * F.col("p2")
+                - mI
+                * sI
+                * (
+                    (sI - F.col("y1") - F.col("y2"))
+                    + (sI - F.col("l1") - F.col("l2"))
+                )
+                + (mI - 2) * sI * sI
+            ).cast("double")
+            / den
+        ).alias("r2"),
+        (sI.cast("double") / mI.cast("double")).alias("mu"),
+    )
+    one = F.lit(1.0)
+    r1, r2 = F.col("r1"), F.col("r2")
+    fitted = rfit.select(
+        "t",
+        "cents",
+        "l1",
+        "l2",
+        "l7",
+        "mu",
+        (r1 * (one - r2) / (one - r1 * r1)).alias("phi1"),
+        ((r2 - r1 * r1) / (one - r1 * r1)).alias("phi2"),
+    )
+    mu, phi1, phi2 = F.col("mu"), F.col("phi1"), F.col("phi2")
+    pred = fitted.select(
+        "t",
+        "cents",
+        "l7",
+        "phi1",
+        "phi2",
+        (
+            mu
+            + phi1 * (F.col("l1").cast("double") - mu)
+            + phi2 * (F.col("l2").cast("double") - mu)
+        ).alias("yhat"),
+    )
+    err = F.col("cents").cast("double") - F.col("yhat")
+    scored = pred.select(
+        "t",
+        "phi1",
+        "phi2",
+        F.abs(err).alias("ae"),
+        (err * err).alias("se"),
+        F.abs(F.col("cents") - F.col("l7")).cast(d38).alias("ae7"),
+        (
+            F.abs(err)
+            - F.abs(F.col("cents") - F.col("l7")).cast("double")
+        ).alias("dd"),
+    )
+    wr = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    run = scored.select(
+        "phi1",
+        "phi2",
+        F.count("*").over(wr).alias("k"),
+        F.count("*").over(wa).alias("n_all"),
+        F.sum("ae").over(wr).alias("sae"),
+        F.sum("se").over(wr).alias("sse"),
+        F.sum("ae7").over(wr).alias("sa7"),
+        F.sum("dd").over(wr).alias("sd"),
+        F.sum(F.col("dd") * F.col("dd")).over(wr).alias("sdd"),
+    ).filter(F.col("k") == F.col("n_all"))
+    kd = F.col("k").cast("double")
+    md = F.col("sd") / kd
+    return run.select(
+        F.col("k").cast("bigint").alias("n_eval"),
+        F.round(F.col("phi1"), 6).alias("phi1_last"),
+        F.round(F.col("phi2"), 6).alias("phi2_last"),
+        F.round(F.col("sae") / kd / F.lit(100.0), 6).alias("mae_ar2"),
+        F.round(
+            F.sqrt(F.col("sse") / kd) / F.lit(100.0), 6
+        ).alias("rmse_ar2"),
+        F.round(
+            F.col("sa7").cast("double") / kd / F.lit(100.0), 6
+        ).alias("mae_snaive"),
+        F.round(
+            F.lit(1.0) - F.col("sae") / F.col("sa7").cast("double"), 6
+        ).alias("mae_skill"),
+        F.round(
+            md / F.sqrt((F.col("sdd") / kd - md * md) / kd), 6
+        ).alias("dm_stat"),
+    )
+
+
+@_register(
+    "forecast_pinball_interval_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), resid AS (
+      SELECT t,
+             CAST(cents - LAG(cents, 7) OVER (ORDER BY t) AS DOUBLE)
+               / 100.0 AS e
+      FROM series QUALIFY e IS NOT NULL
+    ), idx AS (
+      SELECT t, e,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn,
+             COUNT(*) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS nr
+      FROM resid
+    ), q AS (
+      SELECT quantile_cont(e, 0.10) AS q10,
+             quantile_cont(e, 0.50) AS q50,
+             quantile_cont(e, 0.90) AS q90,
+             CAST(COUNT(*) AS BIGINT) AS n_calib
+      FROM idx WHERE rn * 2 <= nr
+    ), hold AS (
+      SELECT t, e, q10, q50, q90, n_calib,
+             GREATEST(0.1 * (e - q10), -0.9 * (e - q10)) AS pb10,
+             GREATEST(0.5 * (e - q50), -0.5 * (e - q50)) AS pb50,
+             GREATEST(0.9 * (e - q90), -0.1 * (e - q90)) AS pb90,
+             CASE WHEN e >= q10 AND e <= q90 THEN 1 ELSE 0 END AS cov
+      FROM idx CROSS JOIN q WHERE rn * 2 > nr
+    ), run AS (
+      SELECT n_calib, q10, q90,
+             COUNT(*) OVER wr AS k,
+             COUNT(*) OVER wa AS n_hold,
+             SUM(pb10) OVER wr AS s10,
+             SUM(pb50) OVER wr AS s50,
+             SUM(pb90) OVER wr AS s90,
+             SUM(cov) OVER wr AS sc
+      FROM hold
+      WINDOW wr AS (ORDER BY t ROWS UNBOUNDED PRECEDING),
+             wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    )
+    SELECT n_calib,
+           CAST(k AS BIGINT) AS n_holdout,
+           ROUND(q10, 6) AS q10,
+           ROUND(q90, 6) AS q90,
+           ROUND(s10 / k, 6) AS pinball_p10,
+           ROUND(s50 / k, 6) AS pinball_p50,
+           ROUND(s90 / k, 6) AS pinball_p90,
+           ROUND(CAST(sc AS DOUBLE) / CAST(k AS DOUBLE), 6)
+             AS coverage_80
+    FROM run WHERE k = n_hold
+    """,
+)
+def forecast_pinball_interval_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pinball (quantile) loss scoring of the seasonal-naive P10/P90
+    prediction band — the scorer forecast_naive_interval_daily lacked
+    (VERDICT r13 item 4: interval forecasts shipped unscored). Honest
+    out-of-sample protocol: the one-step residuals e_t = y_t - y_{t-7}
+    split in half by time (the McNemar integer-midpoint rule
+    rn*2 <= n, no float boundary); the empirical P10/P50/P90 of the
+    CALIBRATION half become the band, and each HOLDOUT residual is
+    scored with the pinball loss L_tau(e, q) =
+    max(tau*(e-q), (tau-1)*(e-q)) — the strictly proper scoring rule
+    for quantiles, reported per tau together with the band's realized
+    coverage (a well-calibrated 80% band covers ~0.80 of the holdout;
+    scoring residuals against residual-quantiles is identical to
+    scoring the forecast y_{t-7}+q against y_t, the band is just
+    recentered).
+
+    Exactness: residuals are one pinned double each from exact-cents
+    integers; the calibration quantiles use the shared
+    PERCENTILE_CONT linear interpolation (Spark percentile == DuckDB
+    quantile_cont, the percentile_price_by_flag parity); each pinball
+    term is ONE identically-parenthesized double expression of (e, q);
+    the holdout means accumulate through an ORDERED running window
+    filtered to the last row (the seasonal-strength discipline);
+    coverage is an exact integer count over one division.
+
+    Scale shape: ONE partial-agg shuffle to the time-span-bounded
+    daily grid; the residual relation (~2.4k rows) is
+    localCheckpoint-pinned so the calibration aggregate and the
+    holdout scan share one materialization instead of rescanning the
+    fact table (the stats_yule_walker_ar2_hourly bounded-grid
+    precedent); the 1-row quantile relation broadcasts into the
+    holdout pass."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    )
+    resid = (
+        series.select(
+            "t",
+            (
+                (F.col("cents") - F.lag("cents", 7).over(W.orderBy("t")))
+                .cast("double")
+                / 100.0
+            ).alias("e"),
+        )
+        .filter(F.col("e").isNotNull())
+        .localCheckpoint()
+    )
+    wa_t = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    idx = resid.select(
+        "t",
+        "e",
+        F.row_number().over(W.orderBy("t")).alias("rn"),
+        F.count("*").over(wa_t).alias("nr"),
+    )
+    q = idx.filter(F.col("rn") * 2 <= F.col("nr")).agg(
+        F.percentile("e", F.lit(0.10)).alias("q10"),
+        F.percentile("e", F.lit(0.50)).alias("q50"),
+        F.percentile("e", F.lit(0.90)).alias("q90"),
+        F.count("*").cast("bigint").alias("n_calib"),
+    )
+    e = F.col("e")
+    pb = lambda tau, qc: F.greatest(  # noqa: E731
+        F.lit(tau) * (e - F.col(qc)),
+        F.lit(tau - 1.0) * (e - F.col(qc)),
+    )
+    hold = (
+        idx.filter(F.col("rn") * 2 > F.col("nr"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "t",
+            "n_calib",
+            "q10",
+            "q90",
+            pb(0.1, "q10").alias("pb10"),
+            pb(0.5, "q50").alias("pb50"),
+            pb(0.9, "q90").alias("pb90"),
+            F.when(
+                (e >= F.col("q10")) & (e <= F.col("q90")), 1
+            )
+            .otherwise(0)
+            .alias("cov"),
+        )
+    )
+    wr = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    run = hold.select(
+        "n_calib",
+        "q10",
+        "q90",
+        F.count("*").over(wr).alias("k"),
+        F.count("*").over(wa_t).alias("n_hold"),
+        F.sum("pb10").over(wr).alias("s10"),
+        F.sum("pb50").over(wr).alias("s50"),
+        F.sum("pb90").over(wr).alias("s90"),
+        F.sum("cov").over(wr).alias("sc"),
+    ).filter(F.col("k") == F.col("n_hold"))
+    kd = F.col("k").cast("double")
+    return run.select(
+        "n_calib",
+        F.col("k").cast("bigint").alias("n_holdout"),
+        F.round(F.col("q10"), 6).alias("q10"),
+        F.round(F.col("q90"), 6).alias("q90"),
+        F.round(F.col("s10") / kd, 6).alias("pinball_p10"),
+        F.round(F.col("s50") / kd, 6).alias("pinball_p50"),
+        F.round(F.col("s90") / kd, 6).alias("pinball_p90"),
+        F.round(F.col("sc").cast("double") / kd, 6).alias("coverage_80"),
+    )
+
+
+@_register(
+    "forecast_drift_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), lagd AS (
+      SELECT t, cents,
+             LAG(cents, 1) OVER (ORDER BY t) AS l1,
+             LAG(cents, 7) OVER (ORDER BY t) AS l7,
+             FIRST_VALUE(cents) OVER (ORDER BY t) AS y1
+      FROM series
+    ), scored AS (
+      SELECT t,
+             ABS(CAST(cents AS DOUBLE)
+                 - (CAST(l1 AS DOUBLE)
+                    + CAST(l1 - y1 AS DOUBLE)
+                      / CAST(t - 2 AS DOUBLE))) AS ae,
+             (CAST(cents AS DOUBLE)
+              - (CAST(l1 AS DOUBLE)
+                 + CAST(l1 - y1 AS DOUBLE) / CAST(t - 2 AS DOUBLE)))
+             * (CAST(cents AS DOUBLE)
+                - (CAST(l1 AS DOUBLE)
+                   + CAST(l1 - y1 AS DOUBLE) / CAST(t - 2 AS DOUBLE)))
+               AS se,
+             CAST(ABS(cents - l7) AS HUGEINT) AS ae7
+      FROM lagd WHERE t >= 8
+    ), run AS (
+      SELECT COUNT(*) OVER wr AS k,
+             COUNT(*) OVER wa AS n_all,
+             SUM(ae) OVER wr AS sae,
+             SUM(se) OVER wr AS sse,
+             SUM(ae7) OVER wr AS sa7
+      FROM scored
+      WINDOW wr AS (ORDER BY t ROWS UNBOUNDED PRECEDING),
+             wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(k AS BIGINT) AS n_eval,
+           ROUND(sae / k / 100.0, 6) AS mae_drift,
+           ROUND(SQRT(sse / k) / 100.0, 6) AS rmse_drift,
+           ROUND(CAST(sa7 AS DOUBLE) / k / 100.0, 6) AS mae_snaive,
+           ROUND(1.0 - sae / CAST(sa7 AS DOUBLE), 6) AS mae_skill
+    FROM run WHERE k = n_all
+    """,
+)
+def forecast_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-WITH-DRIFT one-step backtest on the daily-revenue
+    series — the classical benchmark forecaster (Hyndman & Athanasopoulos
+    FPP: naive, seasonal-naive, drift) the bake-off shelf was missing:
+    yhat_t = y_{t-1} + (y_{t-1} - y_1)/(t - 2), i.e. the last value
+    plus the average historical step, refit on the expanding prefix
+    with no lookahead. Scored on the SHARED protocol — the same t >= 8
+    window and seasonal-naive champion denominator as the other five
+    members (Holt-Winters, SES grid, theta, damped Holt, AR(2)) — so
+    its mae_skill lands on the same scale. A strong weekly cycle makes
+    drift easy to beat (it ignores seasonality entirely); shipping it
+    anchors the bake-off's floor the way the champion anchors its
+    ceiling.
+
+    Exactness: the drift numerator l1 - y1 is an exact integer
+    subtraction, the step count t-2 an exact integer, each yhat ONE
+    identically-parenthesized double expression, and the loss sums
+    accumulate through the ORDERED running window filtered to the
+    last row; the seasonal-naive denominator stays a pure HUGEINT /
+    DECIMAL(38,0) integer sum.
+
+    Scale shape: ONE partial-agg shuffle to the time-span-bounded
+    daily grid; lags and running sums are ORDER BY t windows on the
+    bounded relation; 1-row finalize. Single fact scan, no collect."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    wo = W.orderBy("t")
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    )
+    lagd = series.select(
+        "t",
+        "cents",
+        F.lag("cents", 1).over(wo).alias("l1"),
+        F.lag("cents", 7).over(wo).alias("l7"),
+        F.first("cents").over(wo).alias("y1"),
+    ).filter(F.col("t") >= 8)
+    d38 = "decimal(38,0)"
+    yhat = F.col("l1").cast("double") + (
+        F.col("l1") - F.col("y1")
+    ).cast("double") / (F.col("t") - 2).cast("double")
+    err = F.col("cents").cast("double") - yhat
+    scored = lagd.select(
+        "t",
+        F.abs(err).alias("ae"),
+        (err * err).alias("se"),
+        F.abs(F.col("cents") - F.col("l7")).cast(d38).alias("ae7"),
+    )
+    wr = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    run = scored.select(
+        F.count("*").over(wr).alias("k"),
+        F.count("*").over(wa).alias("n_all"),
+        F.sum("ae").over(wr).alias("sae"),
+        F.sum("se").over(wr).alias("sse"),
+        F.sum("ae7").over(wr).alias("sa7"),
+    ).filter(F.col("k") == F.col("n_all"))
+    kd = F.col("k").cast("double")
+    return run.select(
+        F.col("k").cast("bigint").alias("n_eval"),
+        F.round(F.col("sae") / kd / F.lit(100.0), 6).alias("mae_drift"),
+        F.round(
+            F.sqrt(F.col("sse") / kd) / F.lit(100.0), 6
+        ).alias("rmse_drift"),
+        F.round(
+            F.col("sa7").cast("double") / kd / F.lit(100.0), 6
+        ).alias("mae_snaive"),
+        F.round(
+            F.lit(1.0) - F.col("sae") / F.col("sa7").cast("double"), 6
+        ).alias("mae_skill"),
+    )
+
+
+@_register(
+    "stats_mood_median_weekend",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), lab AS (
+      SELECT cents,
+             CASE WHEN d % 7 IN (2, 3) THEN 1 ELSE 0 END AS wk
+      FROM daily
+    ), med AS (
+      SELECT quantile_cont(CAST(cents AS DOUBLE), 0.50) AS med FROM lab
+    ), cells AS (
+      SELECT CAST(SUM(CASE WHEN wk = 1
+                            AND CAST(cents AS DOUBLE) > med
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(wk) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) > med
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(med) AS med
+      FROM lab CROSS JOIN med
+    )
+    SELECT n1 AS n_weekend,
+           n - n1 AS n_weekday,
+           a AS above_weekend,
+           ab - a AS above_weekday,
+           ROUND(med / 100.0, 6) AS median_revenue,
+           ROUND(CAST(n AS DOUBLE)
+                 * CAST(a * (n - n1 - (ab - a))
+                        - (ab - a) * (n1 - a) AS DOUBLE)
+                 * CAST(a * (n - n1 - (ab - a))
+                        - (ab - a) * (n1 - a) AS DOUBLE)
+                 / CAST(n1 * (n - n1) * ab * (n - ab) AS DOUBLE), 6)
+             AS chi2_mood,
+           ROUND(CAST(n AS DOUBLE)
+                 * GREATEST(ABS(CAST(a * (n - n1 - (ab - a))
+                                     - (ab - a) * (n1 - a) AS DOUBLE))
+                            - CAST(n AS DOUBLE) / 2.0, 0.0)
+                 * GREATEST(ABS(CAST(a * (n - n1 - (ab - a))
+                                     - (ab - a) * (n1 - a) AS DOUBLE))
+                            - CAST(n AS DOUBLE) / 2.0, 0.0)
+                 / CAST(n1 * (n - n1) * ab * (n - ab) AS DOUBLE), 6)
+             AS chi2_yates
+    FROM cells
+    """,
+)
+def stats_mood_median_weekend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test for weekend vs weekday daily revenue — the
+    nonparametric LOCATION test on the shelf's weekend design that
+    makes no shape assumption at all (Mann-Whitney assumes comparable
+    shapes for a location reading; Mood's only asks "does each group
+    land above the pooled median at the same rate?"): dichotomize
+    every day at the pooled median, then the 2x2 chi-square
+    chi2 = n(ad-bc)^2/(r1 r2 c1 c2) on (group x above/below), with
+    the Yates continuity-corrected twin (the |ad-bc| - n/2 clamp at 0,
+    the stats_mcnemar_repeat_buyers convention). Weekend is the
+    established pure-integer epoch-day rule d % 7 IN (2, 3)
+    (stats_cohens_d_weekend_revenue). Complements Ansari-Bradley
+    (scale) and Cramer-von Mises (whole-distribution) on the
+    two-sample shelf.
+
+    Exactness: the pooled median uses the shared PERCENTILE_CONT
+    interpolation (Spark percentile == DuckDB quantile_cont parity);
+    the four cells are exact integer counts from one strict > compare
+    against that shared double; ad-bc clears to ONE exact integer and
+    each statistic is ONE identically-parenthesized double expression
+    (the Yates clamp in doubles, GREATEST against 0.0).
+
+    Scale shape: ONE partial-agg shuffle reduces facts to the
+    time-span-bounded daily grid, localCheckpoint-pinned so the
+    median aggregate and the cell counts share one materialization
+    (the bounded-grid precedent); the 1-row median broadcasts into
+    the counting pass; finalize is 1-row arithmetic."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    lab = daily.select(
+        "cents",
+        F.when(F.col("d") % 7 == 2, 1)
+        .when(F.col("d") % 7 == 3, 1)
+        .otherwise(0)
+        .alias("wk"),
+    ).localCheckpoint()
+    med = lab.agg(
+        F.percentile(F.col("cents").cast("double"), F.lit(0.50)).alias(
+            "med"
+        )
+    )
+    cd = F.col("cents").cast("double")
+    cells = lab.crossJoin(F.broadcast(med)).agg(
+        F.sum(
+            F.when((F.col("wk") == 1) & (cd > F.col("med")), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum("wk").cast("bigint").alias("n1"),
+        F.sum(F.when(cd > F.col("med"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ab"),
+        F.count("*").cast("bigint").alias("n"),
+        F.max("med").alias("med"),
+    )
+    a, n1, ab, n = F.col("a"), F.col("n1"), F.col("ab"), F.col("n")
+    det = a * (n - n1 - (ab - a)) - (ab - a) * (n1 - a)
+    den = (n1 * (n - n1) * ab * (n - ab)).cast("double")
+    nd = n.cast("double")
+    yates = F.greatest(
+        F.abs(det.cast("double")) - nd / F.lit(2.0), F.lit(0.0)
+    )
+    return cells.select(
+        n1.alias("n_weekend"),
+        (n - n1).alias("n_weekday"),
+        a.alias("above_weekend"),
+        (ab - a).alias("above_weekday"),
+        F.round(F.col("med") / F.lit(100.0), 6).alias("median_revenue"),
+        F.round(
+            nd * det.cast("double") * det.cast("double") / den, 6
+        ).alias("chi2_mood"),
+        F.round(nd * yates * yates / den, 6).alias("chi2_yates"),
+    )
+
+
+@_register(
+    "stats_cox_stuart_trend_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+             CAST((COUNT(*) + 1) // 2 AS BIGINT) AS c
+      FROM series
+    ), signs AS (
+      SELECT CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS plus,
+             CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END AS minus
+      FROM series a
+      JOIN tot ON TRUE
+      JOIN series b ON b.t = a.t + c
+      WHERE a.t <= tn - c
+    ), agg AS (
+      SELECT CAST(SUM(plus) AS BIGINT) AS n_plus,
+             CAST(SUM(minus) AS BIGINT) AS n_minus
+      FROM signs
+    )
+    SELECT n_plus + n_minus AS n_pairs,
+           n_plus,
+           n_minus,
+           ROUND(CAST(2 * n_plus - (n_plus + n_minus) AS DOUBLE)
+                 / SQRT(CAST(n_plus + n_minus AS DOUBLE)), 6)
+             AS z_cox_stuart
+    FROM agg
+    """,
+)
+def stats_cox_stuart_trend_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cox-Stuart sign test for monotone trend in the daily-revenue
+    series — the assumption-free companion to Mann-Kendall/Theil-Sen
+    (trend_mann_kendall_theil_sen is O(n^2)-pair rank machinery;
+    Cox-Stuart is the classical n/2-pair shortcut): fold the series
+    in half with offset c = ceil(T/2) (the odd middle observation
+    drops out, the textbook convention), pair y_i with y_{i+c}, and
+    count sign(+)/sign(-) of the differences (ties drop). Under no
+    trend the signs are Binomial(n, 1/2); the normal approximation
+    z = (2*plus - n)/sqrt(n) is reported (positive z = rising trend).
+
+    Exactness: the fold offset is pure integer arithmetic
+    ((T+1) // 2 — no float midpoint, the McNemar discipline), the
+    pair comparison is exact-integer cents, the three counts are
+    exact integers, and z is ONE identically-parenthesized double
+    expression over them.
+
+    Scale shape: ONE partial-agg shuffle to the time-span-bounded
+    daily grid, localCheckpoint-pinned so the two sides of the fold
+    join share one materialization (the bounded-grid precedent); the
+    t = t + c equi-join is broadcast on the ~2.4k-row relation (one
+    side bounded => broadcast at ANY corpus scale); finalize is one
+    bounded aggregate."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    ).localCheckpoint()
+    tot = series.agg(
+        F.count("*").cast("bigint").alias("tn"),
+        ((F.count("*") + 1) / 2).cast("bigint").alias("c"),
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    signs = (
+        a.crossJoin(F.broadcast(tot))
+        .filter(F.col("a.t") <= F.col("tn") - F.col("c"))
+        .join(
+            F.broadcast(b),
+            F.col("b.t") == F.col("a.t") + F.col("c"),
+        )
+        .select(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .otherwise(0)
+            .alias("plus"),
+            F.when(F.col("b.cents") < F.col("a.cents"), 1)
+            .otherwise(0)
+            .alias("minus"),
+        )
+    )
+    agg = signs.agg(
+        F.sum("plus").cast("bigint").alias("n_plus"),
+        F.sum("minus").cast("bigint").alias("n_minus"),
+    )
+    np_, nm = F.col("n_plus"), F.col("n_minus")
+    return agg.select(
+        (np_ + nm).alias("n_pairs"),
+        np_.alias("n_plus"),
+        nm.alias("n_minus"),
+        F.round(
+            (2 * np_ - (np_ + nm)).cast("double")
+            / F.sqrt((np_ + nm).cast("double")),
+            6,
+        ).alias("z_cox_stuart"),
+    )
+
+
+@_register(
+    "stats_grubbs_outlier_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) AS ss
+      FROM daily
+    ), m AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             SQRT(CAST(n * ss - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) AS sd
+      FROM g
+    ), dev AS (
+      SELECT d, cents, n, mean, sd,
+             ABS(CAST(cents AS DOUBLE) - mean) AS adev
+      FROM daily CROSS JOIN m
+    )
+    SELECT n AS n_days,
+           ROUND(mean / 100.0, 6) AS mean_revenue,
+           ROUND(sd / 100.0, 6) AS sd_revenue,
+           ROUND(adev / sd, 6) AS g_stat,
+           d AS outlier_day,
+           ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS outlier_revenue
+    FROM dev
+    ORDER BY adev DESC, d ASC
+    LIMIT 1
+    """,
+)
+def stats_grubbs_outlier_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grubbs' test statistic for a single outlier in the daily-revenue
+    series: G = max|y - ybar| / s (two-sided), together with WHICH day
+    achieves it and its revenue — the outlier-detection companion to
+    the XmR control chart (stats_xmr_* flags points outside fixed
+    3-sigma limits; Grubbs reports the single most extreme studentized
+    deviation, the number practitioners compare against the
+    t-distribution critical value before deleting a point). The argmax
+    is made deterministic under exact ties by the (adev DESC, d ASC)
+    sort — both engines break ties on the smaller epoch day.
+
+    Exactness: n, S, SS accumulate as HUGEINT / DECIMAL(38,0) exact
+    integers (order-free); mean and the sample SD are each ONE
+    fixed-parenthesization double expression over them (the
+    n-cleared variance identity of stats_cohens_d_weekend_revenue);
+    each |deviation| is one double from exact inputs; MAX/ORDER BY
+    over doubles is order-insensitive.
+
+    Scale shape: ONE partial-agg shuffle to the time-span-bounded
+    daily grid, localCheckpoint-pinned so the 1-row moments and the
+    deviation scan share one materialization; the moments row
+    broadcasts; the top-1 is a TakeOrdered on the bounded relation
+    (at row-level scale the same plan is the classic top-k, no full
+    sort materialization)."""
+    daily = _daily_revenue_cents(spark, sf_dir).localCheckpoint()
+    d38 = "decimal(38,0)"
+    g = daily.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).alias("ss"),
+    )
+    nI, sI, ssI = F.col("n"), F.col("s"), F.col("ss")
+    m = g.select(
+        nI.cast("bigint").alias("n"),
+        (sI.cast("double") / nI.cast("double")).alias("mean"),
+        F.sqrt(
+            (nI * ssI - sI * sI).cast("double")
+            / (nI * (nI - 1)).cast("double")
+        ).alias("sd"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "cents",
+        "n",
+        "mean",
+        "sd",
+        F.abs(F.col("cents").cast("double") - F.col("mean")).alias(
+            "adev"
+        ),
+    )
+    return (
+        dev.orderBy(F.col("adev").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("mean") / F.lit(100.0), 6).alias(
+                "mean_revenue"
+            ),
+            F.round(F.col("sd") / F.lit(100.0), 6).alias("sd_revenue"),
+            F.round(F.col("adev") / F.col("sd"), 6).alias("g_stat"),
+            F.col("d").alias("outlier_day"),
+            F.round(
+                F.col("cents").cast("double") / F.lit(100.0), 2
+            ).alias("outlier_revenue"),
+        )
+    )
+
+
+@_register(
+    "stats_page_trend_dow",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), wk AS (
+      SELECT d // 7 AS w, d % 7 AS dow, cents FROM daily
+    ), full_weeks AS (
+      SELECT w FROM wk GROUP BY w HAVING COUNT(*) = 7
+    ), ranked AS (
+      SELECT k.w, k.dow,
+             ROW_NUMBER() OVER (PARTITION BY k.w
+                                ORDER BY k.cents, k.dow) AS r
+      FROM wk k JOIN full_weeks f USING (w)
+    ), rj AS (
+      SELECT dow,
+             CAST(SUM(r) AS BIGINT) AS rsum,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM ranked GROUP BY dow
+    ), l AS (
+      SELECT CAST(SUM((dow + 1) * rsum) AS BIGINT) AS l_stat,
+             MAX(m) AS m
+      FROM rj
+    )
+    SELECT m AS m_weeks,
+           l_stat,
+           112 * m AS e_l,
+           ROUND(CAST(l_stat - 112 * m AS DOUBLE)
+                 / SQRT(CAST(m AS DOUBLE) * 49.0 * 8.0 * 48.0 / 144.0),
+                 6) AS z_page
+    FROM l
+    """,
+)
+def stats_page_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative across day-of-week in
+    the weekly block design: blocks are complete epoch weeks (d // 7
+    with all 7 days observed — partial edge weeks drop, the
+    complete-window discipline of stats_seasonal_strength_daily),
+    treatments are the calendar positions dow = d % 7 (0 = Thursday,
+    the established epoch anchor), each week's revenues are ranked
+    1..7 within the block, and L = sum_j j * R_j against the
+    hypothesized monotone position ordering 1..7. Friedman
+    (stats_friedman_qty_by_flag) asks "do treatments differ at all?";
+    Page's L is its ordered-alternative sibling (the
+    Jonckheere-Terpstra of the BLOCKED design): under H0,
+    E[L] = m*k(k+1)^2/4 = 112m and Var[L] = m*k^2(k+1)(k^2-1)/144 for
+    k = 7, z = (L - E)/sqrt(Var).
+
+    Exactness: within-block ranks come from ROW_NUMBER ordered by
+    (cents, dow) — exact-integer cents with the dow tiebreak make the
+    sort key unique, so both engines produce the identical
+    permutation (no midrank doubles anywhere); R_j, L, and E[L] are
+    exact integers; z is ONE identically-parenthesized double
+    expression.
+
+    Scale shape: ONE partial-agg shuffle to the time-span-bounded
+    daily grid, localCheckpoint-pinned so the complete-week filter
+    and the ranking pass share one materialization; the bounded week
+    list broadcasts into the rank join; ranks are a PARTITION BY week
+    window (7 rows per partition); finalize is a 7-row then 1-row
+    reduction."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    wk = daily.select(
+        (F.col("d") / 7).cast("bigint").alias("w"),
+        (F.col("d") % 7).alias("dow"),
+        "cents",
+    ).localCheckpoint()
+    full_weeks = wk.groupBy("w").agg(F.count("*").alias("cw")).filter(
+        F.col("cw") == 7
+    ).select("w")
+    ranked = wk.join(F.broadcast(full_weeks), "w").select(
+        "dow",
+        F.row_number()
+        .over(W.partitionBy("w").orderBy("cents", "dow"))
+        .alias("r"),
+    )
+    rj = ranked.groupBy("dow").agg(
+        F.sum("r").cast("bigint").alias("rsum"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    l = rj.agg(
+        F.sum((F.col("dow") + 1) * F.col("rsum"))
+        .cast("bigint")
+        .alias("l_stat"),
+        F.max("m").alias("m"),
+    )
+    mI = F.col("m")
+    return l.select(
+        mI.alias("m_weeks"),
+        F.col("l_stat"),
+        (112 * mI).alias("e_l"),
+        F.round(
+            (F.col("l_stat") - 112 * mI).cast("double")
+            / F.sqrt(
+                mI.cast("double")
+                * F.lit(49.0)
+                * F.lit(8.0)
+                * F.lit(48.0)
+                / F.lit(144.0)
+            ),
+            6,
+        ).alias("z_page"),
+    )
+
+
+@_register(
+    "stats_kendalls_w_dow",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), wk AS (
+      SELECT d // 7 AS w, d % 7 AS dow, cents FROM daily
+    ), full_weeks AS (
+      SELECT w FROM wk GROUP BY w HAVING COUNT(*) = 7
+    ), ranked AS (
+      SELECT k.w, k.dow,
+             ROW_NUMBER() OVER (PARTITION BY k.w
+                                ORDER BY k.cents, k.dow) AS r
+      FROM wk k JOIN full_weeks f USING (w)
+    ), rj AS (
+      SELECT dow,
+             CAST(SUM(r) AS BIGINT) AS rsum,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM ranked GROUP BY dow
+    ), s4 AS (
+      SELECT CAST(SUM((2 * rsum - 8 * m) * (2 * rsum - 8 * m))
+                  AS BIGINT) AS s4,
+             MAX(m) AS m
+      FROM rj
+    )
+    SELECT m AS m_weeks,
+           s4 AS s4_stat,
+           ROUND(3.0 * CAST(s4 AS DOUBLE)
+                 / CAST(m * m * 336 AS DOUBLE), 6) AS kendalls_w,
+           ROUND(6.0 * CAST(m AS DOUBLE)
+                 * (3.0 * CAST(s4 AS DOUBLE)
+                    / CAST(m * m * 336 AS DOUBLE)), 6)
+             AS chi2_friedman
+    FROM s4
+    """,
+)
+def stats_kendalls_w_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across day-of-week in
+    the weekly block design (same blocks/ranks as stats_page_trend_dow:
+    complete epoch weeks, within-week ranks 1..7 with the exact
+    (cents, dow) tiebreak): W = 12*S/(m^2(k^3-k)) where S is the sum
+    of squared deviations of the column rank sums R_j from their mean
+    m(k+1)/2 — "how strongly do the m weeks AGREE on the weekly
+    revenue shape?" (W = 1: every week ranks its days identically;
+    W = 0: no agreement). Page's L asks for ONE hypothesized ordering;
+    W measures agreement on ANY common ordering, and
+    chi2 = m(k-1)W is the Friedman statistic of the same design —
+    pinning the classical identity between the two.
+
+    Exactness: half-integer-free integer algebra — with
+    S = sum_j (R_j - m(k+1)/2)^2 = S4/4 where
+    S4 = sum_j (2R_j - m(k+1))^2 is an EXACT integer (the
+    Ansari-Bradley doubled-score trick), W = 3*S4/(m^2(k^3-k)) is ONE
+    division of two exact integers and chi2 the same expression
+    scaled by 6m, identically parenthesized in both engines.
+
+    Scale shape: identical to stats_page_trend_dow — one partial-agg
+    shuffle to the bounded daily grid (localCheckpoint-pinned),
+    broadcast complete-week join, 7-rows-per-partition rank window,
+    7-row then 1-row finalize."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    wk = daily.select(
+        (F.col("d") / 7).cast("bigint").alias("w"),
+        (F.col("d") % 7).alias("dow"),
+        "cents",
+    ).localCheckpoint()
+    full_weeks = wk.groupBy("w").agg(F.count("*").alias("cw")).filter(
+        F.col("cw") == 7
+    ).select("w")
+    ranked = wk.join(F.broadcast(full_weeks), "w").select(
+        "dow",
+        F.row_number()
+        .over(W.partitionBy("w").orderBy("cents", "dow"))
+        .alias("r"),
+    )
+    rj = ranked.groupBy("dow").agg(
+        F.sum("r").cast("bigint").alias("rsum"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    dev = 2 * F.col("rsum") - 8 * F.col("m")
+    s4 = rj.agg(
+        F.sum(dev * dev).cast("bigint").alias("s4"),
+        F.max("m").alias("m"),
+    )
+    mI = F.col("m")
+    w_expr = (
+        F.lit(3.0)
+        * F.col("s4").cast("double")
+        / (mI * mI * 336).cast("double")
+    )
+    return s4.select(
+        mI.alias("m_weeks"),
+        F.col("s4").alias("s4_stat"),
+        F.round(w_expr, 6).alias("kendalls_w"),
+        F.round(F.lit(6.0) * mI.cast("double") * w_expr, 6).alias(
+            "chi2_friedman"
+        ),
+    )
+

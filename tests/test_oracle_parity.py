@@ -60,44 +60,37 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 13 (never-checked backlog at 0, changed-code
-    backlog at 0 by tools_staleness.py — now law-aware for rows-only
-    queries): the 5 NEW r13 registrations first (SES alpha-grid and
-    theta-method backtests — the state-space siblings VERDICT r12
-    item 3 asked for, both scored against the seasonal-naive champion
-    on the shared t >= 8 window; seasonal/trend strength; the
-    Cramér-von Mises two-sample test completing the KS/Mann-Whitney
-    shelf; first-order partial correlation — all oracle-backed with
-    replica laws; a second wave added Jonckheere-Terpstra ordered
-    trend, the Ansari-Bradley scale test, and damped Holt), then ALL
-    15 remaining r6-vintage rows (the fleet's oldest evidence), then
-    the 19-query changed tier (retention's (user,day) pin from the
-    sf1 A/B plus the 18 queries the new CLOSURE fingerprint —
-    same-file helpers/constants AND in-repo imports — surfaced:
-    helpers changed after their rows, e.g. the r12 k-means
-    partial-sort fix had silently staled both cluster queries, and
-    the prefix-kernel consumers only flagged once imports were closed
-    over), then the 8 oldest r7 pure-staleness rows. 38 oracle
-    value-hash slots + 12 rows-only (by-design sketch/LSH/iterative/
-    ANN) slots; the remaining r7 rows lead the r14 rotation."""
+    priority list. Round 14 (never-checked backlog at 0, changed-code
+    backlog at 0 by the closure-aware tools_staleness.py — the r13
+    window drained the entire changed tier): the 8 NEW r14
+    registrations first (AR(2) Yule-Walker backtest with the
+    Diebold-Mariano significance column, pinball-scored interval
+    forecast, random-walk-with-drift floor, Mood's median, Cox-Stuart
+    sign trend, Grubbs' outlier, and the weekly-block pair Page's L /
+    Kendall's W — all oracle-backed with TestRound14Laws replicas),
+    then pure staleness oldest-first: ALL 34 remaining r7-vintage
+    driver rows (after this window the fleet's oldest evidence is
+    r8), then the 8 oldest r8 rows in registration order. 47 oracle
+    value-hash slots + 3 rows-only (by-design iterative/LSH) slots;
+    the remaining r8 rows lead the r15 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
-    assert len(rows_only_slots) == 12
-    assert len(oracle_slots) == 38
+    assert len(rows_only_slots) == 3
+    assert len(oracle_slots) == 47
     assert first50[:11] == [
-        "forecast_ses_alpha_grid_daily",
-        "forecast_theta_daily",
-        "stats_seasonal_strength_daily",
-        "stats_cvm_two_sample",
-        "stats_partial_corr_lineitem",
-        "stats_jonckheere_terpstra",
-        "stats_ansari_bradley",
-        "forecast_holt_damped_daily",
-        "psi_totalprice_drift",
-        "jsd_event_type_weekend",
-        "assoc_part_pairs_lift",
+        "forecast_ar2_daily",
+        "forecast_pinball_interval_daily",
+        "forecast_drift_daily",
+        "stats_mood_median_weekend",
+        "stats_cox_stuart_trend_daily",
+        "stats_grubbs_outlier_daily",
+        "stats_page_trend_dow",
+        "stats_kendalls_w_dow",
+        "weighted_median_price_by_flag",
+        "division_customers_all_priorities",
+        "mad_price_by_flag",
     ]
 
 
@@ -184,9 +177,9 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 13's window is staleness-keyed with
-    exactly TWELVE rows-only slots — the closure-stale ANN/k-means/
-    SemDeDup tiers plus the r6/r7-vintage sketch tiers rotating
+    query, no duplicates. Round 14's window is staleness-keyed with
+    exactly THREE rows-only slots — the r7-vintage PageRank iterative
+    fixpoint and the MinHash-LSH / SimHash banded tiers rotating
     through (each has an oracle-checked exact twin or pinned laws;
     split pinned in test_driver_window_covers_all_families)."""
     import __spark_entry__ as E
@@ -198,18 +191,9 @@ def test_driver_window_is_full_and_oracle_backed():
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
     assert rows_only == [
-        "ann_ivf_pq_topk",
-        "ann_lsh_bucketed",
-        "ann_opq_topk",
-        "ann_pq_topk",
-        "cluster_kmeans_embeddings",
-        "cluster_kmeans_topic_mix",
-        "dedup_embedding_cosine_ann",
-        "semdedup_cluster_prune",
-        "approx_ndv_users_incremental",
-        "events_props_schema_census",
-        "approx_percentile_price",
-        "sliding_distinct_users_hourly",
+        "graph_pagerank_trade",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
     ], f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)

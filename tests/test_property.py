@@ -3009,3 +3009,325 @@ class TestRound13WaveTwoLaws:
         assert theta["mae_snaive"] == got["mae_snaive"]
         assert 0.0 < HD_PHI < 1.0 and _HD_OMA == 1.0 - HD_ALPHA
         assert _HD_OMB == 1.0 - HD_BETA
+
+
+class TestRound14Laws:
+    """numpy/pandas replicas + defining identities for the r14
+    registrations (AR(2) backtest with Diebold-Mariano, pinball
+    interval scoring, drift benchmark, Mood's median, Cox-Stuart,
+    Grubbs, Page's L, Kendall's W)."""
+
+    _daily_cents = staticmethod(TestRound13Laws._daily_cents)
+
+    def _ar2_replica(self, cents):
+        """Independent python replica of the expanding Yule-Walker
+        AR(2) one-step backtest (exact-int prefix moments, the
+        n^2-cleared r_k identity, mean-form forecast)."""
+        T = len(cents)
+        sae = sse = sd = sdd = 0.0
+        sa7 = 0
+        n = 0
+        phi1 = phi2 = None
+        for t in range(8, T + 1):
+            m = t - 1
+            pre = cents[:m]
+            s = sum(pre)
+            ss = sum(c * c for c in pre)
+            p1 = sum(pre[j] * pre[j - 1] for j in range(1, m))
+            p2 = sum(pre[j] * pre[j - 2] for j in range(2, m))
+            den = m * (m * ss - s * s)
+            r1 = float(
+                m * m * p1
+                - m * s * ((s - pre[0]) + (s - pre[-1]))
+                + (m - 1) * s * s
+            ) / float(den)
+            r2 = float(
+                m * m * p2
+                - m * s * ((s - pre[0] - pre[1]) + (s - pre[-1] - pre[-2]))
+                + (m - 2) * s * s
+            ) / float(den)
+            mu = float(s) / float(m)
+            phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+            phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+            yhat = (
+                mu
+                + phi1 * (float(pre[-1]) - mu)
+                + phi2 * (float(pre[-2]) - mu)
+            )
+            y = float(cents[t - 1])
+            ae = abs(y - yhat)
+            ae7 = abs(cents[t - 1] - cents[t - 8])
+            sae += ae
+            sse += (y - yhat) * (y - yhat)
+            sa7 += ae7
+            dd = ae - float(ae7)
+            sd += dd
+            sdd += dd * dd
+            n += 1
+        return n, sae, sse, sa7, sd, sdd, phi1, phi2
+
+    def test_ar2_python_replica_and_bakeoff_laws(self, spark):
+        """Replica: the expanding Yule-Walker fold reproduces every
+        reported column to round-6; laws: mae_snaive equals the theta
+        entry's (the shared bake-off protocol), and the DM statistic's
+        sign agrees with the skill's (skill > 0 <=> mean loss
+        differential < 0 <=> dm_stat < 0)."""
+        from console_etl_spark.relational.timeseries import (
+            forecast_ar2_daily,
+            forecast_theta_daily,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = forecast_ar2_daily(spark, SF_TEST).collect()[0]
+        cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
+        n, sae, sse, sa7, sd, sdd, phi1, phi2 = self._ar2_replica(cents)
+        assert got["n_eval"] == n
+        assert got["phi1_last"] == round(phi1, 6)
+        assert got["phi2_last"] == round(phi2, 6)
+        assert got["mae_ar2"] == round(sae / n / 100.0, 6)
+        assert got["rmse_ar2"] == round((sse / n) ** 0.5 / 100.0, 6)
+        assert got["mae_snaive"] == round(float(sa7) / n / 100.0, 6)
+        assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
+        md = sd / n
+        dm = md / (((sdd / n - md * md) / n) ** 0.5)
+        assert got["dm_stat"] == round(dm, 6)
+        theta = forecast_theta_daily(spark, SF_TEST).collect()[0]
+        assert theta["n_eval"] == got["n_eval"]
+        assert theta["mae_snaive"] == got["mae_snaive"]
+        assert (got["mae_skill"] > 0) == (got["dm_stat"] < 0)
+
+    def test_pinball_numpy_replica_and_laws(self, spark):
+        """Replica: numpy linear-interpolation quantiles on the
+        calibration half + the pinball fold reproduce every column;
+        laws: the halves partition the residuals, coverage in [0,1],
+        and the P50 pinball is half the holdout MAE about the
+        calibration median (the defining tau=0.5 identity)."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            forecast_pinball_interval_daily,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = forecast_pinball_interval_daily(spark, SF_TEST).collect()[0]
+        cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
+        T = len(cents)
+        e = [(cents[t - 1] - cents[t - 8]) / 100.0 for t in range(8, T + 1)]
+        nr = len(e)
+        calib = [x for i, x in enumerate(e, 1) if i * 2 <= nr]
+        hold = [x for i, x in enumerate(e, 1) if i * 2 > nr]
+        assert got["n_calib"] == len(calib)
+        assert got["n_holdout"] == len(hold)
+        q10, q50, q90 = (
+            float(np.quantile(np.array(calib), q)) for q in (0.1, 0.5, 0.9)
+        )
+        assert got["q10"] == round(q10, 6)
+        assert got["q90"] == round(q90, 6)
+
+        def pball(tau, q):
+            return sum(
+                max(tau * (x - q), (tau - 1.0) * (x - q)) for x in hold
+            ) / len(hold)
+
+        assert got["pinball_p10"] == round(pball(0.1, q10), 6)
+        assert got["pinball_p50"] == round(pball(0.5, q50), 6)
+        assert got["pinball_p90"] == round(pball(0.9, q90), 6)
+        cov = sum(1 for x in hold if q10 <= x <= q90) / len(hold)
+        assert got["coverage_80"] == round(cov, 6)
+        assert 0.0 <= got["coverage_80"] <= 1.0
+        mae_med = sum(abs(x - q50) for x in hold) / len(hold)
+        assert abs(got["pinball_p50"] - mae_med / 2.0) <= 1e-6
+
+    def test_drift_python_replica_and_shared_denominator(self, spark):
+        """Replica: the expanding-drift fold reproduces the row; law:
+        the seasonal-naive denominator equals the AR(2) entry's (same
+        window, same champion)."""
+        from console_etl_spark.relational.timeseries import (
+            forecast_ar2_daily,
+            forecast_drift_daily,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = forecast_drift_daily(spark, SF_TEST).collect()[0]
+        cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
+        T = len(cents)
+        n, sae, sse, sa7 = 0, 0.0, 0.0, 0
+        for t in range(8, T + 1):
+            yhat = float(cents[t - 2]) + float(
+                cents[t - 2] - cents[0]
+            ) / float(t - 2)
+            y = float(cents[t - 1])
+            sae += abs(y - yhat)
+            sse += (y - yhat) * (y - yhat)
+            sa7 += abs(cents[t - 1] - cents[t - 8])
+            n += 1
+        assert got["n_eval"] == n
+        assert got["mae_drift"] == round(sae / n / 100.0, 6)
+        assert got["rmse_drift"] == round((sse / n) ** 0.5 / 100.0, 6)
+        assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
+        ar2 = forecast_ar2_daily(spark, SF_TEST).collect()[0]
+        assert ar2["mae_snaive"] == got["mae_snaive"]
+        assert ar2["n_eval"] == got["n_eval"]
+
+    def test_mood_median_pandas_replica_and_laws(self, spark):
+        """Replica: pandas median + boolean counting reproduce the
+        cells and both statistics; laws: the Yates statistic never
+        exceeds the uncorrected one, and at most half the days lie
+        strictly above the pooled median."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_mood_median_weekend,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = stats_mood_median_weekend(spark, SF_TEST).collect()[0]
+        daily = self._daily_cents(spark)
+        days = daily.index.to_numpy()
+        cents = daily.to_numpy().astype(float)
+        wk = np.isin(days % 7, (2, 3))
+        med = float(np.quantile(cents, 0.5))
+        a = int(((cents > med) & wk).sum())
+        n1 = int(wk.sum())
+        ab = int((cents > med).sum())
+        n = len(cents)
+        assert got["n_weekend"] == n1
+        assert got["n_weekday"] == n - n1
+        assert got["above_weekend"] == a
+        assert got["above_weekday"] == ab - a
+        assert got["median_revenue"] == round(med / 100.0, 6)
+        b, c, d = ab - a, n1 - a, n - n1 - (ab - a)
+        det = a * d - b * c
+        chi2 = n * det * det / float(n1 * (n - n1) * ab * (n - ab))
+        assert got["chi2_mood"] == round(chi2, 6)
+        yd = max(abs(float(det)) - n / 2.0, 0.0)
+        chi2y = n * yd * yd / float(n1 * (n - n1) * ab * (n - ab))
+        assert got["chi2_yates"] == round(chi2y, 6)
+        assert got["chi2_yates"] <= got["chi2_mood"]
+        assert ab * 2 <= n
+
+    def test_cox_stuart_python_replica_and_laws(self, spark):
+        """Replica: the ceil-half fold with sign counting reproduces
+        the row; laws: pairs never exceed floor(T/2), and z recomputes
+        from the counts."""
+        from console_etl_spark.relational.timeseries import (
+            stats_cox_stuart_trend_daily,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = stats_cox_stuart_trend_daily(spark, SF_TEST).collect()[0]
+        cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
+        T = len(cents)
+        c = (T + 1) // 2
+        plus = minus = 0
+        for i in range(1, T - c + 1):
+            d = cents[i + c - 1] - cents[i - 1]
+            plus += d > 0
+            minus += d < 0
+        assert got["n_plus"] == plus
+        assert got["n_minus"] == minus
+        assert got["n_pairs"] == plus + minus <= T // 2
+        z = float(2 * plus - (plus + minus)) / float(plus + minus) ** 0.5
+        assert got["z_cox_stuart"] == round(z, 6)
+
+    def test_grubbs_numpy_replica_and_laws(self, spark):
+        """Replica: numpy mean/sample-SD/argmax reproduce statistic and
+        argmax day; laws: G > 0 and G <= (n-1)/sqrt(n) (the Grubbs
+        upper bound for any dataset)."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_grubbs_outlier_daily,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = stats_grubbs_outlier_daily(spark, SF_TEST).collect()[0]
+        daily = self._daily_cents(spark)
+        days = daily.index.to_numpy()
+        cents = [int(x) for x in daily.to_numpy()]
+        n = len(cents)
+        s = sum(cents)
+        ss = sum(x * x for x in cents)
+        mean = float(s) / n
+        sd = (float(n * ss - s * s) / float(n * (n - 1))) ** 0.5
+        adev = [abs(float(x) - mean) for x in cents]
+        best = max(range(n), key=lambda i: (adev[i], -int(days[i])))
+        assert got["n_days"] == n
+        assert got["mean_revenue"] == round(mean / 100.0, 6)
+        assert got["sd_revenue"] == round(sd / 100.0, 6)
+        assert got["g_stat"] == round(adev[best] / sd, 6)
+        assert got["outlier_day"] == int(days[best])
+        assert 0.0 < got["g_stat"] <= (n - 1) / n ** 0.5
+
+    @staticmethod
+    def _dow_rank_sums(daily):
+        """Shared replica for the weekly block design: within-week
+        ranks 1..7 by (cents, dow) over complete epoch weeks."""
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "w": daily.index.to_numpy() // 7,
+                "dow": daily.index.to_numpy() % 7,
+                "cents": daily.to_numpy(),
+            }
+        )
+        full = df.groupby("w")["dow"].count()
+        df = df[df["w"].isin(full[full == 7].index)]
+        df = df.sort_values(["w", "cents", "dow"])
+        df["r"] = df.groupby("w").cumcount() + 1
+        rj = df.groupby("dow")["r"].sum().to_dict()
+        m = df["w"].nunique()
+        return rj, m
+
+    def test_page_trend_pandas_replica_and_laws(self, spark):
+        """Replica: pandas block ranks reproduce L; laws: E[L] = 112m,
+        z recomputes from (L, m), and L lies within the attainable
+        per-block permutation bounds [84m, 140m]."""
+        from console_etl_spark.relational.timeseries import (
+            stats_page_trend_dow,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = stats_page_trend_dow(spark, SF_TEST).collect()[0]
+        rj, m = self._dow_rank_sums(self._daily_cents(spark))
+        l_stat = sum((dow + 1) * rsum for dow, rsum in rj.items())
+        assert got["m_weeks"] == m
+        assert got["l_stat"] == l_stat
+        assert got["e_l"] == 112 * m
+        var = m * 49.0 * 8.0 * 48.0 / 144.0
+        assert got["z_page"] == round((l_stat - 112 * m) / var ** 0.5, 6)
+        # attainable per-block range of sum_j j*r_j over permutations of
+        # 1..7: min (reversed) sum j*(8-j) = 84, max (aligned) sum j^2 = 140
+        assert 84 * m <= l_stat <= 140 * m
+
+    def test_kendalls_w_pandas_replica_and_friedman_identity(self, spark):
+        """Replica: the doubled-score S4 over pandas block ranks
+        reproduces W; laws: 0 <= W <= 1, chi2 == 6mW (the Friedman
+        identity of the k=7 design), and Page's test sees the same
+        block design (same m_weeks)."""
+        from console_etl_spark.relational.timeseries import (
+            stats_kendalls_w_dow,
+            stats_page_trend_dow,
+        )
+
+        from tests.conftest import SF_TEST
+
+        got = stats_kendalls_w_dow(spark, SF_TEST).collect()[0]
+        rj, m = self._dow_rank_sums(self._daily_cents(spark))
+        s4 = sum((2 * rsum - 8 * m) ** 2 for rsum in rj.values())
+        assert got["m_weeks"] == m
+        assert got["s4_stat"] == s4
+        w = 3.0 * s4 / float(m * m * 336)
+        assert got["kendalls_w"] == round(w, 6)
+        assert got["chi2_friedman"] == round(6.0 * m * w, 6)
+        assert 0.0 <= got["kendalls_w"] <= 1.0
+        page = stats_page_trend_dow(spark, SF_TEST).collect()[0]
+        assert page["m_weeks"] == got["m_weeks"]
