@@ -2167,3 +2167,93 @@ def stream_croston_updates_tws(
             else initial_states.groupBy("l_partkey")
         ),
     )
+
+
+def markov_state_snapshot(events_batch: DataFrame) -> DataFrame:
+    """Per-user Markov warm-start state from BATCH event history —
+    the lambda-collapse seed for stream_markov_transitions_tws
+    (the croston_state_snapshot pattern applied to the sequence tier):
+    backfill history once with a batch job, then stream only new
+    events from exactly this state. State per user is ONE string —
+    the last event type in (ts, event_id) order — computed with a
+    single max-by-struct aggregate (lexicographic struct ordering;
+    (ts, event_id) is unique, so event_type never participates in the
+    comparison), exactly the row a per-user (ts, event_id) sort would
+    end on. Emits (user_id, last_type)."""
+    return events_batch.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type"))[
+            "event_type"
+        ].alias("last_type")
+    )
+
+
+def stream_markov_transitions_tws(
+    events: DataFrame, initial_states: DataFrame | None = None
+) -> DataFrame:
+    """stream_markov_transitions on Spark 4's transformWithState API,
+    with the WARM-START channel the applyInPandasWithState twin lacks
+    (VERDICT r13 item 5): ``initial_states`` (markov_state_snapshot
+    output) plants each user's carried last-type in the first
+    micro-batch via handleInitialState, so the stream's first event
+    per user bridges to the batch backfill's final event — the ONE
+    transition per user that neither the history nor the tail alone
+    contains. Same per-batch (ts, event_id) sort, same pair-count
+    emit, same output schema as the apply twin; the pinned law is
+    history-batch transition counts + streamed-tail counts == the
+    registered batch query over the FULL history. Runs on the RocksDB
+    state store (API requirement; the right store for user-cardinality
+    state anyway); execution needs a protobuf runtime
+    (compat.ensure_protobuf — the container's vendored pure-Python
+    one works)."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MarkovState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("markov", MARKOV_STATE)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._state.update((str(initialState.iloc[0]["last_type"]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._state.get()[0] if self._state.exists() else None
+            chunks = [pdf for pdf in rows if not pdf.empty]
+            if not chunks:
+                return
+            # Multi-chunk groups arrive in arbitrary chunk order —
+            # concatenate before the one sort (the apply twin's rule).
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            pairs: dict = {}
+            for t in pdf["event_type"]:
+                if last is not None:
+                    k = (last, t)
+                    pairs[k] = pairs.get(k, 0) + 1
+                last = t
+            self._state.update((str(last),))
+            if pairs:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(pairs),
+                        "from_type": [k[0] for k in pairs],
+                        "to_type": [k[1] for k in pairs],
+                        "n": list(pairs.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=MarkovState(),
+        outputStructType=MARKOV_OUTPUT,
+        outputMode="Append",
+        timeMode="None",
+        initialState=(
+            None
+            if initial_states is None
+            else initial_states.groupBy("user_id")
+        ),
+    )

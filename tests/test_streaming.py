@@ -3253,3 +3253,106 @@ def test_croston_tws_warm_start_equals_batch(spark, tmp_path):
             assert getattr(row, c) == b[c], (row.partkey, c)
         n_checked += 1
     assert n_checked >= 50  # the tail split touches a real fleet of parts
+
+
+def test_markov_tws_warm_start_equals_batch(spark, tmp_path):
+    """TWS Markov warm-start law (VERDICT r13 item 5, the
+    lambda-collapse pattern ported from the Croston twin): seed
+    per-user last-type state from markov_state_snapshot over the
+    HISTORY events, stream only the TAIL events, and the history's
+    batch transition counts plus the streamed tail counts must equal
+    the registered batch query over the FULL history — the seeded
+    state contributes exactly the one history->tail bridge transition
+    per user that neither half alone contains."""
+    from tests.conftest import HAVE_PROTOBUF
+
+    from console_etl_spark.relational import markov_event_transitions
+    from console_etl_spark.session import load_table
+
+    events = load_table(spark, SF_TEST, "events")
+    if not HAVE_PROTOBUF:
+        plan = streaming.stream_markov_transitions_tws(
+            events.limit(0), initial_states=None
+        )
+        assert dict(plan.dtypes)["n"] == "bigint"
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    # the split must be a TIME-prefix: the snapshot's last-type is only
+    # the predecessor of the tail's first event if every history row
+    # precedes every tail row in (ts, event_id) order (ties at the
+    # boundary microsecond all land in history via <=)
+    split_us = events.select(
+        F.unix_micros("ts").alias("us")
+    ).approxQuantile("us", [0.6], 0.0)[0]
+    hist = events.filter(F.unix_micros("ts") <= split_us)
+    tail = events.filter(F.unix_micros("ts") > split_us)
+    assert tail.count() > 0 and hist.count() > 0
+
+    src = str(tmp_path / "mtws_src")
+    import glob
+    import os
+    import time
+
+    tail.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src)
+    base_t = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (base_t + i, base_t + i))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        reader = (
+            spark.readStream.format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(src).schema)
+        )
+        got = streaming.run_to_completion(
+            streaming.stream_markov_transitions_tws(
+                reader.load(src),
+                initial_states=streaming.markov_state_snapshot(hist),
+            ),
+            "t_markov_tws_boot",
+            output_mode="append",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    stream_counts: dict = {}
+    for row in got.itertuples():
+        k = (row.from_type, row.to_type)
+        stream_counts[k] = stream_counts.get(k, 0) + int(row.n)
+    # history-half transition counts via the registered query's own
+    # lead-window shape on the hist relation
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist_pairs = (
+        hist.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .count()
+        .collect()
+    )
+    combined = dict(stream_counts)
+    for r in hist_pairs:
+        k = (r["from_type"], r["to_type"])
+        combined[k] = combined.get(k, 0) + int(r["count"])
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in markov_event_transitions(spark, SF_TEST).collect()
+    }
+    assert combined == want
+    # and the bridge really fired: the stream alone undercounts
+    assert stream_counts != want
