@@ -67,8 +67,11 @@ _MODULES = (
 # tools_staleness.py (closure-aware) reports ZERO stale-against-HEAD and
 # zero unresolvable at the rotation point -- the r13 window drained the
 # entire changed tier -- so the remaining 42 slots drain pure staleness:
-# every remaining r7-vintage driver row and the 8 oldest r8 rows, in
-# registration order within equal rounds. 47 oracle value-hash slots +
+# every remaining r7-vintage driver row and the oldest r8 rows, in
+# registration order within equal rounds (one late swap: the r14 sf1
+# A/B changed text_pmi_collocations to pin its tokenized relation, and
+# changed-code outranks pure staleness, so it takes the final slot).
+# 47 oracle value-hash slots +
 # 3 rows-only-by-design slots (PageRank's iterative fixpoint and the
 # MinHash-LSH / SimHash banded tiers -- each law-pinned with an
 # oracle-checked exact twin).
@@ -118,7 +121,12 @@ _PRIORITY = (
     "top_customers_by_revenue",
     "window_running_quantity",
     "window_order_gap_days",
-    # r8 driver rows (the 8 oldest, registration order)
+    # changed since last driver row (1): the r14 sf1 A/B shipped the
+    # tokenized-relation pin in text_pmi_collocations (BENCH_AB_r14);
+    # changed-code outranks pure staleness, so it takes the slot the
+    # 8th-oldest r8 row (anomaly_mad_daily_revenue) would have had
+    "text_pmi_collocations",
+    # r8 driver rows (the 7 oldest, registration order)
     "window_rank_parts_by_price",
     "asof_join_bounded_lookback",
     "stats_mannwhitney_u",
@@ -126,8 +134,7 @@ _PRIORITY = (
     "stats_kruskal_wallis",
     "changepoint_cusum_daily_revenue",
     "attribution_time_decay",
-    "anomaly_mad_daily_revenue",
-    # WINDOW FULL at 50 (8 new + 34 r7 + 8 r8).
+    # WINDOW FULL at 50 (8 new + 34 r7 + 1 changed + 7 r8).
 )
 
 

@@ -70,9 +70,12 @@ def test_driver_window_covers_all_families():
     Kendall's W — all oracle-backed with TestRound14Laws replicas),
     then pure staleness oldest-first: ALL 34 remaining r7-vintage
     driver rows (after this window the fleet's oldest evidence is
-    r8), then the 8 oldest r8 rows in registration order. 47 oracle
-    value-hash slots + 3 rows-only (by-design iterative/LSH) slots;
-    the remaining r8 rows lead the r15 rotation."""
+    r8), then text_pmi_collocations (changed late in the round: the
+    sf1 A/B shipped its tokenized-relation pin, and changed-code
+    outranks pure staleness), then the 7 oldest r8 rows in
+    registration order. 47 oracle value-hash slots + 3 rows-only
+    (by-design iterative/LSH) slots; the remaining r8 rows lead the
+    r15 rotation."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]

@@ -90,8 +90,7 @@ _RESCAN_WAIVERS = {
     "dedup_minhash_lsh": "signature build + band join read the corpus-sized signature relation",
     "dedup_embedding_cosine_ann": "ANN candidate generation + exact rerank read the vector relation per stage",
     "text_tfidf_top_terms": "token-exploded relation is corpus-sized; r13 sf1 A/B: pinning it is 29% SLOWER at 10x data (3.48s vs 2.70s, BENCH_AB_r13 §4) and the gap widens with scale — rescan kept by measurement",
-    "text_bigram_perplexity": "bigram-exploded relation is corpus-sized",
-    "text_pmi_collocations": "bigram-exploded relation is corpus-sized",
+    "text_bigram_perplexity": "bigram-exploded relation is corpus-sized; r14 sf1 A/B: pinning the explosion is 16% slower at sf0.1 (1.16s vs 1.00s) and 79% SLOWER at 10x data (5.91s vs 3.30s, BENCH_AB_r14) — the exploded relation grows faster than the doc scan it derives from; rescan kept by measurement (text_pmi_collocations, whose pinnable upstream is the TOKENIZED doc relation rather than the explosion, measured the other way and ships pinned)",
     "mix_corpus_weighted": "epoch-upsample union reads the corpus per epoch weight by construction",
     "ann_lsh_bucketed": "bucket build + probe read the vector relation per stage",
     "ann_pq_topk": "codebook fit + encode + ADC stages over the vector relation",
