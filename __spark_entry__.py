@@ -56,21 +56,25 @@ _MODULES = (
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed --
 # never-driver-checked queries first, then implementations changed since
 # their last driver row, then oldest rows first. ROUND 14 (thirteenth
-# rotation): the 8 NEW r14 registrations first (the AR(2) Yule-Walker
+# rotation): the 15 NEW r14 registrations first (the AR(2) Yule-Walker
 # one-step backtest carrying the shelf's first significance number -- the
 # Diebold-Mariano statistic vs the seasonal-naive champion; pinball-loss
 # scoring of the P10/P90 interval forecast on an honest calibration/
 # holdout time split; the random-walk-with-drift bake-off floor; Mood's
 # median test, the Cox-Stuart sign trend, Grubbs' outlier statistic, and
 # the weekly-block pair Page's L / Kendall's W -- all oracle-backed,
-# python/numpy replica laws in TestRound14Laws, windowed same-round).
+# python/numpy replica laws in TestRound14Laws, windowed same-round;
+# wave 2 adds the Bates-Granger combination, Quade, Brunner-Munzel,
+# Hodges-Lehmann, generalized ESD, Buishand range, and the Gopher
+# quality-rule sweep -- replica laws in TestRound14LawsWave2).
 # tools_staleness.py (closure-aware) reports ZERO stale-against-HEAD and
 # zero unresolvable at the rotation point -- the r13 window drained the
 # entire changed tier -- so the remaining 42 slots drain pure staleness:
-# every remaining r7-vintage driver row and the oldest r8 rows, in
-# registration order within equal rounds (one late swap: the r14 sf1
-# A/B changed text_pmi_collocations to pin its tokenized relation, and
-# changed-code outranks pure staleness, so it takes the final slot).
+# every remaining r7-vintage driver row, in registration order within
+# equal rounds (one late swap: the r14 sf1 A/B changed
+# text_pmi_collocations to pin its tokenized relation, and changed-code
+# outranks pure staleness, so it takes the final slot; the 7 oldest r8
+# rows the wave-2 registrations displaced lead the r15 rotation).
 # 47 oracle value-hash slots +
 # 3 rows-only-by-design slots (PageRank's iterative fixpoint and the
 # MinHash-LSH / SimHash banded tiers -- each law-pinned with an
@@ -85,6 +89,20 @@ _PRIORITY = (
     "stats_grubbs_outlier_daily",
     "stats_page_trend_dow",
     "stats_kendalls_w_dow",
+    # r14 wave-2 registrations (same-round evidence): the Bates-Granger
+    # combination joining the six-model bake-off, Quade completing the
+    # weekly block-design shelf, Brunner-Munzel completing the
+    # two-sample shelf on the fused prefix kernel, the Hodges-Lehmann
+    # shift estimator, generalized ESD completing the anomaly tier,
+    # Buishand completing the changepoint tier, and the Gopher-rule
+    # quality sweep on documents
+    "forecast_combo_daily",
+    "stats_quade_dow",
+    "stats_brunner_munzel",
+    "stats_hodges_lehmann_shift",
+    "anomaly_gesd_daily",
+    "changepoint_buishand_range",
+    "text_gopher_quality_flags",
     # r7 driver rows (the remaining 34 -- after this window the oldest
     # driver evidence anywhere in the fleet is r8)
     "weighted_median_price_by_flag",
@@ -126,15 +144,11 @@ _PRIORITY = (
     # changed-code outranks pure staleness, so it takes the slot the
     # 8th-oldest r8 row (anomaly_mad_daily_revenue) would have had
     "text_pmi_collocations",
-    # r8 driver rows (the 7 oldest, registration order)
-    "window_rank_parts_by_price",
-    "asof_join_bounded_lookback",
-    "stats_mannwhitney_u",
-    "attribution_position_based",
-    "stats_kruskal_wallis",
-    "changepoint_cusum_daily_revenue",
-    "attribution_time_decay",
-    # WINDOW FULL at 50 (8 new + 34 r7 + 1 changed + 7 r8).
+    # WINDOW FULL at 50 (15 new + 34 r7 + 1 changed). The wave-2
+    # registrations displaced the 7 oldest r8 rows
+    # (window_rank_parts_by_price .. attribution_time_decay), which
+    # lead the r15 rotation: never-checked outranks pure staleness,
+    # and every r7-vintage row still drains THIS round.
 )
 
 

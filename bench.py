@@ -182,6 +182,13 @@ HEADLINE = [
     "stats_grubbs_outlier_daily",
     "stats_page_trend_dow",
     "stats_kendalls_w_dow",
+    "forecast_combo_daily",
+    "stats_quade_dow",
+    "stats_brunner_munzel",
+    "stats_hodges_lehmann_shift",
+    "anomaly_gesd_daily",
+    "changepoint_buishand_range",
+    "text_gopher_quality_flags",
 ]
 
 # Continuity suite: exactly the 30 keys BENCH_r05 reported. The primary

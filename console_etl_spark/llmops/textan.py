@@ -2067,3 +2067,148 @@ def word2vec_sampling_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w")
         .limit(W2V_TABLE_TOPK)
     )
+
+
+@_register(
+    "text_gopher_quality_flags",
+    """
+    WITH feat AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             list_aggregate(
+               list_transform(string_split(text, ' '), x -> len(x)),
+               'sum') AS sum_len,
+             len(text) - len(replace(text, '#', ''))
+               + (len(text) - len(replace(text, '...', ''))) // 3
+               AS n_sym,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> x LIKE '-%' OR x LIKE '*%'))
+               AS n_bullet,
+             len(list_filter(['the','a','be','to','of','and',
+                              'that','have','with'],
+                 s -> list_contains(string_split(text, ' '), s)))
+               AS n_stop
+      FROM documents
+    ), flags AS (
+      SELECT source,
+             CASE WHEN n_tok BETWEEN 50 AND 100000
+                  THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+                  THEN 1 ELSE 0 END AS f_wordlen,
+             CASE WHEN 10 * n_sym < n_tok THEN 1 ELSE 0 END AS f_symbol,
+             CASE WHEN 10 * n_bullet <= 9 * n_lines
+                  THEN 1 ELSE 0 END AS f_bullet,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+      FROM feat
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_words) AS BIGINT) AS pass_words,
+           CAST(SUM(f_wordlen) AS BIGINT) AS pass_wordlen,
+           CAST(SUM(f_symbol) AS BIGINT) AS pass_symbol,
+           CAST(SUM(f_bullet) AS BIGINT) AS pass_bullet,
+           CAST(SUM(f_stop) AS BIGINT) AS pass_stop,
+           CAST(SUM(f_words * f_wordlen * f_symbol * f_bullet * f_stop)
+                AS BIGINT) AS pass_all,
+           ROUND(CAST(SUM(f_words * f_wordlen * f_symbol * f_bullet
+                          * f_stop) AS DOUBLE) / COUNT(*), 6)
+             AS pass_rate
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule sweep (Rae et al. 2021, the
+    rule family Dolma/RefinedWeb inherit), aggregated per source: the
+    five classic structural filters — word count in [50, 100000], mean
+    word length in [3, 10], symbol-to-word ratio below 0.1 ('#' and
+    '...' symbols), bullet-started line fraction at most 0.9, and the
+    stop-word sanity rule (at least 2 of the 8 canonical English stop
+    words present) — each reported as a per-source pass count beside
+    the conjunctive pass_all and its rate. text_quality_scores is the
+    per-document gate this aggregates past: a mix curator reads THIS
+    table to see which source fails which rule before reweighting.
+
+    Exactness: every rule comparison is cleared of its division —
+    3*n_tok <= sum_len <= 10*n_tok for mean word length,
+    10*n_sym < n_tok for the symbol ratio, 10*n_bullet <= 9*n_lines
+    for the bullet fraction — so all five flags are exact integer
+    predicates (no float threshold can straddle an engine's rounding);
+    token/line splits are the corpus-wide single-space convention
+    (dedup.tokens and its string_split SQL twin); the only double is
+    the final ROUND(rate, 6).
+
+    Scale shape: ONE documents scan; per-row features are in-row
+    built-in expressions (split / transform / aggregate / filter —
+    whole-stage codegen, zero Python); the rollup is one
+    map-side-combinable groupBy over the bounded source domain. No
+    explosion — token arrays reduce in-row to scalars before the
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    lines = F.split(F.col("text"), "\n")
+    n_tok = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "#", ""))
+        + (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+        ).cast("int")
+        / 3
+    ).cast("int")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-") | x.startswith("*"),
+        )
+    )
+    stops = F.array(
+        *[F.lit(s) for s in ("the", "a", "be", "to", "of", "and",
+                             "that", "have", "with")]
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), stops))
+    f_words = n_tok.between(50, 100000).cast("int")
+    f_wordlen = ((3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)).cast(
+        "int"
+    )
+    f_symbol = (10 * n_sym < n_tok).cast("int")
+    f_bullet = (10 * n_bullet <= 9 * n_lines).cast("int")
+    f_stop = (n_stop >= 2).cast("int")
+    flags = d.select(
+        "source",
+        f_words.alias("f_words"),
+        f_wordlen.alias("f_wordlen"),
+        f_symbol.alias("f_symbol"),
+        f_bullet.alias("f_bullet"),
+        f_stop.alias("f_stop"),
+    )
+    allf = (
+        F.col("f_words")
+        * F.col("f_wordlen")
+        * F.col("f_symbol")
+        * F.col("f_bullet")
+        * F.col("f_stop")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("f_words").cast("bigint").alias("pass_words"),
+            F.sum("f_wordlen").cast("bigint").alias("pass_wordlen"),
+            F.sum("f_symbol").cast("bigint").alias("pass_symbol"),
+            F.sum("f_bullet").cast("bigint").alias("pass_bullet"),
+            F.sum("f_stop").cast("bigint").alias("pass_stop"),
+            F.sum(allf).cast("bigint").alias("pass_all"),
+            F.round(
+                F.sum(allf).cast("double") / F.count("*"), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )

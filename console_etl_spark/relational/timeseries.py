@@ -9363,3 +9363,830 @@ def stats_kendalls_w_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+
+@_register(
+    "forecast_combo_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, cents FROM daily
+    ), lagd AS (
+      SELECT t, cents,
+             LAG(cents, 1) OVER (ORDER BY t) AS l1,
+             LAG(cents, 7) OVER (ORDER BY t) AS l7,
+             FIRST_VALUE(cents) OVER (ORDER BY t) AS y1
+      FROM series
+    ), scored AS (
+      SELECT t,
+             ABS(CAST(cents AS DOUBLE)
+                 - (CAST(l7 AS DOUBLE) + CAST(l1 AS DOUBLE)
+                    + (CAST(l1 AS DOUBLE)
+                       + CAST(l1 - y1 AS DOUBLE)
+                         / CAST(t - 2 AS DOUBLE))) / 3.0) AS ae,
+             (CAST(cents AS DOUBLE)
+              - (CAST(l7 AS DOUBLE) + CAST(l1 AS DOUBLE)
+                 + (CAST(l1 AS DOUBLE)
+                    + CAST(l1 - y1 AS DOUBLE)
+                      / CAST(t - 2 AS DOUBLE))) / 3.0)
+             * (CAST(cents AS DOUBLE)
+                - (CAST(l7 AS DOUBLE) + CAST(l1 AS DOUBLE)
+                   + (CAST(l1 AS DOUBLE)
+                      + CAST(l1 - y1 AS DOUBLE)
+                        / CAST(t - 2 AS DOUBLE))) / 3.0) AS se,
+             CAST(ABS(cents - l7) AS HUGEINT) AS ae7
+      FROM lagd WHERE t >= 8
+    ), run AS (
+      SELECT COUNT(*) OVER wr AS k,
+             COUNT(*) OVER wa AS n_all,
+             SUM(ae) OVER wr AS sae,
+             SUM(se) OVER wr AS sse,
+             SUM(ae7) OVER wr AS sa7
+      FROM scored
+      WINDOW wr AS (ORDER BY t ROWS UNBOUNDED PRECEDING),
+             wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(k AS BIGINT) AS n_eval,
+           ROUND(sae / k / 100.0, 6) AS mae_combo,
+           ROUND(SQRT(sse / k) / 100.0, 6) AS rmse_combo,
+           ROUND(CAST(sa7 AS DOUBLE) / k / 100.0, 6) AS mae_snaive,
+           ROUND(1.0 - sae / CAST(sa7 AS DOUBLE), 6) AS mae_skill
+    FROM run WHERE k = n_all
+    """,
+)
+def forecast_combo_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight forecast COMBINATION (Bates & Granger 1969) of the
+    bake-off's three closed-form members — seasonal-naive y_{t-7},
+    naive y_{t-1}, and random-walk-with-drift
+    y_{t-1} + (y_{t-1} - y_1)/(t - 2) — scored one-step on the SHARED
+    protocol (same t >= 8 window, same seasonal-naive champion
+    denominator) so its mae_skill lands on the six-model shelf's
+    scale. The classical result the entry pins: the unweighted mean of
+    diverse forecasters hedges their individual failure modes (drift
+    ignores the weekly cycle, the two naives ignore the trend), so the
+    combination sits between the floor and the champion rather than at
+    either end — forecast combination as a seventh shelf member whose
+    inputs are all already-registered models, no new fitting.
+
+    Exactness: every member forecast is built from the SAME exact
+    integer lags (l1, l7, y1) the drift entry uses; the combination is
+    ONE identically-parenthesized double expression (sum of three
+    member terms, then / 3.0) on both engines; the champion
+    denominator stays a pure HUGEINT / DECIMAL(38,0) integer sum.
+
+    Scale shape (the forecast_drift_daily class): ONE partial-agg
+    shuffle to the time-span-bounded daily grid; lags and running
+    sums are ORDER BY t windows on the bounded relation; 1-row
+    finalize. Single fact scan, no collect."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    wo = W.orderBy("t")
+    series = daily.select(
+        F.row_number().over(W.orderBy("d")).alias("t"), "cents"
+    )
+    lagd = series.select(
+        "t",
+        "cents",
+        F.lag("cents", 1).over(wo).alias("l1"),
+        F.lag("cents", 7).over(wo).alias("l7"),
+        F.first("cents").over(wo).alias("y1"),
+    ).filter(F.col("t") >= 8)
+    d38 = "decimal(38,0)"
+    drift = F.col("l1").cast("double") + (
+        F.col("l1") - F.col("y1")
+    ).cast("double") / (F.col("t") - 2).cast("double")
+    yhat = (
+        F.col("l7").cast("double") + F.col("l1").cast("double") + drift
+    ) / F.lit(3.0)
+    err = F.col("cents").cast("double") - yhat
+    scored = lagd.select(
+        "t",
+        F.abs(err).alias("ae"),
+        (err * err).alias("se"),
+        F.abs(F.col("cents") - F.col("l7")).cast(d38).alias("ae7"),
+    )
+    wr = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    wa = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    run = scored.select(
+        F.count("*").over(wr).alias("k"),
+        F.count("*").over(wa).alias("n_all"),
+        F.sum("ae").over(wr).alias("sae"),
+        F.sum("se").over(wr).alias("sse"),
+        F.sum("ae7").over(wr).alias("sa7"),
+    ).filter(F.col("k") == F.col("n_all"))
+    kd = F.col("k").cast("double")
+    return run.select(
+        F.col("k").cast("bigint").alias("n_eval"),
+        F.round(F.col("sae") / kd / F.lit(100.0), 6).alias("mae_combo"),
+        F.round(
+            F.sqrt(F.col("sse") / kd) / F.lit(100.0), 6
+        ).alias("rmse_combo"),
+        F.round(
+            F.col("sa7").cast("double") / kd / F.lit(100.0), 6
+        ).alias("mae_snaive"),
+        F.round(
+            F.lit(1.0) - F.col("sae") / F.col("sa7").cast("double"), 6
+        ).alias("mae_skill"),
+    )
+
+
+@_register(
+    "stats_quade_dow",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), wk AS (
+      SELECT d // 7 AS w, d % 7 AS dow, cents FROM daily
+    ), full_weeks AS (
+      SELECT w FROM wk GROUP BY w HAVING COUNT(*) = 7
+    ), fw AS (
+      SELECT k.w, k.dow, k.cents FROM wk k JOIN full_weeks f USING (w)
+    ), ranked AS (
+      SELECT w, dow,
+             ROW_NUMBER() OVER (PARTITION BY w
+                                ORDER BY cents, dow) AS r
+      FROM fw
+    ), rng AS (
+      SELECT w, MAX(cents) - MIN(cents) AS spread FROM fw GROUP BY w
+    ), qrank AS (
+      SELECT w, ROW_NUMBER() OVER (ORDER BY spread, w) AS q FROM rng
+    ), s AS (
+      SELECT r.dow, CAST(q.q AS BIGINT) * (r.r - 4) AS s_ij
+      FROM ranked r JOIN qrank q USING (w)
+    ), sj AS (
+      SELECT dow,
+             CAST(SUM(s_ij) AS BIGINT) AS s_j,
+             CAST(SUM(s_ij * s_ij) AS BIGINT) AS a_part,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM s GROUP BY dow
+    ), tot AS (
+      SELECT CAST(SUM(a_part) AS BIGINT) AS a_stat,
+             CAST(SUM(s_j * s_j) AS BIGINT) AS b_num,
+             MAX(m) AS m
+      FROM sj
+    )
+    SELECT m AS m_weeks,
+           a_stat,
+           b_num,
+           ROUND(CAST(m - 1 AS DOUBLE) * CAST(b_num AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * CAST(a_stat AS DOUBLE)
+                    - CAST(b_num AS DOUBLE)),
+                 6) AS f_quade
+    FROM tot
+    """,
+)
+def stats_quade_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test on the weekly block design — the fourth and final
+    member of the blocked-ranks shelf (Friedman: any difference;
+    Page's L: ordered alternative; Kendall's W: agreement; Quade:
+    difference WEIGHTED by block informativeness). Blocks are complete
+    epoch weeks, treatments the calendar positions dow = d % 7; each
+    week's revenues rank 1..7 within the block, each BLOCK ranks by
+    its spread max-min cents (high-spread weeks carry more signal),
+    and S_ij = Q_i * (R_ij - 4) weights the centered within-block rank
+    by the block's spread rank. With A = sum S_ij^2 and
+    B = (1/m) sum_j S_j^2, F = (m-1)B / (A-B), distributed F(k-1,
+    (m-1)(k-1)) under H0 — Quade dominates Friedman precisely when
+    block spreads differ, which revenue weeks (holiday spikes vs flat
+    weeks) guarantee.
+
+    Exactness: both rank passes are ROW_NUMBER with deterministic
+    tiebreaks — (cents, dow) within blocks (the Page convention) and
+    (spread, w) across blocks (exact-integer spreads; the
+    deterministic-tiebreak convention documented there applies to tied
+    spreads too) — so both engines produce identical permutations;
+    S_ij, A, and m*B = sum S_j^2 are exact BIGINT sums (|S_ij| <=
+    3m ~ 1e3, A <= 7m(3m)^2 ~ 2e9, sum S_j^2 <= 7(3m^2)^2 well inside
+    BIGINT), and F is ONE identically-parenthesized double expression
+    (m-1)*b_num / (m*a_stat - b_num) over exact operands.
+
+    Scale shape (the stats_page_trend_dow class): ONE partial-agg
+    shuffle to the time-span-bounded daily grid, localCheckpoint-pinned
+    so the complete-week filter, the spread aggregate, and the ranking
+    pass share one materialization; the bounded week list broadcasts
+    into both rank joins; within-block ranks are a PARTITION BY week
+    window (7 rows per partition); the across-block spread rank is a
+    window over the bounded ~350-row week relation; finalize is a
+    7-row then 1-row reduction. Single fact scan, no collect."""
+    daily = _daily_revenue_cents(spark, sf_dir)
+    wk = daily.select(
+        (F.col("d") / 7).cast("bigint").alias("w"),
+        (F.col("d") % 7).alias("dow"),
+        "cents",
+    ).localCheckpoint()
+    full_weeks = wk.groupBy("w").agg(F.count("*").alias("cw")).filter(
+        F.col("cw") == 7
+    ).select("w")
+    fw = wk.join(F.broadcast(full_weeks), "w")
+    ranked = fw.select(
+        "w",
+        "dow",
+        F.row_number()
+        .over(W.partitionBy("w").orderBy("cents", "dow"))
+        .alias("r"),
+    )
+    rng = fw.groupBy("w").agg(
+        (F.max("cents") - F.min("cents")).alias("spread")
+    )
+    qrank = rng.select(
+        "w",
+        F.row_number().over(W.orderBy("spread", "w")).alias("q"),
+    )
+    s = ranked.join(F.broadcast(qrank), "w").select(
+        "dow",
+        (F.col("q").cast("bigint") * (F.col("r") - 4)).alias("s_ij"),
+    )
+    sj = s.groupBy("dow").agg(
+        F.sum("s_ij").cast("bigint").alias("s_j"),
+        F.sum(F.col("s_ij") * F.col("s_ij")).cast("bigint").alias("a_part"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    tot = sj.agg(
+        F.sum("a_part").cast("bigint").alias("a_stat"),
+        F.sum(F.col("s_j") * F.col("s_j")).cast("bigint").alias("b_num"),
+        F.max("m").alias("m"),
+    )
+    mI = F.col("m")
+    return tot.select(
+        mI.alias("m_weeks"),
+        F.col("a_stat"),
+        F.col("b_num"),
+        F.round(
+            (mI - 1).cast("double") * F.col("b_num").cast("double")
+            / (
+                mI.cast("double") * F.col("a_stat").cast("double")
+                - F.col("b_num").cast("double")
+            ),
+            6,
+        ).alias("f_quade"),
+    )
+
+
+@_register(
+    "stats_brunner_munzel",
+    """
+    WITH s AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), v AS (
+      SELECT x, CAST(SUM(g1) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY x
+    ), cum AS (
+      SELECT c1, ct,
+             CAST(COALESCE(SUM(ct) OVER (
+                    ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS below,
+             CAST(COALESCE(SUM(c1) OVER (
+                    ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS BIGINT) AS below1
+      FROM v
+    ), m AS (
+      SELECT c1, ct - c1 AS c2,
+             2 * CAST(below AS HUGEINT) + ct + 1 AS mm,
+             2 * CAST(below1 AS HUGEINT) + c1 + 1 AS w1,
+             2 * CAST(below - below1 AS HUGEINT) + (ct - c1) + 1 AS w2
+      FROM cum
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2,
+             CAST(SUM(c1 * mm) AS HUGEINT) AS t1,
+             CAST(SUM(c2 * mm) AS HUGEINT) AS t2
+      FROM m
+    ), dev AS (
+      SELECT t.n1, t.n2, t.t1, t.t2,
+             CAST(SUM(c1 * (t.n1 * (m.mm - m.w1 + t.n1 + 1) - t.t1)
+                         * (t.n1 * (m.mm - m.w1 + t.n1 + 1) - t.t1))
+                  AS DOUBLE) AS ssq1,
+             CAST(SUM(c2 * (t.n2 * (m.mm - m.w2 + t.n2 + 1) - t.t2)
+                         * (t.n2 * (m.mm - m.w2 + t.n2 + 1) - t.t2))
+                  AS DOUBLE) AS ssq2
+      FROM m, tot t
+      GROUP BY t.n1, t.n2, t.t1, t.t2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           ROUND(CAST(t2 - n2 * (n2 + 1) AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                 6) AS p_hat,
+           ROUND(CAST(n1 * t2 - n2 * t1 AS DOUBLE)
+                 / (2.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                    * SQRT(ssq1 / (4.0 * CAST(n1 AS DOUBLE)
+                                   * (CAST(n1 AS DOUBLE) - 1.0))
+                           + ssq2 / (4.0 * CAST(n2 AS DOUBLE)
+                                     * (CAST(n2 AS DOUBLE) - 1.0)))),
+                 6) AS w_bm,
+           ROUND((ssq1 / (4.0 * CAST(n1 AS DOUBLE)
+                          * (CAST(n1 AS DOUBLE) - 1.0))
+                  + ssq2 / (4.0 * CAST(n2 AS DOUBLE)
+                            * (CAST(n2 AS DOUBLE) - 1.0)))
+                 * (ssq1 / (4.0 * CAST(n1 AS DOUBLE)
+                            * (CAST(n1 AS DOUBLE) - 1.0))
+                    + ssq2 / (4.0 * CAST(n2 AS DOUBLE)
+                              * (CAST(n2 AS DOUBLE) - 1.0)))
+                 / ((ssq1 / (4.0 * CAST(n1 AS DOUBLE)
+                             * (CAST(n1 AS DOUBLE) - 1.0)))
+                    * (ssq1 / (4.0 * CAST(n1 AS DOUBLE)
+                               * (CAST(n1 AS DOUBLE) - 1.0)))
+                    / (CAST(n1 AS DOUBLE) - 1.0)
+                    + (ssq2 / (4.0 * CAST(n2 AS DOUBLE)
+                               * (CAST(n2 AS DOUBLE) - 1.0)))
+                      * (ssq2 / (4.0 * CAST(n2 AS DOUBLE)
+                                 * (CAST(n2 AS DOUBLE) - 1.0)))
+                      / (CAST(n2 AS DOUBLE) - 1.0)),
+                 6) AS df_bm
+    FROM dev
+    """,
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test (the "generalized Wilcoxon" of Brunner &
+    Munzel 2000) between the URGENT and LOW priority order-value
+    populations: the modern replacement for Mann-Whitney when the two
+    groups may differ in VARIANCE as well as location — MW assumes
+    exchangeable spreads under H0, BM studentizes the rank mean
+    difference by per-group placement variances and is valid under
+    heteroscedasticity (the Behrens-Fisher problem in ranks; its
+    Welch-style df ships alongside). Completes the two-sample shelf:
+    stats_welch_ttest (moments, unequal variances), stats_mannwhitney_u
+    (ranks, equal spreads), stats_brunner_munzel (ranks, unequal
+    spreads); p_hat = P(X_U < X_L) + 0.5 P(=) is the common-language
+    effect size both rank tests estimate.
+
+    Rank identities (all midranks from per-distinct-value counts, zero
+    per-row ranking): with (c1, ct) per distinct value and the two
+    EXCLUSIVE prefixes below = sum ct, below1 = sum c1, the DOUBLED
+    midranks 2m = 2*below + ct + 1 (pooled), 2r1 = 2*below1 + c1 + 1
+    (within group 1), 2r2 = 2*(below - below1) + (ct - c1) + 1 are
+    exact integers shared by every tied member; the placement
+    deviation of each group-1 member, scaled by 2*n1, is the exact
+    integer N1 = n1*(2m - 2r1 + n1 + 1) - T1 with T1 = sum c1*2m, so
+    (n1-1)*(2n1)^2 * S1^2 = sum c1 * N1^2 accumulates as
+    DECIMAL(38,0)/HUGEINT with no doubles until the final scalar
+    (scipy's rankcx - rankx - mean(rankcx) + mean(rankx) deviations,
+    cleared of denominators). W = (n1*T2 - n2*T1) /
+    (2(n1+n2) sqrt(S1^2 n1 + S2^2 n2)) after substitution; every
+    float is ONE identically-parenthesized expression on both engines.
+    Magnitude bound (documented, tighter than MW's tie_t): N1 ~ 2 n1
+    n2, so the deviation sum ~ 4 n1 (n1 n2)^2 stays inside 38 digits
+    through n ~ 1e7 per group (sf1-scale verified); a 100 TB run
+    re-blocks the final fold into a two-level sum before the cast.
+
+    Scale shape (kernel citation: llmops.pipeline.global_prefix_sums —
+    the fused multi-column kernel from the r13 JT/CvM repair, its
+    first two-sample consumer): one partial-agg shuffle collapses the
+    fact scan to distinct-value counts, BOTH exclusive prefixes ride
+    ONE range shuffle, the 1-row totals broadcast back onto the pinned
+    kernel output, and the statistic folds in one bounded aggregate.
+    No SinglePartition, single fact scan."""
+    from ..llmops.pipeline import global_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    v = s.groupBy("x").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    cum = global_prefix_sums(
+        v, ["x"], ["ct", "c1"], ["below", "below1"], inclusive=False
+    )
+    d38 = "decimal(38,0)"
+    m = cum.select(
+        "c1",
+        (F.col("ct") - F.col("c1")).alias("c2"),
+        (2 * F.col("below").cast(d38) + F.col("ct") + 1).alias("mm"),
+        (2 * F.col("below1").cast(d38) + F.col("c1") + 1).alias("w1"),
+        (
+            2 * (F.col("below") - F.col("below1")).cast(d38)
+            + (F.col("ct") - F.col("c1"))
+            + 1
+        ).alias("w2"),
+    )
+    tot = m.agg(
+        F.sum("c1").cast(d38).alias("n1"),
+        F.sum("c2").cast(d38).alias("n2"),
+        F.sum(F.col("c1") * F.col("mm")).cast(d38).alias("t1"),
+        F.sum(F.col("c2") * F.col("mm")).cast(d38).alias("t2"),
+    )
+    joined = m.join(F.broadcast(tot))
+    nn1 = (
+        F.col("n1") * (F.col("mm") - F.col("w1") + F.col("n1") + 1)
+        - F.col("t1")
+    )
+    nn2 = (
+        F.col("n2") * (F.col("mm") - F.col("w2") + F.col("n2") + 1)
+        - F.col("t2")
+    )
+    dev = joined.groupBy("n1", "n2", "t1", "t2").agg(
+        F.sum(F.col("c1") * nn1 * nn1).cast("double").alias("ssq1"),
+        F.sum(F.col("c2") * nn2 * nn2).cast("double").alias("ssq2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    v1 = F.col("ssq1") / (F.lit(4.0) * n1d * (n1d - F.lit(1.0)))
+    v2 = F.col("ssq2") / (F.lit(4.0) * n2d * (n2d - F.lit(1.0)))
+    return dev.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(
+            (F.col("t2") - F.col("n2") * (F.col("n2") + 1)).cast("double")
+            / (F.lit(2.0) * n1d * n2d),
+            6,
+        ).alias("p_hat"),
+        F.round(
+            (F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1")).cast(
+                "double"
+            )
+            / (F.lit(2.0) * (n1d + n2d) * F.sqrt(v1 + v2)),
+            6,
+        ).alias("w_bm"),
+        F.round(
+            (v1 + v2) * (v1 + v2)
+            / (
+                v1 * v1 / (n1d - F.lit(1.0))
+                + v2 * v2 / (n2d - F.lit(1.0))
+            ),
+            6,
+        ).alias("df_bm"),
+    )
+
+
+@_register(
+    "stats_hodges_lehmann_shift",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), we AS (
+      SELECT d, cents FROM daily WHERE d % 7 IN (2, 3)
+    ), wd AS (
+      SELECT d, cents FROM daily WHERE d % 7 NOT IN (2, 3)
+    ), pairs AS (
+      SELECT e.cents - y.cents AS diff, e.d AS d1, y.d AS d2
+      FROM we e, wd y
+    ), ranked AS (
+      SELECT diff,
+             ROW_NUMBER() OVER (ORDER BY diff, d1, d2) AS r,
+             COUNT(*) OVER () AS p
+      FROM pairs
+    )
+    SELECT CAST(MAX(p) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN r = (p + 1) // 2 THEN diff ELSE 0 END)
+                + SUM(CASE WHEN r = (p + 2) // 2 THEN diff ELSE 0 END)
+                AS BIGINT) AS hl_cents_x2,
+           ROUND(CAST(SUM(CASE WHEN r = (p + 1) // 2 THEN diff
+                          ELSE 0 END)
+                      + SUM(CASE WHEN r = (p + 2) // 2 THEN diff
+                            ELSE 0 END) AS DOUBLE) / 200.0,
+                 6) AS hl_shift
+    FROM ranked
+    """,
+)
+def stats_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimator of the weekend-vs-weekday LOCATION
+    SHIFT in daily revenue: the median of all pairwise differences
+    x_i - y_j (weekend day i, weekday j) — the shift estimate the
+    Mann-Whitney test inverts to, robust where the mean difference
+    (stats_cohens_d_weekend_revenue's numerator) is outlier-driven.
+    Completes the weekend design: Cohen's d (parametric effect),
+    Mood's median (location test), HL (the robust magnitude those
+    tests detect).
+
+    Exactness: pairwise differences are exact integer cents; the
+    median is NOT an engine aggregate (DuckDB interpolates, Spark's
+    percentile differs on evens) but the explicit average of the two
+    middle order statistics under the UNIQUE total order (diff, d1,
+    d2) — both engines pick the identical two rows, and
+    hl_cents_x2 = diff_lo + diff_hi stays an exact integer beside the
+    rounded dollar form.
+
+    Scale shape: the pairwise relation is CALENDAR-bounded, not
+    data-sized — |we| x |wd| ~ 700 x 1700 ~ 1.2M pairs for the full
+    TPC-H span at ANY corpus scale (the daily grid saturates), so the
+    broadcast nested-loop product of two bounded sides is a constant-
+    size intermediate by construction (the documented
+    BroadcastNestedLoopJoin class, like the grid cross joins the
+    audit's bounded-feed rule blesses); ranking rides ONE window over
+    the bounded pair relation. The data-sized work — facts to daily
+    grid — is one partial-agg shuffle. Single fact scan, no collect."""
+    daily = _daily_revenue_cents(spark, sf_dir).localCheckpoint()
+    we = daily.filter((F.col("d") % 7).isin(2, 3)).select(
+        F.col("d").alias("d1"), F.col("cents").alias("c1")
+    )
+    wd = daily.filter(~(F.col("d") % 7).isin(2, 3)).select(
+        F.col("d").alias("d2"), F.col("cents").alias("c2")
+    )
+    pairs = we.join(F.broadcast(wd)).select(
+        (F.col("c1") - F.col("c2")).alias("diff"), "d1", "d2"
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = pairs.select(
+        "diff",
+        F.row_number().over(W.orderBy("diff", "d1", "d2")).alias("r"),
+        F.count("*").over(wall).alias("p"),
+    )
+    picked = ranked.agg(
+        F.max("p").cast("bigint").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(
+                    F.col("r") == ((F.col("p") + 1) / 2).cast("bigint"),
+                    F.col("diff"),
+                ).otherwise(F.lit(0))
+            )
+            + F.sum(
+                F.when(
+                    F.col("r") == ((F.col("p") + 2) / 2).cast("bigint"),
+                    F.col("diff"),
+                ).otherwise(F.lit(0))
+            )
+        )
+        .cast("bigint")
+        .alias("hl_cents_x2"),
+    )
+    return picked.select(
+        "n_pairs",
+        "hl_cents_x2",
+        F.round(
+            F.col("hl_cents_x2").cast("double") / F.lit(200.0), 6
+        ).alias("hl_shift"),
+    )
+
+
+@_register(
+    "anomaly_gesd_daily",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), a1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM daily
+    ), p1 AS (
+      SELECT g.d, g.cents, a.n, a.s, a.ss
+      FROM daily g, a1 a
+      ORDER BY ABS(a.n * g.cents - a.s) DESC, g.d LIMIT 1
+    ), g2 AS (
+      SELECT g.d, g.cents FROM daily g
+      WHERE g.d <> (SELECT d FROM p1)
+    ), a2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM g2
+    ), p2 AS (
+      SELECT g.d, g.cents, a.n, a.s, a.ss
+      FROM g2 g, a2 a
+      ORDER BY ABS(a.n * g.cents - a.s) DESC, g.d LIMIT 1
+    ), g3 AS (
+      SELECT g.d, g.cents FROM g2 g
+      WHERE g.d <> (SELECT d FROM p2)
+    ), a3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM g3
+    ), p3 AS (
+      SELECT g.d, g.cents, a.n, a.s, a.ss
+      FROM g3 g, a3 a
+      ORDER BY ABS(a.n * g.cents - a.s) DESC, g.d LIMIT 1
+    ), u AS (
+      SELECT 1 AS iter, * FROM p1
+      UNION ALL SELECT 2 AS iter, * FROM p2
+      UNION ALL SELECT 3 AS iter, * FROM p3
+    )
+    SELECT iter, d, cents, n AS n_remaining,
+           ROUND(CAST(ABS(n * cents - s) AS DOUBLE) / CAST(n AS DOUBLE)
+                 / SQRT(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))),
+                 6) AS r_stat
+    FROM u ORDER BY iter
+    """,
+)
+def anomaly_gesd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner 1983) outlier sweep on daily revenue,
+    k = 3 unrolled iterations: each round computes the remaining
+    series' mean and sample deviation, extracts the most-studentized
+    day R_i = max |x - mean| / sd, and REMOVES it before the next
+    round — the masking-proof upgrade of the single-shot Grubbs test
+    (stats_grubbs_outlier_daily): a pair of adjacent spikes inflates
+    the deviation enough to hide each other from Grubbs, while GESD
+    peels them one at a time (R_i compared downstream against the
+    Rosner lambda_i critical values, which need t-quantiles and ship
+    with the consumer, not the engine). anomaly_mad_daily_revenue is
+    the robust-scale sibling; GESD is the sequential moment-based one.
+
+    Exactness: each iteration's argmax uses the EXACT INTEGER key
+    |n*x - S| (equivalent to |x - mean| without the division) with
+    the day tiebreak, so both engines peel the identical rows in the
+    identical order; n, S, and SS accumulate as
+    BIGINT/HUGEINT/DECIMAL(38,0); R_i is ONE identically-
+    parenthesized double expression over those exact operands.
+
+    Scale shape: the iteration operates ENTIRELY on the calendar-
+    bounded daily grid, localCheckpoint-pinned once — three bounded
+    aggregates, three ORDER-BY-LIMIT-1 top-1 reductions (TakeOrdered,
+    no full sort materialization), two broadcast anti-joins, zero
+    additional fact scans; the single data-sized stage is the
+    grid-building partial agg. The sequential remove-and-refit has no
+    distributed form by construction (each round depends on the
+    last), but every round is a bounded-relation operation — the
+    anomaly twin of the Holt-Winters recursion argument, without even
+    needing the collect."""
+    daily = _daily_revenue_cents(spark, sf_dir).localCheckpoint()
+    d38 = "decimal(38,0)"
+
+    def stats_of(g: DataFrame) -> DataFrame:
+        return g.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents").cast(d38) * F.col("cents"))
+            .cast(d38)
+            .alias("ss"),
+        )
+
+    def pick(g: DataFrame, a: DataFrame) -> DataFrame:
+        return (
+            g.join(F.broadcast(a))
+            .orderBy(
+                F.abs(F.col("n") * F.col("cents") - F.col("s")).desc(),
+                F.col("d"),
+            )
+            .limit(1)
+        )
+
+    g1 = daily
+    p1 = pick(g1, stats_of(g1))
+    g2 = g1.join(F.broadcast(p1.select("d")), "d", "left_anti")
+    p2 = pick(g2, stats_of(g2))
+    g3 = g2.join(F.broadcast(p2.select("d")), "d", "left_anti")
+    p3 = pick(g3, stats_of(g3))
+    u = (
+        p1.select(F.lit(1).alias("iter"), "d", "cents", "n", "s", "ss")
+        .unionAll(
+            p2.select(F.lit(2).alias("iter"), "d", "cents", "n", "s", "ss")
+        )
+        .unionAll(
+            p3.select(F.lit(3).alias("iter"), "d", "cents", "n", "s", "ss")
+        )
+    )
+    nd = F.col("n").cast("double")
+    return u.select(
+        "iter",
+        "d",
+        "cents",
+        F.col("n").alias("n_remaining"),
+        F.round(
+            F.abs(F.col("n") * F.col("cents") - F.col("s")).cast("double")
+            / nd
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("ss")
+                    - F.col("s").cast(d38) * F.col("s")
+                ).cast("double")
+                / (nd * (nd - F.lit(1.0)))
+            ),
+            6,
+        ).alias("r_stat"),
+    ).orderBy("iter")
+
+
+@_register(
+    "changepoint_buishand_range",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS HUGEINT) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM daily
+    ), cum AS (
+      SELECT d,
+             ROW_NUMBER() OVER (ORDER BY d) AS k,
+             CAST(SUM(cents) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tk
+      FROM daily
+    ), ns AS (
+      SELECT c.d, t.n * c.tk - c.k * t.s AS nsk
+      FROM cum c, tot t
+    ), agg AS (
+      SELECT CAST(MAX(nsk) AS BIGINT) AS mx,
+             CAST(MIN(nsk) AS BIGINT) AS mn,
+             CAST(MAX(ABS(nsk)) AS BIGINT) AS mabs
+      FROM ns
+    ), loc AS (
+      SELECT d FROM ns ORDER BY ABS(nsk) DESC, d LIMIT 1
+    )
+    SELECT t.n AS n_days,
+           l.d AS d_star,
+           ROUND(CAST(a.mx - a.mn AS DOUBLE)
+                 / (SQRT(CAST(t.n * t.ss
+                              - CAST(t.s AS HUGEINT) * t.s AS DOUBLE))
+                    * SQRT(CAST(t.n AS DOUBLE))),
+                 6) AS r_buishand,
+           ROUND(CAST(a.mabs AS DOUBLE)
+                 / (SQRT(CAST(t.n * t.ss
+                              - CAST(t.s AS HUGEINT) * t.s AS DOUBLE))
+                    * SQRT(CAST(t.n AS DOUBLE))),
+                 6) AS q_buishand
+    FROM agg a, tot t, loc l
+    """,
+)
+def changepoint_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buishand range test (Buishand 1982) for a mean shift in daily
+    revenue: partial sums of deviations S_k = sum_{i<=k}(x_i - mean)
+    drift away from zero exactly when the mean changes mid-series;
+    the rescaled range R/sqrt(n) = (max S*_k - min S*_k)/sqrt(n) and
+    the one-sided Q/sqrt(n) = max|S*_k|/sqrt(n) (S* standardized by
+    the population deviation D_x) are the classical homogeneity
+    statistics, with the arg-max day shipped as the changepoint
+    estimate. Completes the changepoint shelf: CUSUM
+    (changepoint_cusum_daily_revenue) tracks sequential drift,
+    Pettitt (changepoint_pettitt_daily) is the rank-based locator,
+    Buishand is the parametric cumulative-deviations locator — the
+    three standard homogeneity tests run on one shared grid.
+
+    Exactness: the deviation partial sums are cleared of the mean
+    division — n*S_k = n*T_k - k*S with T_k the exact integer prefix
+    revenue — so max/min/argmax operate on exact BIGINTs (n*T_k ~
+    5.8e15 at sf1, inside BIGINT through a 100x larger span) and the
+    argmax day uses the (|n*S_k|, d) deterministic order both engines
+    share; n*D_x = sqrt(n*SS - S^2) keeps the standardization's
+    operand exact too, so each statistic is ONE identically-
+    parenthesized double expression over exact integers.
+
+    Scale shape: ONE partial-agg shuffle to the calendar-bounded
+    daily grid, localCheckpoint-pinned for its three bounded
+    consumers (1-row moments, ordered prefix window, argmax top-1);
+    the 1-row totals broadcast into the bounded cumsum relation;
+    finalize is a broadcast 3-way 1-row join. Single fact scan, no
+    collect, no SinglePartition over anything unbounded."""
+    daily = _daily_revenue_cents(spark, sf_dir).localCheckpoint()
+    d38 = "decimal(38,0)"
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents"))
+        .cast(d38)
+        .alias("ss"),
+    )
+    wo = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.row_number().over(W.orderBy("d")).alias("k"),
+        F.sum("cents").over(wo).cast("bigint").alias("tk"),
+    )
+    ns = cum.join(F.broadcast(tot)).select(
+        "d",
+        (F.col("n") * F.col("tk") - F.col("k") * F.col("s")).alias("nsk"),
+        "n",
+        "s",
+        "ss",
+    )
+    agg = ns.agg(
+        F.max("nsk").cast("bigint").alias("mx"),
+        F.min("nsk").cast("bigint").alias("mn"),
+        F.max(F.abs(F.col("nsk"))).cast("bigint").alias("mabs"),
+    )
+    loc = ns.orderBy(F.abs(F.col("nsk")).desc(), F.col("d")).limit(1)
+    final = (
+        agg.join(F.broadcast(tot)))\
+        .join(F.broadcast(loc.select(F.col("d").alias("d_star"))))
+    nsd = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s").cast(d38) * F.col("s"))
+        .cast("double")
+    ) * F.sqrt(F.col("n").cast("double"))
+    return final.select(
+        F.col("n").alias("n_days"),
+        F.col("d_star"),
+        F.round(
+            (F.col("mx") - F.col("mn")).cast("double") / nsd, 6
+        ).alias("r_buishand"),
+        F.round(F.col("mabs").cast("double") / nsd, 6).alias("q_buishand"),
+    )

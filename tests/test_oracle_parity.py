@@ -62,27 +62,29 @@ def test_driver_window_covers_all_families():
     (VERDICT r1 item 2) — pin that the window is exactly the curated
     priority list. Round 14 (never-checked backlog at 0, changed-code
     backlog at 0 by the closure-aware tools_staleness.py — the r13
-    window drained the entire changed tier): the 8 NEW r14
+    window drained the entire changed tier): the 15 NEW r14
     registrations first (AR(2) Yule-Walker backtest with the
     Diebold-Mariano significance column, pinball-scored interval
     forecast, random-walk-with-drift floor, Mood's median, Cox-Stuart
     sign trend, Grubbs' outlier, and the weekly-block pair Page's L /
-    Kendall's W — all oracle-backed with TestRound14Laws replicas),
-    then pure staleness oldest-first: ALL 34 remaining r7-vintage
-    driver rows (after this window the fleet's oldest evidence is
-    r8), then text_pmi_collocations (changed late in the round: the
-    sf1 A/B shipped its tokenized-relation pin, and changed-code
-    outranks pure staleness), then the 7 oldest r8 rows in
-    registration order. 47 oracle value-hash slots + 3 rows-only
-    (by-design iterative/LSH) slots; the remaining r8 rows lead the
-    r15 rotation."""
+    Kendall's W — all oracle-backed with TestRound14Laws replicas;
+    wave 2: the Bates-Granger combination, Quade, Brunner-Munzel,
+    Hodges-Lehmann, generalized ESD, Buishand range, and the Gopher
+    quality sweep — TestRound14LawsWave2 replicas), then pure
+    staleness oldest-first: ALL 34 remaining r7-vintage driver rows
+    (after this window the fleet's oldest evidence is r8), then
+    text_pmi_collocations (changed late in the round: the sf1 A/B
+    shipped its tokenized-relation pin, and changed-code outranks
+    pure staleness). The 7 oldest r8 rows the wave-2 registrations
+    displaced lead the r15 rotation. 47 oracle value-hash slots + 3
+    rows-only (by-design iterative/LSH) slots."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
     oracle_slots = [n for n in first50 if n in ORACLE]
     assert len(rows_only_slots) == 3
     assert len(oracle_slots) == 47
-    assert first50[:11] == [
+    assert first50[:18] == [
         "forecast_ar2_daily",
         "forecast_pinball_interval_daily",
         "forecast_drift_daily",
@@ -91,6 +93,13 @@ def test_driver_window_covers_all_families():
         "stats_grubbs_outlier_daily",
         "stats_page_trend_dow",
         "stats_kendalls_w_dow",
+        "forecast_combo_daily",
+        "stats_quade_dow",
+        "stats_brunner_munzel",
+        "stats_hodges_lehmann_shift",
+        "anomaly_gesd_daily",
+        "changepoint_buishand_range",
+        "text_gopher_quality_flags",
         "weighted_median_price_by_flag",
         "division_customers_all_priorities",
         "mad_price_by_flag",

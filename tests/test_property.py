@@ -3331,3 +3331,306 @@ class TestRound14Laws:
         assert 0.0 <= got["kendalls_w"] <= 1.0
         page = stats_page_trend_dow(spark, SF_TEST).collect()[0]
         assert page["m_weeks"] == got["m_weeks"]
+
+
+class TestRound14LawsWave2:
+    """numpy/pandas replicas + defining identities for the r14 wave-2
+    registrations (forecast combination, Quade, Brunner-Munzel,
+    Hodges-Lehmann, generalized ESD, Buishand range, Gopher flags)."""
+
+    _daily_cents = staticmethod(TestRound13Laws._daily_cents)
+
+    @property
+    def SF_TEST(self):
+        from tests.conftest import SF_TEST
+
+        return SF_TEST
+
+    def test_combo_replica_and_jensen_law(self, spark):
+        """Replica: the three-member equal-weight combination fold
+        reproduces every column; laws: mae_snaive equals the drift
+        entry's (shared protocol), and the per-timestep triangle
+        inequality |y - mean(f_i)| <= mean|y - f_i| makes the combo's
+        SAE at most the mean of its members' SAEs (Jensen / the
+        Bates-Granger hedge, exactly, not just on average)."""
+        from console_etl_spark.relational.timeseries import (
+            forecast_combo_daily,
+            forecast_drift_daily,
+        )
+
+        got = forecast_combo_daily(spark, self.SF_TEST).collect()[0]
+        cents = [int(c) for c in self._daily_cents(spark).to_numpy()]
+        T = len(cents)
+        sae = sse = 0.0
+        sa7 = 0
+        sae_members = [0.0, 0.0, 0.0]
+        n = 0
+        for t in range(8, T + 1):
+            y = float(cents[t - 1])
+            l1 = cents[t - 2]
+            l7 = cents[t - 8]
+            y1 = cents[0]
+            f_sn = float(l7)
+            f_n = float(l1)
+            f_dr = float(l1) + float(l1 - y1) / float(t - 2)
+            yhat = (float(l7) + float(l1) + f_dr) / 3.0
+            sae += abs(y - yhat)
+            sse += (y - yhat) * (y - yhat)
+            sa7 += abs(cents[t - 1] - l7)
+            for i, f in enumerate((f_sn, f_n, f_dr)):
+                sae_members[i] += abs(y - f)
+            n += 1
+        assert got["n_eval"] == n
+        assert got["mae_combo"] == round(sae / n / 100.0, 6)
+        assert got["rmse_combo"] == round((sse / n) ** 0.5 / 100.0, 6)
+        assert got["mae_snaive"] == round(float(sa7) / n / 100.0, 6)
+        assert got["mae_skill"] == round(1.0 - sae / float(sa7), 6)
+        drift = forecast_drift_daily(spark, self.SF_TEST).collect()[0]
+        assert drift["mae_snaive"] == got["mae_snaive"]
+        assert drift["n_eval"] == got["n_eval"]
+        assert sae <= sum(sae_members) / 3.0 + 1e-9
+
+    def test_quade_replica_and_block_design_law(self, spark):
+        """Replica: numpy blocked ranks with the (cents, dow) and
+        (spread, w) deterministic tiebreaks reproduce A, sum S_j^2,
+        and F; law: the block count matches Page's (same complete-week
+        design)."""
+        from console_etl_spark.relational.timeseries import (
+            stats_page_trend_dow,
+            stats_quade_dow,
+        )
+
+        got = stats_quade_dow(spark, self.SF_TEST).collect()[0]
+        daily = self._daily_cents(spark)
+        rows = [(d // 7, d % 7, int(c)) for d, c in daily.items()]
+        byweek = {}
+        for w, dow, c in rows:
+            byweek.setdefault(w, []).append((dow, c))
+        full = {w: v for w, v in byweek.items() if len(v) == 7}
+        spreads = sorted(
+            (max(c for _, c in v) - min(c for _, c in v), w)
+            for w, v in full.items()
+        )
+        q_of = {w: i + 1 for i, (_, w) in enumerate(spreads)}
+        s_j = [0] * 7
+        a_stat = 0
+        for w, v in full.items():
+            ranked = sorted(v, key=lambda t: (t[1], t[0]))
+            for r, (dow, _) in enumerate(ranked, start=1):
+                s_ij = q_of[w] * (r - 4)
+                s_j[dow] += s_ij
+                a_stat += s_ij * s_ij
+        b_num = sum(x * x for x in s_j)
+        m = len(full)
+        assert got["m_weeks"] == m
+        assert got["a_stat"] == a_stat
+        assert got["b_num"] == b_num
+        f = (m - 1) * float(b_num) / (m * float(a_stat) - float(b_num))
+        assert got["f_quade"] == round(f, 6)
+        page = stats_page_trend_dow(spark, self.SF_TEST).collect()[0]
+        assert page["m_weeks"] == got["m_weeks"]
+
+    def test_brunner_munzel_replica_and_mw_duality(self, spark):
+        """Replica: scipy-formula numpy midranks reproduce W, p_hat,
+        and df; law: BM's p_hat = P(X_L > X_U) + tie/2 is the
+        complement of Mann-Whitney's auc on the SAME populations
+        (p_hat + auc == 1 to rounding)."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_brunner_munzel,
+            stats_mannwhitney_u,
+        )
+        from console_etl_spark.session import load_table
+
+        got = stats_brunner_munzel(spark, self.SF_TEST).collect()[0]
+        o = load_table(spark, self.SF_TEST, "orders").toPandas()
+        o = o[o["o_orderpriority"].isin(["1-URGENT", "5-LOW"])]
+        x = (
+            (o[o["o_orderpriority"] == "1-URGENT"]["o_totalprice"]
+             .astype(float) * 100).round().astype("int64").to_numpy()
+        )
+        y = (
+            (o[o["o_orderpriority"] == "5-LOW"]["o_totalprice"]
+             .astype(float) * 100).round().astype("int64").to_numpy()
+        )
+
+        def midranks(a, pool):
+            srt = np.sort(pool)
+            lo = np.searchsorted(srt, a, side="left")
+            hi = np.searchsorted(srt, a, side="right")
+            return (lo + hi + 1) / 2.0
+
+        nx, ny = len(x), len(y)
+        rcx = midranks(x, np.concatenate((x, y)))
+        rcy = midranks(y, np.concatenate((x, y)))
+        rx = midranks(x, x)
+        ry = midranks(y, y)
+        sx = np.sum(
+            (rcx - rx - rcx.mean() + (nx + 1) / 2.0) ** 2
+        ) / (nx - 1)
+        sy = np.sum(
+            (rcy - ry - rcy.mean() + (ny + 1) / 2.0) ** 2
+        ) / (ny - 1)
+        w = (
+            nx * ny * (rcy.mean() - rcx.mean())
+            / ((nx + ny) * np.sqrt(nx * sx + ny * sy))
+        )
+        df = (nx * sx + ny * sy) ** 2 / (
+            (nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)
+        )
+        p_hat = (rcy.mean() - (ny + 1) / 2.0) / nx
+        assert got["n1"] == nx and got["n2"] == ny
+        assert abs(got["p_hat"] - p_hat) <= 1e-6
+        assert abs(got["w_bm"] - w) <= 1e-5
+        assert abs(got["df_bm"] - df) <= 1e-3
+        mw = stats_mannwhitney_u(spark, self.SF_TEST).collect()[0]
+        assert abs(got["p_hat"] + mw["auc"] - 1.0) <= 2e-6
+
+    def test_hodges_lehmann_replica_and_range_law(self, spark):
+        """Replica: the numpy pairwise-difference median (explicit
+        two-middle-order-statistics rule) reproduces the estimate
+        exactly; law: the estimate lies inside [min diff, max diff]."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            stats_hodges_lehmann_shift,
+        )
+
+        got = stats_hodges_lehmann_shift(spark, self.SF_TEST).collect()[0]
+        daily = self._daily_cents(spark)
+        we = np.array(
+            [int(c) for d, c in daily.items() if d % 7 in (2, 3)],
+            dtype="int64",
+        )
+        wd = np.array(
+            [int(c) for d, c in daily.items() if d % 7 not in (2, 3)],
+            dtype="int64",
+        )
+        diffs = np.sort((we[:, None] - wd[None, :]).ravel())
+        p = len(diffs)
+        assert got["n_pairs"] == p
+        lo = diffs[(p + 1) // 2 - 1]
+        hi = diffs[(p + 2) // 2 - 1]
+        assert got["hl_cents_x2"] == int(lo) + int(hi)
+        assert got["hl_shift"] == round((int(lo) + int(hi)) / 200.0, 6)
+        assert diffs[0] * 2 <= got["hl_cents_x2"] <= diffs[-1] * 2
+
+    def test_gesd_replica_and_grubbs_law(self, spark):
+        """Replica: the numpy peel (exact-integer argmax key, sample
+        sd) reproduces all three iterations; laws: iteration 1 IS the
+        Grubbs statistic (same day, same value to rounding), and the
+        argmax key makes each round's choice deterministic."""
+        from console_etl_spark.relational.timeseries import (
+            anomaly_gesd_daily,
+            stats_grubbs_outlier_daily,
+        )
+
+        rows = {
+            r["iter"]: r
+            for r in anomaly_gesd_daily(spark, self.SF_TEST).collect()
+        }
+        daily = self._daily_cents(spark)
+        remaining = [(int(d), int(c)) for d, c in daily.items()]
+        for it in (1, 2, 3):
+            n = len(remaining)
+            s = sum(c for _, c in remaining)
+            ss = sum(c * c for _, c in remaining)
+            key = lambda t: (-abs(n * t[1] - s), t[0])  # noqa: E731
+            d_star, c_star = min(remaining, key=key)
+            sd = ((n * ss - s * s) / (n * (n - 1))) ** 0.5
+            r_stat = abs(n * c_star - s) / n / sd
+            got = rows[it]
+            assert got["d"] == d_star
+            assert got["cents"] == c_star
+            assert got["n_remaining"] == n
+            assert abs(got["r_stat"] - r_stat) <= 1e-6
+            remaining = [t for t in remaining if t[0] != d_star]
+        g = stats_grubbs_outlier_daily(spark, self.SF_TEST).collect()[0]
+        assert g["outlier_day"] == rows[1]["d"]
+        assert abs(g["g_stat"] - rows[1]["r_stat"]) <= 1e-6
+
+    def test_buishand_replica_and_order_law(self, spark):
+        """Replica: numpy cumulative deviations reproduce R/sqrt(n),
+        Q/sqrt(n), and the argmax day; law: Q <= R always (S_n = 0
+        puts 0 inside [min S, max S], so max|S| <= max S - min S)."""
+        import numpy as np
+
+        from console_etl_spark.relational.timeseries import (
+            changepoint_buishand_range,
+        )
+
+        got = changepoint_buishand_range(spark, self.SF_TEST).collect()[0]
+        daily = self._daily_cents(spark)
+        ds = np.array([int(d) for d in daily.index], dtype="int64")
+        cs = daily.to_numpy().astype("int64")
+        n = len(cs)
+        s = int(cs.sum())
+        ss = int((cs.astype(object) ** 2).sum())
+        tk = np.cumsum(cs)
+        nsk = n * tk - np.arange(1, n + 1) * s
+        denom = (float(n * ss - s * s)) ** 0.5 * float(n) ** 0.5
+        r = float(nsk.max() - nsk.min()) / denom
+        q = float(np.abs(nsk).max()) / denom
+        order = sorted(zip(-np.abs(nsk), ds))
+        assert got["n_days"] == n
+        assert got["d_star"] == order[0][1]
+        assert got["r_buishand"] == round(r, 6)
+        assert got["q_buishand"] == round(q, 6)
+        assert got["q_buishand"] <= got["r_buishand"] + 1e-9
+
+    def test_gopher_flags_pandas_replica_and_monotone_law(self, spark):
+        """Replica: pandas recomputation of all five integer-exact rule
+        predicates reproduces every per-source count; law: the
+        conjunctive pass_all never exceeds any individual rule's
+        count."""
+        from console_etl_spark.llmops.textan import (
+            text_gopher_quality_flags,
+        )
+        from console_etl_spark.session import load_table
+
+        got = {
+            r["source"]: r
+            for r in text_gopher_quality_flags(spark, self.SF_TEST).collect()
+        }
+        docs = load_table(spark, self.SF_TEST, "documents").toPandas()
+        stops = {"the", "a", "be", "to", "of", "and", "that", "have",
+                 "with"}
+        agg = {}
+        for _, row in docs.iterrows():
+            text = row["text"]
+            toks = text.split(" ")
+            n_tok = len(toks)
+            sum_len = sum(len(t) for t in toks)
+            n_sym = text.count("#") + (
+                len(text) - len(text.replace("...", ""))
+            ) // 3
+            lines = text.split("\n")
+            n_bullet = sum(
+                1 for ln in lines if ln.startswith(("-", "*"))
+            )
+            f = (
+                1 if 50 <= n_tok <= 100000 else 0,
+                1 if 3 * n_tok <= sum_len <= 10 * n_tok else 0,
+                1 if 10 * n_sym < n_tok else 0,
+                1 if 10 * n_bullet <= 9 * len(lines) else 0,
+                1 if len(stops & set(toks)) >= 2 else 0,
+            )
+            a = agg.setdefault(
+                row["source"], [0, 0, 0, 0, 0, 0, 0]
+            )
+            a[0] += 1
+            for i in range(5):
+                a[1 + i] += f[i]
+            a[6] += 1 if all(f) else 0
+        for src, a in agg.items():
+            g = got[src]
+            assert g["n_docs"] == a[0]
+            assert g["pass_words"] == a[1]
+            assert g["pass_wordlen"] == a[2]
+            assert g["pass_symbol"] == a[3]
+            assert g["pass_bullet"] == a[4]
+            assert g["pass_stop"] == a[5]
+            assert g["pass_all"] == a[6]
+            assert g["pass_rate"] == round(a[6] / a[0], 6)
+            assert g["pass_all"] <= min(a[1:6])
