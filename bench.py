@@ -208,17 +208,13 @@ def _calib_single(passes: int = 5) -> list[float]:
     call site in main()). Shared by the main process and the isolated
     subprocess so their ratios are directly comparable.
     """
-    out: list[float] = []
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(2_000_000):
-            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
-        out.append(round(time.perf_counter() - t0, 4))
-    return out
+    return [round(_calib_worker(0), 4) for _ in range(passes)]
 
 
 def _calib_worker(_: int) -> float:
+    # THE calibration loop: _calib_single and _calib_multicore must
+    # time this one body, or the single/multicore ratio telemetry
+    # silently desynchronizes (r14 review finding).
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):

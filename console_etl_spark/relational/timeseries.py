@@ -8647,9 +8647,13 @@ def forecast_pinball_interval_daily(
         F.count("*").cast("bigint").alias("n_calib"),
     )
     e = F.col("e")
-    pb = lambda tau, qc: F.greatest(  # noqa: E731
+    # tau and tau-1 are BOTH explicit decimal literals: 0.1 - 1.0 and
+    # 0.9 - 1.0 are each ~2 ulp away from the doubles the oracle's
+    # literal -0.9 / -0.1 parse to, which would break the
+    # identically-parenthesized contract (r14 review finding)
+    pb = lambda tau, tau_m1, qc: F.greatest(  # noqa: E731
         F.lit(tau) * (e - F.col(qc)),
-        F.lit(tau - 1.0) * (e - F.col(qc)),
+        F.lit(tau_m1) * (e - F.col(qc)),
     )
     hold = (
         idx.filter(F.col("rn") * 2 > F.col("nr"))
@@ -8659,9 +8663,9 @@ def forecast_pinball_interval_daily(
             "n_calib",
             "q10",
             "q90",
-            pb(0.1, "q10").alias("pb10"),
-            pb(0.5, "q50").alias("pb50"),
-            pb(0.9, "q90").alias("pb90"),
+            pb(0.1, -0.9, "q10").alias("pb10"),
+            pb(0.5, -0.5, "q50").alias("pb50"),
+            pb(0.9, -0.1, "q90").alias("pb90"),
             F.when(
                 (e >= F.col("q10")) & (e <= F.col("q90")), 1
             )

@@ -2216,7 +2216,15 @@ def stream_markov_transitions_tws(
             self._state = handle.getValueState("markov", MARKOV_STATE)
 
         def handleInitialState(self, key, initialState, timerValues) -> None:
-            self._state.update((str(initialState.iloc[0]["last_type"]),))
+            # Mirror the apply twin's `if last is not None` guard: a
+            # NULL snapshot last_type must leave the state ABSENT, not
+            # become the literal string "None" (r14 review finding —
+            # a nullable event_type source would otherwise emit a
+            # spurious ("None", t) bridge transition the batch query
+            # never produces).
+            v = initialState.iloc[0]["last_type"]
+            if v is not None and pd.notna(v):
+                self._state.update((str(v),))
 
         def handleInputRows(self, key, rows, timerValues):
             last = self._state.get()[0] if self._state.exists() else None
@@ -2232,7 +2240,8 @@ def stream_markov_transitions_tws(
                     k = (last, t)
                     pairs[k] = pairs.get(k, 0) + 1
                 last = t
-            self._state.update((str(last),))
+            if last is not None:
+                self._state.update((str(last),))
             if pairs:
                 yield pd.DataFrame(
                     {
