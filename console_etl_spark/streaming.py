@@ -2266,3 +2266,125 @@ def stream_markov_transitions_tws(
             else initial_states.groupBy("user_id")
         ),
     )
+
+
+def attribution_state_snapshot(events_batch: DataFrame) -> DataFrame:
+    """Per-user last-MARKETING-touch warm-start state from BATCH event
+    history — the lambda-collapse seed for
+    stream_attribution_last_touch_tws (the markov_state_snapshot
+    pattern applied to the attribution tier): backfill history once
+    with a batch job, then stream only new events from exactly this
+    state. State per user is ONE (microsecond, type) pair — the last
+    view/click/signup in (ts, event_id) order, computed with a single
+    max-by-struct aggregate over the FILTERED marketing events
+    ((ts, event_id) is unique, so event_type never participates in
+    the comparison). The timestamp converts to exact integer
+    microseconds on the batch side (unix_micros for TIMESTAMP
+    fixtures, `div 1000` for NANOS-as-long ones — integer division,
+    never a double, which loses exactness above 2^53 ns), matching
+    the stream twin's pandas `.astype(int64) // 1000`. Emits
+    (user_id, mkt_ts, mkt_type)."""
+    from pyspark.sql.types import LongType
+
+    mkt = events_batch.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    )
+    m = mkt.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("m")
+    )
+    if isinstance(events_batch.schema["ts"].dataType, LongType):
+        mkt_us = F.expr("m.ts div 1000")
+    else:
+        mkt_us = F.unix_micros(F.col("m.ts"))
+    return m.select(
+        "user_id",
+        mkt_us.cast("long").alias("mkt_ts"),
+        F.col("m.event_type").alias("mkt_type"),
+    )
+
+
+def stream_attribution_last_touch_tws(
+    events: DataFrame, initial_states: DataFrame | None = None
+) -> DataFrame:
+    """stream_attribution_last_touch on Spark 4's transformWithState
+    API, with the warm-start channel the applyInPandasWithState twin
+    lacks (VERDICT r13 item 5, third port after Croston and Markov):
+    ``initial_states`` (attribution_state_snapshot output) plants each
+    user's carried last marketing touch in the first micro-batch via
+    handleInitialState, so a tail purchase inside the 7-day lookback
+    of a HISTORY touch credits that touch instead of landing
+    'unattributed' — the cross-boundary credit neither half alone
+    contains. Same per-batch (ts, event_id) sort, same
+    purchase-credit / touch-carry fold, same output schema as the
+    apply twin; the pinned law is history-half batch attribution +
+    streamed-tail credits == the registered batch query over the FULL
+    history. Runs on the RocksDB state store; execution needs a
+    protobuf runtime (compat.ensure_protobuf)."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    def _micros(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return s.astype("datetime64[ns]").astype("int64") // 1000
+        return s.astype("int64") // 1000  # NANOS-as-long fixture generation
+
+    class AttrState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("attr", ATTR_STATE)
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # the apply twin's `if mkt_ts is not None` guard: a user
+            # with no marketing history must start with ABSENT state
+            row = initialState.iloc[0]
+            ts_v, ty_v = row["mkt_ts"], row["mkt_type"]
+            if ts_v is not None and pd.notna(ts_v) and ty_v is not None:
+                self._state.update((int(ts_v), str(ty_v)))
+
+        def handleInputRows(self, key, rows, timerValues):
+            mkt_ts, mkt_type = (
+                self._state.get() if self._state.exists() else (None, None)
+            )
+            counts: dict = {}
+            chunks = [pdf for pdf in rows if not pdf.empty]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            us = _micros(pdf["ts"])
+            for t, ts_us in zip(pdf["event_type"], us):
+                if t == "purchase":
+                    within = (
+                        mkt_ts is not None
+                        and ts_us - mkt_ts <= ATTR_LOOKBACK_US
+                    )
+                    ch = mkt_type if within else "unattributed"
+                    counts[ch] = counts.get(ch, 0) + 1
+                elif t in ("view", "click", "signup"):
+                    mkt_ts, mkt_type = int(ts_us), t
+            if mkt_ts is not None:
+                self._state.update((mkt_ts, mkt_type))
+            if counts:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(counts),
+                        "channel": list(counts),
+                        "n": list(counts.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=AttrState(),
+        outputStructType=ATTR_OUTPUT,
+        outputMode="Append",
+        timeMode="None",
+        initialState=(
+            None
+            if initial_states is None
+            else initial_states.groupBy("user_id")
+        ),
+    )

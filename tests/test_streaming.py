@@ -3356,3 +3356,132 @@ def test_markov_tws_warm_start_equals_batch(spark, tmp_path):
     assert combined == want
     # and the bridge really fired: the stream alone undercounts
     assert stream_counts != want
+
+
+def test_attribution_tws_warm_start_equals_batch(spark, tmp_path):
+    """TWS attribution warm-start law (VERDICT r13 item 5, third port
+    after Croston and Markov): seed per-user last-marketing-touch
+    state from attribution_state_snapshot over the HISTORY events,
+    stream only the TAIL events, and the history-half batch
+    attribution plus the streamed tail credits must equal the
+    registered batch query over the FULL history — the seeded touch
+    supplies exactly the cross-boundary credit (a tail purchase
+    inside the lookback of a history touch) that neither half alone
+    contains."""
+    from tests.conftest import HAVE_PROTOBUF
+
+    from console_etl_spark.relational import attribution_last_touch
+    from console_etl_spark.session import load_table
+
+    events = load_table(spark, SF_TEST, "events")
+    if not HAVE_PROTOBUF:
+        plan = streaming.stream_attribution_last_touch_tws(
+            events.limit(0), initial_states=None
+        )
+        assert dict(plan.dtypes)["n"] == "bigint"
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    # TIME-prefix split (the markov test's rule): boundary ties land in
+    # history via <=, so the snapshot's touch is the true predecessor
+    # of every tail row
+    split_us = events.select(
+        F.unix_micros("ts").alias("us")
+    ).approxQuantile("us", [0.6], 0.0)[0]
+    hist = events.filter(F.unix_micros("ts") <= split_us)
+    tail = events.filter(F.unix_micros("ts") > split_us)
+    assert tail.count() > 0 and hist.count() > 0
+
+    src = str(tmp_path / "atws_src")
+    import glob
+    import os
+    import time
+
+    tail.repartitionByRange(2, "ts").write.mode("overwrite").parquet(src)
+    base_t = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (base_t + i, base_t + i))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        reader = (
+            spark.readStream.format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(src).schema)
+        )
+        got = streaming.run_to_completion(
+            streaming.stream_attribution_last_touch_tws(
+                reader.load(src),
+                initial_states=streaming.attribution_state_snapshot(hist),
+            ),
+            "t_attr_tws_boot",
+            output_mode="append",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    stream_counts: dict = {}
+    for row in got.itertuples():
+        stream_counts[row.channel] = (
+            stream_counts.get(row.channel, 0) + int(row.n)
+        )
+
+    def batch_attr_counts(rel):
+        """The registered query's own carried-window shape on a
+        sub-relation."""
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        is_mkt = F.col("event_type").isin("view", "click", "signup")
+        carried = rel.select(
+            "event_type",
+            "ts",
+            F.last(F.when(is_mkt, F.col("ts")), ignorenulls=True)
+            .over(w)
+            .alias("mkt_ts"),
+            F.last(F.when(is_mkt, F.col("event_type")), ignorenulls=True)
+            .over(w)
+            .alias("mkt_type"),
+        )
+        within = F.col("mkt_ts").isNotNull() & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("mkt_ts"))
+            <= streaming.ATTR_LOOKBACK_US
+        )
+        rows = (
+            carried.filter(F.col("event_type") == "purchase")
+            .select(
+                F.when(within, F.col("mkt_type"))
+                .otherwise(F.lit("unattributed"))
+                .alias("channel")
+            )
+            .groupBy("channel")
+            .count()
+            .collect()
+        )
+        return {r["channel"]: int(r["count"]) for r in rows}
+
+    combined = dict(stream_counts)
+    for ch, n in batch_attr_counts(hist).items():
+        combined[ch] = combined.get(ch, 0) + n
+    want = {
+        r["channel"]: int(r["n_purchases"])
+        for r in attribution_last_touch(spark, SF_TEST).collect()
+    }
+    assert combined == want
+    # and the warm start really mattered: the streamed tail's credits
+    # differ from attributing the tail in isolation (cross-boundary
+    # purchases would land 'unattributed' without the seeded touch)
+    assert stream_counts != batch_attr_counts(tail)
