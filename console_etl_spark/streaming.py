@@ -663,7 +663,49 @@ SESSIONS_TWS_OUTPUT = (
 SESSION_GAP_US = 1_800_000_000  # 30 min, matching relational.sessionize_events
 
 
-def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def session_state_snapshot(
+    events_batch: DataFrame, boundary_us: int
+) -> DataFrame:
+    """Per-user OPEN-session warm-start state from BATCH event history
+    — the lambda-collapse seed for user_sessions_tws (the fourth and
+    final port of the handleInitialState channel; unlike the
+    Croston/Markov/attribution scalars, session state is a LIST of
+    open intervals). Batch-sessionize the history with the exact
+    integer-microsecond gap fold (gap > SESSION_GAP_US starts a new
+    session — identical to relational.sessionize_events and to the
+    stream's _coalesce), then keep ONLY sessions still open at the
+    split boundary: a session with last_us + gap <= boundary can
+    never merge a tail event (every tail ts > boundary >= last + gap),
+    so it is closed history and belongs to the batch half of the law;
+    a session with last_us + gap > boundary may yet be extended or
+    bridged and must ride into the stream as initial state. Emits
+    (user_id, start_us, last_us, n)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("us")
+    rows = events_batch.select("user_id", us.alias("us"))
+    sess_id = F.sum(
+        F.when(
+            F.col("us") - F.lag("us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        rows.select("user_id", "us", sess_id.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("last_us"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("last_us") + SESSION_GAP_US > F.lit(boundary_us))
+        .select("user_id", "start_us", "last_us", "n")
+    )
+
+
+def user_sessions_tws(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    initial_sessions: DataFrame | None = None,
+) -> DataFrame:
     """Gap-based sessionization on transformWithState EVENT-TIME TIMERS
     — the capability tier running_user_totals_tws doesn't touch: a
     session closes not when another event arrives but when the
@@ -686,6 +728,14 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
     must have been emitted — the same emitted-subset + completeness
     pinning as the streaming as-of twin. Trailing sessions (close
     point after the last watermark) correctly stay open.
+
+    Warm start: ``initial_sessions`` (session_state_snapshot output)
+    seeds each user's OPEN history sessions via handleInitialState —
+    which also ARMS their close timer, so a seeded session with no
+    tail activity still closes when the watermark passes its close
+    point (the list-state + timer variant of the Croston/Markov/
+    attribution scalar ports; with it, every stateful op in the
+    engine carries the lambda-collapse channel).
 
     Scale: state is O(open sessions per user), timers are one per
     user, and the only shuffle keys on user_id. RocksDB state store
@@ -731,6 +781,21 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
                 self._handle.registerTimer(
                     (min(s[1] for s in sessions) + gap_us) // 1000 + 1
                 )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # Seed the ListState with the history's open sessions AND
+            # arm their close timer: a seeded session that receives no
+            # tail events must still close when the watermark passes
+            # its close point, which only a timer can trigger.
+            cur = self._coalesce(
+                [
+                    [int(r.start_us), int(r.last_us), int(r.n)]
+                    for r in initialState.itertuples()
+                ]
+            )
+            if cur:
+                self._sessions.appendList([tuple(c) for c in cur])
+                self._rearm(cur)
 
         def handleInputRows(self, key, rows, timerValues):
             cur = [list(r) for r in self._sessions.get()]
@@ -782,6 +847,11 @@ def user_sessions_tws(events: DataFrame, watermark: str = "2 hours") -> DataFram
             outputStructType=SESSIONS_TWS_OUTPUT,
             outputMode="Append",
             timeMode="EventTime",
+            initialState=(
+                None
+                if initial_sessions is None
+                else initial_sessions.groupBy("user_id")
+            ),
         )
     )
 

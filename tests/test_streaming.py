@@ -3485,3 +3485,155 @@ def test_attribution_tws_warm_start_equals_batch(spark, tmp_path):
     # differ from attributing the tail in isolation (cross-boundary
     # purchases would land 'unattributed' without the seeded touch)
     assert stream_counts != batch_attr_counts(tail)
+
+
+def test_sessions_tws_warm_start_equals_batch(spark, tmp_path):
+    """TWS sessionization warm-start law (the fourth and final
+    handleInitialState port): seed per-user OPEN sessions from
+    session_state_snapshot over the HISTORY events, stream only the
+    TAIL, and closed-history sessions + stream-emitted sessions must
+    be exactly full-history batch sessions — with the watermark
+    completeness guarantee intact (every full session whose close
+    point precedes the final watermark appears in exactly one half)
+    and at least one emitted session SPANNING the boundary (the
+    bridge neither half alone contains). Also pins the snapshot
+    itself against an independent pandas fold, and that a seeded
+    session with no tail events still closes by TIMER."""
+    import glob
+    import os
+    import time
+
+    from tests.conftest import HAVE_PROTOBUF
+
+    from console_etl_spark.session import load_table
+
+    events = load_table(spark, SF_TEST, "events")
+    if not HAVE_PROTOBUF:
+        plan = streaming.user_sessions_tws(
+            events.limit(0).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        )
+        assert dict(plan.dtypes)["n_events"] == "bigint"
+        pytest.skip("no protobuf runtime found: transformWithState gated")
+
+    gap_us = streaming.SESSION_GAP_US
+
+    def batch_sessions(pdf):
+        out = []
+        pdf = pdf.copy()
+        pdf["us"] = pdf["ts"].astype("int64") // 1000
+        for uid, grp in pdf.sort_values(["user_id", "us"]).groupby(
+            "user_id"
+        ):
+            cur = None
+            for t in grp["us"]:
+                if cur is None or t - cur[1] > gap_us:
+                    if cur is not None:
+                        out.append((uid, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            out.append((uid, cur[0], cur[1], cur[2]))
+        return set(out)
+
+    e_pdf = events.toPandas()
+    full_sess = batch_sessions(e_pdf)
+    # Choose the split INSIDE the earliest multi-moment session, so the
+    # boundary provably BISECTS a live session: a quantile split of
+    # this sparse fixture lands in dead air (zero spanning sessions),
+    # which would leave the warm-start bridge unexercised. Earliest end
+    # => its close point sits far before the final watermark, so the
+    # bridged session MUST be emitted.
+    target = min(
+        (s for s in full_sess if s[1] < s[2]), key=lambda s: (s[2], s[0])
+    )
+    t_us = e_pdf[e_pdf["user_id"] == target[0]]["ts"].astype(
+        "int64"
+    ) // 1000
+    in_sess = t_us[(t_us >= target[1]) & (t_us <= target[2])]
+    split_us = int(in_sess[in_sess < target[2]].max())
+    us_col = F.unix_micros(F.col("ts").cast("timestamp"))
+    hist = events.filter(us_col <= split_us)
+    tail = events.filter(us_col > split_us)
+    assert hist.count() > 0 and tail.count() > 0
+    assert any(s[1] <= split_us < s[2] for s in full_sess)
+
+    hist_sess = batch_sessions(e_pdf[(e_pdf["ts"].astype("int64") // 1000) <= split_us])
+    closed_hist = {s for s in hist_sess if s[2] + gap_us <= split_us}
+    open_hist = hist_sess - closed_hist
+
+    # snapshot law: the Spark-side open-session seed equals the
+    # independent pandas fold's open half exactly
+    snap = {
+        (r["user_id"], r["start_us"], r["last_us"], r["n"])
+        for r in streaming.session_state_snapshot(hist, split_us).collect()
+    }
+    assert snap == open_hist
+
+    src = str(tmp_path / "stws_src")
+    tail.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    base_t = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (base_t + i, base_t + i))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        reader = (
+            spark.readStream.format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(src).schema)
+        )
+        got = streaming.run_to_completion(
+            streaming.user_sessions_tws(
+                reader.load(src),
+                initial_sessions=streaming.session_state_snapshot(
+                    hist, split_us
+                ),
+            ),
+            "t_sessions_tws_boot",
+            output_mode="append",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    emitted = set(
+        (int(r.user_id), int(r.start_us), int(r.end_us), int(r.n_events))
+        for r in got.itertuples()
+    )
+    # every emitted session is exactly a FULL-history batch session
+    assert emitted <= full_sess
+    # closed history is full-batch too, and the two halves are disjoint
+    assert closed_hist <= full_sess
+    assert not (emitted & closed_hist)
+    # completeness under the final watermark (max event time seen
+    # before the last micro-batch, minus the 2 h delay; strict close
+    # gate + 1 ms timer offset as in the cold-start law)
+    files = sorted(glob.glob(os.path.join(src, "part-*")))
+    head_max_us = (
+        spark.read.parquet(*files[:-1])
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
+    wm_us = head_max_us - 2 * 3600 * 1_000_000
+    must = {
+        s for s in full_sess if s[2] + gap_us + 1000 <= wm_us
+    }
+    have = emitted | closed_hist
+    missing = must - have
+    assert not missing, f"{len(missing)} closeable sessions unemitted"
+    # the bridge fired: at least one emitted session spans the split
+    assert any(s[1] <= split_us < s[2] for s in emitted)
