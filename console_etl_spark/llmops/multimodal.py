@@ -2872,6 +2872,8 @@ def encode_mp3_stream(
     the frame STRUCTURE is real and any MP3 header scanner agrees on
     frame count, bitrate, and duration; the payload carries no encoded
     audio (perceptual encode is the gated half)."""
+    import numpy as np
+
     out = bytearray()
     kbps = _MP3_BITRATES_KBPS[bitrate_idx]
     rate = _MP3_SAMPLE_RATES[rate_idx]
@@ -2880,10 +2882,19 @@ def encode_mp3_stream(
         h1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 0b1  # MPEG-1, Layer III, no CRC
         h2 = (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1)
         h3 = 0b11000100  # single channel, no emphasis bits set meaningfully
-        frame = bytearray((h0, h1, h2, h3))
+        out.extend((h0, h1, h2, h3))
         body = _mp3_frame_len(kbps, rate, pad) - 4
-        frame.extend(((seed * 2654435761 + i * 40503 + j) & 0xFF) for j in range(body))
-        out.extend(frame)
+        # vectorized filler (r14 optimization round, guide §4.2): same
+        # bytes as the per-byte generator — (seed*2654435761 + i*40503
+        # + j) & 0xFF; uint64 wraparound preserves the low 8 bits the
+        # mask keeps, so the numpy form is bit-identical at any seed
+        out.extend(
+            (
+                (np.uint64((seed * 2654435761 + i * 40503) & 0xFFFFFFFFFFFFFFFF)
+                 + np.arange(body, dtype=np.uint64))
+                & np.uint64(0xFF)
+            ).astype(np.uint8).tobytes()
+        )
     return bytes(out)
 
 
@@ -3032,6 +3043,8 @@ def encode_adts_stream(
     13-bit aac_frame_length that INCLUDES the header — followed by
     ``frame_bodies[i]`` deterministic filler bytes (the raw_data_block
     slot; perceptual encode is the gated half)."""
+    import numpy as np
+
     out = bytearray()
     for i, body in enumerate(frame_bodies):
         flen = 7 + body
@@ -3044,7 +3057,15 @@ def encode_adts_stream(
         h[5] = ((flen & 0b111) << 5) | 0x1F  # buffer fullness high bits
         h[6] = 0xFC  # fullness low | number_of_raw_data_blocks-1 = 0
         out.extend(h)
-        out.extend(((seed * 69069 + i * 97 + j) & 0xFF) for j in range(body))
+        # vectorized filler (r14, guide §4.2): bit-identical to the
+        # per-byte generator — uint64 wrap preserves the masked low byte
+        out.extend(
+            (
+                (np.uint64((seed * 69069 + i * 97) & 0xFFFFFFFFFFFFFFFF)
+                 + np.arange(body, dtype=np.uint64))
+                & np.uint64(0xFF)
+            ).astype(np.uint8).tobytes()
+        )
     return bytes(out)
 
 

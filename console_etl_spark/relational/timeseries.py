@@ -5982,8 +5982,14 @@ def xyz_demand_variability_parts(
     weekly = (
         base.groupBy("l_partkey", "w")
         .agg(F.sum("qc").cast("bigint").alias("q"))
-        .localCheckpoint()
     )
+    # r14 optimization A/B: pin (lazy persist) instead of the eager
+    # localCheckpoint — both consumers run in one job, so the cache
+    # fills on first touch with no separate materialization job, and
+    # lineage is kept (the dq_violations_report finding).
+    from ..session import pin
+
+    pin(weekly)
     # min/max week over (part, week) groups == min/max over the facts
     span = weekly.agg(
         (F.max("w") - F.min("w") + 1).cast(d38).alias("nw")
@@ -6138,8 +6144,15 @@ def forecast_croston_intermittent(
     weekly = (
         base.groupBy("l_partkey", "w")
         .agg(F.sum("qc").cast("bigint").alias("q"))
-        .localCheckpoint()
     )
+    # r14 optimization A/B: pin (lazy persist) instead of the eager
+    # localCheckpoint — all three consumers (span, class gate,
+    # occurrence relation) execute in ONE job, so the lazy cache fills
+    # on first touch instead of paying a separate materialization job
+    # up front (the dq_violations_report finding), and lineage is kept.
+    from ..session import pin
+
+    pin(weekly)
     span = weekly.agg(
         (F.max("w") - F.min("w") + 1).cast(d38).alias("nw")
     )
