@@ -431,9 +431,18 @@ def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row basket total broadcasts. All counts exact; ordering on
     the ROUNDED lift with key tiebreaks picks the same top-20 in both
     engines."""
+    from ..session import pin
+
     li = load_table(spark, sf_dir, "lineitem")
-    bk = li.groupBy(F.col("l_orderkey").alias("o")).agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # r14 optimization A/B: pinned — the basket-array relation feeds
+    # three branches (total, item frequencies, in-row pair explosion);
+    # unpinned, the collect_set aggregation re-executed per branch
+    # (Catalyst prunes `ps` from the count branch, which also breaks
+    # exchange reuse).
+    bk = pin(
+        li.groupBy(F.col("l_orderkey").alias("o")).agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
     )
     n = bk.agg(F.count("*").cast("bigint").alias("n_baskets"))
     freq = bk.select(F.explode("ps").alias("p")).groupBy("p").agg(
@@ -3739,9 +3748,15 @@ def trend_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
         ).alias("slope"),
     )
-    # ONE pass over the pairs: per-distinct-slope sign totals and counts
-    grouped = pairs.groupBy("slope").agg(
-        F.sum("sg").alias("sgs"), F.count("*").alias("ct")
+    # ONE pass over the pairs: per-distinct-slope sign totals and counts.
+    # r14 optimization: pinned — grouped feeds BOTH the S/n_pairs scalar
+    # fold and the Sen-median prefix kernel, and without the pin the
+    # ~2.9M-pair build + slope aggregation executed once per branch
+    # (the JT r13 pin discipline, applied to this r10-era query).
+    grouped = pin(
+        pairs.groupBy("slope").agg(
+            F.sum("sg").alias("sgs"), F.count("*").alias("ct")
+        )
     )
     s_row = grouped.agg(
         F.sum("sgs").cast("bigint").alias("s_stat"),

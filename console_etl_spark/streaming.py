@@ -333,12 +333,21 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        RUNNING_TOTALS_OUTPUT,
-        RUNNING_TOTALS_STATE,
-        "update",
-        GroupStateTimeout.NoTimeout,
+    # r14 optimization (guide §4.1): project to the columns the state
+    # function reads BEFORE the state shuffle — Spark cannot prune into
+    # an opaque pandas function, so the unused props JSON (the widest
+    # events column) otherwise crosses the shuffle and the Arrow
+    # boundary on every row. Output is schema-declared and unchanged.
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            RUNNING_TOTALS_OUTPUT,
+            RUNNING_TOTALS_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -389,12 +398,18 @@ def stream_markov_transitions(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        MARKOV_OUTPUT,
-        MARKOV_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    # r14 optimization (guide §4.1): only the columns the state function
+    # reads cross the shuffle + Arrow boundary (drops props and value).
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            MARKOV_OUTPUT,
+            MARKOV_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -465,12 +480,18 @@ def stream_attribution_last_touch(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        ATTR_OUTPUT,
-        ATTR_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    # r14 optimization (guide §4.1): only the columns the state function
+    # reads cross the shuffle + Arrow boundary (drops props and value).
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            ATTR_OUTPUT,
+            ATTR_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -568,15 +589,21 @@ def running_user_totals_tws(
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType=RUNNING_TOTALS_OUTPUT,
-        outputMode="Update",
-        timeMode="None",
-        initialState=(
-            None if initial_totals is None
-            else initial_totals.groupBy("user_id")
-        ),
+    # r14 optimization (guide §4.1): project before the state shuffle —
+    # the processor reads only event_id and value (see the APWS twin).
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+            initialState=(
+                None if initial_totals is None
+                else initial_totals.groupBy("user_id")
+            ),
+        )
     )
 
 
@@ -647,13 +674,19 @@ def user_event_type_counts_tws(
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=TypeCounts(),
-        outputStructType=TYPE_COUNTS_TWS_OUTPUT,
-        outputMode="Update",
-        # TTL state is clocked by processing time; without a TTL the
-        # operator needs no clock at all
-        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    # r14 optimization (guide §4.1): the processor reads only
+    # event_type — one string column crosses instead of the full row.
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType=TYPE_COUNTS_TWS_OUTPUT,
+            outputMode="Update",
+            # TTL state is clocked by processing time; without a TTL the
+            # operator needs no clock at all
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
     )
 
 
@@ -839,8 +872,12 @@ def user_sessions_tws(
         def close(self) -> None:
             pass
 
+    # r14 optimization (guide §4.1): the sessionizer reads only ts; the
+    # watermark column survives the projection, so event-time semantics
+    # are unchanged while props/value/event_type stop crossing.
     return (
-        events.withWatermark("ts", watermark)
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=Sessionizer(),
@@ -2325,16 +2362,22 @@ def stream_markov_transitions_tws(
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=MarkovState(),
-        outputStructType=MARKOV_OUTPUT,
-        outputMode="Append",
-        timeMode="None",
-        initialState=(
-            None
-            if initial_states is None
-            else initial_states.groupBy("user_id")
-        ),
+    # r14 optimization (guide §4.1): only the columns the processor
+    # reads cross the shuffle + Arrow boundary (drops props and value).
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=MarkovState(),
+            outputStructType=MARKOV_OUTPUT,
+            outputMode="Append",
+            timeMode="None",
+            initialState=(
+                None
+                if initial_states is None
+                else initial_states.groupBy("user_id")
+            ),
+        )
     )
 
 
@@ -2447,14 +2490,20 @@ def stream_attribution_last_touch_tws(
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=AttrState(),
-        outputStructType=ATTR_OUTPUT,
-        outputMode="Append",
-        timeMode="None",
-        initialState=(
-            None
-            if initial_states is None
-            else initial_states.groupBy("user_id")
-        ),
+    # r14 optimization (guide §4.1): only the columns the processor
+    # reads cross the shuffle + Arrow boundary (drops props and value).
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=AttrState(),
+            outputStructType=ATTR_OUTPUT,
+            outputMode="Append",
+            timeMode="None",
+            initialState=(
+                None
+                if initial_states is None
+                else initial_states.groupBy("user_id")
+            ),
+        )
     )
