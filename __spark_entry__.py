@@ -69,12 +69,15 @@ _MODULES = (
 # quality-rule sweep -- replica laws in TestRound14LawsWave2).
 # tools_staleness.py (closure-aware) reports ZERO stale-against-HEAD and
 # zero unresolvable at the rotation point -- the r13 window drained the
-# entire changed tier -- so the remaining 42 slots drain pure staleness:
-# every remaining r7-vintage driver row, in registration order within
-# equal rounds (one late swap: the r14 sf1 A/B changed
-# text_pmi_collocations to pin its tokenized relation, and changed-code
-# outranks pure staleness, so it takes the final slot; the 7 oldest r8
-# rows the wave-2 registrations displaced lead the r15 rotation).
+# entire changed tier -- so the remaining slots drain changed-code
+# first, then pure staleness: the OPTIMIZATION round's four plan
+# rewrites (Croston/XYZ pin-for-checkpoint, Mann-Kendall and assoc
+# shared-subtree pins -- values proven identical locally), then every
+# remaining r7-vintage driver row, in registration order within equal
+# rounds (one late build-round swap: the r14 sf1 A/B changed
+# text_pmi_collocations to pin its tokenized relation, so it keeps the
+# final slot; the 7 r8 rows the wave-2 registrations displaced and the
+# 4 r7 rows the optimization rewrites displaced lead the r15 rotation).
 # 47 oracle value-hash slots +
 # 3 rows-only-by-design slots (PageRank's iterative fixpoint and the
 # MinHash-LSH / SimHash banded tiers -- each law-pinned with an
@@ -103,8 +106,21 @@ _PRIORITY = (
     "anomaly_gesd_daily",
     "changepoint_buishand_range",
     "text_gopher_quality_flags",
-    # r7 driver rows (the remaining 34 -- after this window the oldest
-    # driver evidence anywhere in the fleet is r8)
+    # changed THIS round (optimization round 1): the four oracle-backed
+    # queries whose plans the optimization pass rewrote -- Croston/XYZ
+    # traded the eager localCheckpoint for a lazy pin, Mann-Kendall
+    # pinned its shared pair aggregation, assoc pinned its basket
+    # arrays (OPTIMIZATION_r14.md #3/#5). Values are proven identical
+    # locally (parity suite + the verify drive), and changed-code
+    # outranks pure staleness, so they take four r7 slots; the four
+    # displaced r7 rows (q6_revenue_forecast, top_customers_by_revenue,
+    # window_running_quantity, window_order_gap_days) join the seven
+    # wave-2-displaced r8 rows at the head of the r15 rotation.
+    "forecast_croston_intermittent",
+    "xyz_demand_variability_parts",
+    "trend_mann_kendall_theil_sen",
+    "assoc_part_pairs_lift",
+    # r7 driver rows (the remaining 30)
     "weighted_median_price_by_flag",
     "division_customers_all_priorities",
     "mad_price_by_flag",
@@ -135,20 +151,18 @@ _PRIORITY = (
     "eval_gains_deciles",
     "eval_calibration_bins",
     "eval_woe_iv_doc_length",
-    "q6_revenue_forecast",
-    "top_customers_by_revenue",
-    "window_running_quantity",
-    "window_order_gap_days",
     # changed since last driver row (1): the r14 sf1 A/B shipped the
     # tokenized-relation pin in text_pmi_collocations (BENCH_AB_r14);
     # changed-code outranks pure staleness, so it takes the slot the
     # 8th-oldest r8 row (anomaly_mad_daily_revenue) would have had
     "text_pmi_collocations",
-    # WINDOW FULL at 50 (15 new + 34 r7 + 1 changed). The wave-2
-    # registrations displaced the 7 oldest r8 rows
-    # (window_rank_parts_by_price .. attribution_time_decay), which
-    # lead the r15 rotation: never-checked outranks pure staleness,
-    # and every r7-vintage row still drains THIS round.
+    # WINDOW FULL at 50 (15 new + 4 optimization-changed + 30 r7 +
+    # 1 build-changed). The wave-2 registrations displaced the 7 oldest
+    # r8 rows (window_rank_parts_by_price .. attribution_time_decay)
+    # and the optimization rewrites displaced the 4 youngest r7 rows
+    # (q6_revenue_forecast, top_customers_by_revenue,
+    # window_running_quantity, window_order_gap_days); both sets lead
+    # the r15 rotation.
 )
 
 

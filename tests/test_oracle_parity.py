@@ -70,14 +70,16 @@ def test_driver_window_covers_all_families():
     Kendall's W — all oracle-backed with TestRound14Laws replicas;
     wave 2: the Bates-Granger combination, Quade, Brunner-Munzel,
     Hodges-Lehmann, generalized ESD, Buishand range, and the Gopher
-    quality sweep — TestRound14LawsWave2 replicas), then pure
-    staleness oldest-first: ALL 34 remaining r7-vintage driver rows
-    (after this window the fleet's oldest evidence is r8), then
-    text_pmi_collocations (changed late in the round: the sf1 A/B
-    shipped its tokenized-relation pin, and changed-code outranks
-    pure staleness). The 7 oldest r8 rows the wave-2 registrations
-    displaced lead the r15 rotation. 47 oracle value-hash slots + 3
-    rows-only (by-design iterative/LSH) slots."""
+    quality sweep — TestRound14LawsWave2 replicas), then the FOUR
+    queries whose plans the r14 OPTIMIZATION round rewrote
+    (Croston/XYZ pin-for-localCheckpoint, Mann-Kendall and assoc
+    shared-subtree pins — changed-code outranks pure staleness),
+    then pure staleness oldest-first: 30 remaining r7-vintage driver
+    rows, then text_pmi_collocations (changed late in the build
+    round). The 7 oldest r8 rows the wave-2 registrations displaced
+    plus the 4 r7 rows the optimization rewrites displaced lead the
+    r15 rotation. 47 oracle value-hash slots + 3 rows-only
+    (by-design iterative/LSH) slots."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     rows_only_slots = [n for n in first50 if n not in ORACLE]
@@ -100,9 +102,9 @@ def test_driver_window_covers_all_families():
         "anomaly_gesd_daily",
         "changepoint_buishand_range",
         "text_gopher_quality_flags",
-        "weighted_median_price_by_flag",
-        "division_customers_all_priorities",
-        "mad_price_by_flag",
+        "forecast_croston_intermittent",
+        "xyz_demand_variability_parts",
+        "trend_mann_kendall_theil_sen",
     ]
 
 
