@@ -55,114 +55,83 @@ _MODULES = (
 # parity suite (tests/test_oracle_parity.py).
 # ROTATION POLICY (since r6, VERDICT r5 item 3): staleness-keyed --
 # never-driver-checked queries first, then implementations changed since
-# their last driver row, then oldest rows first. ROUND 14 (thirteenth
-# rotation): the 15 NEW r14 registrations first (the AR(2) Yule-Walker
-# one-step backtest carrying the shelf's first significance number -- the
-# Diebold-Mariano statistic vs the seasonal-naive champion; pinball-loss
-# scoring of the P10/P90 interval forecast on an honest calibration/
-# holdout time split; the random-walk-with-drift bake-off floor; Mood's
-# median test, the Cox-Stuart sign trend, Grubbs' outlier statistic, and
-# the weekly-block pair Page's L / Kendall's W -- all oracle-backed,
-# python/numpy replica laws in TestRound14Laws, windowed same-round;
-# wave 2 adds the Bates-Granger combination, Quade, Brunner-Munzel,
-# Hodges-Lehmann, generalized ESD, Buishand range, and the Gopher
-# quality-rule sweep -- replica laws in TestRound14LawsWave2).
-# tools_staleness.py (closure-aware) reports ZERO stale-against-HEAD and
-# zero unresolvable at the rotation point -- the r13 window drained the
-# entire changed tier -- so the remaining slots drain changed-code
-# first, then pure staleness: the OPTIMIZATION round's four plan
-# rewrites (Croston/XYZ pin-for-checkpoint, Mann-Kendall and assoc
-# shared-subtree pins -- values proven identical locally), then every
-# remaining r7-vintage driver row, in registration order within equal
-# rounds (one late build-round swap: the r14 sf1 A/B changed
-# text_pmi_collocations to pin its tokenized relation, so it keeps the
-# final slot; the 7 r8 rows the wave-2 registrations displaced and the
-# 4 r7 rows the optimization rewrites displaced lead the r15 rotation).
-# 47 oracle value-hash slots +
-# 3 rows-only-by-design slots (PageRank's iterative fixpoint and the
-# MinHash-LSH / SimHash banded tiers -- each law-pinned with an
-# oracle-checked exact twin).
+# their last driver row, then oldest rows first (registration order
+# within equal rounds). ROUND 15 (fourteenth rotation, optimization
+# round 2): zero never-checked queries remain (the r14 window drained
+# the registration backlog and all 15 came back green in
+# CORRECTNESS_r14). The changed tier is the two audio feature queries
+# whose frame-filler encoders the r14 optimization vectorized
+# (multimodal.py encode_mp3_stream/encode_adts_stream) but which missed
+# the r14 window -- the one red test of r14 (VERDICT r14 item 1); they
+# lead this window so the driver re-evidences exactly the rewritten
+# encoders (rows-only by design -- bit-level framing is not
+# SQL-expressible -- pinned by the 200-case bit-equivalence law and the
+# round-trip decoder tests). Then pure staleness oldest-first: the 40
+# remaining r8-vintage driver rows (16 oracle-backed relational/stats
+# rows, then the r8 registration block of rows-only text/BPE/
+# multimodal/sketch tiers -- rows-only queries age like any other and
+# their exact oracle-backed twins stay green in the local parity
+# suite), then the 8 oldest r9 rows. Queries this round's optimization
+# pass changes are rotated in as they change (changed-code outranks
+# pure staleness), displacing the window tail.
+# 24 oracle value-hash slots + 26 rows-only slots this round -- the
+# rows-only density is the r8 vintage block coming due, not a choice.
 _PRIORITY = (
-    # new r14 registrations, never driver-checked (8)
-    "forecast_ar2_daily",
-    "forecast_pinball_interval_daily",
-    "forecast_drift_daily",
-    "stats_mood_median_weekend",
-    "stats_cox_stuart_trend_daily",
-    "stats_grubbs_outlier_daily",
-    "stats_page_trend_dow",
-    "stats_kendalls_w_dow",
-    # r14 wave-2 registrations (same-round evidence): the Bates-Granger
-    # combination joining the six-model bake-off, Quade completing the
-    # weekly block-design shelf, Brunner-Munzel completing the
-    # two-sample shelf on the fused prefix kernel, the Hodges-Lehmann
-    # shift estimator, generalized ESD completing the anomaly tier,
-    # Buishand completing the changepoint tier, and the Gopher-rule
-    # quality sweep on documents
-    "forecast_combo_daily",
-    "stats_quade_dow",
-    "stats_brunner_munzel",
-    "stats_hodges_lehmann_shift",
-    "anomaly_gesd_daily",
-    "changepoint_buishand_range",
-    "text_gopher_quality_flags",
-    # changed THIS round (optimization round 1): the four oracle-backed
-    # queries whose plans the optimization pass rewrote -- Croston/XYZ
-    # traded the eager localCheckpoint for a lazy pin, Mann-Kendall
-    # pinned its shared pair aggregation, assoc pinned its basket
-    # arrays (OPTIMIZATION_r14.md #3/#5). Values are proven identical
-    # locally (parity suite + the verify drive), and changed-code
-    # outranks pure staleness, so they take four r7 slots; the four
-    # displaced r7 rows (q6_revenue_forecast, top_customers_by_revenue,
-    # window_running_quantity, window_order_gap_days) join the seven
-    # wave-2-displaced r8 rows at the head of the r15 rotation.
-    "forecast_croston_intermittent",
-    "xyz_demand_variability_parts",
-    "trend_mann_kendall_theil_sen",
-    "assoc_part_pairs_lift",
-    # r7 driver rows (the remaining 30)
-    "weighted_median_price_by_flag",
-    "division_customers_all_priorities",
-    "mad_price_by_flag",
-    "control_chart_xmr_user_value",
-    "allocation_hamilton_quota",
-    "hhi_supplier_concentration",
-    "orders_skyline_price_date",
-    "ldiversity_customer_audit",
-    "events_out_of_order_audit",
-    "smape_seasonal_backtest",
-    "survival_user_retention_km",
-    "gini_revenue_concentration",
-    "graph_pagerank_trade",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_shingle_containment",
-    "dedup_threshold_sweep",
-    "calibration_diversity_vs_canonical",
-    "text_zipf_fit",
-    "text_keyword_rake",
-    "text_trigram_novelty",
-    "text_bm25_topk",
-    "text_next_token_table",
-    "word2vec_sampling_tables",
-    "embedding_matryoshka_topk",
-    "contrastive_hard_negatives",
-    "mix_temperature_weights",
-    "eval_gains_deciles",
-    "eval_calibration_bins",
-    "eval_woe_iv_doc_length",
-    # changed since last driver row (1): the r14 sf1 A/B shipped the
-    # tokenized-relation pin in text_pmi_collocations (BENCH_AB_r14);
-    # changed-code outranks pure staleness, so it takes the slot the
-    # 8th-oldest r8 row (anomaly_mad_daily_revenue) would have had
-    "text_pmi_collocations",
-    # WINDOW FULL at 50 (15 new + 4 optimization-changed + 30 r7 +
-    # 1 build-changed). The wave-2 registrations displaced the 7 oldest
-    # r8 rows (window_rank_parts_by_price .. attribution_time_decay)
-    # and the optimization rewrites displaced the 4 youngest r7 rows
-    # (q6_revenue_forecast, top_customers_by_revenue,
-    # window_running_quantity, window_order_gap_days); both sets lead
-    # the r15 rotation.
+    # changed in r14 (optimization round 1), missed the r14 window (2)
+    "mm_aac_features",
+    "mm_mp3_features",
+    # r8 driver rows, oracle-backed (16)
+    "q6_revenue_forecast",
+    "top_customers_by_revenue",
+    "window_running_quantity",
+    "window_order_gap_days",
+    "window_rank_parts_by_price",
+    "asof_join_bounded_lookback",
+    "stats_mannwhitney_u",
+    "attribution_position_based",
+    "stats_kruskal_wallis",
+    "changepoint_cusum_daily_revenue",
+    "attribution_time_decay",
+    "anomaly_mad_daily_revenue",
+    "path_top_trigrams_sessions",
+    "repeat_purchase_intervals",
+    "sql_group_by_all_revenue",
+    "sql_order_by_all_nation_summary",
+    # r8 driver rows, rows-only tiers in registration order (24)
+    "text_langid_heuristic",
+    "bpe_train_merges",
+    "bpe_segment_token_counts",
+    "unigram_lm_vocab",
+    "unigram_lm_token_counts",
+    "embedding_pca_scree",
+    "mm_feature_extract",
+    "mm_image_features",
+    "mm_png_features",
+    "mm_svg_features",
+    "mm_jpeg_features",
+    "mm_jpeg_pixels",
+    "mm_gif_features",
+    "mm_wav_features",
+    "mm_adpcm_features",
+    "mm_mjpeg_video_features",
+    "mm_mp4_features",
+    "mm_image_phash",
+    "dedup_image_phash_near",
+    "sketch_cms_user_counts",
+    "sketch_bloom_prejoin_orders",
+    "sketch_mg_heavy_tokens",
+    "sketch_kmv_user_overlap",
+    "pack_sequences_ffd",
+    # r9 driver rows, oldest-first (8)
+    "nav_list_packages",
+    "distinct_counts_lineitem",
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "semi_join_finished_customers",
+    "anti_join_orderless_customers",
+    # WINDOW FULL at 50 (2 changed + 48 oldest rows).
 )
 
 

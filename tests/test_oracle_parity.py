@@ -60,51 +60,23 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def test_driver_window_covers_all_families():
     """The driver value-checks only the FIRST 50 registered queries
     (VERDICT r1 item 2) — pin that the window is exactly the curated
-    priority list. Round 14 (never-checked backlog at 0, changed-code
-    backlog at 0 by the closure-aware tools_staleness.py — the r13
-    window drained the entire changed tier): the 15 NEW r14
-    registrations first (AR(2) Yule-Walker backtest with the
-    Diebold-Mariano significance column, pinball-scored interval
-    forecast, random-walk-with-drift floor, Mood's median, Cox-Stuart
-    sign trend, Grubbs' outlier, and the weekly-block pair Page's L /
-    Kendall's W — all oracle-backed with TestRound14Laws replicas;
-    wave 2: the Bates-Granger combination, Quade, Brunner-Munzel,
-    Hodges-Lehmann, generalized ESD, Buishand range, and the Gopher
-    quality sweep — TestRound14LawsWave2 replicas), then the FOUR
-    queries whose plans the r14 OPTIMIZATION round rewrote
-    (Croston/XYZ pin-for-localCheckpoint, Mann-Kendall and assoc
-    shared-subtree pins — changed-code outranks pure staleness),
-    then pure staleness oldest-first: 30 remaining r7-vintage driver
-    rows, then text_pmi_collocations (changed late in the build
-    round). The 7 oldest r8 rows the wave-2 registrations displaced
-    plus the 4 r7 rows the optimization rewrites displaced lead the
-    r15 rotation. 47 oracle value-hash slots + 3 rows-only
-    (by-design iterative/LSH) slots."""
+    priority list. Round 15 (optimization round 2): never-checked
+    backlog at 0 (the r14 window drained the registration backlog,
+    CORRECTNESS_r14 green), changed tier = the two audio feature
+    queries whose encoders the r14 optimization vectorized but which
+    missed the r14 window (VERDICT r14 item 1) — they lead; then pure
+    staleness oldest-first: the 40 remaining r8-vintage rows (16
+    oracle-backed, then the r8 rows-only registration block), then
+    the 8 oldest r9 rows. Queries changed by THIS round's
+    optimization pass rotate in as they change (changed-code outranks
+    pure staleness), displacing the tail."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
-    rows_only_slots = [n for n in first50 if n not in ORACLE]
-    oracle_slots = [n for n in first50 if n in ORACLE]
-    assert len(rows_only_slots) == 3
-    assert len(oracle_slots) == 47
-    assert first50[:18] == [
-        "forecast_ar2_daily",
-        "forecast_pinball_interval_daily",
-        "forecast_drift_daily",
-        "stats_mood_median_weekend",
-        "stats_cox_stuart_trend_daily",
-        "stats_grubbs_outlier_daily",
-        "stats_page_trend_dow",
-        "stats_kendalls_w_dow",
-        "forecast_combo_daily",
-        "stats_quade_dow",
-        "stats_brunner_munzel",
-        "stats_hodges_lehmann_shift",
-        "anomaly_gesd_daily",
-        "changepoint_buishand_range",
-        "text_gopher_quality_flags",
-        "forecast_croston_intermittent",
-        "xyz_demand_variability_parts",
-        "trend_mann_kendall_theil_sen",
+    assert first50[:4] == [
+        "mm_aac_features",
+        "mm_mp3_features",
+        "q6_revenue_forecast",
+        "top_customers_by_revenue",
     ]
 
 
@@ -191,11 +163,11 @@ def test_driver_window_is_full_and_oracle_backed():
     queries; a rotation mistake (typo'd name, short window, duplicate
     slot) silently wastes driver evidence slots. Pin the contract:
     exactly 50 priority slots, every one resolves to a registered
-    query, no duplicates. Round 14's window is staleness-keyed with
-    exactly THREE rows-only slots — the r7-vintage PageRank iterative
-    fixpoint and the MinHash-LSH / SimHash banded tiers rotating
-    through (each has an oracle-checked exact twin or pinned laws;
-    split pinned in test_driver_window_covers_all_families)."""
+    query, no duplicates. Round 15's window is staleness-keyed; the
+    rows-only density (26 slots) is the r8-vintage registration block
+    (text/BPE/multimodal/sketch tiers) coming due oldest-first, plus
+    the two r14-changed audio queries leading the window — every
+    rows-only slot has an oracle-checked exact twin or pinned laws."""
     import __spark_entry__ as E
 
     qs, osql = E.queries(), E.oracle_sql()
@@ -204,11 +176,8 @@ def test_driver_window_is_full_and_oracle_backed():
     missing = [n for n in E._PRIORITY if n not in qs]
     assert not missing, f"window names not registered: {missing}"
     rows_only = [n for n in E._PRIORITY if n not in osql]
-    assert rows_only == [
-        "graph_pagerank_trade",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-    ], f"unexpected rows-only slots: {rows_only}"
+    assert rows_only[:2] == ["mm_aac_features", "mm_mp3_features"]
+    assert len(rows_only) == 26, f"unexpected rows-only slots: {rows_only}"
     # and the window really is the first 50 registrations
     assert list(qs)[:50] == list(E._PRIORITY)
 
