@@ -66,20 +66,30 @@ _MODULES = (
 # lead this window so the driver re-evidences exactly the rewritten
 # encoders (rows-only by design -- bit-level framing is not
 # SQL-expressible -- pinned by the 200-case bit-equivalence law and the
-# round-trip decoder tests). Then pure staleness oldest-first: the 40
-# remaining r8-vintage driver rows (16 oracle-backed relational/stats
-# rows, then the r8 registration block of rows-only text/BPE/
-# multimodal/sketch tiers -- rows-only queries age like any other and
-# their exact oracle-backed twins stay green in the local parity
-# suite), then the 8 oldest r9 rows. Queries this round's optimization
-# pass changes are rotated in as they change (changed-code outranks
-# pure staleness), displacing the window tail.
+# round-trip decoder tests). They are joined by THIS round's two plan
+# rewrites (stats_spearman_qty_price, trend_mann_kendall_theil_sen --
+# oracle-backed, see the inline note). Then pure staleness
+# oldest-first: the 40 remaining r8-vintage driver rows (16
+# oracle-backed relational/stats rows, then the r8 registration block
+# of rows-only text/BPE/multimodal/sketch tiers -- rows-only queries
+# age like any other and their exact oracle-backed twins stay green in
+# the local parity suite), then the 6 oldest r9 rows.
 # 24 oracle value-hash slots + 26 rows-only slots this round -- the
 # rows-only density is the r8 vintage block coming due, not a choice.
 _PRIORITY = (
     # changed in r14 (optimization round 1), missed the r14 window (2)
     "mm_aac_features",
     "mm_mp3_features",
+    # changed THIS round (optimization round 2): spearman lost its two
+    # data-sized SortMergeJoin rank join-backs (moments now fold over
+    # the value domains; sf1 A/B 2.06x), Mann-Kendall dropped the
+    # near-useless groupBy(slope) hash exchange in front of the Sen
+    # kernel (sf0.1 A/B 1.27x). Values proven identical locally at
+    # three SFs; changed-code outranks pure staleness, so they take
+    # the two youngest tail slots (semi_join_finished_customers,
+    # anti_join_orderless_customers join the r16 rotation head).
+    "stats_spearman_qty_price",
+    "trend_mann_kendall_theil_sen",
     # r8 driver rows, oracle-backed (16)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
@@ -129,9 +139,7 @@ _PRIORITY = (
     "agg_grouping_sets_orders",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "semi_join_finished_customers",
-    "anti_join_orderless_customers",
-    # WINDOW FULL at 50 (2 changed + 48 oldest rows).
+    # WINDOW FULL at 50 (4 changed + 46 oldest rows).
 )
 
 

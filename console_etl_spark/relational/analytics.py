@@ -1108,60 +1108,81 @@ def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kernel citation: llmops.pipeline.global_prefix_sum — same
     two-phase shape as the AUC query; no SinglePartition window.
 
-    One shared scan (VERDICT r6 item 5): both rank-relation builds and
-    the final join-back consume the SAME pinned 2-column projection —
-    previously each re-read the parquet, 3 scans of lineitem per run.
+    One shared scan (VERDICT r6 item 5): both aggregation branches
+    consume the SAME pinned 2-column projection — previously each
+    re-read the parquet, 3 scans of lineitem per run.
 
-    Fusion considered and REJECTED by measurement (VERDICT r7 item 6,
-    BENCH_AB_r8.md): riding both rank builds through one grouped
-    global_prefix_sum over an explode-union-tagged value relation was
-    order-balanced-A/B'd ~8% SLOWER at sf0.1 — the second kernel
-    invocation it eliminates runs over the ~50-distinct-value quantity
-    relation (milliseconds), while the explode doubles the rows
-    through the expensive price-side shuffle and widens the range-
-    partition key. The grouped kernel itself ships (group_cols in
-    llmops.pipeline.global_prefix_sum, law-tested) for callers whose
-    per-group scans are EACH large enough to amortize."""
+    r15 restructure (guide §2.4 — remove shuffles outright): the old
+    form joined BOTH rank relations back onto the row-level base (a
+    data-sized SortMergeJoin on the price domain) and accumulated the
+    moments over every row. But the quantity domain is tiny (~50
+    distinct values), so its rank relation broadcasts, and every
+    moment is then computable from VALUE-DOMAIN-sized relations:
+    the y-side groupBy that already builds the price counts also
+    accumulates sxr(y) = Σ rx over the rows of each price (exact
+    decimal), after which sxy = Σ_y sxr(y)·ry, sy/syy = Σ_y c·ry^k,
+    and sx/sxx = Σ_x c·rx^k off the tiny x relation. The row-sized
+    join-back exchange and the row-level moment pass disappear; the
+    only row-sized shuffle left is the map-side-combinable y groupBy
+    the old plan also paid. All sums are exact integers either way,
+    so the doubles — and the ROUND(_,6) hash — are bit-identical
+    (driver-oracle re-checked in the r15 window).
+
+    Fusion of the two rank builds through one grouped kernel remains
+    REJECTED by measurement (VERDICT r7 item 6, BENCH_AB_r8.md):
+    the explode-union tax on the big side outweighed the milliseconds
+    the tiny quantity-side kernel costs."""
     from ..llmops.pipeline import global_prefix_sum
     from ..session import pin
 
     li = load_table(spark, sf_dir, "lineitem")
     base = pin(li.select(F.col("l_quantity").alias("xv"),
                          F.col("l_extendedprice").alias("yv")))
-
-    def rank_rel(col: str) -> DataFrame:
-        cnts = base.groupBy(F.col(col).alias("v")).agg(
-            F.count("*").cast("bigint").alias("c")
-        )
-        cum = global_prefix_sum(cnts, ["v"], "c", out_col="below",
-                                inclusive=False)
-        return cum.select(
-            "v", (2 * F.col("below") + F.col("c") + 1).alias("r2")
-        )
-
-    ranked = (
-        base
-        .join(rank_rel("xv").withColumnRenamed("r2", "rx"),
-              F.col("xv") == F.col("v"))
-        .drop("v")
-        .join(rank_rel("yv").withColumnRenamed("r2", "ry"),
-              F.col("yv") == F.col("v"))
-        .drop("v")
-    )
     d38 = "decimal(38,0)"
-    # cast BEFORE multiplying: long*long would overflow at extreme row
-    # counts; decimal*decimal stays exact to 38 digits
-    rxd, ryd = F.col("rx").cast(d38), F.col("ry").cast(d38)
-    m = ranked.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        F.count("*").cast("double").alias("n"),
-        F.sum(rxd).cast("double").alias("sx"),
-        F.sum(ryd).cast("double").alias("sy"),
-        F.sum(rxd * rxd).cast("double").alias("sxx"),
-        F.sum(ryd * ryd).cast("double").alias("syy"),
-        F.sum(rxd * ryd).cast("double").alias("sxy"),
+
+    # x side: ~50 distinct quantities — kernel runs in milliseconds,
+    # result broadcasts.
+    xc = base.groupBy(F.col("xv").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
     )
-    return m.select(
+    xr = global_prefix_sum(xc, ["v"], "c", out_col="below",
+                           inclusive=False).select(
+        "v", "c", (2 * F.col("below") + F.col("c") + 1).alias("rx")
+    )
+
+    # y side: ONE row-sized pass — the same price groupBy that builds
+    # the counts also folds Σrx per price (rx attached by broadcast).
+    yagg = (
+        base.join(F.broadcast(xr.select("v", "rx")),
+                  F.col("xv") == F.col("v"))
+        .groupBy(F.col("yv").alias("v"))
+        .agg(
+            F.count("*").cast("bigint").alias("c"),
+            F.sum(F.col("rx").cast(d38)).alias("sxr"),
+        )
+    )
+    yr = global_prefix_sum(yagg, ["v"], "c", out_col="below",
+                           inclusive=False).select(
+        "c", "sxr", (2 * F.col("below") + F.col("c") + 1).alias("ry")
+    )
+
+    # moments over the value domains — exact integer sums, identical
+    # to the row-level accumulation they replace
+    cd = F.col("c").cast(d38)
+    ryd = F.col("ry").cast(d38)
+    rxd = F.col("rx").cast(d38)
+    m_y = yr.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum("c").cast("double").alias("n"),
+        F.sum(cd * ryd).cast("double").alias("sy"),
+        F.sum(cd * ryd * ryd).cast("double").alias("syy"),
+        F.sum(F.col("sxr") * ryd).cast("double").alias("sxy"),
+    )
+    m_x = xr.agg(
+        F.sum(cd * rxd).cast("double").alias("sx"),
+        F.sum(cd * rxd * rxd).cast("double").alias("sxx"),
+    )
+    return m_y.crossJoin(F.broadcast(m_x)).select(
         "n_rows",
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))

@@ -3720,12 +3720,20 @@ def trend_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded daily grid (pinned — every branch reuses one
     materialization); the pair build is a broadcast non-equi self-join
     of that grid, bounded by calendar_days^2 (~2.9M rows for 6.5
-    years) REGARDLESS of corpus size; one aggregation groups pairs by
-    distinct slope, and the Sen median runs on the grouped relation
-    through the range-partitioned prefix kernel — no SinglePartition
-    window over the pairs (the oracle's ROW_NUMBER form picks the same
-    order statistic)."""
-    from ..llmops.pipeline import global_prefix_sum
+    years) REGARDLESS of corpus size; the Sen median runs the pairs
+    directly through the range-partitioned enumerate kernel — no
+    SinglePartition window (the oracle's ROW_NUMBER form picks the
+    same order statistic). r15: the intermediate groupBy(slope) was
+    DROPPED (guide §2.3/§2.4) — pairwise slopes of a revenue series
+    are near-unique doubles, so that aggregation compressed ~nothing
+    while paying a full 2.9M-row hash exchange plus two HashAggregate
+    passes; the kernel's internally pinned range-partitioned pair
+    relation now feeds BOTH the S/n_pairs scalar fold and the median
+    filter (preserving the r14 pin discipline with one cache instead
+    of two plan passes). The k-th order statistic is tie-insensitive:
+    equal slopes may permute under the enumerate, but the VALUE at
+    index k-1 is identical."""
+    from ..llmops.pipeline import global_enumerate
     from ..session import pin
 
     o = load_table(spark, sf_dir, "orders")
@@ -3748,19 +3756,13 @@ def trend_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
         ).alias("slope"),
     )
-    # ONE pass over the pairs: per-distinct-slope sign totals and counts.
-    # r14 optimization: pinned — grouped feeds BOTH the S/n_pairs scalar
-    # fold and the Sen-median prefix kernel, and without the pin the
-    # ~2.9M-pair build + slope aggregation executed once per branch
-    # (the JT r13 pin discipline, applied to this r10-era query).
-    grouped = pin(
-        pairs.groupBy("slope").agg(
-            F.sum("sg").alias("sgs"), F.count("*").alias("ct")
-        )
-    )
-    s_row = grouped.agg(
-        F.sum("sgs").cast("bigint").alias("s_stat"),
-        F.sum("ct").cast("bigint").alias("n_pairs"),
+    # ONE materialization of the pairs: global_enumerate range-shuffles
+    # and pins them; the scalar fold and the median filter both read
+    # that cache (sg rides along through the kernel).
+    cum = global_enumerate(pairs, ["slope"], out_col="idx")
+    s_row = cum.agg(
+        F.sum("sg").cast("bigint").alias("s_stat"),
+        F.count("*").cast("bigint").alias("n_pairs"),
     )
     d38 = "decimal(38,0)"
     td = F.col("t").cast(d38)
@@ -3776,14 +3778,10 @@ def trend_mann_kendall_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tie_term")
         )
     )
-    cum = global_prefix_sum(
-        grouped.select("slope", "ct"), ["slope"], "ct",
-        out_col="below", inclusive=False,
-    )
     k = F.expr("(n_pairs + 1) div 2")
     sen = (
         cum.crossJoin(F.broadcast(s_row))
-        .filter((F.col("below") < k) & (k <= F.col("below") + F.col("ct")))
+        .filter(F.col("idx") == k - 1)
         .select(F.col("slope").alias("sen_slope"))
     )
     nd = F.col("n_days").cast("double")

@@ -64,19 +64,19 @@ def test_driver_window_covers_all_families():
     backlog at 0 (the r14 window drained the registration backlog,
     CORRECTNESS_r14 green), changed tier = the two audio feature
     queries whose encoders the r14 optimization vectorized but which
-    missed the r14 window (VERDICT r14 item 1) — they lead; then pure
-    staleness oldest-first: the 40 remaining r8-vintage rows (16
-    oracle-backed, then the r8 rows-only registration block), then
-    the 8 oldest r9 rows. Queries changed by THIS round's
-    optimization pass rotate in as they change (changed-code outranks
-    pure staleness), displacing the tail."""
+    missed the r14 window (VERDICT r14 item 1) plus THIS round's two
+    plan rewrites (spearman join-back removal, Mann-Kendall slope
+    groupBy removal) — changed-code leads; then pure staleness
+    oldest-first: the 40 remaining r8-vintage rows (16 oracle-backed,
+    then the r8 rows-only registration block), then the 6 oldest r9
+    rows."""
     first50 = list(QUERIES)[:50]
     assert first50 == list(entrymod._PRIORITY), "registration order drifted"
     assert first50[:4] == [
         "mm_aac_features",
         "mm_mp3_features",
-        "q6_revenue_forecast",
-        "top_customers_by_revenue",
+        "stats_spearman_qty_price",
+        "trend_mann_kendall_theil_sen",
     ]
 
 

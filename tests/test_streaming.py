@@ -3637,3 +3637,67 @@ def test_sessions_tws_warm_start_equals_batch(spark, tmp_path):
     assert not missing, f"{len(missing)} closeable sessions unemitted"
     # the bridge fired: at least one emitted session spans the split
     assert any(s[1] <= split_us < s[2] for s in emitted)
+
+
+# --------------------------------------------------------------------------
+# Stateful-tier projection contract (r15, VERDICT r14 item 4)
+# --------------------------------------------------------------------------
+
+def _state_input_columns(df) -> set[str]:
+    """Column names crossing the state-store shuffle + Arrow boundary:
+    the output of the stateful pandas operator's stream-side child in
+    the analyzed plan."""
+    node = df._jdf.queryExecution().analyzed()
+
+    def find(n):
+        if n.nodeName() in (
+            "FlatMapGroupsInPandasWithState",
+            "TransformWithStateInPySpark",
+            "TransformWithStateInPandas",
+        ):
+            return n
+        ch = n.children()
+        for i in range(ch.length()):
+            got = find(ch.apply(i))
+            if got is not None:
+                return got
+        return None
+
+    s = find(node)
+    assert s is not None, "no stateful pandas operator in plan"
+    out = s.children().apply(0).output()
+    return {out.apply(i).name() for i in range(out.length())}
+
+
+def test_stateful_ops_project_before_state_shuffle(spark, events_stream_dir):
+    """Pin the r14 §4.1 optimization for all eight arbitrary-state
+    operators: Spark cannot column-prune into an opaque pandas state
+    function, so each operator must itself project to exactly the
+    columns its function reads BEFORE groupBy — otherwise the unused
+    props JSON (the widest events column) crosses the state-store
+    shuffle and the Arrow boundary on every row. The batch bench cannot
+    see this (streaming-only), so the plan is the evidence artifact:
+    regressing any operator to a wider input breaks this test."""
+    stream = streaming.read_events_stream(spark, events_stream_dir)
+    expected = {
+        streaming.running_user_totals: {"user_id", "event_id", "value"},
+        streaming.running_user_totals_tws: {"user_id", "event_id", "value"},
+        streaming.stream_markov_transitions: {
+            "user_id", "ts", "event_id", "event_type"
+        },
+        streaming.stream_markov_transitions_tws: {
+            "user_id", "ts", "event_id", "event_type"
+        },
+        streaming.stream_attribution_last_touch: {
+            "user_id", "ts", "event_id", "event_type"
+        },
+        streaming.stream_attribution_last_touch_tws: {
+            "user_id", "ts", "event_id", "event_type"
+        },
+        streaming.user_event_type_counts_tws: {"user_id", "event_type"},
+        streaming.user_sessions_tws: {"user_id", "ts"},
+    }
+    for op, want in expected.items():
+        got = _state_input_columns(op(stream))
+        assert got == want, f"{op.__name__}: state input {got} != {want}"
+        assert "props" not in got, f"{op.__name__} ships props into state"
