@@ -73,7 +73,7 @@ _MODULES = (
 # oracle-backed relational/stats rows, then the r8 registration block
 # of rows-only text/BPE/multimodal/sketch tiers -- rows-only queries
 # age like any other and their exact oracle-backed twins stay green in
-# the local parity suite), then the 6 oldest r9 rows.
+# the local parity suite), then the 4 oldest r9 rows.
 # 24 oracle value-hash slots + 26 rows-only slots this round -- the
 # rows-only density is the r8 vintage block coming due, not a choice.
 _PRIORITY = (
@@ -88,8 +88,13 @@ _PRIORITY = (
     # three SFs; changed-code outranks pure staleness, so they take
     # the two youngest tail slots (semi_join_finished_customers,
     # anti_join_orderless_customers join the r16 rotation head).
+    # Croston/XYZ re-enter because the ADVICE r14 cleanup made their
+    # pin call sites explicit (`weekly = pin(weekly)`) — cosmetic, but
+    # changed-since-row is mechanical; they displace q3/q5 (r9 rows).
     "stats_spearman_qty_price",
     "trend_mann_kendall_theil_sen",
+    "forecast_croston_intermittent",
+    "xyz_demand_variability_parts",
     # r8 driver rows, oracle-backed (16)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
@@ -132,14 +137,12 @@ _PRIORITY = (
     "sketch_mg_heavy_tokens",
     "sketch_kmv_user_overlap",
     "pack_sequences_ffd",
-    # r9 driver rows, oldest-first (8)
+    # r9 driver rows, oldest-first (4)
     "nav_list_packages",
     "distinct_counts_lineitem",
     "agg_cube_orders",
     "agg_grouping_sets_orders",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    # WINDOW FULL at 50 (4 changed + 46 oldest rows).
+    # WINDOW FULL at 50 (6 changed + 44 oldest rows).
 )
 
 

@@ -6002,7 +6002,7 @@ def xyz_demand_variability_parts(
     # lineage is kept (the dq_violations_report finding).
     from ..session import pin
 
-    pin(weekly)
+    weekly = pin(weekly)
     # min/max week over (part, week) groups == min/max over the facts
     span = weekly.agg(
         (F.max("w") - F.min("w") + 1).cast(d38).alias("nw")
@@ -6165,7 +6165,7 @@ def forecast_croston_intermittent(
     # up front (the dq_violations_report finding), and lineage is kept.
     from ..session import pin
 
-    pin(weekly)
+    weekly = pin(weekly)
     span = weekly.agg(
         (F.max("w") - F.min("w") + 1).cast(d38).alias("nw")
     )

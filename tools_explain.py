@@ -20,6 +20,11 @@ from console_etl_spark.session import get_spark, release_pins
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or "_" not in sys.argv[1]:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(
+            "usage: tools_explain.py <round>_<suffix> [query ...]"
+        )
     tag = sys.argv[1]
     round_dir, _, suffix = tag.rpartition("_")
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", round_dir)
