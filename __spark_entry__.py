@@ -73,8 +73,9 @@ _MODULES = (
 # oracle-backed relational/stats rows, then the r8 registration block
 # of rows-only text/BPE/multimodal/sketch tiers -- rows-only queries
 # age like any other and their exact oracle-backed twins stay green in
-# the local parity suite), then the 4 oldest r9 rows.
-# 24 oracle value-hash slots + 26 rows-only slots this round -- the
+# the local parity suite), then the 3 oldest r9 rows.
+# 24 oracle value-hash slots + 26 rows-only slots this round (levene
+# displaced one oracle-backed r9 row and is itself oracle-backed) -- the
 # rows-only density is the r8 vintage block coming due, not a choice.
 _PRIORITY = (
     # changed in r14 (optimization round 1), missed the r14 window (2)
@@ -91,10 +92,15 @@ _PRIORITY = (
     # Croston/XYZ re-enter because the ADVICE r14 cleanup made their
     # pin call sites explicit (`weekly = pin(weekly)`) — cosmetic, but
     # changed-since-row is mechanical; they displace q3/q5 (r9 rows).
+    # Levene/Brown-Forsythe folds its z moments over the kernel's
+    # cached grid with multiplicities (3 fact scans -> 1; sf1 A/B
+    # favors new in every round) and takes the youngest remaining
+    # tail slot (agg_grouping_sets_orders).
     "stats_spearman_qty_price",
     "trend_mann_kendall_theil_sen",
     "forecast_croston_intermittent",
     "xyz_demand_variability_parts",
+    "stats_levene_bf",
     # r8 driver rows, oracle-backed (16)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
@@ -137,12 +143,11 @@ _PRIORITY = (
     "sketch_mg_heavy_tokens",
     "sketch_kmv_user_overlap",
     "pack_sequences_ffd",
-    # r9 driver rows, oldest-first (4)
+    # r9 driver rows, oldest-first (3)
     "nav_list_packages",
     "distinct_counts_lineitem",
     "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    # WINDOW FULL at 50 (6 changed + 44 oldest rows).
+    # WINDOW FULL at 50 (7 changed + 43 oldest rows).
 )
 
 

@@ -2771,11 +2771,18 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-group medians come from the grouped prefix kernel
     (llmops.pipeline.global_prefix_sum group_cols — no per-group
-    SinglePartition sort) over the (g, x) value grid; z is a broadcast
-    join of the 5-row median relation back onto the scan; the W fold is
-    one map-side-combinable aggregation. Cost at 100 TB is the distinct
-    (g, price) domain plus two scans — the same envelope as the MAD
-    anomaly queries."""
+    SinglePartition sort) over the (g, x) value grid; the W fold is
+    one map-side-combinable aggregation. r15 (guide §2.4): the z
+    moments fold over the kernel's CACHED grid with multiplicities —
+    Σ_rows |x-med| = Σ_grid ct·|x-med| — instead of broadcast-joining
+    the medians back onto a second fact scan; the group sizes fold off
+    the same cache instead of rebuilding the grid from a third scan.
+    ONE fact scan total (was three), no row-sized join, and every
+    product is staged through explicit decimal casts that keep 38-digit
+    exactness (ct·z at (19,0)x(13,2)→(33,2); (ct·z)·z at
+    (24,2)x(13,2)→(38,4)), so the sums — and the oracle hash — are
+    bit-identical to the row-level accumulation they replace. Cost at
+    100 TB is the distinct (g, price) domain plus one scan."""
     from ..llmops.pipeline import global_prefix_sum
 
     d2, d4 = "decimal(38,2)", "decimal(38,4)"
@@ -2787,7 +2794,7 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sum(
         grid, ["x"], "ct", out_col="below", inclusive=False, group_cols=["g"]
     )
-    ng = grid.groupBy("g").agg(F.sum("ct").cast("bigint").alias("n_g"))
+    ng = cum.groupBy("g").agg(F.sum("ct").cast("bigint").alias("n_g"))
     med = (
         cum.join(F.broadcast(ng), "g")
         .filter(
@@ -2796,13 +2803,16 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g", F.col("x").alias("med"))
     )
-    z = s.join(F.broadcast(med), "g").select(
-        "g", F.abs(F.col("x") - F.col("med")).alias("z")
+    zg = cum.join(F.broadcast(med), "g").select(
+        "g",
+        F.col("ct").cast("decimal(19,0)").alias("ctd"),
+        F.abs(F.col("x") - F.col("med")).alias("z"),
     )
-    agg = z.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("n_g"),
-        F.sum("z").cast(d2).alias("s_g"),
-        F.sum(F.col("z") * F.col("z")).cast(d4).alias("q_g"),
+    ctz = (F.col("ctd") * F.col("z")).cast("decimal(33,2)")
+    agg = zg.groupBy("g").agg(
+        F.sum("ctd").cast("bigint").alias("n_g"),
+        F.sum(ctz).cast(d2).alias("s_g"),
+        F.sum(ctz.cast("decimal(24,2)") * F.col("z")).cast(d4).alias("q_g"),
     )
     # deterministic fold order: sort the 5-row relation by g, then add
     # group terms left-to-right via aggregate() over the sorted array —
