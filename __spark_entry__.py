@@ -73,9 +73,9 @@ _MODULES = (
 # oracle-backed relational/stats rows, then the r8 registration block
 # of rows-only text/BPE/multimodal/sketch tiers -- rows-only queries
 # age like any other and their exact oracle-backed twins stay green in
-# the local parity suite), then the 3 oldest r9 rows.
+# the local parity suite), then the 2 oldest r9 rows.
 # 24 oracle value-hash slots + 26 rows-only slots this round (levene
-# displaced one oracle-backed r9 row and is itself oracle-backed) -- the
+# and mad displaced oracle-backed r9 rows and are oracle-backed) -- the
 # rows-only density is the r8 vintage block coming due, not a choice.
 _PRIORITY = (
     # changed in r14 (optimization round 1), missed the r14 window (2)
@@ -101,6 +101,12 @@ _PRIORITY = (
     "forecast_croston_intermittent",
     "xyz_demand_variability_parts",
     "stats_levene_bf",
+    # MAD's quantile passes moved to the (flag, price) count grid with
+    # percentile(value, p, frequency) -- bit-identical, one scan
+    # instead of two, and the aggregate's buffered state becomes
+    # domain-bounded instead of group-row-bounded (the 100 TB OOM
+    # class); flat locally by A/B. Takes the agg_cube_orders slot.
+    "mad_price_by_flag",
     # r8 driver rows, oracle-backed (16)
     "q6_revenue_forecast",
     "top_customers_by_revenue",
@@ -143,11 +149,10 @@ _PRIORITY = (
     "sketch_mg_heavy_tokens",
     "sketch_kmv_user_overlap",
     "pack_sequences_ffd",
-    # r9 driver rows, oldest-first (3)
+    # r9 driver rows, oldest-first (2)
     "nav_list_packages",
     "distinct_counts_lineitem",
-    "agg_cube_orders",
-    # WINDOW FULL at 50 (7 changed + 43 oldest rows).
+    # WINDOW FULL at 50 (8 changed + 42 oldest rows).
 )
 
 

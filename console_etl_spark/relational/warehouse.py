@@ -1805,21 +1805,39 @@ def division_customers_all_priorities(spark: SparkSession, sf_dir: str) -> DataF
 def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the robust spread statistic outlier
     gates use where stddev is poisoned by the outliers themselves. Two
-    exact interpolated quantile passes: group medians (tiny relation,
-    broadcast back) then the median of absolute deviations. Both
-    engines use the identical linear-interpolation quantile
-    definition; round(6) absorbs the join-order float noise."""
+    exact interpolated quantile passes over the (flag, price) COUNT
+    GRID (r15, guide §2.3/§5): `percentile(value, p, frequency)` over
+    distinct values with multiplicities is bit-identical to the row
+    form — Spark's Percentile aggregate builds the same value→count
+    map either way — but the buffered state shrinks from group row
+    count to the price domain (the row form materializes every row's
+    value per group inside the aggregate: an executor-memory hazard at
+    100 TB group sizes), the fact table is scanned ONCE instead of
+    twice, and no row-sized broadcast join remains. Both engines use
+    the identical linear-interpolation quantile definition; round(6)
+    absorbs the join-order float noise."""
+    from ..session import pin
+
     li = load_table(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    grid = pin(
+        li.groupBy("l_returnflag", "l_extendedprice").agg(
+            F.count("*").cast("bigint").alias("ct")
+        )
+    )
+    med = grid.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5), F.col("ct")).alias("med")
     )
     return (
-        li.join(F.broadcast(med), "l_returnflag")
+        grid.join(F.broadcast(med), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.round(F.max("med"), 6).alias("median_price"),
             F.round(
-                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)),
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med")),
+                    F.lit(0.5),
+                    F.col("ct"),
+                ),
                 6,
             ).alias("mad_price"),
         )
