@@ -1806,16 +1806,16 @@ def mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the robust spread statistic outlier
     gates use where stddev is poisoned by the outliers themselves. Two
     exact interpolated quantile passes over the (flag, price) COUNT
-    GRID (r15, guide §2.3/§5): `percentile(value, p, frequency)` over
+    GRID (r15, guide §2.3): `percentile(value, p, frequency)` over
     distinct values with multiplicities is bit-identical to the row
     form — Spark's Percentile aggregate builds the same value→count
-    map either way — but the buffered state shrinks from group row
-    count to the price domain (the row form materializes every row's
-    value per group inside the aggregate: an executor-memory hazard at
-    100 TB group sizes), the fact table is scanned ONCE instead of
-    twice, and no row-sized broadcast join remains. Both engines use
-    the identical linear-interpolation quantile definition; round(6)
-    absorbs the join-order float noise."""
+    OpenHashMap either way (so memory was domain-bounded in BOTH
+    forms; an earlier claim here overstated that) — but the fact
+    table is scanned ONCE instead of twice, the per-row aggregate
+    update loop runs over the domain instead of every row, and no
+    row-sized broadcast join remains. Both engines use the identical
+    linear-interpolation quantile definition; round(6) absorbs the
+    join-order float noise."""
     from ..session import pin
 
     li = load_table(spark, sf_dir, "lineitem")
